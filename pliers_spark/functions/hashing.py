@@ -1,0 +1,99 @@
+"""Deterministic, cross-engine hashing primitives (JVM-side Columns).
+
+The dedup family (MinHash-LSH, SimHash, shingle fingerprints) needs hash
+functions that are (a) stable across runs and executors, (b) reproducible
+in the DuckDB oracle for the correctness gate. ``md5`` is identical in
+Spark and DuckDB, so the canonical 60-bit integer hash is::
+
+    h(s) = int(md5(s)[0:15], 16)        # 15 hex chars = 60 bits, fits BIGINT
+
+Spark:  ``conv(substr(md5(s), 1, 15), 16, 10) :: bigint``
+DuckDB: ``CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT)``
+
+K independent hash families are derived by seeding: ``h_k(s) = h(k || ':' || s)``.
+All of this is built-in-function composition — no Python in the hot path,
+so a 100 TB dedup scan stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_CHARS = 15  # 60 bits < 2^63, safe for BIGINT in both engines
+
+
+def md5_int(col: Column, seed: int | None = None) -> Column:
+    """60-bit integer hash of a string column, optionally seeded."""
+    if seed is not None:
+        col = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(col), 1, HEX_CHARS), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str, seed: int | None = None) -> str:
+    """The same hash as :func:`md5_int`, as a DuckDB SQL fragment."""
+    if seed is not None:
+        expr = f"concat('{seed}:', {expr})"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {HEX_CHARS})) AS UBIGINT)"
+
+
+def shingles(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles of a token array (space-joined strings).
+
+    ``transform`` over a ``sequence`` of start offsets + ``slice`` —
+    pure array expressions, no explode, no shuffle.
+    """
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)  # slice() is 1-based
+    return F.when(count > 0, F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: for each seeded hash family, the minimum hash
+    over the document's shingle set. One Column per hash; NULL-safe for
+    empty shingle sets (min of empty → NULL)."""
+    return [
+        F.array_min(F.transform(shingle_col, lambda s, k=k: md5_int(s, seed=k))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Column:
+    """LSH band key: hash of the band's signature slice. Documents
+    agreeing on any full band land in the same candidate bucket."""
+    start = band * rows_per_band
+    parts = [c.cast("string") for c in signature_cols[start : start + rows_per_band]]
+    return md5_int(F.concat_ws("|", *parts), seed=10_000 + band)
+
+
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """SimHash over a token array: per-bit majority vote of token hashes.
+
+    bit_b(doc) = 1 if sum over tokens of (+1 if hash(token) bit b set else -1) > 0.
+    Built as a sum of shifted indicator expressions — stays in codegen.
+    """
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t, b=b: acc
+            + F.when(F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long columns (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def rolling_fingerprint(tokens: Column, n: int = 3) -> Column:
+    """Document fingerprint: minimum shingle hash (1-permutation MinHash,
+    a.k.a. a winnowing-style content fingerprint). Identical docs — and
+    docs sharing their rarest shingle — collide; cheap near-dup prefilter."""
+    return F.array_min(F.transform(shingles(tokens, n), lambda s: md5_int(s, seed=777)))

@@ -1,0 +1,173 @@
+"""Text extractors & filters as JVM-side Column expressions.
+
+Parity targets (SURVEY.md §2.2/§2.4/§2.7; behavior anchors cite the
+reference, code is original):
+
+- ``text_length``        ≡ LengthExtractor: ``len(text.strip())``
+                           (pliers/extractors/text.py:162-170).
+- ``lower_case``         ≡ LowerCasingFilter (pliers/filters/text.py:196-201).
+- ``remove_punctuation`` ≡ PunctuationRemovalFilter: strips exactly
+                           ``string.punctuation`` (pliers/filters/text.py:186-193).
+- ``tokenize``           ≡ TokenizingFilter / ComplexTextStim._from_text with a
+                           whitespace/regex tokenizer (pliers/filters/text.py:113-145;
+                           pliers/stimuli/text.py:220-248). nltk's Punkt tokenizer is
+                           not available in this environment; the engine's canonical
+                           tokenizer is a deterministic regex (documented, test-pinned).
+- ``num_unique_words``   ≡ NumUniqueWordsExtractor (pliers/extractors/text.py:173-201).
+- ``remove_tokens``      ≡ TokenRemovalFilter (pliers/filters/text.py:148-183).
+- quality/langid/token-count/fingerprint are the training-data-pipeline
+  additions required by the task brief (no pliers counterpart).
+
+Everything here returns a Column built from ``pyspark.sql.functions`` —
+no Python UDFs — so Catalyst folds these into whole-stage codegen and
+they run at full JVM speed on a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exactly Python's string.punctuation, as removed by the reference filter
+# (pliers/filters/text.py:191-193).
+PUNCTUATION = string.punctuation
+_PUNCT_CLASS = "[" + "".join("\\" + c for c in PUNCTUATION) + "]"
+
+# Canonical tokenizer: runs of non-whitespace. Matches str.split() /
+# DuckDB string_split semantics for the single-space-joined synthetic corpora.
+TOKEN_SPLIT_RE = r"\s+"
+
+# Small multilingual stopword profiles for the n-gram/stopword language-ID
+# heuristic (public common-word lists, abbreviated).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für", "ein"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"] + [
+    "this", "with", "as", "on", "was", "at", "by", "an", "be", "are",
+]
+
+
+def _isin_lambda(words: list[str]):
+    """Single-arg lambda factory for higher-order functions (Spark infers
+    lambda-variable count from arity, so defaults can't be used to close
+    over the word list)."""
+    return lambda t: t.isin(*words)
+
+
+def text_length(col: Column | str) -> Column:
+    """LengthExtractor: character count of the stripped text."""
+    return F.length(F.trim(F.col(col) if isinstance(col, str) else col))
+
+
+def lower_case(col: Column | str) -> Column:
+    return F.lower(F.col(col) if isinstance(col, str) else col)
+
+
+def remove_punctuation(col: Column | str) -> Column:
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col, _PUNCT_CLASS, "")
+
+
+def tokenize(col: Column | str) -> Column:
+    """Split into an array of tokens on whitespace, dropping empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def num_unique_words(col: Column | str) -> Column:
+    """Exact distinct token count (reference is exact, not approximate:
+    pliers/extractors/text.py:173-201)."""
+    return F.size(F.array_distinct(tokenize(col)))
+
+
+def remove_tokens(col: Column | str, tokens: list[str]) -> Column:
+    """TokenRemovalFilter: drop stopword tokens, re-join with ' '
+    (pliers/filters/text.py:148-183)."""
+    arr = tokenize(col)
+    kept = F.array_except(arr, F.array(*[F.lit(t) for t in tokens]))
+    return F.array_join(kept, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (training-pipeline token accounting)."""
+    return F.size(tokenize(col))
+
+
+def word_char_ratio(col: Column | str) -> Column:
+    """Alphabetic-character ratio — one of the quality signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return alpha / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lower-cased) stopwords."""
+    sw = stopwords or ENGLISH_STOPWORDS
+    toks = tokenize(lower_case(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    removed = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return removed / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: blend of length band,
+    alphabetic ratio, stopword presence and sane mean token length.
+    Deterministic and fully JVM-side (SQL-expressible for the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_band = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    alpha = word_char_ratio(c)
+    sw = F.least(stopword_ratio(c) * F.lit(5.0), F.lit(1.0))
+    mtl = mean_token_length(c)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.25) * len_band + F.lit(0.25) * alpha + F.lit(0.25) * sw + F.lit(0.25) * mtl_ok,
+        6,
+    )
+
+
+def langid_scores(col: Column | str) -> list[Column]:
+    """Per-language stopword-hit ratios — the language-ID heuristic.
+
+    Returns one score column per language profile; ``langid_best`` picks
+    the argmax. Pure set-membership over tokens: SQL-expressible and
+    shuffle-free (per-row map work).
+    """
+    toks = tokenize(lower_case(col))
+    denom = F.greatest(F.size(toks), F.lit(1))
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, _isin_lambda(words)))
+        out.append((hits / denom).alias(f"score_{lang}"))
+    return out
+
+
+def langid_best(col: Column | str) -> Column:
+    """Argmax language by profile score; deterministic tie-break on the
+    profile order via a tiny per-language epsilon bias."""
+    toks = tokenize(lower_case(col))
+    denom = F.greatest(F.size(toks), F.lit(1))
+    scored = None
+    for i, (lang, words) in enumerate(LANG_PROFILES.items()):
+        hits = F.size(F.filter(toks, _isin_lambda(words)))
+        score = hits / denom - F.lit(i * 1e-9)
+        pair = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        scored = pair if scored is None else F.when(pair["s"] > scored["s"], pair).otherwise(scored)
+    return scored["l"]

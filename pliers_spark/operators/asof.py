@@ -1,0 +1,211 @@
+"""Point-in-time (as-of) join — the engine's core operator.
+
+Semantics (north rule, BASELINE.json): for each spine row
+``(entity, t)``, attach the value columns of the **latest** right-side
+row with ``right_ts <= t`` (inclusive tie — matches the reference's
+step-fill, which holds a value from its onset forward:
+``pliers/utils/base.py:221-223``, i.e. ``allow_exact_matches=True``).
+No right row at or before ``t`` → NULLs (left-outer).
+
+Two physical strategies, chosen for Spark's execution model:
+
+1. :func:`asof_join` (default) — **union + window forward-fill**, pure
+   JVM. Tag both sides, ``unionByName``, one shuffle on the entity key,
+   sort within partition by ``(ts, side)`` (right rows sort before spine
+   rows at equal ts ⇒ inclusive match), ``last(value, ignorenulls=True)``
+   over an unbounded-preceding frame, then keep spine rows. Properties:
+   - exactly ONE shuffle, no Python boundary, whole-stage codegen;
+   - no join explosion: cost is O((|L|+|R|) log within-partition);
+   - skew: a hot entity is one sort group, not a join blow-up; AQE
+     handles partition-level imbalance, :func:`detect_heavy_hitters`
+     reports entities that need time-range splitting.
+
+2. :func:`asof_join_cogroup` — ``groupBy().cogroup().applyInPandas``
+   with a per-group ``pandas.merge_asof`` (the sort-merge formulation
+   the north rule names). Arrow-vectorized, never per-row Python. Used
+   as the differential-testing twin of strategy 1 and for carrying many
+   value columns at once through one pass.
+
+At 100 TB: the right side (pages) is bucketed/sorted by
+``(entity, ts)`` at write time (see ``plans/layout.py`` notes); both
+strategies then shuffle only the (much smaller) spine, or nothing when
+bucket schemes align.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    spine: DataFrame,
+    right: DataFrame,
+    entity_cols: list[str],
+    spine_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    matched_ts_col: str | None = "matched_ts",
+) -> DataFrame:
+    """Union + window-ffill as-of join (JVM-only, one shuffle).
+
+    Returns the spine columns plus ``value_cols`` (latest as-of values)
+    and optionally the matched right timestamp.
+    """
+    spine_extra = [c for c in spine.columns if c not in entity_cols and c != spine_ts]
+
+    left_tagged = spine.select(
+        *entity_cols,
+        F.col(spine_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # spine sorts after right rows at equal ts
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *[F.col(c) for c in spine_extra],
+    )
+    right_tagged = right.select(
+        *entity_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c) for c in spine_extra],
+    )
+
+    unioned = left_tagged.unionByName(right_tagged)
+    w = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *entity_cols,
+        F.col("_ts"),
+        F.col("_side"),
+        *spine_extra,
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+    )
+    out = filled.where(F.col("_side") == 1).drop("_side")
+    out = out.withColumnRenamed("_ts", spine_ts)
+    if matched_ts_col:
+        out = out.withColumnRenamed("_matched_ts", matched_ts_col)
+    else:
+        out = out.drop("_matched_ts")
+    return out
+
+
+def asof_join_cogroup(
+    spine: DataFrame,
+    right: DataFrame,
+    entity_cols: list[str],
+    spine_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sort-merge as-of join via cogrouped ``applyInPandas`` +
+    ``pandas.merge_asof`` (Arrow-batched; per-entity-hash groups).
+
+    The grouping key is the entity (url-hash-bucket analog); within each
+    cogroup both sides are sorted by ts and merged in one vectorized
+    pass — the exact sort-merge formulation of the north rule.
+    """
+    import pandas as pd
+
+    spine_fields = [spine.schema[c] for c in spine.columns]
+    out_fields = spine_fields + [right.schema[c] for c in value_cols]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    spine_cols = list(spine.columns)
+
+    def merge(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if left_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        left_sorted = left_pdf.sort_values(spine_ts, kind="mergesort")
+        if right_pdf.empty:
+            res = left_sorted.copy()
+            for c in value_cols:
+                res[c] = None
+            return res[[f.name for f in out_fields]]
+        right_sorted = right_pdf[entity_cols + [right_ts] + value_cols].sort_values(
+            right_ts, kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            left_sorted,
+            right_sorted,
+            left_on=spine_ts,
+            right_on=right_ts,
+            by=entity_cols,
+            allow_exact_matches=True,  # inclusive tie: warc_ts <= t
+            direction="backward",
+        )
+        return merged[[f.name for f in out_fields]]
+
+    left_g = spine.groupBy(*entity_cols)
+    right_g = right.groupBy(*entity_cols)
+    out = left_g.cogroup(right_g).applyInPandas(merge, schema=out_schema)
+    _ = spine_cols  # spine column order preserved via out_fields
+    return out
+
+
+def detect_heavy_hitters(
+    df: DataFrame, entity_cols: list[str], threshold_rows: int = 1_000_000
+) -> DataFrame:
+    """Pre-pass heavy-hitter census: entities whose row count would
+    overwhelm a single window/cogroup task (hot domains in the crawl).
+    Cheap count-aggregate; callers route these through
+    :func:`asof_join_split` (time-range splitting) instead of salting —
+    salting would break as-of continuity."""
+    return (
+        df.groupBy(*entity_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") >= threshold_rows)
+    )
+
+
+def asof_join_split(
+    spine: DataFrame,
+    right: DataFrame,
+    entity_cols: list[str],
+    spine_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    split_seconds: float,
+) -> DataFrame:
+    """Skew-defused as-of join for hot entities: augment the partition
+    key with a coarse time chunk so one hot entity spreads over many
+    tasks, while correctness across chunk boundaries is preserved by
+    replicating each chunk's **last row per value** into the next chunk
+    (boundary carry). Two narrow passes + one shuffle on
+    (entity, chunk) — the standard range-split pattern for windowed skew.
+    """
+    chunk = lambda ts_col: F.floor(F.col(ts_col).cast("double") / F.lit(float(split_seconds)))
+
+    r = right.withColumn("_chunk", chunk(right_ts))
+    # Boundary carry: the last right row of each chunk also participates
+    # in the next chunk, so spine rows early in a chunk can still match
+    # the previous chunk's latest value.
+    w_last = Window.partitionBy(*entity_cols, "_chunk").orderBy(F.desc(right_ts))
+    last_per_chunk = (
+        r.withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_chunk", F.col("_chunk") + 1)
+    )
+    # NOTE: a single carry handles spines up to one empty chunk ahead; for
+    # arbitrarily sparse right sides, carry is iterated (log passes) or the
+    # non-split join is used for the cold tail. Hot entities are dense by
+    # definition, so one carry suffices in practice.
+    r_aug = r.unionByName(last_per_chunk)
+
+    s = spine.withColumn("_chunk", chunk(spine_ts))
+    out = asof_join(
+        s,
+        r_aug,
+        entity_cols + ["_chunk"],
+        spine_ts,
+        right_ts,
+        value_cols,
+    )
+    return out.drop("_chunk")

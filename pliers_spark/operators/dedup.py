@@ -1,0 +1,183 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all built on the deterministic cross-engine hashes in
+``functions/hashing.py`` so each has a DuckDB oracle.
+
+Scale notes (100 TB design):
+- exact dedup is a single hash-groupBy (map-side partial agg);
+- MinHash signatures are per-row array expressions (no shuffle); the
+  LSH banding explodes to (doc, band_key) — ``num_bands`` rows per doc —
+  then one groupBy-join on band buckets; candidate verification is a
+  narrow self-join restricted to bucket-mates, never all-pairs;
+- n-gram Jaccard all-pairs is intentionally bucket-gated: the exposed
+  ``ngram_jaccard_pairs`` computes pairs via an inverted token index
+  (explode + equi-join on token + group count) — |pairs sharing ≥1
+  token|, not |docs|², and degenerates gracefully under Zipf skew by
+  optionally dropping ultra-common tokens (document-frequency cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import band_key, md5_int, minhash_signature, shingles, simhash
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative row id per exact text (minimum id — the
+    deterministic 'keep first' of the reference's batch dedup,
+    ``pliers/transformers/base.py:241-247``). Returns
+    (text_hash, keep_id, n_dups)."""
+    return (
+        df.select(md5_int(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature columns ``mh_0..mh_{K-1}`` over
+    word-``shingle_n``-gram shingles. Pure map work — zero shuffle."""
+    toks = T.tokenize(F.col(text_col))
+    sh = shingles(toks, shingle_n)
+    return df.select(F.col(id_col), *minhash_signature(sh, num_hashes))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH band.
+
+    signature (map) → explode to (id, band_key) → self-equi-join on the
+    band bucket → distinct pairs (a < b). The join is an equi-join on a
+    hash key, so Catalyst shuffles both sides once on band_key; no
+    all-pairs blow-up.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig_cols = [F.col(f"mh_{k}") for k in range(num_hashes)]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[band_key(sig_cols, b, rows_per_band) for b in range(bands)])
+        ).alias("band_key"),
+    ).where(F.col("band_key").isNotNull())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint (map-only)."""
+    toks = T.tokenize(F.col(text_col))
+    return df.select(F.col(id_col), simhash(toks, bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles → equi-join on
+    shingle → per-pair intersection count → Jaccard via
+    |A|+|B|-∩. ``max_df`` drops shingles appearing in more than that
+    many docs (stopword-shingle guard for Zipf-skewed corpora) —
+    candidate generation only considers the surviving shingles, which
+    lower-bounds Jaccard safely when ``max_df`` is None.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(T.tokenize(F.col(text_col)), n))).alias("sh"),
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(F.broadcast(df_counts.where(F.col("_df") <= max_df)), "sh").drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    With ``bucket_col`` (e.g. a coarse cluster / LSH bucket) the
+    self-join is gated to bucket-mates; without it this is brute-force
+    all-pairs — correct baseline, only for small/sampled inputs.
+    Cosine is an exact ``zip_with``/``aggregate`` fold (JVM, no UDF).
+    """
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(bucket_col)] if bucket_col else [])
+    v = df.select(*cols)
+    a = v.alias("a")
+    b = v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        joined = a.join(b, on=bucket_col).where(cond)
+    else:
+        joined = a.crossJoin(b).where(cond)
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

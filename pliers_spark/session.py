@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where engine-level Spark tuning lives so tests, bench and
+the driver entrypoint all run the same configuration. Targets: a
+1000-executor cluster reading ~100 TB — locally we emulate with
+``local[N]``, but every knob here is chosen to survive the scale-up:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- Arrow on for every pandas UDF / applyInPandas boundary;
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a high initial value;
+- broadcast threshold left at default (10 MB) — dimension tables
+  (lexicons, vocabularies) are explicitly ``F.broadcast``-ed anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pliers_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for the engine.
+
+    ``cpus`` controls ``local[N]`` parallelism — the two-cluster-size
+    scaling evidence (BASELINE.md) runs the same job at two values.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
