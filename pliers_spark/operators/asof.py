@@ -180,26 +180,41 @@ def asof_join_split(
     (boundary carry). Two narrow passes + one shuffle on
     (entity, chunk) — the standard range-split pattern for windowed skew.
     """
-    chunk = lambda ts_col: F.floor(F.col(ts_col).cast("double") / F.lit(float(split_seconds)))
+    from ._util import epoch_seconds
 
-    r = right.withColumn("_chunk", chunk(right_ts))
-    # Boundary carry: the last right row of each chunk also participates
-    # in the next chunk, so spine rows early in a chunk can still match
-    # the previous chunk's latest value.
+    r = right.withColumn(
+        "_chunk", F.floor(epoch_seconds(right, right_ts) / F.lit(float(split_seconds))).cast("long")
+    )
+    s = spine.withColumn(
+        "_chunk", F.floor(epoch_seconds(spine, spine_ts) / F.lit(float(split_seconds))).cast("long")
+    )
+
+    # Boundary carry, exact for arbitrarily sparse right sides: the latest
+    # right row of each (entity, chunk) — a chunk-level table ~|entities|×
+    # |chunks| rows, tiny next to the fact tables — is as-of joined to the
+    # spine's chunk set so every spine chunk knows the latest right row from
+    # any STRICTLY EARLIER chunk (availability key = chunk + 1).
     w_last = Window.partitionBy(*entity_cols, "_chunk").orderBy(F.desc(right_ts))
     last_per_chunk = (
-        r.withColumn("_rn", F.row_number().over(w_last))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("_chunk", F.col("_chunk") + 1)
+        r.withColumn("_rn", F.row_number().over(w_last)).where(F.col("_rn") == 1).drop("_rn")
     )
-    # NOTE: a single carry handles spines up to one empty chunk ahead; for
-    # arbitrarily sparse right sides, carry is iterated (log passes) or the
-    # non-split join is used for the cold tail. Hot entities are dense by
-    # definition, so one carry suffices in practice.
-    r_aug = r.unionByName(last_per_chunk)
+    avail = last_per_chunk.withColumn("_avail", F.col("_chunk") + 1).drop("_chunk")
+    spine_chunks = s.select(*entity_cols, "_chunk").distinct()
+    carried = asof_join(
+        spine_chunks.withColumn("_sc", F.col("_chunk")),
+        avail,
+        entity_cols,
+        "_chunk",
+        "_avail",
+        value_cols + [right_ts],
+        matched_ts_col=None,
+    )
+    carried_rows = (
+        carried.where(F.col(right_ts).isNotNull())
+        .select(*entity_cols, F.col("_sc").alias("_chunk"), F.col(right_ts), *value_cols)
+    )
 
-    s = spine.withColumn("_chunk", chunk(spine_ts))
+    r_aug = r.select(*entity_cols, "_chunk", right_ts, *value_cols).unionByName(carried_rows)
     out = asof_join(
         s,
         r_aug,

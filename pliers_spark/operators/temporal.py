@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ._util import epoch_micros, epoch_seconds
+
 
 def _entity_time_window(entity_cols: list[str], ts_col: str) -> WindowSpec:
     return Window.partitionBy(*entity_cols).orderBy(ts_col)
@@ -89,9 +91,10 @@ def sessionize(
     ``streaming/sessions.py``). One shuffle on the entity key.
     """
     w = _entity_time_window(entity_cols, ts_col)
-    prev_ts = F.lag(ts_col).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
+    secs = epoch_seconds(df, ts_col)
+    prev = F.lag(secs).over(w)
+    gap = secs - prev
+    is_new = F.when(prev.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new).over(wc))
 
@@ -124,8 +127,8 @@ def rolling_agg(
     aggs = aggs or {f"{value_col}_roll_sum": "sum", f"{value_col}_roll_cnt": "count"}
     w = (
         Window.partitionBy(*entity_cols)
-        .orderBy(F.col(ts_col).cast("double"))
-        .rangeBetween(-float(range_seconds), 0)
+        .orderBy(epoch_micros(df, ts_col))
+        .rangeBetween(-int(range_seconds * 1_000_000), 0)
     )
     fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
     for out, fn in aggs.items():

@@ -382,3 +382,348 @@ def q_merge_wide(spark, sf_dir):
     f1 = d.select("doc_id", T.text_length("text").cast("long").alias("text_length"))
     f2 = d.select("doc_id", T.num_unique_words("text").cast("long").alias("n_unique"))
     return R.merge_features([f1, f2], ["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# §2.3/§2.5 temporal operators over `events` (north-rule core:
+# as-of join, lag/lead, ffill, sessionize, rolling, resample)
+
+_GRID_START = "2024-01-01 00:00:00"
+_GRID_END = "2024-01-31 00:00:00"
+
+
+def _user_grid(spark, sf_dir, hours: int):
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    return users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(_GRID_START)),
+                F.to_timestamp(F.lit(_GRID_END)),
+                F.expr(f"INTERVAL {hours} HOURS"),
+            )
+        ).alias("t"),
+    )
+
+
+def _grid_sql(hours: int) -> str:
+    return f"""(SELECT user_id, unnest(generate_series(TIMESTAMP '{_GRID_START}',
+                TIMESTAMP '{_GRID_END}', INTERVAL {hours} HOUR)) AS t
+               FROM (SELECT DISTINCT user_id FROM events))"""
+
+
+_ASOF_SQL = f"""SELECT g.user_id, g.t, e.value AS last_value, e.ts AS matched_ts
+       FROM {_grid_sql(6)} g
+       ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t >= e.ts"""
+
+
+@query("asof_join", _ASOF_SQL)
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (union + window-ffill strategy, pure JVM):
+    latest event value per (user, t), inclusive tie — the north-rule core
+    operator (generalizes pliers' step-fill, pliers/utils/base.py:218-223)."""
+    spine = _user_grid(spark, sf_dir, 6)
+    ev = _events(spark, sf_dir)
+    out = A.asof_join(spine, ev, ["user_id"], "t", "ts", ["value"], matched_ts_col="matched_ts")
+    return out.select("user_id", "t", F.col("value").alias("last_value"), "matched_ts")
+
+
+@query("asof_join_cogroup", _ASOF_SQL)
+def q_asof_join_cogroup(spark, sf_dir):
+    """Same semantics, second physical strategy: cogrouped applyInPandas
+    sort-merge (pandas.merge_asof per url-hash group — the north rule's
+    sort-merge formulation). Differential twin of `asof_join`."""
+    spine = _user_grid(spark, sf_dir, 6)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = A.asof_join_cogroup(spine, ev, ["user_id"], "t", "ts", ["value"])
+    # attach matched ts via the ffill of ts itself for parity of output shape
+    out2 = A.asof_join(spine, ev, ["user_id"], "t", "ts", ["value"], matched_ts_col="matched_ts")
+    return out.join(out2.select("user_id", "t", "matched_ts"), ["user_id", "t"]).select(
+        "user_id", "t", F.col("value").alias("last_value"), "matched_ts"
+    )
+
+
+@query("asof_join_split", _ASOF_SQL)
+def q_asof_join_split(spark, sf_dir):
+    """Same semantics, third physical strategy: time-range-split as-of join
+    (skew defense for hot entities — chunk the timeline, exact boundary
+    carry via a chunk-level as-of)."""
+    spine = _user_grid(spark, sf_dir, 6)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = A.asof_join_split(spine, ev, ["user_id"], "t", "ts", ["value"], split_seconds=7 * 86400.0)
+    return out.select("user_id", "t", F.col("value").alias("last_value"), F.col("matched_ts"))
+
+
+@query(
+    "lag_lead",
+    """SELECT user_id, ts, value,
+              lag(value, 1) OVER w AS value_lag1,
+              lag(value, 2) OVER w AS value_lag2,
+              lead(value, 1) OVER w AS value_lead1
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+)
+def q_lag_lead(spark, sf_dir):
+    """Lag/lead features per entity timeline (north-rule windowed stage;
+    lead flagged as future-reading — label construction only)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.lag_features(ev, ["user_id"], "ts", "value", [1, 2])
+    out = TP.lead_features(out, ["user_id"], "ts", "value", [1])
+    return out
+
+
+@query(
+    "ffill",
+    """SELECT user_id, ts,
+              last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+       FROM (SELECT user_id, ts,
+                    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             FROM events)""",
+)
+def q_ffill(spark, sf_dir):
+    """Forward-fill over nulls — the reference resample's step-function
+    fill generalized (pliers/utils/base.py:218-223)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    return TP.ffill(ev, ["user_id"], "ts", "v", out_col="v_ffill").select("user_id", "ts", "v_ffill")
+
+
+_SESSION_GAP_S = 6 * 3600
+
+
+@query(
+    "sessionize",
+    f"""WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged)
+       SELECT user_id, session_id::BIGINT AS session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              count(*)::BIGINT AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of per-entity timelines (north-rule op;
+    batch twin of Structured Streaming session_window)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    out = TP.session_bounds(ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S)
+    return out.withColumn("session_id", F.col("session_id").cast("long")).withColumn(
+        "n_events", F.col("n_events").cast("long")
+    )
+
+
+@query(
+    "rolling_window",
+    """SELECT user_id, ts,
+              round(sum(value) OVER w, 6) AS roll_sum_1h,
+              count(value) OVER w::BIGINT AS roll_cnt_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_window(spark, sf_dir):
+    """Leakage-safe trailing time-range aggregates (frame ends at the
+    current row — never reads the future)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.rolling_agg(
+        ev, ["user_id"], "ts", "value", 3600.0,
+        aggs={"roll_sum_1h": "sum", "roll_cnt_1h": "count"},
+    )
+    return out.select(
+        "user_id", "ts", F.round("roll_sum_1h", 6).alias("roll_sum_1h"),
+        F.col("roll_cnt_1h").cast("long").alias("roll_cnt_1h"),
+    )
+
+
+@query(
+    "resample_ffill",
+    """WITH bounds AS (
+         SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id),
+       grid AS (
+         SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t FROM bounds)
+       SELECT g.user_id, g.t, e.value AS value FROM grid g
+       ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t >= e.ts""",
+)
+def q_resample_ffill(spark, sf_dir):
+    """Resample to a dense hourly grid + as-of forward fill — the Spark
+    recast of the reference resample() (pliers/utils/base.py:173-248:
+    step-fill + regular-grid interpolation, grid via sequence+explode)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    grid = TP.resample_grid(ev, ["user_id"], "ts", 3600).withColumnRenamed("ts", "t")
+    out = A.asof_join(grid, ev, ["user_id"], "t", "ts", ["value"], matched_ts_col=None)
+    return out.select("user_id", "t", "value")
+
+
+@query(
+    "interval_join",
+    f"""WITH flagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged),
+       intervals AS (
+         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+         FROM sess GROUP BY user_id, session_id)
+       SELECT i.user_id, i.session_id::BIGINT AS session_id,
+              round(avg(e.value), 6) AS mean_value, count(*)::BIGINT AS n_in
+       FROM intervals i JOIN events e
+         ON e.user_id = i.user_id AND e.ts >= i.session_start AND e.ts <= i.session_end
+       GROUP BY i.user_id, i.session_id""",
+)
+def q_interval_join(spark, sf_dir):
+    """Interval/range join + per-interval aggregate — MeanAmplitudeExtractor
+    recast (aggregate samples inside each word interval,
+    pliers/extractors/audio.py:116-147)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    intervals = TP.session_bounds(ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    joined = intervals.join(ev, "user_id").where(
+        (F.col("ts") >= F.col("session_start")) & (F.col("ts") <= F.col("session_end"))
+    )
+    return joined.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_in"),
+    )
+
+
+@query(
+    "object_id",
+    """SELECT user_id, event_type, ts,
+              (row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) - 1)::BIGINT AS object_id
+       FROM events""",
+)
+def q_object_id(spark, sf_dir):
+    """object_id group-cumcount (pliers/extractors/base.py:155-164)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    out = TP.with_object_id(ev, ["user_id", "event_type"], "ts")
+    return out.withColumn("object_id", F.col("object_id").cast("long"))
+
+
+@query(
+    "top_n_by_change",
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) AS chg
+         FROM events),
+       r AS (
+         SELECT user_id, ts, value, chg,
+                row_number() OVER (PARTITION BY user_id ORDER BY chg DESC, ts) AS rk
+         FROM d WHERE chg IS NOT NULL)
+       SELECT user_id, ts, value, round(chg, 6) AS chg FROM r WHERE rk <= 3""",
+)
+def q_top_n_by_change(spark, sf_dir):
+    """Top-n rows by inter-row change — FrameSamplingFilter(top_n) recast
+    (lag-diff + rank, pliers/filters/video.py:55-67)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.top_n_by_change(ev, ["user_id"], "ts", "value", 3)
+    return out.select("user_id", "ts", "value", F.round("_chg", 6).alias("chg"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END)::BIGINT AS n_{t}" for t in _EVENT_TYPES
+    )
+    + ", "
+    + ", ".join(
+        f"round(coalesce(sum(CASE WHEN event_type = '{t}' THEN value END), 0.0), 6) AS sum_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def q_events_pivot(spark, sf_dir):
+    """Long→wide pivot with static categories (merge_results pivot recast,
+    pliers/extractors/base.py:312-340) — conditional aggregation keeps it
+    a single shuffle (no second pivot pass)."""
+    ev = _events(spark, sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}") for t in _EVENT_TYPES
+    ] + [
+        F.round(F.coalesce(F.sum(F.when(F.col("event_type") == t, F.col("value"))), F.lit(0.0)), 6).alias(f"sum_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# general relational capability (TPC-H-style over the star schema)
+
+
+@query(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 6) AS sum_qty,
+              round(sum(l_extendedprice), 6) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*)::BIGINT AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf_dir):
+    """Pricing-summary aggregate (MetricExtractor-style scalar reductions
+    at relational scale; predicate pushed to the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_customers",
+    """WITH rev AS (
+         SELECT o.o_custkey, sum(o.o_totalprice) AS revenue
+         FROM orders o GROUP BY o.o_custkey),
+       ranked AS (
+         SELECT c.c_custkey, c.c_name, round(r.revenue, 6) AS revenue,
+                row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey) AS rk
+         FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey)
+       SELECT c_custkey, c_name, revenue FROM ranked WHERE rk <= 10""",
+)
+def q_top_customers(spark, sf_dir):
+    """Broadcast dim join + agg + deterministic top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return (
+        joined.select("c_custkey", "c_name", F.round("revenue", 6).alias("revenue"), F.col("revenue").alias("_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("c_custkey", "c_name", "revenue")
+    )
