@@ -54,8 +54,12 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
     """MinHash signature: for each seeded hash family, the minimum hash
     over the document's shingle set. One Column per hash; NULL-safe for
     empty shingle sets (min of empty → NULL)."""
+    def hash_fn(k: int):
+        # single-arg lambda: Spark passes an index arg too if arity > 1
+        return lambda s: md5_int(s, seed=k)
+
     return [
-        F.array_min(F.transform(shingle_col, lambda s, k=k: md5_int(s, seed=k))).alias(f"mh_{k}")
+        F.array_min(F.transform(shingle_col, hash_fn(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
 
@@ -74,14 +78,14 @@ def simhash(tokens: Column, bits: int = 32) -> Column:
     bit_b(doc) = 1 if sum over tokens of (+1 if hash(token) bit b set else -1) > 0.
     Built as a sum of shifted indicator expressions — stays in codegen.
     """
+    def vote_fn(b: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     out = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t, b=b: acc
-            + F.when(F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(tokens, F.lit(0), vote_fn(b))
         out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 

@@ -727,3 +727,225 @@ def q_top_customers(spark, sf_dir):
         .where(F.col("rk") <= 10)
         .select("c_custkey", "c_name", "revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity / fingerprints over documents & embeddings
+# (training-data pipeline operators; hashes are md5-derived so the DuckDB
+# oracle reproduces them bit-for-bit — see functions/hashing.py)
+
+
+def _tok_sql(src: str = "trim(text)") -> str:
+    return f"string_split({src}, ' ')"
+
+
+@query(
+    "dedup_exact",
+    f"""SELECT {md5_int_sql('text')} AS text_hash,
+              min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+       FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy (keep-first semantics of the reference
+    batch dedup, pliers/transformers/base.py:241-247)."""
+    out = D.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select("text_hash", F.col("keep_id").cast("long").alias("keep_id"),
+                      F.col("n_dups").cast("long").alias("n_dups"))
+
+
+_MH_K = 8
+_MH_BANDS = 4
+_MH_SHINGLE = 2
+
+
+def _minhash_sig_sql() -> list[str]:
+    return [
+        f"list_min(list_transform(sh, s -> {md5_int_sql('s', seed=k)}))" for k in range(_MH_K)
+    ]
+
+
+def _minhash_cte() -> str:
+    join = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_MH_SHINGLE))
+    sigs = ", ".join(f"{s} AS mh_{k}" for k, s in enumerate(_minhash_sig_sql()))
+    return f"""WITH base AS (
+         SELECT doc_id, {_tok_sql()} AS toks FROM documents),
+       sh_t AS (
+         SELECT doc_id,
+                list_transform(range(1, greatest(len(toks) - {_MH_SHINGLE - 2}, 1)),
+                               i -> {join}) AS sh
+         FROM base),
+       sigs AS (SELECT doc_id, {sigs} FROM sh_t)"""
+
+
+def _band_key_sql(b: int, rows: int) -> str:
+    concat = " || '|' || ".join(f"CAST(mh_{b * rows + j} AS VARCHAR)" for j in range(rows))
+    return md5_int_sql(f"({concat})", seed=10_000 + b)
+
+
+@query(
+    "minhash_signatures",
+    _minhash_cte() + " SELECT doc_id, " + ", ".join(f"mh_{k}" for k in range(_MH_K)) + " FROM sigs",
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over word-2-gram shingles — per-row array
+    expressions, zero shuffle (the scale path for near-dup at 10^12 docs)."""
+    return D.minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", _MH_K, _MH_SHINGLE)
+
+
+_ROWS_PER_BAND = _MH_K // _MH_BANDS
+
+_MINHASH_PAIRS_SQL = (
+    _minhash_cte()
+    + f""",
+       banded AS (
+         SELECT doc_id, unnest([{', '.join(_band_key_sql(b, _ROWS_PER_BAND) for b in range(_MH_BANDS))}]) AS band_key
+         FROM sigs)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM banded a JOIN banded b USING (band_key)
+       WHERE a.doc_id < b.doc_id"""
+)
+
+
+@query("minhash_lsh", _MINHASH_PAIRS_SQL)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: band the signatures, bucket-join —
+    near-dup candidate generation without all-pairs comparison."""
+    return D.minhash_lsh_candidates(
+        _docs(spark, sf_dir), "text", "doc_id", _MH_K, _MH_BANDS, _MH_SHINGLE
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recomb = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents),
+       hashed AS (
+         SELECT doc_id, {md5_int_sql('token')} AS h FROM toks),
+       votes AS (
+         SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+       SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes"""
+
+
+@query("simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (per-bit majority vote of token hashes) —
+    Hamming-distance near-dup at constant per-doc cost."""
+    return D.simhash_fingerprints(_docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_BITS)
+
+
+@query(
+    "ngram_jaccard",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS sh FROM documents),
+       sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM toks a JOIN toks b USING (sh)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              round(inter::DOUBLE / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE inter::DOUBLE / (sa.set_size + sb.set_size - inter) >= 0.6""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard for pairs sharing ≥1 token (inverted-index
+    join — never |docs|² on sparse overlap)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=1, threshold=0.6)
+
+
+@query(
+    "doc_fingerprint",
+    f"""WITH base AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents),
+       sh_t AS (
+         SELECT doc_id,
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+         FROM base)
+       SELECT doc_id, list_min(list_transform(sh, s -> {md5_int_sql('s', seed=777)}))::BIGINT AS fingerprint
+       FROM sh_t""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (min shingle hash — winnowing-style
+    content signature)."""
+    from pliers_spark.functions.hashing import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint(T.tokenize(F.col("text")), n=3).alias("fingerprint")
+    )
+
+
+# --- embeddings: similarity search -----------------------------------------
+
+_DOT_SQL = "list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
+_NORM_A = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_NORM_Q = "sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+@query(
+    "embedding_topk",
+    f"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       scored AS (
+         SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+                round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) AS cosine
+         FROM embeddings a, q WHERE a.vec_id <> q.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5""",
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (correctness baseline for ANN):
+    broadcast query set, JVM zip_with dot products, per-query rank window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    out = S.cosine_topk(emb, qs, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "ann_ivf_topk",
+    f"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+       scored AS (
+         SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+                round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) AS cosine
+         FROM embeddings a JOIN q ON a.label = q.label AND a.vec_id <> q.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5""",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: probe only the query's coarse partition (label as
+    the cluster id) — the bucket-gated scale path; candidates shrink by
+    the bucket fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    out = S.ivf_topk(emb, qs, "vec_id", "embedding", "vec_id", "embedding", "label", k=5)
+    return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "embedding_near_dups",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS id_a, q.vec_id AS id_b,
+                round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) AS cosine
+         FROM embeddings a JOIN embeddings q ON a.label = q.label AND a.vec_id < q.vec_id)
+       SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9""",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, bucket-gated by the coarse
+    cluster id (label) — never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9, bucket_col="label")
