@@ -1,0 +1,99 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect). The headline throughput figure is pages(docs)/sec for
+the flagship extraction + as-of join path, reported as extra JSON keys.
+
+Usage: python bench.py [--cpus N] [--sf-dir DIR] [--repeat K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # name → must exist in pliers_spark.queries.QUERIES
+    "text_length",
+    "tokenize",
+    "word_counter",
+    "dictionary_lookup",
+    "tfidf",
+    "quality_score",
+    "langid",
+    "sentiment_lexicon",
+    "asof_join",
+    "asof_join_cogroup",
+    "sessionize",
+    "rolling_window",
+    "resample_ffill",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "tpch_q1",
+    "events_pivot",
+]
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
+    from pliers_spark.flagship import flagship_features
+    from pliers_spark.queries import QUERIES
+    from pliers_spark.session import get_spark, load_table
+
+    spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    # warm the JVM + parquet footers once
+    load_table(spark, sf_dir, "documents").count()
+    load_table(spark, sf_dir, "events").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+
+    # headline: flagship extraction over documents + as-of join over events
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    t0 = time.time()
+    materialize(flagship_features(spark, sf_dir))
+    flagship_s = time.time() - t0
+    times["flagship"] = round(flagship_s, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "docs": n_docs,
+        "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+    print(json.dumps(run_bench(args.sf_dir, args.cpus, args.repeat)))

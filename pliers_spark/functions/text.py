@@ -61,9 +61,17 @@ def _isin_lambda(words: list[str]):
     return lambda t: t.isin(*words)
 
 
+def strip_ws(col: Column | str) -> Column:
+    """Python ``str.strip()`` parity: remove leading/trailing *whitespace*
+    (Spark's ``trim`` strips only spaces, not \\n/\\t)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
 def text_length(col: Column | str) -> Column:
-    """LengthExtractor: character count of the stripped text."""
-    return F.length(F.trim(F.col(col) if isinstance(col, str) else col))
+    """LengthExtractor: character count of the stripped text
+    (``len(text.strip())`` — strip is whitespace-wide in Python)."""
+    return F.length(strip_ws(col))
 
 
 def lower_case(col: Column | str) -> Column:

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The reference's non-text stimuli (``ImageStim``/``AudioStim``/``VideoStim``,
+SURVEY.md §1.1) map to rows with a ``binary`` payload column and typed
+metadata; extractors become ``mapInPandas`` stages that decode inside an
+Arrow batch. The decode libraries (imageio/librosa/moviepy) are not in
+this container, so decoding is STUBBED behind ``try: import`` with a
+deterministic fake — the Spark-side plumbing (schemas, batch iteration,
+partitioning, UDF signatures) is real and tested.
+
+Scale notes: binary payloads make rows wide — ``spark.sql.files.
+maxPartitionBytes`` should shrink (or the table store payloads out of
+line, pointer + object store) so a partition's batch fits executor
+memory; metadata-only stages must never touch the payload column
+(column pruning keeps the binary out of the scan — same rule as the
+``html`` column of ``pages``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_META_SCHEMA = "id long, width int, height int, channels int, mean_brightness double"
+AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms double"
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8. Real decode requires
+    imageio/PIL (absent here) → deterministic fake derived from the
+    payload bytes so tests are stable."""
+    try:
+        import imageio.v3 as iio  # pragma: no cover
+
+        return iio.imread(payload)  # pragma: no cover
+    except ImportError:
+        if not payload:
+            payload = b"\x00"
+        h = (sum(payload[:16]) % 8) + 2
+        w = (len(payload) % 8) + 2
+        arr = np.frombuffer((payload * ((h * w * 3) // max(len(payload), 1) + 1))[: h * w * 3], dtype=np.uint8)
+        return arr.reshape(h, w, 3)
+
+
+def image_stats(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Brightness-style per-image reductions (≡ BrightnessExtractor's
+    mean(max(pixel)/255), pliers/extractors/image.py:26-45) via
+    mapInPandas over Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "channels": img.shape[2],
+                        "mean_brightness": float(img.max(axis=2).mean() / 255.0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_META_SCHEMA)
+
+
+def audio_frames(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    sr: int = 16000,
+    frame: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Framed audio features (STFT-style framing: frame/hop windows,
+    onset = i*hop/sr, duration = frame/sr — the sliding-window shape of
+    pliers/extractors/audio.py:64-113) with a stubbed decoder: payload
+    bytes → float32 samples deterministically."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload or b""), dtype=np.uint8).astype(np.float32)
+                samples = (raw - 127.5) / 127.5
+                n_frames = max((len(samples) - frame) // hop + 1, 0)
+                for k in range(n_frames):
+                    seg = samples[k * hop : k * hop + frame]
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame": k,
+                            "onset": k * hop / sr,
+                            "duration": frame / sr,
+                            "rms": float(np.sqrt((seg**2).mean())),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame", "onset", "duration", "rms"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FRAME_SCHEMA)

@@ -101,12 +101,11 @@ class CheckpointedRun:
             part_dir = os.path.join(self.out_dir, f"part={k}")
             out.write.mode("overwrite").parquet(part_dir)
             n = spark.read.parquet(part_dir).count()
+            row_hash = F.xxhash64(*[F.col(c).cast("string") for c in out.columns])
             phash = (
-                out.select(
-                    F.coalesce(
-                        F.sum(F.xxhash64(*[F.col(c).cast("string") for c in out.columns])), F.lit(0)
-                    ).alias("h")
-                ).first()["h"]
+                out.select(row_hash.alias("_h"))
+                .agg(F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).alias("h"))
+                .first()["h"]
             )
             manifest_row = [
                 (self.stage_id, k, input_snapshot_id, int(phash), int(n),

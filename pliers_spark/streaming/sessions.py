@@ -1,0 +1,62 @@
+"""Structured Streaming twins of the batch temporal operators.
+
+pliers has no streaming (SURVEY.md §1.4); the north rule's gap
+sessionization maps naturally onto Structured Streaming's
+``session_window`` with a watermark for late data. The batch operator
+(``operators/temporal.sessionize``) and this streaming stage agree on
+closed sessions — tested in tests/test_streaming.py with a file source
+replay of the events table.
+
+Scale notes: state is keyed by (entity, session window); the watermark
+bounds state size — without it a 10^12-row stream accumulates unbounded
+session state. Output mode 'append' emits each session exactly once,
+when the watermark passes its close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_session_bounds(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions over a stream: one row per closed session
+    (entity, session_start, session_end, n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(entity_col))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(entity_col, "session_start", "session_end", "n_events")
+    )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(entity_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            entity_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

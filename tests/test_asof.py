@@ -1,0 +1,102 @@
+"""As-of join semantics + strategy equivalence on the synthetic pages
+table (the north-rule core operator)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from pliers_spark.operators.asof import (
+    asof_join,
+    asof_join_cogroup,
+    asof_join_split,
+    detect_heavy_hitters,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        ("u1", dt.datetime(2024, 1, 3, 0, 0), 2.0),
+        ("u1", dt.datetime(2024, 1, 10, 0, 0), 3.0),
+        ("u2", dt.datetime(2024, 1, 5, 0, 0), 10.0),
+    ]
+    right = spark.createDataFrame(rows, "url string, warc_ts timestamp, v double")
+    spine_rows = [
+        ("u1", dt.datetime(2023, 12, 31)),  # before first → NULL
+        ("u1", dt.datetime(2024, 1, 3)),    # exact tie → inclusive (2.0)
+        ("u1", dt.datetime(2024, 1, 4)),    # between → 2.0
+        ("u1", dt.datetime(2024, 2, 1)),    # after last → 3.0
+        ("u2", dt.datetime(2024, 1, 6)),    # → 10.0
+        ("u3", dt.datetime(2024, 1, 6)),    # entity with no snapshots → NULL
+    ]
+    spine = spark.createDataFrame(spine_rows, "url string, t timestamp")
+    return spine, right
+
+
+EXPECTED = {
+    ("u1", dt.datetime(2023, 12, 31)): None,
+    ("u1", dt.datetime(2024, 1, 3)): 2.0,
+    ("u1", dt.datetime(2024, 1, 4)): 2.0,
+    ("u1", dt.datetime(2024, 2, 1)): 3.0,
+    ("u2", dt.datetime(2024, 1, 6)): 10.0,
+    ("u3", dt.datetime(2024, 1, 6)): None,
+}
+
+
+def collect_map(df):
+    return {(r.url, r.t): r.v for r in df.collect()}
+
+
+def test_asof_union_window(fixture):
+    spine, right = fixture
+    out = asof_join(spine, right, ["url"], "t", "warc_ts", ["v"])
+    assert collect_map(out) == EXPECTED
+
+
+def test_asof_cogroup(fixture):
+    spine, right = fixture
+    out = asof_join_cogroup(spine, right, ["url"], "t", "warc_ts", ["v"])
+    assert collect_map(out) == EXPECTED
+
+
+def test_asof_split(fixture):
+    spine, right = fixture
+    # 1-day chunks: u1's 2024-02-01 spine point is many empty chunks past
+    # the last snapshot — exercises the exact boundary carry
+    out = asof_join_split(spine, right, ["url"], "t", "warc_ts", ["v"], split_seconds=86400.0)
+    assert collect_map(out) == EXPECTED
+
+
+def test_strategies_agree_on_pages(spark, pages):
+    """Differential test at realistic shape: all three physical strategies
+    produce identical results on the Zipf-skewed pages table."""
+    spine = (
+        pages.groupBy("url")
+        .agg(F.min("warc_ts").alias("t0"), F.max("warc_ts").alias("t1"))
+        .select(
+            "url",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 100 HOURS"))
+            ).alias("t"),
+        )
+    )
+    right = pages.select("url", "warc_ts", F.length("text").alias("text_len"))
+    a = asof_join(spine, right, ["url"], "t", "warc_ts", ["text_len"], matched_ts_col=None)
+    b = asof_join_cogroup(spine, right, ["url"], "t", "warc_ts", ["text_len"])
+    c = asof_join_split(spine, right, ["url"], "t", "warc_ts", ["text_len"], split_seconds=30 * 86400.0).select(
+        "url", "t", "text_len"
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    rc = sorted(map(tuple, c.collect()))
+    assert ra == rb == rc
+    assert len(ra) > 0
+
+
+def test_heavy_hitter_census(spark, pages):
+    hh = detect_heavy_hitters(pages, ["url"], threshold_rows=5)
+    assert hh.columns == ["url", "n_rows"]
+    for r in hh.collect():
+        assert r.n_rows >= 5

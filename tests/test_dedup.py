@@ -1,0 +1,88 @@
+"""Dedup & similarity operators on crafted near-duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pliers_spark.functions.hashing import hamming64, md5_int, shingles
+from pliers_spark.operators import dedup as D
+from pliers_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base.replace("lazy", "sleepy")  # one-token change → high overlap
+    other = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups[1] == 2  # docs 1,2 identical, keep min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_shingles_expression(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    from pliers_spark.functions import text as T
+
+    sh = df.select(shingles(T.tokenize(F.col("text")), 2).alias("s")).first()["s"]
+    assert sh == ["a b", "b c", "c d"]
+    empty = spark.createDataFrame([("a",)], "text string").select(
+        shingles(T.tokenize(F.col("text")), 2).alias("s")
+    ).first()["s"]
+    assert empty == []
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(docs, "text", "doc_id", 16, 4, 2).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    out = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_hamming(docs):
+    fp = D.simhash_fingerprints(docs, "text", "doc_id", bits=32)
+    j = fp.alias("a").join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("ia"),
+        F.col("b.doc_id").alias("ib"),
+        hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+    )
+    d = {(r.ia, r.ib): r.d for r in j.collect()}
+    assert d[(1, 2)] == 0  # identical
+    assert d[(1, 3)] <= d[(1, 4)]  # near-dup closer than unrelated
+
+
+def test_cosine_topk_self_best(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    out = S.cosine_topk(emb, emb.where("vec_id = 1"), "vec_id", "v", "vec_id", "v", k=1)
+    r = out.collect()
+    assert len(r) == 1 and r[0].c_id == 2  # nearest non-self
+
+
+def test_lsh_buckets_deterministic(spark):
+    vecs = [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    b1 = {r.vec_id: r.bucket for r in S.random_hyperplane_buckets(emb, "v", 4).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.random_hyperplane_buckets(emb, "v", 4).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 16 for b in b1.values())

@@ -1,0 +1,109 @@
+"""Windowed temporal operators: correctness + the zero-leakage gate."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from pliers_spark.operators import temporal as TP
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: three bursts separated by > 1h gaps
+    for offset_min, v in [(0, 1.0), (5, 2.0), (10, None), (200, 4.0), (205, 5.0), (500, 6.0)]:
+        rows.append(("u1", base + dt.timedelta(minutes=offset_min), v))
+    rows.append(("u2", base, 9.0))
+    return spark.createDataFrame(rows, "uid string, ts timestamp, v double")
+
+
+def test_lag_lead(ev):
+    out = TP.lag_features(ev, ["uid"], "ts", "v", [1])
+    out = TP.lead_features(out, ["uid"], "ts", "v", [1])
+    r = {(x.uid, x.ts.minute + 60 * x.ts.hour): x for x in out.collect()}
+    assert r[("u1", 5)].v_lag1 == 1.0
+    assert r[("u1", 0)].v_lag1 is None
+    assert r[("u1", 5)].v_lead1 is None  # next value is NULL
+    assert r[("u2", 0)].v_lag1 is None
+
+
+def test_ffill_and_bfill(ev):
+    out = TP.ffill(ev, ["uid"], "ts", "v")
+    r = sorted(out.where("uid='u1'").collect(), key=lambda x: x.ts)
+    assert [x.v_ffill for x in r] == [1.0, 2.0, 2.0, 4.0, 5.0, 6.0]
+    out2 = TP.bfill(ev, ["uid"], "ts", "v")
+    r2 = sorted(out2.where("uid='u1'").collect(), key=lambda x: x.ts)
+    assert [x.v_bfill for x in r2] == [1.0, 2.0, 4.0, 4.0, 5.0, 6.0]
+
+
+def test_sessionize_gaps(ev):
+    out = TP.sessionize(ev, ["uid"], "ts", gap_seconds=3600)
+    r = sorted(out.where("uid='u1'").collect(), key=lambda x: x.ts)
+    assert [x.session_id for x in r] == [1, 1, 1, 2, 2, 3]
+    bounds = TP.session_bounds(ev, ["uid"], "ts", gap_seconds=3600)
+    b = {(x.uid, x.session_id): x.n_events for x in bounds.collect()}
+    assert b[("u1", 1)] == 3 and b[("u1", 2)] == 2 and b[("u1", 3)] == 1
+    assert b[("u2", 1)] == 1
+
+
+def test_rolling_agg_trailing_range(ev):
+    out = TP.rolling_agg(ev, ["uid"], "ts", "v", 600.0, aggs={"s": "sum", "c": "count"})
+    r = sorted(out.where("uid='u1'").collect(), key=lambda x: x.ts)
+    # at minute 10 (v=None): window covers minutes 0,5,10 → sum 3.0, count 2
+    assert r[2].s == 3.0 and r[2].c == 2
+    # at minute 205: window covers 200,205 → 9.0
+    assert r[4].s == 9.0 and r[4].c == 2
+
+
+def test_running_count_and_object_id(spark):
+    df = spark.createDataFrame(
+        [("d", 0, "x"), ("d", 1, "y"), ("d", 2, "x"), ("d", 3, "x")],
+        "doc string, pos long, tok string",
+    )
+    rc = TP.running_count(df, ["doc"], "tok", "pos", out_col="c")
+    assert [r.c for r in rc.orderBy("pos").collect()] == [1, 1, 2, 3]
+    oid = TP.with_object_id(df, ["doc", "tok"], "pos")
+    got = {(r.tok, r.pos): r.object_id for r in oid.collect()}
+    assert got[("x", 0)] == 0 and got[("x", 2)] == 1 and got[("x", 3)] == 2
+
+
+def test_top_n_by_change(ev):
+    out = TP.top_n_by_change(ev.na.drop(), ["uid"], "ts", "v", 1)
+    r = out.where("uid='u1'").collect()
+    assert len(r) == 1
+    # largest |Δ| among consecutive non-null: |4-2|=2 at minute 200... but
+    # na.drop removes the NULL row first, so diffs are 1,2,1,1 → minute 200
+    assert r[0].ts == dt.datetime(2024, 1, 1, 3, 20)
+
+
+def test_resample_grid_step(ev):
+    grid = TP.resample_grid(ev, ["uid"], "ts", 3600)
+    g1 = [r.ts for r in grid.where("uid='u1'").orderBy("ts").collect()]
+    assert g1[0] == dt.datetime(2024, 1, 1, 0, 0)
+    assert g1[1] == dt.datetime(2024, 1, 1, 1, 0)
+    assert g1[-1] <= dt.datetime(2024, 1, 1, 8, 20)
+
+
+def test_zero_temporal_leakage(spark, pages):
+    """North-rule leakage gate: recompute windowed features with all rows
+    after a cutoff deleted — features at (url, ts <= cutoff) must be
+    identical (no frame reads the future)."""
+    feats = lambda df: TP.lag_features(
+        TP.ffill(
+            TP.sessionize(df, ["url"], "warc_ts", gap_seconds=30 * 86400),
+            ["url"], "warc_ts", "text_len",
+        ),
+        ["url"], "warc_ts", "text_len", [1],
+    )
+    base = pages.select("url", "warc_ts", F.length("text").alias("text_len"))
+    us = F.unix_micros(F.col("warc_ts").cast("timestamp_ltz"))
+    cutoff = base.select(F.expr(
+        "percentile_approx(unix_micros(cast(warc_ts as timestamp_ltz)), 0.5)"
+    )).first()[0]
+    full = feats(base).where(us <= cutoff)
+    truncated = feats(base.where(us <= cutoff))
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, truncated.collect()))
+    assert a == b and len(a) > 0
