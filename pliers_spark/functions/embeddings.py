@@ -1,0 +1,59 @@
+"""WordEmbeddingExtractor recast: token → vector lookup + pooling.
+
+Parity target: ``WordEmbeddingExtractor`` (``pliers/extractors/text.py:
+232-279``) — gensim KeyedVectors row per word, zeros for OOV, plus
+Bert-style pooling (``np.<fn>`` over token vectors,
+``pliers/extractors/text.py:412-831``). The engine form:
+
+- a real embedding table is a broadcast dimension join
+  (``operators/dictionary.dictionary_lookup`` with an array column);
+- for environments without a model file, :func:`hash_embedding` derives
+  a deterministic pseudo-embedding from md5 bytes of the token — useful
+  for plumbing tests AND reproducible in SQL for the DuckDB oracle;
+- pooling = per-dimension aggregate (mean/max) after explode, which is
+  map-side combinable — no vector UDF needed for linear pooling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+
+def hash_embedding_dim(token: Column, d: int) -> Column:
+    """Dimension ``d`` of the deterministic md5 pseudo-embedding:
+    two hex chars → [0,255] → scaled to [-1, 1]."""
+    byte = F.conv(F.substring(F.md5(token), 2 * d + 1, 2), 16, 10).cast("double")
+    return F.round(byte / F.lit(255.0) * 2.0 - 1.0, 6)
+
+
+def hash_embedding_dim_sql(token_expr: str, d: int) -> str:
+    return (
+        f"round(CAST(concat('0x', substr(md5({token_expr}), {2 * d + 1}, 2)) AS INT)::DOUBLE"
+        f" / 255.0 * 2.0 - 1.0, 6)"
+    )
+
+
+def doc_mean_embedding(df: DataFrame, id_col: str, text_col: str, dim: int = 4) -> DataFrame:
+    """Mean-pooled document embedding over token pseudo-vectors:
+    explode → per-dimension avg (one shuffle, partial aggregation)."""
+    toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("token"))
+    return toks.groupBy(id_col).agg(
+        *[F.round(F.avg(hash_embedding_dim(F.col("token"), d)), 6).alias(f"emb_{d}") for d in range(dim)]
+    )
+
+
+def embedding_lookup(
+    tokens: DataFrame, vectors: DataFrame, token_col: str, word_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Broadcast join against a real embedding dimension table; OOV →
+    zero vector (reference default, pliers/extractors/text.py:252-259)."""
+    out = tokens.join(
+        F.broadcast(vectors.select(F.col(word_col), F.col(vec_col))),
+        tokens[token_col] == vectors[word_col],
+        "left",
+    ).drop(word_col)
+    zero = F.array(*[F.lit(0.0)] * dim)
+    return out.withColumn(vec_col, F.coalesce(F.col(vec_col), zero))

@@ -96,9 +96,10 @@ def num_unique_words(col: Column | str) -> Column:
 
 def remove_tokens(col: Column | str, tokens: list[str]) -> Column:
     """TokenRemovalFilter: drop stopword tokens, re-join with ' '
-    (pliers/filters/text.py:148-183)."""
+    (pliers/filters/text.py:148-183). Non-stopword duplicates and order
+    are preserved (``array_except`` would dedup — wrong semantics)."""
     arr = tokenize(col)
-    kept = F.array_except(arr, F.array(*[F.lit(t) for t in tokens]))
+    kept = F.filter(arr, lambda t: ~t.isin(*tokens))
     return F.array_join(kept, " ")
 
 

@@ -949,3 +949,197 @@ def q_embedding_near_dups(spark, sf_dir):
     cluster id (label) — never all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9, bucket_col="label")
+
+
+# --------------------------------------------------------------------------
+# batch 4: stopword removal, stemming, POS tagging, embeddings, metric
+# extraction, diagnostics
+
+_STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS)
+
+
+@query(
+    "remove_stopwords",
+    f"""SELECT doc_id,
+              array_to_string(list_filter(string_split(trim(text), ' '),
+                              t -> NOT list_contains([{_STOPWORD_SQL_LIST}], lower(t))), ' ')
+                AS filtered_text
+       FROM documents""",
+)
+def q_remove_stopwords(spark, sf_dir):
+    """TokenRemovalFilter — drop stopwords, preserve order & duplicates,
+    re-join with ' ' (pliers/filters/text.py:148-183)."""
+    lowered_match = F.filter(
+        T.tokenize(F.col("text")), lambda t: ~F.lower(t).isin(*T.ENGLISH_STOPWORDS)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(lowered_match, " ").alias("filtered_text")
+    )
+
+
+@query("porter_stem")  # rows-only: Porter is a string rule engine, not SQL
+def q_porter_stem(spark, sf_dir):
+    """WordStemmingFilter(porter) — clean-room Porter stemmer as a
+    vectorized pandas UDF (pliers/filters/text.py:24-110). Oracle omitted
+    (non-SQL-expressible); parity pinned by golden tests
+    (tests/test_stemming.py)."""
+    from pliers_spark.functions.stemming import porter_stem_col
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return toks.withColumn("stem", porter_stem_col(F.col("token")))
+
+
+def _pos_sql() -> str:
+    from pliers_spark.functions.pos import (
+        CONJUNCTIONS, DETERMINERS, PREPOSITIONS, PRONOUNS, VERBS,
+    )
+
+    fmt = lambda s: ", ".join(f"'{w}'" for w in sorted(s))
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ctx AS (
+         SELECT doc_id, pos, token, lower(token) AS w,
+                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
+         FROM toks)
+       SELECT doc_id, pos, token,
+              CASE
+                WHEN regexp_full_match(replace(replace(w, '.', ''), ',', ''), '[0-9]+') THEN 'CD'
+                WHEN list_contains([{fmt(DETERMINERS)}], w) THEN 'DT'
+                WHEN prev_w IS NOT NULL AND list_contains([{fmt(DETERMINERS)}], prev_w) THEN 'NN'
+                WHEN list_contains([{fmt(PREPOSITIONS)}], w) THEN 'IN'
+                WHEN list_contains([{fmt(CONJUNCTIONS)}], w) THEN 'CC'
+                WHEN list_contains([{fmt(PRONOUNS)}], w) THEN 'PRP'
+                WHEN list_contains([{fmt(VERBS)}], w) THEN 'VB'
+                WHEN w LIKE '%ing' THEN 'VBG'
+                WHEN w LIKE '%ed' THEN 'VBD'
+                WHEN w LIKE '%ly' THEN 'RB'
+                WHEN w LIKE '%ous' OR w LIKE '%ful' OR w LIKE '%ive'
+                     OR w LIKE '%able' OR w LIKE '%al' THEN 'JJ'
+                ELSE 'NN'
+              END AS tag
+       FROM ctx"""
+
+
+@query("pos_tags", _pos_sql())
+def q_pos_tags(spark, sf_dir):
+    """PartOfSpeechExtractor — sequence-contextual tagging per document
+    via applyInPandas (the tagger sees the whole doc, like the
+    reference's batch nltk.pos_tag, pliers/extractors/text.py:204-229)."""
+    from pliers_spark.functions.pos import pos_tag_docs
+
+    return pos_tag_docs(_docs(spark, sf_dir)).withColumn("pos", F.col("pos").cast("long"))
+
+
+_EMB_DIM = 4
+
+
+def _word_emb_sql() -> str:
+    from pliers_spark.functions.embeddings import hash_embedding_dim_sql
+
+    dims = ", ".join(
+        f"round(avg({hash_embedding_dim_sql('token', d)}), 6) AS emb_{d}" for d in range(_EMB_DIM)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       SELECT doc_id, {dims} FROM toks GROUP BY doc_id"""
+
+
+@query("word_embeddings", _word_emb_sql())
+def q_word_embeddings(spark, sf_dir):
+    """WordEmbeddingExtractor + mean pooling — token → deterministic
+    md5-derived pseudo-vector, per-dimension avg (real models plug in via
+    embeddings.embedding_lookup broadcast join;
+    pliers/extractors/text.py:232-279)."""
+    from pliers_spark.functions.embeddings import doc_mean_embedding
+
+    return doc_mean_embedding(_docs(spark, sf_dir), "doc_id", "text", dim=_EMB_DIM)
+
+
+@query(
+    "metric_extractor",
+    """SELECT user_id,
+              round(avg(value), 6) AS value_mean,
+              round(min(value), 6) AS value_min,
+              round(max(value), 6) AS value_max,
+              round(stddev_samp(value), 6) AS value_std,
+              count(value)::BIGINT AS value_count
+       FROM events GROUP BY user_id""",
+)
+def q_metric_extractor(spark, sf_dir):
+    """MetricExtractor — N scalar reductions per series
+    (pliers/extractors/misc.py:13-74); named aggregates stay JVM-side."""
+    from pliers_spark.operators.metrics import metric_extract
+
+    out = metric_extract(
+        _events(spark, sf_dir), ["user_id"], "value", ["mean", "min", "max", "std", "count"]
+    )
+    return out.select(
+        "user_id",
+        F.round("value_mean", 6).alias("value_mean"),
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_std", 6).alias("value_std"),
+        F.col("value_count").cast("long").alias("value_count"),
+    )
+
+
+@query(
+    "categorical_entropy",
+    """WITH counts AS (
+         SELECT user_id, event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1, 2)
+       SELECT user_id,
+              round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+       FROM counts GROUP BY user_id""",
+)
+def q_categorical_entropy(spark, sf_dir):
+    """Shannon entropy of the per-user event-type distribution
+    (MetricExtractor with scipy.stats.entropy — the reference's example
+    custom metric, pliers/tests/extractors/test_misc_extractors.py)."""
+    from pliers_spark.operators.metrics import categorical_entropy
+
+    return categorical_entropy(_events(spark, sf_dir), ["user_id"], "event_type")
+
+
+@query(
+    "feature_correlations",
+    """WITH f AS (
+         SELECT length(trim(text))::DOUBLE AS text_length,
+                len(string_split(trim(text), ' '))::DOUBLE AS n_tokens,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS n_unique
+         FROM documents)
+       SELECT round(corr(text_length, n_tokens), 6) AS corr_len_tokens,
+              round(corr(text_length, n_unique), 6) AS corr_len_unique,
+              round(corr(n_tokens, n_unique), 6) AS corr_tokens_unique
+       FROM f""",
+)
+def q_feature_correlations(spark, sf_dir):
+    """Diagnostics: correlation matrix over the merged feature table
+    (pliers/diagnostics/base.py:12-214 correlation_matrix) — pairwise
+    corr aggregates, one pass."""
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    return f.agg(
+        F.round(F.corr("text_length", "n_tokens"), 6).alias("corr_len_tokens"),
+        F.round(F.corr("text_length", "n_unique"), 6).alias("corr_len_unique"),
+        F.round(F.corr("n_tokens", "n_unique"), 6).alias("corr_tokens_unique"),
+    )
+
+
+@query("vader_sentiment")  # rows-only: rule engine in a pandas UDF
+def q_vader_sentiment(spark, sf_dir):
+    """VADERSentimentExtractor — clean-room VADER rule engine (golden
+    values pinned in tests/test_vader.py; nltk used when importable for
+    exact reference parity; pliers/extractors/text.py:318-336)."""
+    from pliers_spark.functions.vader import with_vader
+
+    return with_vader(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
