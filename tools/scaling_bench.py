@@ -33,10 +33,12 @@ from pliers_spark.pages_pipeline import pages_flagship
 spark = get_spark("scaling-{cpus}", cpus={cpus}, shuffle_partitions={cpus})
 df = spark.read.parquet({path!r})
 n_pages = df.count()  # warm: JVM, parquet footers
-t0 = time.time()
-out = pages_flagship(spark, {path!r})
-out.write.format("noop").mode("overwrite").save()
-wall = time.time() - t0
+wall = float("inf")
+for _ in range(2):  # best-of-2: first run pays JIT compilation
+    t0 = time.time()
+    out = pages_flagship(spark, {path!r})
+    out.write.format("noop").mode("overwrite").save()
+    wall = min(wall, time.time() - t0)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
       "n_pages": n_pages, "pages_per_sec": round(n_pages / wall, 1)}}))
 spark.stop()
