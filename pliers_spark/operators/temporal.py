@@ -180,6 +180,67 @@ def top_n_by_change(
     return d.withColumn("_rk", F.row_number().over(wr)).where(F.col("_rk") <= n).drop("_rk")
 
 
+def interpolate_linear(
+    obs: DataFrame,
+    grid: DataFrame,
+    entity_cols: list[str],
+    obs_ts: str,
+    grid_ts: str,
+    value_col: str,
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of ``value_col`` onto grid timestamps:
+    v(t) = v0 + (v1 - v0) * (t - t0) / (t1 - t0) between the bracketing
+    observations; NULL outside the observed range.
+
+    Generalizes the reference ``resample``'s interp1d step
+    (pliers/utils/base.py:235-239). **Reads one future point** (the
+    upper bracket) by construction — offline/label use, flagged like
+    :func:`lead_features`. Single union + one shuffle; prev via
+    last-ignorenulls, next via first-ignorenulls over mirrored frames.
+    """
+    g = grid.select(
+        *entity_cols,
+        F.col(grid_ts).alias("_ts"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast(obs.schema[value_col].dataType).alias("_v"),
+    )
+    o = obs.select(
+        *entity_cols,
+        F.col(obs_ts).alias("_ts"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value_col).alias("_v"),
+    )
+    u = g.unionByName(o)
+    secs = epoch_seconds(u, "_ts")
+    u = u.withColumn("_s", secs)
+    # obs rows sort before grid rows at equal ts → an exact-tie grid point
+    # brackets to the observation itself on both sides.
+    wb = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(F.col("_s"), F.col("_is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(F.col("_s"), -F.col("_is_grid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(wb)
+    prev_s = F.last(F.when(F.col("_is_grid") == 0, F.col("_s")), ignorenulls=True).over(wb)
+    next_v = F.first("_v", ignorenulls=True).over(wf)
+    next_s = F.first(F.when(F.col("_is_grid") == 0, F.col("_s")), ignorenulls=True).over(wf)
+    lerp = F.when(
+        prev_s == next_s, prev_v
+    ).otherwise(prev_v + (next_v - prev_v) * (F.col("_s") - prev_s) / (next_s - prev_s))
+    out = (
+        u.withColumn(out_col, F.when(prev_s.isNotNull() & next_s.isNotNull(), lerp))
+        .where(F.col("_is_grid") == 1)
+        .select(*entity_cols, F.col("_ts").alias(grid_ts), F.round(out_col, 6).alias(out_col))
+    )
+    return out
+
+
 def resample_grid(
     df: DataFrame,
     entity_cols: list[str],

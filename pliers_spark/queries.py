@@ -1143,3 +1143,33 @@ def q_vader_sentiment(spark, sf_dir):
     from pliers_spark.functions.vader import with_vader
 
     return with_vader(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+@query(
+    "resample_interpolate",
+    """WITH bounds AS (
+         SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id),
+       grid AS (
+         SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS t FROM bounds),
+       prev AS (
+         SELECT g.user_id, g.t, e.ts AS pts, e.value AS pv
+         FROM grid g ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t >= e.ts),
+       nxt AS (
+         SELECT g.user_id, g.t, e.ts AS nts, e.value AS nv
+         FROM grid g ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t <= e.ts)
+       SELECT p.user_id, p.t,
+              round(CASE
+                WHEN p.pts IS NULL OR n.nts IS NULL THEN NULL
+                WHEN epoch(p.pts) = epoch(n.nts) THEN p.pv
+                ELSE p.pv + (n.nv - p.pv) * (epoch(p.t) - epoch(p.pts))
+                            / (epoch(n.nts) - epoch(p.pts))
+              END, 6) AS value_interp
+       FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.t = n.t""",
+)
+def q_resample_interpolate(spark, sf_dir):
+    """Linear interpolation onto a regular grid — the reference
+    resample()'s interp1d step generalized (pliers/utils/base.py:235-239);
+    future-reading upper bracket flagged (offline/label use)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    grid = TP.resample_grid(ev, ["user_id"], "ts", 6 * 3600).withColumnRenamed("ts", "t")
+    return TP.interpolate_linear(ev, grid, ["user_id"], "ts", "t", "value")

@@ -47,7 +47,7 @@ def get_spark(
         # local bench inputs are single ~100-200MB files; without a lower
         # split size the scan caps at 1-2 tasks and nothing downstream can
         # scale. On a real cluster with many files the default is fine.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -25,7 +25,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 sys.path.insert(0, {repo!r})
 from pliers_spark.session import get_spark
 from pliers_spark.pages_pipeline import pages_flagship
@@ -58,7 +59,7 @@ def measure(path: str, cpus: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-urls", type=int, default=300_000)
+    ap.add_argument("--n-urls", type=int, default=800_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--path", default=os.path.join(REPO, "data", "pages_bench.parquet"))
