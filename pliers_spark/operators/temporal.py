@@ -260,3 +260,49 @@ def resample_grid(
         ).alias(ts_col),
     )
     return grid
+
+
+def framed_agg(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    frame_seconds: int,
+    hop_seconds: int,
+    origin: str = "2024-01-01 00:00:00",
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Overlapping frame/hop windowed aggregation — the Spark recast of
+    the reference's STFT/librosa framing (frame_size window advanced by
+    hop_size; ``pliers/extractors/audio.py:64-113,198-221``): frame ``i``
+    covers ``[origin + i*hop, origin + i*hop + frame)``.
+
+    Physical plan (scale path): instead of a range join of frames ×
+    rows, each row is *exploded to the ≤ ceil(frame/hop) frame ids it
+    belongs to* — a narrow bounded fan-out — then one hash aggregation
+    on (entity, frame_id). No per-entity sort, no window state; at
+    10^12 rows this is a single shuffle whose width is controlled by
+    the frame/hop overlap factor. Rows before ``origin`` are dropped
+    (frames are anchored at the origin, matching the reference's
+    onset=i*hop indexing from clip start).
+    """
+    from ._util import epoch_seconds
+
+    aggs = aggs or {"n_events": "count", f"{value_col}_sum": "sum"}
+    off = epoch_seconds(df, ts_col) - F.unix_timestamp(
+        F.to_timestamp(F.lit(origin))
+    ).cast("double")
+    i_max = F.floor(off / F.lit(float(hop_seconds))).cast("long")
+    i_min = F.greatest(
+        F.floor((off - F.lit(float(frame_seconds))) / F.lit(float(hop_seconds))).cast("long")
+        + F.lit(1).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    exploded = (
+        df.where(off >= 0)
+        .withColumn("_frame_id", F.explode(F.sequence(i_min, i_max)))
+    )
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
+    return exploded.groupBy(*entity_cols, F.col("_frame_id").alias("frame_id")).agg(
+        *[fns[fn](value_col).alias(out) for out, fn in aggs.items()]
+    )

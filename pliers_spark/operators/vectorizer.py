@@ -19,7 +19,7 @@ comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -42,8 +42,10 @@ def build_vocabulary(df: DataFrame, id_col: str, text_col: str, vocab_size: int)
     stats = dtc.groupBy("term").agg(
         F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df")
     )
-    w = Window.orderBy(F.desc("cf"), F.col("term"))
-    return stats.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= vocab_size).drop("_rk")
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
+    # + driver merge of N rows) — never the single-partition global
+    # window a row_number() over an unpartitioned Window would force.
+    return stats.orderBy(F.desc("cf"), F.col("term")).limit(vocab_size)
 
 
 def count_vectorize(df: DataFrame, id_col: str, text_col: str, vocab_size: int = 32) -> DataFrame:

@@ -720,12 +720,13 @@ def q_top_customers(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
     joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
-    w = Window.orderBy(F.desc("revenue"), F.col("c_custkey"))
+    # orderBy+limit → TakeOrderedAndProject (distributed heap top-k), not
+    # a single-partition global row_number window.
     return (
-        joined.select("c_custkey", "c_name", F.round("revenue", 6).alias("revenue"), F.col("revenue").alias("_r"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select("c_custkey", "c_name", "revenue")
+        joined.select("c_custkey", "c_name", F.col("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("revenue", 6).alias("revenue"))
     )
 
 
@@ -1173,3 +1174,200 @@ def q_resample_interpolate(spark, sf_dir):
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     grid = TP.resample_grid(ev, ["user_id"], "ts", 6 * 3600).withColumnRenamed("ts", "t")
     return TP.interpolate_linear(ev, grid, ["user_id"], "ts", "t", "value")
+
+
+# --------------------------------------------------------------------------
+# batch 5: framed aggregation, simhash near-dups, diagnostics, n-grams,
+# vector norms, tumbling windows
+
+
+@query(
+    "framed_agg",
+    """WITH e AS (
+         SELECT user_id, epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00') AS off, value
+         FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'),
+       f AS (
+         SELECT user_id, value,
+                unnest(range(greatest(floor((off - 7200.0) / 3600.0)::BIGINT + 1, 0),
+                             floor(off / 3600.0)::BIGINT + 1)) AS frame_id
+         FROM e)
+       SELECT user_id, frame_id, count(value)::BIGINT AS n_events,
+              round(sum(value), 6) AS value_sum
+       FROM f GROUP BY 1, 2""",
+)
+def q_framed_agg(spark, sf_dir):
+    """STFT-style overlapping frame/hop aggregation (frame=2h, hop=1h):
+    the framing pattern of the reference's audio extractors
+    (pliers/extractors/audio.py:64-113) as a bounded explode + single
+    hash agg — no range join, no per-entity sort."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.framed_agg(
+        ev, ["user_id"], "ts", "value", 7200, 3600,
+        origin="2024-01-01 00:00:00",
+        aggs={"n_events": "count", "value_sum": "sum"},
+    )
+    return out.select(
+        "user_id", "frame_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+def _simhash_near_dups_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recomb = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents),
+       hashed AS (
+         SELECT doc_id, {md5_int_sql('token')} AS h FROM toks),
+       votes AS (
+         SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+       sims AS (
+         SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes),
+       banded AS (
+         SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band_id FROM sims),
+       b2 AS (
+         SELECT doc_id, simhash, band_id, (simhash >> (band_id * 4)) & 15 AS band_val
+         FROM banded)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                           AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+@query("simhash_near_dups", _simhash_near_dups_sql())
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 over 16 bits) via exact banded
+    search: pigeonhole guarantees any ≤3-distance pair shares one of 4
+    exact 4-bit bands — an equi-join on (band, value), never all-pairs."""
+    out = D.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_F3_SQL = """SELECT length(trim(text))::DOUBLE AS text_length,
+                len(string_split(trim(text), ' '))::DOUBLE AS n_tokens,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS n_unique
+         FROM documents"""
+
+_VIF_DET = "(1 + 2*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23)"
+
+
+@query(
+    "vif_diagnostics",
+    f"""WITH f AS ({_F3_SQL}),
+       s AS (SELECT corr(text_length, n_tokens) AS r12,
+                    corr(text_length, n_unique) AS r13,
+                    corr(n_tokens, n_unique) AS r23 FROM f)
+       SELECT round((1 - r23*r23) / {_VIF_DET}, 4) AS vif_text_length,
+              round((1 - r13*r13) / {_VIF_DET}, 4) AS vif_n_tokens,
+              round((1 - r12*r12) / {_VIF_DET}, 4) AS vif_n_unique
+       FROM s""",
+)
+def q_vif_diagnostics(spark, sf_dir):
+    """Variance inflation factors (pliers/diagnostics/base.py
+    variance_inflation_factors) — closed-form R⁻¹ diagonal from pairwise
+    corr aggregates; rounded to 4 (quotient of near-collinear corrs)."""
+    from pliers_spark.operators.diagnostics import vif3
+
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    out = vif3(f, "text_length", "n_tokens", "n_unique")
+    return out.select(
+        *[F.round(F.col(c), 4).alias(c) for c in ("vif_text_length", "vif_n_tokens", "vif_n_unique")]
+    )
+
+
+@query(
+    "mahalanobis",
+    """WITH f AS (
+         SELECT doc_id, length(trim(text))::DOUBLE AS a,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS b
+         FROM documents),
+       s AS (SELECT avg(a) AS m1, stddev_samp(a) AS s1,
+                    avg(b) AS m2, stddev_samp(b) AS s2, corr(a, b) AS r FROM f)
+       SELECT doc_id,
+              round(sqrt((((a - m1)/s1)*((a - m1)/s1)
+                    - 2*r*((a - m1)/s1)*((b - m2)/s2)
+                    + ((b - m2)/s2)*((b - m2)/s2)) / (1 - r*r)), 3) AS mahalanobis
+       FROM f, s""",
+)
+def q_mahalanobis(spark, sf_dir):
+    """Per-row Mahalanobis distance over (text_length, n_unique)
+    (pliers/diagnostics/base.py mahalanobis_distances): one stats pass +
+    broadcast 1-row join + JVM quadratic form — rows never move."""
+    from pliers_spark.operators.diagnostics import mahalanobis2
+
+    f = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.text_length("text").cast("double").alias("a"),
+        T.num_unique_words("text").cast("double").alias("b"),
+    )
+    out = mahalanobis2(f, ["doc_id"], "a", "b")
+    return out.select("doc_id", F.round("mahalanobis", 3).alias("mahalanobis"))
+
+
+@query(
+    "bigrams",
+    """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+       SELECT doc_id, unnest(range(len(toks) - 1))::BIGINT AS pos,
+              unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       FROM base""",
+)
+def q_bigrams(spark, sf_dir):
+    """Word-bigram extraction (shingle generator of the dedup family as a
+    first-class n-gram operator; zip_with-based, zero shuffle)."""
+    from pliers_spark.functions.hashing import shingles
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(shingles(T.tokenize(F.col("text")), 2)).alias("pos", "bigram"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+@query(
+    "embedding_norms",
+    """SELECT vec_id, len(embedding)::BIGINT AS dim,
+              round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+       FROM embeddings""",
+)
+def q_embedding_norms(spark, sf_dir):
+    """Vector L2 norms over the embedding column — JVM aggregate over the
+    array (SeriesStim / MetricExtractor vector-reduction analog)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "tumbling_daily",
+    """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+              count(value)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling_daily(spark, sf_dir):
+    """Tumbling 1-day window aggregation — the batch twin of the
+    Structured Streaming windowed count (streaming/sessions.py
+    streaming_windowed_counts); F.window keeps event-time semantics
+    identical across batch and stream."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(F.count("value").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("_w.start").alias("day"), "event_type", "n_events", "sum_value")
+    )
