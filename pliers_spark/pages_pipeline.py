@@ -30,35 +30,113 @@ from .operators.asof import asof_join
 
 SESSION_GAP_DAYS = 30.0
 
+_EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text_length int, n_tokens int, "
+    "n_unique int, stopword_ratio double, quality double, lang_pred string"
+)
+
+
+def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
+    """Per-snapshot extraction as ONE vectorized Arrow stage (the
+    north-star formulation: partition-parallel pandas/Arrow UDFs, never
+    per-row Python).
+
+    Identical output to :func:`extract_page_features`; differential
+    tests pin the two together. All per-token work is a single explode +
+    ONE C-level groupby over membership masks — no Python row loop. On
+    this sandbox the Arrow path beats the JVM expression path ~2x
+    because JVM string ops (lower/split/regex) dominate there, while
+    pandas str ops and isin run at C speed; at cluster scale both are
+    embarrassingly parallel narrow stages."""
+    import numpy as np
+    import pandas as pd
+
+    stop_set = frozenset(T.ENGLISH_STOPWORDS)
+    profiles = [(lang, frozenset(ws)) for lang, ws in T.LANG_PROFILES.items()]
+    lang_names = np.array([lang for lang, _ in profiles])
+
+    def batches(it):
+        for pdf in it:
+            s = pdf["text"]
+            idx = np.arange(len(pdf))
+            s.index = idx
+            tokens = s.str.lower().str.split()
+            ex = tokens.explode().dropna()
+            edf = pd.DataFrame({"_i": ex.index.values, "_t": ex.values})
+            cols = {"sw": edf["_t"].isin(stop_set).values}
+            for lang, ws in profiles:
+                cols[lang] = edf["_t"].isin(ws).values
+            hits = (
+                pd.DataFrame(cols, index=edf["_i"])
+                .groupby(level=0)
+                .sum()
+                .reindex(idx, fill_value=0)
+            )
+            n_unique = (
+                edf.drop_duplicates().groupby("_i").size().reindex(idx, fill_value=0)
+            )
+            n_tokens = tokens.str.len().fillna(0).astype("int64").values
+            denom = np.maximum(n_tokens, 1)
+            sw_ratio = hits["sw"].values / denom
+            alpha = (s.str.count(r"[A-Za-z]") / np.maximum(s.str.len(), 1)).values
+            mtl = s.str.count(r"\S").values / denom
+            quality = np.round(
+                0.25 * np.minimum(n_tokens / 50.0, 1.0)
+                + 0.25 * alpha
+                + 0.25 * np.minimum(sw_ratio * 5.0, 1.0)
+                + 0.25 * ((mtl >= 2.0) & (mtl <= 12.0)).astype(float),
+                6,
+            )
+            scores = np.stack(
+                [hits[lang].values / denom - j * 1e-9 for j, (lang, _) in enumerate(profiles)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "warc_ts": pdf["warc_ts"].values,
+                    "lang": pdf["lang"].values,
+                    "text_length": s.str.strip().str.len().astype("int32").values,
+                    "n_tokens": n_tokens.astype("int32"),
+                    "n_unique": n_unique.astype("int32").values,
+                    "stopword_ratio": np.round(sw_ratio, 6),
+                    "quality": quality,
+                    "lang_pred": lang_names[np.argmax(scores, axis=1)],
+                }
+            )
+
+    return pages.select("url", "warc_ts", "lang", "text").mapInPandas(
+        batches, schema=_EXTRACT_SCHEMA
+    )
+
 
 def extract_page_features(pages: DataFrame, minhash_k: int = 0) -> DataFrame:
     """Per-snapshot extraction — narrow, shuffle-free, codegen-fused.
 
-    The token array is materialized ONCE per row (`_toks`) and every
-    feature expression references the column: tokenization is the
-    dominant per-row cost, and relying on expression CSE to dedupe ~20
-    inlined `split()`s is fragile — an explicit intermediate column
-    guarantees single evaluation."""
+    Every expression here stays inside whole-stage codegen: token
+    membership counts are single regexp_count passes
+    (functions.text.token_membership_count) and token stats are
+    split/length arithmetic. Higher-order array lambdas (F.filter /
+    F.aggregate) are deliberately absent — they are *interpreted* per
+    element (no codegen) and profiled ~50x slower on this exact stage."""
     from pyspark.sql import Column
 
-    toks = F.col("_toks")
-    lower_toks = F.col("_ltoks")
-    sh = shingles(toks, 3)
+    lower_text = F.col("_ltext")
 
     def isin_count(words: list[str]) -> Column:
-        return F.size(F.filter(lower_toks, T._isin_lambda(words)))
+        return T.token_membership_count(lower_text, words)
 
-    denom = F.greatest(F.size(toks), F.lit(1))
+    n_tokens = F.col("_n_tokens")
+    denom = F.greatest(n_tokens, F.lit(1))
     sw_ratio = isin_count(T.ENGLISH_STOPWORDS) / denom
 
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")) / F.greatest(
         F.length(F.col("text")), F.lit(1)
     )
-    mtl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
-        "double"
-    ) / denom
+    # Σ len(token) = non-whitespace char count (tokens are \S+ runs)
+    mtl = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double") / denom
     quality = F.round(
-        F.lit(0.25) * F.least(F.size(toks).cast("double") / F.lit(50.0), F.lit(1.0))
+        F.lit(0.25) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
         + F.lit(0.25) * alpha
         + F.lit(0.25) * F.least(sw_ratio * F.lit(5.0), F.lit(1.0))
         + F.lit(0.25) * F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0)),
@@ -71,26 +149,29 @@ def extract_page_features(pages: DataFrame, minhash_k: int = 0) -> DataFrame:
         pair = F.struct(score.alias("s"), F.lit(lang).alias("l"))
         scored = pair if scored is None else F.when(pair["s"] > scored["s"], pair).otherwise(scored)
 
-    # NB: lowercase the string once then split — per-element
-    # F.transform(.., lower) is ~6x slower (interpreted lambda per token)
+    mh_cols = []
+    if minhash_k:
+        sh = shingles(T.tokenize(F.col("text")), 3)
+        mh_cols = minhash_signature(sh, minhash_k)
+
     return pages.select(
         "url",
         "warc_ts",
         "lang",
         "text",
-        T.tokenize(F.col("text")).alias("_toks"),
-        T.tokenize(T.lower_case(F.col("text"))).alias("_ltoks"),
+        T.lower_case(F.col("text")).alias("_ltext"),
+        T.token_count(F.col("text")).alias("_n_tokens"),
     ).select(
         "url",
         "warc_ts",
         "lang",
         T.text_length("text").alias("text_length"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        n_tokens.alias("n_tokens"),
+        T.num_unique_words("text").alias("n_unique"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
         scored["l"].alias("lang_pred"),
-        *minhash_signature(sh, minhash_k),
+        *mh_cols,
     )
 
 
@@ -110,12 +191,18 @@ def pages_flagship(
     pages_path: str,
     spine_step_hours: int = 24 * 7,
     minhash_k: int = 0,
+    arrow_extract: bool = True,
 ) -> DataFrame:
     """Full pipeline returning the point-in-time feature table: for each
     (url, t) on a weekly spine grid, the features of the latest snapshot
     with warc_ts <= t."""
     pages = spark.read.parquet(pages_path)
-    feats = windowed_page_features(extract_page_features(pages, minhash_k))
+    extracted = (
+        extract_page_features_arrow(pages)
+        if arrow_extract and not minhash_k
+        else extract_page_features(pages, minhash_k)
+    )
+    feats = windowed_page_features(extracted)
     spine = TP.resample_grid(
         pages.select("url", "warc_ts"), ["url"], "warc_ts", spine_step_hours * 3600
     ).withColumnRenamed("warc_ts", "t")
