@@ -101,14 +101,19 @@ def asof_join_cogroup(
     spine_ts: str,
     right_ts: str,
     value_cols: list[str],
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Sort-merge as-of join via cogrouped ``applyInPandas`` +
-    ``pandas.merge_asof`` (Arrow-batched; per-entity-hash groups).
+    ``pandas.merge_asof`` over **entity-hash buckets** (the north rule's
+    url-hash-bucketed sort-merge, literally).
 
-    The grouping key is the entity (url-hash-bucket analog); within each
-    cogroup both sides are sorted by ts and merged in one vectorized
-    pass — the exact sort-merge formulation of the north rule.
+    The cogroup key is ``pmod(xxhash64(entity), num_buckets)`` — NOT the
+    raw entity: per-entity groups would mean millions of tiny Arrow
+    batches whose per-group scheduling/serialization overhead dwarfs the
+    merge (measured 4x slower at sf0.1). One bucket holds many entities;
+    inside it a single vectorized ``merge_asof(by=entity)`` handles the
+    per-entity alignment at C speed. ``num_buckets`` defaults to the
+    session's shuffle partitions (one Arrow group per task).
     """
     import pandas as pd
 
@@ -117,17 +122,22 @@ def asof_join_cogroup(
     from pyspark.sql.types import StructType
 
     out_schema = StructType(out_fields)
-    spine_cols = list(spine.columns)
+    out_names = [f.name for f in out_fields]
+
+    if num_buckets is None:
+        num_buckets = int(spine.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bucket = F.pmod(F.xxhash64(*entity_cols), F.lit(num_buckets)).alias("_bucket")
 
     def merge(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
         if left_pdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
+            return pd.DataFrame(columns=out_names)
+        # merge_asof(by=...) requires both frames sorted on the `on` key
         left_sorted = left_pdf.sort_values(spine_ts, kind="mergesort")
         if right_pdf.empty:
             res = left_sorted.copy()
             for c in value_cols:
                 res[c] = None
-            return res[[f.name for f in out_fields]]
+            return res[out_names]
         right_sorted = right_pdf[entity_cols + [right_ts] + value_cols].sort_values(
             right_ts, kind="mergesort"
         )
@@ -140,13 +150,11 @@ def asof_join_cogroup(
             allow_exact_matches=True,  # inclusive tie: warc_ts <= t
             direction="backward",
         )
-        return merged[[f.name for f in out_fields]]
+        return merged[out_names]
 
-    left_g = spine.groupBy(*entity_cols)
-    right_g = right.groupBy(*entity_cols)
-    out = left_g.cogroup(right_g).applyInPandas(merge, schema=out_schema)
-    _ = spine_cols  # spine column order preserved via out_fields
-    return out
+    left_g = spine.withColumn("_bucket", bucket).groupBy("_bucket")
+    right_g = right.withColumn("_bucket", bucket).groupBy("_bucket")
+    return left_g.cogroup(right_g).applyInPandas(merge, schema=out_schema)
 
 
 def detect_heavy_hitters(
