@@ -46,7 +46,9 @@ def query(name: str, sql: str | None = None):
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # spread: every downstream documents query is a CPU-heavy per-row map
+    # (tokenize/hash/UDF); a sub-MB local scan is 1 split otherwise.
+    return load_table(spark, sf_dir, "documents", spread=True)
 
 
 def _events(spark, sf_dir):

@@ -57,6 +57,45 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+_UNITS = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark size string ('8m', '128MB', '134217728') to bytes."""
+    s = s.strip().lower().removesuffix("b")
+    if s and s[-1] in "kmg":
+        return int(s[:-1]) * _UNITS[s[-1]]
+    return int(s or 0)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False):
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``spread=True`` round-robin-repartitions the scan to the session's
+    core count when the file is too small to fill the cores on its own
+    (file bytes < cores x maxPartitionBytes). Use it before CPU-heavy
+    per-row map stages (hashing, tokenizing, pandas UDFs): a sub-MB scan
+    otherwise yields one split, serializing the whole stage on one core.
+    On a many-file cluster-scale table the condition is false and the
+    scan's natural splits are kept — no extra shuffle.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        try:
+            size = (
+                os.path.getsize(path)
+                if os.path.isfile(path)
+                else sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            )
+        except OSError:
+            return df
+        if size < cores * max_split:
+            df = df.repartition(cores)
+    return df
