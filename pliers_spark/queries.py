@@ -494,6 +494,27 @@ def q_ffill(spark, sf_dir):
     return TP.ffill(ev, ["user_id"], "ts", "v", out_col="v_ffill").select("user_id", "ts", "v_ffill")
 
 
+@query(
+    "bfill",
+    """SELECT user_id, ts,
+              first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+       FROM (SELECT user_id, ts,
+                    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             FROM events)""",
+)
+def q_bfill(spark, sf_dir):
+    """Backward-fill over nulls (north-rule backfill stage). Reads future
+    rows by construction — label/imputation use only, never a leakage-safe
+    feature; the ffill/asof family stays bounded at currentRow."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    return TP.bfill(ev, ["user_id"], "ts", "v", out_col="v_bfill").select("user_id", "ts", "v_bfill")
+
+
 _SESSION_GAP_S = 6 * 3600
 
 
