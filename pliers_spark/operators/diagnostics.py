@@ -55,6 +55,43 @@ def vif3(df: DataFrame, c1: str, c2: str, c3: str) -> DataFrame:
     )
 
 
+def eigen_diagnostics(spark, df: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """Eigenvalues of the feature correlation matrix + condition indices
+    (``pliers/diagnostics/base.py:25-46`` ``eigenvalues`` /
+    ``condition_indices`` — the reference's ``np.corrcoef`` +
+    ``np.linalg.eigvals`` over the whole merged table).
+
+    Scale shape: the row side is reduced to K·(K−1)/2 corr scalars in ONE
+    streaming pass (map-side partial aggregation — no shuffle of rows,
+    just a K²-scalar reduce); the K×K symmetric eigendecomposition is
+    O(K³) driver-side numpy, which is the right split at 10^12 rows
+    because K is tens. Output: K rows (rank, eigenvalue,
+    condition_index), eigenvalues descending, condition index
+    sqrt(λmax/λi) per the reference."""
+    import numpy as np
+
+    k = len(feature_cols)
+    aggs = [
+        F.corr(feature_cols[i], feature_cols[j]).alias(f"_r_{i}_{j}")
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    row = df.agg(*aggs).first()
+    R = np.eye(k)
+    for i in range(k):
+        for j in range(i + 1, k):
+            R[i, j] = R[j, i] = row[f"_r_{i}_{j}"]
+    eig = np.linalg.eigvalsh(R)[::-1]
+    emax = float(eig[0])
+    rows = [
+        (i + 1, round(float(e), 6), round(float(np.sqrt(emax / float(e))), 6))
+        for i, e in enumerate(eig)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, eigenvalue double, condition_index double"
+    )
+
+
 def mahalanobis2(
     df: DataFrame, key_cols: list[str], c1: str, c2: str, out_col: str = "mahalanobis"
 ) -> DataFrame:

@@ -1339,6 +1339,42 @@ def q_mahalanobis(spark, sf_dir):
 
 
 @query(
+    "eigen_diagnostics",
+    f"""WITH f AS ({_F3_SQL}),
+       s AS (SELECT corr(text_length, n_tokens) AS r12,
+                    corr(text_length, n_unique) AS r13,
+                    corr(n_tokens, n_unique) AS r23 FROM f),
+       m AS (SELECT sqrt((r12*r12 + r13*r13 + r23*r23) / 3.0) AS p,
+                    r12 * r13 * r23 AS prod FROM s),
+       t AS (SELECT p, acos(greatest(least(prod / (p*p*p), 1.0), -1.0)) / 3.0 AS phi
+             FROM m),
+       e AS (SELECT 1.0 + 2.0*p*cos(phi) AS e1,
+                    1.0 + 2.0*p*cos(phi + 2.0*pi()/3.0) AS e3 FROM t),
+       ee AS (SELECT e1, 3.0 - e1 - e3 AS e2, e3 FROM e)
+       SELECT 1::BIGINT AS rank, round(e1, 6) AS eigenvalue,
+              1.0 AS condition_index FROM ee
+       UNION ALL
+       SELECT 2::BIGINT, round(e2, 6), round(sqrt(e1/e2), 6) FROM ee
+       UNION ALL
+       SELECT 3::BIGINT, round(e3, 6), round(sqrt(e1/e3), 6) FROM ee""",
+)
+def q_eigen_diagnostics(spark, sf_dir):
+    """Eigenvalues + condition indices of the feature correlation matrix
+    (pliers/diagnostics/base.py:25-46): K²-scalar streaming corr pass,
+    driver-side K×K eigvalsh. Oracle: exact trigonometric closed form for
+    a symmetric 3×3 with unit diagonal (zero-diagonal deviatoric det =
+    2·b12·b13·b23)."""
+    from pliers_spark.operators.diagnostics import eigen_diagnostics
+
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    return eigen_diagnostics(spark, f, ["text_length", "n_tokens", "n_unique"])
+
+
+@query(
     "bigrams",
     """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
        SELECT doc_id, unnest(range(len(toks) - 1))::BIGINT AS pos,

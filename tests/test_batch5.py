@@ -135,3 +135,26 @@ def test_feature_variances(spark, pages):
     got = feature_variances(f, ["a"]).first()["var_a"]
     vals = [r.a for r in f.collect()]
     assert abs(got - float(np.var(vals, ddof=1))) < 1e-4
+
+
+def test_eigen_diagnostics_matches_numpy(spark, pages):
+    """Reference semantics: eigenvalues of np.corrcoef of the merged
+    feature table; condition index sqrt(max/λ)
+    (pliers/diagnostics/base.py:25-46) — K=4 exercises the general path."""
+    from pliers_spark.functions import text as T
+    from pliers_spark.operators.diagnostics import eigen_diagnostics
+
+    f = pages.select(
+        T.text_length("text").cast("double").alias("a"),
+        T.token_count("text").cast("double").alias("b"),
+        T.num_unique_words("text").cast("double").alias("c"),
+        (T.text_length("text") % 17).cast("double").alias("d"),
+    )
+    out = eigen_diagnostics(spark, f, ["a", "b", "c", "d"]).orderBy("rank").collect()
+    m = np.array([[r.a, r.b, r.c, r.d] for r in f.collect()])
+    ref = np.sort(np.linalg.eigvals(np.corrcoef(m, rowvar=False)).real)[::-1]
+    got = [r.eigenvalue for r in out]
+    assert np.allclose(got, ref, atol=1e-4)
+    ci = [r.condition_index for r in out]
+    assert np.allclose(ci, np.sqrt(ref[0] / ref), atol=1e-3)
+    assert out[0].rank == 1 and len(out) == 4
