@@ -63,6 +63,39 @@ def tag_sequence(words: list[str]) -> list[str]:
     return tags
 
 
+def tag_expr(w, prev_w):
+    """The same tagger as ``tag_word`` as a pure Column expression
+    (whole-stage-codegen-friendly — no Python in the loop). Valid because
+    the only contextual rule, determiner→noun, depends on the previous
+    *word* being a determiner, not on recursive tag state: ``tag_word``
+    assigns DT iff the word is in DETERMINERS, so
+    ``prev_tag == 'DT' ⟺ lag(word) ∈ DETERMINERS``.
+
+    ``w``/``prev_w`` must already be lower-cased; ``prev_w`` is
+    ``F.lag(w)`` over (doc, pos)."""
+    from pyspark.sql import functions as F
+
+    in_set = lambda c, s: c.isin(*sorted(s))
+    return (
+        F.when(F.regexp_replace(w, r"[.,]", "").rlike(r"^[0-9]+$"), "CD")
+        .when(in_set(w, DETERMINERS), "DT")
+        .when(prev_w.isNotNull() & in_set(prev_w, DETERMINERS), "NN")
+        .when(in_set(w, PREPOSITIONS), "IN")
+        .when(in_set(w, CONJUNCTIONS), "CC")
+        .when(in_set(w, PRONOUNS), "PRP")
+        .when(in_set(w, VERBS), "VB")
+        .when(w.endswith("ing"), "VBG")
+        .when(w.endswith("ed"), "VBD")
+        .when(w.endswith("ly"), "RB")
+        .when(
+            w.endswith("ous") | w.endswith("ful") | w.endswith("ive")
+            | w.endswith("able") | w.endswith("al"),
+            "JJ",
+        )
+        .otherwise("NN")
+    )
+
+
 POS_SCHEMA = "doc_id long, pos long, token string, tag string"
 
 

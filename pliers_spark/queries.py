@@ -1017,23 +1017,15 @@ def q_porter_stem(spark, sf_dir):
     return toks.withColumn("stem", porter_stem_col(F.col("token")))
 
 
-def _pos_sql() -> str:
+def _tag_case_sql() -> str:
+    """The suffix/lexicon tagger of functions/pos.py as a DuckDB CASE over
+    columns ``w`` (lowered token) and ``prev_w`` (lowered lag(token))."""
     from pliers_spark.functions.pos import (
         CONJUNCTIONS, DETERMINERS, PREPOSITIONS, PRONOUNS, VERBS,
     )
 
     fmt = lambda s: ", ".join(f"'{w}'" for w in sorted(s))
-    return f"""WITH toks AS (
-         SELECT doc_id,
-                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
-                unnest(string_split(text, ' ')) AS token
-         FROM documents),
-       ctx AS (
-         SELECT doc_id, pos, token, lower(token) AS w,
-                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
-         FROM toks)
-       SELECT doc_id, pos, token,
-              CASE
+    return f"""CASE
                 WHEN regexp_full_match(replace(replace(w, '.', ''), ',', ''), '[0-9]+') THEN 'CD'
                 WHEN list_contains([{fmt(DETERMINERS)}], w) THEN 'DT'
                 WHEN prev_w IS NOT NULL AND list_contains([{fmt(DETERMINERS)}], prev_w) THEN 'NN'
@@ -1047,7 +1039,20 @@ def _pos_sql() -> str:
                 WHEN w LIKE '%ous' OR w LIKE '%ful' OR w LIKE '%ive'
                      OR w LIKE '%able' OR w LIKE '%al' THEN 'JJ'
                 ELSE 'NN'
-              END AS tag
+              END"""
+
+
+def _pos_sql() -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ctx AS (
+         SELECT doc_id, pos, token, lower(token) AS w,
+                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
+         FROM toks)
+       SELECT doc_id, pos, token, {_tag_case_sql()} AS tag
        FROM ctx"""
 
 
@@ -1430,3 +1435,44 @@ def q_tumbling_daily(spark, sf_dir):
         .agg(F.count("value").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("_w.start").alias("day"), "event_type", "n_events", "sum_value")
     )
+
+
+def _wordnet_sql() -> str:
+    from pliers_spark.functions.stemming import TAG_TO_WORDNET, morphy_sql
+
+    wn_whens = " ".join(f"WHEN tag = '{t}' THEN '{p}'" for t, p in TAG_TO_WORDNET.items())
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ctx AS (
+         SELECT doc_id, pos, lower(token) AS w,
+                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
+         FROM toks),
+       tagged AS (
+         SELECT doc_id, pos, w, {_tag_case_sql()} AS tag FROM ctx),
+       wn AS (
+         SELECT doc_id, pos, w,
+                CASE {wn_whens} ELSE 'n' END AS wn_pos0
+         FROM tagged),
+       resolved AS (
+         SELECT doc_id, pos, w,
+                arg_max(wn_pos0, pos) OVER (PARTITION BY doc_id, w) AS wn_pos
+         FROM wn)
+       SELECT doc_id,
+              string_agg({morphy_sql('w', 'wn_pos')}, ' ' ORDER BY pos) AS lemmatized
+       FROM resolved GROUP BY doc_id"""
+
+
+@query("wordnet_lemmas", _wordnet_sql())
+def q_wordnet_lemmas(spark, sf_dir):
+    """WordStemmingFilter(stemmer='wordnet') — POS-aware morphy-lite
+    lemmatization (pliers/filters/text.py:73-108), entirely Spark
+    built-ins: posexplode → lag window for the contextual tag → max_by
+    window for the reference's last-occurrence-wins tag dict → CASE-chain
+    lemma → ordered re-assembly. Both shuffles hash on doc_id, so the
+    plan stays one exchange wide at any scale."""
+    from pliers_spark.functions.stemming import wordnet_lemmatize_docs
+
+    return wordnet_lemmatize_docs(_docs(spark, sf_dir))
