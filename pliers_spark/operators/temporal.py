@@ -180,6 +180,53 @@ def top_n_by_change(
     return d.withColumn("_rk", F.row_number().over(wr)).where(F.col("_rk") <= n).drop("_rk")
 
 
+def sample_every_nth(
+    df: DataFrame, entity_cols: list[str], ts_col: str, n: int
+) -> DataFrame:
+    """Keep every n-th row per entity in time order —
+    ``FrameSamplingFilter(every=n)``'s ``range(0, nframes, every)``
+    selection (``pliers/filters/video.py:42-44``) generalized from video
+    frames to crawl snapshots. One shuffle on the entity key; the modulo
+    filter runs map-side after the window rank."""
+    w = _entity_time_window(entity_cols, ts_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .where(F.col("_rn") % n == 0)
+        .drop("_rn")
+    )
+
+
+def sample_per_period(
+    df: DataFrame, entity_cols: list[str], ts_col: str, period: str = "hour"
+) -> DataFrame:
+    """First row per (entity, truncated-time bucket) —
+    ``FrameSamplingFilter(hertz=h)``'s resample-to-rate selection
+    (``pliers/filters/video.py:46-53``) recast for event time: the video
+    filter keeps the frame at each 1/h-second tick; here we keep the
+    earliest snapshot in each ``date_trunc(period)`` bucket. Single
+    shuffle; ties broken deterministically by the full timestamp."""
+    w = Window.partitionBy(*entity_cols, F.date_trunc(period, F.col(ts_col))).orderBy(ts_col)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def temporal_trim(
+    df: DataFrame, ts_col: str, start, end, rebase: bool = False
+) -> DataFrame:
+    """Keep rows with ``start <= ts < end`` — TemporalTrimmingFilter's
+    subclip-[start,end] semantics (``pliers/filters/base.py:27-68``)
+    lifted from one stim's sample axis to the table's event-time axis.
+    ``rebase`` subtracts ``start`` (seconds) the way a subclip's frames
+    are re-onset to 0. Pure predicate → pushed to the parquet scan."""
+    out = df.where((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
+    if rebase:
+        us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))
+        out = out.withColumn(
+            "rel_s",
+            (us(F.col(ts_col)) - us(F.lit(start).cast("timestamp"))) / F.lit(1_000_000.0),
+        )
+    return out
+
+
 def interpolate_linear(
     obs: DataFrame,
     grid: DataFrame,

@@ -1476,3 +1476,96 @@ def q_wordnet_lemmas(spark, sf_dir):
     from pliers_spark.functions.stemming import wordnet_lemmatize_docs
 
     return wordnet_lemmatize_docs(_docs(spark, sf_dir))
+
+
+@query(
+    "sample_every_nth",
+    """WITH rn AS (
+         SELECT user_id, ts, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+         FROM events)
+       SELECT user_id, ts, value FROM rn WHERE rn % 3 = 0""",
+)
+def q_sample_every_nth(spark, sf_dir):
+    """FrameSamplingFilter(every=n) — keep every n-th snapshot per entity
+    (pliers/filters/video.py:42-44); one shuffle, map-side modulo."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return TP.sample_every_nth(ev, ["user_id"], "ts", 3)
+
+
+@query(
+    "sample_hourly",
+    """WITH rn AS (
+         SELECT user_id, ts, value,
+                row_number() OVER (
+                  PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts) AS rn
+         FROM events)
+       SELECT user_id, ts, value FROM rn WHERE rn = 1""",
+)
+def q_sample_hourly(spark, sf_dir):
+    """FrameSamplingFilter(hertz=h) recast for event time — earliest
+    snapshot per (entity, hour bucket) (pliers/filters/video.py:46-53)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return TP.sample_per_period(ev, ["user_id"], "ts", "hour")
+
+
+@query(
+    "temporal_trim",
+    """SELECT user_id, ts, value,
+              round((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-10 00:00:00')) / 1000000.0, 6)
+                AS rel_s
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+)
+def q_temporal_trim(spark, sf_dir):
+    """TemporalTrimmingFilter — subclip [start,end) on the event-time axis
+    with re-onset-to-0 rebase (pliers/filters/base.py:27-68). The range
+    predicate reaches the parquet scan as a pushed filter."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.temporal_trim(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00", rebase=True)
+    return out.withColumn("rel_s", F.round("rel_s", 6))
+
+
+_MERGED_DICT_SQL = (
+    "d1(word, frequency) AS (" + _LEXICON_SQL.replace("VALUES", "SELECT word, frequency FROM (VALUES")
+    + ") t(word, length, frequency, syllables)), d2(word, valence) AS (" + _VALENCE_SQL + ")"
+)
+
+
+@query(
+    "dictionary_merge",
+    f"""WITH {_MERGED_DICT_SQL},
+       dict AS (
+         SELECT coalesce(d1.word, d2.word) AS word,
+                d1.frequency::DOUBLE AS frequency, d2.valence::DOUBLE AS valence
+         FROM d1 FULL JOIN d2 ON d1.word = d2.word),
+       toks AS (
+         SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS token FROM documents)
+       SELECT t.doc_id,
+              round(coalesce(sum(d.frequency), 0.0), 6) AS freq_sum,
+              round(coalesce(sum(d.valence), 0.0), 6) AS valence_sum,
+              count(d.word)::BIGINT AS n_matched
+       FROM toks t LEFT JOIN dict d ON t.token = d.word
+       GROUP BY t.doc_id""",
+)
+def q_dictionary_merge(spark, sf_dir):
+    """PredefinedDictionaryExtractor — outer-concat of several
+    dictionaries on the word key (pliers/extractors/text.py:142-156) then
+    broadcast lookup + per-doc reduction; the fact table never shuffles
+    for the join, only for the final doc aggregate."""
+    d1 = spark.createDataFrame(
+        _LEXICON_ROWS, "word string, length long, frequency double, syllables long"
+    ).select("word", "frequency")
+    d2 = spark.createDataFrame(_VALENCE_ROWS, "word string, valence double")
+    dim = DI.combine_dictionaries([d1, d2], "word")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    out = DI.dictionary_lookup(toks, dim, "token", "word", case_sensitive=False)
+    return out.groupBy("doc_id").agg(
+        F.round(F.coalesce(F.sum("frequency"), F.lit(0.0)), 6).alias("freq_sum"),
+        F.round(F.coalesce(F.sum("valence"), F.lit(0.0)), 6).alias("valence_sum"),
+        # the lookup drops the dict key; every merged-dict row carries at
+        # least one non-null variable, so this counts join hits exactly
+        F.count(F.coalesce(F.col("frequency"), F.col("valence"))).alias("n_matched"),
+    )

@@ -107,3 +107,29 @@ def test_zero_temporal_leakage(spark, pages):
     a = sorted(map(tuple, full.collect()))
     b = sorted(map(tuple, truncated.collect()))
     assert a == b and len(a) > 0
+
+
+def test_sample_every_nth(ev):
+    out = TP.sample_every_nth(ev, ["uid"], "ts", 2)
+    kept = sorted((r.uid, r.ts.minute + 60 * r.ts.hour) for r in out.collect())
+    # u1 rows at offsets 0,5,10,200,205,500 -> indices 0,2,4 kept
+    assert kept == [("u1", 0), ("u1", 10), ("u1", 205), ("u2", 0)]
+
+
+def test_sample_per_period(ev):
+    out = TP.sample_per_period(ev, ["uid"], "ts", "hour")
+    kept = sorted((r.uid, r.ts.minute + 60 * r.ts.hour) for r in out.collect())
+    # u1 hours: 0 (first=0min), 3 (first=200min), 8 (500min); u2 hour 0
+    assert kept == [("u1", 0), ("u1", 200), ("u1", 500), ("u2", 0)]
+
+
+def test_temporal_trim_rebase(ev):
+    import datetime as dt
+
+    start = dt.datetime(2024, 1, 1, 1, 0)
+    end = dt.datetime(2024, 1, 1, 8, 0)
+    out = TP.temporal_trim(ev, "ts", start, end, rebase=True)
+    rows = {r.ts.minute + 60 * r.ts.hour: r.rel_s for r in out.collect()}
+    # only u1's 200/205-minute rows fall in [60min, 480min)
+    assert sorted(rows) == [200, 205]
+    assert rows[200] == (200 - 60) * 60.0
