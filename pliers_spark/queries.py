@@ -1569,3 +1569,20 @@ def q_dictionary_merge(spark, sf_dir):
         # least one non-null variable, so this counts join hits exactly
         F.count(F.coalesce(F.col("frequency"), F.col("valence"))).alias("n_matched"),
     )
+
+
+@query("snowball_stem")  # rows-only: Snowball is a string rule engine, not SQL
+def q_snowball_stem(spark, sf_dir):
+    """WordStemmingFilter(stemmer='snowball') — clean-room English
+    Snowball (Porter2) stemmer as a vectorized pandas UDF
+    (pliers/filters/text.py:24-110 wraps nltk SnowballStemmer). Oracle
+    omitted (non-SQL-expressible); parity pinned by golden tests
+    (tests/test_snowball.py)."""
+    from pliers_spark.functions.snowball import snowball_stem_col
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return toks.withColumn("stem", snowball_stem_col(F.lower(F.col("token"))))
