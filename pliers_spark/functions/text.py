@@ -215,3 +215,18 @@ def langid_best(col: Column | str) -> Column:
         pair = F.struct(score.alias("s"), F.lit(lang).alias("l"))
         scored = pair if scored is None else F.when(pair["s"] > scored["s"], pair).otherwise(scored)
     return scored["l"]
+
+
+def split_sentences(col: Column | str) -> Column:
+    """ComplexTextStim(unit='sentence') — split text into an ordered
+    array of sentences (pliers/stimuli/text.py:230-244 wraps nltk
+    sent_tokenize; clean-room rule: a sentence ends at . ! or ?
+    followed by whitespace). Pure Column algebra: mark boundaries with
+    a \\n (input text is single-line web text), split, trim, drop
+    empties — no UDF, fully codegen'd, and reproducible in ANSI SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(F.trim(c), r"([.!?])\s+", "$1\n")
+    return F.filter(
+        F.transform(F.split(marked, r"\n"), F.trim), lambda s: s != F.lit("")
+    )

@@ -117,3 +117,44 @@ def mahalanobis2(
     r = F.col("_r")
     d2 = (z1 * z1 - F.lit(2.0) * r * z1 * z2 + z2 * z2) / (F.lit(1.0) - r * r)
     return joined.select(*key_cols, F.round(F.sqrt(d2), 6).alias(out_col))
+
+
+def flag_features(
+    df: DataFrame,
+    feature_cols: list[str],
+    var_threshold: float = 1e-6,
+    corr_threshold: float = 0.95,
+) -> DataFrame:
+    """``Diagnostics.flag`` / ``flag_all`` (pliers/diagnostics/base.py:
+    150-214): one row per feature with its sample variance, its max
+    |correlation| against every other feature, and boolean flags
+    (near-zero variance / collinear). One streaming pass computes all
+    K + K·(K-1)/2 aggregates map-side; the K-row result is reshaped
+    JVM-side with a stack() — no collect, no second scan."""
+    aggs = [F.var_samp(c).alias(f"v_{c}") for c in feature_cols]
+    pairs: dict[str, list[str]] = {c: [] for c in feature_cols}
+    for i, a in enumerate(feature_cols):
+        for b in feature_cols[i + 1 :]:
+            # corr spelled as covar/(σa·σb) with try_divide: ANSI-safe
+            # when a feature is constant (NULL, ignored by greatest)
+            aggs.append(
+                F.try_divide(
+                    F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+                ).alias(f"c_{a}__{b}")
+            )
+            pairs[a].append(f"c_{a}__{b}")
+            pairs[b].append(f"c_{a}__{b}")
+    stats = df.agg(*aggs)
+    rows = []
+    for c in feature_cols:
+        max_corr = F.greatest(*[F.abs(F.col(p)) for p in pairs[c]]) if pairs[c] else F.lit(0.0)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.round(F.col(f"v_{c}"), 6).alias("variance"),
+                F.round(max_corr, 6).alias("max_abs_corr"),
+                (F.col(f"v_{c}") < var_threshold).alias("low_variance"),
+                (max_corr > corr_threshold).alias("collinear"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -1586,3 +1586,145 @@ def q_snowball_stem(spark, sf_dir):
         .withColumn("pos", F.col("pos").cast("long"))
     )
     return toks.withColumn("stem", snowball_stem_col(F.lower(F.col("token"))))
+
+
+# --------------------------------------------------------------------------
+# batch 6: sentence tokenization, spectral framing, low-pass resample,
+# max-pool encoding, diagnostics flags
+
+
+@query(
+    "sentence_split",
+    r"""WITH marked AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(trim(text), '\bthe\b', 'the.', 'g'),
+                               '([.!?])\s+', '\1' || chr(10), 'g') AS m
+         FROM documents)
+       SELECT doc_id, trim(s) AS sentence, length(trim(s))::BIGINT AS sent_len
+       FROM marked, unnest(string_split(m, chr(10))) AS u(s)
+       WHERE trim(s) <> ''""",
+)
+def q_sentence_split(spark, sf_dir):
+    """ComplexTextStim(unit='sentence') sentence tokenization
+    (pliers/stimuli/text.py:230-244). The synthetic corpus carries no
+    punctuation, so the query first derives boundaries deterministically
+    (a '.' after every 'the') — identically on both engines — then
+    exercises the real operator: split_sentences as pure Column algebra
+    (regexp mark → split → trim → drop empties), one narrow map stage."""
+    marked = F.regexp_replace(F.col("text"), r"\bthe\b", "the.")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(T.split_sentences(marked)).alias("sentence"))
+        .withColumn("sent_len", F.length("sentence").cast("long"))
+    )
+
+
+def _stft_sql() -> str:
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return stft_power_sql()
+
+
+@query("stft_power", _stft_sql())
+def q_stft_power(spark, sf_dir):
+    """STFTAudioExtractor (pliers/extractors/audio.py:64-113): Hann-
+    windowed rFFT power per (entity, frame), frame_size=8 hop=4, full
+    frames only. Spark side is numpy rfft inside applyInPandas (Arrow
+    batch per entity); the oracle is the same transform written as an
+    explicit DFT with constant-folded twiddle factors."""
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    return stft_power_frames(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "value",
+        order_cols=["ts", "event_id"],
+    )
+
+
+@query("resample_lowpass")  # rows-only: FIR convolution is not SQL
+def q_resample_lowpass(spark, sf_dir):
+    """resample() downsample path — windowed-sinc anti-alias low-pass
+    then decimate 4× per entity (role of pliers/utils/base.py:225-239's
+    Butterworth; scipy absent so the FIR design is golden-tested in
+    tests/test_spectral.py). applyInPandas per entity, numpy convolve."""
+    from pliers_spark.functions.spectral import lowpass_decimate
+
+    return lowpass_decimate(_events(spark, sf_dir), "user_id", "ts", "value", decimate=4)
+
+
+def _maxpool_sql() -> str:
+    from pliers_spark.functions.embeddings import hash_embedding_dim_sql
+
+    dims = ", ".join(
+        f"round(max({hash_embedding_dim_sql('token', d)}), 6) AS emb_{d}" for d in range(_EMB_DIM)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       SELECT doc_id, {dims} FROM toks GROUP BY doc_id"""
+
+
+@query("doc_embedding_maxpool", _maxpool_sql())
+def q_doc_embedding_maxpool(spark, sf_dir):
+    """BertExtractor-style pooling with pooling='max' — per-dimension max
+    over token vectors (pliers/extractors/text.py:412-560 pools token
+    encodings with np.<fn>). Same deterministic hash-embedding as
+    word_embeddings; partial-agg (max) map-side, one shuffle on doc_id."""
+    from pliers_spark.functions.embeddings import hash_embedding_dim
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.round(F.max(hash_embedding_dim(F.col("token"), d)), 6).alias(f"emb_{d}")
+            for d in range(_EMB_DIM)
+        ]
+    )
+
+
+def _diag_flag_sql() -> str:
+    feats = ["text_length", "n_tokens", "n_unique", "n_chars"]
+    exprs = {
+        "text_length": "length(trim(text))",
+        "n_tokens": "length(string_split(trim(text), ' '))",
+        "n_unique": "length(list_distinct(string_split(trim(text), ' ')))",
+        "n_chars": "n_chars",
+    }
+    base = ", ".join(f"{e}::DOUBLE AS {c}" for c, e in exprs.items())
+    aggs = [f"var_samp({c}) AS v_{c}" for c in feats]
+    pairs: dict[str, list[str]] = {c: [] for c in feats}
+    for i, a in enumerate(feats):
+        for b in feats[i + 1 :]:
+            aggs.append(f"corr({a}, {b}) AS c_{a}__{b}")
+            pairs[a].append(f"c_{a}__{b}")
+            pairs[b].append(f"c_{a}__{b}")
+    rows = []
+    for c in feats:
+        mc = "greatest(" + ", ".join(f"abs({p})" for p in pairs[c]) + ")"
+        rows.append(
+            f"SELECT '{c}' AS feature, round(v_{c}, 6) AS variance,"
+            f" round({mc}, 6) AS max_abs_corr,"
+            f" v_{c} < 0.000001 AS low_variance, {mc} > 0.95 AS collinear FROM s"
+        )
+    return (
+        f"WITH f AS (SELECT {base} FROM documents),\n"
+        f" s AS (SELECT {', '.join(aggs)} FROM f)\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("diag_flags", _diag_flag_sql())
+def q_diag_flags(spark, sf_dir):
+    """Diagnostics.flag/flag_all (pliers/diagnostics/base.py:150-214) —
+    per-feature variance + max |corr| + boolean flags over a derived
+    feature table, all K aggregates in ONE map-side-partial pass."""
+    from pliers_spark.operators.diagnostics import flag_features
+
+    feats = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return flag_features(feats, ["text_length", "n_tokens", "n_unique", "n_chars"])
