@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+from pyspark.sql.types import (  # numeric column sniffing for to_sklearn
+    ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType)
+_NUM_TYPES = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType, DecimalType)
+
+
 def to_long(df: DataFrame, key_cols: list[str], feature_cols: list[str], extractor: str | None = None) -> DataFrame:
     """Melt wide features to (key..., feature, value) long rows; NULL
     values dropped (reference drops NaN on melt)."""
@@ -52,3 +57,37 @@ def union_results(frames: list[DataFrame]) -> DataFrame:
     """UNION ALL of long frames (``pd.concat`` axis=0,
     ``pliers/extractors/base.py:303``)."""
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def to_sklearn(
+    df: DataFrame,
+    feature_cols: list[str] | None = None,
+    metadata_cols: list[str] | None = None,
+    max_rows: int = 5_000_000,
+):
+    """scikit-learn adapter — the recast of ``PliersTransformer.transform``
+    (pliers/utils/scikit.py:18-55): split metadata columns out of the
+    merged feature table and return ``(X: ndarray, metadata: pd.DataFrame)``
+    ready for an sklearn estimator.
+
+    Driver-side by design (sklearn is driver-side); guarded by
+    ``max_rows`` so a 100 TB table cannot be collected by accident —
+    aggregate or sample to a model-sized frame first. Arrow-accelerated
+    ``toPandas`` transfer.
+    """
+    import numpy as np
+
+    names = df.columns
+    if metadata_cols is None:
+        metadata_cols = [c for c in names if not isinstance(df.schema[c].dataType, _NUM_TYPES)]
+    if feature_cols is None:
+        feature_cols = [c for c in names if c not in metadata_cols]
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"to_sklearn would collect {n} rows (> max_rows={max_rows}); "
+            "aggregate/sample first — this adapter is for model-sized frames"
+        )
+    pdf = df.select(*metadata_cols, *feature_cols).toPandas()
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    return X, pdf[metadata_cols]

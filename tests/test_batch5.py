@@ -158,3 +158,22 @@ def test_eigen_diagnostics_matches_numpy(spark, pages):
     ci = [r.condition_index for r in out]
     assert np.allclose(ci, np.sqrt(ref[0] / ref), atol=1e-3)
     assert out[0].rank == 1 and len(out) == 4
+
+
+def test_to_sklearn_adapter(spark):
+    """PliersTransformer parity (pliers/utils/scikit.py:18-55): metadata
+    split + float matrix, with the accidental-collect guard."""
+    import numpy as np
+    import pytest
+
+    from pliers_spark.operators.results import to_sklearn
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "stim string, f1 double, f2 double"
+    )
+    X, meta = to_sklearn(df)
+    assert X.shape == (2, 2) and X.dtype == np.float64
+    assert list(meta.columns) == ["stim"]
+    assert sorted(X[:, 0].tolist()) == [1.0, 3.0]
+    with pytest.raises(ValueError, match="max_rows"):
+        to_sklearn(df, max_rows=1)
