@@ -77,3 +77,40 @@ def test_asof_join_single_shuffle_after_sources(spark, pages):
     # (the spine grid's groupBy adds its own); no join operator at all
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_stft_scan_prunes_to_needed_columns(spark, tmp_path):
+    """The STFT stage must read only (entity, ts, value, tiebreak) from
+    the source — props/event_type never reach the scan."""
+    import datetime
+
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    p = str(tmp_path / "ev.parquet")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t0, 1.0 * i, "x", "y") for i in range(10)],
+        "user_id long, ts timestamp, value double, event_type string, props string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = stft_power_frames(df, "user_id", "ts", "value", order_cols=["ts"])
+    plan = formatted(out)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        assert "props" not in line and "event_type" not in line, line
+
+
+def test_stft_single_shuffle(spark, pages):
+    """One Exchange only: the hash-repartition feeding applyInPandas."""
+    import datetime
+
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i % 3, t0 + datetime.timedelta(seconds=i), float(i)) for i in range(30)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = plan_of(stft_power_frames(df, "user_id", "ts", "value"))
+    assert plan.count("Exchange") == 1, plan
