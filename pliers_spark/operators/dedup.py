@@ -58,10 +58,18 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band.
 
-    signature (map) → explode to (id, band_key) → self-equi-join on the
-    band bucket → distinct pairs (a < b). The join is an equi-join on a
-    hash key, so Catalyst shuffles both sides once on band_key; no
-    all-pairs blow-up.
+    signature (map) → explode to (id, band_key) → groupBy band bucket
+    collecting the sorted id set → upper-triangle pair expansion inside
+    each bucket → distinct.
+
+    Why not a self-equi-join on band_key: without an explicit persist,
+    both join branches re-run the whole shingling + K-hash signature
+    scan (the expensive part), and the shuffle carries every banded row
+    twice. This shape computes signatures ONCE and shuffles only tiny
+    (band_key, id) rows; pair expansion is map-side array algebra over
+    each bucket. Bucket cardinality is the same quadratic either way —
+    at production scale add a bucket-size cap upstream (drop
+    "everything matches" bands as too-common, as with stop-shingles).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -73,15 +81,26 @@ def minhash_lsh_candidates(
             F.array(*[band_key(sig_cols, b, rows_per_band) for b in range(bands)])
         ).alias("band_key"),
     ).where(F.col("band_key").isNotNull())
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, on="band_key")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
