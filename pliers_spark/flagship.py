@@ -18,7 +18,9 @@ from .session import load_table
 
 
 def flagship_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the local parquet is sub-MB → 1 split, but every column
+    # below is CPU-heavy regex/membership work; fan the scan out first
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         "lang",
