@@ -4,6 +4,7 @@ import datetime as dt
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pliers_spark.operators.temporal import session_bounds
 from pliers_spark.streaming.sessions import streaming_session_bounds, streaming_windowed_counts
@@ -69,3 +70,63 @@ def test_streaming_windowed_counts(spark, stream_dir):
     for r in rows:
         per_user[r.uid] = per_user.get(r.uid, 0) + r.n_events
     assert per_user == {"u1": 12, "u2": 12}
+
+
+def test_stateful_running_stats_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: two files replayed as two micro-batches
+    (maxFilesPerTrigger=1); the final update per entity must equal the
+    batch aggregate over ALL rows — proving state carried across
+    batches, not per-batch recomputation."""
+    import pandas as pd
+
+    from pliers_spark.streaming.stateful import streaming_running_stats
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    base = dt.datetime(2024, 1, 1)
+    batch1 = [("u1", base, 1.0), ("u1", base, 2.0), ("u2", base, 10.0)]
+    batch2 = [("u1", base, 3.0), ("u2", base, 30.0), ("u2", base, 20.0)]
+    schema = "uid string, ts timestamp, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(d + "/f2")
+    # file source reads a flat dir of files; re-lay them out
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("f1", "f2"):
+        for f in sorted(os.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{sub}/{f}", f"{flat}/{i:03d}.parquet")
+                i += 1
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q = (
+        streaming_running_stats(stream, "uid", "value")
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_stats").collect()
+    finally:
+        q.stop()
+    # last update per uid
+    final = {}
+    for r in rows:
+        final[r.uid] = r  # memory sink appends updates in batch order
+    exp = (
+        spark.read.parquet(flat)
+        .groupBy("uid")
+        .agg(F.count("value").alias("n"), F.avg("value").alias("mean"), F.stddev_samp("value").alias("std"))
+        .collect()
+    )
+    exp = {r.uid: r for r in exp}
+    assert set(final) == {"u1", "u2"}
+    for uid in final:
+        assert final[uid].n == exp[uid].n
+        assert final[uid].mean == pytest.approx(exp[uid].mean)
+        assert final[uid].std == pytest.approx(exp[uid].std)
