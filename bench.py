@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "tpch_q1",
     "events_pivot",
+    "stft_power",
 ]
 
 
