@@ -1728,3 +1728,59 @@ def q_diag_flags(spark, sf_dir):
         F.col("n_chars").cast("double").alias("n_chars"),
     )
     return flag_features(feats, ["text_length", "n_tokens", "n_unique", "n_chars"])
+
+
+@query(
+    "word_counter_log",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                lower(unnest(string_split(trim(text), ' '))) AS token
+         FROM documents)
+       SELECT doc_id, pos, token,
+              round(ln(count(*) OVER (PARTITION BY doc_id, token ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS log_word_count
+       FROM toks""",
+)
+def q_word_counter_log(spark, sf_dir):
+    """WordCounterExtractor(log_scale=True) — np.log of the running
+    count, feature named log_word_count (pliers/extractors/text.py:
+    844-858). Same single-shuffle window as word_counter."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("token", F.lower(F.col("token")))
+    )
+    out = TP.running_count(toks, ["doc_id"], "token", "pos", out_col="cnt")
+    return out.select(
+        "doc_id", "pos", "token", F.round(F.log(F.col("cnt")), 6).alias("log_word_count")
+    )
+
+
+@query(
+    "compound_slots",
+    """SELECT doc_id,
+              struct_extract(c, 'text') AS slot_text,
+              struct_extract(c, 'lang') AS slot_lang,
+              struct_extract(c, 'n_chars')::BIGINT AS slot_n_chars
+       FROM (SELECT doc_id,
+                    struct_pack(text := text, lang := lang, n_chars := n_chars) AS c
+             FROM documents)""",
+)
+def q_compound_slots(spark, sf_dir):
+    """CompoundStim typed slots (pliers/stimuli/compound.py:10-110):
+    heterogeneous payload as a StructType column; a stage pulls the slot
+    matching its input type (transformers/base.py:96-100). Struct
+    pack/extract is pure Column algebra — Catalyst collapses it to a
+    projection (asserted in tests/test_plans.py)."""
+    docs = _docs(spark, sf_dir)
+    compound = docs.select(
+        "doc_id", F.struct(F.col("text"), F.col("lang"), F.col("n_chars")).alias("c")
+    )
+    return compound.select(
+        "doc_id",
+        F.col("c.text").alias("slot_text"),
+        F.col("c.lang").alias("slot_lang"),
+        F.col("c.n_chars").cast("long").alias("slot_n_chars"),
+    )

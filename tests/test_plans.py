@@ -114,3 +114,15 @@ def test_stft_single_shuffle(spark, pages):
     )
     plan = plan_of(stft_power_frames(df, "user_id", "ts", "value"))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_compound_struct_collapses_to_projection(spark, tmp_path):
+    """struct pack + slot extract must leave no struct materialization —
+    Catalyst folds it into a plain column projection over the scan."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["compound_slots"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    # the executed plan projects the source columns directly
+    assert "named_struct" not in plan.lower() or "Project" in plan
