@@ -1773,8 +1773,9 @@ def q_compound_slots(spark, sf_dir):
     heterogeneous payload as a StructType column; a stage pulls the slot
     matching its input type (transformers/base.py:96-100). Struct
     pack/extract is pure Column algebra — Catalyst collapses it to a
-    projection (asserted in tests/test_plans.py)."""
-    docs = _docs(spark, sf_dir)
+    projection (asserted in tests/test_plans.py). No spread: projection
+    is not CPU-bound, so the extra Exchange would be pure cost."""
+    docs = load_table(spark, sf_dir, "documents")
     compound = docs.select(
         "doc_id", F.struct(F.col("text"), F.col("lang"), F.col("n_chars")).alias("c")
     )
