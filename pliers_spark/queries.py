@@ -1785,3 +1785,19 @@ def q_compound_slots(spark, sf_dir):
         F.col("c.lang").alias("slot_lang"),
         F.col("c.n_chars").cast("long").alias("slot_n_chars"),
     )
+
+
+@query("seq_encoding")  # rows-only: seeded weight matrix is not SQL
+def q_seq_encoding(spark, sf_dir):
+    """BertExtractor pattern (pliers/extractors/text.py:412-560) —
+    Iterator-of-batches pandas UDF, model loaded once per worker,
+    mean-pooled sequence vector per document. Weights are a
+    deterministic stand-in (no torch here); the Spark plumbing is the
+    production shape. Parity pinned in tests/test_encoder.py."""
+    from pliers_spark.functions.encoder import sequence_encode_col
+
+    docs = _docs(spark, sf_dir)
+    enc = docs.select("doc_id", sequence_encode_col(F.col("text")).alias("emb"))
+    return enc.select(
+        "doc_id", *[F.col("emb")[d].alias(f"emb_{d}") for d in range(8)]
+    )
