@@ -203,6 +203,11 @@ def pages_flagship(
         else extract_page_features(pages, minhash_k)
     )
     feats = windowed_page_features(extracted)
+    # build-time gate: no window frame in the feature plan may read the
+    # future (north rule; plans/leakage.py audits the optimized plan)
+    from .plans.leakage import assert_leakage_free
+
+    assert_leakage_free(feats)
     spine = TP.resample_grid(
         pages.select("url", "warc_ts"), ["url"], "warc_ts", spine_step_hours * 3600
     ).withColumnRenamed("warc_ts", "t")
