@@ -1801,3 +1801,70 @@ def q_seq_encoding(spark, sf_dir):
     return enc.select(
         "doc_id", *[F.col("emb")[d].alias(f"emb_{d}") for d in range(8)]
     )
+
+
+@query(
+    "metric_percentiles",
+    """SELECT user_id,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY user_id""",
+)
+def q_metric_percentiles(spark, sf_dir):
+    """MetricExtractor with quantile reducers (pliers/extractors/misc.py:
+    13-74 accepts any numpy fn, e.g. np.percentile). Exact percentiles
+    via F.percentile (linear interpolation — same definition as
+    numpy/DuckDB quantile_cont). At 100 TB swap to approx_percentile
+    with a documented error bound; the exact form is the oracle-able
+    reference semantics."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
+    "hierarchical_tokens",
+    r"""WITH marked AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(trim(text), '\bthe\b', 'the.', 'g'),
+                               '([.!?])\s+', '\1' || chr(10), 'g') AS m
+         FROM documents),
+       sent_raw AS (
+         SELECT doc_id, i, trim(ss[i + 1]) AS sentence
+         FROM (SELECT doc_id, string_split(m, chr(10)) AS ss FROM marked),
+              unnest(range(len(ss))) AS u(i)),
+       sents AS (
+         SELECT doc_id,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_pos,
+                sentence
+         FROM sent_raw WHERE sentence <> ''),
+       toks AS (
+         SELECT doc_id, sent_pos, string_split(sentence, ' ') AS tt FROM sents)
+       SELECT doc_id, sent_pos, j AS tok_pos, tt[j + 1] AS token
+       FROM toks, unnest(range(len(tt))) AS v(j)
+       WHERE tt[j + 1] <> ''""",
+)
+def q_hierarchical_tokens(spark, sf_dir):
+    """ComplexTextStim hierarchy (pliers/stimuli/text.py:54-256): a
+    document is an ordered list of sentences, each an ordered list of
+    tokens — two nested posexplodes carrying (sent_pos, tok_pos), the
+    Spark shape of pliers' per-element onset/order propagation. Narrow
+    map + generate stages only: zero shuffle."""
+    marked = F.regexp_replace(F.col("text"), r"\bthe\b", "the.")
+    sents = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(T.split_sentences(marked)).alias("sent_pos", "sentence"),
+    )
+    return (
+        sents.select(
+            "doc_id",
+            F.col("sent_pos").cast("long"),
+            F.posexplode(T.tokenize(F.col("sentence"))).alias("tok_pos", "token"),
+        )
+        .withColumn("tok_pos", F.col("tok_pos").cast("long"))
+        .select("doc_id", "sent_pos", "tok_pos", "token")
+    )
