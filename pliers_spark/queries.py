@@ -1868,3 +1868,55 @@ def q_hierarchical_tokens(spark, sf_dir):
         .withColumn("tok_pos", F.col("tok_pos").cast("long"))
         .select("doc_id", "sent_pos", "tok_pos", "token")
     )
+
+
+@query(
+    "corpus_stats",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+              count(*)::BIGINT AS total_tokens,
+              count(DISTINCT token)::BIGINT AS vocab_size,
+              round(count(*) / count(DISTINCT doc_id)::DOUBLE, 6) AS avg_doc_tokens
+       FROM toks""",
+)
+def q_corpus_stats(spark, sf_dir):
+    """Corpus accounting for a training-data pipeline: doc count, token
+    count, exact vocabulary size, mean doc length — one exploded scan,
+    map-side partial aggregation. At 100 TB vocab_size switches to
+    approx_count_distinct (HLL) — asserted within 5% of exact in
+    tests/test_batch5.py — because an exact global distinct over ~10^9
+    types forces a full shuffle of every token."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    return toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+        F.round(F.count("*") / F.countDistinct("doc_id"), 6).alias("avg_doc_tokens"),
+    )
+
+
+@query(
+    "token_top100",
+    """WITH toks AS (
+         SELECT lower(unnest(string_split(trim(text), ' '))) AS token FROM documents)
+       SELECT token, count(*)::BIGINT AS cnt
+       FROM toks GROUP BY token
+       ORDER BY cnt DESC, token LIMIT 100""",
+)
+def q_token_top100(spark, sf_dir):
+    """Corpus frequency head (Zipf table): distributed top-k — partial
+    counts map-side, one shuffle on token, then TakeOrderedAndProject
+    (per-partition heaps, no global sort). Deterministic tiebreak on the
+    token so both engines agree at the cut."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokenize(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )

@@ -177,3 +177,23 @@ def test_to_sklearn_adapter(spark):
     assert sorted(X[:, 0].tolist()) == [1.0, 3.0]
     with pytest.raises(ValueError, match="max_rows"):
         to_sklearn(df, max_rows=1)
+
+
+def test_vocab_hll_within_5pct_of_exact(spark):
+    """The 100 TB scale path for corpus_stats.vocab_size: HLL sketch
+    (approx_count_distinct) must land within 5% of the exact distinct
+    on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from pliers_spark.functions import text as T
+    from pliers_spark.session import load_table
+
+    toks = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+    )
+    row = toks.agg(
+        F.countDistinct("token").alias("exact"),
+        F.approx_count_distinct("token", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
