@@ -1920,3 +1920,25 @@ def q_token_top100(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(100)
     )
+
+
+@query(
+    "salted_unique_tokens",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       SELECT doc_id, count(DISTINCT token)::BIGINT AS n_distinct
+       FROM toks GROUP BY doc_id""",
+)
+def q_salted_unique_tokens(spark, sf_dir):
+    """Skew-spread exact distinct (operators/skew.py): two-stage salted
+    count-distinct whose result is provably identical to the plain
+    aggregate (the oracle IS the plain aggregate). The value-hash salt
+    spreads a hot key over 32 reduce tasks — the fix for hot-domain
+    exact-distinct at 10^12 rows, where partial aggregation alone
+    cannot help a non-algebraic aggregate."""
+    from pliers_spark.operators.skew import salted_count_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    return salted_count_distinct(toks, ["doc_id"], "token", num_salts=32)

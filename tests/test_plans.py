@@ -126,3 +126,43 @@ def test_compound_struct_collapses_to_projection(spark, tmp_path):
     assert "Exchange" not in plan
     # the executed plan projects the source columns directly
     assert "named_struct" not in plan.lower() or "Project" in plan
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join: with thresholds lowered to sandbox scale, a join
+    against a heavily-skewed key must show skew=n in the final adaptive
+    plan (SMJ skew splitting) — the engine's runtime defense for
+    skewed shuffle joins (salting is reserved for non-join stages)."""
+    import pyspark.sql.functions as F2
+
+    left = spark.range(0, 60000).withColumn(
+        "k", F2.when(F2.col("id") % 100 < 99, F2.lit(0)).otherwise(F2.col("id") % 7)
+    ).withColumn("pad", F2.sha2(F2.col("id").cast("string"), 256))
+    right = spark.range(0, 8).withColumnRenamed("id", "k").withColumn("r", F2.col("k") * 2)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # the aggregate must consume the wide column, else Catalyst
+        # prunes it before the shuffle and no partition is skewed
+        df = left.join(right, "k").agg(F2.sum(F2.length("pad")).alias("total"))
+        df.collect()  # execute THIS plan so AQE finalizes it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
