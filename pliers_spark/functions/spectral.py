@@ -62,32 +62,53 @@ def stft_power_frames(
         f"{entity_col} long, frame long, onset_ts timestamp, "
         + ", ".join(f"p{k} double" for k in range(n_bins))
     )
+    empty_cols = [c.split()[0] for c in schema.split(", ")]
 
-    def _frames(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
-        ts = pdf[ts_col].to_numpy()
+    def _one_entity(ent, x, ts, out):
         L = len(x)
         if L < frame_size:
-            return pd.DataFrame(
-                {c.split()[0]: pd.Series(dtype="object") for c in schema.split(", ")}
-            ).iloc[0:0]
+            return
         nf = (L - frame_size) // hop + 1
         idx = np.arange(frame_size)[None, :] + hop * np.arange(nf)[:, None]
         frames = x[idx] * win[None, :]
         spec = np.fft.rfft(frames, axis=1)
         power = (spec.real**2 + spec.imag**2).round(round_to)
-        out = {
-            entity_col: np.repeat(pdf[entity_col].iloc[0], nf),
+        block = {
+            entity_col: np.repeat(ent, nf),
             "frame": np.arange(nf, dtype=np.int64),
             "onset_ts": ts[idx[:, 0]],
         }
         for k in range(n_bins):
-            out[f"p{k}"] = power[:, k]
-        return pd.DataFrame(out)
+            block[f"p{k}"] = power[:, k]
+        out.append(pd.DataFrame(block))
 
+    def _frames_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Arrow batch per BUCKET of many entities (per-entity groups
+        # would mean thousands of tiny batches whose scheduling overhead
+        # dwarfs the FFT — same rationale as asof_join_cogroup); one
+        # bucket-wide sort, then a contiguous numpy slice per entity.
+        pdf = pdf.sort_values([entity_col, *order_cols], kind="mergesort")
+        ents = pdf[entity_col].to_numpy()
+        xs = pdf[value_col].to_numpy(dtype=np.float64)
+        tss = pdf[ts_col].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, ents[1:] != ents[:-1], True])
+        out: list[pd.DataFrame] = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            _one_entity(ents[lo], xs[lo:hi], tss[lo:hi], out)
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in empty_cols}).iloc[0:0]
+        return pd.concat(out, ignore_index=True)
+
+    spark = df.sparkSession
+    num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = list(dict.fromkeys([entity_col, ts_col, value_col, *order_cols]))
-    return df.select(*cols).groupBy(entity_col).applyInPandas(_frames, schema=schema)
+    bucket = F.pmod(F.xxhash64(entity_col), F.lit(num_buckets)).alias("_bucket")
+    return (
+        df.select(*cols, bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_frames_bucket, schema=schema)
+    )
 
 
 def stft_power_sql(
