@@ -196,27 +196,47 @@ def lowpass_decimate(
     length is exactly ceil(L/decimate) and a constant series is preserved
     end-to-end (golden-tested)."""
 
-    def _lp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col], kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
-        L = len(x)
-        h = lowpass_sinc_kernel(decimate, taps)
-        pad = (taps - 1) // 2
-        mode = "reflect" if L > pad else "edge"
-        xp = np.pad(x, pad, mode=mode)
-        y = np.convolve(xp, h, mode="valid")
-        keep = np.arange(0, L, decimate)
-        return pd.DataFrame(
-            {
-                entity_col: pdf[entity_col].iloc[0],
-                ts_col: pdf[ts_col].to_numpy()[keep],
-                "filtered": y[keep].round(round_to),
-            }
-        )
+    h = lowpass_sinc_kernel(decimate, taps)
+    pad = (taps - 1) // 2
+
+    def _lp_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bucket-cogrouped like stft_power_frames: one Arrow batch per
+        # entity-hash bucket, contiguous numpy slice per entity inside
+        pdf = pdf.sort_values([entity_col, ts_col], kind="mergesort")
+        ents = pdf[entity_col].to_numpy()
+        xs = pdf[value_col].to_numpy(dtype=np.float64)
+        tss = pdf[ts_col].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, ents[1:] != ents[:-1], True])
+        parts = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            x = xs[lo:hi]
+            L = len(x)
+            xp = np.pad(x, pad, mode="reflect" if L > pad else "edge")
+            y = np.convolve(xp, h, mode="valid")
+            keep = np.arange(0, L, decimate)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        entity_col: np.repeat(ents[lo], len(keep)),
+                        ts_col: tss[lo:hi][keep],
+                        "filtered": y[keep].round(round_to),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {entity_col: pd.Series(dtype="int64"), ts_col: pd.Series(dtype="object"),
+                 "filtered": pd.Series(dtype="float64")}
+            )
+        return pd.concat(parts, ignore_index=True)
 
     schema = f"{entity_col} long, {ts_col} timestamp, filtered double"
+    spark = df.sparkSession
+    num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket = F.pmod(F.xxhash64(entity_col), F.lit(num_buckets)).alias("_bucket")
     return (
-        df.select(entity_col, ts_col, value_col)
-        .groupBy(entity_col)
-        .applyInPandas(_lp, schema=schema)
+        df.select(entity_col, ts_col, value_col, bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_lp_bucket, schema=schema)
     )
