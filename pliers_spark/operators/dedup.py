@@ -260,3 +260,95 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over a near-dup
+    pair list by iterative min-label propagation. Each node's label is
+    the minimum id reachable from it; a cluster is the set of nodes
+    sharing a label. This is the step after candidate generation
+    (MinHash-LSH / SimHash banding) in a dedup pipeline: pick one
+    representative per *transitive* duplicate cluster, not per pair.
+
+    Scale notes (100 TB design): each iteration is one equi-join of the
+    label frame with the edge list plus one min-groupBy — both shuffle on
+    node id, so AQE coalesces/splits partitions per round. Lineage is
+    truncated with ``localCheckpoint`` every round (otherwise the plan
+    doubles per iteration and the driver OOMs long before the data
+    does). Converges in <= graph-diameter rounds; near-dup clusters are
+    dense (quasi-cliques), so 2-3 rounds is typical. The per-round
+    convergence check is a count action on the changed set — a driver
+    loop is the idiomatic Spark shape for iterative graph algorithms
+    (same structure as GraphX/GraphFrames CC).
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair;
+    cluster_id = min doc_id of the component.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for dst = current label of src; keep own label too
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def novelty_vs_previous(
+    df: DataFrame,
+    text_col: str,
+    part_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Inter-document novelty within an ordered stream: 1 - Jaccard of
+    the distinct-token set vs the previous document in the same
+    partition (lag over a per-stream window). The streaming twin of
+    near-dup pairs: detects boilerplate re-crawls / mirrored feeds the
+    moment they arrive, without any pair join. First doc per stream has
+    NULL novelty.
+
+    Scale notes: one shuffle (window partition by stream); all token-set
+    work is JVM array expressions (array_distinct/intersect/union) —
+    no Python, no explode, rows in = rows out.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    toks = df.select(
+        *part_cols, order_col, F.array_distinct(T.tokenize(F.col(text_col))).alias("_tok_set")
+    )
+    prev = F.lag("_tok_set").over(w)
+    inter = F.size(F.array_intersect(F.col("_tok_set"), prev))
+    union = F.size(F.array_union(F.col("_tok_set"), prev))
+    novelty = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(1.0 - inter / F.nullif(union, F.lit(0)), 6)
+    )
+    return toks.select(*part_cols, order_col, novelty.alias("novelty"))

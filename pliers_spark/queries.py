@@ -1241,13 +1241,15 @@ def q_framed_agg(spark, sf_dir):
     )
 
 
-def _simhash_near_dups_sql() -> str:
+def _simhash_pairs_cte() -> str:
+    """CTE chain ending in ``nd_pairs(id_a, id_b, hamming)`` — shared by
+    the near-dup-pairs oracle and the dup-clusters recursive oracle."""
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(_SIMHASH_BITS)
     )
     recomb = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
-    return f"""WITH toks AS (
+    return f"""toks AS (
          SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents),
        hashed AS (
          SELECT doc_id, {md5_int_sql('token')} AS h FROM toks),
@@ -1259,12 +1261,17 @@ def _simhash_near_dups_sql() -> str:
          SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band_id FROM sims),
        b2 AS (
          SELECT doc_id, simhash, band_id, (simhash >> (band_id * 4)) & 15 AS band_val
-         FROM banded)
-       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-       FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.band_val = b.band_val
-                           AND a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+         FROM banded),
+       nd_pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+
+
+def _simhash_near_dups_sql() -> str:
+    return f"WITH {_simhash_pairs_cte()} SELECT id_a, id_b, hamming FROM nd_pairs"
 
 
 @query("simhash_near_dups", _simhash_near_dups_sql())
@@ -1942,3 +1949,96 @@ def q_salted_unique_tokens(spark, sf_dir):
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
     )
     return salted_count_distinct(toks, ["doc_id"], "token", num_salts=32)
+
+
+# --------------------------------------------------------------------------
+# batch 6: duplicate clustering (iterative CC), stream novelty, per-doc
+# token heads
+
+
+def _dup_clusters_sql() -> str:
+    # Transitive closure via recursive UNION (dedups rows, so cycles
+    # terminate); cluster id = min reachable node — same fixpoint the
+    # Spark min-label propagation converges to.
+    return f"""WITH RECURSIVE {_simhash_pairs_cte()},
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         UNION
+         SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+       reach(node, peer) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+       SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
+       FROM reach GROUP BY node"""
+
+
+@query("dup_clusters", _dup_clusters_sql())
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components over the
+    SimHash near-dup pair list via iterative min-label propagation
+    (driver loop, localCheckpoint-truncated lineage — the idiomatic
+    Spark shape for iterative graph algorithms). Dedup keeps one
+    representative per *cluster*, not per pair: A~B, B~C must retire
+    both B and C even when A~C was never emitted."""
+    pairs = D.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    out = D.connected_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@query(
+    "novelty_jaccard",
+    """WITH t AS (
+         SELECT source, doc_id,
+                list_distinct(string_split(trim(text), ' ')) AS tok_set
+         FROM documents),
+       l AS (
+         SELECT source, doc_id, tok_set,
+                lag(tok_set) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+         FROM t)
+       SELECT source, doc_id,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE round(1.0 - len(list_intersect(tok_set, prev))::DOUBLE /
+                              nullif(len(list_distinct(list_concat(tok_set, prev))), 0), 6)
+              END AS novelty
+       FROM l""",
+)
+def q_novelty_jaccard(spark, sf_dir):
+    """Inter-document novelty (1 - token-set Jaccard vs the previous doc
+    in the same source stream): lag over per-stream windows + JVM array
+    set algebra. Catches boilerplate re-crawls inline — one shuffle, no
+    pair join, rows in = rows out."""
+    return D.novelty_vs_previous(_docs(spark, sf_dir), "text", ["source"], "doc_id")
+
+
+@query(
+    "top_tokens_per_doc",
+    """WITH toks AS (
+         SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS token
+         FROM documents),
+       counts AS (
+         SELECT doc_id, token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2)
+       SELECT doc_id, token, cnt, rank FROM (
+         SELECT doc_id, token, cnt,
+                row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token)::BIGINT AS rank
+         FROM counts)
+       WHERE rank <= 3""",
+)
+def q_top_tokens_per_doc(spark, sf_dir):
+    """Per-document token head (top-3 by count, deterministic tie-break):
+    the per-group top-k pattern — hash agg then rank-window + filter,
+    never a global sort (BertLMExtractor's per-sequence top-k,
+    pliers/extractors/text.py:740-749, as a relational op)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.lower(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 3
+    )

@@ -86,3 +86,40 @@ def test_lsh_buckets_deterministic(spark):
     b2 = {r.vec_id: r.bucket for r in S.random_hyperplane_buckets(emb, "v", 4).collect()}
     assert b1 == b2
     assert all(0 <= b < 16 for b in b1.values())
+
+
+def test_connected_components_chain_and_clique(spark):
+    # component {1,2,3} is a chain (1-2, 2-3; no 1-3 edge), {10,11,12} a
+    # clique, {20,21} an isolated pair — labels must be transitive.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 9-node path needs several propagation rounds (diameter 8)
+    edges = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert set(out) == set(range(1, 10))
+    assert set(out.values()) == {1}
+
+
+def test_novelty_vs_previous(spark):
+    df = spark.createDataFrame(
+        [
+            ("s", 1, "a b c d"),
+            ("s", 2, "a b c d"),      # identical → novelty 0
+            ("s", 3, "a b x y"),      # |∩|=2, |∪|=6 → 1 - 2/6
+            ("t", 1, "p q"),          # first of its stream → NULL
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {(r.source, r.doc_id): r.novelty for r in
+            D.novelty_vs_previous(df, "text", ["source"], "doc_id").collect()}
+    assert rows[("s", 1)] is None and rows[("t", 1)] is None
+    assert rows[("s", 2)] == 0.0
+    assert abs(rows[("s", 3)] - (1 - 2 / 6)) < 1e-6
