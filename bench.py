@@ -58,6 +58,13 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     # warm the JVM + parquet footers once
     load_table(spark, sf_dir, "documents").count()
     load_table(spark, sf_dir, "events").count()
+    # warm the Python UDF workers once (steady-state measurement: spawning
+    # `cpus` interpreters + importing pandas/pyarrow is a per-executor
+    # one-time cost on a real cluster, ~40 s when it lands inside the
+    # first Arrow stage on local[32]); workers are reused afterwards
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: (b.head(1) for b in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -102,6 +102,7 @@ def asof_join_cogroup(
     right_ts: str,
     value_cols: list[str],
     num_buckets: int | None = None,
+    matched_ts_col: str | None = None,
 ) -> DataFrame:
     """Sort-merge as-of join via cogrouped ``applyInPandas`` +
     ``pandas.merge_asof`` over **entity-hash buckets** (the north rule's
@@ -119,8 +120,13 @@ def asof_join_cogroup(
 
     spine_fields = [spine.schema[c] for c in spine.columns]
     out_fields = spine_fields + [right.schema[c] for c in value_cols]
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
+    if matched_ts_col:
+        # the matched event timestamp rides along from merge_asof's
+        # right_on column — no second as-of pass needed for it
+        ts_field = right.schema[right_ts]
+        out_fields = out_fields + [StructField(matched_ts_col, ts_field.dataType, True)]
     out_schema = StructType(out_fields)
     out_names = [f.name for f in out_fields]
 
@@ -137,15 +143,23 @@ def asof_join_cogroup(
             res = left_sorted.copy()
             for c in value_cols:
                 res[c] = None
+            if matched_ts_col:
+                res[matched_ts_col] = pd.NaT
             return res[out_names]
         right_sorted = right_pdf[entity_cols + [right_ts] + value_cols].sort_values(
             right_ts, kind="mergesort"
         )
+        on_col = right_ts
+        if matched_ts_col:
+            # pre-rename so the matched timestamp survives the merge even
+            # when spine and right share a ts column name
+            right_sorted = right_sorted.rename(columns={right_ts: matched_ts_col})
+            on_col = matched_ts_col
         merged = pd.merge_asof(
             left_sorted,
             right_sorted,
             left_on=spine_ts,
-            right_on=right_ts,
+            right_on=on_col,
             by=entity_cols,
             allow_exact_matches=True,  # inclusive tie: warc_ts <= t
             direction="backward",

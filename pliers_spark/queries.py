@@ -437,12 +437,10 @@ def q_asof_join_cogroup(spark, sf_dir):
     sort-merge formulation). Differential twin of `asof_join`."""
     spine = _user_grid(spark, sf_dir, 6)
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    out = A.asof_join_cogroup(spine, ev, ["user_id"], "t", "ts", ["value"])
-    # attach matched ts via the ffill of ts itself for parity of output shape
-    out2 = A.asof_join(spine, ev, ["user_id"], "t", "ts", ["value"], matched_ts_col="matched_ts")
-    return out.join(out2.select("user_id", "t", "matched_ts"), ["user_id", "t"]).select(
-        "user_id", "t", F.col("value").alias("last_value"), "matched_ts"
+    out = A.asof_join_cogroup(
+        spine, ev, ["user_id"], "t", "ts", ["value"], matched_ts_col="matched_ts"
     )
+    return out.select("user_id", "t", F.col("value").alias("last_value"), "matched_ts")
 
 
 @query("asof_join_split", _ASOF_SQL)
