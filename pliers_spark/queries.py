@@ -2040,3 +2040,89 @@ def q_top_tokens_per_doc(spark, sf_dir):
     return counts.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= 3
     )
+
+
+@query(
+    "props_extract",
+    """SELECT event_id,
+              json_extract_string(props, '$.k')::BIGINT AS k,
+              (json_extract_string(props, '$.k')::BIGINT % 10)::BIGINT AS k_bucket
+       FROM events""",
+)
+def q_props_extract(spark, sf_dir):
+    """Semi-structured payload extraction: pull a typed field out of a
+    JSON metadata column (the crawl-record pattern — WARC headers /
+    page metadata ride along as JSON strings). JVM-side
+    ``get_json_object`` — no Python, stays inside codegen; at 10^12
+    rows the parse cost is the scan, so the projection prunes to
+    (event_id, props) only."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("k"), F.pmod(k, F.lit(10)).cast("long").alias("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# batch 7: reproducible sampling / splits / per-group feature scaling
+# (training-data pipeline staples; all JVM expressions, full oracles)
+
+
+@query(
+    "hash_sample",
+    f"""SELECT doc_id, text FROM documents
+       WHERE {md5_int_sql('text', seed=7)} % 100 < 10""",
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample by content-hash bucket. The
+    reproducible-at-scale sampling pattern: ``rand()`` re-rolls per
+    task retry / partition replan, a content hash never does — the
+    sample is a pure function of the data, stable across reruns,
+    engines, and cluster sizes (the oracle reproduces it exactly)."""
+    d = _docs(spark, sf_dir)
+    return d.where(F.pmod(md5_int(F.col("text"), seed=7), F.lit(100)) < 10).select(
+        "doc_id", "text"
+    )
+
+
+@query(
+    "split_assign",
+    f"""SELECT doc_id,
+              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id, {md5_int_sql('text', seed=13)} % 100 AS b FROM documents)""",
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash — leak-proof by construction: exact duplicates land in the
+    same split (the hash is over ``text``, not the id), so a dup can't
+    straddle train and test."""
+    d = _docs(spark, sf_dir)
+    b = F.pmod(md5_int(F.col("text"), seed=13), F.lit(100))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+@query(
+    "feature_zscore",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::DOUBLE AS text_length FROM documents)
+       SELECT doc_id, lang,
+              round((text_length - avg(text_length) OVER (PARTITION BY lang)) /
+                    nullif(stddev_samp(text_length) OVER (PARTITION BY lang), 0), 6) AS z
+       FROM f""",
+)
+def q_feature_zscore(spark, sf_dir):
+    """Per-group feature standardization (z-score within lang) as a
+    single window pass — no two-phase agg-then-rejoin, one shuffle on
+    the group key. The feature-scaling stage a training pipeline runs
+    just before export."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang")
+    x = T.text_length("text").cast("double")
+    f = d.select("doc_id", "lang", x.alias("text_length"))
+    z = (F.col("text_length") - F.avg("text_length").over(w)) / F.nullif(
+        F.stddev_samp("text_length").over(w), F.lit(0)
+    )
+    return f.select("doc_id", "lang", F.round(z, 6).alias("z"))

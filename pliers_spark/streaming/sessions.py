@@ -60,3 +60,25 @@ def streaming_windowed_counts(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen row per key, with the
+    watermark bounding how long each key is remembered. The streaming
+    twin of ``operators/dedup.exact_dedup`` — the shape of inline
+    crawl-dedup (drop re-fetched pages as they arrive) where the batch
+    job would re-scan the corpus.
+
+    Scale notes: ``dropDuplicatesWithinWatermark`` keys the state store
+    by the dedup key and evicts entries once the watermark passes —
+    state stays O(keys-per-watermark-window), not O(stream). A duplicate
+    arriving later than the watermark window is NOT dropped (by design:
+    bounded state at 10^12 rows requires bounded memory of the past);
+    route stragglers to the batch dedup in the daily compaction.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -130,3 +130,37 @@ def test_stateful_running_stats_carries_state_across_batches(spark, tmp_path):
         assert final[uid].n == exp[uid].n
         assert final[uid].mean == pytest.approx(exp[uid].mean)
         assert final[uid].std == pytest.approx(exp[uid].std)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from pliers_spark.streaming.sessions import streaming_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in ["u1", "u2"]:
+        for k in range(5):
+            r = (uid, f"page_{k % 3}", base + dt.timedelta(minutes=k), float(k))
+            rows.append(r)  # page_0..2 repeat → dups within the window
+    df = spark.createDataFrame(rows, "uid string, url string, ts timestamp, value double")
+    d = str(tmp_path / "dedup_events")
+    df.coalesce(1).write.parquet(d)
+
+    expected = {(r.uid, r.url) for r in df.dropDuplicates(["uid", "url"]).collect()}
+
+    stream = spark.readStream.schema("uid string, url string, ts timestamp, value double").parquet(d)
+    q = (
+        streaming_dedup(stream, ["uid", "url"], "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [(r.uid, r.url) for r in spark.sql("select * from dedup_out").collect()]
+    finally:
+        q.stop()
+    assert len(got) == len(expected) == 6  # 3 distinct urls × 2 users
+    assert set(got) == expected
