@@ -2126,3 +2126,50 @@ def q_feature_zscore(spark, sf_dir):
         F.stddev_samp("text_length").over(w), F.lit(0)
     )
     return f.select("doc_id", "lang", F.round(z, 6).alias("z"))
+
+
+@query(
+    "latest_value_per_user",
+    """SELECT user_id, max(ts) AS latest_ts,
+              max_by(value, ts) AS latest_value,
+              count(*)::BIGINT AS n_snapshots
+       FROM events GROUP BY user_id""",
+)
+def q_latest_value_per_user(spark, sf_dir):
+    """Dedup-to-latest (keep the newest snapshot per entity) as a single
+    ``max_by`` hash aggregate — map-side partial agg, one shuffle, no
+    window sort and no self-join. The 'current state of every url'
+    compaction a crawl store runs continuously; ties on ts resolve to
+    one deterministic row here because events carry unique timestamps
+    per user (enforced by the oracle agreeing)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("latest_ts"),
+        F.max_by("value", "ts").alias("latest_value"),
+        F.count("*").cast("long").alias("n_snapshots"),
+    )
+
+
+@query(
+    "quality_filter",
+    """WITH q AS (
+         SELECT doc_id, lang, length(trim(text))::DOUBLE AS ql FROM documents),
+       r AS (
+         SELECT doc_id, lang, ql,
+                percent_rank() OVER (PARTITION BY lang ORDER BY ql, doc_id) AS pr
+         FROM q)
+       SELECT doc_id, lang, ql, round(pr, 6) AS pr FROM r WHERE pr >= 0.1""",
+)
+def q_quality_filter(spark, sf_dir):
+    """Percentile-gated corpus filter: drop the bottom decile per
+    language by a quality proxy — rank-window + filter, the
+    distribution-relative cleaning rule (an absolute threshold can't
+    survive per-language length distributions at crawl scale). Tie-break
+    on doc_id keeps the rank deterministic."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("double").alias("ql"))
+    w = Window.partitionBy("lang").orderBy("ql", "doc_id")
+    r = f.withColumn("pr", F.percent_rank().over(w))
+    return r.where(F.col("pr") >= 0.1).select(
+        "doc_id", "lang", "ql", F.round("pr", 6).alias("pr")
+    )

@@ -1,0 +1,167 @@
+"""Snapshot-versioned parquet tables: Iceberg-semantics source/sink.
+
+The north rule targets an *Iceberg table* of pages. This container has
+no Iceberg runtime jars, so this module provides the load-bearing
+subset of Iceberg's table format over plain parquet + JSON manifests —
+the same design (a table is a chain of immutable snapshots, each
+listing its visible data files; readers pin a snapshot, writers commit
+a new one):
+
+- **snapshot isolation / time travel**: ``read(spark, snapshot_id=...)``
+  sees exactly the files of that snapshot, regardless of later commits
+  (≡ Iceberg ``VERSION AS OF``);
+- **append / overwrite commits**: an append snapshot inherits the
+  parent's file list and adds new files; an overwrite starts fresh
+  (≡ Iceberg's append/overwrite operations);
+- **incremental reads**: ``read_incremental(spark, from_id, to_id)``
+  scans only files added in (from, to] — the "process just the new
+  crawl slice" pattern that keeps a 10^12-row pipeline from re-reading
+  the corpus (≡ Iceberg incremental scan);
+- **lineage hook**: the committed ``snapshot_id`` is what
+  ``plans/checkpoint.py`` records as ``input_snapshot_id`` in its
+  per-partition manifests, closing the north rule's lineage loop.
+
+Layout (all writes are write-new-file-then-rename-pointer, so readers
+never observe a partial commit):
+
+    <root>/data/<snapshot_id>/part-*.parquet   immutable data files
+    <root>/_snapshots/snap-<id>.json           manifest: parent, files
+    <root>/_snapshots/_current                 pointer to latest id
+
+Scale notes: manifests hold file *paths*, not row data — a commit is
+O(files) driver-side JSON, and reads hand Spark an explicit file list
+(no directory listing storm on object stores; this is precisely why
+Iceberg exists). File-level min/max pruning is delegated to parquet
+footers within each file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotTable:
+    root: str
+
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self._snap_dir, "_current")
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifest_path(self, snapshot_id: str) -> str:
+        return os.path.join(self._snap_dir, f"snap-{snapshot_id}.json")
+
+    def _load_manifest(self, snapshot_id: str) -> dict:
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> str | None:
+        try:
+            with open(self._current_path) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def snapshots(self) -> list[dict]:
+        """Manifest chain from oldest to newest (≡ table history)."""
+        out: list[dict] = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            m = self._load_manifest(sid)
+            out.append(m)
+            sid = m["parent_id"]
+        return list(reversed(out))
+
+    # -- write path ----------------------------------------------------------
+
+    def commit(self, df: DataFrame, operation: str = "append") -> str:
+        """Write ``df``'s rows as new immutable files and commit a new
+        snapshot. ``operation``: 'append' keeps the parent's files
+        visible; 'overwrite' replaces the logical table contents (old
+        files stay on disk for time travel — this is a metadata-only
+        delete, like Iceberg)."""
+        if operation not in ("append", "overwrite"):
+            raise ValueError(f"unknown operation {operation!r}")
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.root, "data", snapshot_id)
+        df.write.mode("error").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        parent_id = self.current_snapshot_id()
+        files = list(new_files)
+        if operation == "append" and parent_id is not None:
+            files = self._load_manifest(parent_id)["files"] + files
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent_id,
+            "operation": operation,
+            "files": files,
+            "added_files": new_files,
+            "schema": df.schema.json(),
+        }
+        os.makedirs(self._snap_dir, exist_ok=True)
+        # write manifest, then flip the pointer atomically (rename) —
+        # a concurrent reader sees either the old or the new snapshot
+        with open(self._manifest_path(snapshot_id), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._current_path + f".tmp-{snapshot_id}"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
+        os.replace(tmp, self._current_path)
+        return snapshot_id
+
+    # -- read paths ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """Read the table as of ``snapshot_id`` (default: current).
+        Hands Spark the explicit immutable file list — later commits
+        cannot change what this scan sees (snapshot isolation)."""
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        files = self._load_manifest(sid)["files"]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self._load_manifest(sid)["schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
+
+    def read_incremental(
+        self, spark: SparkSession, from_id: str | None, to_id: str | None = None
+    ) -> DataFrame:
+        """Rows added by snapshots in (``from_id``, ``to_id``] — walks
+        the manifest chain and scans only the delta files. ``from_id``
+        None means 'from the beginning'."""
+        to_id = to_id or self.current_snapshot_id()
+        delta: list[str] = []
+        sid = to_id
+        accumulating = True
+        while sid is not None and sid != from_id:
+            m = self._load_manifest(sid)
+            if accumulating:
+                delta = m["added_files"] + delta
+                if m["operation"] == "overwrite":
+                    # an overwrite truncates visibility: files added by
+                    # older snapshots are not part of the table at to_id
+                    accumulating = False
+            sid = m["parent_id"]
+        if sid is None and from_id is not None:
+            raise ValueError(f"from_id {from_id!r} is not an ancestor of {to_id!r}")
+        if not delta:
+            return self.read(spark, to_id).limit(0)
+        return spark.read.parquet(*delta)

@@ -1,0 +1,79 @@
+"""Snapshot-versioned table: time travel, isolation, incremental scans."""
+
+import pytest
+
+from pliers_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(str(tmp_path / "pages_tbl"))
+
+
+def _rows(df):
+    return sorted((r.url, r.v) for r in df.collect())
+
+
+def test_append_time_travel_and_isolation(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"))
+    s2 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+
+    # a reader pinned at s1 is isolated from the later commit
+    pinned = table.read(spark, s1)
+    assert _rows(pinned) == [("a", 1), ("b", 2)]
+    assert _rows(table.read(spark)) == [("a", 1), ("b", 2), ("c", 3)]
+    assert table.current_snapshot_id() == s2
+
+    hist = table.snapshots()
+    assert [m["snapshot_id"] for m in hist] == [s1, s2]
+    assert hist[1]["parent_id"] == s1
+
+
+def test_overwrite_is_metadata_only(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    s2 = table.commit(
+        spark.createDataFrame([("z", 9)], "url string, v int"), operation="overwrite"
+    )
+    assert _rows(table.read(spark, s2)) == [("z", 9)]
+    # old snapshot still fully readable after the overwrite (time travel)
+    assert _rows(table.read(spark, s1)) == [("a", 1)]
+
+
+def test_incremental_scan_reads_only_the_delta(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    s2 = table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    s3 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+
+    assert _rows(table.read_incremental(spark, s1)) == [("b", 2), ("c", 3)]
+    assert _rows(table.read_incremental(spark, s1, s2)) == [("b", 2)]
+    assert _rows(table.read_incremental(spark, None, s2)) == [("a", 1), ("b", 2)]
+    assert table.read_incremental(spark, s3).count() == 0
+    with pytest.raises(ValueError):
+        table.read_incremental(spark, "nonexistent")
+
+
+def test_incremental_across_overwrite(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    table.commit(spark.createDataFrame([("z", 9)], "url string, v int"), operation="overwrite")
+    s4 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+    # rows added after s1 AND still visible at s4: the overwrite dropped b
+    assert _rows(table.read_incremental(spark, s1, s4)) == [("c", 3), ("z", 9)]
+
+
+def test_checkpoint_lineage_carries_snapshot_id(spark, table, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pliers_spark.plans.checkpoint import CheckpointedRun
+
+    sid = table.commit(spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"))
+    run = CheckpointedRun("stage_x", str(tmp_path / "out"), num_buckets=2)
+    run.run(
+        spark,
+        table.read(spark, sid),
+        transform=lambda df: df,
+        bucket_expr=F.pmod(F.xxhash64("url"), F.lit(2)),
+        input_snapshot_id=sid,
+    )
+    man = run.metrics(spark)
+    assert {r.input_snapshot_id for r in man.collect()} == {sid}
