@@ -213,3 +213,43 @@ def pages_flagship(
     ).withColumnRenamed("warc_ts", "t")
     value_cols = [c for c in feats.columns if c not in ("url", "warc_ts")]
     return asof_join(spine, feats, ["url"], "t", "warc_ts", value_cols)
+
+
+def incremental_page_features(
+    spark: SparkSession,
+    table,
+    prev_features: DataFrame | None,
+    from_id: str | None,
+    to_id: str | None = None,
+) -> DataFrame:
+    """Incrementally maintain the windowed feature table after new crawl
+    snapshots land in a :class:`~pliers_spark.sources.snapshots.SnapshotTable`.
+
+    Windowed features (lag/session/ffill) are stateful *per url*: a new
+    snapshot changes its url's lag chain and can merge its sessions, but
+    touches no other url. So the delta unit is the **url**, not the row:
+
+    1. incremental-scan the snapshot range → distinct urls in the delta
+       (reads only the delta files, never the corpus);
+    2. left-semi join the table at ``to_id`` to those urls → the full
+       history of affected urls only (at 10^12 rows the semi-join prunes
+       with a bloom/broadcast under AQE — the delta url set is tiny
+       relative to the corpus);
+    3. re-extract + re-window just those urls (extraction is
+       deterministic, so recomputed rows are byte-identical to a full
+       run; a further refinement at scale persists the pre-window
+       extracted table and re-extracts only the delta *rows*);
+    4. anti-join the previous feature table to drop the affected urls'
+       stale rows, union the fresh ones.
+
+    Equivalence with a full recompute is pinned by
+    tests/test_incremental.py.
+    """
+    delta_urls = table.read_incremental(spark, from_id, to_id).select("url").distinct()
+    full = table.read(spark, to_id)
+    affected = full.join(delta_urls, "url", "left_semi")
+    fresh = windowed_page_features(extract_page_features_arrow(affected))
+    if prev_features is None:
+        return fresh
+    kept = prev_features.join(delta_urls, "url", "left_anti")
+    return kept.unionByName(fresh)
