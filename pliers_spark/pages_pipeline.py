@@ -253,3 +253,59 @@ def incremental_page_features(
         return fresh
     kept = prev_features.join(delta_urls, "url", "left_anti")
     return kept.unionByName(fresh)
+
+
+def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
+    """Converter stage: ``html`` binary → extracted text — the pages-table
+    analog of a pliers ``Converter`` (Stim type A → type B, 1→1;
+    pliers/converters/base.py:12-25), and the stage the north rule's
+    byte-identity invariant guards ("byte-identical extracted text per
+    url"). Deterministic, dependency-free extraction: utf-8 decode, tag
+    strip, entity unescape, whitespace collapse — one Arrow-vectorized
+    stage (pandas str ops at C speed), never per-row Python in the hot
+    path. tests/test_pages_extract.py pins ``extracted_text == text``
+    byte-for-byte on the synthetic corpus, whose html wraps the text.
+
+    Scale note: html is by far the widest column (10-100 KB/row at
+    crawl scale vs ~1 KB of text); this stage is the ONLY one allowed
+    to read it, so everything downstream keeps the scan pruned to the
+    narrow columns.
+    """
+    import html as _html
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _extract(s):
+        txt = s.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+        txt = (
+            txt.str.replace(r"<(script|style)\b[^>]*>.*?</\1>", " ", regex=True)
+            .str.replace(r"<[^>]+>", " ", regex=True)
+            .map(lambda t: _html.unescape(t) if t is not None else None)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return txt
+
+    return pages.withColumn(out_col, _extract(F.col(html_col)))
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL structure features — host, registrable domain proxy, path
+    depth, https flag — all JVM ``parse_url``/regex expressions inside
+    whole-stage codegen (crawl partitioning/skew analysis runs on these:
+    hot-domain detection groups by ``host``)."""
+    u = F.col(url_col)
+    host = F.parse_url(u, F.lit("HOST"))
+    path = F.parse_url(u, F.lit("PATH"))
+    return pages.select(
+        url_col,
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        path.alias("path"),
+        (F.size(F.split(path, "/")) - 1).cast("long").alias("path_depth"),
+        u.startswith("https://").alias("is_https"),
+    )

@@ -62,3 +62,46 @@ def test_arrow_extract_handles_empty_and_whitespace_text(spark):
     u3 = next(v for (u, _), v in a.items() if u == "u3")
     assert u3["n_tokens"] == 3 and u3["n_unique"] == 1
     assert math.isclose(u3["stopword_ratio"], 1.0)
+
+
+def test_html_to_text_byte_identical(spark, tmp_path):
+    """North-rule invariant: byte-identical extracted text per url."""
+    import pyarrow.parquet as pq
+
+    from pliers_spark.pages_pipeline import html_to_text
+    from pliers_spark.synthgen import generate_pages
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages(n_urls=40, max_snapshots=3, seed=3), p)
+    pages = spark.read.parquet(p)
+    out = html_to_text(pages)
+    mismatches = out.where(out.extracted_text != out.text).count()
+    assert mismatches == 0
+    assert out.where(out.extracted_text.isNull()).count() == 0
+
+
+def test_html_to_text_entities_scripts(spark):
+    from pliers_spark.pages_pipeline import html_to_text
+
+    rows = [
+        (b"<html><script>var x=1;</script><p>a &amp; b</p></html>",),
+        (b"<style>p{}</style><b>bold</b>   text",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "html binary")
+    got = [r.extracted_text for r in html_to_text(df).collect()]
+    assert got == ["a & b", "bold text", None]
+
+
+def test_url_features(spark):
+    from pliers_spark.pages_pipeline import url_features
+
+    df = spark.createDataFrame(
+        [("https://d3.example.com/page/7",), ("http://a.b.co/x/y/z",)], "url string"
+    )
+    rows = {r.url: r for r in url_features(df).collect()}
+    r1 = rows["https://d3.example.com/page/7"]
+    assert r1.host == "d3.example.com" and r1.domain == "example.com"
+    assert r1.path == "/page/7" and r1.path_depth == 2 and r1.is_https
+    r2 = rows["http://a.b.co/x/y/z"]
+    assert r2.host == "a.b.co" and r2.domain == "b.co" and r2.path_depth == 3 and not r2.is_https
