@@ -117,6 +117,26 @@ def _langid(column: str = "text"):
     return lambda df: df.withColumn("lang_pred", T.langid_best(F.col(column)))
 
 
+@register_stage("sentiment")
+def _sentiment(column: str = "text"):
+    from ..functions.vader import with_vader
+
+    return lambda df: with_vader(df, text_col=column)
+
+
+@register_stage("stem", input_level="token", is_leaf_feature=False)
+def _stem(stemmer: str = "porter"):
+    from ..functions.snowball import snowball_stem_col as snowball_stem
+    from ..functions.stemming import porter_stem_col as porter_stem
+
+    fns = {"porter": porter_stem, "snowball": snowball_stem}
+    try:
+        fn = fns[stemmer]
+    except KeyError:
+        raise ValueError(f"unknown stemmer {stemmer!r}; choose from {sorted(fns)}") from None
+    return lambda df: df.withColumn("token", fn(F.col("token")))
+
+
 @register_stage("word_counter", input_level="token")
 def _word_counter(case_sensitive: bool = False):
     from ..operators.temporal import running_count

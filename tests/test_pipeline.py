@@ -79,3 +79,31 @@ def test_fanout_shares_parent(spark):
     assert len(frames) == 2
     merged = Pipeline(spec).run(docs(spark), key_cols=["doc_id", "text"])
     assert {"text_length", "n_tokens"} <= set(merged.columns)
+
+
+def test_sentiment_and_stem_stages(spark):
+    from pliers_spark.plans.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "The cats are running and happiness follows")], "doc_id long, text string"
+    )
+    spec = {
+        "roots": [
+            {
+                "transformer": "sentiment",
+                "children": [{"transformer": "stem", "parameters": {"stemmer": "porter"}, "children": [{"transformer": "word_counter"}]}],
+            }
+        ]
+    }
+    out = Pipeline(spec).run(df, key_cols=["doc_id"])
+    cols = set(out.columns)
+    assert {"sentiment_pos", "sentiment_compound", "token", "word_count"} <= cols
+    toks = {r.token for r in out.collect()}
+    assert "run" in toks and "cat" in toks  # porter-stemmed, implicit tokenize
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Pipeline({"roots": [{"transformer": "stem", "parameters": {"stemmer": "nope"}}]}).run(
+            df, key_cols=["doc_id"]
+        )
