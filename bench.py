@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "events_pivot",
     "stft_power",
+    "novelty_jaccard",
+    "quality_filter",
+    "hash_sample",
+    "latest_value_per_user",
 ]
 
 

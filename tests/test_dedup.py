@@ -123,3 +123,34 @@ def test_novelty_vs_previous(spark):
     assert rows[("s", 1)] is None and rows[("t", 1)] is None
     assert rows[("s", 2)] == 0.0
     assert abs(rows[("s", 3)] - (1 - 2 / 6)) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_vs_union_find(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n, m = 24, 40
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+
+    # reference: classic union-find with path compression
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes_in_pairs = {x for e in edges for x in e}
+    want = {}
+    for x in nodes_in_pairs:
+        root = find(x)
+        members = [y for y in nodes_in_pairs if find(y) == root]
+        want[x] = min(members)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == want
