@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 _VOWELS = "aeiou"
@@ -279,4 +280,15 @@ def wordnet_lemmatize_docs(df, id_col: str = "doc_id", text_col: str = "text"):
             ),
             " ",
         ).alias("lemmatized")
+    )
+
+
+def regexp_stem(col: Column, pattern: str, min_len: int = 0) -> Column:
+    """RegexpStemmer parity (`WordStemmingFilter(stemmer='regexp')`,
+    pliers/filters/text.py:48): strip every match of ``pattern`` unless
+    the word is shorter than ``min_len`` — pure Column expression inside
+    whole-stage codegen (nltk.RegexpStemmer.stem is `re.sub(p, '', w)`
+    gated on len(w) >= min)."""
+    return F.when(F.length(col) < min_len, col).otherwise(
+        F.regexp_replace(col, pattern, "")
     )

@@ -2173,3 +2173,30 @@ def q_quality_filter(spark, sf_dir):
     return r.where(F.col("pr") >= 0.1).select(
         "doc_id", "lang", "ql", F.round("pr", 6).alias("pr")
     )
+
+
+@query(
+    "regexp_stem",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                lower(unnest(string_split(trim(text), ' '))) AS token
+         FROM documents)
+       SELECT doc_id, pos, token,
+              CASE WHEN length(token) < 4 THEN token
+                   ELSE regexp_replace(token, 'ing$|s$|e$', '', 'g') END AS stem
+       FROM toks""",
+)
+def q_regexp_stem(spark, sf_dir):
+    """WordStemmingFilter(stemmer='regexp') — nltk RegexpStemmer as a
+    pure codegen expression: strip suffix matches unless the word is
+    shorter than min (pliers/filters/text.py:43-52)."""
+    from pliers_spark.functions.stemming import regexp_stem
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("token", F.lower(F.col("token")))
+    )
+    return toks.withColumn("stem", regexp_stem(F.col("token"), "ing$|s$|e$", min_len=4))

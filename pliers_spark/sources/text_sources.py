@@ -92,3 +92,30 @@ def read_timed_tsv(
     elif default_duration is not None:
         df = df.withColumn("duration", F.coalesce(F.col("duration"), F.lit(default_duration)))
     return df
+
+
+def seconds_to_srt_time(s: float) -> str:
+    ms = int(round(s * 1000))
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    sec, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{sec:02d},{ms:03d}"
+
+
+def write_srt(df: DataFrame, path: str) -> int:
+    """SRT sink (≡ ``ComplexTextStim.save``, pliers/stimuli/text.py:152-170):
+    render (order, text, onset, duration) rows back to .srt. Subtitle
+    tracks are inherently tiny (thousands of cues), so this is a
+    driver-side render of a sorted collect — guarded so a mis-aimed
+    10^12-row frame fails fast instead of OOM-ing the driver."""
+    rows = df.select("order", "text", "onset", "duration").orderBy("order").limit(100_001).collect()
+    if len(rows) > 100_000:
+        raise ValueError("write_srt is a subtitle sink (≤100k cues); use parquet for tables")
+    blocks = []
+    for r in rows:
+        start = seconds_to_srt_time(r.onset)
+        end = seconds_to_srt_time(r.onset + r.duration)
+        blocks.append(f"{r.order + 1}\n{start} --> {end}\n{r.text}")
+    with open(path, "w") as f:
+        f.write("\n\n".join(blocks) + "\n")
+    return len(rows)

@@ -64,3 +64,36 @@ def test_read_timed_tsv_colspec(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r.onset)
     assert [r.text for r in rows] == ["hello", "world"]
     assert "duration" in df.columns
+
+
+def test_srt_round_trip(spark, tmp_path):
+    from pliers_spark.sources.text_sources import read_srt, write_srt
+
+    df = spark.createDataFrame(
+        [(0, "Hello there", 0.5, 2.0), (1, "Second cue", 3.25, 1.75)],
+        "order long, text string, onset double, duration double",
+    )
+    p = str(tmp_path / "out.srt")
+    n = write_srt(df, p)
+    assert n == 2
+    back = read_srt(spark, p).orderBy("order").collect()
+    assert [(r.order, r.text, r.onset, r.duration) for r in back] == [
+        (0, "Hello there", 0.5, 2.0),
+        (1, "Second cue", 3.25, 1.75),
+    ]
+
+
+def test_regexp_stem_matches_nltk_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pliers_spark.functions.stemming import regexp_stem
+
+    df = spark.createDataFrame(
+        [("running",), ("cats",), ("see",), ("ing",), ("horse",)], "w string"
+    )
+    out = dict(
+        (r.w, r.s)
+        for r in df.select("w", regexp_stem(F.col("w"), "ing$|s$|e$", 4).alias("s")).collect()
+    )
+    # re.sub strips each match once per position, len<4 words untouched
+    assert out == {"running": "runn", "cats": "cat", "see": "see", "ing": "ing", "horse": "hors"}
