@@ -2200,3 +2200,54 @@ def q_regexp_stem(spark, sf_dir):
         .withColumn("token", F.lower(F.col("token")))
     )
     return toks.withColumn("stem", regexp_stem(F.col("token"), "ing$|s$|e$", min_len=4))
+
+
+def _lsh_planes(dim: int = 64, n_planes: int = 4, seed: int = 42) -> list[list[float]]:
+    # identical constants to operators/similarity.random_hyperplane_buckets
+    import hashlib
+
+    def coef(p, d):
+        h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16)
+        return (h / float(2**60)) * 2.0 - 1.0
+
+    return [[coef(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def _ann_lsh_sql() -> str:
+    planes = _lsh_planes()
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {len(plane)+1}), "
+            f"i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""WITH b AS (
+         SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings),
+       q AS (SELECT * FROM b WHERE vec_id < 8),
+       scored AS (
+         SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+                round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) AS cosine
+         FROM b a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)::BIGINT AS rank
+         FROM scored)
+       SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_lsh_topk", _ann_lsh_sql())
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH ANN: random-hyperplane bucket assignment (deterministic
+    md5-derived coefficients — reproducible across engines, retries,
+    cluster sizes) + bucket-local cosine top-k. The second ANN family
+    beside IVF: no training pass, bucket count fixed by n_planes, recall
+    tuned by multi-probe. All JVM array expressions."""
+    emb = S.random_hyperplane_buckets(
+        load_table(spark, sf_dir, "embeddings"), "embedding", dim=64, n_planes=4, seed=42
+    )
+    qs = emb.where(F.col("vec_id") < 8)
+    out = S.ivf_topk(emb, qs, "vec_id", "embedding", "vec_id", "embedding", "bucket", k=5)
+    return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
