@@ -103,3 +103,80 @@ def audio_frames(
             yield pd.DataFrame(rows, columns=["id", "frame", "onset", "duration", "rms"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FRAME_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = "id long, width int, height int, channels int, mean_brightness double"
+VIDEO_FRAME_SCHEMA = "id long, frame long, onset double, width int, height int, mean_brightness double"
+
+
+def image_resize_stats(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage (≡ ImageResizingFilter, pliers/filters/image.py:46):
+    decode → nearest-neighbor resample to (target_h, target_w) → stats.
+    The real interpolation is one cv2/PIL call behind the same decode
+    stub; the plumbing (schema, batch loop, pruned input projection) is
+    the production shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                ys = (np.arange(target_h) * img.shape[0] // target_h).clip(0, img.shape[0] - 1)
+                xs = (np.arange(target_w) * img.shape[1] // target_w).clip(0, img.shape[1] - 1)
+                res = img[ys][:, xs]
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": res.shape[1],
+                        "height": res.shape[0],
+                        "channels": res.shape[2],
+                        "mean_brightness": float(res.max(axis=2).mean() / 255.0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_RESIZE_SCHEMA)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    fps: float = 30.0,
+    frame_bytes: int = 64,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over a binary video payload (≡ FrameSamplingFilter
+    (every=n) + VideoFrameStim onset=frame/fps, pliers/filters/video.py:
+    19-53, pliers/stimuli/video.py:12-37): the stub treats the payload
+    as fixed-size frame records and decodes ONLY the sampled offsets —
+    the same selective-decode contract as the reference's lazy
+    ``get_frame`` (decode after index selection, never before)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload or b"")
+                n_frames = len(raw) // frame_bytes
+                for k in range(0, n_frames, every):
+                    img = _decode_image(raw[k * frame_bytes : (k + 1) * frame_bytes])
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame": k,
+                            "onset": k / fps,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "mean_brightness": float(img.max(axis=2).mean() / 255.0),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame", "onset", "width", "height", "mean_brightness"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)

@@ -23,3 +23,23 @@ def test_audio_frames_framing(spark):
     assert out[0].onset == 0.0 and out[1].onset == 512 / 16000
     assert all(abs(r.duration - 1024 / 16000) < 1e-9 for r in out)
     assert all(0.0 <= r.rms <= 1.01 for r in out)
+
+
+def test_image_resize_plumbing(spark):
+    from pliers_spark.multimodal import image_resize_stats
+
+    df = spark.createDataFrame([(1, b"\x40" * 100), (2, b"\xff" * 30)], "id long, payload binary")
+    out = {r.id: r for r in image_resize_stats(df, target_w=4, target_h=3).collect()}
+    assert all((r.width, r.height, r.channels) == (4, 3, 3) for r in out.values())
+    assert out[2].mean_brightness == 1.0
+
+
+def test_video_frame_sample_every_nth(spark):
+    from pliers_spark.multimodal import video_frame_sample
+
+    payload = bytes(range(256)) * 2  # 512 bytes → 8 frames of 64
+    df = spark.createDataFrame([(9, payload)], "id long, payload binary")
+    out = video_frame_sample(df, every=2, fps=30.0).orderBy("frame").collect()
+    assert [r.frame for r in out] == [0, 2, 4, 6]
+    assert abs(out[1].onset - 2 / 30.0) < 1e-9
+    assert all(r.width > 0 and r.height > 0 for r in out)
