@@ -166,3 +166,45 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_latest_value_agg_is_partial(spark, tmp_path):
+    """max_by compaction must partial-aggregate map-side (one shuffle,
+    combiner before it)."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["latest_value_per_user"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    before_exchange = plan.split("Exchange")[-1]  # bottom-up text: child side
+    assert "partial" in before_exchange.lower(), plan
+
+
+def test_ann_lsh_broadcasts_queries(spark):
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["ann_lsh_topk"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_novelty_single_shuffle_no_python(spark):
+    """novelty is one window shuffle; token-set algebra stays JVM-side."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["novelty_jaccard"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # the only exchanges allowed: the deliberate small-scan spread
+    # repartition + the window hash partitioning
+    assert plan.count("Exchange") <= 2, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_hash_sample_no_shuffle_no_python(spark):
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["hash_sample"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "PythonUDF" not in plan, plan
+    # narrow map + filter over the (spread) scan — nothing else
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
