@@ -91,3 +91,62 @@ def test_text_prep_byte_identical_to_reference(spark, pliers_mods, docs_pdf):
     for _, row in docs_pdf.iterrows():
         ref_text = punct.transform(lower.transform(TextStim(text=row["text"]))).text
         assert prepped[row["doc_id"]] == ref_text, row["doc_id"]  # byte-identical
+
+
+def test_word_counter_matches_reference(spark, pliers_mods, docs_pdf):
+    """Engine `word_counter` (running-count window) vs the reference's
+    WordCounterExtractor (pandas cumcount) — equal per (doc, pos).
+    ComplexTextStim uses a regex tokenizer (nltk-free path,
+    pliers/stimuli/text.py:222-224) matching the engine's whitespace
+    tokenizer on this corpus."""
+    from pliers.extractors import WordCounterExtractor
+    from pliers.stimuli import ComplexTextStim
+
+    from pliers_spark.queries import QUERIES
+
+    ours = {
+        (r.doc_id, r.pos): r.word_count
+        for r in QUERIES["word_counter"](spark, SF_DIR).collect()
+        if r.doc_id in set(docs_pdf["doc_id"])
+    }
+    ext = WordCounterExtractor()
+    n_checked = 0
+    for _, row in docs_pdf.iterrows():
+        stim = ComplexTextStim(text=row["text"], tokenizer=r"\S+")
+        df = ext.transform(stim).to_df()
+        # to_df sorts by onset and leaves `order` NaN here; the stable
+        # positional key the reference emits is object_id (cumcount
+        # within the shared (onset, duration) group = token position)
+        for pos, wc in zip(df["object_id"], df["word_count"]):
+            assert ours[(row["doc_id"], int(pos))] == int(wc), (row["doc_id"], pos)
+            n_checked += 1
+    assert n_checked > 1000
+
+
+def test_dictionary_lookup_matches_reference(spark, pliers_mods):
+    """Engine `dictionary_lookup` (broadcast left join, NULL on miss) vs
+    the reference's DictionaryExtractor (index lookup, NaN on miss)."""
+    import math
+
+    import pandas as pd
+
+    from pliers.extractors import DictionaryExtractor
+    from pliers.stimuli import TextStim
+
+    from pliers_spark.queries import _LEXICON_ROWS, QUERIES
+
+    dictionary = pd.DataFrame(
+        [(l, f, s) for (_, l, f, s) in _LEXICON_ROWS],
+        index=[w for (w, *_rest) in _LEXICON_ROWS],
+        columns=["length", "frequency", "syllables"],
+    )
+    ext = DictionaryExtractor(dictionary)
+
+    rows = QUERIES["dictionary_lookup"](spark, SF_DIR).limit(500).collect()
+    for r in rows:
+        ref = ext.transform(TextStim(text=r.token.lower())).to_df()
+        ref_freq = ref["frequency"].iloc[0]
+        if r.frequency is None:
+            assert isinstance(ref_freq, float) and math.isnan(ref_freq), r.token
+        else:
+            assert abs(ref_freq - r.frequency) < 1e-9, r.token
