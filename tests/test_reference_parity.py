@@ -150,3 +150,33 @@ def test_dictionary_lookup_matches_reference(spark, pliers_mods):
             assert isinstance(ref_freq, float) and math.isnan(ref_freq), r.token
         else:
             assert abs(ref_freq - r.frequency) < 1e-9, r.token
+
+
+def test_graph_spec_run_matches_pipeline(spark, pliers_mods, docs_pdf, tmp_path):
+    """Reference Graph(spec).run(..., merge=True) vs engine Pipeline(spec)
+    — same JSON spec shape, same feature values per document."""
+    import json
+
+    from pliers.graph import Graph
+    from pliers.stimuli import TextStim
+
+    from pliers_spark.plans.pipeline import Pipeline
+
+    spec_path = str(tmp_path / "graph.json")
+    with open(spec_path, "w") as f:
+        json.dump({"roots": [{"transformer": "LengthExtractor"}]}, f)
+    g = Graph(spec=spec_path)
+    stims = [
+        TextStim(text=row["text"], order=int(row["doc_id"]))
+        for _, row in docs_pdf.iterrows()
+    ]
+    ref = g.run(stims, merge=True)
+    ref_by_doc = dict(zip(ref["order"], ref["LengthExtractor#text_length"]))
+
+    ours_df = Pipeline({"roots": [{"transformer": "length"}]}).run(
+        spark.createDataFrame(docs_pdf), key_cols=["doc_id"]
+    )
+    ours = {r.doc_id: r.text_length for r in ours_df.collect()}
+    assert len(ours_df.columns) >= 2 and len(ref_by_doc) == len(docs_pdf)
+    for doc_id, ref_len in ref_by_doc.items():
+        assert ours[doc_id] == int(ref_len), doc_id
