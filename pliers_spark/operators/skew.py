@@ -27,7 +27,7 @@ sort-merge continuity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,3 +51,62 @@ def salted_count_distinct(
         stage1.groupBy(*key_cols)
         .agg(F.sum("_part").cast("long").alias(out_col))
     )
+
+
+def lag1_timesplit(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Skew-defused lag-1: exactly ``F.lag(value).over(partitionBy(entity)
+    .orderBy(ts))`` but with the hot entity's timeline **split into time
+    buckets** so no single task owns a hot domain's whole history.
+
+    The as-of skew path (operators/asof.py::asof_join_split) solves this
+    for joins; windowed features have the same failure mode — a domain
+    with 10^8 snapshots makes `partitionBy(url)` a straggler. Remedy
+    (SURVEY.md §7.3: "windowed stages need range-splitting by warc_ts
+    with boundary overlap"):
+
+    1. lag within (entity, time_bucket) — parallel across buckets;
+    2. per (entity, bucket): one `max_by` row (the bucket's last value)
+       — a partial-aggregating shuffle to a frame with ONE row per
+       (entity, bucket), where a window by entity is trivially cheap;
+    3. the first row of each bucket takes the previous non-empty
+       bucket's last value (empty buckets never materialize, so
+       `lag` over the per-bucket frame IS the previous non-empty one).
+
+    Exactness requires ``ts`` unique per entity (the engine's snapshot
+    tables guarantee it; equality vs the plain window is pinned by a
+    driver oracle and tests). Generalizes to lag-k by carrying the last
+    k rows per bucket (array agg) — k=1 is the flagship's need.
+    """
+    out_col = out_col or f"{value_col}_lag1"
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).alias("_tb")
+    dfb = df.withColumn("_tb", b)
+
+    w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col)
+    lag_in = F.lag(value_col).over(w_in)
+
+    tails = dfb.groupBy(*entity_cols, "_tb").agg(
+        F.max_by(value_col, ts_col).alias("_last_val")
+    )
+    w_t = Window.partitionBy(*entity_cols).orderBy("_tb")
+    prev_tail = tails.withColumn("_prev_val", F.lag("_last_val").over(w_t)).drop("_last_val")
+
+    # substitute the carried value ONLY on the bucket's first row — a null
+    # *value* lagged mid-bucket must stay null (coalesce would corrupt it)
+    out = (
+        dfb.withColumn("_lag_in", lag_in)
+        .withColumn("_rn_in", F.row_number().over(w_in))
+        .join(prev_tail, entity_cols + ["_tb"], "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_rn_in") == 1, F.col("_prev_val")).otherwise(F.col("_lag_in")),
+        )
+        .drop("_tb", "_lag_in", "_rn_in", "_prev_val")
+    )
+    return out

@@ -2251,3 +2251,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 8)
     out = S.ivf_topk(emb, qs, "vec_id", "embedding", "vec_id", "embedding", "bucket", k=5)
     return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "lag_split",
+    """SELECT user_id, ts,
+              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1
+       FROM events""",
+)
+def q_lag_split(spark, sf_dir):
+    """Skew-defused lag-1 (time-bucket split + boundary carry,
+    operators/skew.py::lag1_timesplit). The oracle IS the plain window
+    lag — proving the split path bit-equal, the same pattern as
+    `salted_unique_tokens` and `asof_join_split`."""
+    from pliers_spark.operators.skew import lag1_timesplit
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = lag1_timesplit(ev, ["user_id"], "ts", "value", bucket_seconds=6 * 3600)
+    return out.select("user_id", "ts", "value_lag1")

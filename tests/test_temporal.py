@@ -133,3 +133,33 @@ def test_temporal_trim_rebase(ev):
     # only u1's 200/205-minute rows fall in [60min, 480min)
     assert sorted(rows) == [200, 205]
     assert rows[200] == (200 - 60) * 60.0
+
+
+def test_lag1_timesplit_equals_plain_lag(spark):
+    """Time-bucket-split lag-1 == plain window lag, including null
+    values mid-stream and entities spanning many/missing buckets."""
+    import datetime as dt
+
+    from pliers_spark.operators.skew import lag1_timesplit
+    from pliers_spark.operators.temporal import lag_features
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in ["hot", "cold"]:
+        n = 500 if uid == "hot" else 7
+        for k in range(n):
+            # irregular spacing → buckets with many rows, one row, none
+            ts = base + dt.timedelta(minutes=17 * k + (k % 5) * 123)
+            v = None if k % 11 == 3 else float(k)
+            rows.append((uid, ts, v))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    want = {
+        (r.user_id, r.ts): r.value_lag1
+        for r in lag_features(df, ["user_id"], "ts", "value", [1]).collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.value_lag1
+        for r in lag1_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=3600).collect()
+    }
+    assert got == want and len(got) == 507
