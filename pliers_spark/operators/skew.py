@@ -110,3 +110,71 @@ def lag1_timesplit(
         .drop("_tb", "_lag_in", "_rn_in", "_prev_val")
     )
     return out
+
+
+def sessionize_timesplit(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    bucket_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Skew-defused gap sessionization: exactly
+    ``temporal.sessionize`` (1-based running count of session starts per
+    entity) but with the hot entity's history split across time buckets.
+
+    A running sum is prefix-dependent, so the split is two-level
+    (the classic scan decomposition):
+
+    1. within (entity, bucket): session-start flags — the first row of a
+       bucket compares against the PREVIOUS bucket's last timestamp,
+       carried through a one-row-per-bucket frame (same carry as
+       ``lag1_timesplit``); then a within-bucket running sum;
+    2. per (entity, bucket): total new sessions in the bucket; an
+       exclusive cumulative sum over the tiny bucket-level frame gives
+       each bucket's session-id offset;
+    3. session_id = bucket offset + within-bucket running count.
+
+    Equality with the plain window is pinned by the `sessionize_split`
+    driver oracle and a unit test.
+    """
+    secs = F.unix_timestamp(F.col(ts_col)).cast("double")
+    dfb = df.withColumn("_tb", F.floor(secs / F.lit(bucket_seconds)))
+
+    w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col)
+    prev_in = F.lag(secs).over(w_in)
+
+    # carry: previous non-empty bucket's last event time per entity
+    tails = dfb.groupBy(*entity_cols, "_tb").agg(F.max(secs).alias("_last_s"))
+    w_t = Window.partitionBy(*entity_cols).orderBy("_tb")
+    carry = tails.withColumn("_prev_s", F.lag("_last_s").over(w_t)).drop("_last_s")
+
+    flagged = (
+        dfb.join(carry, entity_cols + ["_tb"], "left")
+        .withColumn("_prev", F.coalesce(prev_in, F.col("_prev_s")))
+        .withColumn(
+            "_is_new",
+            F.when(
+                F.col("_prev").isNull() | ((secs - F.col("_prev")) > gap_seconds), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+    )
+    run_in = F.sum("_is_new").over(w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    # bucket-level offsets: exclusive prefix sum of per-bucket new-session counts
+    per_bucket = flagged.groupBy(*entity_cols, "_tb").agg(F.sum("_is_new").alias("_n_new"))
+    w_off = Window.partitionBy(*entity_cols).orderBy("_tb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_n_new").over(w_off), F.lit(0))
+    ).drop("_n_new")
+
+    out = (
+        flagged.withColumn("_run_in", run_in)
+        .join(offsets, entity_cols + ["_tb"], "left")
+        .withColumn(session_col, (F.col("_off") + F.col("_run_in")).cast("long"))
+        .drop("_tb", "_prev_s", "_prev", "_is_new", "_run_in", "_off")
+    )
+    return out

@@ -2269,3 +2269,30 @@ def q_lag_split(spark, sf_dir):
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     out = lag1_timesplit(ev, ["user_id"], "ts", "value", bucket_seconds=6 * 3600)
     return out.select("user_id", "ts", "value_lag1")
+
+
+@query(
+    "sessionize_split",
+    f"""WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       SELECT user_id, ts,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       FROM flagged""",
+)
+def q_sessionize_split(spark, sf_dir):
+    """Skew-defused sessionization (two-level scan decomposition over
+    time buckets, operators/skew.py::sessionize_timesplit); the oracle
+    is the plain single-window sessionize — bit-equal."""
+    from pliers_spark.operators.skew import sessionize_timesplit
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    out = sessionize_timesplit(
+        ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S, bucket_seconds=12 * 3600
+    )
+    return out.select("user_id", "ts", "session_id")

@@ -163,3 +163,33 @@ def test_lag1_timesplit_equals_plain_lag(spark):
         for r in lag1_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=3600).collect()
     }
     assert got == want and len(got) == 507
+
+
+def test_sessionize_timesplit_equals_plain(spark):
+    import datetime as dt
+
+    from pliers_spark.operators.skew import sessionize_timesplit
+    from pliers_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in ["hot", "cold"]:
+        t = base
+        n = 400 if uid == "hot" else 9
+        for k in range(n):
+            # gaps straddling bucket boundaries and the session threshold
+            t += dt.timedelta(minutes=25 if k % 7 else 60 * 9)
+            rows.append((uid, t))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    want = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize(df, ["user_id"], "ts", gap_seconds=4 * 3600).collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize_timesplit(
+            df, ["user_id"], "ts", gap_seconds=4 * 3600, bucket_seconds=3600
+        ).collect()
+    }
+    assert got == want and len(got) == 409
