@@ -178,3 +178,58 @@ def sessionize_timesplit(
         .drop("_tb", "_prev_s", "_prev", "_is_new", "_run_in", "_off")
     )
     return out
+
+
+def ffill_timesplit(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Skew-defused forward-fill: exactly ``temporal.ffill`` (latest
+    non-null earlier value, frame ends at currentRow) with the hot
+    entity's timeline split across time buckets.
+
+    Carry construction: per (entity, bucket) take the bucket's last
+    NON-NULL value (``max_by`` over the non-null subset); a bucket can
+    be all-null, so the carry itself forward-fills over the tiny
+    one-row-per-bucket frame before shifting to the next bucket. Within
+    a bucket, ``coalesce(ffill_in, carry)`` is exact because ffill_in
+    is null precisely on the prefix of rows before the bucket's first
+    non-null value — the rows whose answer lives in an earlier bucket.
+    """
+    out_col = out_col or f"{value_col}_ffill"
+    secs = F.unix_timestamp(F.col(ts_col))
+    dfb = df.withColumn("_tb", F.floor(secs / F.lit(bucket_seconds)))
+
+    w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ffill_in = F.last(value_col, ignorenulls=True).over(w_in)
+
+    # bucket's last non-null value (null when the bucket is all-null)
+    tails = dfb.groupBy(*entity_cols, "_tb").agg(
+        F.max_by(value_col, F.when(F.col(value_col).isNotNull(), F.col(ts_col))).alias(
+            "_last_nn"
+        )
+    )
+    # forward-fill the carry itself across buckets, then shift by one:
+    # carry(b) = last non-null value in any bucket strictly before b
+    w_t = (
+        Window.partitionBy(*entity_cols)
+        .orderBy("_tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = tails.withColumn(
+        "_carry", F.last("_last_nn", ignorenulls=True).over(w_t)
+    ).drop("_last_nn")
+
+    out = (
+        dfb.withColumn("_ffill_in", ffill_in)
+        .join(carry, entity_cols + ["_tb"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_ffill_in"), F.col("_carry")))
+        .drop("_tb", "_ffill_in", "_carry")
+    )
+    return out

@@ -2296,3 +2296,30 @@ def q_sessionize_split(spark, sf_dir):
         ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S, bucket_seconds=12 * 3600
     )
     return out.select("user_id", "ts", "session_id")
+
+
+@query(
+    "ffill_split",
+    """WITH v AS (
+         SELECT user_id, ts,
+                CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+         FROM events)
+       SELECT user_id, ts,
+              last_value(value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+       FROM v""",
+)
+def q_ffill_split(spark, sf_dir):
+    """Skew-defused forward-fill (time-bucket split + non-null carry,
+    operators/skew.py::ffill_timesplit); oracle = plain window ffill
+    over the same null-punched series."""
+    from pliers_spark.operators.skew import ffill_timesplit
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    out = ffill_timesplit(ev, ["user_id"], "ts", "value", bucket_seconds=12 * 3600)
+    return out.select("user_id", "ts", F.col("value_ffill"))

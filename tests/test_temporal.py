@@ -193,3 +193,31 @@ def test_sessionize_timesplit_equals_plain(spark):
         ).collect()
     }
     assert got == want and len(got) == 409
+
+
+def test_ffill_timesplit_equals_plain(spark):
+    """Includes all-null buckets (carry must ffill across them)."""
+    import datetime as dt
+
+    from pliers_spark.operators.skew import ffill_timesplit
+    from pliers_spark.operators.temporal import ffill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in ["hot", "cold"]:
+        n = 300 if uid == "hot" else 8
+        for k in range(n):
+            ts = base + dt.timedelta(minutes=13 * k)
+            v = float(k) if k % 9 == 0 else None  # long null runs spanning buckets
+            rows.append((uid, ts, v))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    want = {
+        (r.user_id, r.ts): r.value_ffill
+        for r in ffill(df, ["user_id"], "ts", "value").collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.value_ffill
+        for r in ffill_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=3600).collect()
+    }
+    assert got == want and len(got) == 308
