@@ -233,3 +233,60 @@ def ffill_timesplit(
         .drop("_tb", "_ffill_in", "_carry")
     )
     return out
+
+
+def rolling_timesplit(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    range_seconds: float,
+    bucket_seconds: int,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Skew-defused trailing time-range rolling aggregates: exactly
+    ``temporal.rolling_agg`` (frame = [ts - range_seconds, ts], no
+    future rows) with the hot entity's timeline split across time
+    buckets via **ghost rows** — the union-split trick of
+    ``asof.asof_join_split`` applied to windows:
+
+    rows in the last ``range_seconds`` of a bucket also contribute to
+    the next bucket's leading rows, so each such row is duplicated into
+    the next bucket as a contributor-only ghost (``_ghost=1``); the
+    range frame inside (entity, bucket) then sees every in-range
+    predecessor, and ghosts are dropped from the output. Exact for any
+    contribution-only aggregate (sum/count/min/max/avg via sum+count).
+    Requires ``range_seconds <= bucket_seconds`` (one-bucket reach);
+    chain k ghost unions for longer ranges.
+    """
+    if range_seconds > bucket_seconds:
+        raise ValueError("range_seconds must be <= bucket_seconds (one-bucket ghost reach)")
+    aggs = aggs or {f"{value_col}_roll_sum": "sum", f"{value_col}_roll_cnt": "count"}
+
+    # microsecond integer ordering key (rangeBetween needs long bounds;
+    # micros also preserve sub-second timestamps exactly)
+    us = (F.unix_timestamp(F.col(ts_col)).cast("double") * 1_000_000).cast("long")
+    base = df.withColumn("_us", us).withColumn(
+        "_tb", F.floor(F.col("_us") / F.lit(bucket_seconds * 1_000_000))
+    )
+    ghosts = (
+        base.where(
+            F.col("_us")
+            >= (F.col("_tb") + 1) * F.lit(bucket_seconds * 1_000_000)
+            - F.lit(int(range_seconds * 1_000_000))
+        )
+        .withColumn("_tb", F.col("_tb") + 1)
+        .withColumn("_ghost", F.lit(1))
+    )
+    both = base.withColumn("_ghost", F.lit(0)).unionByName(ghosts)
+
+    w = (
+        Window.partitionBy(*entity_cols, "_tb")
+        .orderBy("_us")
+        .rangeBetween(-int(range_seconds * 1_000_000), 0)
+    )
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max, "avg": F.avg}
+    out = both
+    for out_col, fn in aggs.items():
+        out = out.withColumn(out_col, fns[fn](value_col).over(w))
+    return out.where(F.col("_ghost") == 0).drop("_us", "_tb", "_ghost")

@@ -2323,3 +2323,29 @@ def q_ffill_split(spark, sf_dir):
     )
     out = ffill_timesplit(ev, ["user_id"], "ts", "value", bucket_seconds=12 * 3600)
     return out.select("user_id", "ts", F.col("value_ffill"))
+
+
+@query(
+    "rolling_split",
+    """SELECT user_id, ts,
+              round(sum(value) OVER w, 6) AS roll_sum_1h,
+              count(value) OVER w::BIGINT AS roll_cnt_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_split(spark, sf_dir):
+    """Skew-defused rolling window (ghost-row union split,
+    operators/skew.py::rolling_timesplit); oracle = the plain trailing
+    range window."""
+    from pliers_spark.operators.skew import rolling_timesplit
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = rolling_timesplit(
+        ev, ["user_id"], "ts", "value", range_seconds=3600.0, bucket_seconds=6 * 3600,
+        aggs={"roll_sum_1h": "sum", "roll_cnt_1h": "count"},
+    )
+    return out.select(
+        "user_id", "ts", F.round("roll_sum_1h", 6).alias("roll_sum_1h"),
+        F.col("roll_cnt_1h").cast("long").alias("roll_cnt_1h"),
+    )

@@ -221,3 +221,33 @@ def test_ffill_timesplit_equals_plain(spark):
         for r in ffill_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=3600).collect()
     }
     assert got == want and len(got) == 308
+
+
+def test_rolling_timesplit_equals_plain(spark):
+    import datetime as dt
+
+    from pliers_spark.operators.skew import rolling_timesplit
+    from pliers_spark.operators.temporal import rolling_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("hot", base + dt.timedelta(minutes=7 * k), float(k % 13)) for k in range(400)
+    ] + [("cold", base + dt.timedelta(hours=3 * k), 1.0) for k in range(6)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    want = {
+        (r.user_id, r.ts): (round(r.rs, 6), r.rc)
+        for r in rolling_agg(df, ["user_id"], "ts", "value", 3600.0,
+                             aggs={"rs": "sum", "rc": "count"}).collect()
+    }
+    got = {
+        (r.user_id, r.ts): (round(r.rs, 6), r.rc)
+        for r in rolling_timesplit(df, ["user_id"], "ts", "value", 3600.0, 7200,
+                                   aggs={"rs": "sum", "rc": "count"}).collect()
+    }
+    assert got == want and len(got) == 406
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_timesplit(df, ["user_id"], "ts", "value", 7201.0, 7200)
