@@ -175,11 +175,29 @@ def extract_page_features(pages: DataFrame, minhash_k: int = 0) -> DataFrame:
     )
 
 
-def windowed_page_features(feats: DataFrame) -> DataFrame:
-    """Per-url temporal features — one shuffle on url, leakage-safe frames."""
-    out = TP.sessionize(feats, ["url"], "warc_ts", gap_seconds=SESSION_GAP_DAYS * 86400)
-    out = TP.lag_features(out, ["url"], "warc_ts", "text_length", [1])
-    out = TP.lag_features(out, ["url"], "warc_ts", "quality", [1])
+def windowed_page_features(feats: DataFrame, skew_safe: bool = False) -> DataFrame:
+    """Per-url temporal features — one shuffle on url, leakage-safe frames.
+
+    ``skew_safe=True`` routes every window through the time-bucket-split
+    operators (``operators/skew.py``) so no single task ever owns a hot
+    domain's full history — bit-equal output (each split op is
+    oracle-gated, and tests/test_incremental.py::equality covers the
+    composition). Use it when the heavy-hitter census
+    (``asof.detect_heavy_hitters``) reports domains above the task-size
+    budget; the plain path is faster when no key is hot.
+    """
+    gap_s = SESSION_GAP_DAYS * 86400
+    if skew_safe:
+        from .operators.skew import lag1_timesplit, sessionize_timesplit
+
+        bucket_s = 90 * 86400  # ~1 quarter per task for the hottest domain
+        out = sessionize_timesplit(feats, ["url"], "warc_ts", gap_s, bucket_s)
+        out = lag1_timesplit(out, ["url"], "warc_ts", "text_length", bucket_s)
+        out = lag1_timesplit(out, ["url"], "warc_ts", "quality", bucket_s)
+    else:
+        out = TP.sessionize(feats, ["url"], "warc_ts", gap_seconds=gap_s)
+        out = TP.lag_features(out, ["url"], "warc_ts", "text_length", [1])
+        out = TP.lag_features(out, ["url"], "warc_ts", "quality", [1])
     out = out.withColumn(
         "quality_delta", F.round(F.col("quality") - F.col("quality_lag1"), 6)
     )

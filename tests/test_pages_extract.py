@@ -105,3 +105,24 @@ def test_url_features(spark):
     assert r1.path == "/page/7" and r1.path_depth == 2 and r1.is_https
     r2 = rows["http://a.b.co/x/y/z"]
     assert r2.host == "a.b.co" and r2.domain == "b.co" and r2.path_depth == 3 and not r2.is_https
+
+
+def test_windowed_features_skew_safe_path_equal(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pliers_spark.pages_pipeline import (
+        extract_page_features_arrow,
+        windowed_page_features,
+    )
+    from pliers_spark.synthgen import generate_pages
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages(n_urls=50, max_snapshots=6, seed=11), p)
+    feats = extract_page_features_arrow(spark.read.parquet(p))
+
+    plain = windowed_page_features(feats)
+    safe = windowed_page_features(feats, skew_safe=True)
+    key = lambda r: (r["url"], r["warc_ts"])
+    a = sorted(({c: r[c] for c in plain.columns} for r in plain.collect()), key=key)
+    b = sorted(({c: r[c] for c in plain.columns} for r in safe.collect()), key=key)
+    assert a == b and len(a) > 100
