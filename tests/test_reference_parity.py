@@ -180,3 +180,56 @@ def test_graph_spec_run_matches_pipeline(spark, pliers_mods, docs_pdf, tmp_path)
     assert len(ours_df.columns) >= 2 and len(ref_by_doc) == len(docs_pdf)
     for doc_id, ref_len in ref_by_doc.items():
         assert ours[doc_id] == int(ref_len), doc_id
+
+
+def test_merge_results_wide_and_long_match_engine(spark, pliers_mods, docs_pdf):
+    """Reference merge_results (union + pivot, extractor#feature naming)
+    vs the engine's wide feature frame and long melt — equal values per
+    (doc, feature) in both shapes."""
+    import pyspark.sql.functions as F
+
+    from pliers.extractors import (
+        LengthExtractor,
+        NumUniqueWordsExtractor,
+        merge_results,
+    )
+    from pliers.stimuli import TextStim
+
+    class _WsTok:  # whitespace tokenizer ≡ engine semantics (nltk-free path)
+        def tokenize(self, t):
+            return t.split()
+
+    sub = docs_pdf.head(30)
+    length_ext, uniq_ext = LengthExtractor(), NumUniqueWordsExtractor(tokenizer=_WsTok())
+    results = []
+    for _, row in sub.iterrows():
+        stim = TextStim(text=row["text"], order=int(row["doc_id"]))
+        results += [length_ext.transform(stim), uniq_ext.transform(stim)]
+
+    wide = merge_results(results, format="wide", extractor_names="column_prefix")
+    long = merge_results(results, format="long", extractor_names="column")
+
+    from pliers_spark.flagship import flagship_features
+
+    ours = {
+        r.doc_id: r
+        for r in flagship_features(spark, SF_DIR).collect()
+        if r.doc_id in set(sub["doc_id"])
+    }
+
+    # wide: one row per stim, one column per feature
+    lcol, ucol = "text_length", "num_unique_words"
+    assert len(wide) == 30
+    for _, r in wide.iterrows():
+        doc = int(r["order"])
+        assert ours[doc].text_length == int(r[lcol])
+        assert ours[doc].n_unique == int(r[ucol])
+
+    # long: one row per (stim, feature, value), NaNs dropped
+    assert set(long["feature"]) == {"text_length", "num_unique_words"}
+    for _, r in long.iterrows():
+        doc = int(r["order"])
+        if r["feature"] == "text_length":
+            assert ours[doc].text_length == int(r["value"])
+        else:
+            assert ours[doc].n_unique == int(r["value"])
