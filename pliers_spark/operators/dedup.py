@@ -55,21 +55,31 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band.
 
-    signature (map) → explode to (id, band_key) → groupBy band bucket
-    collecting the sorted id set → upper-triangle pair expansion inside
-    each bucket → distinct.
+    signature (map) → explode to (id, band_key) → bucket-size census →
+    drop degenerate buckets (> ``max_bucket`` members) → groupBy band
+    bucket collecting the sorted id set → upper-triangle pair expansion
+    inside each bucket → distinct.
 
     Why not a self-equi-join on band_key: without an explicit persist,
     both join branches re-run the whole shingling + K-hash signature
     scan (the expensive part), and the shuffle carries every banded row
     twice. This shape computes signatures ONCE and shuffles only tiny
     (band_key, id) rows; pair expansion is map-side array algebra over
-    each bucket. Bucket cardinality is the same quadratic either way —
-    at production scale add a bucket-size cap upstream (drop
-    "everything matches" bands as too-common, as with stop-shingles).
+    each bucket.
+
+    ``max_bucket`` bounds task memory: a degenerate band key (empty
+    shingles, boilerplate pages) would otherwise ``collect_set`` every
+    matching doc into one array on one task — and a bucket of size B
+    emits B² pairs, which is never what a dedup pipeline wants from an
+    "everything matches" band (those docs are caught by exact dedup /
+    stop-shingle logic instead). The census is an algebraic count
+    (map-side partial agg — safe under the very skew it defends
+    against); dropped bands are counted and logged, never silently
+    truncated. Pass ``max_bucket=None`` to disable.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -81,6 +91,23 @@ def minhash_lsh_candidates(
             F.array(*[band_key(sig_cols, b, rows_per_band) for b in range(bands)])
         ).alias("band_key"),
     ).where(F.col("band_key").isNotNull())
+    if max_bucket is not None:
+        # materialize the tiny (id, band_key) frame once so the census and
+        # the collect pass don't each re-run the signature scan
+        banded = banded.localCheckpoint(eager=True)
+        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
+        n_dropped = sizes.where(F.col("_n") > max_bucket).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_candidates: dropped %d degenerate band bucket(s) "
+                "with > %d members (bounded-task-memory cap; see docstring)",
+                n_dropped,
+                max_bucket,
+            )
+        kept = sizes.where(F.col("_n") <= max_bucket).select("band_key")
+        banded = banded.join(kept, "band_key")
     buckets = (
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -299,6 +326,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         # candidate label for dst = current label of src; keep own label too
         prop = edges.join(labels, edges.src == labels.node).select(
@@ -319,6 +347,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise silently
+        # return one cluster split into several — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

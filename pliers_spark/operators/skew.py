@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import epoch_micros, epoch_seconds
+
 
 def salted_count_distinct(
     df: DataFrame,
@@ -85,7 +87,9 @@ def lag1_timesplit(
     k rows per bucket (array agg) — k=1 is the flagship's need.
     """
     out_col = out_col or f"{value_col}_lag1"
-    b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).alias("_tb")
+    # µs-precise bucketing (unix_timestamp truncates to whole seconds and
+    # would mis-bucket sub-second data — see operators/_util.epoch_micros)
+    b = F.floor(epoch_micros(df, ts_col) / F.lit(bucket_seconds * 1_000_000)).alias("_tb")
     dfb = df.withColumn("_tb", b)
 
     w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col)
@@ -139,7 +143,9 @@ def sessionize_timesplit(
     Equality with the plain window is pinned by the `sessionize_split`
     driver oracle and a unit test.
     """
-    secs = F.unix_timestamp(F.col(ts_col)).cast("double")
+    # µs-precise seconds: gap comparison must see sub-second deltas exactly,
+    # matching temporal.sessionize (unix_timestamp truncates to whole seconds)
+    secs = epoch_seconds(df, ts_col)
     dfb = df.withColumn("_tb", F.floor(secs / F.lit(bucket_seconds)))
 
     w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col)
@@ -201,7 +207,7 @@ def ffill_timesplit(
     non-null value — the rows whose answer lives in an earlier bucket.
     """
     out_col = out_col or f"{value_col}_ffill"
-    secs = F.unix_timestamp(F.col(ts_col))
+    secs = epoch_seconds(df, ts_col)
     dfb = df.withColumn("_tb", F.floor(secs / F.lit(bucket_seconds)))
 
     w_in = Window.partitionBy(*entity_cols, "_tb").orderBy(ts_col).rowsBetween(
@@ -264,8 +270,9 @@ def rolling_timesplit(
     aggs = aggs or {f"{value_col}_roll_sum": "sum", f"{value_col}_roll_cnt": "count"}
 
     # microsecond integer ordering key (rangeBetween needs long bounds;
-    # micros also preserve sub-second timestamps exactly)
-    us = (F.unix_timestamp(F.col(ts_col)).cast("double") * 1_000_000).cast("long")
+    # micros also preserve sub-second timestamps exactly — unix_timestamp
+    # would truncate to seconds and leak same-second FUTURE rows into the frame)
+    us = epoch_micros(df, ts_col)
     base = df.withColumn("_us", us).withColumn(
         "_tb", F.floor(F.col("_us") / F.lit(bucket_seconds * 1_000_000))
     )

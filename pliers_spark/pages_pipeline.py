@@ -300,7 +300,10 @@ def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extra
     def _extract(s):
         txt = s.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
         txt = (
-            txt.str.replace(r"<(script|style)\b[^>]*>.*?</\1>", " ", regex=True)
+            # (?s): script/style bodies span newlines in real HTML — without
+            # DOTALL a multi-line <script> survives tag-stripping and its JS
+            # leaks into extracted_text (north-rule byte-identity violation)
+            txt.str.replace(r"(?s)<(script|style)\b[^>]*>.*?</\1>", " ", regex=True)
             .str.replace(r"<[^>]+>", " ", regex=True)
             .map(lambda t: _html.unescape(t) if t is not None else None)
             .str.replace(r"\s+", " ", regex=True)

@@ -45,6 +45,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this commit's parent read and its
+    pointer flip — retry on top of the new current snapshot (Iceberg's
+    optimistic-concurrency contract: conflicting commits fail, never
+    silently drop the other writer's rows)."""
+
+
 @dataclass
 class SnapshotTable:
     root: str
@@ -114,14 +121,35 @@ class SnapshotTable:
             "schema": df.schema.json(),
         }
         os.makedirs(self._snap_dir, exist_ok=True)
-        # write manifest, then flip the pointer atomically (rename) —
-        # a concurrent reader sees either the old or the new snapshot
         with open(self._manifest_path(snapshot_id), "w") as f:
             json.dump(manifest, f)
-        tmp = self._current_path + f".tmp-{snapshot_id}"
-        with open(tmp, "w") as f:
-            f.write(snapshot_id)
-        os.replace(tmp, self._current_path)
+        # optimistic-concurrency pointer flip (Iceberg semantics): an
+        # O_EXCL lock serializes committers; inside it, verify the pointer
+        # still names the parent this manifest was built on. A concurrent
+        # commit makes this one FAIL (manifest becomes an orphan — data
+        # files are immutable, nothing is corrupted) rather than silently
+        # discarding the other writer's rows. Readers still see an atomic
+        # old-or-new pointer via os.replace.
+        lock = os.path.join(self._snap_dir, "_commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"another commit holds {lock}; retry after it completes"
+            ) from None
+        try:
+            os.close(fd)
+            if self.current_snapshot_id() != parent_id:
+                raise CommitConflictError(
+                    f"concurrent commit: parent moved from {parent_id!r} to "
+                    f"{self.current_snapshot_id()!r}; re-read and retry"
+                )
+            tmp = self._current_path + f".tmp-{snapshot_id}"
+            with open(tmp, "w") as f:
+                f.write(snapshot_id)
+            os.replace(tmp, self._current_path)
+        finally:
+            os.unlink(lock)
         return snapshot_id
 
     # -- read paths ----------------------------------------------------------

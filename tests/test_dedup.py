@@ -154,3 +154,35 @@ def test_connected_components_random_vs_union_find(spark, seed):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
     assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # diameter 5 > max_iter=3 → must fail loudly, never return split clusters
+    edges = [(i, i + 1) for i in range(1, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=3)
+
+
+def test_minhash_lsh_bucket_cap_bounds_degenerate_bands(spark):
+    """A boilerplate corpus (every doc identical) makes one band bucket
+    hold ALL docs — the cap must drop that bucket (bounded task memory)
+    while real near-dup pairs in small buckets survive."""
+    boiler = [(i, "copyright notice all rights reserved footer text") for i in range(50)]
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        boiler + [(100, base), (101, base)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(
+            docs, "text", "doc_id", 16, 4, 2, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in pairs                      # small bucket survives
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # degenerate bucket dropped
+    # cap disabled → the quadratic expansion comes back
+    uncapped = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", 16, 4, 2, max_bucket=None
+    ).count()
+    assert uncapped >= 50 * 49 / 2

@@ -87,10 +87,15 @@ def test_html_to_text_entities_scripts(spark):
         (b"<html><script>var x=1;</script><p>a &amp; b</p></html>",),
         (b"<style>p{}</style><b>bold</b>   text",),
         (None,),
+        # multi-line script/style bodies (ubiquitous in real HTML) — the
+        # block match must span newlines or JS/CSS leaks into the text
+        (b"<script>var\nx=1;\nf();</script><p>hi</p>",),
+        (b"<style>\np {\n color: red;\n}\n</style>clean",),
+        (b'<script type="text/javascript">\na();\n</script>ok<script>\nb();\n</script>!',),
     ]
     df = spark.createDataFrame(rows, "html binary")
     got = [r.extracted_text for r in html_to_text(df).collect()]
-    assert got == ["a & b", "bold text", None]
+    assert got == ["a & b", "bold text", None, "hi", "clean", "ok !"]
 
 
 def test_url_features(spark):

@@ -77,3 +77,47 @@ def test_checkpoint_lineage_carries_snapshot_id(spark, table, tmp_path):
     )
     man = run.metrics(spark)
     assert {r.input_snapshot_id for r in man.collect()} == {sid}
+
+
+def test_commit_conflict_detected(spark, table, monkeypatch):
+    """Optimistic concurrency: a commit whose parent moved underneath it
+    must FAIL (and leave the winner's rows intact), not silently discard
+    the other writer's commit."""
+    from pliers_spark.sources import snapshots as S
+
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+
+    # simulate a racing writer landing between parent read and pointer flip
+    real = SnapshotTable.current_snapshot_id
+    state = {"fired": False}
+
+    def racy(self):
+        sid = real(self)
+        if not state["fired"] and sid == s1:
+            state["fired"] = True
+            # interleaved commit by "another writer"
+            other = SnapshotTable(self.root)
+            other.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+        return sid
+
+    monkeypatch.setattr(SnapshotTable, "current_snapshot_id", racy)
+    with pytest.raises(S.CommitConflictError):
+        table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+    monkeypatch.setattr(SnapshotTable, "current_snapshot_id", real)
+    # the racing writer's rows are still visible — nothing was discarded
+    assert _rows(table.read(spark)) == [("a", 1), ("b", 2)]
+
+
+def test_commit_lock_held_raises(spark, table):
+    import os
+
+    from pliers_spark.sources.snapshots import CommitConflictError
+
+    table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    lock = os.path.join(table._snap_dir, "_commit.lock")
+    open(lock, "w").close()
+    try:
+        with pytest.raises(CommitConflictError):
+            table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    finally:
+        os.unlink(lock)

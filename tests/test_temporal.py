@@ -251,3 +251,74 @@ def test_rolling_timesplit_equals_plain(spark):
 
     with pytest.raises(ValueError):
         rolling_timesplit(df, ["user_id"], "ts", "value", 7201.0, 7200)
+
+
+def test_timesplit_subsecond_timestamps(spark):
+    """Sub-second data: the split ops must agree with their plain twins at
+    µs precision (regression: unix_timestamp truncation made rolling
+    frames read same-second FUTURE rows and mis-split sub-second gaps)."""
+    import datetime as dt
+
+    from pliers_spark.operators.skew import (
+        ffill_timesplit,
+        lag1_timesplit,
+        rolling_timesplit,
+        sessionize_timesplit,
+    )
+    from pliers_spark.operators.temporal import ffill, lag_features, rolling_agg, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in ["hot", "cold"]:
+        n = 120 if uid == "hot" else 9
+        t = base
+        for k in range(n):
+            # 0.25s steps with occasional 2.5s gaps — everything sub-bucket
+            t += dt.timedelta(milliseconds=250 if k % 8 else 2500)
+            v = None if k % 11 == 4 else float(k)
+            rows.append((uid, t, v))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    want = {
+        (r.user_id, r.ts): (round(r.rs, 6) if r.rs is not None else None, r.rc)
+        for r in rolling_agg(df, ["user_id"], "ts", "value", 1.0,
+                             aggs={"rs": "sum", "rc": "count"}).collect()
+    }
+    got = {
+        (r.user_id, r.ts): (round(r.rs, 6) if r.rs is not None else None, r.rc)
+        for r in rolling_timesplit(df, ["user_id"], "ts", "value", 1.0, 5,
+                                   aggs={"rs": "sum", "rc": "count"}).collect()
+    }
+    assert got == want
+
+    want = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize(df, ["user_id"], "ts", gap_seconds=0.6).collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize_timesplit(
+            df, ["user_id"], "ts", gap_seconds=0.6, bucket_seconds=5
+        ).collect()
+    }
+    assert got == want
+
+    want = {
+        (r.user_id, r.ts): r.value_lag1
+        for r in lag_features(df, ["user_id"], "ts", "value", [1]).collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.value_lag1
+        for r in lag1_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=5).collect()
+    }
+    assert got == want
+
+    want = {
+        (r.user_id, r.ts): r.value_ffill
+        for r in ffill(df, ["user_id"], "ts", "value").collect()
+    }
+    got = {
+        (r.user_id, r.ts): r.value_ffill
+        for r in ffill_timesplit(df, ["user_id"], "ts", "value", bucket_seconds=5).collect()
+    }
+    assert got == want

@@ -12,20 +12,23 @@ only ~16 cores of aggregate compute (tools/cpu_capacity.py burn test:
 would measure the hypervisor quota, not the engine's parallel
 scalability; 4→16 stays inside the real capacity envelope.
 
-Measurement protocol — paired alternation: the sandbox's effective CPU
-clock wanders by >3x on a minutes scale, and the throttling is
-invisible to /proc/stat (no steal ticks) and uncorrelated with a
-short burn probe taken moments earlier. Any protocol that measures the
-two levels at different times mostly measures that drift. So this bench
-keeps BOTH levels alive as persistent JVM children and alternates
-single iterations low, high, low, high, ... — each adjacent (low, high)
-pair runs under (approximately) the same machine conditions, the pair's
-efficiency is computed per-pair, and the reported figure is the best
-pair (machine closest to steady full speed), with the full series
-recorded for transparency.
+Measurement protocol — paired alternation + capacity gating: the
+sandbox's effective CPU clock wanders by >3x on a minutes scale, and
+the throttling is invisible to /proc/stat (no steal ticks). So this
+bench keeps BOTH levels alive as persistent JVM children and alternates
+single iterations low, high, low, high, ...; each adjacent (low, high)
+pair runs under (approximately) the same machine conditions. Before
+each pair a short multiprocess burn probe measures the machine's
+aggregate throughput; pairs whose probe falls below
+``capacity_frac`` × the run's best probe are marked throttled and
+excluded. The HEADLINE statistic is the **median efficiency over the
+capacity-verified pairs of THIS run** (requires ≥ --min-verified of
+them) — never a best-pair or best-run-ever record, so the artifact
+always describes HEAD and regressions are visible. Prior runs are kept
+under ``history`` for context only.
 
 Usage: python tools/scaling_bench.py [--n-urls 800000] [--low 4] [--high 16]
-                                     [--pairs 8]
+                                     [--pairs 9] [--min-verified 5]
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -102,7 +106,12 @@ def main():
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--path", default=os.path.join(REPO, "data", "pages_bench.parquet"))
-    ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=9, help="max pairs to attempt")
+    ap.add_argument("--min-verified", type=int, default=5,
+                    help="minimum capacity-verified pairs for a valid run")
+    ap.add_argument("--capacity-frac", type=float, default=0.85,
+                    help="probe threshold vs this run's best probe")
+    ap.add_argument("--probe-seconds", type=float, default=3.0)
     args = ap.parse_args()
 
     if not os.path.exists(args.path):
@@ -114,6 +123,9 @@ def main():
         write_pages(args.path, n_urls=args.n_urls, max_snapshots=6, n_domains=200, seed=42)
         print(f"generated pages table in {time.time()-t0:.1f}s → {args.path}")
 
+    sys.path.insert(0, REPO)
+    from tools.cpu_capacity import aggregate_throughput
+
     factor = args.high / args.low
     lo_child = Child(args.path, args.low)
     hi_child = Child(args.path, args.high)
@@ -124,58 +136,86 @@ def main():
     pairs = []
     try:
         for i in range(args.pairs):
+            probe = aggregate_throughput(args.high, seconds=args.probe_seconds)
             lo = lo_child.run_once()
             hi = hi_child.run_once()
             eff = (lo / hi) / factor
-            pairs.append({"low_s": lo, "high_s": hi, "efficiency": round(eff, 3)})
-            print(f"pair {i}: low {lo:.1f}s  high {hi:.1f}s  eff {eff:.3f}", flush=True)
-            if eff >= 0.88 and i >= 1:
-                break  # clear evidence with margin; stop burning the box
+            pairs.append(
+                {"low_s": lo, "high_s": hi, "efficiency": round(eff, 3),
+                 "probe_units_per_s": round(probe, 1)}
+            )
+            print(
+                f"pair {i}: probe {probe:.0f} u/s  low {lo:.1f}s  high {hi:.1f}s  "
+                f"eff {eff:.3f}",
+                flush=True,
+            )
+            # enough verified pairs already? (verification is relative to the
+            # best probe, so re-evaluate the running census each iteration)
+            best_probe = max(p["probe_units_per_s"] for p in pairs)
+            verified = [p for p in pairs
+                        if p["probe_units_per_s"] >= args.capacity_frac * best_probe]
+            if len(verified) >= args.min_verified and i + 1 >= args.min_verified:
+                med = statistics.median(p["efficiency"] for p in verified)
+                if med >= 0.85:
+                    break  # clear evidence with margin; stop burning the box
     finally:
         n_pages = lo_child.n_pages
         lo_child.close()
         hi_child.close()
 
-    best = max(pairs, key=lambda p: p["efficiency"])
+    best_probe = max(p["probe_units_per_s"] for p in pairs)
+    for p in pairs:
+        p["capacity_verified"] = p["probe_units_per_s"] >= args.capacity_frac * best_probe
+    verified = [p for p in pairs if p["capacity_verified"]]
+    med_eff = round(statistics.median(p["efficiency"] for p in verified), 3)
+    med_lo = statistics.median(p["low_s"] for p in verified)
+    med_hi = statistics.median(p["high_s"] for p in verified)
+    valid = len(verified) >= args.min_verified
+
     result = {
         "job": "pages_flagship (extract + windowed features + as-of join)",
         "input_rows": n_pages,
-        "protocol": "paired alternation, persistent JVMs; best adjacent pair (see module docstring)",
+        "protocol": (
+            "paired alternation, persistent JVMs, per-pair capacity probe; "
+            "headline = median efficiency over capacity-verified pairs of THIS run "
+            "(see module docstring)"
+        ),
         "low": {
             "cpus": args.low,
-            "wall_s": best["low_s"],
-            "pages_per_sec": round(n_pages / best["low_s"], 1),
+            "median_wall_s": med_lo,
+            "pages_per_sec": round(n_pages / med_lo, 1),
         },
         "high": {
             "cpus": args.high,
-            "wall_s": best["high_s"],
-            "pages_per_sec": round(n_pages / best["high_s"], 1),
+            "median_wall_s": med_hi,
+            "pages_per_sec": round(n_pages / med_hi, 1),
         },
-        "speedup": round(best["low_s"] / best["high_s"], 2),
+        "speedup": round(med_lo / med_hi, 2),
         "parallelism_factor": factor,
-        "scaling_efficiency": best["efficiency"],
+        "scaling_efficiency": med_eff,
+        "verified_pairs": len(verified),
+        "min_verified_required": args.min_verified,
+        "valid": valid,
         "all_pairs": pairs,
     }
+    if not valid:
+        print(
+            f"WARNING: only {len(verified)} capacity-verified pairs "
+            f"(need {args.min_verified}) — run is recorded but marked invalid; "
+            "re-run in a full-capacity window"
+        )
     print(json.dumps(result, indent=2))
     out_path = os.path.join(REPO, "bench_results", "scaling.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # best-pair-across-runs: the protocol selects the pair measured under
-    # the best machine conditions; a run that lands entirely inside a
-    # hypervisor-throttled window (all pairs bad) must not overwrite
-    # evidence from a full-capacity window — keep the better record and
-    # append this run's pair series to its history.
+    # the artifact always describes the LATEST run (HEAD); prior runs move
+    # to history so regressions are never masked by an old record
+    history = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
-        if prev.get("scaling_efficiency", -1) > result["scaling_efficiency"]:
-            print(
-                f"previous record (eff {prev['scaling_efficiency']}) beats this run "
-                f"(eff {result['scaling_efficiency']}) — keeping it, appending pair history"
-            )
-            prev.setdefault("rejected_runs", []).append(
-                {"low_cpus": args.low, "high_cpus": args.high, "pairs": pairs}
-            )
-            result = prev
+        history = prev.pop("history", [])
+        history.append(prev)
+    result["history"] = history[-10:]
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
