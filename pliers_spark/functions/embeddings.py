@@ -36,13 +36,37 @@ def hash_embedding_dim_sql(token_expr: str, d: int) -> str:
     )
 
 
+def hash_embedding_dim_ppm(token: Column, d: int) -> Column:
+    """Dimension ``d`` as an exact BIGINT in parts-per-million
+    (round(byte*2e6/255) - 1e6 ∈ [-1e6, 1e6] ≡ hash_embedding_dim·1e6).
+    Integer form exists so aggregates over it (sum/avg) are exact and
+    order-independent — the float form's ``avg`` differs at the last ulp
+    between engines depending on accumulation order, which breaks
+    raw-bit value hashing (driver CORRECTNESS gate)."""
+    byte = F.conv(F.substring(F.md5(token), 2 * d + 1, 2), 16, 10).cast("double")
+    return (F.round(byte * F.lit(2_000_000.0) / F.lit(255.0)) - F.lit(1_000_000)).cast("long")
+
+
+def hash_embedding_dim_ppm_sql(token_expr: str, d: int) -> str:
+    return (
+        f"(round(CAST(concat('0x', substr(md5({token_expr}), {2 * d + 1}, 2)) AS INT)::DOUBLE"
+        f" * 2000000.0 / 255.0) - 1000000)::BIGINT"
+    )
+
+
 def doc_mean_embedding(df: DataFrame, id_col: str, text_col: str, dim: int = 4) -> DataFrame:
     """Mean-pooled document embedding over token pseudo-vectors:
-    explode → per-dimension avg (one shuffle, partial aggregation)."""
+    explode → per-dimension sum of exact ppm integers (one shuffle,
+    map-side partial agg) → ONE final double division + round. The
+    integer sum is order-independent, so the emitted doubles are
+    bit-identical across engines and partitionings."""
     toks = df.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("token"))
-    return toks.groupBy(id_col).agg(
-        *[F.round(F.avg(hash_embedding_dim(F.col("token"), d)), 6).alias(f"emb_{d}") for d in range(dim)]
-    )
+    aggs = []
+    for d in range(dim):
+        s = F.sum(hash_embedding_dim_ppm(F.col("token"), d))
+        n = F.count(F.lit(1))
+        aggs.append(F.round(s / (n * F.lit(1_000_000.0)), 6).alias(f"emb_{d}"))
+    return toks.groupBy(id_col).agg(*aggs)
 
 
 def embedding_lookup(

@@ -149,6 +149,162 @@ def porter_stem(word: str) -> str:
     return w
 
 
+def _sql_cvp(e: str) -> str:
+    """DuckDB expression: the Porter consonant/vowel pattern of string
+    ``e`` ('c'/'v' per char, y classified by the previous char — exactly
+    :func:`_is_cons`). A left fold so the y rule sees its own output."""
+    return (
+        f"list_reduce(list_prepend('', string_split({e}, '')), (acc, c) -> acc || "
+        "(CASE WHEN c IN ('a','e','i','o','u') THEN 'v' "
+        "WHEN c = 'y' THEN (CASE WHEN acc = '' OR right(acc, 1) = 'v' THEN 'c' ELSE 'v' END) "
+        "ELSE 'c' END))"
+    )
+
+
+def _sql_m(e: str) -> str:
+    """measure(e): collapse the cv pattern to runs, count VC transitions."""
+    p = f"regexp_replace(regexp_replace({_sql_cvp(e)}, 'v+', 'V', 'g'), 'c+', 'C', 'g')"
+    return f"((length({p}) - length(replace({p}, 'VC', ''))) / 2)"
+
+
+def _sql_has_vowel(e: str) -> str:
+    return f"contains({_sql_cvp(e)}, 'v')"
+
+
+def _sql_cvc(e: str) -> str:
+    return (
+        f"(length({e}) >= 3 AND right({_sql_cvp(e)}, 3) = 'cvc'"
+        f" AND right({e}, 1) NOT IN ('w','x','y'))"
+    )
+
+
+def _sql_dbl(e: str) -> str:
+    return (
+        f"(length({e}) >= 2 AND right({e}, 1) = substr({e}, length({e}) - 1, 1)"
+        f" AND right({_sql_cvp(e)}, 1) = 'c')"
+    )
+
+
+def _chop(e: str, n: int) -> str:
+    return f"substr({e}, 1, length({e}) - {n})"
+
+
+def porter_sql_ctes(w0: str = "w0") -> tuple[str, str]:
+    """DuckDB oracle for :func:`porter_stem`, generated from the SAME
+    step tables as the Python implementation (single source of truth —
+    the two sides cannot drift on the rule lists; the measure/vowel/cvc
+    predicates are differentially tested, tests/test_stemming.py).
+
+    Returns ``(cte_body, final_col)``: a chain of CTE stages expecting an
+    upstream CTE named ``pstem_in(token, {w0})`` holding lower-cased
+    words, and the name of the output column (``stem``) on the final CTE
+    ``pstem_out(token, stem)``. Words of length <= 2 pass through."""
+    # step 1a — plain suffix CASE
+    s1a = f"""pstem_1a AS (
+      SELECT token, {w0},
+        CASE WHEN ends_with({w0}, 'sses') THEN {_chop(w0, 2)}
+             WHEN ends_with({w0}, 'ies')  THEN {_chop(w0, 2)}
+             WHEN ends_with({w0}, 'ss')   THEN {w0}
+             WHEN ends_with({w0}, 's')    THEN {_chop(w0, 1)}
+             ELSE {w0} END AS w1
+      FROM pstem_in)"""
+    # step 1b — eed branch else (ed|ing strip + fixup)
+    s1b_pre = f"""pstem_1b_pre AS (
+      SELECT token, {w0}, w1,
+        ends_with(w1, 'eed') AS is_eed,
+        (NOT ends_with(w1, 'eed')) AND ends_with(w1, 'ed')
+           AND {_sql_has_vowel(_chop('w1', 2))} AS ed_ok,
+        (NOT ends_with(w1, 'eed')) AND ends_with(w1, 'ing')
+           AND {_sql_has_vowel(_chop('w1', 3))} AS ing_ok
+      FROM pstem_1a)"""
+    s1b_strip = f"""pstem_1b_strip AS (
+      SELECT token, {w0}, w1, is_eed, ed_ok, ing_ok,
+        CASE WHEN ed_ok THEN {_chop('w1', 2)}
+             WHEN ing_ok THEN {_chop('w1', 3)} END AS ws
+      FROM pstem_1b_pre)"""
+    s1b = f"""pstem_1b AS (
+      SELECT token, {w0},
+        CASE
+          WHEN is_eed THEN
+            CASE WHEN {_sql_m(_chop('w1', 3))} > 0 THEN {_chop('w1', 1)} ELSE w1 END
+          WHEN ed_ok OR ing_ok THEN
+            CASE
+              WHEN ends_with(ws, 'at') OR ends_with(ws, 'bl') OR ends_with(ws, 'iz')
+                THEN ws || 'e'
+              WHEN {_sql_dbl('ws')} AND right(ws, 1) NOT IN ('l','s','z')
+                THEN {_chop('ws', 1)}
+              WHEN {_sql_m('ws')} = 1 AND {_sql_cvc('ws')} THEN ws || 'e'
+              ELSE ws END
+          ELSE w1 END AS w2
+      FROM pstem_1b_strip)"""
+    # step 1c
+    s1c = f"""pstem_1c AS (
+      SELECT token, {w0},
+        CASE WHEN ends_with(w2, 'y') AND {_sql_has_vowel(_chop('w2', 1))}
+             THEN {_chop('w2', 1)} || 'i' ELSE w2 END AS w3
+      FROM pstem_1b)"""
+
+    def rule_case(col: str, rules: list[tuple[str, str]], min_m: int) -> str:
+        whens = []
+        for suf, rep in rules:
+            stem = _chop(col, len(suf))
+            whens.append(
+                f"WHEN ends_with({col}, '{suf}') THEN "
+                f"(CASE WHEN {_sql_m(stem)} > {min_m} THEN {stem} || '{rep}' ELSE {col} END)"
+            )
+        return "CASE " + " ".join(whens) + f" ELSE {col} END"
+
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    step4 = [
+        ("al", ""), ("ance", ""), ("ence", ""), ("er", ""), ("ic", ""),
+        ("able", ""), ("ible", ""), ("ant", ""), ("ement", ""), ("ment", ""),
+        ("ent", ""), ("ou", ""), ("ism", ""), ("ate", ""), ("iti", ""),
+        ("ous", ""), ("ive", ""), ("ize", ""),
+    ]
+    s2 = f"""pstem_2 AS (
+      SELECT token, {w0}, {rule_case('w3', step2, 0)} AS w4 FROM pstem_1c)"""
+    s3 = f"""pstem_3 AS (
+      SELECT token, {w0}, {rule_case('w4', step3, 0)} AS w5 FROM pstem_2)"""
+    # step 4: for-else — the s/t+ion rule only fires when NO listed suffix
+    # matched (Python's for..else). The listed suffixes all strip to ''.
+    any4 = " OR ".join(f"ends_with(w5, '{s}')" for s, _ in step4)
+    ion = (
+        f"CASE WHEN ends_with(w5, 'ion') AND length(w5) > 3"
+        f" AND substr(w5, length(w5) - 3, 1) IN ('s','t')"
+        f" AND {_sql_m(_chop('w5', 3))} > 1 THEN {_chop('w5', 3)} ELSE w5 END"
+    )
+    s4 = f"""pstem_4 AS (
+      SELECT token, {w0},
+        CASE WHEN {any4} THEN {rule_case('w5', step4, 1)} ELSE {ion} END AS w6
+      FROM pstem_3)"""
+    # step 5a + 5b
+    s5a = f"""pstem_5a AS (
+      SELECT token, {w0},
+        CASE WHEN ends_with(w6, 'e')
+                  AND ({_sql_m(_chop('w6', 1))} > 1
+                       OR ({_sql_m(_chop('w6', 1))} = 1 AND NOT {_sql_cvc(_chop('w6', 1))}))
+             THEN {_chop('w6', 1)} ELSE w6 END AS w7
+      FROM pstem_4)"""
+    s5b = f"""pstem_out AS (
+      SELECT token,
+        CASE WHEN length({w0}) <= 2 THEN {w0}
+             WHEN {_sql_m('w7')} > 1 AND {_sql_dbl('w7')} AND ends_with(w7, 'l')
+             THEN {_chop('w7', 1)} ELSE w7 END AS stem
+      FROM pstem_5a)"""
+    body = ",\n".join([s1a, s1b_pre, s1b_strip, s1b, s1c, s2, s3, s4, s5a, s5b])
+    return body, "stem"
+
+
 def porter_stem_col(col: Column) -> Column:
     """Vectorized porter stem of a token column."""
 

@@ -148,6 +148,144 @@ def polarity_scores(text: str, lexicon: dict[str, float] | None = None) -> dict[
     }
 
 
+def vader_sql(
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: str = "sentiment_",
+) -> str:
+    """:func:`polarity_scores` rendered as one DuckDB statement — the
+    oracle for the ``vader_sentiment`` query. Generated from the SAME
+    lexicon/booster/negation tables and constants as the Python engine
+    (single source of truth); every constant is emitted with ``repr``
+    so both engines parse bit-identical doubles, and per-document sums
+    are sequential left folds in word order (list_reduce) matching
+    Python's summation order, keeping raw float bits deterministic.
+    Differentially tested on randomized rich texts (tests/test_vader.py).
+    """
+    punct = string.punctuation.replace("'", "''")
+    lex_case = "CASE " + " ".join(
+        f"WHEN lw = '{w}' THEN {v!r}" for w, v in LEXICON.items()
+    ) + " END"
+    neg_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(NEGATIONS))
+    boosters = sorted(BOOSTERS)
+    b_words = ", ".join(f"'{w}'" for w in boosters)
+
+    def b_case(col: str, dist: int) -> str:
+        # distance damping exactly as Python: b * (1.0 - 0.05*(dist-1)*2)
+        whens = []
+        for w in boosters:
+            b = BOOSTERS[w] if dist == 1 else BOOSTERS[w] * (1.0 - 0.05 * (dist - 1) * 2)
+            whens.append(f"WHEN {col} = '{w}' THEN {b!r}")
+        return "CASE " + " ".join(whens) + " END"
+
+    # one fold step: booster add (sign follows current valence), then negation
+    def dist_step(prev_col: str, v_in: str, dist: int) -> str:
+        boosted = (
+            f"CASE WHEN {prev_col} IN ({b_words}) THEN {v_in} + "
+            f"(CASE WHEN {v_in} > 0 THEN {b_case(prev_col, dist)}"
+            f" ELSE -{b_case(prev_col, dist)} END) ELSE {v_in} END"
+        )
+        return (
+            f"CASE WHEN {prev_col} IN ({neg_list}) THEN ({boosted}) * {N_SCALAR!r}"
+            f" ELSE ({boosted}) END"
+        )
+
+    v1 = dist_step("p1", "v0", 1)
+    v2 = dist_step("p2", "v1", 2)
+    v3 = dist_step("p3", "v2", 3)
+
+    fold = lambda elems: f"list_reduce(list_prepend(0.0, {elems}), (a, b) -> a + b)"
+    c = C_INCR
+
+    return f"""WITH raw AS (SELECT {id_col}, {text_col} AS text FROM {docs_table}),
+docpunct AS (
+  SELECT {id_col},
+    least(length(text) - length(replace(text, '!', '')), 4) * {0.292!r} AS ep_amp,
+    CASE WHEN (length(text) - length(replace(text, '?', ''))) > 1
+         THEN least((length(text) - length(replace(text, '?', ''))) * {0.18!r}, {0.96!r})
+         ELSE 0.0 END AS qm_amp
+  FROM raw),
+toks0 AS (
+  SELECT {id_col}, unnest(range(len(string_split(text, ' '))))::BIGINT AS rpos,
+         unnest(string_split(text, ' ')) AS rw
+  FROM raw),
+stripped AS (
+  SELECT {id_col}, rpos, trim(rw, '{punct}') AS w FROM toks0 WHERE rw <> ''),
+words AS (
+  SELECT {id_col}, w, lower(w) AS lw,
+         row_number() OVER (PARTITION BY {id_col} ORDER BY rpos) - 1 AS i
+  FROM stripped WHERE w <> ''),
+caps AS (
+  SELECT {id_col},
+    sum(CASE WHEN w = upper(w) AND w <> lower(w) AND length(w) > 1 THEN 1 ELSE 0 END) AS n_caps,
+    count(*) AS n_words
+  FROM words GROUP BY {id_col}),
+ctx AS (
+  SELECT w.{id_col}, w.i, w.w, w.lw,
+         lag(w.lw, 1) OVER win AS p1,
+         lag(w.lw, 2) OVER win AS p2,
+         lag(w.lw, 3) OVER win AS p3,
+         (c.n_caps > 0 AND c.n_caps < c.n_words) AS cap_diff
+  FROM words w JOIN caps c USING ({id_col})
+  WINDOW win AS (PARTITION BY w.{id_col} ORDER BY w.i)),
+val0 AS (
+  SELECT {id_col}, i, lw, p1, p2, p3,
+    CASE WHEN lw IN ({b_words}) THEN NULL ELSE {lex_case} END AS lex_v,
+    (cap_diff AND w = upper(w) AND w <> lower(w)) AS is_cap
+  FROM ctx),
+val1 AS (
+  SELECT {id_col}, i, p1, p2, p3,
+    CASE WHEN lex_v IS NULL THEN NULL
+         WHEN is_cap THEN lex_v + (CASE WHEN lex_v > 0 THEN {c!r} ELSE {-c!r} END)
+         ELSE lex_v END AS v0
+  FROM val0),
+val2 AS (SELECT {id_col}, i, p2, p3, CASE WHEN v0 IS NULL THEN NULL ELSE {v1} END AS v1 FROM val1),
+val3 AS (SELECT {id_col}, i, p3, CASE WHEN v1 IS NULL THEN NULL ELSE {v2} END AS v2 FROM val2),
+val AS (SELECT {id_col}, i,
+          coalesce(CASE WHEN v2 IS NULL THEN NULL ELSE {v3} END, 0.0) AS s0
+        FROM val3),
+butpos AS (SELECT {id_col}, min(i) AS bi FROM words WHERE lw = 'but' GROUP BY {id_col}),
+sents AS (
+  SELECT v.{id_col}, v.i,
+    CASE WHEN b.bi IS NOT NULL AND v.i < b.bi THEN v.s0 * 0.5
+         WHEN b.bi IS NOT NULL AND v.i > b.bi THEN v.s0 * 1.5
+         ELSE v.s0 END AS s
+  FROM val v LEFT JOIN butpos b USING ({id_col})),
+agg AS (SELECT {id_col}, list(s ORDER BY i) AS ss FROM sents GROUP BY {id_col}),
+sums AS (
+  SELECT {id_col},
+    {fold('ss')} AS total,
+    {fold("list_transform(ss, x -> CASE WHEN x > 0 THEN x + 1 ELSE 0.0 END)")} AS pos_sum0,
+    {fold("list_transform(ss, x -> CASE WHEN x < 0 THEN x - 1 ELSE 0.0 END)")} AS neg_sum0,
+    len(list_filter(ss, x -> x = 0))::DOUBLE AS neu_count,
+    len(ss) AS n_sent
+  FROM agg),
+scored AS (
+  SELECT r.{id_col},
+    coalesce(s.n_sent, 0) AS n_sent,
+    coalesce(s.neu_count, 0.0) AS neu_count,
+    CASE WHEN coalesce(s.total, 0.0) > 0 THEN s.total + d.ep_amp + d.qm_amp
+         WHEN coalesce(s.total, 0.0) < 0 THEN s.total - (d.ep_amp + d.qm_amp)
+         ELSE coalesce(s.total, 0.0) END AS total_p,
+    CASE WHEN coalesce(s.pos_sum0, 0.0) > abs(coalesce(s.neg_sum0, 0.0))
+         THEN s.pos_sum0 + d.ep_amp + d.qm_amp ELSE coalesce(s.pos_sum0, 0.0) END AS pos_sum,
+    CASE WHEN coalesce(s.pos_sum0, 0.0) < abs(coalesce(s.neg_sum0, 0.0))
+         THEN s.neg_sum0 - (d.ep_amp + d.qm_amp) ELSE coalesce(s.neg_sum0, 0.0) END AS neg_sum
+  FROM raw r LEFT JOIN sums s USING ({id_col}) JOIN docpunct d USING ({id_col})),
+final AS (
+  SELECT {id_col}, n_sent, neu_count, pos_sum, neg_sum,
+    pos_sum + abs(neg_sum) + neu_count AS denom,
+    greatest(-1.0, least(1.0, total_p / sqrt(total_p * total_p + {ALPHA!r}))) AS norm
+  FROM scored)
+SELECT {id_col},
+  CASE WHEN denom = 0 THEN 0.0 ELSE round_even(abs(pos_sum / denom), 3) END AS {prefix}pos,
+  CASE WHEN denom = 0 THEN 0.0 ELSE round_even(abs(neg_sum / denom), 3) END AS {prefix}neg,
+  CASE WHEN denom = 0 THEN 0.0 ELSE round_even(abs(neu_count / denom), 3) END AS {prefix}neu,
+  CASE WHEN n_sent = 0 THEN 0.0 ELSE round_even(norm, 4) END AS {prefix}compound
+FROM final"""
+
+
 def _nltk_analyzer():
     """Use the real nltk VADER when available (exact reference parity)."""
     try:

@@ -300,47 +300,52 @@ def q_token_stats(spark, sf_dir):
 
 
 def _langid_sql() -> str:
+    # scores are exact BIGINT parts-per-million (floor(hits*1e6/denom)) —
+    # integer outputs hash bit-identically across engines, unlike raw
+    # float ratios whose last ulp depends on accumulation order; the
+    # argmax tie-break is CASE order = profile order on both engines.
     score_exprs = []
-    for i, (lang, words) in enumerate(T.LANG_PROFILES.items()):
+    for lang, words in T.LANG_PROFILES.items():
         wl = ", ".join(f"'{w}'" for w in words)
         score_exprs.append(
-            f"len(list_filter(toks, t -> list_contains([{wl}], t)))::DOUBLE"
-            f" / greatest(len(toks), 1) - {i}e-9 AS s_{lang}"
+            f"floor(len(list_filter(toks, t -> list_contains([{wl}], t))) * 1000000.0"
+            f" / greatest(len(toks), 1))::BIGINT AS s_{lang}"
         )
     langs = list(T.LANG_PROFILES)
-    best = f"'{langs[0]}'"
-    expr = None
-    # argmax via chained CASE: pick the max score
     greatest_all = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     cases = " ".join(f"WHEN s_{l} = {greatest_all} THEN '{l}'" for l in langs)
-    expr = f"CASE {cases} ELSE {best} END"
+    expr = f"CASE {cases} ELSE '{langs[0]}' END"
     return f"""WITH base AS (
          SELECT doc_id, list_transform(string_split(trim(text), ' '), t -> lower(t)) AS toks
          FROM documents),
        scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)
-       SELECT doc_id, {', '.join(f'round(s_{l}, 6) AS score_{l}' for l in langs)},
+       SELECT doc_id, {', '.join(f's_{l} AS score_{l}' for l in langs)},
               {expr} AS lang_pred
        FROM scored"""
 
 
 @query("langid", _langid_sql())
 def q_langid(spark, sf_dir):
-    """n-gram/stopword-profile language-ID heuristic (training-pipeline op)."""
+    """n-gram/stopword-profile language-ID heuristic (training-pipeline op).
+    Scores emitted as exact integer ppm so the cross-engine value hash is
+    bit-deterministic (both engines floor the same exact-double division)."""
     d = _docs(spark, sf_dir)
     toks = T.tokenize(T.lower_case(F.col("text")))
     denom = F.greatest(F.size(toks), F.lit(1))
     cols = [F.col("doc_id")]
     scores = []
-    for i, (lang, words) in enumerate(T.LANG_PROFILES.items()):
+    for lang, words in T.LANG_PROFILES.items():
         hits = F.size(F.filter(toks, _isin_lambda(words)))
-        s = hits / denom - F.lit(i * 1e-9)
+        s = F.floor(hits * F.lit(1_000_000.0) / denom).cast("long")
         scores.append((lang, s))
-        cols.append(F.round(s, 6).alias(f"score_{lang}"))
+        cols.append(s.alias(f"score_{lang}"))
     greatest_all = F.greatest(*[s for _, s in scores])
-    pred = F.lit(scores[0][0])
-    for lang, s in reversed(scores):
-        pred = F.when(s == greatest_all, F.lit(lang)).otherwise(pred)
-    cols.append(pred.alias("lang_pred"))
+    pred = None
+    for lang, s in scores:  # first max in profile order wins (≡ SQL CASE)
+        pred = F.when(s == greatest_all, F.lit(lang)) if pred is None else pred.when(
+            s == greatest_all, F.lit(lang)
+        )
+    cols.append(pred.otherwise(F.lit(scores[0][0])).alias("lang_pred"))
     return d.select(*cols)
 
 
@@ -999,12 +1004,31 @@ def q_remove_stopwords(spark, sf_dir):
     )
 
 
-@query("porter_stem")  # rows-only: Porter is a string rule engine, not SQL
+def _porter_sql() -> str:
+    # full Porter 1980 rule cascade as DuckDB SQL, generated from the same
+    # step tables as the Python engine (functions/stemming.porter_sql_ctes;
+    # differentially tested on random words in tests/test_stemming.py) —
+    # stems computed once per DISTINCT token, then joined back.
+    from pliers_spark.functions.stemming import porter_sql_ctes
+
+    body, out_col = porter_sql_ctes()
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       pstem_in AS (SELECT DISTINCT token, lower(token) AS w0 FROM toks),
+       {body}
+       SELECT t.doc_id, t.pos, t.token, p.{out_col} AS stem
+       FROM toks t JOIN pstem_out p USING (token)"""
+
+
+@query("porter_stem", _porter_sql())
 def q_porter_stem(spark, sf_dir):
     """WordStemmingFilter(porter) — clean-room Porter stemmer as a
-    vectorized pandas UDF (pliers/filters/text.py:24-110). Oracle omitted
-    (non-SQL-expressible); parity pinned by golden tests
-    (tests/test_stemming.py)."""
+    vectorized pandas UDF (pliers/filters/text.py:24-110). Oracle: the
+    same published rule cascade rendered as DuckDB SQL from one shared
+    step table (functions/stemming.porter_sql_ctes)."""
     from pliers_spark.functions.stemming import porter_stem_col
 
     toks = (
@@ -1068,10 +1092,14 @@ _EMB_DIM = 4
 
 
 def _word_emb_sql() -> str:
-    from pliers_spark.functions.embeddings import hash_embedding_dim_sql
+    # exact integer-ppm sums + one final division: bit-deterministic
+    # across engines (see functions/embeddings.hash_embedding_dim_ppm)
+    from pliers_spark.functions.embeddings import hash_embedding_dim_ppm_sql
 
     dims = ", ".join(
-        f"round(avg({hash_embedding_dim_sql('token', d)}), 6) AS emb_{d}" for d in range(_EMB_DIM)
+        f"round(sum({hash_embedding_dim_ppm_sql('token', d)})"
+        f" / (count(*) * 1000000.0), 6) AS emb_{d}"
+        for d in range(_EMB_DIM)
     )
     return f"""WITH toks AS (
          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
@@ -1162,11 +1190,20 @@ def q_feature_correlations(spark, sf_dir):
     )
 
 
-@query("vader_sentiment")  # rows-only: rule engine in a pandas UDF
+def _vader_oracle_sql() -> str:
+    from pliers_spark.functions.vader import vader_sql
+
+    return vader_sql()
+
+
+@query("vader_sentiment", _vader_oracle_sql())
 def q_vader_sentiment(spark, sf_dir):
     """VADERSentimentExtractor — clean-room VADER rule engine (golden
     values pinned in tests/test_vader.py; nltk used when importable for
-    exact reference parity; pliers/extractors/text.py:318-336)."""
+    exact reference parity; pliers/extractors/text.py:318-336). Oracle:
+    the full rule engine rendered as DuckDB SQL from the same lexicon
+    and constants (functions/vader.vader_sql), differentially tested on
+    randomized texts exercising every rule."""
     from pliers_spark.functions.vader import with_vader
 
     return with_vader(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")

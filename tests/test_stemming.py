@@ -202,3 +202,37 @@ def test_wordnet_lemmatize_docs(spark):
     got = {r["doc_id"]: r["lemmatized"] for r in wordnet_lemmatize_docs(df).collect()}
     want = {i: _ref_wordnet_lemmatize(d) for i, d in enumerate(docs)}
     assert got == want
+
+
+def test_porter_sql_oracle_matches_python():
+    """The DuckDB-rendered Porter cascade (the driver oracle) must agree
+    with the Python engine on randomized suffix-rich words."""
+    import random
+
+    import duckdb
+
+    from pliers_spark.functions.stemming import porter_sql_ctes, porter_stem
+
+    rng = random.Random(7)
+    sufs = ["sses", "ies", "ss", "s", "eed", "ed", "ing", "y", "ational", "tional",
+            "enci", "izer", "abli", "ousli", "ization", "ator", "iveness", "aliti",
+            "icate", "ative", "alize", "ical", "ful", "ness", "al", "ance", "er",
+            "ic", "able", "ant", "ement", "ment", "ent", "ou", "ism", "ate", "iti",
+            "ous", "ive", "ize", "ion", "tion", "e", "ll", "l", ""]
+    vocab = {"syzygy", "yy", "sky", "crying", "dying", "agreed", "feed", "controll"}
+    for _ in range(800):
+        base = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                       for _ in range(rng.randint(0, 8)))
+        vocab.add(base + rng.choice(sufs))
+    vocab = sorted(w for w in vocab if w)
+
+    body, out_col = porter_sql_ctes()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(token VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [(w,) for w in vocab])
+    got = dict(con.sql(
+        f"WITH pstem_in AS (SELECT token, lower(token) AS w0 FROM v),\n{body}\n"
+        f"SELECT token, {out_col} FROM pstem_out"
+    ).fetchall())
+    bad = [(w, porter_stem(w), got[w]) for w in vocab if got[w] != porter_stem(w)]
+    assert not bad, bad[:10]

@@ -38,3 +38,56 @@ def test_vader_udf_matches_local(spark):
         exp = polarity_scores(t)
         assert out[i].sentiment_compound == pytest.approx(exp["compound"])
         assert out[i].sentiment_pos == pytest.approx(exp["pos"])
+
+
+def test_vader_sql_oracle_matches_python_bitwise():
+    """The DuckDB-rendered VADER engine (the driver oracle) must agree
+    with the Python engine BIT-FOR-BIT (the driver hashes raw float
+    bits) on randomized texts exercising every rule: lexicon, boosters
+    at distance 1-3, negations, caps emphasis, but-clause, ! and ?
+    amplification, punctuation stripping, and empty docs."""
+    import random
+    import struct
+
+    import duckdb
+
+    from pliers_spark.functions.vader import (
+        BOOSTERS, LEXICON, NEGATIONS, polarity_scores, vader_sql,
+    )
+
+    lex, boost, negs = list(LEXICON), list(BOOSTERS), sorted(NEGATIONS)
+    filler = ["table", "the", "row", "data", "walk", "stone"]
+    texts = []
+    rng = random.Random(11)
+    for _ in range(400):
+        ws = []
+        for _ in range(rng.randint(0, 14)):
+            r = rng.random()
+            if r < 0.35:
+                w = rng.choice(lex)
+            elif r < 0.5:
+                w = rng.choice(boost)
+            elif r < 0.62:
+                w = rng.choice(negs)
+            elif r < 0.67:
+                w = "but"
+            else:
+                w = rng.choice(filler)
+            if rng.random() < 0.15:
+                w = w.upper()
+            if rng.random() < 0.1:
+                w = w + rng.choice(["!", "!!", "?", "??", ",", "."])
+            ws.append(w)
+        texts.append(" ".join(ws))
+    texts += ["", "good", "not good", "very very good !!!", "bad but good",
+              "funny hate the kinda walk"]  # half-even rounding boundary case
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    got = {r[0]: r[1:] for r in con.sql(vader_sql()).fetchall()}
+    bits = lambda x: struct.pack("<d", x).hex()
+    for i, t in enumerate(texts):
+        want = polarity_scores(t)
+        w = (want["pos"], want["neg"], want["neu"], want["compound"])
+        assert tuple(map(bits, w)) == tuple(map(bits, got[i])), (t, w, got[i])
