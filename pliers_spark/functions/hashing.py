@@ -78,24 +78,6 @@ def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Col
     return md5_int(F.concat_ws("|", *parts), seed=10_000 + band)
 
 
-def simhash(tokens: Column, bits: int = 32) -> Column:
-    """SimHash over a token array: per-bit majority vote of token hashes.
-
-    bit_b(doc) = 1 if sum over tokens of (+1 if hash(token) bit b set else -1) > 0.
-    Built as a sum of shifted indicator expressions — stays in codegen.
-    """
-    def vote_fn(b: int):
-        return lambda acc, t: acc + F.when(
-            F.shiftright(md5_int(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(tokens, F.lit(0), vote_fn(b))
-        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
-
-
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two long columns (popcount of XOR)."""
     x = a.bitwiseXOR(b)

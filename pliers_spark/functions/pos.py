@@ -114,3 +114,79 @@ def pos_tag_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         return pd.DataFrame(rows, columns=["doc_id", "pos", "token", "tag"])
 
     return df.select(id_col, text_col).groupBy(id_col).applyInPandas(fn, schema=POS_SCHEMA)
+
+
+# Penn-subset tag → universal POS (spaCy's token.pos_ granularity)
+TAG_TO_UNIVERSAL = {
+    "VB": "VERB", "VBG": "VERB", "VBD": "VERB", "JJ": "ADJ", "RB": "ADV",
+    "DT": "DET", "IN": "ADP", "CC": "CCONJ", "PRP": "PRON", "CD": "NUM",
+    "NN": "NOUN",
+}
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+
+
+def token_attributes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SpaCyExtractor-equivalent token-attribute stage (reference surface
+    pliers/extractors/text.py:339-409: per-token text/lemma_/pos_/tag_/
+    dep_/shape_/is_alpha/is_stop/like_num with features='token').
+
+    spaCy itself is not installed, so the backends are the engine's
+    heuristic tagger (tag_expr), the morphy-lite lemmatizer, and a
+    DOCUMENTED dep PROXY: the document's first verb-tagged token is
+    'ROOT', everything else 'dep' (a real parser slots in as an
+    applyInPandas stage without changing the schema). shape_ follows
+    spaCy's rule: X/x/d per character class, runs longer than 4
+    truncated to 4.
+
+    Plan shape: posexplode → ONE window pass per doc (lag for the
+    contextual tag + min-over-doc for the ROOT proxy share the same
+    partitioning, so Catalyst reuses one Exchange) → pure Column
+    expressions for lemma/upos/shape/flags. No Python in the loop."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .stemming import TAG_TO_WORDNET, morphy_expr
+    from .text import ENGLISH_STOPWORDS, tokenize
+
+    toks = (
+        df.select(F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("w", F.lower(F.col("token")))
+    )
+    seq = Window.partitionBy(id_col).orderBy("pos")
+    tagged = toks.withColumn("tag", tag_expr(F.col("w"), F.lag("w").over(seq)))
+
+    wn_pos = F.lit("n")
+    for t, p in TAG_TO_WORDNET.items():
+        wn_pos = F.when(F.col("tag") == t, p).otherwise(wn_pos)
+
+    upos = F.lit("NOUN")
+    for t, p in TAG_TO_UNIVERSAL.items():
+        upos = F.when(F.col("tag") == t, p).otherwise(upos)
+
+    doc_w = Window.partitionBy(id_col)
+    first_verb = F.min(
+        F.when(F.col("tag").isin("VB", "VBG", "VBD"), F.col("pos"))
+    ).over(doc_w)
+
+    shape = F.translate(F.col("token"), _UPPER + _LOWER + _DIGIT,
+                        "X" * 26 + "x" * 26 + "d" * 10)
+    for c in "Xxd":
+        shape = F.regexp_replace(shape, c + "{5,}", c * 4)
+
+    return tagged.select(
+        id_col,
+        "pos",
+        "token",
+        morphy_expr(F.col("w"), wn_pos).alias("lemma"),
+        F.col("tag"),
+        upos.alias("upos"),
+        F.when(F.col("pos") == first_verb, "ROOT").otherwise("dep").alias("dep"),
+        F.col("w").isin(*ENGLISH_STOPWORDS).alias("is_stop"),
+        F.col("token").rlike("^[A-Za-z]+$").alias("is_alpha"),
+        F.regexp_replace(F.col("w"), r"[.,]", "").rlike("^[0-9]+$").alias("like_num"),
+        shape.alias("shape"),
+    )

@@ -210,17 +210,35 @@ def pages_flagship(
     spine_step_hours: int = 24 * 7,
     minhash_k: int = 0,
     arrow_extract: bool = True,
+    skew_safe: bool | None = None,
+    heavy_hitter_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Full pipeline returning the point-in-time feature table: for each
     (url, t) on a weekly spine grid, the features of the latest snapshot
-    with warc_ts <= t."""
+    with warc_ts <= t.
+
+    ``skew_safe=None`` (default) makes the choice data-driven: a
+    heavy-hitter census over the url column (one cheap pruned-scan
+    aggregate; operators/asof.detect_heavy_hitters) engages the
+    time-bucket-split window operators when any url's snapshot count
+    exceeds ``heavy_hitter_threshold`` — no single task then owns a hot
+    domain's full history. Pass True/False to force either path (the
+    two are bit-equal; pinned by tests/test_pages_extract.py)."""
     pages = spark.read.parquet(pages_path)
+    if skew_safe is None:
+        from .operators.asof import detect_heavy_hitters
+
+        skew_safe = bool(
+            detect_heavy_hitters(
+                pages.select("url"), ["url"], heavy_hitter_threshold
+            ).take(1)
+        )
     extracted = (
         extract_page_features_arrow(pages)
         if arrow_extract and not minhash_k
         else extract_page_features(pages, minhash_k)
     )
-    feats = windowed_page_features(extracted)
+    feats = windowed_page_features(extracted, skew_safe=skew_safe)
     # build-time gate: no window frame in the feature plan may read the
     # future (north rule; plans/leakage.py audits the optimized plan)
     from .plans.leakage import assert_leakage_free

@@ -87,3 +87,24 @@ def test_dictionary_lookup_semantics(spark):
     rows = {r.token: r.frequency for r in out.collect()}
     assert rows["Data"] == pytest.approx(11.729)  # keep-first dedup + case-fold
     assert rows["missingword"] is None  # miss → NULL (NaN analog)
+
+
+def test_token_attributes_spacy_surface(spark):
+    from pliers_spark.functions.pos import token_attributes
+
+    df = spark.createDataFrame(
+        [(1, "the CAT is running QUICKLY with 1,000 dogs")],
+        "doc_id long, text string",
+    )
+    rows = {r.pos: r for r in token_attributes(df).collect()}
+    assert [rows[i].token for i in range(8)] == [
+        "the", "CAT", "is", "running", "QUICKLY", "with", "1,000", "dogs"]
+    assert rows[0].tag == "DT" and rows[0].is_stop
+    assert rows[1].tag == "NN" and rows[1].shape == "XXX"
+    assert rows[2].tag == "VB" and rows[2].dep == "ROOT"  # first verb
+    assert rows[3].tag == "VBG" and rows[3].dep == "dep"
+    assert rows[3].lemma == "runn"  # morphy-lite 'ing' detachment
+    assert rows[4].upos == "ADV" and rows[4].shape == "XXXX"  # run > 4 truncated
+    assert rows[6].like_num and rows[6].tag == "CD" and rows[6].shape == "d,ddd"
+    assert rows[7].upos == "NOUN" and rows[7].is_alpha
+    assert not rows[6].is_alpha
