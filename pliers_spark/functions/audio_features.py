@@ -1,0 +1,321 @@
+"""Named librosa-style audio features over STFT power frames.
+
+Parity targets (reference wraps librosa; librosa is absent here, so each
+feature is the published textbook formula over this engine's own STFT
+frames — same framing, same hop semantics as the reference's
+``LibrosaFeatureExtractor`` family):
+
+- ``SpectralCentroidExtractor``  (pliers/extractors/audio.py:224-232)
+- ``SpectralBandwidthExtractor`` (pliers/extractors/audio.py:234-243)
+- ``SpectralFlatnessExtractor``  (pliers/extractors/audio.py:245-254)
+- ``SpectralRolloffExtractor``   (pliers/extractors/audio.py:276-284)
+- ``RMSExtractor``               (pliers/extractors/audio.py:303-312)
+- ``ZeroCrossingRateExtractor``  (pliers/extractors/audio.py:358-366)
+- ``OnsetStrengthMultiExtractor`` (spectral flux, audio.py:347-356)
+- ``MelspectrogramExtractor`` / ``MFCCExtractor`` (audio.py:421-454)
+
+Engine shape: the ONLY Python stage is the FFT itself
+(``spectral.stft_power_frames``, an Arrow-batched applyInPandas). Every
+named feature here is a pure Column expression over the frame table —
+JVM-side, whole-stage codegen, no second UDF. RMS/ZCR never need the
+FFT at all and run as a 100%-built-in plan (window + bounded explode +
+hash agg), the same bounded-frame-explode shape as
+``temporal.framed_agg``.
+
+Cross-engine float determinism: each feature's arithmetic is generated
+ONCE as a SQL expression string with constant-folded ``repr``-emitted
+literals; the Spark side parses it with ``F.expr`` and the DuckDB
+oracle inlines the identical text. Same parse → same literal doubles →
+same IEEE op sequence → identical raw float bits (sqrt, +, -, *, / are
+IEEE-exact; pow/ln may differ in the last ulp between libm and the JVM,
+which the final round(, 6) absorbs).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# framing constants shared with spectral.stft_power_frames' defaults
+FRAME = 8
+HOP = 4
+SR = 8000  # notional sampling rate: bin k sits at k*SR/FRAME = k*1000 Hz
+N_BINS = FRAME // 2 + 1
+
+
+def _lit(x: float) -> str:
+    """repr-emitted double literal — both engines parse decimal→nearest,
+    so the same text yields the same 64-bit float."""
+    return repr(float(x))
+
+
+# --------------------------------------------------------------------------
+# spectral shape: centroid / bandwidth / rolloff / flatness
+
+
+def spectral_shape_exprs(
+    prefix: str = "p", n_bins: int = N_BINS, bin_hz: float = SR / FRAME,
+    roll_percent: float = 0.85,
+) -> dict[str, str]:
+    """Feature-name → SQL expression over power columns ``p0..p{n-1}``.
+
+    - centroid  = Σ f_k·m_k / Σ m_k           (librosa.feature.spectral_centroid)
+    - bandwidth = sqrt(Σ m_k·(f_k-c)² / Σ m_k) (p=2, spectral_bandwidth)
+    - rolloff   = min f_k s.t. Σ_{j<=k} m_j ≥ roll·Σ m_j (spectral_rolloff)
+    - flatness  = geomean(p̂_k) / mean(p̂_k), p̂ = max(p, 1e-10)
+                  (spectral_flatness; geomean via pow(Π, 1/n))
+    where m_k = sqrt(p_k) is the frame's magnitude at bin k.
+    """
+    mags = [f"sqrt({prefix}{k})" for k in range(n_bins)]
+    total = " + ".join(mags)
+    weighted = " + ".join(f"{_lit(k * bin_hz)} * {m}" for k, m in enumerate(mags))
+    centroid = f"(CASE WHEN ({total}) > 0.0 THEN ({weighted}) / ({total}) ELSE NULL END)"
+    spread = " + ".join(
+        f"{m} * ({_lit(k * bin_hz)} - {centroid}) * ({_lit(k * bin_hz)} - {centroid})"
+        for k, m in enumerate(mags)
+    )
+    bandwidth = f"(CASE WHEN ({total}) > 0.0 THEN sqrt(({spread}) / ({total})) ELSE NULL END)"
+    # rolloff: CASE cascade over the cumulative magnitude prefix sums
+    cums = [" + ".join(mags[: k + 1]) for k in range(n_bins)]
+    cases = " ".join(
+        f"WHEN ({cums[k]}) >= {_lit(roll_percent)} * ({total}) THEN {_lit(k * bin_hz)}"
+        for k in range(n_bins)
+    )
+    rolloff = f"(CASE WHEN ({total}) > 0.0 THEN (CASE {cases} END) ELSE NULL END)"
+    floored = [f"greatest({prefix}{k}, 1e-10)" for k in range(n_bins)]
+    prod = " * ".join(floored)
+    amean = f"(({' + '.join(floored)}) / {_lit(n_bins)})"
+    flatness = f"(pow({prod}, {_lit(1.0 / n_bins)}) / {amean})"
+    return {
+        "centroid_hz": f"round({centroid}, 6)",
+        "bandwidth_hz": f"round({bandwidth}, 6)",
+        "rolloff_hz": f"round({rolloff}, 6)",
+        "flatness": f"round({flatness}, 6)",
+    }
+
+
+def spectral_shape(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    """Column-only feature stage over ``stft_power_frames`` output."""
+    exprs = spectral_shape_exprs()
+    return frames.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def spectral_shape_sql(stft_sql: str) -> str:
+    exprs = spectral_shape_exprs()
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
+
+
+# --------------------------------------------------------------------------
+# spectral flux (onset strength): positive magnitude delta vs previous frame
+
+
+def spectral_flux_expr(prefix: str = "p", lag_prefix: str = "lp", n_bins: int = N_BINS) -> str:
+    terms = " + ".join(
+        f"pow(greatest(sqrt({prefix}{k}) - sqrt({lag_prefix}{k}), 0.0), 2)"
+        for k in range(n_bins)
+    )
+    return f"round({terms}, 6)"
+
+
+def spectral_flux(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    """Per-entity frame-over-frame onset strength: one extra window pass
+    (lag of each power column), then a pure Column expression. First
+    frame has no predecessor and is dropped (librosa pads; the engine's
+    leakage rule forbids synthesizing a t-1 frame)."""
+    w = Window.partitionBy(entity_col).orderBy("frame")
+    out = frames
+    for k in range(N_BINS):
+        out = out.withColumn(f"lp{k}", F.lag(f"p{k}").over(w))
+    return out.where(F.col("lp0").isNotNull()).select(
+        entity_col, "frame", F.expr(spectral_flux_expr()).alias("flux")
+    )
+
+
+def spectral_flux_sql(stft_sql: str) -> str:
+    lags = ", ".join(
+        f"lag(p{k}) OVER (PARTITION BY user_id ORDER BY frame) AS lp{k}"
+        for k in range(N_BINS)
+    )
+    return f"""WITH stft AS (
+{stft_sql}
+), lagged AS (
+  SELECT user_id, frame, {', '.join(f'p{k}' for k in range(N_BINS))}, {lags}
+  FROM stft)
+SELECT user_id, frame, {spectral_flux_expr()} AS flux
+FROM lagged WHERE lp0 IS NOT NULL"""
+
+
+# --------------------------------------------------------------------------
+# RMS + zero-crossing rate: no FFT, 100% built-in plan
+
+
+def rms_zcr(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> DataFrame:
+    """RMSExtractor + ZeroCrossingRateExtractor on the first-difference
+    series, with the STFT's row-index framing (full frames only).
+
+    ZCR counts sign changes of s_n = x_n - x_{n-1} between consecutive
+    in-frame positions, / frame (librosa's mean-crossings convention,
+    applied to the detrended series so a positive-valued signal still
+    crosses). Entirely deterministic: integer counts, one shuffle for
+    the window, one for the frame agg; the frame explode is bounded by
+    frame/hop (≤2 copies/row) exactly like ``temporal.framed_agg``.
+    """
+    wo = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    wp = Window.partitionBy(entity_col)
+    n = F.row_number().over(wo) - F.lit(1)
+    d = df.select(
+        entity_col,
+        n.alias("n"),
+        F.count(F.lit(1)).over(wp).alias("len"),
+        F.col(value_col).alias("x"),
+    )
+    d = d.withColumn("s", F.col("x") - F.lag("x").over(Window.partitionBy(entity_col).orderBy("n")))
+    d = d.withColumn(
+        "crossing",
+        F.when(
+            F.lag("s").over(Window.partitionBy(entity_col).orderBy("n")).isNotNull()
+            & ((F.col("s") < 0) != (F.lag("s").over(Window.partitionBy(entity_col).orderBy("n")) < 0)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    f_lo = F.greatest(F.ceil((F.col("n") - F.lit(frame - 1)) / F.lit(float(hop))).cast("long"), F.lit(0))
+    f_hi = F.least(
+        F.floor(F.col("n") / F.lit(float(hop))).cast("long"),
+        F.floor((F.col("len") - F.lit(frame)) / F.lit(float(hop))).cast("long"),
+    )
+    d = d.withColumn("f_lo", f_lo).withColumn("f_hi", f_hi)
+    d = d.withColumn(
+        "f",
+        F.explode(
+            F.when(F.col("f_lo") <= F.col("f_hi"), F.sequence("f_lo", "f_hi")).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    return d.groupBy(F.col(entity_col), F.col("f").alias("frame")).agg(
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x")) / F.lit(float(frame))), 6).alias("rms"),
+        (
+            F.sum(F.when(F.col("n") > F.col("f") * hop, F.col("crossing")).otherwise(F.lit(0)))
+            / F.lit(float(frame))
+        ).alias("zcr"),
+    )
+
+
+def rms_zcr_sql(
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    table: str = "events",
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> str:
+    return f"""WITH x AS (
+  SELECT {entity_col},
+         row_number() OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {tiebreak_col}) - 1 AS n,
+         count(*) OVER (PARTITION BY {entity_col}) AS len,
+         {value_col} AS x
+  FROM {table}),
+s AS (
+  SELECT *, x - lag(x) OVER (PARTITION BY {entity_col} ORDER BY n) AS s FROM x),
+c AS (
+  SELECT *, CASE WHEN lag(s) OVER (PARTITION BY {entity_col} ORDER BY n) IS NOT NULL
+                  AND ((s < 0) != (lag(s) OVER (PARTITION BY {entity_col} ORDER BY n) < 0))
+                 THEN 1 ELSE 0 END AS crossing
+  FROM s),
+fr AS (
+  SELECT *, unnest(generate_series(
+              greatest(cast(ceil((n - {frame - 1}) / {hop}.0) AS BIGINT), 0),
+              least(cast(floor(n / {hop}.0) AS BIGINT),
+                    cast(floor((len - {frame}) / {hop}.0) AS BIGINT)))) AS f
+  FROM c)
+SELECT {entity_col}, f AS frame,
+       round(sqrt(sum(x * x) / {_lit(frame)}), 6) AS rms,
+       sum(CASE WHEN n > f * {hop} THEN crossing ELSE 0 END) / {_lit(frame)} AS zcr
+FROM fr GROUP BY {entity_col}, f"""
+
+
+# --------------------------------------------------------------------------
+# mel spectrogram + MFCC, constant-folded filterbank/DCT literals
+
+
+def mel_dct_weights(
+    n_mels: int = 3, n_bins: int = N_BINS, sr: int = SR, n_fft: int = FRAME,
+    n_mfcc: int = 3,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """HTK-style triangular mel filterbank + orthonormal DCT-II matrix,
+    computed once driver-side with scalar math so both engines receive
+    the identical repr literals. (librosa.filters.mel htk=True role;
+    scipy.fftpack.dct(type=2, norm='ortho') role.)"""
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    hi = mel(sr / 2.0)
+    pts = [imel(hi * i / (n_mels + 1)) for i in range(n_mels + 2)]
+    bin_hz = sr / n_fft
+    fb: list[list[float]] = []
+    for m in range(n_mels):
+        row = []
+        for k in range(n_bins):
+            f = k * bin_hz
+            lo, c, up = pts[m], pts[m + 1], pts[m + 2]
+            w = min((f - lo) / (c - lo), (up - f) / (up - c))
+            row.append(max(0.0, w))
+        fb.append(row)
+    dct = []
+    for c in range(n_mfcc):
+        row = []
+        for m in range(n_mels):
+            if c == 0:
+                row.append(math.sqrt(1.0 / n_mels))
+            else:
+                row.append(math.sqrt(2.0 / n_mels) * math.cos(math.pi * c * (2 * m + 1) / (2 * n_mels)))
+        dct.append(row)
+    return fb, dct
+
+
+def mfcc_exprs(prefix: str = "p", n_mels: int = 3, n_mfcc: int = 3) -> dict[str, str]:
+    fb, dct = mel_dct_weights(n_mels=n_mels, n_mfcc=n_mfcc)
+    logmels = []
+    for m in range(n_mels):
+        terms = " + ".join(
+            f"{_lit(w)} * {prefix}{k}" for k, w in enumerate(fb[m]) if w > 0.0
+        ) or "0.0"
+        logmels.append(f"ln(({terms}) + 1e-10)")
+    out: dict[str, str] = {}
+    for m in range(n_mels):
+        out[f"logmel{m}"] = f"round({logmels[m]}, 6)"
+    for c in range(n_mfcc):
+        combo = " + ".join(f"{_lit(dct[c][m])} * ({logmels[m]})" for m in range(n_mels))
+        out[f"mfcc{c}"] = f"round({combo}, 6)"
+    return out
+
+
+def mel_mfcc(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    exprs = mfcc_exprs()
+    return frames.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def mel_mfcc_sql(stft_sql: str) -> str:
+    exprs = mfcc_exprs()
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"

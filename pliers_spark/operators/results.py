@@ -41,9 +41,33 @@ def to_long(df: DataFrame, key_cols: list[str], feature_cols: list[str], extract
     return out.where(F.col("value").isNotNull())
 
 
-def to_wide(df: DataFrame, key_cols: list[str], feature_col: str = "feature", value_col: str = "value") -> DataFrame:
-    """Pivot long rows back to wide; clashes → mean (reference aggfunc)."""
-    return df.groupBy(*key_cols).pivot(feature_col).agg(F.mean(value_col))
+def to_wide(
+    df: DataFrame,
+    key_cols: list[str],
+    feature_col: str = "feature",
+    value_col: str = "value",
+    aggfunc: str = "mean",
+    order_col: str | None = None,
+    feature_values: list[str] | None = None,
+) -> DataFrame:
+    """Pivot long rows back to wide. Clash aggfunc mirrors the reference
+    (``pliers/extractors/base.py:324-326``): 'mean' for numeric value
+    frames, 'first' for non-numeric. pandas' 'first' means first row in
+    frame order, which is non-deterministic in a distributed pivot — so
+    the Spark recast requires an explicit ``order_col`` and takes
+    ``min_by(value, order)``. ``feature_values`` skips pivot's
+    distinct-discovery job when the feature set is known."""
+    if aggfunc == "mean":
+        agg = F.mean(value_col)
+    elif aggfunc == "first":
+        if order_col is None:
+            raise ValueError("aggfunc='first' needs order_col for a deterministic pivot")
+        agg = F.min_by(value_col, order_col)
+    else:
+        raise ValueError(f"unknown aggfunc {aggfunc!r} (reference supports mean/first)")
+    piv = df.groupBy(*key_cols).pivot(feature_col, feature_values) if feature_values \
+        else df.groupBy(*key_cols).pivot(feature_col)
+    return piv.agg(agg)
 
 
 def merge_features(frames: list[DataFrame], key_cols: list[str], how: str = "full") -> DataFrame:

@@ -2546,3 +2546,136 @@ def q_spacy_attrs(spark, sf_dir):
     from pliers_spark.functions.pos import token_attributes
 
     return token_attributes(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# batch 8 (round 2): named librosa-style audio features over STFT frames
+# (VERDICT item 6) + non-numeric merge clash aggfunc 'first' (item 9)
+
+
+def _shape_sql() -> str:
+    from pliers_spark.functions.audio_features import spectral_shape_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return spectral_shape_sql(stft_power_sql())
+
+
+@query("spectral_shape", _shape_sql())
+def q_spectral_shape(spark, sf_dir):
+    """SpectralCentroid/Bandwidth/Rolloff/Flatness extractors
+    (pliers/extractors/audio.py:224-284) over this engine's STFT power
+    frames. The FFT is the only Python stage; every named feature is a
+    pure Column expression (whole-stage codegen) whose arithmetic text
+    is shared verbatim with the DuckDB oracle."""
+    from pliers_spark.functions.audio_features import spectral_shape
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return spectral_shape(frames)
+
+
+def _flux_sql() -> str:
+    from pliers_spark.functions.audio_features import spectral_flux_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return spectral_flux_sql(stft_power_sql())
+
+
+@query("spectral_flux", _flux_sql())
+def q_spectral_flux(spark, sf_dir):
+    """Onset-strength / spectral flux (OnsetStrengthMultiExtractor role,
+    pliers/extractors/audio.py:347-356): per-entity positive magnitude
+    delta vs the previous frame — one lag window over the frame table,
+    then a shared-text Column expression. First frame dropped (no
+    synthetic t-1: zero-leakage rule)."""
+    from pliers_spark.functions.audio_features import spectral_flux
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return spectral_flux(frames)
+
+
+def _rms_zcr_sql() -> str:
+    from pliers_spark.functions.audio_features import rms_zcr_sql
+
+    return rms_zcr_sql()
+
+
+@query("rms_zcr", _rms_zcr_sql())
+def q_rms_zcr(spark, sf_dir):
+    """RMSExtractor + ZeroCrossingRateExtractor
+    (pliers/extractors/audio.py:303-312,358-366) with STFT framing but
+    NO FFT and NO UDF: window (row index + first difference) → bounded
+    frame explode (≤ frame/hop copies per row) → hash agg. 100%
+    built-in plan — the scale path for waveform stats at 100 TB."""
+    from pliers_spark.functions.audio_features import rms_zcr
+
+    return rms_zcr(_events(spark, sf_dir), "user_id", "ts", "value", "event_id")
+
+
+def _mfcc_sql() -> str:
+    from pliers_spark.functions.audio_features import mel_mfcc_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return mel_mfcc_sql(stft_power_sql())
+
+
+@query("mel_mfcc", _mfcc_sql())
+def q_mel_mfcc(spark, sf_dir):
+    """Melspectrogram + MFCC extractors (pliers/extractors/audio.py:
+    421-454): HTK triangular mel filterbank and orthonormal DCT-II
+    rendered as constant-folded literal weights (computed once
+    driver-side, repr-emitted into both engines), log-mel and
+    cepstra as pure Column expressions over the STFT frames."""
+    from pliers_spark.functions.audio_features import mel_mfcc
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return mel_mfcc(frames)
+
+
+@query(
+    "merge_wide_first",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS ord,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       long AS (
+         SELECT doc_id, ord, 'tok' AS feature, token AS value FROM toks
+         UNION ALL
+         SELECT doc_id, ord, 'shape' AS feature, upper(token) AS value FROM toks)
+       SELECT doc_id,
+              arg_min(value, ord) FILTER (WHERE feature = 'shape') AS shape,
+              arg_min(value, ord) FILTER (WHERE feature = 'tok') AS tok
+       FROM long GROUP BY doc_id""",
+)
+def q_merge_wide_first(spark, sf_dir):
+    """merge_results wide pivot with the reference's NON-numeric clash
+    aggfunc 'first' (pliers/extractors/base.py:324-326): a string-valued
+    long frame pivots to one column per feature taking the first value
+    in frame order — recast deterministically as min_by(value, ord)
+    (pandas row order ≡ the explicit ord column)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("ord", "token")
+    ).withColumn("ord", F.col("ord").cast("long"))
+    long = toks.select(
+        "doc_id", "ord", F.lit("tok").alias("feature"), F.col("token").alias("value")
+    ).unionByName(
+        toks.select(
+            "doc_id", "ord", F.lit("shape").alias("feature"), F.upper("token").alias("value")
+        )
+    )
+    return R.to_wide(
+        long, ["doc_id"], aggfunc="first", order_col="ord",
+        feature_values=["shape", "tok"],
+    )

@@ -1,0 +1,123 @@
+"""Named librosa-style audio features: golden checks against direct
+numpy formulas on a known series (the same definitions librosa
+publishes), independent of the DuckDB oracle path."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from pliers_spark.functions.audio_features import (
+    FRAME, HOP, SR, mel_dct_weights, mel_mfcc, rms_zcr, spectral_flux,
+    spectral_shape,
+)
+from pliers_spark.functions.spectral import stft_power_frames
+
+
+def _series_df(spark, x, entity=1):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (entity, i, t0 + datetime.timedelta(seconds=i), float(v))
+        for i, v in enumerate(x)
+    ]
+    return spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def _np_frames(x, frame=FRAME, hop=HOP):
+    n = (len(x) - frame) // hop + 1
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    return np.asarray(x, dtype=np.float64)[idx]
+
+
+def _np_power(x):
+    frames = _np_frames(x)
+    j = np.arange(FRAME)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * j / FRAME)
+    spec = np.fft.rfft(frames * win, axis=1)
+    return (spec.real**2 + spec.imag**2).round(4)
+
+
+@pytest.fixture(scope="module")
+def x():
+    rng = np.random.RandomState(7)
+    return np.cumsum(rng.randn(40)).round(3)
+
+
+@pytest.fixture(scope="module")
+def frames(spark, x):
+    df = _series_df(spark, x)
+    return stft_power_frames(df, "user_id", "ts", "value", order_cols=["ts", "event_id"])
+
+
+def test_spectral_shape_matches_numpy(frames, x):
+    p = _np_power(x)
+    mag = np.sqrt(p)
+    freqs = np.arange(p.shape[1]) * SR / FRAME
+    tot = mag.sum(axis=1)
+    cent = (mag * freqs).sum(axis=1) / tot
+    bw = np.sqrt((mag * (freqs[None, :] - cent[:, None]) ** 2).sum(axis=1) / tot)
+    cum = np.cumsum(mag, axis=1)
+    roll = freqs[(cum >= 0.85 * tot[:, None]).argmax(axis=1)]
+    pf = np.maximum(p, 1e-10)
+    flat = pf.prod(axis=1) ** (1 / p.shape[1]) / pf.mean(axis=1)
+    got = {r["frame"]: r for r in spectral_shape(frames).collect()}
+    for f in range(p.shape[0]):
+        r = got[f]
+        assert r["centroid_hz"] == pytest.approx(cent[f], abs=2e-6)
+        assert r["bandwidth_hz"] == pytest.approx(bw[f], abs=2e-6)
+        assert r["rolloff_hz"] == roll[f]
+        assert r["flatness"] == pytest.approx(flat[f], abs=2e-6)
+
+
+def test_spectral_flux_matches_numpy(frames, x):
+    mag = np.sqrt(_np_power(x))
+    flux = (np.maximum(mag[1:] - mag[:-1], 0.0) ** 2).sum(axis=1)
+    got = {r["frame"]: r["flux"] for r in spectral_flux(frames).collect()}
+    assert sorted(got) == list(range(1, mag.shape[0]))  # first frame dropped
+    for f, v in got.items():
+        assert v == pytest.approx(flux[f - 1], abs=2e-6)
+
+
+def test_rms_zcr_matches_numpy(spark, x):
+    df = _series_df(spark, x)
+    out = {r["frame"]: r for r in rms_zcr(df, "user_id", "ts", "value", "event_id").collect()}
+    fx = _np_frames(x)
+    rms = np.sqrt((fx**2).mean(axis=1))
+    s = np.diff(np.asarray(x, dtype=np.float64))  # s[n-1] = x[n]-x[n-1]
+    for f in range(fx.shape[0]):
+        lo = f * HOP
+        # crossings between s_n and s_{n-1} for n in [lo+1, lo+FRAME-1], n>=2
+        cnt = 0
+        for n in range(max(lo + 1, 2), lo + FRAME):
+            cnt += (s[n - 1] < 0) != (s[n - 2] < 0)
+        assert out[f]["rms"] == pytest.approx(rms[f], abs=2e-6)
+        assert out[f]["zcr"] == pytest.approx(cnt / FRAME)
+
+
+def test_mfcc_matches_numpy(frames, x):
+    p = _np_power(x)
+    fb, dct = mel_dct_weights()
+    fb, dct = np.array(fb), np.array(dct)
+    logmel = np.log(p @ fb.T + 1e-10)
+    mfcc = logmel @ dct.T
+    got = {r["frame"]: r for r in mel_mfcc(frames).collect()}
+    for f in range(p.shape[0]):
+        for m in range(fb.shape[0]):
+            assert got[f][f"logmel{m}"] == pytest.approx(logmel[f, m], abs=2e-6)
+        for c in range(dct.shape[0]):
+            assert got[f][f"mfcc{c}"] == pytest.approx(mfcc[f, c], abs=2e-6)
+
+
+def test_mel_filterbank_shape():
+    fb, dct = mel_dct_weights()
+    fb = np.array(fb)
+    assert fb.shape == (3, 5) and (fb >= 0).all()
+    # every filter has some support; DCT rows orthonormal
+    assert (fb.sum(axis=1) > 0).all()
+    d = np.array(dct)
+    assert np.allclose(d @ d.T, np.eye(3) * 1.0, atol=1e-12)
+
+
+def test_rms_zcr_short_series_no_frames(spark):
+    df = _series_df(spark, [1.0, 2.0, 3.0])  # shorter than FRAME
+    assert rms_zcr(df, "user_id", "ts", "value", "event_id").count() == 0

@@ -4,7 +4,10 @@ Runs every ``queries()`` entry at sf0.01 on Spark AND the matching
 ``oracle_sql()`` on DuckDB, compares row count, column names, and an
 order-insensitive value comparison (sorted rows). Usage:
 
-    python tools/check_oracle.py [query ...]
+    python tools/check_oracle.py [--bits] [query ...]
+
+``--bits`` compares raw float64 bits (the driver hashes raw values;
+the default 6dp rounding is looser than the real gate).
 """
 
 from __future__ import annotations
@@ -23,12 +26,19 @@ TABLES = [
 ]
 
 
+RAW_BITS = False  # --bits: compare raw float64 bits like the driver's hash
+
+
 def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return None
+        if RAW_BITS:
+            import struct
+
+            return struct.pack("<d", v).hex()
         return round(v, 6)
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -74,7 +84,10 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--bits"]
+    global RAW_BITS
+    RAW_BITS = "--bits" in sys.argv[1:]
+    only = set(args)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
