@@ -3,10 +3,13 @@
 The reference's non-text stimuli (``ImageStim``/``AudioStim``/``VideoStim``,
 SURVEY.md §1.1) map to rows with a ``binary`` payload column and typed
 metadata; extractors become ``mapInPandas`` stages that decode inside an
-Arrow batch. The decode libraries (imageio/librosa/moviepy) are not in
-this container, so decoding is STUBBED behind ``try: import`` with a
-deterministic fake — the Spark-side plumbing (schemas, batch iteration,
-partitioning, UDF signatures) is real and tested.
+Arrow batch. PPM/BMP images and PCM WAV audio decode for REAL via the
+pure-numpy codecs in ``pliers_spark.codecs``, so the Brightness/
+Vibrance/Sharpness and framed-RMS formula paths run end-to-end on real
+bytes. Entropy-coded formats (JPEG/PNG/MP3) need imageio/librosa (not
+in this container) and fall back to an import-gated deterministic fake
+— the Spark-side plumbing (schemas, batch iteration, partitioning, UDF
+signatures) is identical either way.
 
 Scale notes: binary payloads make rows wide — ``spark.sql.files.
 maxPartitionBytes`` should shrink (or the table store payloads out of
@@ -29,9 +32,17 @@ AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms dou
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. Real decode requires
-    imageio/PIL (absent here) → deterministic fake derived from the
-    payload bytes so tests are stable."""
+    """Decode an image payload to HxWx3 uint8. PPM/BMP decode for REAL
+    (pure-numpy codecs, ``pliers_spark.codecs``); entropy-coded formats
+    (JPEG/PNG) need imageio/PIL (absent here) → deterministic fake
+    derived from the payload bytes so tests are stable."""
+    from pliers_spark import codecs
+
+    kind = codecs.sniff_image(payload)
+    if kind == "ppm":
+        return codecs.decode_ppm(payload)
+    if kind == "bmp":
+        return codecs.decode_bmp(payload)
     try:
         import imageio.v3 as iio  # pragma: no cover
 
@@ -79,15 +90,24 @@ def audio_frames(
 ) -> DataFrame:
     """Framed audio features (STFT-style framing: frame/hop windows,
     onset = i*hop/sr, duration = frame/sr — the sliding-window shape of
-    pliers/extractors/audio.py:64-113) with a stubbed decoder: payload
-    bytes → float32 samples deterministically."""
+    pliers/extractors/audio.py:64-113). RIFF/WAVE payloads decode for
+    REAL (PCM 8/16-bit, channel-averaged to mono like AudioStim,
+    pliers/stimuli/audio.py:48-52) with the file's own sampling rate;
+    other payloads fall back to a deterministic byte→sample stub."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pliers_spark import codecs
+
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload or b""), dtype=np.uint8).astype(np.float32)
-                samples = (raw - 127.5) / 127.5
+                raw_bytes = bytes(payload or b"")
+                if codecs.sniff_audio(raw_bytes) == "wav":
+                    samples64, wav_sr = codecs.decode_wav(raw_bytes)
+                    samples, row_sr = samples64.astype(np.float32), wav_sr
+                else:
+                    raw = np.frombuffer(raw_bytes, dtype=np.uint8).astype(np.float32)
+                    samples, row_sr = (raw - 127.5) / 127.5, sr
                 n_frames = max((len(samples) - frame) // hop + 1, 0)
                 for k in range(n_frames):
                     seg = samples[k * hop : k * hop + frame]
@@ -95,8 +115,8 @@ def audio_frames(
                         {
                             "id": int(i),
                             "frame": k,
-                            "onset": k * hop / sr,
-                            "duration": frame / sr,
+                            "onset": k * hop / row_sr,
+                            "duration": frame / row_sr,
                             "rms": float(np.sqrt((seg**2).mean())),
                         }
                     )
@@ -180,3 +200,53 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=["id", "frame", "onset", "width", "height", "mean_brightness"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = "id long, brightness double, vibrance double, sharpness double"
+
+
+def _sharpness(img: np.ndarray) -> float:
+    """SharpnessExtractor formula (pliers/extractors/image.py:40-56):
+    cv2.cvtColor(BGR2GRAY) → Laplacian(CV_16S, ksize=1) →
+    convertScaleAbs → max/255, re-done in numpy. The reference passes
+    RGB data to a BGR2GRAY conversion, so the 0.299 weight lands on the
+    BLUE-slot channel (index 2 of the RGB array) — quirk preserved."""
+    f = img.astype(np.float64)
+    gray = np.rint(0.299 * f[:, :, 2] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 0])
+    gray = np.clip(gray, 0, 255)
+    if gray.shape[0] < 2 or gray.shape[1] < 2:
+        return 0.0
+    p = np.pad(gray, 1, mode="reflect")  # cv2 BORDER_REFLECT_101
+    lap = (
+        p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * p[1:-1, 1:-1]
+    )
+    return float(np.clip(np.abs(lap), 0, 255).max() / 255.0)
+
+
+def image_features(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """The reference's three formula-only image extractors on decoded
+    pixels (REAL decode for PPM/BMP payloads via pliers_spark.codecs):
+
+    - brightness = amax(data, 2).mean()/255 (pliers/extractors/image.py:26-38)
+    - vibrance   = var(data, 2).mean()      (pliers/extractors/image.py:59-69)
+    - sharpness  = max(|Laplacian(gray)|)/255 (pliers/extractors/image.py:40-56)
+
+    One mapInPandas stage, numpy-vectorized per image; only (id, payload)
+    are scanned (column pruning keeps other metadata out)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                rows.append(
+                    {
+                        "id": int(i),
+                        "brightness": float(img.max(axis=2).mean() / 255.0),
+                        "vibrance": float(img.astype(np.float64).var(axis=2).mean()),
+                        "sharpness": _sharpness(img),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "brightness", "vibrance", "sharpness"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)

@@ -1,4 +1,8 @@
-"""Multimodal plumbing: schemas, batch shapes, deterministic stub decode."""
+"""Multimodal plumbing: schemas, batch shapes, real PPM/BMP/WAV decode,
+deterministic stub fallback."""
+
+import numpy as np
+import pytest
 
 from pliers_spark.multimodal import audio_frames, image_stats
 
@@ -43,3 +47,111 @@ def test_video_frame_sample_every_nth(spark):
     assert [r.frame for r in out] == [0, 2, 4, 6]
     assert abs(out[1].onset - 2 / 30.0) < 1e-9
     assert all(r.width > 0 and r.height > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round 2: real PPM/BMP/WAV codecs + formula-path image features on real bytes
+
+
+class TestCodecs:
+    def test_ppm_roundtrip(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+
+    def test_ppm_comments_and_whitespace(self):
+        from pliers_spark import codecs
+
+        img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+        data = b"P6 # comment\n# another\n 2\t2 \n255\n" + img.tobytes()
+        assert np.array_equal(codecs.decode_ppm(data), img)
+
+    def test_bmp_roundtrip_odd_width(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)  # stride pad = 1
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+    def test_wav_roundtrip_16bit(self):
+        from pliers_spark import codecs
+
+        x = np.sin(np.linspace(0, 20, 400))
+        data = codecs.encode_wav(x, sr=8000)
+        y, sr = codecs.decode_wav(data)
+        assert sr == 8000
+        assert np.abs(y - x).max() < 1e-4  # 0.5 LSB quantize + 32767/32768 scale
+
+    def test_wav_stereo_channel_average(self):
+        from pliers_spark import codecs
+
+        left = np.linspace(-0.5, 0.5, 100)
+        right = -left
+        data = codecs.encode_wav(np.stack([left, right], axis=1), sr=4000, channels=2)
+        y, sr = codecs.decode_wav(data)
+        # AudioStim mono rule: mean over channels → ~0 everywhere
+        assert np.abs(y).max() < 1.0 / 16000
+
+    def test_wav_8bit(self):
+        from pliers_spark import codecs
+
+        x = np.linspace(-1, 1, 50)
+        y, sr = codecs.decode_wav(codecs.encode_wav(x, sr=1000, bits=8))
+        assert np.abs(y - x).max() < 0.015  # 0.5 LSB + 127/128 scale
+
+
+class TestRealDecodeFeatures:
+    def test_image_features_match_numpy_on_real_ppm(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import image_features
+
+        rng = np.random.RandomState(11)
+        imgs = [rng.randint(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(3)]
+        df = spark.createDataFrame(
+            [(i, bytearray(codecs.encode_ppm(im))) for i, im in enumerate(imgs)],
+            "id long, payload binary",
+        )
+        got = {r["id"]: r for r in image_features(df).collect()}
+        for i, im in enumerate(imgs):
+            f = im.astype(np.float64)
+            assert got[i]["brightness"] == pytest.approx(im.max(axis=2).mean() / 255.0)
+            assert got[i]["vibrance"] == pytest.approx(f.var(axis=2).mean())
+            # sharpness: reference quirk — BGR2GRAY weights on RGB data
+            gray = np.clip(np.rint(0.299 * f[:, :, 2] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 0]), 0, 255)
+            p = np.pad(gray, 1, mode="reflect")
+            lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * p[1:-1, 1:-1]
+            assert got[i]["sharpness"] == pytest.approx(np.clip(np.abs(lap), 0, 255).max() / 255.0)
+
+    def test_image_features_bmp_equals_ppm(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import image_features
+
+        rng = np.random.RandomState(12)
+        img = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_ppm(img))), (1, bytearray(codecs.encode_bmp(img)))],
+            "id long, payload binary",
+        )
+        rows = {r["id"]: r for r in image_features(df).collect()}
+        assert rows[0]["brightness"] == rows[1]["brightness"]
+        assert rows[0]["vibrance"] == rows[1]["vibrance"]
+        assert rows[0]["sharpness"] == rows[1]["sharpness"]
+
+    def test_audio_frames_real_wav_rms(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import audio_frames
+
+        x = np.sin(np.linspace(0, 60, 2000)) * 0.8
+        wav = codecs.encode_wav(x, sr=16000)
+        df = spark.createDataFrame([(7, bytearray(wav))], "id long, payload binary")
+        out = audio_frames(df, frame=512, hop=256).collect()
+        q, _ = codecs.decode_wav(wav)
+        q = q.astype(np.float32)
+        n_frames = (len(q) - 512) // 256 + 1
+        assert len(out) == n_frames
+        for r in out:
+            seg = q[r["frame"] * 256 : r["frame"] * 256 + 512]
+            assert r["rms"] == pytest.approx(float(np.sqrt((seg**2).mean())), rel=1e-6)
+            assert r["onset"] == pytest.approx(r["frame"] * 256 / 16000)
