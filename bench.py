@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "tpch_q1",
     "events_pivot",
     "stft_power",
+    "spectral_shape",
+    "rms_zcr",
     "novelty_jaccard",
     "quality_filter",
     "hash_sample",

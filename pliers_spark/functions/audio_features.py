@@ -319,3 +319,46 @@ def mel_mfcc_sql(stft_sql: str) -> str:
     exprs = mfcc_exprs()
     sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
     return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
+
+
+# --------------------------------------------------------------------------
+# poly_features: least-squares line fit over each frame's magnitude spectrum
+
+
+def poly_features_exprs(
+    prefix: str = "p", n_bins: int = N_BINS, bin_hz: float = SR / FRAME,
+) -> dict[str, str]:
+    """PolyFeaturesExtractor order=1 (pliers/extractors/audio.py:286-300;
+    librosa.feature.poly_features ≡ np.polyfit(freqs, mag, 1)): the
+    closed-form least-squares line through the n_bins points
+    (f_k, m_k = sqrt(p_k)). np.polyfit returns highest degree first, so
+    coefficient_0 is the slope and coefficient_1 the intercept —
+    matching the reference's 'coefficient_%d' feature names. The
+    frequency sums are constants and fold into literals."""
+    freqs = [k * bin_hz for k in range(n_bins)]
+    n = float(n_bins)
+    sf = sum(freqs)
+    sff = sum(f * f for f in freqs)
+    denom = n * sff - sf * sf
+    mags = [f"sqrt({prefix}{k})" for k in range(n_bins)]
+    sm = " + ".join(mags)
+    sfm = " + ".join(f"{_lit(f)} * {m}" for f, m in zip(freqs, mags))
+    slope = f"(({_lit(n)} * ({sfm}) - {_lit(sf)} * ({sm})) / {_lit(denom)})"
+    intercept = f"((({sm}) - {slope} * {_lit(sf)}) / {_lit(n)})"
+    return {
+        "coefficient_0": f"round({slope}, 6)",
+        "coefficient_1": f"round({intercept}, 6)",
+    }
+
+
+def poly_features(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    exprs = poly_features_exprs()
+    return frames.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def poly_features_sql(stft_sql: str) -> str:
+    exprs = poly_features_exprs()
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"

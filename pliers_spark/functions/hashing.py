@@ -56,18 +56,69 @@ def shingles(tokens: Column, n: int) -> Column:
     return F.filter(out, lambda x: x.isNotNull())
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: for each seeded hash family, the minimum hash
-    over the document's shingle set. One Column per hash; NULL-safe for
-    empty shingle sets (min of empty → NULL)."""
-    def hash_fn(k: int):
-        # single-arg lambda: Spark passes an index arg too if arity > 1
-        return lambda s: md5_int(s, seed=k)
+MINHASH_PRIME = 1_073_741_789  # largest prime < 2^30
+MINHASH_MASK30 = (1 << 30) - 1
 
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic Carter–Wegman universal-hash parameters
+    ``(a_k, b_k)`` — the same permutation scheme as Spark MLlib's
+    ``MinHashLSH`` (``h_k(x) = (a_k·x + b_k) mod p``). One base md5 per
+    shingle replaces the old one-md5-PER-FAMILY formulation (16× less
+    hash work); keeping ``x < 2^30`` and ``a_k < p < 2^30`` bounds every
+    product below 2^60, so the arithmetic is overflow-exact in both
+    engines' signed 64-bit integers."""
+    import random
+
+    rng = random.Random(0x5EED)
     return [
-        F.array_min(F.transform(shingle_col, hash_fn(k))).alias(f"mh_{k}")
-        for k in range(num_hashes)
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
     ]
+
+
+def minhash_permute(h30: Column, a: int, b: int) -> Column:
+    """One permutation family applied to the 30-bit base hash column."""
+    return F.pmod(h30 * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+
+
+def minhash_permute_sql(h30_expr: str, a: int, b: int) -> str:
+    return f"(({a} * {h30_expr} + {b}) % {MINHASH_PRIME})"
+
+
+def minhash_signature_array(shingle_col: Column, num_hashes: int) -> Column:
+    """Per-ROW MinHash signature as one ``array<long>`` column, for
+    pipelines that must stay shuffle-free (e.g. an inline feature
+    projection). One ``aggregate`` pass over the shingle array: each
+    shingle is md5-hashed ONCE, then folded into all K family minima
+    via ``zip_with`` against a literal parameter array. Returning a
+    single array (instead of K top-level columns) matters: interpreted
+    higher-order expressions get no common-subexpression elimination,
+    so K separate columns would re-run the whole fold K times.
+    Prefer ``operators.dedup.minhash_signatures`` (explode + partial
+    agg, whole-stage codegen) when a 1-row-per-doc shuffle is fine."""
+    params = minhash_params(num_hashes)
+    prm = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
+    ])
+    sentinel = F.lit(1 << 62).cast("long")
+    init = F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    # md5 runs in ITS OWN transform pass so the fold's lambda variable
+    # ``h`` is an already-computed value — embedding md5 in the merge
+    # body would re-hash the shingle once per family (K× the work).
+    base = F.transform(shingle_col, lambda s: md5_int(s).bitwiseAND(F.lit(MINHASH_MASK30)))
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            prm,
+            lambda m, pr: F.least(
+                F.coalesce(m, sentinel),
+                F.pmod(h * pr["a"] + pr["b"], F.lit(MINHASH_PRIME)),
+            ),
+        ),
+    )
 
 
 def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Column:

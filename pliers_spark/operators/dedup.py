@@ -6,7 +6,9 @@ near-dup — all built on the deterministic cross-engine hashes in
 
 Scale notes (100 TB design):
 - exact dedup is a single hash-groupBy (map-side partial agg);
-- MinHash signatures are per-row array expressions (no shuffle); the
+- MinHash signatures hash each shingle ONCE and derive the K families
+  by Carter–Wegman arithmetic inside whole-stage codegen (explode +
+  partial-agg mins — the shuffle carries one row per doc); the
   LSH banding explodes to (doc, band_key) — ``num_bands`` rows per doc —
   then one groupBy-join on band buckets; candidate verification is a
   narrow self-join restricted to bucket-mates, never all-pairs;
@@ -23,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.hashing import band_key, md5_int, minhash_signature, shingles
+from ..functions.hashing import band_key, md5_int, shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -42,10 +44,31 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature columns ``mh_0..mh_{K-1}`` over
-    word-``shingle_n``-gram shingles. Pure map work — zero shuffle."""
+    word-``shingle_n``-gram shingles.
+
+    Shape: explode shingles → ONE md5 per shingle (30-bit base hash, a
+    real column so it is computed exactly once) → K Carter–Wegman
+    permutations as plain arithmetic projections (whole-stage codegen)
+    → groupBy(id) with K ``min`` aggregates. Map-side partial agg
+    collapses each doc to one row before the shuffle, so the exchange
+    carries K longs per document. The old formulation (K interpreted
+    ``transform`` passes, each re-hashing every shingle with a seeded
+    md5) did 16× the hash work inside interpreted HOF lambdas.
+    ``explode_outer`` keeps empty-shingle docs as all-NULL signatures
+    (min over an all-NULL group is NULL)."""
+    from ..functions.hashing import MINHASH_MASK30, minhash_params, minhash_permute
+
     toks = T.tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
-    return df.select(F.col(id_col), *minhash_signature(sh, num_hashes))
+    exploded = df.select(F.col(id_col), F.explode_outer(sh).alias("_s"))
+    hashed = exploded.withColumn("_h30", md5_int(F.col("_s")).bitwiseAND(F.lit(MINHASH_MASK30)))
+    params = minhash_params(num_hashes)
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(minhash_permute(F.col("_h30"), a, b)).alias(f"mh_{k}")
+            for k, (a, b) in enumerate(params)
+        ]
+    )
 
 
 def minhash_lsh_candidates(

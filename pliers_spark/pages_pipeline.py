@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.hashing import minhash_signature, shingles
+from .functions.hashing import minhash_signature_array, shingles
 from .operators import temporal as TP
 from .operators.asof import asof_join
 
@@ -151,8 +151,11 @@ def extract_page_features(pages: DataFrame, minhash_k: int = 0) -> DataFrame:
 
     mh_cols = []
     if minhash_k:
+        # single array<long> column: one aggregate pass, md5 once per
+        # shingle (see hashing.minhash_signature_array for why not K
+        # top-level columns)
         sh = shingles(T.tokenize(F.col("text")), 3)
-        mh_cols = minhash_signature(sh, minhash_k)
+        mh_cols = [minhash_signature_array(sh, minhash_k).alias("minhash")]
 
     return pages.select(
         "url",

@@ -785,15 +785,20 @@ _MH_BANDS = 4
 _MH_SHINGLE = 2
 
 
-def _minhash_sig_sql() -> list[str]:
-    return [
-        f"list_min(list_transform(sh, s -> {md5_int_sql('s', seed=k)}))" for k in range(_MH_K)
-    ]
-
-
 def _minhash_cte() -> str:
+    """Oracle mirror of ``dedup.minhash_signatures``: explode shingles,
+    ONE md5 per shingle masked to 30 bits, K Carter–Wegman permutations
+    ``(a_k·h + b_k) mod p`` (identical parameter list, products < 2^60
+    so BIGINT-exact in both engines), min per family."""
+    from pliers_spark.functions.hashing import (
+        MINHASH_MASK30, minhash_params, minhash_permute_sql)
+
     join = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_MH_SHINGLE))
-    sigs = ", ".join(f"{s} AS mh_{k}" for k, s in enumerate(_minhash_sig_sql()))
+    params = minhash_params(_MH_K)
+    sigs = ", ".join(
+        f"min({minhash_permute_sql('h30', a, b)}) AS mh_{k}"
+        for k, (a, b) in enumerate(params)
+    )
     return f"""WITH base AS (
          SELECT doc_id, {_tok_sql()} AS toks FROM documents),
        sh_t AS (
@@ -801,7 +806,15 @@ def _minhash_cte() -> str:
                 list_transform(range(1, greatest(len(toks) - {_MH_SHINGLE - 2}, 1)),
                                i -> {join}) AS sh
          FROM base),
-       sigs AS (SELECT doc_id, {sigs} FROM sh_t)"""
+       sh_e AS (
+         SELECT doc_id,
+                unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS s
+         FROM sh_t),
+       hashed AS (
+         SELECT doc_id,
+                CAST({md5_int_sql('s')} AS BIGINT) & {MINHASH_MASK30} AS h30
+         FROM sh_e),
+       sigs AS (SELECT doc_id, {sigs} FROM hashed GROUP BY doc_id)"""
 
 
 def _band_key_sql(b: int, rows: int) -> str:
@@ -814,8 +827,9 @@ def _band_key_sql(b: int, rows: int) -> str:
     _minhash_cte() + " SELECT doc_id, " + ", ".join(f"mh_{k}" for k in range(_MH_K)) + " FROM sigs",
 )
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures over word-2-gram shingles — per-row array
-    expressions, zero shuffle (the scale path for near-dup at 10^12 docs)."""
+    """MinHash signatures over word-2-gram shingles — one md5 per
+    shingle + Carter–Wegman families in whole-stage codegen, partial-agg
+    mins (the scale path for near-dup at 10^12 docs)."""
     return D.minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", _MH_K, _MH_SHINGLE)
 
 
@@ -2679,3 +2693,26 @@ def q_merge_wide_first(spark, sf_dir):
         long, ["doc_id"], aggfunc="first", order_col="ord",
         feature_values=["shape", "tok"],
     )
+
+
+def _poly_sql() -> str:
+    from pliers_spark.functions.audio_features import poly_features_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return poly_features_sql(stft_power_sql())
+
+
+@query("poly_features", _poly_sql())
+def q_poly_features(spark, sf_dir):
+    """PolyFeaturesExtractor order=1 (pliers/extractors/audio.py:286-300):
+    closed-form least-squares line fit over each frame's magnitude
+    spectrum — frequency sums constant-folded to literals, shared-text
+    Column expressions over the STFT frames."""
+    from pliers_spark.functions.audio_features import poly_features
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return poly_features(frames)

@@ -121,3 +121,16 @@ def test_mel_filterbank_shape():
 def test_rms_zcr_short_series_no_frames(spark):
     df = _series_df(spark, [1.0, 2.0, 3.0])  # shorter than FRAME
     assert rms_zcr(df, "user_id", "ts", "value", "event_id").count() == 0
+
+
+def test_poly_features_matches_numpy(frames, x):
+    from pliers_spark.functions.audio_features import poly_features
+
+    p = _np_power(x)
+    mag = np.sqrt(p)
+    freqs = np.arange(p.shape[1]) * SR / FRAME
+    got = {r["frame"]: r for r in poly_features(frames).collect()}
+    for f in range(p.shape[0]):
+        slope, intercept = np.polyfit(freqs, mag[f], 1)
+        assert got[f]["coefficient_0"] == pytest.approx(slope, abs=2e-6)
+        assert got[f]["coefficient_1"] == pytest.approx(intercept, abs=2e-6)

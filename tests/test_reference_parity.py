@@ -233,3 +233,51 @@ def test_merge_results_wide_and_long_match_engine(spark, pliers_mods, docs_pdf):
             assert ours[doc].text_length == int(r["value"])
         else:
             assert ours[doc].n_unique == int(r["value"])
+
+
+# ---------------------------------------------------------------------------
+# round 2: image formula parity vs the ACTUAL pliers extractors
+# (Brightness/Vibrance are numpy-only — importable without cv2)
+
+
+@pytest.fixture(scope="module")
+def pliers_image_mods():
+    from reference_throughput import install_stubs
+
+    before = set(sys.modules)
+    install_stubs()
+    sys.path.insert(0, "/root/reference")
+    try:
+        from pliers.extractors import BrightnessExtractor, VibranceExtractor
+        from pliers.stimuli import ImageStim
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference image extractors not importable: {e}")
+    yield ImageStim, BrightnessExtractor, VibranceExtractor
+    for name in set(sys.modules) - before:
+        del sys.modules[name]
+    sys.path.remove("/root/reference")
+
+
+def test_image_features_match_actual_pliers(spark, pliers_image_mods):
+    """brightness/vibrance computed by the engine's mapInPandas stage on
+    PPM-decoded bytes equal the ACTUAL reference extractors run on the
+    same pixel arrays (pliers/extractors/image.py:26-38,59-69)."""
+    import numpy as np
+
+    from pliers_spark import codecs
+    from pliers_spark.multimodal import image_features
+
+    ImageStim, BrightnessExtractor, VibranceExtractor = pliers_image_mods
+    rng = np.random.RandomState(21)
+    imgs = [rng.randint(0, 256, (8, 10, 3), dtype=np.uint8) for _ in range(4)]
+    df = spark.createDataFrame(
+        [(i, bytearray(codecs.encode_ppm(im))) for i, im in enumerate(imgs)],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in image_features(df).collect()}
+    for i, im in enumerate(imgs):
+        stim = ImageStim(data=im)
+        ref_b = BrightnessExtractor().transform(stim).to_df()["brightness"][0]
+        ref_v = VibranceExtractor().transform(stim).to_df()["vibrance"][0]
+        assert got[i]["brightness"] == pytest.approx(float(ref_b), rel=1e-12)
+        assert got[i]["vibrance"] == pytest.approx(float(ref_v), rel=1e-12)
