@@ -107,6 +107,18 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if max_bucket is not None:
+        # the census and the final pass both consume the signatures;
+        # without a materialization each would re-run the expensive part
+        # (tokenize → shingle → hash) from scratch. Checkpoint SIGS —
+        # one row per doc, K longs, the smallest possible cut of this
+        # DAG (banded rows are `bands`× bigger, the text far bigger) —
+        # so both consumers re-derive band keys with cheap arithmetic
+        # over the materialized rows. (Measured alternatives at sf0.1:
+        # census-only checkpoint = 2 full signature scans; persisting
+        # the banded rows = columnar-cache build cost + broken
+        # whole-stage pipelines; both bench slower.)
+        sigs = sigs.localCheckpoint(eager=True)
     sig_cols = [F.col(f"mh_{k}") for k in range(num_hashes)]
     banded = sigs.select(
         F.col(id_col),
@@ -115,15 +127,7 @@ def minhash_lsh_candidates(
         ).alias("band_key"),
     ).where(F.col("band_key").isNotNull())
     if max_bucket is not None:
-        # materialize the CENSUS (one row per band key, post-aggregation —
-        # tiny), not the banded rows: the signature scan then runs twice
-        # (census + final pass), which benches cheaper than writing every
-        # (id, band_key) row to checkpoint storage
-        sizes = (
-            banded.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=True)
-        )
+        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
         n_dropped = sizes.where(F.col("_n") > max_bucket).count()
         if n_dropped:
             import logging
