@@ -362,3 +362,104 @@ def poly_features_sql(stft_sql: str) -> str:
     exprs = poly_features_exprs()
     sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
     return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
+
+
+# --------------------------------------------------------------------------
+# onset detection + tempo over the flux envelope
+
+
+def onset_detect(frames: DataFrame, entity_col: str = "user_id", delta: float = 0.5) -> DataFrame:
+    """OnsetDetectExtractor role (pliers/extractors/audio.py:314-322;
+    librosa.onset.onset_detect): peak-pick the onset-strength envelope.
+    Clean-room simplified rule (documented, deterministic): frame t is
+    an onset iff its flux is a strict local max over the ±1 window AND
+    exceeds the trailing mean of the previous 3 frames by ``delta``.
+    Two window passes (lag/lead + trailing avg), comparisons only —
+    the only emitted float is the already-rounded flux."""
+    flux = spectral_flux(frames, entity_col)
+    w = Window.partitionBy(entity_col).orderBy("frame")
+    trail = (
+        Window.partitionBy(entity_col).orderBy("frame").rowsBetween(-3, -1)
+    )
+    d = (
+        flux.withColumn("prev", F.lag("flux").over(w))
+        .withColumn("next", F.lead("flux").over(w))
+        .withColumn("trail_mean", F.avg("flux").over(trail))
+    )
+    return d.where(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & F.col("trail_mean").isNotNull()
+        & (F.col("flux") > F.col("prev"))
+        & (F.col("flux") >= F.col("next"))
+        & (F.col("flux") >= F.col("trail_mean") + F.lit(delta))
+    ).select(entity_col, "frame", "flux")
+
+
+def onset_detect_sql(stft_sql: str, delta: float = 0.5) -> str:
+    return f"""WITH flux_t AS (
+{spectral_flux_sql(stft_sql)}
+), d AS (
+  SELECT user_id, frame, flux,
+         lag(flux) OVER (PARTITION BY user_id ORDER BY frame) AS prev,
+         lead(flux) OVER (PARTITION BY user_id ORDER BY frame) AS next,
+         avg(flux) OVER (PARTITION BY user_id ORDER BY frame
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail_mean
+  FROM flux_t)
+SELECT user_id, frame, flux
+FROM d
+WHERE prev IS NOT NULL AND next IS NOT NULL AND trail_mean IS NOT NULL
+  AND flux > prev AND flux >= next AND flux >= trail_mean + {_lit(delta)}"""
+
+
+def tempo_autocorr(
+    frames: DataFrame, entity_col: str = "user_id", max_lag: int = 6
+) -> DataFrame:
+    """TempoExtractor role (pliers/extractors/audio.py:325-333;
+    librosa.beat.tempo): dominant periodicity of the onset-strength
+    envelope via autocorrelation — acf(L) = Σ_t flux_t · flux_{t-L} for
+    L = 1..max_lag per entity, best lag = argmax (ties → smallest L),
+    tempo_bpm = 60·sr/(hop·L). One window pass for the lags, one agg;
+    acf rounded to 4dp on both engines before the argmax so the
+    comparison is cross-engine stable."""
+    flux = spectral_flux(frames, entity_col)
+    w = Window.partitionBy(entity_col).orderBy("frame")
+    d = flux
+    for L in range(1, max_lag + 1):
+        d = d.withColumn(f"fl{L}", F.lag("flux", L).over(w))
+    agg = d.groupBy(entity_col).agg(
+        *[
+            F.round(F.sum(F.col("flux") * F.col(f"fl{L}")), 4).alias(f"acf{L}")
+            for L in range(1, max_lag + 1)
+        ]
+    )
+    best = F.greatest(*[F.col(f"acf{L}") for L in range(1, max_lag + 1)])
+    lag_case = F.when(F.col("acf1") == best, F.lit(1))
+    for L in range(2, max_lag + 1):
+        lag_case = lag_case.when(F.col(f"acf{L}") == best, F.lit(L))
+    out = agg.where(best.isNotNull()).withColumn("best_lag", lag_case.cast("long"))
+    bpm = F.round(F.lit(60.0 * SR) / (F.lit(float(HOP)) * F.col("best_lag")), 6)
+    return out.select(entity_col, "best_lag", bpm.alias("tempo_bpm"))
+
+
+def tempo_autocorr_sql(stft_sql: str, max_lag: int = 6) -> str:
+    lags = ", ".join(
+        f"lag(flux, {L}) OVER (PARTITION BY user_id ORDER BY frame) AS fl{L}"
+        for L in range(1, max_lag + 1)
+    )
+    accs = ", ".join(
+        f"round(sum(flux * fl{L}), 4) AS acf{L}" for L in range(1, max_lag + 1)
+    )
+    best = "greatest(" + ", ".join(f"acf{L}" for L in range(1, max_lag + 1)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN acf{L} = {best} THEN {L}" for L in range(1, max_lag + 1)
+    ) + " END"
+    return f"""WITH flux_t AS (
+{spectral_flux_sql(stft_sql)}
+), lagged AS (
+  SELECT user_id, frame, flux, {lags} FROM flux_t),
+acc AS (
+  SELECT user_id, {accs} FROM lagged GROUP BY user_id)
+SELECT user_id, CAST({case} AS BIGINT) AS best_lag,
+       round({_lit(60.0 * SR)} / ({_lit(float(HOP))} * ({case})), 6) AS tempo_bpm
+FROM acc WHERE {best} IS NOT NULL"""

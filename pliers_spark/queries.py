@@ -2716,3 +2716,49 @@ def q_poly_features(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return poly_features(frames)
+
+
+def _onset_sql() -> str:
+    from pliers_spark.functions.audio_features import onset_detect_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return onset_detect_sql(stft_power_sql())
+
+
+@query("onset_detect", _onset_sql())
+def q_onset_detect(spark, sf_dir):
+    """OnsetDetectExtractor role (pliers/extractors/audio.py:314-322):
+    peak-pick the onset-strength envelope — local max over ±1 frames AND
+    above the trailing 3-frame mean + delta. Window comparisons only;
+    the sole emitted float is the already-rounded flux."""
+    from pliers_spark.functions.audio_features import onset_detect
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return onset_detect(frames)
+
+
+def _tempo_sql() -> str:
+    from pliers_spark.functions.audio_features import tempo_autocorr_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return tempo_autocorr_sql(stft_power_sql())
+
+
+@query("tempo", _tempo_sql())
+def q_tempo(spark, sf_dir):
+    """TempoExtractor role (pliers/extractors/audio.py:325-333):
+    dominant periodicity of the onset envelope via per-entity
+    autocorrelation over lags 1..6, argmax (smallest lag on ties),
+    tempo_bpm = 60·sr/(hop·lag)."""
+    from pliers_spark.functions.audio_features import tempo_autocorr
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return tempo_autocorr(frames)

@@ -134,3 +134,33 @@ def test_poly_features_matches_numpy(frames, x):
         slope, intercept = np.polyfit(freqs, mag[f], 1)
         assert got[f]["coefficient_0"] == pytest.approx(slope, abs=2e-6)
         assert got[f]["coefficient_1"] == pytest.approx(intercept, abs=2e-6)
+
+
+def test_onset_detect_matches_numpy(frames, x):
+    from pliers_spark.functions.audio_features import onset_detect
+
+    mag = np.sqrt(_np_power(x))
+    flux = np.round((np.maximum(mag[1:] - mag[:-1], 0.0) ** 2).sum(axis=1), 6)
+    # frames carrying flux are 1..n-1; onset rule needs prev/next/trailing-3
+    onsets = set()
+    for i in range(1, len(flux) - 1):
+        lo = max(0, i - 3)
+        if i - lo < 1:
+            continue
+        trail = flux[lo:i].mean()
+        if flux[i] > flux[i - 1] and flux[i] >= flux[i + 1] and flux[i] >= trail + 0.5:
+            onsets.add(i + 1)  # flux index i ↔ frame i+1
+    got = {r["frame"] for r in onset_detect(frames).collect()}
+    assert got == onsets
+
+
+def test_tempo_autocorr_matches_numpy(frames, x):
+    from pliers_spark.functions.audio_features import HOP, SR, tempo_autocorr
+
+    mag = np.sqrt(_np_power(x))
+    flux = np.round((np.maximum(mag[1:] - mag[:-1], 0.0) ** 2).sum(axis=1), 6)
+    acf = [np.round((flux[L:] * flux[:-L]).sum(), 4) for L in range(1, 7)]
+    best = int(np.argmax(acf)) + 1  # numpy argmax takes first max = smallest lag
+    row = tempo_autocorr(frames).collect()[0]
+    assert row["best_lag"] == best
+    assert row["tempo_bpm"] == pytest.approx(60.0 * SR / (HOP * best))
