@@ -173,24 +173,31 @@ def rms_zcr(
     the window, one for the frame agg; the frame explode is bounded by
     frame/hop (≤2 copies/row) exactly like ``temporal.framed_agg``.
     """
+    # every window reuses ONE spec — partition by entity, order by
+    # (ts, tiebreak) — so the physical plan sorts once inside a single
+    # exchange; ordering the later lags by the derived `n` instead
+    # would insert a redundant Sort per window (same effective order,
+    # but Catalyst cannot prove it)
     wo = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
     wp = Window.partitionBy(entity_col)
     n = F.row_number().over(wo) - F.lit(1)
     d = df.select(
         entity_col,
+        F.col(ts_col),
+        F.col(tiebreak_col),
         n.alias("n"),
         F.count(F.lit(1)).over(wp).alias("len"),
         F.col(value_col).alias("x"),
     )
-    d = d.withColumn("s", F.col("x") - F.lag("x").over(Window.partitionBy(entity_col).orderBy("n")))
+    d = d.withColumn("s", F.col("x") - F.lag("x").over(wo))
     d = d.withColumn(
         "crossing",
         F.when(
-            F.lag("s").over(Window.partitionBy(entity_col).orderBy("n")).isNotNull()
-            & ((F.col("s") < 0) != (F.lag("s").over(Window.partitionBy(entity_col).orderBy("n")) < 0)),
+            F.lag("s").over(wo).isNotNull()
+            & ((F.col("s") < 0) != (F.lag("s").over(wo) < 0)),
             F.lit(1),
         ).otherwise(F.lit(0)),
-    )
+    ).drop(ts_col, tiebreak_col)
     f_lo = F.greatest(F.ceil((F.col("n") - F.lit(frame - 1)) / F.lit(float(hop))).cast("long"), F.lit(0))
     f_hi = F.least(
         F.floor(F.col("n") / F.lit(float(hop))).cast("long"),

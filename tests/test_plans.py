@@ -208,3 +208,23 @@ def test_hash_sample_no_shuffle_no_python(spark):
     assert "PythonUDF" not in plan, plan
     # narrow map + filter over the (spread) scan — nothing else
     assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_rms_zcr_single_shuffle_single_sort(spark):
+    """rms_zcr is a 100%-built-in plan: ONE Exchange (entity hash) and
+    ONE Sort feeding every window pass — the later lags reuse the
+    (ts, tiebreak) spec instead of re-sorting by the derived row index —
+    then the frame agg reuses the entity partitioning (no second
+    Exchange: hash(entity) satisfies the (entity, frame) clustering)."""
+    import datetime
+
+    from pliers_spark.functions.audio_features import rms_zcr
+
+    rows = [
+        (1, i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i), float(i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    plan = plan_of(rms_zcr(df, "user_id", "ts", "value", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
