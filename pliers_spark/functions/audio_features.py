@@ -470,3 +470,93 @@ acc AS (
 SELECT user_id, CAST({case} AS BIGINT) AS best_lag,
        round({_lit(60.0 * SR)} / ({_lit(float(HOP))} * ({case})), 6) AS tempo_bpm
 FROM acc WHERE {best} IS NOT NULL"""
+
+
+# --------------------------------------------------------------------------
+# harmonic/percussive separation (HPSS) energy split
+
+
+def hpss_exprs(prefix: str = "p", n_bins: int = N_BINS) -> dict[str, str]:
+    """Median-filtering HPSS recast (HarmonicExtractor /
+    PercussiveExtractor, pliers/extractors/audio.py:488-506;
+    Fitzgerald 2010's median-filter method behind librosa.effects.
+    harmonic/percussive): per bin, H_k = median of the bin's power over
+    the ±2-frame time window (columns ``{prefix}{k}_m2..p2``), P_k =
+    median across the frame's frequency bins; soft mask
+    m_k = H_k²/(H_k²+P_k²+ε), harmonic_energy = Σ p_k·m_k,
+    percussive_energy = Σ p_k·(1−m_k). Median-of-5 = element 3 of the
+    sorted array — identical doubles sort identically on both engines."""
+    freq_med = (
+        "(array_sort(array(" + ", ".join(f"{prefix}{k}" for k in range(n_bins)) + "))"
+        f"[{n_bins // 2}])"
+    )
+    h_terms, p_terms = [], []
+    for k in range(n_bins):
+        tmed = (
+            f"(array_sort(array({prefix}{k}_m2, {prefix}{k}_m1, {prefix}{k}, "
+            f"{prefix}{k}_p1, {prefix}{k}_p2))[2])"
+        )
+        mask = f"(pow({tmed}, 2) / (pow({tmed}, 2) + pow({freq_med}, 2) + 1e-10))"
+        h_terms.append(f"{prefix}{k} * {mask}")
+        p_terms.append(f"{prefix}{k} * (1.0 - {mask})")
+    return {
+        "harmonic_energy": f"round({' + '.join(h_terms)}, 6)",
+        "percussive_energy": f"round({' + '.join(p_terms)}, 6)",
+    }
+
+
+def hpss_energy(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    """Adds the ±2-frame lag/lead columns (one shared window spec → one
+    Sort) then evaluates the shared-text mask expressions. Edge frames
+    without a full ±2 neighborhood are dropped (no synthetic padding —
+    the same no-fabricated-history rule as spectral_flux)."""
+    w = Window.partitionBy(entity_col).orderBy("frame")
+    out = frames
+    for k in range(N_BINS):
+        out = (
+            out.withColumn(f"p{k}_m2", F.lag(f"p{k}", 2).over(w))
+            .withColumn(f"p{k}_m1", F.lag(f"p{k}", 1).over(w))
+            .withColumn(f"p{k}_p1", F.lead(f"p{k}", 1).over(w))
+            .withColumn(f"p{k}_p2", F.lead(f"p{k}", 2).over(w))
+        )
+    out = out.where(F.col("p0_m2").isNotNull() & F.col("p0_p2").isNotNull())
+    exprs = hpss_exprs()
+    return out.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def hpss_energy_sql(stft_sql: str) -> str:
+    lags = []
+    for k in range(N_BINS):
+        lags += [
+            f"lag(p{k}, 2) OVER w AS p{k}_m2",
+            f"lag(p{k}, 1) OVER w AS p{k}_m1",
+            f"lead(p{k}, 1) OVER w AS p{k}_p1",
+            f"lead(p{k}, 2) OVER w AS p{k}_p2",
+        ]
+    exprs = hpss_exprs()
+    # DuckDB lists are 1-indexed; Spark arrays 0-indexed — shift the
+    # subscripts in the shared expression text
+    sel = ",\n       ".join(
+        f"{_shift_subscripts(e)} AS {n}" for n, e in exprs.items()
+    )
+    return f"""WITH stft AS (
+{stft_sql}
+), lagged AS (
+  SELECT user_id, frame, {', '.join(f'p{k}' for k in range(N_BINS))},
+         {', '.join(lags)}
+  FROM stft
+  WINDOW w AS (PARTITION BY user_id ORDER BY frame))
+SELECT user_id, frame,
+       {sel}
+FROM lagged WHERE p0_m2 IS NOT NULL AND p0_p2 IS NOT NULL"""
+
+
+def _shift_subscripts(expr: str) -> str:
+    """Rewrite Spark's 0-based ``)[i]`` array subscripts to DuckDB's
+    1-based ``)[i+1]`` and ``array_sort(array(`` to ``list_sort([``."""
+    import re
+
+    out = expr.replace("array_sort(array(", "list_sort([").replace("))[", "])[")
+    return re.sub(r"\]\)\[(\d+)\]", lambda m: f"])[{int(m.group(1)) + 1}]", out)

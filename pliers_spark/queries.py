@@ -2762,3 +2762,27 @@ def q_tempo(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return tempo_autocorr(frames)
+
+
+def _hpss_sql() -> str:
+    from pliers_spark.functions.audio_features import hpss_energy_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return hpss_energy_sql(stft_power_sql())
+
+
+@query("hpss_energy", _hpss_sql())
+def q_hpss_energy(spark, sf_dir):
+    """Harmonic/Percussive separation energies (HarmonicExtractor /
+    PercussiveExtractor, pliers/extractors/audio.py:488-506; Fitzgerald
+    2010 median-filter HPSS): per-bin time-median vs per-frame
+    freq-median soft masks over the STFT frames — ±2-frame lags share
+    one window spec (one Sort), masks are shared-text expressions."""
+    from pliers_spark.functions.audio_features import hpss_energy
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return hpss_energy(frames)

@@ -164,3 +164,22 @@ def test_tempo_autocorr_matches_numpy(frames, x):
     row = tempo_autocorr(frames).collect()[0]
     assert row["best_lag"] == best
     assert row["tempo_bpm"] == pytest.approx(60.0 * SR / (HOP * best))
+
+
+def test_hpss_energy_matches_numpy(frames, x):
+    from pliers_spark.functions.audio_features import hpss_energy
+
+    p = _np_power(x)
+    n_frames, n_bins = p.shape
+    got = {r["frame"]: r for r in hpss_energy(frames).collect()}
+    assert set(got) == set(range(2, n_frames - 2))  # edges dropped
+    for f in range(2, n_frames - 2):
+        fmed = np.sort(p[f])[n_bins // 2]
+        h = e_p = 0.0
+        for k in range(n_bins):
+            tmed = np.sort(p[f - 2 : f + 3, k])[2]
+            mask = tmed**2 / (tmed**2 + fmed**2 + 1e-10)
+            h += p[f, k] * mask
+            e_p += p[f, k] * (1 - mask)
+        assert got[f]["harmonic_energy"] == pytest.approx(h, abs=2e-6)
+        assert got[f]["percussive_energy"] == pytest.approx(e_p, abs=2e-6)
