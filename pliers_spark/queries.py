@@ -2786,3 +2786,19 @@ def q_hpss_energy(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return hpss_energy(frames)
+
+
+def _repetition_sql() -> str:
+    from pliers_spark.operators.quality import repetition_signals_sql
+
+    return repetition_signals_sql()
+
+
+@query("repetition_signals", _repetition_sql())
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition quality signals (training-data
+    curation): duplicate-token fraction, top-token share, top-bigram
+    share — exact integer ppm, two co-partitioned aggregations."""
+    from pliers_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")

@@ -208,3 +208,25 @@ def test_minhash_array_variant_equals_grouped(spark, docs):
         for r in D.minhash_signatures(docs, "text", "doc_id", K, 2).collect()
     }
     assert a == g
+
+
+def test_repetition_signals_golden(spark):
+    from pliers_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 tokens, 2 unique, top 'a'=3; bigrams: 'a a'x2,'a b' -> top 2/3
+            (2, "x"),                # single token: no bigrams -> NULL
+            (3, "p q p q p"),        # 5 tokens 2 unique top 3; bigrams 'p q'x2,'q p'x2 -> 2/4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df, "text", "doc_id").collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["dup_token_ppm"] == 500000      # (4-2)/4
+    assert got[1]["top_token_ppm"] == 750000      # 3/4
+    assert got[1]["top_bigram_ppm"] == 666666     # floor(2e6/3)
+    assert got[2]["top_bigram_ppm"] is None
+    assert got[2]["dup_token_ppm"] == 0
+    assert got[3]["top_token_ppm"] == 600000
+    assert got[3]["top_bigram_ppm"] == 500000
