@@ -2802,3 +2802,119 @@ def q_repetition_signals(spark, sf_dir):
     from pliers_spark.operators.quality import repetition_signals
 
     return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# batch 9 (round 2): curation ops — BPE-style token counting, PII scrub,
+# cross-corpus boilerplate line removal
+
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+@query(
+    "token_count_bpe",
+    f"""SELECT doc_id,
+              len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+              len(string_split(trim(text), ' '))::BIGINT AS n_ws_tokens
+       FROM documents""",
+)
+def q_token_count_bpe(spark, sf_dir):
+    """Token accounting with a GPT-2-style pre-tokenizer regex
+    (contractions | space-word | space-number | space-punct-run |
+    whitespace-run; clean-room ASCII recast of the published gpt-2
+    pattern) next to the whitespace count — the budget estimator a
+    training pipeline runs corpus-wide. Pure regexp_extract_all, RE2-
+    and Java-regex-compatible subset, integer outputs."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, \"{_BPE_RE}\", 0)")).cast("long").alias("n_bpe_tokens"),
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+_PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+@query(
+    "pii_scrub",
+    "SELECT doc_id, "
+    + "".join(
+        f"regexp_replace(" for _ in _PII_RULES
+    )
+    + "text"
+    + "".join(
+        f", '{pat.replace(chr(39), chr(39)*2)}', '{rep}', 'g')" for pat, rep in _PII_RULES
+    )
+    + " AS clean_text FROM documents",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone-like runs →
+    <PHONE>): the standard pre-training scrub pass, as a fixed-order
+    regexp_replace chain in the RE2/Java-compatible regex subset —
+    narrow map stage, no shuffle, byte-comparable across engines."""
+    c = F.col("text")
+    for pat, rep in _PII_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return _docs(spark, sf_dir).select("doc_id", c.alias("clean_text"))
+
+
+@query(
+    "boilerplate_removal",
+    """WITH marked AS (
+         SELECT doc_id, regexp_replace(text, '\\bthe\\b', 'the.', 'g') AS mtext
+         FROM documents),
+       sents AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(regexp_replace(trim(mtext), '([.!?]) +', '\\1' || chr(10), 'g'), chr(10)))))::BIGINT AS pos,
+                unnest(list_transform(string_split(regexp_replace(trim(mtext), '([.!?]) +', '\\1' || chr(10), 'g'), chr(10)), s -> trim(s))) AS sentence
+         FROM marked),
+       sents2 AS (SELECT * FROM sents WHERE sentence != ''),
+       df_t AS (
+         SELECT sentence, count(DISTINCT doc_id) AS df FROM sents2 GROUP BY 1),
+       kept AS (
+         SELECT s.doc_id, s.pos, s.sentence
+         FROM sents2 s JOIN df_t USING (sentence) WHERE df_t.df < 40),
+       agg AS (
+         SELECT doc_id, string_agg(sentence, ' ' ORDER BY pos) AS clean_text,
+                count(*) AS n_kept
+         FROM kept GROUP BY doc_id)
+       SELECT m.doc_id, coalesce(a.clean_text, '') AS clean_text,
+              coalesce(a.n_kept, 0)::BIGINT AS n_kept
+       FROM marked m LEFT JOIN agg a USING (doc_id)""",
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """Cross-corpus boilerplate line removal (CCNet-style: drop lines
+    whose document frequency ≥ threshold — nav bars, cookie banners):
+    sentence-split (same marker rule as sentence_split), global
+    line-DF census (map-side partial agg over (line, doc) pairs), drop
+    hot lines, reassemble each doc in original order. The census keys
+    on the line text — Zipf-skewed, but the agg is algebraic (count
+    distinct per line via two-level agg) so it partial-aggregates;
+    reassembly sorts inside each doc's array, not globally."""
+    d = _docs(spark, sf_dir)
+    marked = F.regexp_replace(F.col("text"), r"\bthe\b", "the.")
+    sents = d.select(
+        "doc_id", F.posexplode(T.split_sentences(marked)).alias("pos", "sentence")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    df_t = sents.groupBy("sentence").agg(F.countDistinct("doc_id").alias("df"))
+    kept = sents.join(df_t.where(F.col("df") < 40), "sentence")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
