@@ -560,3 +560,157 @@ def _shift_subscripts(expr: str) -> str:
 
     out = expr.replace("array_sort(array(", "list_sort([").replace("))[", "])[")
     return re.sub(r"\]\)\[(\d+)\]", lambda m: f"])[{int(m.group(1)) + 1}]", out)
+
+
+# --------------------------------------------------------------------------
+# fundamental frequency (YIN), 100% built-in — no UDF, not even for framing
+
+
+def yin_exprs(
+    frame: int = FRAME, w: int = 4, tau_max: int = 4, threshold: float = 0.1,
+    prefix: str = "x", sr: int = SR,
+) -> dict[str, str]:
+    """FundamentalFrequencyExtractor role (pliers/extractors/audio.py:
+    508-521; librosa.pyin's underlying YIN, de Cheveigné & Kawahara
+    2002): per frame, difference function d(τ) = Σ_{j<w} (x_j −
+    x_{j+τ})², cumulative-mean-normalized d'(τ) = d(τ)·τ / Σ_{i≤τ} d(i),
+    best τ = first lag with d'(τ) < threshold else argmin (smallest lag
+    on ties), f0 = sr/τ. Constant frames (Σ d = 0) emit NULLs. The
+    probabilistic (pYIN) layer needs an HMM — out of scope, documented.
+
+    Returns a list of stage dicts (name → expr) — each stage references
+    only the PREVIOUS stage's named columns, so every projection stays
+    small enough for whole-stage codegen (the single-expression form
+    blew the 64KB generated-method limit and fell back to interpreted
+    evaluation)."""
+    stage_d = {
+        f"d{tau}": "(" + " + ".join(
+            f"pow({prefix}{j} - {prefix}{j + tau}, 2)" for j in range(w)
+        ) + ")"
+        for tau in range(1, tau_max + 1)
+    }
+    stage_c = {"dtot": " + ".join(f"d{t}" for t in range(1, tau_max + 1))}
+    for tau in range(1, tau_max + 1):
+        cum = " + ".join(f"d{t}" for t in range(1, tau + 1))
+        # NULL when the cumulative sum is 0 (flat prefix): ANSI Spark
+        # raises on 0/0 and DuckDB returns NaN — both engines must skip
+        # the lag instead (least/CASE ignore NULLs identically)
+        stage_c[f"c{tau}"] = (
+            f"(CASE WHEN ({cum}) > 0.0 THEN d{tau} * {_lit(float(tau))} / ({cum}) END)"
+        )
+    least_all = "least(" + ", ".join(f"c{t}" for t in range(1, tau_max + 1)) + ")"
+    thr_cases = " ".join(
+        f"WHEN c{t} < {_lit(threshold)} THEN {t}" for t in range(1, tau_max + 1)
+    )
+    argmin_cases = " ".join(
+        f"WHEN c{t} = {least_all} THEN {t}" for t in range(1, tau_max + 1)
+    )
+    stage_best = {
+        "raw_tau": f"(CASE {thr_cases} ELSE (CASE {argmin_cases} END) END)",
+        "cmin": least_all,
+    }
+    f0 = " ".join(
+        f"WHEN raw_tau = {t} THEN CAST({_lit(sr / t)} AS DOUBLE)"
+        for t in range(1, tau_max + 1)
+    )
+    stage_out = {
+        "best_tau": "CASE WHEN dtot > 0.0 THEN CAST(raw_tau AS BIGINT) END",
+        "f0_hz": f"CASE WHEN dtot > 0.0 THEN (CASE {f0} END) END",
+        "cmnd_min": "CASE WHEN dtot > 0.0 THEN round(cmin, 6) END",
+    }
+    return [stage_d, stage_c, stage_best, stage_out]
+
+
+def yin_f0(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> DataFrame:
+    """Framing reuses the rms_zcr shape (row_number window → bounded
+    frame explode → one exchange), then the frame's samples pivot into
+    position columns x0..x{frame-1} via conditional aggregation — so the
+    whole YIN pipeline is built-in expressions inside whole-stage
+    codegen. Only full frames are emitted."""
+    wo = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    wp = Window.partitionBy(entity_col)
+    d = df.select(
+        entity_col,
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        (F.row_number().over(wo) - F.lit(1)).alias("n"),
+        F.count(F.lit(1)).over(wp).alias("len"),
+        F.col(value_col).alias("v"),
+    ).drop(ts_col, tiebreak_col)
+    f_lo = F.greatest(F.ceil((F.col("n") - F.lit(frame - 1)) / F.lit(float(hop))).cast("long"), F.lit(0))
+    f_hi = F.least(
+        F.floor(F.col("n") / F.lit(float(hop))).cast("long"),
+        F.floor((F.col("len") - F.lit(frame)) / F.lit(float(hop))).cast("long"),
+    )
+    d = d.withColumn("f_lo", f_lo).withColumn("f_hi", f_hi)
+    d = d.withColumn(
+        "f",
+        F.explode(
+            F.when(F.col("f_lo") <= F.col("f_hi"), F.sequence("f_lo", "f_hi")).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    ).withColumn("j", F.col("n") - F.col("f") * hop)
+    pivoted = d.groupBy(F.col(entity_col), F.col("f").alias("frame")).agg(
+        *[F.max(F.when(F.col("j") == j, F.col("v"))).alias(f"x{j}") for j in range(frame)]
+    )
+    stages = yin_exprs()
+    out = pivoted
+    for stage in stages:
+        out = out.select(
+            "*", *[F.expr(e).alias(n) for n, e in stage.items()]
+        )
+    final_cols = list(stages[-1])
+    return out.select(entity_col, "frame", *final_cols)
+
+
+def yin_f0_sql(
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    table: str = "events",
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> str:
+    piv = ", ".join(
+        f"max(CASE WHEN j = {j} THEN v END) AS x{j}" for j in range(frame)
+    )
+    stages = yin_exprs()
+    ctes = []
+    prev = "piv"
+    for i, stage in enumerate(stages[:-1]):
+        name = f"s{i}"
+        cols = ", ".join(f"{e} AS {n}" for n, e in stage.items())
+        ctes.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in stages[-1].items())
+    stage_sql = ",\n".join(ctes)
+    return f"""WITH x AS (
+  SELECT {entity_col},
+         row_number() OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {tiebreak_col}) - 1 AS n,
+         count(*) OVER (PARTITION BY {entity_col}) AS len,
+         {value_col} AS v
+  FROM {table}),
+fr AS (
+  SELECT *, unnest(generate_series(
+              greatest(cast(ceil((n - {frame - 1}) / {hop}.0) AS BIGINT), 0),
+              least(cast(floor(n / {hop}.0) AS BIGINT),
+                    cast(floor((len - {frame}) / {hop}.0) AS BIGINT)))) AS f
+  FROM x),
+j AS (SELECT *, n - f * {hop} AS j FROM fr),
+piv AS (
+  SELECT {entity_col}, f AS frame, {piv}
+  FROM j GROUP BY {entity_col}, f),
+{stage_sql}
+SELECT {entity_col}, frame,
+       {sel}
+FROM {prev}"""

@@ -2918,3 +2918,21 @@ def q_boilerplate_removal(spark, sf_dir):
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def _yin_sql() -> str:
+    from pliers_spark.functions.audio_features import yin_f0_sql
+
+    return yin_f0_sql()
+
+
+@query("yin_f0", _yin_sql())
+def q_yin_f0(spark, sf_dir):
+    """FundamentalFrequencyExtractor role (pliers/extractors/audio.py:
+    508-521): the YIN difference-function pitch estimator, 100% built-in
+    — window framing, bounded explode, conditional-agg position pivot,
+    then shared-text CMND/threshold/argmin expressions. No UDF at all,
+    not even for the framing."""
+    from pliers_spark.functions.audio_features import yin_f0
+
+    return yin_f0(_events(spark, sf_dir), "user_id", "ts", "value", "event_id")

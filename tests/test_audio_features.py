@@ -183,3 +183,30 @@ def test_hpss_energy_matches_numpy(frames, x):
             e_p += p[f, k] * (1 - mask)
         assert got[f]["harmonic_energy"] == pytest.approx(h, abs=2e-6)
         assert got[f]["percussive_energy"] == pytest.approx(e_p, abs=2e-6)
+
+
+def test_yin_f0_matches_numpy(spark, x):
+    from pliers_spark.functions.audio_features import yin_f0
+
+    df = _series_df(spark, x)
+    got = {r["frame"]: r for r in yin_f0(df, "user_id", "ts", "value", "event_id").collect()}
+    fx = _np_frames(x)
+    for f in range(fx.shape[0]):
+        w = fx[f]
+        d = np.array([((w[:4] - w[tau : tau + 4]) ** 2).sum() for tau in range(1, 5)])
+        assert d.sum() > 0  # random-walk series: never constant
+        c = np.array([d[t] * (t + 1) / d[: t + 1].sum() for t in range(4)])
+        below = np.flatnonzero(c < 0.1)
+        tau = (below[0] if len(below) else int(np.argmin(c))) + 1
+        assert got[f]["best_tau"] == tau
+        assert got[f]["f0_hz"] == pytest.approx(SR / tau)
+        assert got[f]["cmnd_min"] == pytest.approx(round(c.min(), 6), abs=1e-9)
+
+
+def test_yin_f0_constant_series_null(spark):
+    from pliers_spark.functions.audio_features import yin_f0
+
+    df = _series_df(spark, [1.0] * 12)
+    rows = yin_f0(df, "user_id", "ts", "value", "event_id").collect()
+    assert len(rows) == 2  # (12-8)//4+1 frames
+    assert all(r["best_tau"] is None and r["f0_hz"] is None for r in rows)
