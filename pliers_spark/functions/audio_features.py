@@ -714,3 +714,48 @@ piv AS (
 SELECT {entity_col}, frame,
        {sel}
 FROM {prev}"""
+
+
+# --------------------------------------------------------------------------
+# chroma: fold frequency bins onto pitch classes
+
+
+def chroma_exprs(
+    prefix: str = "p", n_bins: int = N_BINS, bin_hz: float = SR / FRAME,
+) -> dict[str, str]:
+    """ChromaSTFTExtractor role (pliers/extractors/audio.py:368-384;
+    librosa.feature.chroma_stft): fold each non-DC bin's power onto its
+    pitch class pc = round(12·log2(f/440) + 69) mod 12 (A440 equal
+    temperament), then max-normalize per frame. The class map is
+    computed driver-side (literal), so the fold is a plain sum per
+    class; empty classes emit exact 0.0."""
+    classes: dict[int, list[int]] = {}
+    for k in range(1, n_bins):
+        pc = round(12 * math.log2(k * bin_hz / 440.0) + 69) % 12
+        classes.setdefault(pc, []).append(k)
+    sums = {
+        c: "(" + " + ".join(f"{prefix}{k}" for k in ks) + ")"
+        for c, ks in classes.items()
+    }
+    mx = "greatest(" + ", ".join(sums.values()) + ", 1e-10)"
+    out = {}
+    for c in range(12):
+        if c in sums:
+            out[f"chroma_{c}"] = f"round({sums[c]} / {mx}, 6)"
+        else:
+            out[f"chroma_{c}"] = "0.0"
+    return out
+
+
+def chroma_stft(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    exprs = chroma_exprs()
+    return frames.select(
+        entity_col, "frame",
+        *[F.expr(e).cast("double").alias(n) for n, e in exprs.items()],
+    )
+
+
+def chroma_stft_sql(stft_sql: str) -> str:
+    exprs = chroma_exprs()
+    sel = ",\n       ".join(f"CAST({e} AS DOUBLE) AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"

@@ -2936,3 +2936,77 @@ def q_yin_f0(spark, sf_dir):
     from pliers_spark.functions.audio_features import yin_f0
 
     return yin_f0(_events(spark, sf_dir), "user_id", "ts", "value", "event_id")
+
+
+def _chroma_sql() -> str:
+    from pliers_spark.functions.audio_features import chroma_stft_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return chroma_stft_sql(stft_power_sql())
+
+
+@query("chroma_stft", _chroma_sql())
+def q_chroma_stft(spark, sf_dir):
+    """ChromaSTFTExtractor role (pliers/extractors/audio.py:368-384):
+    per-frame pitch-class energy profile — the A440 class map is folded
+    driver-side into literal per-class sums, max-normalized."""
+    from pliers_spark.functions.audio_features import chroma_stft
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return chroma_stft(frames)
+
+
+def _curation_pipeline_sql() -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    pii = "text"
+    for pat, rep in _PII_RULES:
+        pii = f"regexp_replace({pii}, '{pat.replace(chr(39), chr(39)*2)}', '{rep}', 'g')"
+    return f"""WITH hashed AS (
+         SELECT doc_id, lang, text,
+                row_number() OVER (PARTITION BY {md5_int_sql('text')}
+                                   ORDER BY doc_id) AS rn
+         FROM documents),
+       reps AS (SELECT doc_id, lang, text FROM hashed WHERE rn = 1),
+       ranked AS (
+         SELECT doc_id, lang, text,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY length(trim(text)), doc_id) AS pr
+         FROM reps),
+       kept AS (SELECT * FROM ranked WHERE pr >= 0.1)
+       SELECT doc_id, lang, round(pr, 6) AS pr,
+              CASE WHEN {md5_int_sql('text', seed=13)} % 100 < 80 THEN 'train'
+                   WHEN {md5_int_sql('text', seed=13)} % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              length({pii})::BIGINT AS clean_len
+       FROM kept"""
+
+
+@query("curation_pipeline", _curation_pipeline_sql())
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition as ONE optimized DAG: exact-dedup
+    representative selection (content-hash window) -> per-language
+    percentile quality gate -> PII scrub -> leak-proof content-hash
+    split assignment. Catalyst pipelines the scrub/split projections
+    into the rank filter; two window shuffles (hash, lang) total -- the
+    shape a 100 TB cleaning pass actually runs."""
+    from pliers_spark.queries import _PII_RULES  # self-import safe at call time
+
+    d = _docs(spark, sf_dir)
+    w_rep = Window.partitionBy(md5_int(F.col("text"))).orderBy("doc_id")
+    reps = d.withColumn("rn", F.row_number().over(w_rep)).where(F.col("rn") == 1)
+    w_rank = Window.partitionBy("lang").orderBy(F.length(F.trim(F.col("text"))), F.col("doc_id"))
+    ranked = reps.withColumn("pr", F.percent_rank().over(w_rank)).where(F.col("pr") >= 0.1)
+    clean = F.col("text")
+    for pat, rep in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, rep)
+    b = F.pmod(md5_int(F.col("text"), seed=13), F.lit(100))
+    split = F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    return ranked.select(
+        "doc_id", "lang", F.round("pr", 6).alias("pr"), split.alias("split"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
