@@ -164,3 +164,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     assert len(got) == len(expected) == 6  # 3 distinct urls × 2 users
     assert set(got) == expected
+
+
+def test_streaming_extract_matches_batch_and_is_incremental(spark, tmp_path):
+    """The flagship extract stage under Structured Streaming: (a) a
+    first availableNow pass over the landing dir equals the batch
+    extract row-for-row; (b) a SECOND file landing is picked up
+    incrementally (only new rows appended — exactly-once file
+    accounting via the stream checkpoint)."""
+    import shutil
+
+    from pliers_spark.pages_pipeline import extract_page_features
+    from pliers_spark.streaming.extract import streaming_page_features
+    from pliers_spark.synthgen import write_pages
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    p1 = write_pages(str(tmp_path / "b1.parquet"), n_urls=40, max_snapshots=3, seed=7)
+    shutil.copy(p1, land / "batch1.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_trigger(name):
+        q = (
+            streaming_page_features(spark, str(land))
+            .writeStream.format("parquet")
+            .queryName(name)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got1 = run_trigger("stream_extract_1")
+    batch1 = extract_page_features(spark.read.parquet(str(land)))
+    assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, batch1.collect()))
+    n1 = got1.count()
+
+    # second landing: new file with different urls — the checkpointed
+    # file source processes ONLY the new file (exactly-once accounting)
+    p2 = write_pages(str(tmp_path / "b2.parquet"), n_urls=15, max_snapshots=2, seed=99)
+    shutil.copy(p2, land / "batch2.parquet")
+    got2 = run_trigger("stream_extract_2")
+    batch2 = extract_page_features(spark.read.parquet(str(land)))
+    assert got2.count() == batch2.count() > n1
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, batch2.collect()))
