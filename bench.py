@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "stft_power",
     "spectral_shape",
     "rms_zcr",
+    "mel_mfcc",
+    "yin_f0",
+    "repetition_signals",
+    "curation_pipeline",
     "novelty_jaccard",
     "quality_filter",
     "hash_sample",

@@ -759,3 +759,46 @@ def chroma_stft_sql(stft_sql: str) -> str:
     exprs = chroma_exprs()
     sel = ",\n       ".join(f"CAST({e} AS DOUBLE) AS {n}" for n, e in exprs.items())
     return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
+
+
+# --------------------------------------------------------------------------
+# MFCC energy: low/high-quefrency mel-spectrum reconstruction
+
+
+def mfcc_energy_exprs(
+    prefix: str = "p", n_mels: int = 3, n_mfcc: int = 3, n_coefs: int = 2,
+) -> dict[str, str]:
+    """MFCCEnergyExtractor (pliers/extractors/audio.py:645-703; Hanke
+    et al. 2015): zero out the high (resp. low) cepstral coefficients
+    and map back to the mel-spectrum domain with the inverse DCT —
+    'low' register keeps coefficients 0..n_coefs-1 (timbre/broad
+    spectrum), 'high' keeps the rest (pitch/fine structure). Since the
+    orthonormal DCT is literal, the reconstruction composes into one
+    linear expression over the log-mel columns; we emit the
+    reconstructed log-mel band values for both registers."""
+    _, dct = mel_dct_weights(n_mels=n_mels, n_mfcc=n_mfcc)
+    logmels = [e[len("round(") : -len(", 6)")] for e in
+               [mfcc_exprs(prefix, n_mels, n_mfcc)[f"logmel{m}"] for m in range(n_mels)]]
+    mfccs = [
+        "(" + " + ".join(f"{_lit(dct[c][m])} * ({logmels[m]})" for m in range(n_mels)) + ")"
+        for c in range(n_mfcc)
+    ]
+    out = {}
+    for reg, keep in (("low", range(n_coefs)), ("high", range(n_coefs, n_mfcc))):
+        for m in range(n_mels):
+            rec = " + ".join(f"{_lit(dct[c][m])} * {mfccs[c]}" for c in keep)
+            out[f"{reg}_mel{m}"] = f"round({rec}, 6)"
+    return out
+
+
+def mfcc_energy(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    exprs = mfcc_energy_exprs()
+    return frames.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def mfcc_energy_sql(stft_sql: str) -> str:
+    exprs = mfcc_energy_exprs()
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"

@@ -3010,3 +3010,27 @@ def q_curation_pipeline(spark, sf_dir):
         "doc_id", "lang", F.round("pr", 6).alias("pr"), split.alias("split"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+def _mfcc_energy_sql() -> str:
+    from pliers_spark.functions.audio_features import mfcc_energy_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return mfcc_energy_sql(stft_power_sql())
+
+
+@query("mfcc_energy", _mfcc_energy_sql())
+def q_mfcc_energy(spark, sf_dir):
+    """MFCCEnergyExtractor (pliers/extractors/audio.py:645-703): low-
+    and high-quefrency mel-spectrum reconstructions — select cepstral
+    coefficients, inverse-DCT back to mel bands; the orthonormal DCT is
+    literal so the whole reconstruction folds into linear shared-text
+    expressions over the log-mel values."""
+    from pliers_spark.functions.audio_features import mfcc_energy
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return mfcc_energy(frames)

@@ -210,3 +210,22 @@ def test_yin_f0_constant_series_null(spark):
     rows = yin_f0(df, "user_id", "ts", "value", "event_id").collect()
     assert len(rows) == 2  # (12-8)//4+1 frames
     assert all(r["best_tau"] is None and r["f0_hz"] is None for r in rows)
+
+
+def test_mfcc_energy_matches_numpy(frames, x):
+    from pliers_spark.functions.audio_features import mel_dct_weights, mfcc_energy
+
+    p = _np_power(x)
+    fb, dct = mel_dct_weights()
+    fb, dct = np.array(fb), np.array(dct)
+    logmel = np.log(p @ fb.T + 1e-10)
+    mfcc = logmel @ dct.T
+    rec_low = mfcc[:, :2] @ dct[:2, :]   # keep c=0,1 -> idct
+    rec_high = mfcc[:, 2:] @ dct[2:, :]  # keep c=2
+    got = {r["frame"]: r for r in mfcc_energy(frames).collect()}
+    for f in range(p.shape[0]):
+        for m in range(3):
+            assert got[f][f"low_mel{m}"] == pytest.approx(rec_low[f, m], abs=2e-6)
+            assert got[f][f"high_mel{m}"] == pytest.approx(rec_high[f, m], abs=2e-6)
+    # sanity: low + high reconstructs the full log-mel (orthonormal DCT)
+    assert np.allclose(rec_low + rec_high, logmel, atol=1e-9)
