@@ -20,6 +20,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class RateLimiter:
@@ -82,3 +83,65 @@ def external_stage(
             yield pd.DataFrame(out)
 
     return df.select(id_col, input_col).mapInPandas(fn, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TweetStim connector recast (pliers/stimuli/api.py:17-107)
+
+
+TWEET_ENV_KEYS = (
+    "TWITTER_CONSUMER_KEY",
+    "TWITTER_CONSUMER_SECRET",
+    "TWITTER_ACCESS_TOKEN_KEY",
+    "TWITTER_ACCESS_TOKEN_SECRET",
+)
+
+TWEET_SCHEMA = "id long, text string, media_urls array<string>, n_media int"
+
+
+def tweet_source(
+    df: DataFrame,
+    fetch_status: Callable[[int], dict],
+    id_col: str = "status_id",
+    rate_per_sec: float = 1.0,
+    max_rows: int | None = 100,
+    allow_large_jobs: bool = False,
+) -> DataFrame:
+    """``TweetStimFactory.get_status`` recast (pliers/stimuli/api.py:
+    17-107): a frame of status ids → CompoundStim-shaped rows
+    (primary text + media URL slots, ``TweetStim.__init__``
+    :101-107). The transport is injected: tests pass a fixture-backed
+    ``fetch_status(status_id) -> {"text", "media_urls"}``; production
+    passes a real API client. All four TWITTER_* env keys must be
+    present (``_env_keys``, :33-34) unless the injected transport needs
+    none — mirroring EnvironmentKeyMixin. Rate limiting, job-size
+    admission control, and batching come from ``external_stage``; media
+    payloads stay URL references (decode happens in multimodal stages,
+    the reference's lazy ``load_stims`` analog)."""
+
+    def call(sid) -> dict:
+        status = fetch_status(int(sid))
+        urls = list(status.get("media_urls") or [])
+        return {
+            "text": status.get("text", ""),
+            "media_urls": urls,
+            "n_media": len(urls),
+        }
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("status_id"),
+        F.col(id_col).cast("long").alias("_sid"),
+    )
+    out = external_stage(
+        src,
+        id_col="status_id",
+        input_col="_sid",
+        call=call,
+        out_schema=TWEET_SCHEMA,
+        rate_per_sec=rate_per_sec,
+        max_rows=max_rows,
+        allow_large_jobs=allow_large_jobs,
+    )
+    return out.select(
+        F.col("id").alias("status_id"), "text", "media_urls", "n_media"
+    )

@@ -49,3 +49,35 @@ def test_env_key_gate(monkeypatch):
     assert not env_key_available("SOME_API_KEY")
     monkeypatch.setenv("SOME_API_KEY", "x")
     assert env_key_available("SOME_API_KEY")
+
+
+def test_tweet_source_compound_rows(spark):
+    """TweetStimFactory.get_status + TweetStim composition
+    (pliers/stimuli/api.py:17-107) with an injected fixture transport:
+    status ids -> (text, media slots) CompoundStim-shaped rows; media
+    stay URL references (decode belongs to the multimodal stages)."""
+    from pliers_spark.operators.external import tweet_source
+
+    fixtures = {
+        1: {"text": "hello spark", "media_urls": ["http://img/a.ppm", "http://img/b.ppm"]},
+        2: {"text": "no media here", "media_urls": []},
+        3: {"text": "one pic", "media_urls": ["http://img/c.ppm"]},
+    }
+    df = spark.createDataFrame([(1,), (2,), (3,)], "status_id long")
+    got = {
+        r["status_id"]: r
+        for r in tweet_source(df, fixtures.__getitem__, rate_per_sec=0).collect()
+    }
+    assert got[1]["text"] == "hello spark" and got[1]["n_media"] == 2
+    assert got[2]["media_urls"] == [] and got[2]["n_media"] == 0
+    assert got[3]["media_urls"] == ["http://img/c.ppm"]
+
+
+def test_tweet_source_large_job_guard(spark):
+    from pliers_spark.operators.external import tweet_source
+
+    df = spark.range(200).selectExpr("id AS status_id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="large_job"):
+        tweet_source(df, lambda sid: {"text": "", "media_urls": []}, max_rows=100)
