@@ -250,3 +250,51 @@ def image_features(df: DataFrame, id_col: str = "id", payload_col: str = "payloa
             yield pd.DataFrame(rows, columns=["id", "brightness", "vibrance", "sharpness"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_CROP_SCHEMA = "id long, width int, height int, x0 int, y0 int, x1 int, y1 int, mean_brightness double"
+
+
+def image_crop_stats(
+    df: DataFrame,
+    box: tuple[int, int, int, int] | None = None,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ImageCroppingFilter (pliers/filters/image.py:18-43): crop to an
+    explicit (left, upper, right, lower) box, or — box=None — auto-trim
+    zero (black) borders, the numpy recast of PIL ``getbbox`` (the
+    smallest box containing all non-zero pixels; all-black images crop
+    to 0x0 and emit NULL stats). Decode is real for PPM/BMP payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                if box is not None:
+                    x0, y0, x1, y1 = box
+                else:
+                    nz = img.any(axis=2)
+                    ys, xs = np.nonzero(nz)
+                    if len(ys) == 0:
+                        rows.append({"id": int(i), "width": 0, "height": 0,
+                                     "x0": 0, "y0": 0, "x1": 0, "y1": 0,
+                                     "mean_brightness": None})
+                        continue
+                    # PIL getbbox convention: right/lower are EXCLUSIVE
+                    x0, y0, x1, y1 = int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+                new = img[y0:y1, x0:x1]
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": new.shape[1],
+                        "height": new.shape[0],
+                        "x0": int(x0), "y0": int(y0), "x1": int(x1), "y1": int(y1),
+                        "mean_brightness": float(new.max(axis=2).mean() / 255.0)
+                        if new.size else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "x0", "y0", "x1", "y1", "mean_brightness"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_CROP_SCHEMA)

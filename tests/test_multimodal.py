@@ -155,3 +155,38 @@ class TestRealDecodeFeatures:
             seg = q[r["frame"] * 256 : r["frame"] * 256 + 512]
             assert r["rms"] == pytest.approx(float(np.sqrt((seg**2).mean())), rel=1e-6)
             assert r["onset"] == pytest.approx(r["frame"] * 256 / 16000)
+
+
+class TestImageCrop:
+    def test_explicit_box(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import image_crop_stats
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(1, 256, (8, 10, 3), dtype=np.uint8)
+        df = spark.createDataFrame([(0, bytearray(codecs.encode_ppm(img)))], "id long, payload binary")
+        r = image_crop_stats(df, box=(2, 1, 7, 5)).first()
+        sub = img[1:5, 2:7]
+        assert (r["width"], r["height"]) == (5, 4)
+        assert r["mean_brightness"] == pytest.approx(sub.max(axis=2).mean() / 255.0)
+
+    def test_auto_trim_black_borders(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import image_crop_stats
+
+        img = np.zeros((9, 9, 3), dtype=np.uint8)
+        img[3:6, 2:8] = 200  # bright block inside black borders
+        df = spark.createDataFrame([(1, bytearray(codecs.encode_ppm(img)))], "id long, payload binary")
+        r = image_crop_stats(df).first()
+        assert (r["x0"], r["y0"], r["x1"], r["y1"]) == (2, 3, 8, 6)
+        assert (r["width"], r["height"]) == (6, 3)
+        assert r["mean_brightness"] == pytest.approx(200 / 255.0)
+
+    def test_all_black_null(self, spark):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import image_crop_stats
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        df = spark.createDataFrame([(2, bytearray(codecs.encode_ppm(img)))], "id long, payload binary")
+        r = image_crop_stats(df).first()
+        assert r["width"] == 0 and r["mean_brightness"] is None
