@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--capacity-frac", type=float, default=0.85,
                     help="probe threshold vs this run's best probe")
     ap.add_argument("--probe-seconds", type=float, default=3.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "bench_results", "scaling.json"),
+                    help="artifact path; pass a different file to record an "
+                         "additional configuration without touching the headline")
     args = ap.parse_args()
 
     if not os.path.exists(args.path):
@@ -205,7 +208,7 @@ def main():
             "re-run in a full-capacity window"
         )
     print(json.dumps(result, indent=2))
-    out_path = os.path.join(REPO, "bench_results", "scaling.json")
+    out_path = args.out
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     # the artifact always describes the LATEST run (HEAD); prior runs move
     # to history so regressions are never masked by an old record
