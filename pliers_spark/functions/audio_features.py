@@ -802,3 +802,68 @@ def mfcc_energy_sql(stft_sql: str) -> str:
     exprs = mfcc_energy_exprs()
     sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
     return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
+
+
+# --------------------------------------------------------------------------
+# tempogram: windowed local autocorrelation of the onset envelope
+
+
+def tempogram(
+    frames: DataFrame, entity_col: str = "user_id", max_lag: int = 4, win: int = 8,
+) -> DataFrame:
+    """TempogramExtractor role (pliers/extractors/audio.py:470-486;
+    librosa.feature.tempogram): the LOCAL autocorrelation of the
+    onset-strength envelope — for each frame t and lag L,
+    tg_L(t) = Σ_{u ∈ [t-win+1, t]} flux_u · flux_{u-L}, i.e. the tempo
+    salience at that moment rather than one global estimate (``tempo``).
+    Shape: per-row lag products g_L = flux·lag(flux, L), then each
+    tg_L is the EXPLICIT fixed-order sum of the trailing ``win`` lag
+    products (not a windowed SUM: DuckDB evaluates sliding aggregates
+    with a segment tree — pairwise summation — while Spark accumulates
+    linearly, so the two engines disagree in the last ulp at tempogram
+    magnitudes; a written-out left-associative 8-term sum is
+    bit-identical on both). Outputs are FLOORED to BIGINT: at tempogram
+    magnitudes (~1e9) round(x, 6) itself diverges between engines
+    (DuckDB's multiply/round/divide vs Spark's exact BigDecimal differ
+    in the last ulp when the decimal grid is finer than the float
+    grid), while floor of an identical double is identical. One window
+    spec throughout → one Sort, no UDF. Frames without full history are
+    dropped (any NULL lag nulls the sum; no zero-padding — the
+    no-fabricated-history rule)."""
+    flux = spectral_flux(frames, entity_col)
+    w = Window.partitionBy(entity_col).orderBy("frame")
+    d = flux
+    for L in range(1, max_lag + 1):
+        d = d.withColumn(f"g{L}", F.col("flux") * F.lag("flux", L).over(w))
+    for L in range(1, max_lag + 1):
+        terms = F.col(f"g{L}")
+        for i in range(1, win):
+            terms = terms + F.lag(f"g{L}", i).over(w)
+        d = d.withColumn(f"tg{L}", F.floor(terms).cast("long"))
+    return d.where(F.col(f"tg{max_lag}").isNotNull()).select(
+        entity_col, "frame", *[f"tg{L}" for L in range(1, max_lag + 1)]
+    )
+
+
+def tempogram_sql(stft_sql: str, max_lag: int = 4, win: int = 8) -> str:
+    gs = ", ".join(
+        f"flux * lag(flux, {L}) OVER w AS g{L}" for L in range(1, max_lag + 1)
+    )
+    tgs = ", ".join(
+        "floor("
+        + " + ".join([f"g{L}"] + [f"lag(g{L}, {i}) OVER w2" for i in range(1, win)])
+        + f")::BIGINT AS tg{L}"
+        for L in range(1, max_lag + 1)
+    )
+    sel = ", ".join(f"tg{L}" for L in range(1, max_lag + 1))
+    return f"""WITH flux_t AS (
+{spectral_flux_sql(stft_sql)}
+), g AS (
+  SELECT user_id, frame, flux, {gs}
+  FROM flux_t
+  WINDOW w AS (PARTITION BY user_id ORDER BY frame)),
+tg AS (
+  SELECT user_id, frame, {tgs}
+  FROM g
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY frame))
+SELECT user_id, frame, {sel} FROM tg WHERE tg{max_lag} IS NOT NULL"""

@@ -3034,3 +3034,26 @@ def q_mfcc_energy(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return mfcc_energy(frames)
+
+
+def _tempogram_sql() -> str:
+    from pliers_spark.functions.audio_features import tempogram_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+
+    return tempogram_sql(stft_power_sql())
+
+
+@query("tempogram", _tempogram_sql())
+def q_tempogram(spark, sf_dir):
+    """TempogramExtractor role (pliers/extractors/audio.py:470-486):
+    local autocorrelation of the onset envelope per (frame, lag) — lag
+    products + trailing rolling sums, two pipelined Window passes over
+    one Sort, no UDF."""
+    from pliers_spark.functions.audio_features import tempogram
+    from pliers_spark.functions.spectral import stft_power_frames
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return tempogram(frames)

@@ -229,3 +229,26 @@ def test_mfcc_energy_matches_numpy(frames, x):
             assert got[f][f"high_mel{m}"] == pytest.approx(rec_high[f, m], abs=2e-6)
     # sanity: low + high reconstructs the full log-mel (orthonormal DCT)
     assert np.allclose(rec_low + rec_high, logmel, atol=1e-9)
+
+
+def test_tempogram_matches_numpy(spark):
+    from pliers_spark.functions.audio_features import tempogram
+
+    rng = np.random.RandomState(17)
+    x = np.cumsum(rng.randn(90)).round(3)  # 21 frames: enough win+lag history
+    frames = stft_power_frames(
+        _series_df(spark, x), "user_id", "ts", "value", order_cols=["ts", "event_id"]
+    )
+    mag = np.sqrt(_np_power(x))
+    flux = np.round((np.maximum(mag[1:] - mag[:-1], 0.0) ** 2).sum(axis=1), 6)
+    # flux index i <-> frame i+1; g_L(t) = flux_t * flux_{t-L}
+    got = {r["frame"]: r for r in tempogram(frames).collect()}
+    n = len(flux)
+    for f, r in got.items():
+        t = f - 1  # flux array index of frame f
+        for L in range(1, 5):
+            vals = [flux[u] * flux[u - L] for u in range(t - 7, t + 1)]
+            assert all(u - L >= 0 for u in range(t - 7, t + 1))  # full history
+            assert r[f"tg{L}"] == int(np.floor(np.sum(vals)))
+    # earliest emitted frame has exactly win+max_lag flux history
+    assert min(got) == 1 + 7 + 4
