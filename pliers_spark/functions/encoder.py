@@ -15,14 +15,24 @@ encoder needs at 100 TB —
   with ``np.<fn>``).
 
 What is FAKE (this container has no torch/transformers): the weights.
-``_load_model`` builds a deterministic embedding matrix from a seeded
-RandomState and token indices come from crc32 hashing — swapping in a
-real model changes only that function's body, not the Spark plumbing.
+``load_model`` builds a deterministic embedding matrix whose rows are
+md5-derived integer-ppm vectors and token indices come from md5-bucket
+hashing — swapping in a real model changes only that function's body,
+not the Spark plumbing.
+
+Float-determinism contract (driver hashes raw bits): token pooling is
+an exact int64 ppm sum with ONE final division; the tanh nonlinearity
+is evaluated as ``(exp(2x)-1)/(exp(2x)+1)`` with ``math.exp`` per
+element (libm — bit-identical to DuckDB's ``exp``; numpy's SIMD exp is
+NOT), and outputs land on the 1e-6 grid via ``floor`` (round() itself
+diverges between engines in the last ulp). This makes an EXACT DuckDB
+oracle possible: :func:`seq_encode_sql`.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib as _hl
+import math as _math
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,13 +43,24 @@ from pyspark.sql.functions import pandas_udf
 _VOCAB_BUCKETS = 1024
 
 
-class _FakeEncoder:
-    """Deterministic 'model': hashed-bucket embedding matrix + tanh."""
+def _bucket(word: str) -> int:
+    """Token → embedding-matrix row: first 8 md5 hex chars mod buckets.
+    SQL twin inside :func:`seq_encode_sql` (same hex-prefix arithmetic)."""
+    return int(_hl.md5(word.encode()).hexdigest()[:8], 16) % _VOCAB_BUCKETS
 
-    def __init__(self, dim: int, seed: int):
-        rs = np.random.RandomState(seed)
-        self.W = rs.standard_normal((_VOCAB_BUCKETS, dim))
+
+class _FakeEncoder:
+    """Deterministic 'model': md5-bucket embedding matrix (exact ppm
+    integers) + mean pooling + tanh. Matrix rows are the ppm vectors of
+    the bucket id's decimal string — pure functions of (bucket, dim), so
+    the DuckDB oracle recomputes them from md5() with no weight table."""
+
+    def __init__(self, dim: int):
         self.dim = dim
+        self.W = np.array(
+            [[_ppm(str(b), d) for d in range(dim)] for b in range(_VOCAB_BUCKETS)],
+            dtype=np.int64,
+        )
 
     def encode_batch(self, texts: pd.Series) -> pd.Series:
         out = []
@@ -47,36 +68,72 @@ class _FakeEncoder:
         for t in texts:
             toks = t.split() if t else []
             if not toks:
-                out.append(np.zeros(dim))
+                out.append([0.0] * dim)
                 continue
             idx = np.fromiter(
-                (zlib.crc32(w.encode()) % _VOCAB_BUCKETS for w in toks),
-                dtype=np.int64,
-                count=len(toks),
+                (_bucket(w) for w in toks), dtype=np.int64, count=len(toks)
             )
-            out.append(np.tanh(W[idx].mean(axis=0)))
-        return pd.Series([np.round(v, 6).tolist() for v in out])
+            s = W[idx].sum(axis=0)  # exact int64 — order-independent
+            denom = len(toks) * 1_000_000.0
+            vec = []
+            for d in range(dim):
+                m = s[d] / denom  # ONE division, both engines identical
+                e = _math.exp(2.0 * m)  # libm exp == DuckDB exp
+                vec.append(_math.floor((e - 1.0) / (e + 1.0) * 1_000_000.0) / 1_000_000.0)
+            out.append(vec)
+        return pd.Series(out)
 
 
-def load_model(dim: int = 8, seed: int = 7) -> _FakeEncoder:
+def load_model(dim: int = 8) -> _FakeEncoder:
     """Split out so a real model (torch/transformers) slots in here;
     called once per worker per task stream, never per row/batch."""
-    return _FakeEncoder(dim, seed)
+    return _FakeEncoder(dim)
 
 
-def sequence_encode_col(col: Column, dim: int = 8, seed: int = 7) -> Column:
-    @pandas_udf(f"array<double>")
+def sequence_encode_col(col: Column, dim: int = 8) -> Column:
+    @pandas_udf("array<double>")
     def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        model = load_model(dim, seed)  # once per worker, outside the loop
+        model = load_model(dim)  # once per worker, outside the loop
         for texts in batches:
             yield model.encode_batch(texts)
 
     return _encode(col)
 
 
-def reference_encode(text: str, dim: int = 8, seed: int = 7) -> list[float]:
+def seq_encode_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text", dim: int = 8) -> str:
+    """DuckDB oracle for :func:`sequence_encode_col` — the same model
+    recomputed in SQL: md5-bucket row index, ppm matrix entries from
+    md5(bucket-string) bytes (``hash_embedding_dim_ppm_sql``), exact
+    BIGINT pooling sum, one division, tanh via exp, floor to the 1e-6
+    grid. Bit-identical to the Spark pandas UDF (tests/test_encoder.py)."""
+    from .embeddings import hash_embedding_dim_ppm_sql
+
+    bk = (
+        f"CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)"
+        f" % {_VOCAB_BUCKETS} AS VARCHAR)"
+    )
+    sums = ", ".join(
+        f"sum({hash_embedding_dim_ppm_sql('bk', d)}) AS s{d}" for d in range(dim)
+    )
+    embs = ", ".join(
+        f"floor((exp(2.0 * (s{d} / (n * 1000000.0))) - 1.0)"
+        f" / (exp(2.0 * (s{d} / (n * 1000000.0))) + 1.0) * 1000000.0)"
+        f" / 1000000.0 AS emb_{d}"
+        for d in range(dim)
+    )
+    return f"""WITH toks AS (
+         SELECT {id_col}, unnest(string_split(trim({text_col}), ' ')) AS token
+         FROM {table}),
+       b AS (SELECT {id_col}, {bk} AS bk FROM toks),
+       s AS (SELECT {id_col}, count(*)::BIGINT AS n, {sums}
+             FROM b GROUP BY {id_col})
+       SELECT {id_col}, {embs} FROM s"""
+
+
+def reference_encode(text: str, dim: int = 8) -> list[float]:
     """Driver-side single-row reference for tests."""
-    return load_model(dim, seed).encode_batch(pd.Series([text])).iloc[0]
+    return load_model(dim).encode_batch(pd.Series([text])).iloc[0]
 
 
 # ---------------------------------------------------------------------------

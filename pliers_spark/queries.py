@@ -1843,13 +1843,22 @@ def q_compound_slots(spark, sf_dir):
     )
 
 
-@query("seq_encoding")  # rows-only: seeded weight matrix is not SQL
+def _seq_encode_oracle() -> str:
+    from pliers_spark.functions.encoder import seq_encode_sql
+
+    return seq_encode_sql()
+
+
+@query("seq_encoding", _seq_encode_oracle())
 def q_seq_encoding(spark, sf_dir):
     """BertExtractor pattern (pliers/extractors/text.py:412-560) —
     Iterator-of-batches pandas UDF, model loaded once per worker,
     mean-pooled sequence vector per document. Weights are a
     deterministic stand-in (no torch here); the Spark plumbing is the
-    production shape. Parity pinned in tests/test_encoder.py."""
+    production shape. The stand-in is built from md5-derived exact ppm
+    integers + libm tanh-via-exp, so the DuckDB oracle recomputes the
+    SAME model in SQL bit-for-bit (functions/encoder.seq_encode_sql).
+    Parity pinned in tests/test_encoder.py."""
     from pliers_spark.functions.encoder import sequence_encode_col
 
     docs = _docs(spark, sf_dir)
