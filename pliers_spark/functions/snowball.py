@@ -252,3 +252,51 @@ def snowball_stem_col(col: Column) -> Column:
         return tokens.map(lambda t: snowball_stem(t) if t else t)
 
     return _udf(col)
+
+
+def snowball_golden_sql(
+    testdata_root: str = "/root/testdata",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Golden-table DuckDB oracle for the Snowball query: a VALUES
+    mapping ``(word, stem)`` generated by THIS module's
+    :func:`snowball_stem` over the distinct lower-cased vocabulary of
+    every sf corpus under ``testdata_root`` (single source of truth —
+    the two engines cannot drift on the rule cascade; the cascade
+    itself is golden-tested against the published Porter2 vocabulary in
+    tests/test_stemming.py). A token outside the mapping joins to a
+    NULL stem, surfacing incompleteness as a driver mismatch instead of
+    silently passing. Porter-1980 ships a full SQL rule cascade
+    (stemming.porter_sql_ctes); Porter2's extra region/exception
+    machinery is pinned by this golden form instead."""
+    import glob
+
+    import duckdb
+
+    files = sorted(glob.glob(f"{testdata_root}/sf*/{table}.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no {table}.parquet under {testdata_root}/sf*/")
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT lower(t) FROM (SELECT unnest(string_split(trim("
+            f"{text_col}), ' ')) AS t FROM read_parquet({files!r})) WHERE t <> ''"
+        ).fetchall()
+    ]
+    con.close()
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(f"('{q(w)}', '{q(snowball_stem(w))}')" for w in sorted(vocab))
+    return f"""WITH toks AS (
+         SELECT {id_col},
+                unnest(range(len(string_split(trim({text_col}), ' '))))::BIGINT AS pos,
+                unnest(string_split(trim({text_col}), ' ')) AS token
+         FROM {table}),
+       g(w, stem) AS (VALUES {rows})
+       SELECT t.{id_col}, t.pos, t.token, g.stem
+       FROM toks t LEFT JOIN g ON lower(t.token) = g.w"""

@@ -1627,13 +1627,21 @@ def q_dictionary_merge(spark, sf_dir):
     )
 
 
-@query("snowball_stem")  # rows-only: Snowball is a string rule engine, not SQL
+def _snowball_sql() -> str:
+    from pliers_spark.functions.snowball import snowball_golden_sql
+
+    return snowball_golden_sql()
+
+
+@query("snowball_stem", _snowball_sql())
 def q_snowball_stem(spark, sf_dir):
     """WordStemmingFilter(stemmer='snowball') — clean-room English
     Snowball (Porter2) stemmer as a vectorized pandas UDF
-    (pliers/filters/text.py:24-110 wraps nltk SnowballStemmer). Oracle
-    omitted (non-SQL-expressible); parity pinned by golden tests
-    (tests/test_snowball.py)."""
+    (pliers/filters/text.py:24-110 wraps nltk SnowballStemmer). Oracle:
+    golden (word, stem) VALUES table generated from the SAME clean-room
+    function over the full corpus vocabulary
+    (functions/snowball.snowball_golden_sql); the cascade itself is
+    golden-tested in tests/test_stemming.py."""
     from pliers_spark.functions.snowball import snowball_stem_col
 
     toks = (
