@@ -194,10 +194,21 @@ def lowpass_decimate(
     ``decimate``-th sample (pliers/utils/base.py:225-239, Butterworth →
     interp; here FIR → stride). Edge handling: reflect-pad so the output
     length is exactly ceil(L/decimate) and a constant series is preserved
-    end-to-end (golden-tested)."""
+    end-to-end (golden-tested).
+
+    Float-determinism contract (driver hashes raw bits): the convolution
+    is an EXPLICIT left-associative fold over the taps in k order —
+    ``((h0·x[i] + h1·x[i+1]) + h2·x[i+2]) …`` — not ``np.convolve``
+    (whose internal summation order is unspecified), and outputs land on
+    the 10^-round_to grid via ``floor`` (round() diverges between
+    engines in the last ulp). The DuckDB oracle
+    (:func:`lowpass_decimate_sql`) replays the identical fold with
+    ``list_reduce`` over tap-ordered products, making the two engines
+    bit-identical."""
 
     h = lowpass_sinc_kernel(decimate, taps)
     pad = (taps - 1) // 2
+    grid = 10.0 ** round_to
 
     def _lp_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # bucket-cogrouped like stft_power_frames: one Arrow batch per
@@ -213,14 +224,16 @@ def lowpass_decimate(
             x = xs[lo:hi]
             L = len(x)
             xp = np.pad(x, pad, mode="reflect" if L > pad else "edge")
-            y = np.convolve(xp, h, mode="valid")
+            y = h[0] * xp[0:L]  # left fold in k order — see docstring
+            for k in range(1, taps):
+                y = y + h[k] * xp[k : k + L]
             keep = np.arange(0, L, decimate)
             parts.append(
                 pd.DataFrame(
                     {
                         entity_col: np.repeat(ents[lo], len(keep)),
                         ts_col: tss[lo:hi][keep],
-                        "filtered": y[keep].round(round_to),
+                        "filtered": np.floor(y[keep] * grid) / grid,
                     }
                 )
             )
@@ -240,3 +253,52 @@ def lowpass_decimate(
         .groupBy("_bucket")
         .applyInPandas(_lp_bucket, schema=schema)
     )
+
+
+def lowpass_decimate_sql(
+    table: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decimate: int = 4,
+    taps: int = 15,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`lowpass_decimate`: the same FIR
+    convolution written as relational algebra. Tap coefficients are
+    embedded as 17-significant-digit literals (exact double round-trip),
+    the padded source index is the same reflect/edge CASE arithmetic,
+    and each output sample is the identical left fold — ``list_reduce``
+    over products listed in tap order. Bit-identical to the pandas UDF
+    (driver gate; requires unique ``ts`` per entity, which the corpus
+    and the operator's sort contract both guarantee)."""
+    h = lowpass_sinc_kernel(decimate, taps)
+    pad = (taps - 1) // 2
+    grid = 10.0 ** round_to
+    tap_rows = ", ".join(f"({k}, {float(h[k])!r})" for k in range(taps))
+    raw = f"(o.i + t.k - {pad})"
+    reflect = (
+        f"CASE WHEN {raw} < 0 THEN -{raw} "
+        f"WHEN {raw} > o.len - 1 THEN 2 * o.len - 2 - {raw} ELSE {raw} END"
+    )
+    clamp = (
+        f"CASE WHEN {raw} < 0 THEN 0 "
+        f"WHEN {raw} > o.len - 1 THEN o.len - 1 ELSE {raw} END"
+    )
+    return f"""WITH ser AS (
+         SELECT {entity_col}, {ts_col}, {value_col},
+                row_number() OVER (PARTITION BY {entity_col} ORDER BY {ts_col}) - 1 AS i,
+                count(*) OVER (PARTITION BY {entity_col}) AS len
+         FROM {table}),
+       taps(k, c) AS (VALUES {tap_rows}),
+       terms AS (
+         SELECT o.{entity_col}, o.{ts_col}, o.i, t.k,
+                t.c * x.{value_col} AS p
+         FROM ser o CROSS JOIN taps t
+         JOIN ser x ON x.{entity_col} = o.{entity_col}
+          AND x.i = (CASE WHEN o.len > {pad} THEN {reflect} ELSE {clamp} END)
+         WHERE o.i % {decimate} = 0)
+       SELECT {entity_col}, {ts_col},
+              floor(list_reduce(list(p ORDER BY k), (a, b) -> a + b) * {grid!r})
+                / {grid!r} AS filtered
+       FROM terms GROUP BY {entity_col}, {ts_col}, i"""

@@ -1707,12 +1707,21 @@ def q_stft_power(spark, sf_dir):
     )
 
 
-@query("resample_lowpass")  # rows-only: FIR convolution is not SQL
+def _lowpass_sql() -> str:
+    from pliers_spark.functions.spectral import lowpass_decimate_sql
+
+    return lowpass_decimate_sql()
+
+
+@query("resample_lowpass", _lowpass_sql())
 def q_resample_lowpass(spark, sf_dir):
     """resample() downsample path — windowed-sinc anti-alias low-pass
     then decimate 4× per entity (role of pliers/utils/base.py:225-239's
     Butterworth; scipy absent so the FIR design is golden-tested in
-    tests/test_spectral.py). applyInPandas per entity, numpy convolve."""
+    tests/test_spectral.py). applyInPandas per entity-hash bucket, the
+    convolution as an explicit tap-ordered fold so the DuckDB oracle
+    (spectral.lowpass_decimate_sql — the same convolution as relational
+    algebra, list_reduce fold) is bit-identical."""
     from pliers_spark.functions.spectral import lowpass_decimate
 
     return lowpass_decimate(_events(spark, sf_dir), "user_id", "ts", "value", decimate=4)
