@@ -1,0 +1,170 @@
+"""Corpus-curation operators: benchmark decontamination and
+quality-weighted (importance) sampling.
+
+These extend the LLM-training-data family (dedup, quality scoring,
+boilerplate removal, PII scrub) with the two passes every production
+pre-training pipeline runs between cleaning and tokenization:
+
+- **Decontamination** — remove/flag training documents that share long
+  word n-grams with an evaluation benchmark so test answers don't leak
+  into the training set (the published n-gram-overlap protocol used by
+  GPT-2/GPT-3 and The Pile; 13-gram overlap in the papers, configurable
+  here). The eval side is SMALL by construction (benchmarks are a few
+  MB even when the corpus is 100 TB), so the eval n-gram set is a
+  broadcast dimension — the 100 TB training scan stays a narrow map +
+  broadcast-hash-join with no shuffle of the big side.
+
+- **Quality-weighted sampling** — instead of a hard quality threshold
+  (``quality_filter``), resample with a keep-rate that rises with the
+  document's quality bucket and carry ``1/rate`` importance weights
+  (the DCLM / FineWeb-style soft curation). The keep decision is a
+  deterministic content hash, NOT ``rand()``: reproducible across
+  retries/executors, and duplicate texts make identical decisions so a
+  resampled corpus can't leak near-dups across train/val splits.
+
+Reference anchor: pliers has no corpus-curation surface (its filters
+are per-stimulus, pliers/filters/text.py); these operators are the
+engine-level counterpart required by the 100 TB training-data goal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import md5_int, md5_int_sql
+from ..functions.hashing import shingles as _shingles
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    eval_mod: int = 97,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with the eval set.
+
+    The eval set is carved deterministically (``id % eval_mod == 0``) so
+    tests need no external benchmark data; in production the eval side
+    is the benchmark table. Plan shape: both sides shingle per-row with
+    zero shuffle (``zip_with`` concats, no explode until after
+    ``array_distinct``), the eval n-gram set is broadcast, and the
+    training side aggregates matched-distinct-shingle counts with
+    map-side partial aggregation. Exact string keys (collision-free);
+    at 100 TB swap the key to a 128-bit hash to shrink the broadcast.
+
+    Returns one row per NON-eval doc: ``(id, n_overlap, contaminated)``.
+    """
+    sh = docs.select(
+        id_col,
+        F.array_distinct(_shingles(T.tokenize(F.col(text_col)), n)).alias("sh"),
+    )
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_sh = (
+        sh.where(is_eval)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = sh.where(~is_eval)
+    hits = (
+        train.select(id_col, F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    eval_mod: int = 97,
+) -> str:
+    """DuckDB oracle for :func:`decontaminate` (same shingle windows,
+    same distinct-count semantics)."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""WITH base AS (
+         SELECT {id_col}, string_split(trim({text_col}), ' ') AS toks FROM {table}),
+       sh_t AS (
+         SELECT {id_col},
+                list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {n - 2}, 1)), i -> {gram})) AS sh
+         FROM base),
+       ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh_t WHERE {id_col} % {eval_mod} = 0),
+       tr AS (SELECT {id_col}, unnest(sh) AS s FROM sh_t WHERE {id_col} % {eval_mod} <> 0),
+       ov AS (SELECT {id_col}, count(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY {id_col})
+       SELECT b.{id_col},
+              coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+              coalesce(o.n_overlap, 0) > 0 AS contaminated
+       FROM base b LEFT JOIN ov o USING ({id_col})
+       WHERE b.{id_col} % {eval_mod} <> 0"""
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """Importance-resample by quality bucket: bucket ``b`` keeps a
+    ``(b+1)/n_buckets`` fraction, decided by a deterministic content
+    hash, and kept rows carry ``sample_weight = 1/rate`` so downstream
+    aggregates stay unbiased. Narrow map + filter — no shuffle, no
+    ``rand()`` (retry-stable, and identical texts sample identically so
+    resampling cannot split a duplicate pair across train/val)."""
+    q = T.quality_score(text_col)
+    bucket = F.least(F.floor(q * n_buckets).cast("long"), F.lit(n_buckets - 1))
+    ticket = F.pmod(md5_int(F.col(text_col), seed=seed), F.lit(1_000_000))
+    rate = (bucket + 1).cast("double") / n_buckets
+    return (
+        docs.select(
+            F.col(id_col),
+            bucket.alias("quality_bucket"),
+            ticket.alias("_ticket"),
+            rate.alias("_rate"),
+        )
+        .where(F.col("_ticket") < F.col("_rate") * 1_000_000)
+        .select(
+            id_col,
+            "quality_bucket",
+            F.round(F.lit(1.0) / F.col("_rate"), 6).alias("sample_weight"),
+        )
+    )
+
+
+def quality_weighted_sample_sql(
+    quality_query: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 5,
+    seed: int = 11,
+) -> str:
+    """DuckDB oracle for :func:`quality_weighted_sample`.
+
+    ``quality_query`` is the SAME SQL the ``quality_score`` oracle runs
+    (returns ``(id, quality)`` — single source of truth for the score;
+    the two oracles cannot drift)."""
+    return f"""WITH qsrc AS ({quality_query}),
+       b AS (
+         SELECT d.{id_col}, d.{text_col},
+                least(floor(q.quality * {n_buckets})::BIGINT, {n_buckets - 1}) AS quality_bucket
+         FROM {table} d JOIN qsrc q USING ({id_col}))
+       SELECT {id_col}, quality_bucket,
+              round(1.0 / ((quality_bucket + 1)::DOUBLE / {n_buckets}), 6) AS sample_weight
+       FROM b
+       WHERE {md5_int_sql(text_col, seed=seed)} % 1000000
+             < ((quality_bucket + 1)::DOUBLE / {n_buckets}) * 1000000"""

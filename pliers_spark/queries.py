@@ -252,7 +252,7 @@ _SW_LIST = ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS)
 
 @query(
     "quality_score",
-    f"""WITH base AS (
+    _QUALITY_ORACLE := f"""WITH base AS (
          SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
        m AS (
          SELECT doc_id,
@@ -3083,3 +3083,44 @@ def q_tempogram(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return tempogram(frames)
+
+
+# --------------------------------------------------------------------------
+# batch 12: corpus curation — benchmark decontamination and
+# quality-weighted importance sampling (operators/curation.py)
+
+
+def _decontaminate_sql() -> str:
+    from pliers_spark.operators.curation import decontaminate_sql
+
+    return decontaminate_sql()
+
+
+@query("decontaminate", _decontaminate_sql())
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-2/GPT-3/Pile n-gram-overlap
+    protocol): flag training docs sharing any word 5-gram with the eval
+    split. The eval n-gram set is a broadcast dimension — the corpus
+    scan is one narrow shingle map + broadcast hash join, no shuffle of
+    the big side (the reason this stays O(corpus) at 100 TB)."""
+    from pliers_spark.operators.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def _qws_sql() -> str:
+    from pliers_spark.operators.curation import quality_weighted_sample_sql
+
+    return quality_weighted_sample_sql(_QUALITY_ORACLE)
+
+
+@query("quality_weighted_sample", _qws_sql())
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-bucketed importance resampling (DCLM/FineWeb-style soft
+    curation): keep-rate rises with the quality bucket, decided by a
+    deterministic content hash (retry-stable, duplicate-consistent),
+    kept rows carry 1/rate weights for unbiased downstream aggregates.
+    Narrow map + filter — zero shuffle."""
+    from pliers_spark.operators.curation import quality_weighted_sample
+
+    return quality_weighted_sample(_docs(spark, sf_dir))

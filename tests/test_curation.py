@@ -1,79 +1,82 @@
-"""Curation ops: BPE-ish token counting, PII scrubbing, boilerplate
-line removal — behavioral tests on crafted inputs (the sf corpus is
-PII-free and boilerplate-light, so the oracle checks parity while
-these pin semantics)."""
+"""Corpus curation: decontamination and quality-weighted sampling."""
 
 import pyspark.sql.functions as F
-import pytest
+
+from pliers_spark.operators.curation import decontaminate, quality_weighted_sample
 
 
-def _run_pii(spark, text):
-    from pliers_spark.queries import _PII_RULES
-
-    c = F.lit(text)
-    for pat, rep in _PII_RULES:
-        c = F.regexp_replace(c, pat, rep)
-    return spark.range(1).select(c.alias("t")).first()["t"]
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_pii_scrub_email_ip_phone(spark):
-    assert _run_pii(spark, "mail bob.smith+x@example.co.uk now") == "mail <EMAIL> now"
-    assert _run_pii(spark, "from 192.168.1.254 port") == "from <IP> port"
-    assert _run_pii(spark, "call +1(555)123-4567 ok") == "call <PHONE> ok"
-    assert _run_pii(spark, "v1.2 costs 3.50 at pos 7") == "v1.2 costs 3.50 at pos 7"
-
-
-def test_bpe_token_count_vs_reference_regex(spark):
-    import re
-
-    from pliers_spark.queries import _BPE_RE
-
-    texts = [
-        "I've seen 42 foxes, really!",
-        "spark-sql   counts\ttokens",
-        "it's the user's 3rd try...",
+def test_decontaminate_flags_ngram_overlap(spark):
+    # doc_id 0 is the eval split (0 % 97 == 0); doc 1 embeds its 5-gram,
+    # doc 2 shares words but no 5-gram, doc 3 is disjoint.
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, eval_text),
+        (1, "prefix alpha beta gamma delta epsilon suffix"),
+        (2, "alpha beta gamma other delta epsilon"),
+        (3, "one two three four five six seven"),
     ]
-    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
-    got = {
-        r["doc_id"]: r["n"]
+    out = {r.doc_id: r for r in decontaminate(_docs(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}  # eval docs never emitted
+    assert out[1].contaminated and out[1].n_overlap == 1
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert not out[3].contaminated
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # two distinct eval 5-grams inside one training doc → n_overlap == 2,
+    # and a repeated gram counts once (distinct semantics)
+    rows = [
+        (0, "a b c d e f g"),  # eval: grams "a b c d e", "b c d e f", "c d e f g"
+        (1, "a b c d e f g a b c d e f g"),
+    ]
+    out = {r.doc_id: r for r in decontaminate(_docs(spark, rows)).collect()}
+    # doc 1 contains all 3 eval grams (plus wrap grams not in eval), each once
+    assert out[1].n_overlap >= 3
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    df = _docs(spark, [(i, f"w{i} x y z q r s") for i in range(10)])
+    plan = decontaminate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_quality_weighted_sample_weights_and_determinism(spark):
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 6 + f"tail{i}")
+        for i in range(40)
+    ] + [(100 + i, f"x{i}") for i in range(40)]  # short, low quality
+    df = _docs(spark, rows)
+    a = quality_weighted_sample(df).orderBy("doc_id").collect()
+    b = quality_weighted_sample(df).orderBy("doc_id").collect()
+    assert a == b  # content-hash decision: no rand(), retry-stable
+    for r in a:
+        rate = (r.quality_bucket + 1) / 5.0
+        assert abs(r.sample_weight - round(1.0 / rate, 6)) < 1e-9
+
+
+def test_quality_weighted_sample_keeps_all_top_bucket(spark):
+    # a long, alpha-rich, stopword-bearing doc lands in the top bucket
+    # (rate 1.0) — every such doc must be kept regardless of its hash
+    good = "the quick brown fox jumps over the lazy dog and then the end " * 5
+    df = _docs(spark, [(i, good + f"v{i}") for i in range(30)])
+    out = quality_weighted_sample(df).collect()
+    top = [r for r in out if r.quality_bucket == 4]
+    assert len(top) > 0
+    kept_ids = {r.doc_id for r in out}
+    # every doc whose bucket is 4 is kept: verify via recompute
+    from pliers_spark.functions.text import quality_score
+
+    buckets = {
+        r.doc_id: r.b
         for r in df.select(
-            "doc_id", F.size(F.expr(f'regexp_extract_all(text, "{_BPE_RE}", 0)')).alias("n")
+            "doc_id",
+            F.least(F.floor(quality_score("text") * 5).cast("long"), F.lit(4)).alias("b"),
         ).collect()
     }
-    for i, t in enumerate(texts):
-        assert got[i] == len(re.findall(_BPE_RE, t)), t
-
-
-def test_boilerplate_removal_drops_hot_lines(spark, monkeypatch):
-    """Lines appearing in >= threshold docs vanish; doc order preserved;
-    all-boilerplate docs come back empty (not missing)."""
-    from pliers_spark.functions import text as T
-
-    hot = "subscribe to our newsletter."
-    rows = [(i, f"{hot} unique words {i} here. closing note {i}.") for i in range(5)]
-    rows.append((99, hot))  # all-boilerplate doc
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    sents = df.select(
-        "doc_id", F.posexplode(T.split_sentences(F.col("text"))).alias("pos", "sentence")
-    )
-    df_t = sents.groupBy("sentence").agg(F.countDistinct("doc_id").alias("df"))
-    kept = sents.join(df_t.where(F.col("df") < 5), "sentence")
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
-                lambda s: s["sentence"],
-            ),
-            " ",
-        ).alias("clean_text")
-    )
-    out = {
-        r["doc_id"]: r["clean_text"]
-        for r in df.select("doc_id").join(agg, "doc_id", "left")
-        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
-        .collect()
-    }
-    assert out[0] == "unique words 0 here. closing note 0."
-    assert out[3] == "unique words 3 here. closing note 3."
-    assert out[99] == ""
-    assert all(hot not in v for v in out.values())
+    for did, bkt in buckets.items():
+        if bkt == 4:
+            assert did in kept_ids
