@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "quality_filter",
     "hash_sample",
     "latest_value_per_user",
+    "seq_encoding",
+    "decontaminate",
+    "quality_weighted_sample",
 ]
 
 

@@ -127,8 +127,19 @@ def minhash_lsh_candidates(
         ).alias("band_key"),
     ).where(F.col("band_key").isNotNull())
     if max_bucket is not None:
-        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
-        n_dropped = sizes.where(F.col("_n") > max_bucket).count()
+        # census once, keep only the DROPPED keys — bounded by
+        # construction (degenerate boilerplate bands are rare at any
+        # scale, that's why they're degenerate), so the cap costs the
+        # big side a broadcast anti-join instead of a shuffle join
+        # against the (huge) kept-key set.
+        dropped = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band_key")
+            .localCheckpoint(eager=True)
+        )
+        n_dropped = dropped.count()  # cheap: counts the checkpointed rows
         if n_dropped:
             import logging
 
@@ -138,8 +149,7 @@ def minhash_lsh_candidates(
                 n_dropped,
                 max_bucket,
             )
-        kept = sizes.where(F.col("_n") <= max_bucket).select("band_key")
-        banded = banded.join(kept, "band_key")
+            banded = banded.join(F.broadcast(dropped), "band_key", "left_anti")
     buckets = (
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
