@@ -168,3 +168,51 @@ def quality_weighted_sample_sql(
        FROM b
        WHERE {md5_int_sql(text_col, seed=seed)} % 1000000
              < ((quality_bucket + 1)::DOUBLE / {n_buckets}) * 1000000"""
+
+
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Balance the corpus mixture across ``group_col`` (equalize to the
+    smallest group — the uniform-mixture special case of data-mixture
+    reweighting). Keep decisions are PURE INTEGER comparisons
+    (``ticket·|group| < |min|·10^6``), so the oracle is bit-trivial and
+    no float rate ever rounds a boundary differently across engines.
+    Plan: one group-count agg (map-side partial), the per-group rates
+    broadcast back, then a narrow filter — the corpus scan shuffles
+    nothing."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
+    min_n = counts.agg(F.min("grp_n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n))
+    ticket = F.pmod(md5_int(F.col(text_col), seed=seed), F.lit(1_000_000))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(ticket * F.col("grp_n") < F.col("min_n") * 1_000_000)
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("grp_n").cast("double") / F.col("min_n"), 6).alias("sample_weight"),
+        )
+    )
+
+
+def mixture_sample_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> str:
+    """DuckDB oracle for :func:`mixture_sample` (same integer keep rule)."""
+    return f"""WITH counts AS (
+         SELECT {group_col}, count(*)::BIGINT AS grp_n FROM {table} GROUP BY {group_col}),
+       m AS (SELECT min(grp_n) AS min_n FROM counts)
+       SELECT d.{id_col}, d.{group_col},
+              round(c.grp_n::DOUBLE / m.min_n, 6) AS sample_weight
+       FROM {table} d JOIN counts c USING ({group_col}) CROSS JOIN m
+       WHERE ({md5_int_sql(text_col, seed=seed)} % 1000000) * c.grp_n
+             < m.min_n * 1000000"""

@@ -3124,3 +3124,39 @@ def q_quality_weighted_sample(spark, sf_dir):
     from pliers_spark.operators.curation import quality_weighted_sample
 
     return quality_weighted_sample(_docs(spark, sf_dir))
+
+
+def _pack_sql() -> str:
+    from pliers_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+@query("sequence_pack", _pack_sql())
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style sequence packing: every doc's placement in the
+    concatenate-and-chunk token stream. The global prefix sum runs as a
+    two-level distributed scan (bucket-local cumsum + broadcast bucket
+    prefixes) — never a single-task global Window — while the oracle is
+    the literal one-window global cumsum it must equal
+    (operators/packing.py)."""
+    from pliers_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def _mixture_sql() -> str:
+    from pliers_spark.operators.curation import mixture_sample_sql
+
+    return mixture_sample_sql()
+
+
+@query("mixture_sample", _mixture_sql())
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture balancing across the `source` column (equalize to
+    the smallest group): group census → broadcast rates → narrow
+    integer-hash filter; kept rows carry group/min weights. The corpus
+    scan itself never shuffles (operators/curation.mixture_sample)."""
+    from pliers_spark.operators.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir))
