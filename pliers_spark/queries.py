@@ -1598,8 +1598,8 @@ _MERGED_DICT_SQL = (
        toks AS (
          SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS token FROM documents)
        SELECT t.doc_id,
-              round(coalesce(sum(d.frequency), 0.0), 6) AS freq_sum,
-              round(coalesce(sum(d.valence), 0.0), 6) AS valence_sum,
+              round(coalesce(sum(d.frequency), 0.0), 6) + 0.0 AS freq_sum,
+              round(coalesce(sum(d.valence), 0.0), 6) + 0.0 AS valence_sum,
               count(d.word)::BIGINT AS n_matched
        FROM toks t LEFT JOIN dict d ON t.token = d.word
        GROUP BY t.doc_id""",
@@ -1619,8 +1619,11 @@ def q_dictionary_merge(spark, sf_dir):
     )
     out = DI.dictionary_lookup(toks, dim, "token", "word", case_sensitive=False)
     return out.groupBy("doc_id").agg(
-        F.round(F.coalesce(F.sum("frequency"), F.lit(0.0)), 6).alias("freq_sum"),
-        F.round(F.coalesce(F.sum("valence"), F.lit(0.0)), 6).alias("valence_sum"),
+        # `+ 0.0` normalizes IEEE signed zero: a per-doc valence sum that
+        # cancels to -0.0 on one engine and +0.0 on the other would
+        # hash-mismatch under the driver's raw-float-bit compare
+        (F.round(F.coalesce(F.sum("frequency"), F.lit(0.0)), 6) + F.lit(0.0)).alias("freq_sum"),
+        (F.round(F.coalesce(F.sum("valence"), F.lit(0.0)), 6) + F.lit(0.0)).alias("valence_sum"),
         # the lookup drops the dict key; every merged-dict row carries at
         # least one non-null variable, so this counts join hits exactly
         F.count(F.coalesce(F.col("frequency"), F.col("valence"))).alias("n_matched"),
