@@ -3163,3 +3163,63 @@ def q_mixture_sample(spark, sf_dir):
     from pliers_spark.operators.curation import mixture_sample
 
     return mixture_sample(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# batch 13: statistical-LM corpus scoring and repeated-span removal
+# (operators/lm.py)
+
+
+def _lm_score_sql() -> str:
+    from pliers_spark.operators.lm import bigram_lm_score_sql
+
+    return bigram_lm_score_sql()
+
+
+@query("lm_score", _lm_score_sql())
+def q_lm_score(spark, sf_dir):
+    """CCNet-style statistical-LM document scoring: add-one-smoothed
+    bigram LM trained on the corpus itself, per-doc average log-prob in
+    exact integer micro-nats. Vocab is a distributed top-k (never a
+    single-partition rank window), the model is a broadcast dimension,
+    and the corpus shuffles only for the model agg and the per-doc
+    reduction (operators/lm.py)."""
+    from pliers_spark.operators.lm import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
+def _ccnet_sql() -> str:
+    from pliers_spark.operators.lm import ccnet_buckets_sql
+
+    return ccnet_buckets_sql()
+
+
+@query("ccnet_buckets", _ccnet_sql())
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning: per-language
+    percent-rank over the bigram-LM score, thirds labeled
+    head/middle/tail. The rank orders by the EXACT integer micro-nat
+    sum (ties broken on doc_id), so bucket boundaries are deterministic
+    across engines (operators/lm.py)."""
+    from pliers_spark.operators.lm import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def _chunk_dedup_sql() -> str:
+    from pliers_spark.operators.lm import chunk_dedup_sql
+
+    return chunk_dedup_sql()
+
+
+@query("chunk_dedup", _chunk_dedup_sql())
+def q_chunk_dedup(spark, sf_dir):
+    """C4/Gopher-style repeated-span removal: census every 8-token span,
+    drop spans occurring in >2 distinct docs (boilerplate), reassemble
+    surviving spans in order. Census → small dropped set → broadcast
+    LEFT ANTI join: the corpus never shuffles for the filter, only for
+    the ordered per-doc reassembly (operators/lm.py)."""
+    from pliers_spark.operators.lm import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir))
