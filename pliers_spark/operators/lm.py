@@ -104,20 +104,41 @@ def bigram_lm_score(
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_count)
     )
-    vocab = tok_census.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size).select("w")
-    n_vocab = vocab.count()  # dimension-sized; bounded by vocab_size
+    # vocab feeds two broadcast joins AND a count action — checkpoint the
+    # (vocab-bounded) dimension so the corpus-wide census runs once
+    vocab = (
+        tok_census.orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w")
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = vocab.count()  # free after the checkpoint
 
-    bi = _mapped_bigrams(docs, vocab, text_col, id_col)
-    model = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # per-doc bigram counts are the smallest cut of this DAG consumed by
+    # BOTH the model aggregation and the scoring join — checkpoint them
+    # once (same shape as the LSH signature checkpoint, operators/
+    # dedup.py) so the tokenize→zip→explode corpus scan never re-runs
+    bg = (
+        _mapped_bigrams(docs, vocab, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    model = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
     ctx = model.groupBy("w1").agg(F.sum("cb").alias("cw"))
     model = model.join(ctx, "w1")
 
     lp = (F.col("cb") + 1).cast("double") / (F.col("cw") + n_vocab + 1).cast("double")
-    scored = bi.join(F.broadcast(model), ["w1", "w2"]).select(
-        id_col, F.round(F.log(lp) * 1e6, 0).cast("long").alias("lp_unats")
+    # each distinct per-doc bigram contributes k × round(ln(p)·1e6):
+    # identical to summing per occurrence, but the scoring join carries
+    # one row per (doc, bigram) instead of one per token
+    scored = bg.join(F.broadcast(model), ["w1", "w2"]).select(
+        id_col,
+        F.col("k"),
+        (F.col("k") * F.round(F.log(lp) * 1e6, 0).cast("long")).alias("lp_unats"),
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("k").alias("n_bigrams"),
         F.sum("lp_unats").alias("sum_lp_unats"),
     )
     return (
@@ -268,28 +289,34 @@ def chunk_dedup(
     Returns ``(id, n_chunks, n_removed, clean_text)``; a document whose
     every span was dropped keeps a row with ``clean_text = ''``.
     """
-    n_chunks = (F.size("toks") + k - 1).cast("long") / k
+    # greatest(…, 1): an empty doc still owns one (empty) span, so it
+    # keeps an output row — and sequence() never sees a negative stop
+    n_chunks = F.greatest(F.floor((F.size("toks") + k - 1) / k), F.lit(1)).cast("long")
     base = docs.select(
         id_col,
         T.tokenize(F.col(text_col)).alias("toks"),
-    ).select(
-        id_col,
-        F.floor(n_chunks).cast("long").alias("n_chunks"),
-        F.col("toks"),
+    ).select(id_col, n_chunks.alias("n_chunks"), F.col("toks"))
+    # spans feed the census, the anti-join AND the per-doc totals —
+    # checkpoint the one corpus-sized cut so the tokenize→slice scan
+    # runs once (same shape as the LSH signature checkpoint,
+    # operators/dedup.py)
+    spans = (
+        base.select(
+            id_col,
+            "n_chunks",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.array_join(F.slice("toks", i * k + 1, k), " ").alias("chunk"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "n_chunks", F.col("s.chunk_idx"), F.col("s.chunk"))
+        .localCheckpoint(eager=True)
     )
-    spans = base.select(
-        id_col,
-        "n_chunks",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.array_join(F.slice("toks", i * k + 1, k), " ").alias("chunk"),
-                ),
-            )
-        ).alias("s"),
-    ).select(id_col, "n_chunks", F.col("s.chunk_idx"), F.col("s.chunk"))
 
     census = (
         spans.select("chunk", id_col)
@@ -310,15 +337,14 @@ def chunk_dedup(
             " ",
         ).alias("clean_text"),
     )
-    return (
-        base.select(id_col, "n_chunks")
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_chunks"),
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+    # doc universe from the checkpointed spans (map-side-reduced to one
+    # (id, n_chunks) row per doc per partition) — never re-tokenize
+    universe = spans.groupBy(id_col).agg(F.first("n_chunks").alias("n_chunks"))
+    return universe.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_chunks"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
