@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "seq_encoding",
     "decontaminate",
     "quality_weighted_sample",
+    "lm_score",
+    "chunk_dedup",
 ]
 
 
