@@ -216,3 +216,89 @@ def mixture_sample_sql(
        FROM {table} d JOIN counts c USING ({group_col}) CROSS JOIN m
        WHERE ({md5_int_sql(text_col, seed=seed)} % 1000000) * c.grp_n
              < m.min_n * 1000000"""
+
+
+def source_kl(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the
+    corpus distribution — the mixture diagnostic behind data-mixture
+    reweighting (a source with high KL is lexically atypical; one near
+    zero is redundant with the blend).
+
+    KL(p_s ‖ p_c) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) with p_s = c_sw/N_s,
+    p_c = c_w/N — all counts exact int64. Each log-ratio is rounded to
+    integer micro-nats and weighted by the integer count, so the only
+    float steps are one ln and two IEEE divisions per term, identical
+    on both engines (same trick as the bigram LM, operators/lm.py).
+    (c_sw·t fits int64 up to ~3·10^11 tokens per (source, word) cell —
+    beyond any real corpus's single-word count.)
+
+    Plan shape: one (source, word) census shuffle with map-side combine
+    — the corpus is touched once; everything after runs on the census,
+    which is checkpointed because FOUR branches consume it (corpus-word
+    totals, per-source totals, the grand total, and the term join).
+    Census-vs-census joins stay plain shuffle joins so AQE can pick
+    broadcast when the vocab is small without forcing it at crawl
+    scale.
+
+    Returns ``(group, n_tokens, kl)`` — one row per source.
+    """
+    csw = (
+        docs.select(group_col, F.explode(T.tokenize(F.col(text_col))).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = csw.groupBy(group_col).agg(F.sum("c_sw").alias("n_s"))
+    n = ns.agg(F.sum("n_s").alias("n"))
+
+    ratio = (F.col("c_sw").cast("double") * F.col("n").cast("double")) / (
+        F.col("n_s").cast("double") * F.col("c_w").cast("double")
+    )
+    t = F.round(F.log(ratio) * 1e6, 0).cast("long")
+    return (
+        csw.join(cw, "w")
+        .join(F.broadcast(ns), group_col)
+        .crossJoin(F.broadcast(n))
+        .select(group_col, "n_s", (F.col("c_sw") * t).alias("term_unats"))
+        .groupBy(group_col)
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.round(
+                (F.sum("term_unats").cast("double") / F.first("n_s")) / F.lit(1000000.0), 6
+            ).alias("kl"),
+        )
+    )
+
+
+def source_kl_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`source_kl` (same micro-nat rounding,
+    same multiplication/division order)."""
+    return f"""WITH toks AS (
+         SELECT {group_col}, unnest(string_split(trim({text_col}), ' ')) AS w
+         FROM {table}),
+       csw AS (
+         SELECT {group_col}, w, count(*)::BIGINT AS c_sw
+         FROM toks GROUP BY {group_col}, w),
+       cw AS (SELECT w, sum(c_sw)::BIGINT AS c_w FROM csw GROUP BY w),
+       ns AS (SELECT {group_col}, sum(c_sw)::BIGINT AS n_s FROM csw GROUP BY {group_col}),
+       nn AS (SELECT sum(n_s)::BIGINT AS n FROM ns),
+       terms AS (
+         SELECT c.{group_col}, s.n_s,
+                c.c_sw * CAST(round(ln((c.c_sw::DOUBLE * nn.n::DOUBLE)
+                                       / (s.n_s::DOUBLE * w.c_w::DOUBLE)) * 1e6)
+                              AS BIGINT) AS term_unats
+         FROM csw c JOIN cw w USING (w) JOIN ns s USING ({group_col}) CROSS JOIN nn)
+       SELECT {group_col}, any_value(n_s)::BIGINT AS n_tokens,
+              round((sum(term_unats)::DOUBLE / any_value(n_s)) / 1000000.0, 6) AS kl
+       FROM terms GROUP BY {group_col}"""

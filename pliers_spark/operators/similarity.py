@@ -15,6 +15,10 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,3 +115,92 @@ def random_hyperplane_buckets(
         proj = _dot(F.col(vec_col).cast("array<double>"), plane)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """One Lloyd assignment step — the training primitive behind the IVF
+    coarse quantizer (:func:`ivf_topk` consumes exactly this output as
+    its bucket column).
+
+    Distances are EXACT int64 arithmetic: every coordinate is scaled to
+    micro-units with ``floor(x·1e6 + 0.5)`` (floor-plus-half instead of
+    round so both engines use the same half-up rule; numpy ``round``
+    is banker's, DuckDB ``round`` is half-away), then
+    ``d = Σ (v_u − c_u)²`` in int64 — order-independent, no float
+    accumulation anywhere, so the driver's raw-bit hash is trivially
+    stable. Ties (equidistant centroids) break toward the smaller
+    centroid id on both engines.
+
+    Seeds are the ``k`` smallest-id vectors (k-means++ at scale is a
+    different initializer, same assignment step). The seed collect is a
+    bounded k-row dimension fetch; the corpus side is one
+    Arrow-batched numpy pass — (B×D)·(D×k) integer matmul per batch,
+    never a per-row Python loop — and shuffles nothing.
+
+    Returns ``(id, cluster_id, d_u)`` with ``d_u`` in squared
+    micro-units.
+    """
+    seeds = (
+        vectors.where(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )  # k rows — bounded dimension, mirrors the broadcast-query pattern
+    seed_ids = np.array([r[0] for r in seeds], dtype=np.int64)
+    cu = np.floor(np.asarray([r[1] for r in seeds], dtype=np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+
+    @F.pandas_udf("cluster_id long, d_u long")
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in batches:
+            vu = np.floor(
+                np.stack(emb.to_numpy()).astype(np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            # ||v-c||² = v·v − 2 v·c + c·c, all int64 (exact)
+            d = (
+                (vu * vu).sum(axis=1, keepdims=True)
+                - 2 * (vu @ cu.T)
+                + (cu * cu).sum(axis=1)[None, :]
+            )
+            best = d.argmin(axis=1)  # first minimum = smallest centroid id
+            yield pd.DataFrame(
+                {
+                    "cluster_id": seed_ids[best],
+                    "d_u": d[np.arange(len(best)), best],
+                }
+            )
+
+    return vectors.select(
+        id_col, assign(F.col(vec_col)).alias("s")
+    ).select(id_col, F.col("s.cluster_id"), F.col("s.d_u"))
+
+
+def kmeans_assign_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`kmeans_assign` (same micro-unit
+    scaling, same int64 distance, same tie rule)."""
+    return f"""WITH c AS (
+         SELECT {id_col} AS cid, {vec_col} AS cemb FROM {table} WHERE {id_col} < {k}),
+       d AS (
+         SELECT e.{id_col}, c.cid,
+                CAST(list_sum(list_transform(
+                  list_transform(range(1, len(e.{vec_col}) + 1),
+                    i -> CAST(floor(e.{vec_col}[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)
+                       - CAST(floor(c.cemb[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN c),
+       r AS (
+         SELECT {id_col}, cid, d_u,
+                row_number() OVER (PARTITION BY {id_col} ORDER BY d_u, cid) AS rn
+         FROM d)
+       SELECT {id_col}, cid AS cluster_id, d_u FROM r WHERE rn = 1"""

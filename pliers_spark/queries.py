@@ -3223,3 +3223,40 @@ def q_chunk_dedup(spark, sf_dir):
     from pliers_spark.operators.lm import chunk_dedup
 
     return chunk_dedup(_docs(spark, sf_dir))
+
+
+def _source_kl_sql() -> str:
+    from pliers_spark.operators.curation import source_kl_sql
+
+    return source_kl_sql()
+
+
+@query("source_kl", _source_kl_sql())
+def q_source_kl(spark, sf_dir):
+    """Mixture diagnostics: per-source unigram KL divergence from the
+    corpus distribution in exact integer micro-nats — the statistic
+    data-mixture reweighting reads. One (source, word) census shuffle
+    touches the corpus; everything downstream runs on the checkpointed
+    census (operators/curation.py)."""
+    from pliers_spark.operators.curation import source_kl
+
+    return source_kl(_docs(spark, sf_dir))
+
+
+def _kmeans_sql() -> str:
+    from pliers_spark.operators.similarity import kmeans_assign_sql
+
+    return kmeans_assign_sql()
+
+
+@query("kmeans_assign", _kmeans_sql())
+def q_kmeans_assign(spark, sf_dir):
+    """IVF coarse-quantizer training primitive: one Lloyd assignment
+    step over the embedding table with EXACT int64 micro-unit
+    distances (no float accumulation — bit-stable by construction).
+    Seeds broadcast; one Arrow-batched integer-matmul pass over the
+    corpus, zero shuffle (operators/similarity.py)."""
+    from pliers_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb)

@@ -102,3 +102,27 @@ def test_chunk_dedup_broadcast_anti_join(spark):
     rows = [(i, f"u{i} v{i} w{i} x{i}") for i in range(10)]
     plan = chunk_dedup(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_source_kl_identical_sources_zero(spark):
+    # two sources with identical unigram distributions → KL = 0 for both
+    from pliers_spark.operators.curation import source_kl
+
+    rows = [(0, "a b c", "s0"), (1, "a b c", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_kl(docs).collect()}
+    assert out["s0"].kl == 0.0 and out["s1"].kl == 0.0
+    assert out["s0"].n_tokens == 3
+
+
+def test_source_kl_disjoint_sources_positive(spark):
+    from pliers_spark.operators.curation import source_kl
+
+    rows = [(0, "a a a a", "s0"), (1, "b b b b", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_kl(docs).collect()}
+    # each source is fully concentrated on its own token: KL = ln 2
+    import math
+
+    assert abs(out["s0"].kl - round(round(math.log(2) * 1e6) / 1e6, 6)) < 1e-9
+    assert out["s0"].kl == out["s1"].kl
