@@ -29,6 +29,9 @@ engine-level counterpart required by the 100 TB training-data goal.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -302,3 +305,60 @@ def source_kl_sql(
        SELECT {group_col}, any_value(n_s)::BIGINT AS n_tokens,
               round((sum(term_unats)::DOUBLE / any_value(n_s)) / 1000000.0, 6) AS kl
        FROM terms GROUP BY {group_col}"""
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the first pass of every
+    crawl-curation pipeline: NFC-compose the text (so equal-looking
+    strings hash equal for the dedup stages downstream), strip control
+    characters (keeping \\n and \\t), collapse horizontal-whitespace
+    runs, and trim.
+
+    NFC runs in an Arrow-batched pandas UDF (Python ``unicodedata`` —
+    the same Unicode tables DuckDB's ``nfc_normalize`` implements, so
+    the oracle is exact); the regex cleanup stays JVM-side codegen.
+    Narrow map, zero shuffle.
+
+    Returns ``(id, norm_text, changed)``.
+    """
+    @F.pandas_udf("string")
+    def _nfc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in batches:
+            yield s.map(
+                lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            )
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col(text_col)), r"[\x00-\x08\x0b-\x1f\x7f]", ""),
+            r"[ \t]+",
+            " ",
+        )
+    )
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
+def normalize_text_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`normalize_text` (same NFC tables, same
+    regex cascade)."""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_col}), "
+        f"'[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '[ \\t]+', ' ', 'g'))"
+    )
+    return f"""SELECT {id_col}, {norm} AS norm_text,
+              ({norm} <> {text_col}) AS changed
+       FROM {table}"""

@@ -3260,3 +3260,21 @@ def q_kmeans_assign(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb)
+
+
+def _normalize_sql() -> str:
+    from pliers_spark.operators.curation import normalize_text_sql
+
+    return normalize_text_sql()
+
+
+@query("text_normalize", _normalize_sql())
+def q_text_normalize(spark, sf_dir):
+    """Unicode/whitespace normalization — the entry pass of a crawl
+    curation pipeline: NFC compose (Arrow-batched unicodedata, exactly
+    DuckDB's nfc_normalize tables), control-char strip + horizontal
+    whitespace collapse in JVM codegen. Narrow map, zero shuffle
+    (operators/curation.py)."""
+    from pliers_spark.operators.curation import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))

@@ -126,3 +126,22 @@ def test_source_kl_disjoint_sources_positive(spark):
 
     assert abs(out["s0"].kl - round(round(math.log(2) * 1e6) / 1e6, 6)) < 1e-9
     assert out["s0"].kl == out["s1"].kl
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    from pliers_spark.operators.curation import normalize_text
+
+    # 'e' + COMBINING ACUTE (NFD) composes to a single NFC codepoint;
+    # control chars stripped; tab/space runs collapse; edges trimmed
+    rows = [
+        (0, "éclair  \t x"),
+        (1, " plain text "),
+        (2, "ctrl\x07char"),
+        (3, "already clean"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert out[0].norm_text == "éclair x" and out[0].changed
+    assert out[1].norm_text == "plain text" and out[1].changed
+    assert out[2].norm_text == "ctrlchar" and out[2].changed
+    assert out[3].norm_text == "already clean" and not out[3].changed
