@@ -273,6 +273,7 @@ def chunk_dedup(
     id_col: str = "doc_id",
     k: int = 8,
     max_docs: int = 2,
+    broadcast_cap: int = 5_000_000,
 ) -> DataFrame:
     """Remove every K-token span that occurs in more than ``max_docs``
     distinct documents; reassemble surviving spans in order.
@@ -326,7 +327,15 @@ def chunk_dedup(
     )
     dropped = census.where(F.col("n_docs") > max_docs).select("chunk")
 
-    kept = spans.join(F.broadcast(dropped), "chunk", "left_anti")
+    # the dropped set is small on real corpora (only spans shared by
+    # >max_docs docs — boilerplate), but nothing BOUNDS it: a corpus of
+    # templated pages can push it to O(spans)/(max_docs+1). Forcing the
+    # broadcast there would OOM the driver, so gate the hint on a
+    # census-derived count (the census is already materialized work)
+    # and otherwise leave the join strategy to the planner/AQE.
+    n_dropped = dropped.count()
+    anti_side = F.broadcast(dropped) if n_dropped <= broadcast_cap else dropped
+    kept = spans.join(anti_side, "chunk", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -145,3 +145,18 @@ def test_normalize_text_unicode_and_whitespace(spark):
     assert out[1].norm_text == "plain text" and out[1].changed
     assert out[2].norm_text == "ctrlchar" and out[2].changed
     assert out[3].norm_text == "already clean" and not out[3].changed
+
+
+def test_chunk_dedup_large_dropped_set_falls_back_to_planner(spark):
+    from pliers_spark.operators.lm import chunk_dedup
+
+    # force the fallback path: broadcast_cap=0 means even one dropped
+    # span routes through the planner-chosen anti-join; results must be
+    # identical to the forced-broadcast path
+    boiler = "one two three four five six seven eight"
+    rows = [(i, boiler + f" tail{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, chunk_dedup(docs, max_docs=2).collect()))
+    b = sorted(map(tuple, chunk_dedup(docs, max_docs=2, broadcast_cap=0).collect()))
+    assert a == b
+    assert a[0][2] == 1  # the shared span was removed
