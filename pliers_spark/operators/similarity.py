@@ -204,3 +204,182 @@ def kmeans_assign_sql(
                 row_number() OVER (PARTITION BY {id_col} ORDER BY d_u, cid) AS rn
          FROM d)
        SELECT {id_col}, cid AS cluster_id, d_u FROM r WHERE rn = 1"""
+
+
+def _scale_u(arr):
+    """float → exact int64 micro-units, half-up (matches DuckDB floor(x*1e6+0.5))."""
+    return np.floor(np.asarray(arr, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means for ``n_iter`` rounds — the IVF coarse-quantizer
+    TRAINER (:func:`kmeans_assign` is one step of this loop).
+
+    Distributed shape = MLlib's: each round is ONE Arrow-batched pass
+    over the corpus emitting per-batch partial sums (k·(D+1) tiny rows
+    per batch — assignment and per-cluster/per-dim reduction happen
+    INSIDE the Python worker, so the shuffle carries partials, never
+    vectors), then a k·(D+1)-row global reduce to the driver and a
+    broadcast of the k×D centroid array into the next round's closure.
+    Centroids stay exact int64 micro-units: the update is
+    ``floor(sum/n + 0.5)`` (sum exact int64 → float64 division is exact
+    below 2^53 — at ~10^9+ members·units per (cluster, dim) cell switch
+    the update to DECIMAL), so every round is bit-reproducible and the
+    DuckDB oracle can replay the whole fit as unrolled relational
+    algebra (:func:`kmeans_fit_sql`). Empty clusters keep their
+    previous centroid. Ties break toward the smaller cluster id.
+
+    Returns one row per seed cluster: ``(cluster_id, n_members,
+    sum_d_u)`` from a final assignment pass under the trained
+    centroids.
+    """
+    seeds = (
+        vectors.where(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    seed_ids = np.array([r[0] for r in seeds], dtype=np.int64)
+    cu = _scale_u([r[1] for r in seeds])
+
+    def partials(cu_now):
+        cu_arr = cu_now.copy()
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vu = _scale_u(np.stack(pdf[vec_col].to_numpy()))
+                d = (
+                    (vu * vu).sum(axis=1, keepdims=True)
+                    - 2 * (vu @ cu_arr.T)
+                    + (cu_arr * cu_arr).sum(axis=1)[None, :]
+                )
+                best = d.argmin(axis=1)
+                rows = []
+                for c in range(len(cu_arr)):
+                    m = best == c
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
+                    sums = vu[m].sum(axis=0)
+                    rows.extend(
+                        {"cluster_idx": c, "dim": j, "s": int(sums[j])}
+                        for j in range(vu.shape[1])
+                    )
+                    rows.append({"cluster_idx": c, "dim": -1, "s": n})
+                    rows.append(
+                        {
+                            "cluster_idx": c,
+                            "dim": -2,
+                            "s": int(d[np.arange(len(best)), best][m].sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["cluster_idx", "dim", "s"])
+
+        return fn
+
+    dim = len(cu[0])
+    for _ in range(n_iter):
+        agg = (
+            vectors.select(vec_col)
+            .mapInPandas(partials(cu), "cluster_idx long, dim long, s long")
+            .groupBy("cluster_idx", "dim")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )  # k·(D+2) rows — bounded by the model size, never the corpus
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            if r.dim == -1:
+                cnt[r.cluster_idx] = r.s
+            elif r.dim >= 0:
+                sums[r.cluster_idx][r.dim] = r.s
+        new_cu = cu.copy()  # empty clusters keep their centroid
+        nz = cnt > 0
+        new_cu[nz] = np.floor(
+            sums[nz].astype(np.float64) / cnt[nz][:, None] + 0.5
+        ).astype(np.int64)
+        cu = new_cu
+
+    final = (
+        vectors.select(vec_col)
+        .mapInPandas(partials(cu), "cluster_idx long, dim long, s long")
+        .where(F.col("dim") < 0)
+        .groupBy("cluster_idx", "dim")
+        .agg(F.sum("s").alias("s"))
+        .groupBy("cluster_idx")
+        .agg(
+            F.sum(F.when(F.col("dim") == -1, F.col("s")).otherwise(0)).alias("n_members"),
+            F.sum(F.when(F.col("dim") == -2, F.col("s")).otherwise(0)).alias("sum_d_u"),
+        )
+    )
+    ids = vectors.sparkSession.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(seed_ids)], "cluster_idx long, cluster_id long"
+    )
+    return (
+        ids.join(final, "cluster_idx", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce("sum_d_u", F.lit(0)).cast("long").alias("sum_d_u"),
+        )
+    )
+
+
+def kmeans_fit_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`kmeans_fit`: the whole Lloyd fit
+    unrolled as one relational expression — iteration ``r`` builds
+    centroid relation ``c{r}`` from assignment relation ``a{r}``, all in
+    the same exact int64 micro-unit arithmetic as the engine."""
+    head = f"""WITH vu AS (
+         SELECT {id_col} AS vid, (u.i - 1)::BIGINT AS dim,
+                CAST(floor({vec_col}[u.i]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS v
+         FROM {table}, unnest(range(1, len({vec_col}) + 1)) AS u(i)),
+       c0 AS (
+         SELECT vid AS cluster_id, dim, v AS cu FROM vu WHERE vid < {k})"""
+    parts = [head]
+    prev = "c0"
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"""a{r} AS (
+         SELECT vid, cluster_id,
+                row_number() OVER (PARTITION BY vid ORDER BY d, cluster_id) AS rn
+         FROM (SELECT vu.vid, c.cluster_id, sum((vu.v - c.cu) * (vu.v - c.cu)) AS d
+               FROM vu JOIN {prev} c USING (dim) GROUP BY vu.vid, c.cluster_id))""")
+        parts.append(
+            f"""c{r} AS (
+         SELECT p.cluster_id, p.dim,
+                CASE WHEN n.cnt IS NULL THEN p.cu
+                     ELSE CAST(floor(n.s::DOUBLE / n.cnt + 0.5) AS BIGINT) END AS cu
+         FROM {prev} p LEFT JOIN (
+             SELECT a.cluster_id, vu.dim, sum(vu.v) AS s, count(DISTINCT vu.vid) AS cnt
+             FROM vu JOIN a{r} a ON vu.vid = a.vid AND a.rn = 1
+             GROUP BY a.cluster_id, vu.dim) n
+         ON p.cluster_id = n.cluster_id AND p.dim = n.dim)""")
+        prev = f"c{r}"
+    fin = n_iter + 1
+    parts.append(
+        f"""afin AS (
+         SELECT vid, cluster_id, d,
+                row_number() OVER (PARTITION BY vid ORDER BY d, cluster_id) AS rn
+         FROM (SELECT vu.vid, c.cluster_id, sum((vu.v - c.cu) * (vu.v - c.cu)) AS d
+               FROM vu JOIN {prev} c USING (dim) GROUP BY vu.vid, c.cluster_id))""")
+    body = ",\n       ".join(parts)
+    return f"""{body}
+       SELECT s.cluster_id,
+              coalesce(f.n_members, 0)::BIGINT AS n_members,
+              coalesce(f.sum_d_u, 0)::BIGINT AS sum_d_u
+       FROM (SELECT DISTINCT cluster_id FROM c0) s
+       LEFT JOIN (
+         SELECT cluster_id, count(*)::BIGINT AS n_members,
+                CAST(sum(d) AS BIGINT) AS sum_d_u
+         FROM afin WHERE rn = 1 GROUP BY cluster_id) f
+       USING (cluster_id)"""

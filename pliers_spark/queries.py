@@ -3278,3 +3278,23 @@ def q_text_normalize(spark, sf_dir):
     from pliers_spark.operators.curation import normalize_text
 
     return normalize_text(_docs(spark, sf_dir))
+
+
+def _kmeans_fit_sql() -> str:
+    from pliers_spark.operators.similarity import kmeans_fit_sql
+
+    return kmeans_fit_sql()
+
+
+@query("kmeans_fit", _kmeans_fit_sql())
+def q_kmeans_fit(spark, sf_dir):
+    """Full IVF coarse-quantizer TRAINING: 3 Lloyd rounds in the MLlib
+    shape — per-batch partial sums inside the Arrow worker (the shuffle
+    carries k·(D+2)-row partials, never vectors), k×D centroid array on
+    the driver between rounds, exact int64 micro-unit arithmetic
+    throughout. The oracle replays the entire fit as UNROLLED
+    relational algebra (operators/similarity.kmeans_fit_sql)."""
+    from pliers_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb)

@@ -39,3 +39,36 @@ def test_kmeans_assign_no_shuffle(spark):
     rows = [(i, [float(i), float(-i)]) for i in range(20)]
     plan = kmeans_assign(_vecs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_fit_reduces_sse_and_partitions_all(spark):
+    from pliers_spark.operators.similarity import kmeans_fit
+
+    # two tight blobs far apart; seeds 0,1 both land in blob A, so the
+    # seed assignment is bad and Lloyd must move a centroid to blob B
+    blob_a = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+    blob_b = [(10 + i, [100.0 + i * 0.01, 100.0]) for i in range(10)]
+    df = _vecs(spark, blob_a + blob_b)
+
+    fit = {r.cluster_id: r for r in kmeans_fit(df, k=2, n_iter=3).collect()}
+    assert sum(r.n_members for r in fit.values()) == 20
+    # after training, the two blobs separate 10/10
+    assert sorted(r.n_members for r in fit.values()) == [10, 10]
+
+    # the trained SSE beats the seed-assignment SSE by orders of magnitude
+    seed_sse = sum(
+        r.d_u for r in kmeans_assign(df, k=2).collect()
+    )
+    fit_sse = sum(r.sum_d_u for r in fit.values())
+    assert fit_sse < seed_sse / 100
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
+    from pliers_spark.operators.similarity import kmeans_fit
+
+    # seed 1 is a far outlier that captures nothing after round 1 moves
+    # seed 0's centroid to the data mean; the fit must still emit k rows
+    rows = [(0, [0.0]), (1, [1000.0]), (2, [0.5]), (3, [0.25])]
+    out = {r.cluster_id: r for r in kmeans_fit(_vecs(spark, rows), k=2, n_iter=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_members + out[1].n_members == 4
