@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "quality_weighted_sample",
     "lm_score",
     "chunk_dedup",
+    "source_kl",
+    "kmeans_fit",
 ]
 
 
