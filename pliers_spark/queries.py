@@ -3298,3 +3298,22 @@ def q_kmeans_fit(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit(emb)
+
+
+def _bpe_sql() -> str:
+    from pliers_spark.operators.bpe import bpe_learn_sql
+
+    return bpe_learn_sql()
+
+
+@query("bpe_learn", _bpe_sql())
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE merge-rule TRAINING (Sennrich 2016): the corpus
+    contributes one word-census shuffle; five merge rounds run entirely
+    on the distinct-word symbol relation (pair census weighted by word
+    frequency -> deterministic argmax -> greedy in-word merge via
+    gaps-and-islands windows). All integers and strings - the oracle
+    replays the whole fit as unrolled CTEs (operators/bpe.py)."""
+    from pliers_spark.operators.bpe import bpe_learn
+
+    return bpe_learn(_docs(spark, sf_dir))
