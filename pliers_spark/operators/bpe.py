@@ -123,15 +123,11 @@ def bpe_learn(
     )
 
 
-def bpe_learn_sql(
-    table: str = "documents",
-    text_col: str = "text",
-    n_merges: int = 5,
-) -> str:
-    """DuckDB oracle for :func:`bpe_learn`: the whole fit unrolled —
-    round ``r`` derives best-pair ``b{r}`` and survivor relation
-    ``s{r}`` from ``s{r-1}`` with the same census, tie-break, and
-    greedy-run semantics."""
+def _fit_ctes(table: str, text_col: str, n_merges: int) -> str:
+    """The unrolled-fit WITH body shared by the learn and encode
+    oracles: round ``r`` derives best-pair ``b{r}`` and survivor
+    relation ``s{r}`` from ``s{r-1}`` with the same census, tie-break,
+    and greedy-run semantics as the engine."""
     parts = [
         f"""WITH wc AS (
          SELECT w AS word, count(*)::BIGINT AS freq
@@ -178,10 +174,76 @@ def bpe_learn_sql(
                FROM v{r})
          WHERE NOT absorbed)""")
         prev = f"s{r}"
-    body = ",\n       ".join(parts)
+    return ",\n       ".join(parts)
+
+
+def bpe_learn_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`bpe_learn` (the fit unrolled, final
+    select = the merge table)."""
     selects = "\n       UNION ALL ".join(
         f"SELECT {r}::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, "
         f"cnt AS pair_count, a || b AS new_sym FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return f"{body}\n       {selects}"
+    return f"{_fit_ctes(table, text_col, n_merges)}\n       {selects}"
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 5,
+) -> DataFrame:
+    """Token accounting under the LEARNED tokenizer: train ``n_merges``
+    BPE rules (:func:`bpe_learn` loop), then count each document's
+    subword tokens. The per-word subword count is a dimension table
+    (one row per distinct word), so encoding the corpus is a narrow
+    explode + broadcast join + per-doc reduction — the train→encode
+    round trip a tokenizer pipeline runs before sequence packing.
+
+    Returns ``(id, n_words, n_subwords)``.
+    """
+    syms = _char_symbols(docs, text_col).localCheckpoint(eager=True)
+    for _ in range(n_merges):
+        w = Window.partitionBy("word").orderBy("pos")
+        pairs = (
+            syms.select("freq", "sym", F.lead("sym").over(w).alias("s2"))
+            .where(F.col("s2").isNotNull())
+            .groupBy("sym", "s2")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "sym", "s2").limit(1).collect()
+        if not best:
+            break
+        syms = _apply_merge(syms, best[0]["sym"], best[0]["s2"]).localCheckpoint(eager=True)
+    word_len = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    toks = docs.select(id_col, F.explode(T.tokenize(F.col(text_col))).alias("word"))
+    return (
+        toks.join(F.broadcast(word_len), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
+def bpe_encode_counts_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode_counts` — reuses the
+    unrolled fit's final survivor relation ``s{n_merges}``."""
+    return f"""{_fit_ctes(table, text_col, n_merges)},
+       wl AS (SELECT word, count(*)::BIGINT AS n_sub FROM s{n_merges} GROUP BY word),
+       dt AS (SELECT {id_col}, unnest(string_split(trim({text_col}), ' ')) AS word
+              FROM {table})
+       SELECT dt.{id_col}, count(*)::BIGINT AS n_words, sum(wl.n_sub)::BIGINT AS n_subwords
+       FROM dt JOIN wl USING (word)
+       GROUP BY dt.{id_col}"""

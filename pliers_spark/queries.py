@@ -3317,3 +3317,21 @@ def q_bpe_learn(spark, sf_dir):
     from pliers_spark.operators.bpe import bpe_learn
 
     return bpe_learn(_docs(spark, sf_dir))
+
+
+def _bpe_encode_sql() -> str:
+    from pliers_spark.operators.bpe import bpe_encode_counts_sql
+
+    return bpe_encode_counts_sql()
+
+
+@query("bpe_encode", _bpe_encode_sql())
+def q_bpe_encode(spark, sf_dir):
+    """Train-then-encode round trip: learn 5 BPE merges, then count
+    every document's subword tokens under the learned tokenizer. The
+    per-word subword count is a broadcast dimension, so encoding is a
+    narrow explode + broadcast join + per-doc reduction — the token
+    budget that feeds sequence_pack (operators/bpe.py)."""
+    from pliers_spark.operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(spark, sf_dir))

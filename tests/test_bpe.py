@@ -34,3 +34,14 @@ def test_bpe_learn_stops_when_exhausted(spark):
     out = bpe_learn(_docs(spark, ["ab"]), n_merges=5).collect()
     assert len(out) == 1
     assert out[0].new_sym == "ab"
+
+
+def test_bpe_encode_counts(spark):
+    from pliers_spark.operators.bpe import bpe_encode_counts
+
+    # one merge learned: (a,a). "aaab" → [aa,a,b] = 3 subwords,
+    # "cd" stays 2 chars = 2 subwords
+    docs = _docs(spark, ["aaab cd", "aaab"])
+    out = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=1).collect()}
+    assert out[0].n_words == 2 and out[0].n_subwords == 3 + 2
+    assert out[1].n_words == 1 and out[1].n_subwords == 3
