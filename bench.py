@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "source_kl",
     "kmeans_fit",
+    "bpe_learn",
 ]
 
 
