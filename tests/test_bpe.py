@@ -45,3 +45,47 @@ def test_bpe_encode_counts(spark):
     out = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=1).collect()}
     assert out[0].n_words == 2 and out[0].n_subwords == 3 + 2
     assert out[1].n_words == 1 and out[1].n_subwords == 3
+
+
+def _py_greedy_merge(word, a, b):
+    """Reference greedy left-to-right BPE merge on a symbol list."""
+    syms = list(word)
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_apply_merge_differential_vs_python_reference(spark):
+    # adversarial 2-letter alphabet maximizes runs and overlap cases;
+    # one Spark job checks ~300 random words against the reference
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pliers_spark.operators.bpe import _apply_merge, _char_symbols
+
+    rng = random.Random(7)
+    words = list({
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    })
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        merged = _apply_merge(_char_symbols(docs, "text"), a, b)
+        got = {
+            r.word: r.syms
+            for r in merged.groupBy("word")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("ps"))
+            .select("word", F.transform("ps", lambda x: x["sym"]).alias("syms"))
+            .collect()
+        }
+        for w in words:
+            assert got[w] == _py_greedy_merge(w, a, b), (w, a, b, got[w])
