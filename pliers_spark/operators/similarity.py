@@ -383,3 +383,125 @@ def kmeans_fit_sql(
                 CAST(sum(d) AS BIGINT) AS sum_d_u
          FROM afin WHERE rn = 1 GROUP BY cluster_id) f
        USING (cluster_id)"""
+
+
+def ivf_multiprobe_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    query_lo: int = 8,
+    query_hi: int = 16,
+) -> DataFrame:
+    """End-to-end IVF search over the trained coarse quantizer:
+    :func:`kmeans_assign` buckets the corpus, each query ranks the
+    centroids by the same exact int64 micro-unit distance and probes
+    its ``nprobe`` nearest buckets (query rows replicated per probed
+    bucket — the documented nprobe>1 recipe of :func:`ivf_topk`), and
+    scoring is the shared cosine expression. Candidates shrink by
+    ~k_clusters/nprobe versus brute force; the corpus side shuffles
+    only for the bucket equi-join and the per-query rank.
+
+    Queries are the id range [query_lo, query_hi) so the demo needs no
+    external query set. Returns ``(q_id, c_id, cosine, rank)``.
+    """
+    assigned = kmeans_assign(vectors, id_col, vec_col, k_clusters)
+    corpus = vectors.join(assigned.select(id_col, "cluster_id"), id_col)
+
+    scale = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    seeds = vectors.where(F.col(id_col) < k_clusters).select(
+        F.col(id_col).alias("cluster_id"), scale(F.col(vec_col)).alias("cu")
+    )
+    qs = vectors.where((F.col(id_col) >= query_lo) & (F.col(id_col) < query_hi)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        scale(F.col(vec_col)).alias("qu"),
+    )
+    # query×centroid is (few × k_clusters) rows — interpreted array math
+    # is fine off the corpus path
+    dist = F.aggregate(
+        F.zip_with("qu", "cu", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(seeds))
+        .select("q_id", "q_vec", "cluster_id", dist.alias("d_u"))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d_u", "cluster_id")
+            ),
+        )
+        .where(F.col("prn") <= nprobe)
+        .select("q_id", F.col("q_vec").alias("embedding"), "cluster_id")
+    )
+    return ivf_topk(
+        corpus, probes, id_col, vec_col, "q_id", "embedding", "cluster_id", k=k
+    )
+
+
+def ivf_multiprobe_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    query_lo: int = 8,
+    query_hi: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`ivf_multiprobe_topk`."""
+    su = (
+        f"list_transform({{side}}.{vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * 1e6 + 0.5) AS BIGINT))"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, len(a.{vec_col})+1), "
+        f"i -> a.{vec_col}[i]::DOUBLE * q.{vec_col}[i]::DOUBLE))"
+    )
+    norm_a = f"sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    norm_q = f"sqrt(list_sum(list_transform(q.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""WITH seeds AS (
+         SELECT {id_col} AS cluster_id, {su.format(side=f'{table}')} AS cu
+         FROM {table} WHERE {id_col} < {k_clusters}),
+       assigned AS (
+         SELECT {id_col}, cluster_id FROM (
+           SELECT e.{id_col}, s.cluster_id,
+                  row_number() OVER (PARTITION BY e.{id_col} ORDER BY
+                    list_sum(list_transform(
+                      list_transform(range(1, len(e.{vec_col})+1),
+                        i -> CAST(floor(e.{vec_col}[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)
+                           - s.cu[i]),
+                      x -> x * x)), s.cluster_id) AS rn
+           FROM {table} e CROSS JOIN seeds s)
+         WHERE rn = 1),
+       probes AS (
+         SELECT q_id, cluster_id FROM (
+           SELECT e.{id_col} AS q_id, s.cluster_id,
+                  row_number() OVER (PARTITION BY e.{id_col} ORDER BY
+                    list_sum(list_transform(
+                      list_transform(range(1, len(e.{vec_col})+1),
+                        i -> CAST(floor(e.{vec_col}[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)
+                           - s.cu[i]),
+                      x -> x * x)), s.cluster_id) AS prn
+           FROM {table} e CROSS JOIN seeds s
+           WHERE e.{id_col} >= {query_lo} AND e.{id_col} < {query_hi})
+         WHERE prn <= {nprobe}),
+       cand AS (
+         SELECT p.q_id, a.{id_col} AS c_id,
+                round({dot} / ({norm_a} * {norm_q}), 6) AS cosine
+         FROM probes p
+         JOIN assigned ast ON ast.cluster_id = p.cluster_id
+         JOIN {table} a ON a.{id_col} = ast.{id_col}
+         JOIN {table} q ON q.{id_col} = p.q_id
+         WHERE a.{id_col} <> p.q_id),
+       ranked AS (
+         SELECT q_id, c_id, cosine,
+                row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         FROM cand)
+       SELECT q_id, c_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}"""

@@ -3335,3 +3335,22 @@ def q_bpe_encode(spark, sf_dir):
     from pliers_spark.operators.bpe import bpe_encode_counts
 
     return bpe_encode_counts(_docs(spark, sf_dir))
+
+
+def _ivf_mp_sql() -> str:
+    from pliers_spark.operators.similarity import ivf_multiprobe_topk_sql
+
+    return ivf_multiprobe_topk_sql()
+
+
+@query("ivf_multiprobe", _ivf_mp_sql())
+def q_ivf_multiprobe(spark, sf_dir):
+    """End-to-end IVF ANN over the TRAINED coarse quantizer: corpus
+    bucketed by kmeans_assign, each query probes its 2 nearest
+    centroids (exact int64 centroid ranking), cosine top-5 over the
+    probed buckets only — candidates shrink ~k/nprobe vs brute force
+    (operators/similarity.ivf_multiprobe_topk)."""
+    from pliers_spark.operators.similarity import ivf_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_multiprobe_topk(emb)

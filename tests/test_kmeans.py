@@ -72,3 +72,24 @@ def test_kmeans_fit_empty_cluster_keeps_centroid(spark):
     out = {r.cluster_id: r for r in kmeans_fit(_vecs(spark, rows), k=2, n_iter=2).collect()}
     assert set(out) == {0, 1}
     assert out[0].n_members + out[1].n_members == 4
+
+
+def test_ivf_multiprobe_recall_vs_bruteforce(spark):
+    from pliers_spark.operators.similarity import cosine_topk, ivf_multiprobe_topk
+
+    # two well-separated blobs: every query's true neighbors share its
+    # bucket, so nprobe=2 IVF recalls the brute-force top-k exactly
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        base = [0.0, 0.0] if i % 2 == 0 else [50.0, 50.0]
+        rows.append((i, [base[0] + rng.uniform(-1, 1), base[1] + rng.uniform(-1, 1)]))
+    df = _vecs(spark, rows)
+    ivf = ivf_multiprobe_topk(df, k_clusters=2, nprobe=2, k=3, query_lo=8, query_hi=12)
+    qs = df.where((df.vec_id >= 8) & (df.vec_id < 12))
+    bf = cosine_topk(df, qs, "vec_id", "embedding", "vec_id", "embedding", k=3)
+    got = {(r.q_id, r.rank): r.c_id for r in ivf.collect()}
+    want = {(r.q_id, r.rank): r.c_id for r in bf.collect()}
+    assert got == want
