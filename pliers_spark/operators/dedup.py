@@ -459,3 +459,43 @@ def novelty_vs_previous(
         F.round(1.0 - inter / F.nullif(union, F.lit(0)), 6)
     )
     return toks.select(*part_cols, order_col, novelty.alias("novelty"))
+
+
+def incremental_dedup(
+    spark,
+    table,
+    from_snapshot: str | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dedup a snapshot DELTA against the already-ingested corpus — the
+    ingestion-time shape of exact dedup: when a new crawl snapshot
+    lands, only its delta is hashed and checked, never the history.
+
+    Plan: ``read_incremental`` yields just the new rows (snapshot
+    pruning, sources/snapshots.py); the existing corpus contributes
+    only its content-hash set (one narrow projection — at production
+    scale this hash set is itself a maintained table, appended per
+    ingest, so the old corpus is never re-scanned); the check is a
+    LEFT ANTI join on the 60-bit content hash, plus an exact-dup drop
+    WITHIN the delta (same hash-groupBy as :func:`exact_dedup`,
+    keep-min-id rule).
+
+    Returns the delta's surviving rows ``(id, content_hash)``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int
+
+    delta = table.read_incremental(spark, from_snapshot)
+    if from_snapshot is None:
+        old = None
+    else:
+        old = table.read(spark, from_snapshot).select(
+            md5_int(F.col(text_col)).alias("content_hash")
+        ).distinct()
+    h = delta.select(id_col, md5_int(F.col(text_col)).alias("content_hash"))
+    if old is not None:
+        h = h.join(old, "content_hash", "left_anti")
+    w_min = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return h.join(w_min, ["content_hash", id_col]).select(id_col, "content_hash")

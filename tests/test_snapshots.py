@@ -121,3 +121,32 @@ def test_commit_lock_held_raises(spark, table):
             table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
     finally:
         os.unlink(lock)
+
+
+def test_incremental_dedup_checks_delta_against_history(spark, table):
+    from pliers_spark.operators.dedup import incremental_dedup
+
+    s1 = table.commit(
+        spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+        )
+    )
+    # delta: doc 2 duplicates history, 3+4 duplicate each other, 5 is new
+    table.commit(
+        spark.createDataFrame(
+            [
+                (2, "alpha beta"),
+                (3, "fresh text"),
+                (4, "fresh text"),
+                (5, "unique new"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    out = incremental_dedup(spark, table, s1)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [3, 5]  # 2 dropped vs history, 4 dropped within delta
+
+    # first ingest (no history): only within-delta dedup applies
+    out0 = incremental_dedup(spark, table, None)
+    assert len(out0.collect()) > 0
