@@ -3354,3 +3354,49 @@ def q_ivf_multiprobe(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_multiprobe_topk(emb)
+
+
+@query(
+    "domain_cap",
+    f"""WITH r AS (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY {md5_int_sql('text', seed=31)} % 1000000, doc_id) AS rk
+         FROM documents)
+       SELECT doc_id, source, rk::BIGINT AS rank_in_domain FROM r WHERE rk <= 50""",
+)
+def q_domain_cap(spark, sf_dir):
+    """FineWeb-style per-domain cap: keep at most 50 docs per source,
+    chosen by a deterministic content-hash lottery (retry-stable, no
+    rand()) with id tie-break — the anti-overrepresentation pass that
+    stops one boilerplate-heavy domain from dominating the mixture.
+    One rank window per domain partition."""
+    d = _docs(spark, sf_dir)
+    ticket = F.pmod(md5_int(F.col("text"), seed=31), F.lit(1_000_000))
+    w = Window.partitionBy("source").orderBy(ticket, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rank_in_domain"))
+        .where(F.col("rank_in_domain") <= 50)
+        .select("doc_id", "source", F.col("rank_in_domain").cast("long").alias("rank_in_domain"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""WITH li AS ({_langid_sql()})
+       SELECT d.lang, li.lang_pred, count(*)::BIGINT AS n
+       FROM li JOIN documents d USING (doc_id)
+       GROUP BY d.lang, li.lang_pred"""
+
+
+@query("lang_confusion", _lang_confusion_sql())
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID quality evaluation: confusion matrix of the labeled
+    lang column vs the heuristic predictor — the acceptance gate a
+    curation pipeline runs before trusting langid-based filtering.
+    Reuses the langid stage; one small groupBy after a narrow map."""
+    li = q_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return d.join(li, "doc_id").groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
