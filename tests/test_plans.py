@@ -228,3 +228,57 @@ def test_rms_zcr_single_shuffle_single_sort(spark):
     plan = plan_of(rms_zcr(df, "user_id", "ts", "value", "event_id"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("+- Sort") == 1, plan
+
+
+def test_lm_score_scans_corpus_bounded_times(spark, tmp_path):
+    # after the vocab/bigram checkpoints, the FINAL lm_score plan may
+    # touch the corpus only for the id-projection join — the expensive
+    # tokenize→zip→explode path must live behind the checkpoint cut
+    from pliers_spark.operators.lm import bigram_lm_score
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = formatted(bigram_lm_score(docs))
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_chunk_dedup_no_tokenize_after_checkpoint(spark, tmp_path):
+    # doc universe and reassembly both derive from the checkpointed span
+    # relation: the final plan reads the parquet corpus zero times
+    from pliers_spark.operators.lm import chunk_dedup
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "w x y z") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = formatted(chunk_dedup(docs))
+    assert "Scan parquet" not in plan, plan
+
+
+def test_bpe_round_runs_on_word_dimension(spark, tmp_path):
+    # the merge loop's pair census reads the checkpointed symbol
+    # relation, never the corpus: after _char_symbols checkpoints, a
+    # round's plan contains no parquet scan
+    from pliers_spark.operators.bpe import _char_symbols
+
+    from pyspark.sql import Window
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "abc abd") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    syms = _char_symbols(docs, "text").localCheckpoint(eager=True)
+    w = Window.partitionBy("word").orderBy("pos")
+    pairs = (
+        syms.select("freq", "sym", F.lead("sym").over(w).alias("s2"))
+        .where(F.col("s2").isNotNull())
+        .groupBy("sym", "s2")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    plan = formatted(pairs)
+    assert "Scan parquet" not in plan, plan
