@@ -11,6 +11,13 @@
 - :func:`random_hyperplane_buckets` — seeded LSH bucketing for corpora
   without a precomputed cluster id (deterministic: hyperplanes derive
   from md5 of (seed, dim) — reproducible across runs/engines).
+- :func:`kmeans_assign` / :func:`kmeans_fit` — the IVF coarse
+  quantizer: one Lloyd assignment step / the full driver-coordinated
+  trainer, both in exact int64 micro-unit arithmetic so the DuckDB
+  oracles replay them bit-for-bit (the fit as unrolled CTEs).
+- :func:`ivf_multiprobe_topk` — end-to-end ANN over the trained
+  quantizer: queries rank centroids by the same integer distance and
+  probe their nprobe nearest buckets.
 """
 
 from __future__ import annotations
