@@ -137,6 +137,18 @@ def encode_wav(samples: np.ndarray, sr: int, bits: int = 16, channels: int = 1) 
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_int16(samples: np.ndarray, sr: int) -> bytes:
+    """int16 PCM samples → mono WAV bytes, no float round trip: the
+    payload carries the exact integers, so ``decode_wav`` (which divides
+    by 32768, a power of two) recovers them bit-exactly — the property
+    integer-exact oracles rely on."""
+    pcm = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (mono float64 samples, sampling_rate). Multi-channel is
     channel-averaged to mono exactly like the reference's AudioStim

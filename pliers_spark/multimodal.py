@@ -125,6 +125,61 @@ def audio_frames(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FRAME_SCHEMA)
 
 
+WAV_FRAME_STATS_SCHEMA = (
+    "id long, frame int, onset double, duration double, "
+    "sum_sq long, sum_abs long, n_crossings long"
+)
+
+
+def wav_frame_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    frame: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Framed energy/zero-crossing features over REAL RIFF/WAVE decode,
+    in exact integer arithmetic (the RMSExtractor/ZCR surface of
+    pliers/extractors/audio.py:216-265 with the sqrt/divide deferred):
+    per frame, ``sum_sq`` = Σ s², ``sum_abs`` = Σ |s|, ``n_crossings`` =
+    #{t : sign(s[t-1]) ≠ sign(s[t])} over the raw PCM16 integers —
+    rms = sqrt(sum_sq/frame)/32768 is one deferred scalar op. Integer
+    sums are order-independent, so a DuckDB oracle can recompute them
+    bit-exactly; the float32 path for human-facing values is
+    ``audio_frames``. decode_wav divides PCM16 by 32768 (a power of
+    two), so multiplying back recovers the exact integers."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pliers_spark import codecs
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples64, sr = codecs.decode_wav(bytes(payload or b""))
+                s = np.rint(samples64 * 32768.0).astype(np.int64)
+                n_frames = max((len(s) - frame) // hop + 1, 0)
+                for k in range(n_frames):
+                    seg = s[k * hop : k * hop + frame]
+                    nonneg = seg >= 0
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame": k,
+                            "onset": k * hop / sr,
+                            "duration": frame / sr,
+                            "sum_sq": int((seg * seg).sum()),
+                            "sum_abs": int(np.abs(seg).sum()),
+                            "n_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame", "onset", "duration", "sum_sq", "sum_abs", "n_crossings"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=WAV_FRAME_STATS_SCHEMA)
+
+
 IMAGE_RESIZE_SCHEMA = "id long, width int, height int, channels int, mean_brightness double"
 VIDEO_FRAME_SCHEMA = "id long, frame long, onset double, width int, height int, mean_brightness double"
 

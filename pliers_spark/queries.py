@@ -3400,3 +3400,160 @@ def q_lang_confusion(spark, sf_dir):
     return d.join(li, "doc_id").groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 multimodal binary payloads: REAL codec round trips, driver-oracled
+#
+# The testdata tables carry no binary column, so each query synthesises
+# its payloads from doc_id with a closed-form pixel/sample formula,
+# encodes them with the real container codec (pliers_spark.codecs),
+# and runs the production decode → feature stage on the bytes. The
+# DuckDB oracle recomputes the same features from the generating
+# formula directly — so a green row certifies the encode → decode →
+# extract path end-to-end (any codec bug breaks the match). In
+# production the payload column comes off the table scan instead; the
+# mapInPandas stages are identical.
+
+
+def _synth_payloads(spark, sf_dir, build):
+    """(doc_id → bytes) over documents as an `id, payload` DataFrame.
+
+    Deterministic per-row generation inside mapInPandas — distributed,
+    no driver materialisation, stand-in for a real binary column scan."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].astype("int64"),
+                 "payload": [build(int(d)) for d in pdf["doc_id"]]}
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(fn, schema="id long, payload binary")
+    )
+
+
+def _synth_image(did: int, h: int = 8, w: int = 8, fk: int = 0) -> "np.ndarray":
+    """pixel(r,c,ch) = (did*131 + fk*101 + r*17 + c*5 + ch*29) % 256."""
+    import numpy as np
+
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    return ((did * 131 + fk * 101 + r * 17 + c * 5 + ch * 29) % 256).astype(np.uint8)
+
+
+_IMG_PX = "(doc_id*131 + r.r*17 + c.c*5 + {ch})"
+
+
+@query(
+    "image_decode_stats",
+    f"""WITH px AS (
+         SELECT d.doc_id,
+                GREATEST({_IMG_PX.format(ch=0)} % 256,
+                         {_IMG_PX.format(ch=29)} % 256,
+                         {_IMG_PX.format(ch=58)} % 256) AS mx
+         FROM documents d, generate_series(0,7) r(r), generate_series(0,7) c(c))
+       SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              (SUM(mx)::DOUBLE / 64) / 255 AS mean_brightness
+       FROM px GROUP BY doc_id""",
+)
+def q_image_decode_stats(spark, sf_dir):
+    """BrightnessExtractor over a REAL PPM encode→decode round trip
+    (pliers/extractors/image.py:26-38; decode = pliers_spark.codecs):
+    8x8 formula images → P6 bytes → production image_stats stage.
+    mean_brightness = mean(max over channels)/255 is exact: integer
+    pixel sums, then /64 (power of two) and one /255 — bit-identical
+    on both engines. Arrow-batched, payloads never leave executors."""
+    from pliers_spark import codecs, multimodal
+
+    payloads = _synth_payloads(
+        spark, sf_dir, lambda did: codecs.encode_ppm(_synth_image(did))
+    )
+    return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
+_WAV_S = "((d.doc_id*7919 + (k.k*64+t.t)*104729) % 65536) - 32768"
+
+
+@query(
+    "wav_frame_stats",
+    f"""WITH s AS (
+         SELECT d.doc_id, k.k, t.t, {_WAV_S} AS v
+         FROM documents d, generate_series(0,2) k(k), generate_series(0,127) t(t)),
+       w AS (
+         SELECT doc_id, k, t, v,
+                lag(v) OVER (PARTITION BY doc_id, k ORDER BY t) AS pv
+         FROM s)
+       SELECT doc_id, k::INTEGER AS frame,
+              (k*64)/8000.0 AS onset, 128/8000.0 AS duration,
+              SUM(v*v)::BIGINT AS sum_sq,
+              SUM(abs(v))::BIGINT AS sum_abs,
+              SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                       THEN 1 ELSE 0 END)::BIGINT AS n_crossings
+       FROM w GROUP BY doc_id, k""",
+)
+def q_wav_frame_stats(spark, sf_dir):
+    """Framed RMS-energy/ZCR over a REAL RIFF/WAVE round trip
+    (pliers/extractors/audio.py:216-265 surface): 300 formula PCM16
+    samples per doc → WAV bytes → production wav_frame_stats stage
+    (frame=128, hop=64 → 3 overlapping frames/doc). All features are
+    exact integers; onset/duration are single int/int divisions —
+    bit-identical on both engines."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        i = np.arange(300, dtype=np.int64)
+        v = ((did * 7919 + i * 104729) % 65536) - 32768
+        return codecs.encode_wav_int16(v, sr=8000)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.wav_frame_stats(
+        payloads, frame=128, hop=64
+    ).withColumnRenamed("id", "doc_id")
+
+
+_VID_PX = "(doc_id*131 + k.k*101 + r.r*17 + c.c*5 + {ch})"
+
+
+@query(
+    "video_frame_sample",
+    f"""WITH px AS (
+         SELECT d.doc_id, k.k,
+                GREATEST({_VID_PX.format(ch=0)} % 256,
+                         {_VID_PX.format(ch=29)} % 256,
+                         {_VID_PX.format(ch=58)} % 256) AS mx
+         FROM documents d, generate_series(0,9) k(k),
+              generate_series(0,3) r(r), generate_series(0,3) c(c)
+         WHERE k.k % 3 = 0)
+       SELECT doc_id, k::BIGINT AS frame, k/30.0 AS onset,
+              CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+              (SUM(mx)::DOUBLE / 16) / 255 AS mean_brightness
+       FROM px GROUP BY doc_id, k""",
+)
+def q_video_frame_sample(spark, sf_dir):
+    """FrameSamplingFilter(every=3) + per-frame brightness over a REAL
+    multi-frame binary payload (pliers/filters/video.py:19-53,
+    pliers/stimuli/video.py:12-37): 10 fixed-size 4x4 P6 frame records
+    per doc (59 bytes each) → production video_frame_sample stage,
+    which decodes ONLY the sampled offsets (selective decode, the lazy
+    get_frame contract). onset = k/30.0 and the exact-integer
+    brightness match bit-for-bit."""
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        return b"".join(
+            codecs.encode_ppm(_synth_image(did, h=4, w=4, fk=k)) for k in range(10)
+        )
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.video_frame_sample(
+        payloads, every=3, fps=30.0, frame_bytes=59
+    ).withColumnRenamed("id", "doc_id")

@@ -190,3 +190,33 @@ class TestImageCrop:
         df = spark.createDataFrame([(2, bytearray(codecs.encode_ppm(img)))], "id long, payload binary")
         r = image_crop_stats(df).first()
         assert r["width"] == 0 and r["mean_brightness"] is None
+
+
+class TestWavFrameStats:
+    def test_int16_encode_is_exact_passthrough(self):
+        from pliers_spark.codecs import decode_wav, encode_wav_int16
+
+        v = np.array([-32768, -1, 0, 1, 32767, 12345], dtype=np.int64)
+        samples, sr = decode_wav(encode_wav_int16(v, sr=8000))
+        assert sr == 8000
+        # /32768 is a power-of-two scale: multiplying back is bit-exact
+        assert (np.rint(samples * 32768.0).astype(np.int64) == v).all()
+
+    def test_frame_stats_exact_integers(self, spark):
+        from pliers_spark.codecs import encode_wav_int16
+        from pliers_spark.multimodal import wav_frame_stats
+
+        i = np.arange(300, dtype=np.int64)
+        v = ((7 * 7919 + i * 104729) % 65536) - 32768
+        df = spark.createDataFrame([(7, bytearray(encode_wav_int16(v, sr=8000)))],
+                                   "id long, payload binary")
+        rows = {r["frame"]: r for r in wav_frame_stats(df, frame=128, hop=64).collect()}
+        assert set(rows) == {0, 1, 2}
+        for k, r in rows.items():
+            seg = v[k * 64 : k * 64 + 128]
+            nonneg = seg >= 0
+            assert r["sum_sq"] == int((seg * seg).sum())
+            assert r["sum_abs"] == int(np.abs(seg).sum())
+            assert r["n_crossings"] == int((nonneg[1:] != nonneg[:-1]).sum())
+            assert r["onset"] == k * 64 / 8000
+            assert r["duration"] == 128 / 8000
