@@ -3557,3 +3557,88 @@ def q_video_frame_sample(spark, sf_dir):
     return multimodal.video_frame_sample(
         payloads, every=3, fps=30.0, frame_bytes=59
     ).withColumnRenamed("id", "doc_id")
+
+
+_RS_PX = "(doc_id*131 + ((ty.ty*8)//3)*17 + ((tx.tx*8)//5)*5 + {ch})"
+
+
+@query(
+    "image_resize",
+    f"""WITH px AS (
+         SELECT d.doc_id,
+                GREATEST({_RS_PX.format(ch=0)} % 256,
+                         {_RS_PX.format(ch=29)} % 256,
+                         {_RS_PX.format(ch=58)} % 256) AS mx
+         FROM documents d, generate_series(0,2) ty(ty), generate_series(0,4) tx(tx))
+       SELECT doc_id, CAST(5 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              (SUM(mx)::DOUBLE / 15) / 255 AS mean_brightness
+       FROM px GROUP BY doc_id""",
+)
+def q_image_resize(spark, sf_dir):
+    """ImageResizingFilter (pliers/filters/image.py:46) over a REAL BMP
+    encode→decode round trip: 8x8 formula images → 24bpp BI_RGB bytes →
+    production image_resize_stats stage (nearest-neighbor to 5x3). The
+    oracle recomputes the sampled source indices relationally
+    (r = ty*8//3, c = tx*8//5) — a green row certifies the BMP codec
+    (bottom-up BGR rows, 4-byte padding) and the resampling index math
+    bit-for-bit."""
+    from pliers_spark import codecs, multimodal
+
+    payloads = _synth_payloads(
+        spark, sf_dir, lambda did: codecs.encode_bmp(_synth_image(did))
+    )
+    return multimodal.image_resize_stats(
+        payloads, target_w=5, target_h=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+_CR_PX = "((doc_id*131 + r.r*17 + c.c*5 + {ch}) % 255) + 1"
+
+
+@query(
+    "image_autocrop",
+    f"""WITH px AS (
+         SELECT d.doc_id, (d.doc_id % 3) AS b,
+                GREATEST({_CR_PX.format(ch=0)},
+                         {_CR_PX.format(ch=29)},
+                         {_CR_PX.format(ch=58)}) AS mx
+         FROM documents d, generate_series(0,7) r(r), generate_series(0,7) c(c)
+         WHERE r.r >= (d.doc_id % 3) AND r.r < 8 - (d.doc_id % 3)
+           AND c.c >= (d.doc_id % 3) AND c.c < 8 - (d.doc_id % 3))
+       SELECT doc_id,
+              CAST(8 - 2*b AS INTEGER) AS width, CAST(8 - 2*b AS INTEGER) AS height,
+              CAST(b AS INTEGER) AS x0, CAST(b AS INTEGER) AS y0,
+              CAST(8 - b AS INTEGER) AS x1, CAST(8 - b AS INTEGER) AS y1,
+              (SUM(mx)::DOUBLE / ((8 - 2*b) * (8 - 2*b))) / 255 AS mean_brightness
+       FROM px GROUP BY doc_id, b""",
+)
+def q_image_autocrop(spark, sf_dir):
+    """ImageCroppingFilter auto-trim (pliers/filters/image.py:18-43, the
+    PIL getbbox recast): formula images with a doc_id%3-wide black
+    border and strictly nonzero interior (pixel = f%255 + 1) → PPM →
+    production image_crop_stats(box=None). The oracle derives the
+    exclusive-right/lower bbox and post-crop brightness from the border
+    formula directly — certifying the nonzero-scan, the PIL bbox
+    convention, and the crop slice bit-for-bit."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        # raw formula % 255 + 1 (NOT the %256-reduced _synth_image pixel:
+        # (x % 256) % 255 differs from x % 255 — the oracle uses the latter)
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = (((did * 131 + r * 17 + c * 5 + ch * 29) % 255) + 1).astype(np.uint8)
+        b = did % 3
+        full = np.zeros((8, 8, 3), dtype=np.uint8)
+        if b == 0:
+            full = img
+        else:
+            full[b:-b, b:-b] = img[b:-b, b:-b]
+        return codecs.encode_ppm(full)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_crop_stats(payloads, box=None).withColumnRenamed("id", "doc_id")
