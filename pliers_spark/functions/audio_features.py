@@ -621,7 +621,7 @@ def yin_exprs(
     return [stage_d, stage_c, stage_best, stage_out]
 
 
-def yin_f0(
+def position_pivot_frames(
     df: DataFrame,
     entity_col: str,
     ts_col: str,
@@ -630,11 +630,12 @@ def yin_f0(
     frame: int = FRAME,
     hop: int = HOP,
 ) -> DataFrame:
-    """Framing reuses the rms_zcr shape (row_number window → bounded
+    """Framing with the rms_zcr shape (row_number window → bounded
     frame explode → one exchange), then the frame's samples pivot into
-    position columns x0..x{frame-1} via conditional aggregation — so the
-    whole YIN pipeline is built-in expressions inside whole-stage
-    codegen. Only full frames are emitted."""
+    position columns x0..x{frame-1} via conditional aggregation — so
+    downstream per-frame features are built-in expressions inside
+    whole-stage codegen. Only full frames are emitted. Shared by YIN
+    and the constant-Q chroma family."""
     wo = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
     wp = Window.partitionBy(entity_col)
     d = df.select(
@@ -659,8 +660,56 @@ def yin_f0(
             )
         ),
     ).withColumn("j", F.col("n") - F.col("f") * hop)
-    pivoted = d.groupBy(F.col(entity_col), F.col("f").alias("frame")).agg(
+    return d.groupBy(F.col(entity_col), F.col("f").alias("frame")).agg(
         *[F.max(F.when(F.col("j") == j, F.col("v"))).alias(f"x{j}") for j in range(frame)]
+    )
+
+
+def position_pivot_sql(
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    table: str = "events",
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> str:
+    """The x/fr/j/piv CTE prelude matching ``position_pivot_frames`` —
+    callers append their own stages after ``piv``."""
+    piv = ", ".join(
+        f"max(CASE WHEN j = {j} THEN v END) AS x{j}" for j in range(frame)
+    )
+    return f"""x AS (
+  SELECT {entity_col},
+         row_number() OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {tiebreak_col}) - 1 AS n,
+         count(*) OVER (PARTITION BY {entity_col}) AS len,
+         {value_col} AS v
+  FROM {table}),
+fr AS (
+  SELECT *, unnest(generate_series(
+              greatest(cast(ceil((n - {frame - 1}) / {hop}.0) AS BIGINT), 0),
+              least(cast(floor(n / {hop}.0) AS BIGINT),
+                    cast(floor((len - {frame}) / {hop}.0) AS BIGINT)))) AS f
+  FROM x),
+j AS (SELECT *, n - f * {hop} AS j FROM fr),
+piv AS (
+  SELECT {entity_col}, f AS frame, {piv}
+  FROM j GROUP BY {entity_col}, f)"""
+
+
+def yin_f0(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> DataFrame:
+    """YIN over the shared position-pivot framing — the whole pipeline
+    is built-in expressions inside whole-stage codegen."""
+    pivoted = position_pivot_frames(
+        df, entity_col, ts_col, value_col, tiebreak_col, frame, hop
     )
     stages = yin_exprs()
     out = pivoted
@@ -681,9 +730,6 @@ def yin_f0_sql(
     frame: int = FRAME,
     hop: int = HOP,
 ) -> str:
-    piv = ", ".join(
-        f"max(CASE WHEN j = {j} THEN v END) AS x{j}" for j in range(frame)
-    )
     stages = yin_exprs()
     ctes = []
     prev = "piv"
@@ -694,22 +740,10 @@ def yin_f0_sql(
         prev = name
     sel = ",\n       ".join(f"{e} AS {n}" for n, e in stages[-1].items())
     stage_sql = ",\n".join(ctes)
-    return f"""WITH x AS (
-  SELECT {entity_col},
-         row_number() OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {tiebreak_col}) - 1 AS n,
-         count(*) OVER (PARTITION BY {entity_col}) AS len,
-         {value_col} AS v
-  FROM {table}),
-fr AS (
-  SELECT *, unnest(generate_series(
-              greatest(cast(ceil((n - {frame - 1}) / {hop}.0) AS BIGINT), 0),
-              least(cast(floor(n / {hop}.0) AS BIGINT),
-                    cast(floor((len - {frame}) / {hop}.0) AS BIGINT)))) AS f
-  FROM x),
-j AS (SELECT *, n - f * {hop} AS j FROM fr),
-piv AS (
-  SELECT {entity_col}, f AS frame, {piv}
-  FROM j GROUP BY {entity_col}, f),
+    prelude = position_pivot_sql(
+        entity_col, ts_col, value_col, tiebreak_col, table, frame, hop
+    )
+    return f"""WITH {prelude},
 {stage_sql}
 SELECT {entity_col}, frame,
        {sel}
@@ -867,3 +901,194 @@ tg AS (
   FROM g
   WINDOW w2 AS (PARTITION BY user_id ORDER BY frame))
 SELECT user_id, frame, {sel} FROM tg WHERE tg{max_lag} IS NOT NULL"""
+
+
+# --------------------------------------------------------------------------
+# constant-Q chroma family: chroma_cqt → chroma_cens → tonnetz
+
+
+def cqt_chroma_exprs(
+    frame: int = FRAME, fmin: float = 500.0, n_bins: int = 12,
+    bins_per_octave: int = 12, sr: int = SR, prefix: str = "x",
+) -> list[dict[str, str]]:
+    """ChromaCQTExtractor role (pliers/extractors/audio.py:386-397;
+    librosa.feature.chroma_cqt): project each frame onto log-spaced
+    complex kernels at f_b = fmin·2^(b/12) (equal temperament), fold
+    bin power onto pitch class pc(b) = (pc(fmin)+b) mod 12, then
+    max-normalize per frame (librosa's norm=inf default).
+
+    Kernel caveat, documented: a true CQT lengthens its window as Q/f_b
+    — with the engine's fixed frame of 8 samples every kernel is
+    clamped to the frame (Hann-windowed), i.e. the filter_scale
+    truncation librosa itself applies when the frame bounds the kernel.
+    All weights are driver-side literals; the hot path is
+    fused multiply-adds inside whole-stage codegen."""
+    stage_ri: dict[str, str] = {}
+    for b in range(n_bins):
+        fb = fmin * 2.0 ** (b / bins_per_octave)
+        re_terms, im_terms = [], []
+        for t in range(frame):
+            w = 0.5 - 0.5 * math.cos(2.0 * math.pi * t / frame)  # Hann
+            ang = 2.0 * math.pi * fb * t / sr
+            re_terms.append(f"{_lit(w * math.cos(ang))} * {prefix}{t}")
+            im_terms.append(f"{_lit(-w * math.sin(ang))} * {prefix}{t}")
+        stage_ri[f"re{b}"] = "(" + " + ".join(re_terms) + ")"
+        stage_ri[f"im{b}"] = "(" + " + ".join(im_terms) + ")"
+    stage_p = {f"q{b}": f"(re{b} * re{b} + im{b} * im{b})" for b in range(n_bins)}
+    pc0 = round(12 * math.log2(fmin / 440.0) + 69) % 12
+    by_class: dict[int, list[int]] = {}
+    for b in range(n_bins):
+        by_class.setdefault((pc0 + b) % 12, []).append(b)
+    sums = {
+        c: "(" + " + ".join(f"q{b}" for b in bs) + ")" for c, bs in by_class.items()
+    }
+    mx = "greatest(" + ", ".join(sums.values()) + ", 1e-10)"
+    stage_out = {
+        f"chroma_cqt_{c}": (f"round({sums[c]} / {mx}, 6)" if c in sums else "0.0")
+        for c in range(12)
+    }
+    return [stage_ri, stage_p, stage_out]
+
+
+def _staged_select(pivoted: DataFrame, stages: list[dict[str, str]],
+                   entity_col: str) -> DataFrame:
+    out = pivoted
+    for stage in stages:
+        out = out.select("*", *[F.expr(e).alias(n) for n, e in stage.items()])
+    return out.select(entity_col, "frame", *list(stages[-1]))
+
+
+def _staged_sql(stages: list[dict[str, str]], entity_col: str,
+                prelude: str) -> str:
+    ctes, prev = [], "piv"
+    for i, stage in enumerate(stages[:-1]):
+        cols = ", ".join(f"{e} AS {n}" for n, e in stage.items())
+        ctes.append(f"cq{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"cq{i}"
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in stages[-1].items())
+    body = (",\n" + ",\n".join(ctes)) if ctes else ""
+    return f"WITH {prelude}{body}\nSELECT {entity_col}, frame,\n       {sel}\nFROM {prev}"
+
+
+def chroma_cqt(
+    df: DataFrame, entity_col: str = "user_id", ts_col: str = "ts",
+    value_col: str = "value", tiebreak_col: str = "event_id",
+) -> DataFrame:
+    pivoted = position_pivot_frames(df, entity_col, ts_col, value_col, tiebreak_col)
+    return _staged_select(pivoted, cqt_chroma_exprs(), entity_col)
+
+
+def chroma_cqt_sql(entity_col: str = "user_id") -> str:
+    return _staged_sql(cqt_chroma_exprs(), entity_col, position_pivot_sql())
+
+
+def cens_exprs(n_bins: int = 12) -> list[dict[str, str]]:
+    """CENS quantization (librosa.feature.chroma_cens, Müller & Ewert
+    2011): L1-normalize the CQT bin powers per frame, then map each
+    class energy onto the published step function — 0.25·#{thresholds
+    exceeded} over (0.05, 0.1, 0.2, 0.4). The temporal smoothing +
+    L2 normalization happen in ``chroma_cens`` (window stage). The
+    quantized values are exact multiples of 0.25, so the smoothing
+    sums are order-independent across engines."""
+    pc_cols = [f"q{b}" for b in range(n_bins)]
+    tot = "greatest(" + " + ".join(pc_cols) + ", 1e-10)"
+    stage_q = {}
+    for b in range(n_bins):
+        ratio = f"({pc_cols[b]} / {tot})"
+        steps = " + ".join(
+            f"(CASE WHEN {ratio} > {_lit(s)} THEN 1 ELSE 0 END)"
+            for s in (0.05, 0.1, 0.2, 0.4)
+        )
+        stage_q[f"e{b}"] = f"(CAST(0.25 AS DOUBLE) * ({steps}))"
+    return [stage_q]
+
+
+_CENS_WIN = "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+
+
+def chroma_cens(
+    df: DataFrame, entity_col: str = "user_id", ts_col: str = "ts",
+    value_col: str = "value", tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """chroma_cqt energies → CENS: quantize (cens_exprs) → smooth each
+    class over ±1 frame (zero-padded edges: windowed SUM / 3, librosa's
+    fixed-length convolution) → L2-normalize per frame. The smoothing
+    window shares the cqt stage's (entity, frame) ordering — one
+    shuffle for the pivot agg, the window reuses it."""
+    pivoted = position_pivot_frames(df, entity_col, ts_col, value_col, tiebreak_col)
+    stages = cqt_chroma_exprs()[:2] + cens_exprs()
+    out = pivoted
+    for stage in stages:
+        out = out.select("*", *[F.expr(e).alias(n) for n, e in stage.items()])
+    smooth = {
+        f"s{c}": (
+            f"(sum(e{c}) OVER (PARTITION BY {entity_col} ORDER BY frame "
+            f"{_CENS_WIN}) / CAST(3.0 AS DOUBLE))"
+        )
+        for c in range(12)
+    }
+    out = out.select(entity_col, "frame", *[F.expr(e).alias(n) for n, e in smooth.items()])
+    norm = "greatest(sqrt(" + " + ".join(f"s{c} * s{c}" for c in range(12)) + "), 1e-12)"
+    return out.select(
+        entity_col, "frame",
+        *[F.expr(f"round(s{c} / {norm}, 6)").alias(f"cens_{c}") for c in range(12)],
+    )
+
+
+def chroma_cens_sql(entity_col: str = "user_id") -> str:
+    stages = cqt_chroma_exprs()[:2] + cens_exprs()
+    ctes, prev = [], "piv"
+    for i, stage in enumerate(stages):
+        cols = ", ".join(f"{e} AS {n}" for n, e in stage.items())
+        ctes.append(f"cq{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"cq{i}"
+    smooth = ", ".join(
+        f"(sum(e{c}) OVER (PARTITION BY {entity_col} ORDER BY frame "
+        f"{_CENS_WIN}) / CAST(3.0 AS DOUBLE)) AS s{c}"
+        for c in range(12)
+    )
+    ctes.append(f"sm AS (SELECT {entity_col}, frame, {smooth} FROM {prev})")
+    norm = "greatest(sqrt(" + " + ".join(f"s{c} * s{c}" for c in range(12)) + "), 1e-12)"
+    sel = ",\n       ".join(f"round(s{c} / {norm}, 6) AS cens_{c}" for c in range(12))
+    return (
+        f"WITH {position_pivot_sql()},\n" + ",\n".join(ctes)
+        + f"\nSELECT {entity_col}, frame,\n       {sel}\nFROM sm"
+    )
+
+
+def tonnetz_exprs(n_bins: int = 12) -> list[dict[str, str]]:
+    """TonnetzExtractor role (pliers/extractors/audio.py:399-407;
+    librosa.feature.tonnetz, Harte/Sandler/Gasser 2006): L1-normalize
+    the chroma vector, then project onto the 6-D tonal centroid basis —
+    circles of fifths (r=1, angle 7π/6·j), minor thirds (r=1, 3π/2·j),
+    major thirds (r=0.5, 2π/3·j), sin/cos each. Basis entries are
+    driver-side literals."""
+    pc_cols = [f"q{b}" for b in range(n_bins)]
+    tot = "greatest(" + " + ".join(pc_cols) + ", 1e-10)"
+    stage_n = {f"cn{b}": f"({pc_cols[b]} / {tot})" for b in range(n_bins)}
+    basis = []
+    for r, period in ((1.0, 7.0 * math.pi / 6.0), (1.0, 3.0 * math.pi / 2.0),
+                      (0.5, 2.0 * math.pi / 3.0)):
+        basis.append([r * math.sin(period * j) for j in range(12)])
+        basis.append([r * math.cos(period * j) for j in range(12)])
+    stage_t = {
+        f"tonnetz_{k}": "round("
+        + " + ".join(f"{_lit(basis[k][j])} * cn{j}" for j in range(12))
+        + ", 6)"
+        for k in range(6)
+    }
+    return [stage_n, stage_t]
+
+
+def tonnetz(
+    df: DataFrame, entity_col: str = "user_id", ts_col: str = "ts",
+    value_col: str = "value", tiebreak_col: str = "event_id",
+) -> DataFrame:
+    pivoted = position_pivot_frames(df, entity_col, ts_col, value_col, tiebreak_col)
+    stages = cqt_chroma_exprs()[:2] + tonnetz_exprs()
+    return _staged_select(pivoted, stages, entity_col)
+
+
+def tonnetz_sql(entity_col: str = "user_id") -> str:
+    stages = cqt_chroma_exprs()[:2] + tonnetz_exprs()
+    return _staged_sql(stages, entity_col, position_pivot_sql())

@@ -3642,3 +3642,58 @@ def q_image_autocrop(spark, sf_dir):
 
     payloads = _synth_payloads(spark, sf_dir, build)
     return multimodal.image_crop_stats(payloads, box=None).withColumnRenamed("id", "doc_id")
+
+
+def _chroma_cqt_sql() -> str:
+    from pliers_spark.functions.audio_features import chroma_cqt_sql
+
+    return chroma_cqt_sql()
+
+
+@query("chroma_cqt", _chroma_cqt_sql())
+def q_chroma_cqt(spark, sf_dir):
+    """ChromaCQTExtractor role (pliers/extractors/audio.py:386-397):
+    log-spaced constant-Q kernel projections (literal Hann·cos/sin
+    weights, equal-temperament centers) folded onto pitch classes,
+    max-normalized per frame. 100% built-in: shared position-pivot
+    framing, then fused multiply-adds in whole-stage codegen — no FFT,
+    no UDF."""
+    from pliers_spark.functions.audio_features import chroma_cqt
+
+    return chroma_cqt(_events(spark, sf_dir))
+
+
+def _chroma_cens_sql() -> str:
+    from pliers_spark.functions.audio_features import chroma_cens_sql
+
+    return chroma_cens_sql()
+
+
+@query("chroma_cens", _chroma_cens_sql())
+def q_chroma_cens(spark, sf_dir):
+    """ChromaCENSExtractor role (pliers/extractors/audio.py:386-397
+    variant; Müller & Ewert 2011): CQT chroma → L1-normalize → published
+    0.25-step quantization → ±1-frame smoothing (zero-padded window SUM
+    / 3) → per-frame L2 normalization. Quantized values are exact
+    multiples of 0.25, so the smoothing sums are order-independent —
+    the window stage reuses the pivot agg's (entity, frame) shuffle."""
+    from pliers_spark.functions.audio_features import chroma_cens
+
+    return chroma_cens(_events(spark, sf_dir))
+
+
+def _tonnetz_sql() -> str:
+    from pliers_spark.functions.audio_features import tonnetz_sql
+
+    return tonnetz_sql()
+
+
+@query("tonnetz", _tonnetz_sql())
+def q_tonnetz(spark, sf_dir):
+    """TonnetzExtractor (pliers/extractors/audio.py:399-407): 6-D tonal
+    centroid projection (circles of fifths / minor thirds / major
+    thirds, literal sin/cos basis) of the L1-normalized CQT chroma —
+    one more Column stage over the same framing, still zero UDFs."""
+    from pliers_spark.functions.audio_features import tonnetz
+
+    return tonnetz(_events(spark, sf_dir))

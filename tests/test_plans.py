@@ -282,3 +282,18 @@ def test_bpe_round_runs_on_word_dimension(spark, tmp_path):
     )
     plan = formatted(pairs)
     assert "Scan parquet" not in plan, plan
+
+
+def test_chroma_cqt_family_no_python_two_exchanges(spark):
+    """The constant-Q chroma family (chroma_cqt / chroma_cens / tonnetz)
+    is 100% built-in: literal-kernel multiply-adds over the shared
+    position-pivot framing — no Python at all, and at most the spread
+    repartition + ONE entity hash Exchange (the pivot agg and the CENS
+    smoothing window both reuse the entity partitioning)."""
+    from pliers_spark.queries import QUERIES
+
+    for name in ("chroma_cqt", "chroma_cens", "tonnetz"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, (name, plan)
+        assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
