@@ -3697,3 +3697,30 @@ def q_tonnetz(spark, sf_dir):
     from pliers_spark.functions.audio_features import tonnetz
 
     return tonnetz(_events(spark, sf_dir))
+
+
+def _beat_track_sql() -> str:
+    from pliers_spark.functions.audio_features import spectral_flux_sql
+    from pliers_spark.functions.spectral import stft_power_sql
+    from pliers_spark.operators.beat import beat_track_sql
+
+    return beat_track_sql(spectral_flux_sql(stft_power_sql()))
+
+
+@query("beat_track", _beat_track_sql())
+def q_beat_track(spark, sf_dir):
+    """BeatTrackExtractor (pliers/extractors/audio.py:286-301; Ellis
+    2007 DP) in the exact-integer variant: onset strength = spectral
+    flux in micro-units, forward DP with a quadratic integer penalty,
+    deterministic-tie backtrack. Per-entity grouped map — parallel
+    across series, O(T*W) within one; the oracle replays the identical
+    DP as a DuckDB recursive CTE."""
+    from pliers_spark.functions.audio_features import spectral_flux
+    from pliers_spark.functions.spectral import stft_power_frames
+    from pliers_spark.operators.beat import beat_track
+
+    frames = stft_power_frames(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return beat_track(spectral_flux(frames))
