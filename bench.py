@@ -60,6 +60,20 @@ BENCH_QUERIES = [
     "source_kl",
     "kmeans_fit",
     "bpe_learn",
+    # round-2 families
+    "porter_stem",
+    "vader_sentiment",
+    "spacy_attrs",
+    "pii_scrub",
+    "text_normalize",
+    "domain_cap",
+    "sequence_pack",
+    "mixture_sample",
+    "ivf_multiprobe",
+    "image_decode_stats",
+    "wav_frame_stats",
+    "chroma_cqt",
+    "beat_track",
 ]
 
 
