@@ -335,15 +335,18 @@ def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extra
     return pages.withColumn(out_col, _extract(F.col(html_col)))
 
 
-def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+def url_features(pages: DataFrame, url_col: str = "url",
+                 key_cols: tuple[str, ...] = ()) -> DataFrame:
     """URL structure features — host, registrable domain proxy, path
     depth, https flag — all JVM ``parse_url``/regex expressions inside
     whole-stage codegen (crawl partitioning/skew analysis runs on these:
-    hot-domain detection groups by ``host``)."""
+    hot-domain detection groups by ``host``). ``key_cols`` ride along
+    unchanged (e.g. a doc id when the table isn't keyed by url)."""
     u = F.col(url_col)
     host = F.parse_url(u, F.lit("HOST"))
     path = F.parse_url(u, F.lit("PATH"))
     return pages.select(
+        *key_cols,
         url_col,
         host.alias("host"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),

@@ -174,23 +174,55 @@ class Pipeline:
         if isinstance(spec, str):
             spec = json.loads(spec)
         self.roots = [Node.from_spec(r) for r in spec["roots"]]
+        # TransformationLog analog (pliers/stimuli/base.py:181-238): one
+        # record per executed stage, parent-linked, implicit conversions
+        # flagged. Plan-construction provenance — no per-row cost.
+        self.history: list[dict] = []
 
     def run(self, df: DataFrame, key_cols: list[str], merge: bool = True):
+        self.history = []
         leaves: list[DataFrame] = []
         for root in self.roots:
-            self._run_node(root, df, is_doc_level=True, leaves=leaves)
+            self._run_node(root, df, is_doc_level=True, leaves=leaves, parent=None)
         if not merge:
             return leaves
         return R.merge_features(leaves, key_cols) if len(leaves) > 1 else leaves[0]
 
-    def _run_node(self, node: Node, df: DataFrame, is_doc_level: bool, leaves: list[DataFrame]):
+    def _log(self, transformer: str, parameters: dict, parent: int | None,
+             implicit: bool) -> int:
+        step = len(self.history)
+        self.history.append(
+            {
+                "step": step,
+                "transformer": transformer.lower(),
+                "parameters": json.dumps(parameters, sort_keys=True),
+                "parent_step": parent,
+                "implicit": implicit,
+            }
+        )
+        return step
+
+    def history_df(self, spark) -> DataFrame:
+        """``history.to_df()`` parity (pliers/stimuli/base.py:231-238):
+        unroll the last run's parent-linked stage chain into a DataFrame
+        (step, transformer, parameters, parent_step, implicit)."""
+        return spark.createDataFrame(
+            self.history,
+            "step long, transformer string, parameters string, "
+            "parent_step long, implicit boolean",
+        )
+
+    def _run_node(self, node: Node, df: DataFrame, is_doc_level: bool,
+                  leaves: list[DataFrame], parent: int | None):
         stage_def = get_stage(node.transformer)
         if stage_def.input_level == "token" and is_doc_level:
             # implicit conversion: insert tokenize (type-directed rewrite,
             # ≡ pliers get_converter insertion, transformers/base.py:136-155)
             df = get_stage("tokenize").build()(df)
+            parent = self._log("tokenize", {}, parent, implicit=True)
             is_doc_level = False
         out = stage_def.build(**node.parameters)(df)
+        parent = self._log(node.transformer, node.parameters, parent, implicit=False)
         if node.transformer.lower() == "tokenize":
             is_doc_level = False
         if len(node.children) > 1:
@@ -198,7 +230,7 @@ class Pipeline:
         if not node.children:
             leaves.append(out)
         for child in node.children:
-            self._run_node(child, out, is_doc_level, leaves)
+            self._run_node(child, out, is_doc_level, leaves, parent)
 
     def to_json(self) -> str:
         def node_spec(n: Node) -> dict:

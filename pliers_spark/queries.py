@@ -3724,3 +3724,78 @@ def q_beat_track(spark, sf_dir):
         order_cols=["ts", "event_id"],
     )
     return beat_track(spectral_flux(frames))
+
+
+_URL_SYNTH_SQL = """(CASE WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END)
+             || 'www.site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/sec' || CAST(doc_id % 5 AS VARCHAR)
+             || '/page' || CAST(doc_id % 11 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?q=spark' ELSE '' END)"""
+
+_URL_HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+_URL_PATH_SQL = "regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)"
+
+
+@query(
+    "url_features",
+    f"""WITH u AS (
+         SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents)
+       SELECT doc_id, url,
+              {_URL_HOST_SQL} AS host,
+              regexp_extract({_URL_HOST_SQL}, '([^.]+\\.[^.]+)$', 1) AS domain,
+              {_URL_PATH_SQL} AS path,
+              (len(string_split({_URL_PATH_SQL}, '/')) - 1)::BIGINT AS path_depth,
+              (url LIKE 'https://%') AS is_https
+       FROM u""",
+)
+def q_url_features(spark, sf_dir):
+    """URL structure features (crawl-partitioning input; SURVEY §2.1
+    url row): host/domain/path-depth/https over JVM ``parse_url`` —
+    whole-stage codegen, zero Python, URL synthesis itself is pure
+    Column concat over doc_id so the oracle regenerates identical
+    strings and parses them relationally."""
+    from pliers_spark.pages_pipeline import url_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 1, F.lit("https://")).otherwise(F.lit("http://")),
+        F.lit("www.site"), (did % 50).cast("string"),
+        F.lit(".example"), (did % 7).cast("string"),
+        F.lit(".com/sec"), (did % 5).cast("string"),
+        F.lit("/page"), (did % 11).cast("string"),
+        F.when(did % 3 == 0, F.lit("?q=spark")).otherwise(F.lit("")),
+    )
+    return url_features(d.withColumn("url", url), key_cols=("doc_id",))
+
+
+_BLOCKLIST = ("slow", "dup", "leak")
+_BL_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@query(
+    "blocklist_filter",
+    f"""WITH toks AS (
+         SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS token
+         FROM documents)
+       SELECT doc_id,
+              SUM(CASE WHEN token IN ({_BL_SQL}) THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+              (SUM(CASE WHEN token IN ({_BL_SQL}) THEN 1 ELSE 0 END) = 0) AS keep
+       FROM toks GROUP BY doc_id""",
+)
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style bad-word blocklist gate (Raffel et al. 2020 §2.2: drop
+    any page containing a blocklisted word): explode tokens → literal
+    IN-list predicate (no join — the list constant-folds into codegen)
+    → per-doc hit count with map-side partial agg; keep = zero hits.
+    At 100 TB the plan is a narrow map + one hash agg on doc_id — the
+    same shape as token_stats; a large real blocklist would swap the
+    IN-list for a broadcast left-semi join, same single shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    hit = F.when(F.lower(F.col("token")).isin(*_BLOCKLIST), F.lit(1)).otherwise(F.lit(0))
+    return toks.groupBy("doc_id").agg(
+        F.sum(hit).alias("n_hits"),
+        (F.sum(hit) == 0).alias("keep"),
+    )

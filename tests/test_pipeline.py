@@ -107,3 +107,22 @@ def test_sentiment_and_stem_stages(spark):
         Pipeline({"roots": [{"transformer": "stem", "parameters": {"stemmer": "nope"}}]}).run(
             df, key_cols=["doc_id"]
         )
+
+
+def test_history_df_parent_chain_and_implicit_flag(spark):
+    """TransformationLog parity (pliers/stimuli/base.py:181-238):
+    history records every executed stage parent-linked; the implicitly
+    inserted tokenize converter is flagged implicit=True."""
+    from pliers_spark.plans.pipeline import Pipeline
+
+    spec = {"roots": [{"transformer": "lowercase",
+                       "children": [{"transformer": "stem"}]}]}
+    df = spark.createDataFrame([(1, "Running runs")], "doc_id long, text string")
+    p = Pipeline(spec)
+    p.run(df, key_cols=["doc_id"], merge=False)
+    hist = {r["step"]: r for r in p.history_df(spark).collect()}
+    assert [hist[i]["transformer"] for i in sorted(hist)] == [
+        "lowercase", "tokenize", "stem"]
+    assert hist[1]["implicit"] and not hist[0]["implicit"] and not hist[2]["implicit"]
+    assert hist[0]["parent_step"] is None
+    assert hist[1]["parent_step"] == 0 and hist[2]["parent_step"] == 1

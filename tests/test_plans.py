@@ -297,3 +297,17 @@ def test_chroma_cqt_family_no_python_two_exchanges(spark):
         plan = plan_of(df)
         assert "PythonUDF" not in plan and "ArrowEval" not in plan, (name, plan)
         assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
+
+
+def test_blocklist_filter_no_join_single_agg_shuffle(spark):
+    """The IN-list constant-folds into codegen: no join anywhere, and
+    the only exchanges are the spread repartition + the doc_id hash agg
+    (partial agg runs map-side)."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["blocklist_filter"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
