@@ -3799,3 +3799,90 @@ def q_blocklist_filter(spark, sf_dir):
         F.sum(hit).alias("n_hits"),
         (F.sum(hit) == 0).alias("keep"),
     )
+
+
+@query(
+    "chunk_windows",
+    """WITH n AS (
+         SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+         FROM documents),
+       k AS (
+         SELECT doc_id, n_tokens,
+                (CASE WHEN n_tokens <= 32 THEN 1
+                      ELSE (n_tokens - 32 + 15) // 16 + 1 END) AS n_chunks
+         FROM n)
+       SELECT doc_id,
+              unnest(generate_series(0, n_chunks - 1))::BIGINT AS chunk_id,
+              (unnest(generate_series(0, n_chunks - 1)) * 16)::BIGINT AS start_tok,
+              least(unnest(generate_series(0, n_chunks - 1)) * 16 + 32,
+                    n_tokens)::BIGINT AS end_tok
+       FROM k""",
+)
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking for context-window training (the
+    BERT/GPT overlapping-stride split: window 32 tokens, stride 16):
+    per doc, emit (chunk_id, start_tok, end_tok) covering the token
+    sequence with 50% overlap, final chunk clipped. Narrow map + a
+    bounded sequence explode (≤ n/stride rows per doc) — no shuffle at
+    all; at 100 TB this is a pure map stage that pipelines into
+    sequence_pack."""
+    d = _docs(spark, sf_dir)
+    n = d.select("doc_id", F.size(T.tokenize(F.col("text"))).cast("long").alias("n_tokens"))
+    k = n.withColumn(
+        "n_chunks",
+        F.expr("CASE WHEN n_tokens <= 32 THEN 1 ELSE (n_tokens - 32 + 15) div 16 + 1 END"),
+    )
+    out = k.select(
+        "doc_id", "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * 16).cast("long").alias("start_tok"),
+        F.least(F.col("chunk_id") * 16 + 32, F.col("n_tokens")).cast("long").alias("end_tok"),
+    )
+
+
+@query(
+    "mixture_epochs",
+    """WITH tot AS (
+         SELECT source, SUM(len(string_split(trim(text), ' ')))::BIGINT AS src_tokens
+         FROM documents GROUP BY source),
+       mx AS (SELECT MAX(src_tokens) AS max_tokens FROM tot),
+       fac AS (
+         SELECT source, src_tokens,
+                ((SELECT max_tokens FROM mx) + src_tokens - 1) // src_tokens AS n_epochs
+         FROM tot)
+       SELECT d.doc_id, d.source,
+              unnest(generate_series(1, f.n_epochs))::BIGINT AS epoch,
+              f.n_epochs::BIGINT AS n_epochs
+       FROM documents d JOIN fac f USING (source)""",
+)
+def q_mixture_epochs(spark, sf_dir):
+    """Epoch-based source up-sampling (the data-mixing repetition rule
+    behind LLaMA/Gopher mixture tables): each source repeats
+    ceil(max_source_tokens / source_tokens) times so every source
+    contributes a comparable token budget; docs are emitted once per
+    epoch with the epoch index. The per-source factor is a tiny
+    aggregate broadcast back onto the corpus — the big side sees one
+    narrow map + a bounded explode, no skew (factor is per-source, not
+    per-key)."""
+    d = _docs(spark, sf_dir)
+    tot = d.groupBy("source").agg(
+        F.sum(F.size(T.tokenize(F.col("text"))).cast("long")).alias("src_tokens")
+    )
+    mx = tot.agg(F.max("src_tokens").alias("max_tokens"))
+    fac = tot.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.expr("(max_tokens + src_tokens - 1) div src_tokens").alias("n_epochs"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(fac), "source")
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias("epoch"),
+            F.col("n_epochs").cast("long").alias("n_epochs"),
+        )
+    )
