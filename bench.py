@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "wav_frame_stats",
     "chroma_cqt",
     "beat_track",
+    "image_dhash_dups",
+    "audio_fp_dups",
+    "shot_boundaries",
 ]
 
 

@@ -180,6 +180,51 @@ def wav_frame_stats(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=WAV_FRAME_STATS_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = "id long, afp long"
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame: int = 64,
+    hop: int = 32,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Acoustic fingerprint per clip (the chromaprint/shazam *shape*
+    reduced to its energy skeleton): decode WAV → exact int64 PCM →
+    framed energies E_k = Σ s² → one bit per adjacent frame pair
+    (E_k > E_{k-1}) → pack into a BIGINT. Energies are exact integers
+    and comparisons are invariant under any uniform integer gain g
+    (E scales by g², preserving every > and =), so re-mastered /
+    volume-normalized copies of one recording collide — audio-level
+    dedup is then an exact hash groupBy, the same scale-safe plan as
+    dedup_exact. Audio surface: pliers/stimuli/audio.py:10-52 decode +
+    the framed-energy shape of pliers/extractors/audio.py:216-265.
+    mapInPandas decode, numpy-vectorized; payloads never leave
+    executors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pliers_spark import codecs
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples64, _sr = codecs.decode_wav(bytes(payload or b""))
+                s = np.rint(samples64 * 32768.0).astype(np.int64)
+                n_frames = max((len(s) - frame) // hop + 1, 0)
+                e = np.array(
+                    [int((s[k * hop : k * hop + frame] ** 2).sum()) for k in range(n_frames)],
+                    dtype=np.int64,
+                )
+                bits = e[1:] > e[:-1]
+                shifts = 1 << np.arange(len(bits), dtype=np.int64)
+                ids.append(int(i))
+                fps.append(int((bits * shifts).sum()))
+            yield pd.DataFrame({"id": ids, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FP_SCHEMA)
+
+
 IMAGE_RESIZE_SCHEMA = "id long, width int, height int, channels int, mean_brightness double"
 VIDEO_FRAME_SCHEMA = "id long, frame long, onset double, width int, height int, mean_brightness double"
 
@@ -305,6 +350,55 @@ def image_features(df: DataFrame, id_col: str = "id", payload_col: str = "payloa
             yield pd.DataFrame(rows, columns=["id", "brightness", "vibrance", "sharpness"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_DHASH_SCHEMA = "id long, dhash long"
+
+
+def image_dhash(
+    df: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 7,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode →
+    nearest-neighbor resample to (grid_h, grid_w) → integer luma
+    (299·R + 587·G + 114·B, ×1000 scale, never divided so it stays
+    exact) → one bit per adjacent horizontal pair (lum[r,c] >
+    lum[r,c+1]) → pack row-major into a BIGINT. The default 9×7 grid
+    gives 56 bits (< 63, so the packed hash is sign-safe in both
+    engines). Adjacent-pixel comparison makes the hash invariant to
+    uniform brightness shifts and gain, so re-encoded or
+    brightness-tweaked copies of one crawled image collide — the
+    standard perceptual key for image-level dedup (the dedup itself is
+    then an exact hash groupBy, the same scale-safe plan as
+    dedup_exact; near-dup variants band the 56 bits like simhash).
+    mapInPandas decode, numpy-vectorized hash, payloads never leave
+    executors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        shifts = (
+            1
+            << (
+                np.arange(grid_h, dtype=np.int64)[:, None] * (grid_w - 1)
+                + np.arange(grid_w - 1, dtype=np.int64)[None, :]
+            )
+        )
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                ys = (np.arange(grid_h) * img.shape[0] // grid_h).clip(0, img.shape[0] - 1)
+                xs = (np.arange(grid_w) * img.shape[1] // grid_w).clip(0, img.shape[1] - 1)
+                lum = (img[ys][:, xs].astype(np.int64) * weights).sum(axis=2)
+                bits = lum[:, :-1] > lum[:, 1:]
+                ids.append(int(i))
+                hashes.append(int((bits * shifts).sum()))
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_DHASH_SCHEMA)
 
 
 IMAGE_CROP_SCHEMA = "id long, width int, height int, x0 int, y0 int, x1 int, y1 int, mean_brightness double"

@@ -3644,6 +3644,178 @@ def q_image_autocrop(spark, sf_dir):
     return multimodal.image_crop_stats(payloads, box=None).withColumnRenamed("id", "doc_id")
 
 
+_DH_BASE = "(((d.doc_id % 37)*131 + ((ty.ty*8)//7)*17 + ((tx.tx*8)//9)*5 + {ch}) % 200)"
+
+
+@query(
+    "image_dhash_dups",
+    f"""WITH lum AS (
+         SELECT d.doc_id, ty.ty AS r, tx.tx AS c,
+                299*{_DH_BASE.format(ch=0)} + 587*{_DH_BASE.format(ch=29)}
+              + 114*{_DH_BASE.format(ch=58)} AS lum
+         FROM documents d, generate_series(0,6) ty(ty), generate_series(0,8) tx(tx)),
+       bits AS (
+         SELECT doc_id, r, c,
+                CASE WHEN lum > lead(lum) OVER (PARTITION BY doc_id, r ORDER BY c)
+                     THEN 1 ELSE 0 END AS b
+         FROM lum),
+       h AS (
+         SELECT doc_id,
+                SUM(b * (1::BIGINT << (r*8 + c)))::BIGINT AS dhash
+         FROM bits WHERE c < 8 GROUP BY doc_id)
+       SELECT doc_id, dhash,
+              CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size,
+              CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY dhash)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM h""",
+)
+def q_image_dhash_dups(spark, sf_dir):
+    """Perceptual image dedup over a REAL PPM round trip: each doc's
+    payload is a brightness-shifted copy of one of 37 base patterns
+    (pixel = base(doc_id % 37) + (doc_id*7) % 50, clip-free), so dHash
+    — invariant to the uniform shift — collides exactly the docs that
+    share a base image even though their payload BYTES all differ.
+    Production image_dhash stage (decode → 9×7 resample → integer luma
+    → 56 packed comparison bits), then one window over the hash for
+    group_size + min-id keep flag — the image twin of dedup_exact
+    (pliers has no image dedup; the decode surface is
+    pliers/stimuli/image.py:10-40). The oracle recomputes luma
+    relationally WITHOUT the per-doc offset — it cancels in every
+    adjacent comparison, which is exactly the invariance the hash
+    claims; bits and packing are exact integers, bit-identical on both
+    engines."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        base = ((did % 37) * 131 + r * 17 + c * 5 + ch * 29) % 200
+        return codecs.encode_ppm((base + (did * 7) % 50).astype(np.uint8))
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    h = multimodal.image_dhash(payloads).withColumnRenamed("id", "doc_id")
+    w = Window.partitionBy("dhash")
+    return h.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("long").alias("keep"),
+    )
+
+
+_SB_PX = "(doc_id*131 + (k.k//4)*101 + r.r*17 + c.c*5 + {ch})"
+
+
+@query(
+    "shot_boundaries",
+    f"""WITH px AS (
+         SELECT d.doc_id, k.k,
+                GREATEST({_SB_PX.format(ch=0)} % 256,
+                         {_SB_PX.format(ch=29)} % 256,
+                         {_SB_PX.format(ch=58)} % 256) AS mx
+         FROM documents d, generate_series(0,11) k(k),
+              generate_series(0,3) r(r), generate_series(0,3) c(c)),
+       b AS (
+         SELECT doc_id, k, (SUM(mx)::DOUBLE / 16) / 255 AS br
+         FROM px GROUP BY doc_id, k)
+       SELECT doc_id, k::BIGINT AS frame, k/30.0 AS onset,
+              CAST(CASE WHEN lag(br) OVER (PARTITION BY doc_id ORDER BY k) IS NOT NULL
+                         AND br <> lag(br) OVER (PARTITION BY doc_id ORDER BY k)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+       FROM b""",
+)
+def q_shot_boundaries(spark, sf_dir):
+    """Shot-boundary (scene-cut) detection over a REAL multi-frame
+    binary payload: 12 fixed-size 4×4 P6 frames per doc in 3 scenes of
+    4 (frame k's pixels keyed by k//4), production video_frame_sample
+    stage decoding EVERY frame (every=1), then one lag window per doc
+    comparing consecutive frame brightness — a cut is any change. This
+    is the frame-differencing core of scene detection feeding
+    FrameSamplingFilter-style curation (pliers/filters/video.py:19-53
+    samples; here we detect). Brightness is the exact-integer
+    Σmax/16/255 double on both engines, so the equality comparison is
+    deterministic; cuts land at k=4 and k=8 wherever the scene sums
+    differ. One narrow mapInPandas + one window shuffle on doc_id."""
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        return b"".join(
+            codecs.encode_ppm(_synth_image(did, h=4, w=4, fk=k // 4)) for k in range(12)
+        )
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    vs = multimodal.video_frame_sample(payloads, every=1, fps=30.0, frame_bytes=59)
+    w = Window.partitionBy("id").orderBy("frame")
+    prev = F.lag("mean_brightness").over(w)
+    return vs.select(
+        F.col("id").alias("doc_id"),
+        "frame",
+        "onset",
+        F.when(prev.isNotNull() & (F.col("mean_brightness") != prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_cut"),
+    )
+
+
+@query(
+    "audio_fp_dups",
+    """WITH s AS (
+         SELECT d.doc_id, k.k, t.t,
+                ((((d.doc_id % 41)*7919 + (k.k*32 + t.t)*104729) % 200) - 100)
+                * (1 + (d.doc_id % 4)) AS v
+         FROM documents d, generate_series(0,16) k(k), generate_series(0,63) t(t)),
+       e AS (
+         SELECT doc_id, k, SUM(v*v)::BIGINT AS e
+         FROM s GROUP BY doc_id, k),
+       b AS (
+         SELECT doc_id, k,
+                CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY k)
+                     THEN 1 ELSE 0 END AS bit
+         FROM e),
+       h AS (
+         SELECT doc_id, SUM(bit * (1::BIGINT << (k - 1)))::BIGINT AS afp
+         FROM b WHERE k >= 1 GROUP BY doc_id)
+       SELECT doc_id, afp,
+              CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS group_size,
+              CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY afp)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM h""",
+)
+def q_audio_fp_dups(spark, sf_dir):
+    """Audio-level dedup over a REAL RIFF/WAVE round trip: each doc's
+    clip is one of 41 base recordings under a per-doc integer gain
+    (sample = base(doc_id % 41) · (1 + doc_id % 4), |v| ≤ 400 so PCM16
+    never clips), so the gain-invariant energy fingerprint collides
+    exactly the docs that share a recording even though their payload
+    BYTES differ. Production audio_fingerprint stage (decode → 17
+    overlapping frame energies, frame=64/hop=32 → 16 packed
+    comparison bits), then one window over the hash — the audio twin
+    of dedup_exact / image_dhash_dups. All integers; bit-identical on
+    both engines."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        i = np.arange(600, dtype=np.int64)
+        v = ((((did % 41) * 7919 + i * 104729) % 200) - 100) * (1 + did % 4)
+        return codecs.encode_wav_int16(v, sr=8000)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    h = multimodal.audio_fingerprint(payloads, frame=64, hop=32).withColumnRenamed("id", "doc_id")
+    w = Window.partitionBy("afp")
+    return h.select(
+        "doc_id",
+        "afp",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("long").alias("keep"),
+    )
+
+
 def _chroma_cqt_sql() -> str:
     from pliers_spark.functions.audio_features import chroma_cqt_sql
 

@@ -220,3 +220,49 @@ class TestWavFrameStats:
             assert r["n_crossings"] == int((nonneg[1:] != nonneg[:-1]).sum())
             assert r["onset"] == k * 64 / 8000
             assert r["duration"] == 128 / 8000
+
+
+class TestPerceptualDedup:
+    def test_image_dhash_brightness_invariant(self, spark):
+        """The dedup key must collide brightness-shifted copies and
+        separate genuinely different patterns — the invariance claim
+        the image_dhash_dups oracle certifies only implicitly."""
+        from pliers_spark.codecs import encode_ppm
+        from pliers_spark.multimodal import image_dhash
+
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        base = ((r * 17 + c * 5 + ch * 29) % 200).astype(np.int64)
+        other = ((r * 31 + c * 13 + ch * 7) % 200).astype(np.int64)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_ppm(base.astype(np.uint8)))),
+                (2, bytearray(encode_ppm((base + 50).astype(np.uint8)))),  # shifted copy
+                (3, bytearray(encode_ppm(other.astype(np.uint8)))),
+            ],
+            "id long, payload binary",
+        )
+        h = {r_["id"]: r_["dhash"] for r_ in image_dhash(df).collect()}
+        assert h[1] == h[2]          # uniform brightness shift collides
+        assert h[1] != h[3]          # different pattern separates
+        assert 0 <= h[1] < (1 << 56)  # 9x7 grid -> 56 bits, sign-safe
+
+    def test_audio_fingerprint_gain_invariant(self, spark):
+        from pliers_spark.codecs import encode_wav_int16
+        from pliers_spark.multimodal import audio_fingerprint
+
+        i = np.arange(600, dtype=np.int64)
+        base = ((i * 104729) % 200) - 100
+        other = ((i * 7919) % 200) - 100
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_wav_int16(base, sr=8000))),
+                (2, bytearray(encode_wav_int16(base * 3, sr=8000))),  # gain x3
+                (3, bytearray(encode_wav_int16(other, sr=8000))),
+            ],
+            "id long, payload binary",
+        )
+        h = {r["id"]: r["afp"] for r in audio_fingerprint(df, frame=64, hop=32).collect()}
+        assert h[1] == h[2]  # integer gain scales every energy by g^2: order preserved
+        assert h[1] != h[3]
