@@ -1,24 +1,31 @@
-"""Pure-numpy binary codecs: PPM (P6), BMP (24-bit BI_RGB), WAV (PCM).
+"""Pure-numpy binary codecs: PPM (P6), BMP (24-bit BI_RGB), WAV (PCM),
+PNG (8-bit gray/RGB/RGBA, non-interlaced).
 
 The reference decodes stimuli with imageio/PIL/librosa
 (pliers/stimuli/image.py:15, pliers/stimuli/audio.py:9-84); none of
 those are in this container, so the engine ships real decoders for the
-three simplest public container formats — enough to exercise the
+simplest public container formats — enough to exercise the
 Brightness/Vibrance/Sharpness and framed-audio formula paths on REAL
-bytes end-to-end instead of a stand-in. Formats with entropy coding
-(JPEG/PNG/MP3) stay behind the import-gated imageio path.
+bytes end-to-end instead of a stand-in. PNG needs only DEFLATE, which
+ships in the Python stdlib (`zlib`), so it gets a full real codec too;
+formats whose entropy coding has no stdlib support (JPEG/MP3) stay
+behind the import-gated imageio path.
 
-All three are published byte layouts:
+All are published byte layouts:
 - PPM P6: netpbm format spec (ASCII header, raw RGB rows).
 - BMP: BITMAPFILEHEADER/BITMAPINFOHEADER, 24bpp uncompressed,
   bottom-up BGR rows padded to 4 bytes.
 - WAV: RIFF/WAVE with a PCM ``fmt `` chunk; 8-bit unsigned or
   16-bit signed little-endian samples, interleaved channels.
+- PNG: W3C PNG spec / RFC 2083 — signature, length-type-data-CRC
+  chunks, IHDR/IDAT/IEND, zlib-wrapped scanlines with per-row
+  filters 0-4 (None/Sub/Up/Average/Paeth).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -185,6 +192,135 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# PNG (8-bit depth, color types 0=gray / 2=RGB / 6=RGBA, interlace 0)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes.
+
+    Writes filter type 2 (Up) on every row after the first and 0 (None)
+    on row 0 — valid per spec, cheap to produce (one vectorized byte
+    subtraction), and it exercises a real filter on decode."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype_by_ch = {1: 0, 3: 2, 4: 6}
+    if ch not in ctype_by_ch:
+        raise ValueError(f"encode_png expects 1/3/4 channels, got {ch}")
+    flat = img.reshape(h, w * ch).astype(np.int16)
+    lines = bytearray()
+    lines += b"\x00" + flat[0].astype(np.uint8).tobytes()
+    if h > 1:
+        diff = ((flat[1:] - flat[:-1]) & 0xFF).astype(np.uint8)
+        for y in range(h - 1):
+            lines += b"\x02" + diff[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_by_ch[ch], 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering (PNG spec §6). Returns (h, w*bpp)
+    uint8. Sub is a per-lane cumulative sum mod 256 (vectorized); Up is
+    one vectorized add; Average/Paeth fall back to a per-byte loop —
+    they carry a left-neighbour recurrence that doesn't vectorize."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-lane running sum mod 256
+            lanes = cur.reshape(w, bpp)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF).reshape(stride)
+            rec = rec.astype(np.int32)
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → HxWxC uint8 (C per color type: 1 gray, 3 RGB, 4 RGBA).
+    Supports bit depth 8, color types 0/2/6, no interlace — the layouts
+    `encode_png` emits plus what formula-generated corpora need; other
+    layouts raise so the imageio fallback (when present) can take over."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+
+
+# --------------------------------------------------------------------------
 # format sniffing
 
 
@@ -193,6 +329,8 @@ def sniff_image(data: bytes) -> str | None:
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:8] == PNG_SIG:
+        return "png"
     return None
 
 

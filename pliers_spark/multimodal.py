@@ -32,10 +32,13 @@ AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms dou
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. PPM/BMP decode for REAL
-    (pure-numpy codecs, ``pliers_spark.codecs``); entropy-coded formats
-    (JPEG/PNG) need imageio/PIL (absent here) → deterministic fake
-    derived from the payload bytes so tests are stable."""
+    """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG decode for
+    REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via stdlib
+    zlib). Gray PNG is replicated to 3 channels and RGBA drops alpha so
+    every downstream formula sees the same HxWx3 contract. Formats whose
+    entropy coding has no stdlib path (JPEG) need imageio/PIL (absent
+    here) → deterministic fake derived from the payload bytes so tests
+    are stable."""
     from pliers_spark import codecs
 
     kind = codecs.sniff_image(payload)
@@ -43,6 +46,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return codecs.decode_ppm(payload)
     if kind == "bmp":
         return codecs.decode_bmp(payload)
+    if kind == "png":
+        img = codecs.decode_png(payload)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img[:, :, :3]
     try:
         import imageio.v3 as iio  # pragma: no cover
 

@@ -3478,6 +3478,49 @@ def q_image_decode_stats(spark, sf_dir):
     return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
 
 
+_PNG_PX = "(doc_id*173 + r.r*19 + c.c*7 + {ch})"
+
+
+@query(
+    "png_decode_stats",
+    f"""WITH px AS (
+         SELECT d.doc_id,
+                GREATEST({_PNG_PX.format(ch=0)} % 256,
+                         {_PNG_PX.format(ch=31)} % 256,
+                         {_PNG_PX.format(ch=62)} % 256) AS mx
+         FROM documents d, generate_series(0,8) r(r), generate_series(0,6) c(c))
+       SELECT doc_id, CAST(7 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              (SUM(mx)::DOUBLE / 63) / 255 AS mean_brightness
+       FROM px GROUP BY doc_id""",
+)
+def q_png_decode_stats(spark, sf_dir):
+    """BrightnessExtractor over a REAL PNG encode→decode round trip
+    (pliers/extractors/image.py:26-38; pliers loads PNGs via imageio —
+    here the engine's own stdlib-zlib codec, pliers_spark.codecs
+    encode_png/decode_png): 9x7 formula images → DEFLATE-compressed,
+    Up-filtered scanlines → production image_stats stage. A green row
+    certifies chunk framing, zlib round trip, and filter reconstruction
+    end-to-end: any codec bug changes the pixels and breaks the exact
+    integer pixel-sum the oracle recomputes relationally. 63 pixels →
+    one int-sum / 63 / 255 double division chain, identical on both
+    engines (numpy integer mean is an exact int sum, then the same two
+    IEEE divisions)."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        r = np.arange(9)[:, None, None]
+        c = np.arange(7)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((did * 173 + r * 19 + c * 7 + ch * 31) % 256).astype(np.uint8)
+        return codecs.encode_png(img)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
 _WAV_S = "((d.doc_id*7919 + (k.k*64+t.t)*104729) % 65536) - 32768"
 
 

@@ -266,3 +266,119 @@ class TestPerceptualDedup:
         h = {r["id"]: r["afp"] for r in audio_fingerprint(df, frame=64, hop=32).collect()}
         assert h[1] == h[2]  # integer gain scales every energy by g^2: order preserved
         assert h[1] != h[3]
+
+
+# ---------------------------------------------------------------------------
+# round 2 (cont): real PNG codec — stdlib-zlib DEFLATE + filter reconstruction
+
+
+class TestPngCodec:
+    def test_rgb_roundtrip(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(11)
+        for shape in [(1, 1, 3), (8, 8, 3), (9, 7, 3)]:
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            data = codecs.encode_png(img)
+            assert codecs.sniff_image(data) == "png"
+            assert np.array_equal(codecs.decode_png(data), img)
+
+    def test_gray_and_rgba_roundtrip(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(12)
+        gray = rng.randint(0, 256, (6, 4), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(gray))[:, :, 0], gray)
+        rgba = rng.randint(0, 256, (5, 13, 4), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+
+    def test_all_filter_types_against_independent_unfilter(self):
+        """Hand-built IDAT exercising filters 0/1/3/4 (encode_png only
+        emits 0/2), checked against a from-the-spec pure-Python
+        unfilter written independently of the numpy implementation."""
+        import struct
+        import zlib
+
+        from pliers_spark import codecs
+
+        def build(h, w, ch, rows):
+            ct = {1: 0, 3: 2, 4: 6}[ch]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+            body = b"".join(bytes([f]) + r for f, r in rows)
+            return (
+                codecs.PNG_SIG
+                + codecs._png_chunk(b"IHDR", ihdr)
+                + codecs._png_chunk(b"IDAT", zlib.compress(body))
+                + codecs._png_chunk(b"IEND", b"")
+            )
+
+        def ref_decode(h, w, ch, rows):
+            stride = w * ch
+            prev = [0] * stride
+            out = []
+            for f, r in rows:
+                cur = list(r)
+                rec = [0] * stride
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    if f == 0:
+                        pred = 0
+                    elif f == 1:
+                        pred = a
+                    elif f == 2:
+                        pred = b
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+                out.append(rec)
+                prev = rec
+            return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+        rng = np.random.RandomState(13)
+        h, w, ch = 4, 5, 3
+        rows = [
+            (f, bytes(rng.randint(0, 256, w * ch, dtype=np.uint8)))
+            for f in (0, 1, 3, 4)
+        ]
+        got = codecs.decode_png(build(h, w, ch, rows))
+        want = ref_decode(h, w, ch, rows)
+        assert np.array_equal(got, want)
+
+    def test_split_idat_chunks(self):
+        """Multiple IDAT chunks are one continuous zlib stream (spec §5.6)."""
+        import struct
+        import zlib
+
+        from pliers_spark import codecs
+
+        img = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(3, 2, 3)
+        body = b"".join(b"\x00" + img[y].tobytes() for y in range(3))
+        z = zlib.compress(body)
+        ihdr = struct.pack(">IIBBBBB", 2, 3, 8, 2, 0, 0, 0)
+        data = (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", z[: len(z) // 2])
+            + codecs._png_chunk(b"IDAT", z[len(z) // 2 :])
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(codecs.decode_png(data), img)
+
+    def test_image_stats_png_equals_ppm(self, spark):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(14)
+        img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(codecs.encode_png(img))), (2, bytearray(codecs.encode_ppm(img)))],
+            "id long, payload binary",
+        )
+        rows = {r["id"]: r for r in image_stats(df).collect()}
+        assert rows[1]["mean_brightness"] == rows[2]["mean_brightness"]
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (8, 8, 3)
