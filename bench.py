@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "image_dhash_dups",
     "audio_fp_dups",
     "shot_boundaries",
+    "gopher_rules",
+    "png_decode_stats",
 ]
 
 

@@ -2833,6 +2833,28 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _gopher_sql() -> str:
+    from pliers_spark.operators.quality import gopher_rules_sql
+
+    return gopher_rules_sql()
+
+
+@query("gopher_rules", _gopher_sql())
+def q_gopher_rules(spark, sf_dir):
+    """The FULL published Gopher quality-filter ruleset (Rae et al.
+    2021, Table A1) as one per-doc boolean gate: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, bullet-line and
+    ellipsis-line shares, alphabetic-word share, required-word
+    presence. All thresholds via integer cross-multiplication — the
+    emitted booleans are bit-stable across engines. Complements the
+    distribution-relative quality_filter and the repetition_signals
+    family with the absolute-rule gate real curation pipelines run
+    first."""
+    from pliers_spark.operators.quality import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # batch 9 (round 2): curation ops — BPE-style token counting, PII scrub,
 # cross-corpus boilerplate line removal

@@ -80,3 +80,74 @@ def test_quality_weighted_sample_keeps_all_top_bucket(spark):
     for did, bkt in buckets.items():
         if bkt == 4:
             assert did in kept_ids
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality ruleset (Rae et al. 2021, Table A1)
+
+
+def _gopher(spark, rows):
+    from pliers_spark.operators.quality import gopher_rules
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in gopher_rules(df, "text", "doc_id").collect()}
+
+
+def test_gopher_word_count_and_required_words(spark):
+    good = " ".join(["the", "be", "to", "of"] * 15)  # 60 words, 2+ required
+    short = "the be to"  # 3 words
+    out = _gopher(spark, [(1, good), (2, short)])
+    assert out[1]["ok_word_count"] and out[1]["ok_required_words"]
+    assert not out[2]["ok_word_count"]
+    assert out[2]["ok_required_words"]  # 3 distinct required words
+    assert out[1]["n_words"] == 60
+
+
+def test_gopher_symbol_and_alpha_rules(spark):
+    hashy = " ".join(["word#"] * 10)  # 10 hashes / 10 words = 1.0 > 0.1
+    nums = " ".join(["123"] * 10)  # 0% alphabetic
+    clean = " ".join(["word"] * 10)
+    out = _gopher(spark, [(1, hashy), (2, nums), (3, clean)])
+    assert not out[1]["ok_symbol_ratio"]
+    assert out[3]["ok_symbol_ratio"]
+    assert not out[2]["ok_alpha_words"]
+    assert out[3]["ok_alpha_words"]
+
+
+def test_gopher_line_rules(spark):
+    bullets = "\n".join(["- item one here"] * 10)  # 100% bullet lines
+    ellipsis = "\n".join(["trailing words..."] * 10)  # 100% ellipsis ends
+    prose = "\n".join(["a plain line of text"] * 10)
+    out = _gopher(spark, [(1, bullets), (2, ellipsis), (3, prose)])
+    assert not out[1]["ok_bullet_lines"]
+    assert not out[2]["ok_ellipsis_lines"]
+    assert out[3]["ok_bullet_lines"] and out[3]["ok_ellipsis_lines"]
+    assert out[1]["n_lines"] == 10
+    # '...' lines also count toward the symbol ratio (10 ellipses / 20 words)
+    assert not out[2]["ok_symbol_ratio"]
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    tiny = " ".join(["a"] * 60)  # mean 1 < 3
+    huge = " ".join(["x" * 20] * 60)  # mean 20 > 10
+    mid = " ".join(["word"] * 60)  # mean 4
+    out = _gopher(spark, [(1, tiny), (2, huge), (3, mid)])
+    assert not out[1]["ok_mean_word_len"]
+    assert not out[2]["ok_mean_word_len"]
+    assert out[3]["ok_mean_word_len"]
+
+
+def test_gopher_pass_is_conjunction(spark):
+    # 60 words, mean length in range, has required words, no symbols/bullets
+    good = "the quick brown fox jumps over that lazy dog with grace and " * 5
+    out = _gopher(spark, [(1, good.strip())])
+    r = out[1]
+    assert r["pass_gopher"] == all(
+        r[k]
+        for k in (
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+            "ok_required_words",
+        )
+    )
+    assert r["pass_gopher"]
