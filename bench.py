@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "shot_boundaries",
     "gopher_rules",
     "png_decode_stats",
+    "semantic_dedup",
 ]
 
 

@@ -499,3 +499,149 @@ def incremental_dedup(
         h = h.join(old, "content_hash", "left_anti")
     w_min = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return h.join(w_min, ["content_hash", id_col]).select(id_col, "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup via k-means + intra-cluster
+# cosine pruning
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    tau_num: int = 19,
+    tau_den: int = 20,
+) -> DataFrame:
+    """SemDeDup: cluster embeddings with the IVF coarse quantizer
+    (one Lloyd assignment, ``similarity.kmeans_assign``), then within
+    each cluster mark as DROPPED every row that is the centroid-farther
+    member of at least one pair whose cosine similarity is >= tau
+    (tau = tau_num/tau_den, default 0.95) — the published policy of
+    keeping the lowest-distance-to-centroid representative among
+    semantic duplicates.
+
+    Exactness: coordinates are scaled to int64 micro-units (the
+    kmeans_assign convention), and ``cos >= tau`` is evaluated without
+    any float or sqrt as
+
+        dot_u > 0  AND  tau_den² · dot_u² >= tau_num² · ‖a‖²·‖b‖²
+
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — products stay below
+    4e29, well inside both 38-digit types — so the pair set, the
+    loser choice (larger (d_u, id) lexicographically), and therefore
+    every emitted row are bit-identical across engines.
+
+    Scale shape: the self-join is gated on cluster_id — the published
+    algorithm's intra-cluster pairwise step, with k chosen ∝ corpus
+    size so expected cluster size (and the per-task pair expansion)
+    stays bounded; micro-unit arrays and squared norms are computed
+    ONCE per row before the join (narrow projection), never per pair.
+    A degenerate hot cluster is the same failure mode as a hot LSH
+    band — at production scale gate it with the heavy-hitter census
+    (operators/asof.detect_heavy_hitters) before the join.
+
+    Returns (id, cluster_id, d_u, dropped).
+    """
+    from .similarity import kmeans_assign
+
+    assigned = kmeans_assign(vectors, id_col, vec_col, k)
+    vu = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    base = (
+        vectors.select(F.col(id_col), vu.alias("_vu"))
+        .withColumn(
+            "_n2",
+            F.aggregate("_vu", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+        )
+        .join(assigned, id_col)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._vu"), F.col("b._vu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.d_u").alias("da"),
+            F.col("b.d_u").alias("db"),
+            dot.alias("dot_u"),
+            F.col("a._n2").alias("na2"),
+            F.col("b._n2").alias("nb2"),
+        )
+        .where(
+            (F.col("dot_u") > 0)
+            & (
+                dec(F.lit(tau_den * tau_den)) * dec(F.col("dot_u")) * dec(F.col("dot_u"))
+                >= dec(F.lit(tau_num * tau_num)) * dec(F.col("na2")) * dec(F.col("nb2"))
+            )
+        )
+    )
+    losers = pairs.select(
+        F.when(
+            F.struct(F.col("da"), F.col("id_a")) > F.struct(F.col("db"), F.col("id_b")),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(
+        losers.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster_id",
+        "d_u",
+        F.coalesce("_drop", F.lit(False)).alias("dropped"),
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    tau_num: int = 19,
+    tau_den: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup` — replays the Lloyd
+    assignment (kmeans_assign_sql), the HUGEINT cosine gate, and the
+    lexicographic loser rule."""
+    from .similarity import kmeans_assign_sql
+
+    t2n, t2d = tau_num * tau_num, tau_den * tau_den
+    return f"""WITH asg AS ({kmeans_assign_sql(table, id_col, vec_col, k)}),
+base AS (
+  SELECT e.{id_col}, asg.cluster_id, asg.d_u,
+         list_transform(e.{vec_col},
+           x -> CAST(floor(x::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS vu
+  FROM {table} e JOIN asg USING ({id_col})),
+n AS (
+  SELECT *, CAST(list_sum(list_transform(vu, x -> x * x)) AS BIGINT) AS n2
+  FROM base),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.d_u AS da, b.d_u AS db,
+         CAST(list_sum(list_transform(range(1, len(a.vu) + 1),
+                                      i -> a.vu[i] * b.vu[i])) AS BIGINT) AS dot_u,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM n a JOIN n b ON a.cluster_id = b.cluster_id AND a.{id_col} < b.{id_col}),
+dups AS (
+  SELECT * FROM pairs
+  WHERE dot_u > 0
+    AND {t2d}::HUGEINT * dot_u::HUGEINT * dot_u::HUGEINT
+        >= {t2n}::HUGEINT * na2::HUGEINT * nb2::HUGEINT),
+losers AS (
+  SELECT DISTINCT CASE WHEN (da, id_a) > (db, id_b) THEN id_a ELSE id_b END
+         AS {id_col}
+  FROM dups)
+SELECT asg.{id_col}, asg.cluster_id, asg.d_u,
+       (losers.{id_col} IS NOT NULL) AS dropped
+FROM asg LEFT JOIN losers USING ({id_col})"""

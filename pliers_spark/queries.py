@@ -992,6 +992,32 @@ def q_embedding_near_dups(spark, sf_dir):
     return D.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9, bucket_col="label")
 
 
+def _semantic_dedup_sql() -> str:
+    from pliers_spark.operators.dedup import semantic_dedup_sql
+
+    return semantic_dedup_sql(tau_num=2, tau_den=5)
+
+
+@query("semantic_dedup", _semantic_dedup_sql())
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    column (the engine's IVF coarse quantizer), then inside each
+    cluster drop the centroid-farther member of every pair whose
+    cosine >= tau. The cosine gate and loser rule are pure integer
+    arithmetic (micro-unit int64 + DECIMAL(38)/HUGEINT cross-
+    multiplication — no float, no sqrt), so the verdict column is
+    bit-stable across engines. tau here is 2/5: the synthetic
+    embeddings are near-orthogonal random vectors with no true
+    semantic duplicates (max intra-cluster cosine ~0.49), so the
+    production default 0.95 would never fire — the lowered gate
+    makes the drop path (20 rows at sf0.01) part of the checked
+    surface rather than dead code."""
+    from pliers_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", k=8, tau_num=2, tau_den=5)
+
+
 # --------------------------------------------------------------------------
 # batch 4: stopword removal, stemming, POS tagging, embeddings, metric
 # extraction, diagnostics

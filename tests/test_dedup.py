@@ -230,3 +230,46 @@ def test_repetition_signals_golden(spark):
     assert got[2]["dup_token_ppm"] == 0
     assert got[3]["top_token_ppm"] == 600000
     assert got[3]["top_bigram_ppm"] == 500000
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup: k-means + intra-cluster cosine pruning)
+
+
+class TestSemanticDedup:
+    def test_drops_centroid_farther_near_duplicate(self, spark):
+        from pliers_spark.operators.dedup import semantic_dedup
+
+        # ids 0,1 are the k=2 seeds. 2 is nearly parallel to 0 (cos≈1)
+        # but farther from the centroid (longer), 3 is orthogonal.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [2.0, 0.01, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r.asDict()
+            for r in semantic_dedup(df, k=2, tau_num=19, tau_den=20).collect()
+        }
+        assert len(out) == 4
+        assert out[2]["dropped"]  # near-dup of 0, farther from centroid 0
+        assert not out[0]["dropped"]  # kept representative
+        assert not out[3]["dropped"]  # orthogonal: cos 0 < tau
+        assert out[2]["cluster_id"] == out[0]["cluster_id"] == 0
+
+    def test_exact_duplicate_tie_breaks_to_larger_id(self, spark):
+        from pliers_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (5, [1.0, 0.0]),  # exact duplicate of 0: same d_u → larger id drops
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r["dropped"]
+            for r in semantic_dedup(df, k=2, tau_num=19, tau_den=20).collect()
+        }
+        assert out[5] and not out[0] and not out[1]
