@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "png_decode_stats",
     "semantic_dedup",
+    "dsir_weights",
 ]
 
 

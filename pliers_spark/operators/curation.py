@@ -362,3 +362,133 @@ def normalize_text_sql(
     return f"""SELECT {id_col}, {norm} AS norm_text,
               ({norm} <> {text_col}) AS changed
        FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights over hashed word-bigram features.
+
+    The published estimator: featurize every document into a bag of
+    hashed n-grams, fit two add-one-smoothed unigram bag models — one
+    on the TARGET distribution (rows where ``target_pred`` holds, e.g.
+    a trusted high-quality subset) and one on the RAW corpus — and
+    weight each document by its log likelihood ratio
+
+        log w(x) = Σ_b k_b(x) · [ln p_target(b) − ln p_raw(b)]
+
+    The two models are fit on DISJOINT rows — target = rows where
+    ``target_pred`` holds, raw = the remaining pool (the candidates
+    being selected from, mirroring the paper's separate target dataset
+    vs raw pool); weights are emitted for every row either way.
+
+    Resampling then keeps documents ∝ exp(log w): raw text that looks
+    like the target domain is up-weighted. Here the weight (and the
+    feature count) is emitted per doc; the sampling step composes with
+    the engine's hash-lottery (`quality_weighted_sample`).
+
+    Cross-engine bit-determinism: each bucket's two log-probs are
+    rounded to integer micro-nats (round(ln(p)·1e6) BIGINT — the
+    bigram-LM convention, operators/lm.py) BEFORE the per-doc sum, so
+    ``logw_unats`` is an exact integer accumulation in any order.
+
+    Scale shape: one explode → (doc, bucket) count (map-side partial
+    agg); the bucket model is a bounded dimension (≤ n_buckets rows)
+    aggregated once and broadcast back onto per-doc features; the
+    scalar totals ride along via a 1-row cross join (broadcast). No
+    UDF, no driver state, one shuffle per aggregation keyed on doc.
+
+    ``target_pred``: a Column boolean over ``docs`` marking target rows.
+    """
+    toks = T.tokenize(F.col(text_col))
+    feats = (
+        docs.select(
+            F.col(id_col),
+            target_pred.alias("_t"),
+            F.explode(_shingles(toks, 2)).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.pmod(md5_int(F.col("_g")), F.lit(n_buckets)).alias("b"),
+        )
+    )
+    per_doc_b = feats.groupBy(id_col, "_t", "b").agg(F.count(F.lit(1)).alias("k"))
+    bucket_dim = per_doc_b.groupBy("b").agg(
+        F.sum(F.when(~F.col("_t"), F.col("k")).otherwise(0)).alias("r_cnt"),
+        F.sum(F.when(F.col("_t"), F.col("k")).otherwise(0)).alias("t_cnt"),
+    )
+    totals = bucket_dim.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    nb = F.lit(n_buckets)
+    lr = bucket_dim.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.round(F.log((F.col("t_cnt") + 1) / (F.col("t_tot") + nb)) * 1e6, 0).cast("long")
+            - F.round(F.log((F.col("r_cnt") + 1) / (F.col("r_tot") + nb)) * 1e6, 0).cast("long")
+        ).alias("lr_unats"),
+    )
+    scored = per_doc_b.join(F.broadcast(lr), "b").groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_feats"),
+        F.sum(F.col("k") * F.col("lr_unats")).cast("long").alias("logw_unats"),
+    )
+    spine = docs.select(id_col)
+    return spine.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("logw_unats", F.lit(0)).cast("long").alias("logw_unats"),
+    )
+
+
+def dsir_weights_sql(
+    target_pred_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights` — same hash, same add-one
+    smoothing, same micro-nat rounding, same division order."""
+    g_hash = md5_int_sql("g")
+    return f"""WITH base AS (
+  SELECT {id_col}, ({target_pred_sql}) AS is_t,
+         string_split(trim({text_col}), ' ') AS w
+  FROM {table}),
+grams AS (
+  SELECT {id_col}, is_t,
+         unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM base),
+feats AS (
+  SELECT {id_col}, is_t, CAST({g_hash} % {n_buckets} AS BIGINT) AS b
+  FROM grams WHERE g IS NOT NULL),
+pdb AS (
+  SELECT {id_col}, is_t, b, count(*)::BIGINT AS k FROM feats GROUP BY 1, 2, 3),
+dim AS (
+  SELECT b, sum(CASE WHEN is_t THEN 0 ELSE k END)::BIGINT AS r_cnt,
+         sum(CASE WHEN is_t THEN k ELSE 0 END)::BIGINT AS t_cnt
+  FROM pdb GROUP BY b),
+tot AS (SELECT sum(r_cnt)::BIGINT AS r_tot, sum(t_cnt)::BIGINT AS t_tot FROM dim),
+lr AS (
+  SELECT b,
+         CAST(round(ln((t_cnt + 1)::DOUBLE / (t_tot + {n_buckets})::DOUBLE) * 1e6) AS BIGINT)
+         - CAST(round(ln((r_cnt + 1)::DOUBLE / (r_tot + {n_buckets})::DOUBLE) * 1e6) AS BIGINT)
+           AS lr_unats
+  FROM dim CROSS JOIN tot),
+scored AS (
+  SELECT {id_col}, sum(k)::BIGINT AS n_feats,
+         sum(k * lr_unats)::BIGINT AS logw_unats
+  FROM pdb JOIN lr USING (b) GROUP BY {id_col})
+SELECT b.{id_col},
+       coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(s.logw_unats, 0)::BIGINT AS logw_unats
+FROM base b LEFT JOIN scored s USING ({id_col})"""

@@ -3177,6 +3177,25 @@ def q_quality_weighted_sample(spark, sf_dir):
     return quality_weighted_sample(_docs(spark, sf_dir))
 
 
+def _dsir_sql() -> str:
+    from pliers_spark.operators.curation import dsir_weights_sql
+
+    return dsir_weights_sql("lang = 'en'")
+
+
+@query("dsir_weights", _dsir_sql())
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed word-bigram
+    bag features, add-one-smoothed target (lang='en') vs raw unigram
+    bucket models, per-doc log likelihood ratio in exact integer
+    micro-nats (the bigram-LM rounding convention). The bucket model
+    is a bounded broadcast dimension; composes with the hash-lottery
+    sampler for the actual resampling step."""
+    from pliers_spark.operators.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 def _pack_sql() -> str:
     from pliers_spark.operators.packing import pack_sequences_sql
 

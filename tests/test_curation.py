@@ -151,3 +151,37 @@ def test_gopher_pass_is_conjunction(spark):
         )
     )
     assert r["pass_gopher"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023)
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from pliers_spark.operators.curation import dsir_weights
+
+    target_text = "the cat sat on the mat and the dog sat too"
+    offdomain = "zzz qqq www eee rrr ttt yyy uuu iii ooo"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100, target_text, False)]  # raw doc that LOOKS like target
+        + [(101, offdomain, False)]  # raw doc unlike target
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r["logw_unats"]
+        for r in dsir_weights(df, F.col("is_t")).collect()
+    }
+    assert out[100] > out[101]  # target-like raw doc gets the higher weight
+    assert out[100] > 0  # genuinely up-weighted, not just less down-weighted
+
+
+def test_dsir_empty_and_single_token_docs_get_zero(spark):
+    from pliers_spark.operators.curation import dsir_weights
+
+    rows = [(1, "the cat sat", True), (2, "word", False), (3, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r.asDict() for r in dsir_weights(df, F.col("is_t")).collect()}
+    assert len(out) == 3  # spine keeps featureless docs
+    assert out[2]["n_feats"] == 0 and out[2]["logw_unats"] == 0
+    assert out[3]["n_feats"] == 0 and out[3]["logw_unats"] == 0
