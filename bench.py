@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "png_decode_stats",
     "semantic_dedup",
     "dsir_weights",
+    "url_canonical_dups",
 ]
 
 

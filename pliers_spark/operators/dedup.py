@@ -514,92 +514,81 @@ def semantic_dedup(
     tau_num: int = 19,
     tau_den: int = 20,
 ) -> DataFrame:
-    """SemDeDup: cluster embeddings with the IVF coarse quantizer
-    (one Lloyd assignment, ``similarity.kmeans_assign``), then within
-    each cluster mark as DROPPED every row that is the centroid-farther
-    member of at least one pair whose cosine similarity is >= tau
-    (tau = tau_num/tau_den, default 0.95) — the published policy of
-    keeping the lowest-distance-to-centroid representative among
-    semantic duplicates.
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF
+    coarse quantizer (one Lloyd assignment, ``similarity.kmeans_assign``),
+    then within each cluster mark as DROPPED every row that is the
+    centroid-farther member of at least one pair whose cosine
+    similarity is >= tau (tau = tau_num/tau_den, default 0.95) — the
+    published policy of keeping the lowest-distance-to-centroid
+    representative among semantic duplicates.
 
-    Exactness: coordinates are scaled to int64 micro-units (the
-    kmeans_assign convention), and ``cos >= tau`` is evaluated without
-    any float or sqrt as
+    Exactness: coordinates are scaled to int64 MILLI-units
+    (floor(x*1e3 + 0.5), half-up — the kmeans_assign rounding rule at
+    1e3), and ``cos >= tau`` is evaluated without any float or sqrt as
 
-        dot_u > 0  AND  tau_den² · dot_u² >= tau_num² · ‖a‖²·‖b‖²
+        dot > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * ||a||^2 * ||b||^2
 
-    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — products stay below
-    4e29, well inside both 38-digit types — so the pair set, the
-    loser choice (larger (d_u, id) lexicographically), and therefore
-    every emitted row are bit-identical across engines.
+    entirely in int64: with D dims and |x| <= xmax, the largest term
+    is tau_den^2 * (D * (1e3 * xmax)^2)^2 — for D=64, xmax<=2,
+    tau_den<=20 that is ~2.6e18 < 2^63. The UDF asserts the envelope
+    (|x| <= 2) so an out-of-range corpus fails loudly instead of
+    wrapping. Milli-unit quantization bounds the cosine decision at
+    ~1e-3 coordinate resolution — a dedup-gate threshold, not a
+    ranking score, so the quantization is immaterial and buys a fully
+    int64-exact, vectorized evaluation.
 
-    Scale shape: the self-join is gated on cluster_id — the published
-    algorithm's intra-cluster pairwise step, with k chosen ∝ corpus
-    size so expected cluster size (and the per-task pair expansion)
-    stays bounded; micro-unit arrays and squared norms are computed
-    ONCE per row before the join (narrow projection), never per pair.
-    A degenerate hot cluster is the same failure mode as a hot LSH
-    band — at production scale gate it with the heavy-hitter census
-    (operators/asof.detect_heavy_hitters) before the join.
+    Scale shape: stage 2 is ``applyInPandas`` per cluster — the
+    published algorithm's intra-cluster pairwise step as ONE exact
+    int64 numpy matmul per cluster (m x m Gram matrix), never an
+    interpreted per-pair expression fold and never an all-pairs join
+    across clusters. k is chosen ∝ corpus size so expected cluster
+    size m (and the m^2 task memory) stays bounded; a degenerate hot
+    cluster is the same failure mode as a hot LSH band — gate it with
+    the heavy-hitter census (operators/asof.detect_heavy_hitters)
+    before the group step at production scale.
 
     Returns (id, cluster_id, d_u, dropped).
     """
+    import numpy as np
+    import pandas as pd
+
     from .similarity import kmeans_assign
 
     assigned = kmeans_assign(vectors, id_col, vec_col, k)
-    vu = F.transform(
-        F.col(vec_col), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
-    )
-    base = (
-        vectors.select(F.col(id_col), vu.alias("_vu"))
-        .withColumn(
-            "_n2",
-            F.aggregate("_vu", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
-        )
-        .join(assigned, id_col)
-    )
-    a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a._vu"), F.col("b._vu"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    dec = lambda c: c.cast("decimal(38,0)")
-    pairs = (
-        a.join(b, "cluster_id")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.d_u").alias("da"),
-            F.col("b.d_u").alias("db"),
-            dot.alias("dot_u"),
-            F.col("a._n2").alias("na2"),
-            F.col("b._n2").alias("nb2"),
-        )
-        .where(
-            (F.col("dot_u") > 0)
-            & (
-                dec(F.lit(tau_den * tau_den)) * dec(F.col("dot_u")) * dec(F.col("dot_u"))
-                >= dec(F.lit(tau_num * tau_num)) * dec(F.col("na2")) * dec(F.col("nb2"))
+    base = vectors.select(id_col, vec_col).join(assigned, id_col)
+    num2 = tau_num * tau_num
+    den2 = tau_den * tau_den
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        du = pdf["d_u"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        if np.abs(X).max(initial=0.0) > 2.0:
+            raise ValueError(
+                "semantic_dedup int64 envelope requires |x| <= 2 "
+                f"(got {np.abs(X).max():.3f})"
             )
+        V = np.floor(X * 1e3 + 0.5).astype(np.int64)
+        G = V @ V.T  # exact int64 Gram matrix
+        n2 = np.diag(G)
+        dup = (G > 0) & (den2 * G * G >= num2 * np.outer(n2, n2))
+        np.fill_diagonal(dup, False)
+        # loser(i vs j): lexicographically larger (d_u, id)
+        worse = (du[:, None] > du[None, :]) | (
+            (du[:, None] == du[None, :]) & (ids[:, None] > ids[None, :])
         )
-    )
-    losers = pairs.select(
-        F.when(
-            F.struct(F.col("da"), F.col("id_a")) > F.struct(F.col("db"), F.col("id_b")),
-            F.col("id_a"),
+        dropped = (dup & worse).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(dtype=np.int64),
+                "d_u": du,
+                "dropped": dropped,
+            }
         )
-        .otherwise(F.col("id_b"))
-        .alias(id_col)
-    ).distinct()
-    return assigned.join(
-        losers.withColumn("_drop", F.lit(True)), id_col, "left"
-    ).select(
-        id_col,
-        "cluster_id",
-        "d_u",
-        F.coalesce("_drop", F.lit(False)).alias("dropped"),
+
+    return base.groupBy("cluster_id").applyInPandas(
+        prune, schema=f"{id_col} long, cluster_id long, d_u long, dropped boolean"
     )
 
 
@@ -612,8 +601,11 @@ def semantic_dedup_sql(
     tau_den: int = 20,
 ) -> str:
     """DuckDB oracle for :func:`semantic_dedup` — replays the Lloyd
-    assignment (kmeans_assign_sql), the HUGEINT cosine gate, and the
-    lexicographic loser rule."""
+    assignment (kmeans_assign_sql), the int64 milli-unit cosine gate,
+    and the lexicographic loser rule. Products stay BIGINT (not
+    HUGEINT) on purpose: inside the documented envelope they are
+    exact and equal to the engine's int64 values; outside it DuckDB
+    raises on overflow, surfacing the violation."""
     from .similarity import kmeans_assign_sql
 
     t2n, t2d = tau_num * tau_num, tau_den * tau_den
@@ -621,7 +613,7 @@ def semantic_dedup_sql(
 base AS (
   SELECT e.{id_col}, asg.cluster_id, asg.d_u,
          list_transform(e.{vec_col},
-           x -> CAST(floor(x::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS vu
+           x -> CAST(floor(x::DOUBLE * 1e3 + 0.5) AS BIGINT)) AS vu
   FROM {table} e JOIN asg USING ({id_col})),
 n AS (
   SELECT *, CAST(list_sum(list_transform(vu, x -> x * x)) AS BIGINT) AS n2
@@ -636,8 +628,7 @@ pairs AS (
 dups AS (
   SELECT * FROM pairs
   WHERE dot_u > 0
-    AND {t2d}::HUGEINT * dot_u::HUGEINT * dot_u::HUGEINT
-        >= {t2n}::HUGEINT * na2::HUGEINT * nb2::HUGEINT),
+    AND {t2d} * dot_u * dot_u >= {t2n} * na2 * nb2),
 losers AS (
   SELECT DISTINCT CASE WHEN (da, id_a) > (db, id_b) THEN id_a ELSE id_b END
          AS {id_col}

@@ -354,3 +354,74 @@ def url_features(pages: DataFrame, url_col: str = "url",
         (F.size(F.split(path, "/")) - 1).cast("long").alias("path_depth"),
         u.startswith("https://").alias("is_https"),
     )
+
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+
+def canonical_url(url_col) -> "Column":
+    """Canonicalize a URL for crawl dedup — the normalization step a
+    Common-Crawl-scale pipeline runs before URL-keyed dedup/grouping
+    (beyond-reference; the reference's stimuli carry opaque filenames).
+
+    Rules (each a pure Column expression, whole-stage codegen):
+      1. fragment stripped (`#...` never reaches the server);
+      2. scheme and host lowercased (RFC 3986 §6.2.2.1 — path case is
+         preserved, it IS significant);
+      3. default ports dropped (`:80` for http, `:443` for https);
+      4. tracking query params removed (utm_*, fbclid, gclid, ref),
+         remaining params kept in original order, `?` dropped when
+         none survive;
+      5. trailing `/` stripped from non-root paths, empty path → `/`.
+
+    The query-param filter is an array filter over the split param
+    list — interpreted, but bounded by the param count of one URL
+    (single digits), not data volume. ``www.`` is NOT stripped: it can
+    be a distinct origin; policy-level host folding belongs to the
+    caller.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?]*)", 1)
+    path_stripped = F.regexp_replace(rest, r"/$", "")
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same regexes, same rules)."""
+    u = f"regexp_replace({url_expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    host = f"""CASE
+      WHEN {scheme} = 'http' AND {hostport} LIKE '%:80'
+        THEN regexp_replace({hostport}, ':80$', '')
+      WHEN {scheme} = 'https' AND {hostport} LIKE '%:443'
+        THEN regexp_replace({hostport}, ':443$', '')
+      ELSE {hostport} END"""
+    rest = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#/]+([^?]*)', 1)"
+    path = f"""CASE WHEN regexp_replace({rest}, '/$', '') = '' THEN '/'
+               ELSE regexp_replace({rest}, '/$', '') END"""
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))"
+    )
+    qs = f"CASE WHEN len({kept}) > 0 THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    return f"{scheme} || '://' || {host} || {path} || {qs}"

@@ -1003,10 +1003,12 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     column (the engine's IVF coarse quantizer), then inside each
     cluster drop the centroid-farther member of every pair whose
-    cosine >= tau. The cosine gate and loser rule are pure integer
-    arithmetic (micro-unit int64 + DECIMAL(38)/HUGEINT cross-
-    multiplication — no float, no sqrt), so the verdict column is
-    bit-stable across engines. tau here is 2/5: the synthetic
+    cosine >= tau. The cosine gate and loser rule are pure int64
+    arithmetic (milli-unit coordinates, cross-multiplied squares —
+    no float, no sqrt), evaluated as ONE exact numpy Gram matmul per
+    cluster (applyInPandas), so the verdict column is bit-stable
+    across engines and the hot path is vectorized, never an
+    interpreted per-pair fold. tau here is 2/5: the synthetic
     embeddings are near-orthogonal random vectors with no true
     semantic duplicates (max intra-cluster cosine ~0.49), so the
     production default 0.95 would never fire — the lowered gate
@@ -4050,6 +4052,75 @@ def q_url_features(spark, sf_dir):
         F.when(did % 3 == 0, F.lit("?q=spark")).otherwise(F.lit("")),
     )
     return url_features(d.withColumn("url", url), key_cols=("doc_id",))
+
+
+def _url_canon_sql() -> str:
+    from pliers_spark.pages_pipeline import canonical_url_sql
+
+    synth = """CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+                    WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END
+  || CASE WHEN doc_id % 5 = 0 THEN 'WWW.Site' ELSE 'www.site' END
+  || (doc_id % 40)::VARCHAR || '.example.com'
+  || CASE WHEN doc_id % 6 = 0 AND doc_id % 2 = 0 THEN ':80'
+          WHEN doc_id % 6 = 3 THEN ':443' ELSE '' END
+  || '/Sec' || (doc_id % 5)::VARCHAR || '/page' || (doc_id % 11)::VARCHAR
+  || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&q=spark'
+          WHEN doc_id % 3 = 1 THEN '?q=spark&utm_campaign=x&fbclid=1'
+          ELSE '?q=spark' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"""
+    return f"""WITH u AS (
+  SELECT doc_id, {canonical_url_sql(synth)} AS canon_url FROM documents),
+g AS (
+  SELECT canon_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper
+  FROM u GROUP BY canon_url)
+SELECT u.doc_id, u.canon_url, g.n_dups, (u.doc_id = g.keeper) AS keep
+FROM u JOIN g USING (canon_url)"""
+
+
+@query("url_canonical_dups", _url_canon_sql())
+def q_url_canonical_dups(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup (crawl-ingest entry op):
+    messy synthetic URLs (mixed-case scheme/host, default ports,
+    fragments, utm/fbclid tracking params, trailing slashes — all pure
+    Column concat over doc_id so the oracle regenerates identical
+    strings) → ``pages_pipeline.canonical_url`` (codegen regex chain)
+    → group on the canonical form, count duplicates, keep the smallest
+    doc_id. One shuffle on the canonical key; at crawl scale this is
+    the same hash-groupBy shape as exact content dedup."""
+    from pliers_spark.pages_pipeline import canonical_url
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("HTTP://"))
+        .when(did % 2 == 1, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(did % 5 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (did % 40).cast("string"),
+        F.lit(".example.com"),
+        F.when((did % 6 == 0) & (did % 2 == 0), F.lit(":80"))
+        .when(did % 6 == 3, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/Sec"),
+        (did % 5).cast("string"),
+        F.lit("/page"),
+        (did % 11).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&q=spark"))
+        .when(did % 3 == 1, F.lit("?q=spark&utm_campaign=x&fbclid=1"))
+        .otherwise(F.lit("?q=spark")),
+        F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = _docs(spark, sf_dir).select("doc_id", canonical_url(url).alias("canon_url"))
+    g = u.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+    return u.join(g, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        "n_dups",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )
 
 
 _BLOCKLIST = ("slow", "dup", "leak")

@@ -170,3 +170,33 @@ def test_flagship_auto_skew_routing_bit_equal(spark, tmp_path):
     # and the auto path really took the split route: same rows as forced-True
     # is necessary but not sufficient, so check the census-driven decision
     assert bool(hh.take(1)) is True
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup entry op)
+
+
+def test_canonical_url_rules(spark):
+    from pliers_spark.pages_pipeline import canonical_url
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Site.COM/Path/page", "http://www.site.com/Path/page"),
+        ("http://host.com:80/a", "http://host.com/a"),
+        ("https://host.com:443/a", "https://host.com/a"),
+        ("https://host.com:8443/a", "https://host.com:8443/a"),  # non-default kept
+        ("http://host.com:443/a", "http://host.com:443/a"),  # wrong-scheme port kept
+        ("http://h.com/p#frag", "http://h.com/p"),
+        ("http://h.com/p/?utm_source=x&q=1&fbclid=z", "http://h.com/p?q=1"),
+        ("http://h.com/p?utm_campaign=only", "http://h.com/p"),
+        ("http://h.com/", "http://h.com/"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com/a/b/", "http://h.com/a/b"),
+        ("http://h.com?gclid=1&a=2&ref=r", "http://h.com/?a=2"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
