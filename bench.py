@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dsir_weights",
     "url_canonical_dups",
+    "token_fertility",
+    "edu_classifier",
 ]
 
 

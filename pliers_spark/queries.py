@@ -2912,6 +2912,127 @@ def q_token_count_bpe(spark, sf_dir):
     )
 
 
+@query(
+    "token_fertility",
+    f"""WITH per_doc AS (
+         SELECT lang,
+                len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::BIGINT AS n_bpe,
+                len(string_split(trim(text), ' '))::BIGINT AS n_ws,
+                strlen(text)::BIGINT AS n_bytes
+         FROM documents)
+       SELECT lang, count(*)::BIGINT AS n_docs,
+              sum(n_bpe)::BIGINT AS sum_bpe,
+              sum(n_ws)::BIGINT AS sum_ws,
+              sum(n_bytes)::BIGINT AS sum_bytes,
+              ((sum(n_bpe) * 1000000) // sum(n_ws))::BIGINT AS fertility_ppm,
+              ((sum(n_bytes) * 1000000) // sum(n_bpe))::BIGINT AS bytes_per_token_ppm
+       FROM per_doc GROUP BY lang""",
+)
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility accounting per language — the go/no-go
+    diagnostic a multilingual pipeline runs before committing to a
+    tokenizer: BPE-pretokens per whitespace word (fertility) and UTF-8
+    bytes per BPE pretoken, as exact integer ppm (BIGINT multiply
+    before integer divide — no float at any corpus size). One narrow
+    regexp projection + one groupBy(lang) with map-side partial aggs;
+    the lang dimension is tiny so the shuffle is a few rows per
+    partition."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        F.size(F.expr(f"regexp_extract_all(text, \"{_BPE_RE}\", 0)")).cast("long").alias("n_bpe"),
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("n_ws"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("sum_bpe"),
+        F.sum("n_ws").alias("sum_ws"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.expr("sum(n_bpe) * 1000000 div sum(n_ws)").alias("fertility_ppm"),
+        F.expr("sum(n_bytes) * 1000000 div sum(n_bpe)").alias("bytes_per_token_ppm"),
+    )
+
+
+_EDU_WEIGHTS = [  # (feature, milli-weight) — deterministic stand-in model
+    ("alpha_ppm", 1),
+    ("stop_ppm", 2),
+    ("uniq_ppm", 1),
+    ("bias", 300),
+]
+_EDU_W_SQL = ", ".join(f"('{f}', {w})" for f, w in _EDU_WEIGHTS)
+
+
+@query(
+    "edu_classifier",
+    f"""WITH toks AS (
+         SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS t
+         FROM documents),
+       agg AS (
+         SELECT doc_id, count(*)::BIGINT AS n_words,
+                sum(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+                sum(CASE WHEN t IN ({_STOPWORD_SQL_LIST}) THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                count(DISTINCT t)::BIGINT AS n_uniq
+         FROM toks GROUP BY doc_id),
+       feats AS (
+         SELECT doc_id, 'alpha_ppm' AS feat, (n_alpha * 1000000) // n_words AS v FROM agg
+         UNION ALL
+         SELECT doc_id, 'stop_ppm', (n_stop * 1000000) // n_words FROM agg
+         UNION ALL
+         SELECT doc_id, 'uniq_ppm', (n_uniq * 1000000) // n_words FROM agg
+         UNION ALL
+         SELECT doc_id, 'bias', 1000 FROM agg),
+       w(feat, w_milli) AS (VALUES {_EDU_W_SQL}),
+       scored AS (
+         SELECT f.doc_id, sum(f.v * w.w_milli)::BIGINT AS score_u
+         FROM feats f JOIN w USING (feat) GROUP BY f.doc_id)
+       SELECT doc_id, score_u,
+              least(greatest(score_u, 0) // 700000, 5)::BIGINT AS edu_bucket
+       FROM scored""",
+)
+def q_edu_classifier(spark, sf_dir):
+    """FineWeb-Edu-style classifier-score bucketing, execution-pattern
+    real / weights stand-in: per-doc integer features (alphabetic,
+    stopword, distinct-token shares in exact ppm) are melted to long
+    form and scored against a BROADCAST weight dimension — the linear-
+    classifier-at-scale shape where swapping in trained weights (or
+    more features) changes the dimension table, not the plan. Integer
+    dot product and fixed bucket thresholds → bit-stable 0-5 buckets
+    (the published FineWeb-Edu int-score convention). One token
+    aggregation + one broadcast join + one groupBy(doc)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t0")
+    ).select("doc_id", F.lower("t0").alias("t"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("t").rlike("[a-z]"), 1).otherwise(0)).alias("n_alpha"),
+        F.sum(F.when(F.col("t").isin(*T.ENGLISH_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+        F.count_distinct("t").alias("n_uniq"),
+    )
+    feats = None
+    for name, expr in [
+        ("alpha_ppm", F.expr("n_alpha * 1000000 div n_words")),
+        ("stop_ppm", F.expr("n_stop * 1000000 div n_words")),
+        ("uniq_ppm", F.expr("n_uniq * 1000000 div n_words")),
+        ("bias", F.lit(1000).cast("long")),
+    ]:
+        part = agg.select("doc_id", F.lit(name).alias("feat"), expr.alias("v"))
+        feats = part if feats is None else feats.unionByName(part)
+    w = spark.createDataFrame(_EDU_WEIGHTS, "feat string, w_milli long")
+    scored = (
+        feats.join(F.broadcast(w), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("w_milli")).cast("long").alias("score_u"))
+    )
+    return scored.select(
+        "doc_id",
+        "score_u",
+        F.least(
+            F.expr("greatest(score_u, 0) div 700000"), F.lit(5).cast("long")
+        ).cast("long").alias("edu_bucket"),
+    )
+
+
 _PII_RULES = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
