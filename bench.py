@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "url_canonical_dups",
     "token_fertility",
     "edu_classifier",
+    "video_motion",
 ]
 
 

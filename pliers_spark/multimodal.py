@@ -455,3 +455,69 @@ def image_crop_stats(
             yield pd.DataFrame(rows, columns=["id", "width", "height", "x0", "y0", "x1", "y1", "mean_brightness"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_CROP_SCHEMA)
+
+
+def video_motion(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    frame_bytes: int = 0,
+    search: int = 2,
+) -> DataFrame:
+    """Per-frame-pair motion estimation — the engine counterpart of the
+    reference's FarnebackOpticalFlowExtractor (pliers/extractors/
+    video.py:21-87, cv2.calcOpticalFlowFarneback → per-frame total
+    flow). cv2 isn't in this container and Farneback's pyramidal
+    polynomial expansion has no exact cross-engine formulation, so the
+    motion estimate is classic exhaustive block matching instead: for
+    each consecutive frame pair, the global integer displacement
+    (dy, dx) in [-search, search]^2 minimizing the sum of absolute
+    gray differences (SAD) under cyclic shift, ties broken by
+    lexicographic (sad, dy, dx). Grayscale = R+G+B (integer, no
+    luminance weights) and cyclic wraparound (np.roll) keep every
+    value integer-exact and border-handling unambiguous, so a DuckDB
+    oracle can replay the full argmin relationally.
+
+    Plan: one mapInPandas over Arrow batches — frames never leave the
+    executor, per-doc work is K·(2·search+1)^2 vectorized numpy SADs.
+    Emits (id, frame, dy, dx, sad) for frames 1..K-1 (motion of frame
+    k relative to k-1).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = len(raw) // frame_bytes if frame_bytes else 0
+                grays = [
+                    _decode_image(raw[k * frame_bytes : (k + 1) * frame_bytes])
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    for k in range(n_frames)
+                ]
+                for k in range(1, n_frames):
+                    g0, g1 = grays[k - 1], grays[k]
+                    best = None
+                    for dy in range(-search, search + 1):
+                        for dx in range(-search, search + 1):
+                            sad = int(
+                                np.abs(g1 - np.roll(g0, (dy, dx), axis=(0, 1))).sum()
+                            )
+                            key = (sad, dy, dx)
+                            if best is None or key < best:
+                                best = key
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame": k,
+                            "dy": best[1],
+                            "dx": best[2],
+                            "sad": best[0],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema="id long, frame int, dy long, dx long, sad long"
+    )

@@ -3711,6 +3711,72 @@ def q_png_decode_stats(spark, sf_dir):
     return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
 
 
+def _video_motion_sql() -> str:
+    """Relational replay of block-matching motion over the formula
+    frames: gray(r,c) for a frame with cyclic shift (sy,sx) is the sum
+    of the three channel formulas at the unshifted coordinates; the
+    argmin over the 25 candidate displacements uses the same
+    (sad, dy, dx) tie order as the engine."""
+
+    def gray(r: str, c: str, shift_k: str) -> str:
+        # frame shift: sy = ((doc_id + 2*k)%3) - 1, sx = ((doc_id + k)%3) - 1
+        rr = f"(({r}) - ((doc_id + 2*({shift_k})) % 3) + 1 + 32) % 8"
+        cc = f"(({c}) - ((doc_id + ({shift_k})) % 3) + 1 + 32) % 8"
+        return " + ".join(
+            f"((doc_id*131 + ({rr})*17 + ({cc})*5 + {ch}) % 256)" for ch in (0, 29, 58)
+        )
+
+    g1 = gray("r.r", "c.c", "k.k")
+    g0 = gray("r.r - dy.dy", "c.c - dx.dx", "k.k - 1")
+    return f"""WITH sad AS (
+  SELECT d.doc_id, k.k, dy.dy, dx.dx,
+         SUM(ABS(({g1}) - ({g0})))::BIGINT AS sad
+  FROM documents d,
+       generate_series(1,3) k(k),
+       generate_series(-2,2) dy(dy), generate_series(-2,2) dx(dx),
+       generate_series(0,7) r(r), generate_series(0,7) c(c)
+  GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT doc_id, k, dy, dx, sad,
+         row_number() OVER (PARTITION BY doc_id, k ORDER BY sad, dy, dx) AS rn
+  FROM sad)
+SELECT doc_id, k::INTEGER AS frame, dy::BIGINT AS dy, dx::BIGINT AS dx, sad
+FROM best WHERE rn = 1"""
+
+
+@query("video_motion", _video_motion_sql())
+def q_video_motion(spark, sf_dir):
+    """Motion estimation per consecutive frame pair — the
+    FarnebackOpticalFlowExtractor role (pliers/extractors/video.py:
+    21-87) recast as exhaustive block matching (argmin-SAD over
+    ±2-pixel cyclic displacements, integer grayscale R+G+B): 4
+    formula frames per doc, each a cyclically shifted copy of the
+    doc's base image with a known per-frame shift, encoded as REAL
+    PPM bytes → production multimodal.video_motion stage. The oracle
+    replays the full 25-candidate argmin relationally, so a green row
+    certifies decode + displacement search end-to-end; the recovered
+    (dy, dx) equals the known inter-frame shift wherever the shifted
+    images are unambiguous."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        base = _synth_image(did)
+        out = []
+        for k in range(4):
+            sy = ((did + 2 * k) % 3) - 1
+            sx = ((did + k) % 3) - 1
+            out.append(codecs.encode_ppm(np.roll(base, (sy, sx), axis=(0, 1))))
+        return b"".join(out)
+
+    frame_bytes = len("P6\n8 8\n255\n") + 8 * 8 * 3
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.video_motion(
+        payloads, frame_bytes=frame_bytes, search=2
+    ).withColumnRenamed("id", "doc_id")
+
+
 _WAV_S = "((d.doc_id*7919 + (k.k*64+t.t)*104729) % 65536) - 32768"
 
 

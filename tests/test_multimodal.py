@@ -382,3 +382,28 @@ class TestPngCodec:
         rows = {r["id"]: r for r in image_stats(df).collect()}
         assert rows[1]["mean_brightness"] == rows[2]["mean_brightness"]
         assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# video motion (block-matching optical-flow role)
+
+
+def test_video_motion_recovers_known_shift(spark):
+    from pliers_spark import codecs
+    from pliers_spark.multimodal import video_motion
+
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    shifts = [(0, 0), (1, -2), (-1, 0)]  # absolute shift of each frame
+    frames = [
+        codecs.encode_ppm(np.roll(base, s, axis=(0, 1))) for s in shifts
+    ]
+    fb = len(frames[0])
+    df = spark.createDataFrame(
+        [(7, bytearray(b"".join(frames)))], "id long, payload binary"
+    )
+    out = {r["frame"]: r for r in video_motion(df, frame_bytes=fb, search=2).collect()}
+    assert len(out) == 2
+    # frame k's motion relative to k-1 is the shift delta, SAD exactly 0
+    assert (out[1]["dy"], out[1]["dx"], out[1]["sad"]) == (1, -2, 0)
+    assert (out[2]["dy"], out[2]["dx"], out[2]["sad"]) == (-2, 2, 0)
