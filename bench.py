@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "token_fertility",
     "edu_classifier",
     "video_motion",
+    "bloom_dedup",
 ]
 
 

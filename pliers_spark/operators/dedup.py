@@ -636,3 +636,121 @@ losers AS (
 SELECT asg.{id_col}, asg.cluster_id, asg.d_u,
        (losers.{id_col} IS NOT NULL) AS dropped
 FROM asg LEFT JOIN losers USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (the Dolma/CCNet ingestion-gate pattern)
+
+
+def bloom_dedup(
+    docs: DataFrame,
+    history_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter dedup gate: test each DELTA document against a
+    Bloom filter built from the HISTORY corpus — the constant-memory
+    membership structure web-scale ingestion (Dolma's dedupe, CCNet's
+    hash gate) uses when the exact hash set no longer fits.
+
+    The filter is represented relationally: the history's k bit
+    positions (seeded 60-bit md5 of the content, mod ``m_bits``) form
+    a distinct-position table; a delta doc is ``maybe_dup`` iff all k
+    of its positions are present. That is semantically EXACTLY a Bloom
+    lookup — the bit array is just the dense encoding of this set —
+    while staying a pure DataFrame plan (explode → distinct →
+    co-partitioned join → count == k) that an oracle can replay
+    bit-for-bit. The dense bitmap encoding is an executor-local
+    optimization (OR-merge per partition, broadcast the array); the
+    POSITION SET is the semantics, and at 2^20 bits the set form is
+    also the honest local-scale plan.
+
+    Each delta row also carries ``is_dup_exact`` (60-bit content-hash
+    anti-join truth) so the emitted ``false_positive`` column measures
+    the filter's actual FP behaviour on this corpus — the number a
+    pipeline operator watches when sizing m/k.
+
+    Returns (id, maybe_dup, is_dup_exact, false_positive) for delta rows.
+    """
+    h = docs.select(
+        F.col(id_col), history_pred.alias("_hist"), F.col(text_col).alias("_t")
+    )
+    pos = lambda side, seed: F.pmod(md5_int(F.col("_t"), seed=seed), F.lit(m_bits))
+    hist_pos = (
+        h.where(F.col("_hist"))
+        .select(
+            F.explode(F.array(*[pos("h", s) for s in range(k_hashes)])).alias("p")
+        )
+        .distinct()
+    )
+    hist_hash = h.where(F.col("_hist")).select(md5_int(F.col("_t")).alias("_ch")).distinct()
+    delta = h.where(~F.col("_hist"))
+    delta_pos = delta.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[pos("d", s) for s in range(k_hashes)])).alias("_i", "p"),
+    )
+    bloom_hits = (
+        delta_pos.join(hist_pos, "p")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+    )
+    exact = delta.select(F.col(id_col), md5_int(F.col("_t")).alias("_ch")).join(
+        hist_hash.withColumn("_e", F.lit(True)), "_ch", "left"
+    )
+    out = (
+        delta.select(id_col)
+        .join(bloom_hits, id_col, "left")
+        .join(exact.select(id_col, "_e"), id_col, "left")
+    )
+    maybe = F.coalesce(F.col("_nhit"), F.lit(0)) == k_hashes
+    is_dup = F.coalesce(F.col("_e"), F.lit(False))
+    return out.select(
+        F.col(id_col),
+        maybe.alias("maybe_dup"),
+        is_dup.alias("is_dup_exact"),
+        (maybe & ~is_dup).alias("false_positive"),
+    )
+
+
+def bloom_dedup_sql(
+    history_pred_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`bloom_dedup` — same seeded hashes, same
+    position-set semantics."""
+    from ..functions.hashing import md5_int_sql
+
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, hist, CAST({md5_int_sql(text_col, seed=s)} % {m_bits} AS BIGINT) AS p FROM base"
+        for s in range(k_hashes)
+    )
+    return f"""WITH base AS (
+  SELECT {id_col}, ({history_pred_sql}) AS hist, {text_col} FROM {table}),
+pos AS ({pos_rows}),
+hist_pos AS (SELECT DISTINCT p FROM pos WHERE hist),
+hist_hash AS (
+  SELECT DISTINCT CAST({md5_int_sql(text_col)} AS BIGINT) AS ch
+  FROM base WHERE hist),
+delta AS (SELECT * FROM base WHERE NOT hist),
+hits AS (
+  SELECT dp.{id_col}, count(*)::BIGINT AS nhit
+  FROM (SELECT * FROM pos WHERE NOT hist) dp
+  JOIN hist_pos USING (p) GROUP BY 1),
+exact AS (
+  SELECT d.{id_col},
+         (hh.ch IS NOT NULL) AS is_dup
+  FROM (SELECT {id_col}, CAST({md5_int_sql(text_col)} AS BIGINT) AS ch FROM delta) d
+  LEFT JOIN hist_hash hh USING (ch))
+SELECT d.{id_col},
+       (coalesce(h.nhit, 0) = {k_hashes}) AS maybe_dup,
+       e.is_dup AS is_dup_exact,
+       (coalesce(h.nhit, 0) = {k_hashes} AND NOT e.is_dup) AS false_positive
+FROM delta d
+LEFT JOIN hits h USING ({id_col})
+JOIN exact e USING ({id_col})"""

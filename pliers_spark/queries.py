@@ -2861,6 +2861,45 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _bloom_sql() -> str:
+    from pliers_spark.operators.dedup import bloom_dedup_sql
+
+    union = (
+        "(SELECT doc_id, text, (doc_id % 5 <> 0) AS hist0 FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000, text, false FROM documents "
+        "WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0) AS u"
+    )
+    return bloom_dedup_sql("hist0", table=union)
+
+
+@query("bloom_dedup", _bloom_sql())
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter ingestion dedup gate (the Dolma/CCNet constant-
+    memory membership pattern): history = 4/5 of the corpus; delta =
+    the remaining fifth (genuinely new) plus re-ingested COPIES of
+    every 7th history doc under fresh ids — so the dup path is a
+    checked behaviour, not dead code. k=3 seeded 60-bit md5 positions
+    mod 2^20, represented as the distinct position set (the exact
+    semantics of the bit array — the dense bitmap is the executor-
+    local encoding); each delta row reports maybe_dup, the exact-hash
+    truth, and the resulting false_positive flag the operator watches
+    when sizing m/k."""
+    from pliers_spark.operators.dedup import bloom_dedup
+
+    d = _docs(spark, sf_dir)
+    hist = d.select("doc_id", "text", (F.col("doc_id") % 5 != 0).alias("_hist"))
+    reingest = (
+        d.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit(False).alias("_hist"),
+        )
+    )
+    return bloom_dedup(hist.unionByName(reingest), F.col("_hist"))
+
+
 def _gopher_sql() -> str:
     from pliers_spark.operators.quality import gopher_rules_sql
 

@@ -273,3 +273,40 @@ class TestSemanticDedup:
             for r in semantic_dedup(df, k=2, tau_num=19, tau_den=20).collect()
         }
         assert out[5] and not out[0] and not out[1]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter ingestion dedup gate
+
+
+class TestBloomDedup:
+    def test_flags_reingested_copies_and_tracks_fp(self, spark):
+        from pliers_spark.operators.dedup import bloom_dedup
+
+        rows = [
+            (1, "alpha beta gamma", True),
+            (2, "delta epsilon zeta", True),
+            (10, "alpha beta gamma", False),  # exact copy of history doc 1
+            (11, "brand new content here", False),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, hist boolean")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in bloom_dedup(df, F.col("hist")).collect()
+        }
+        assert set(out) == {10, 11}  # only delta rows emitted
+        assert out[10]["maybe_dup"] and out[10]["is_dup_exact"]
+        assert not out[10]["false_positive"]
+        assert not out[11]["is_dup_exact"]
+        # Bloom has no false negatives by construction; FP flag is
+        # consistent with the two verdict columns
+        assert out[11]["false_positive"] == (out[11]["maybe_dup"] and True)
+
+    def test_tiny_filter_forces_false_positive(self, spark):
+        from pliers_spark.operators.dedup import bloom_dedup
+
+        # m_bits=1 → every position is 0 → every delta doc collides
+        rows = [(1, "history text", True), (2, "unrelated text", False)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, hist boolean")
+        out = bloom_dedup(df, F.col("hist"), m_bits=1).collect()[0]
+        assert out["maybe_dup"] and not out["is_dup_exact"] and out["false_positive"]
