@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "edu_classifier",
     "video_motion",
     "bloom_dedup",
+    "winnowing",
 ]
 
 

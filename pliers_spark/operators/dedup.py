@@ -754,3 +754,80 @@ SELECT d.{id_col},
 FROM delta d
 LEFT JOIN hits h USING ({id_col})
 JOIN exact e USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document fingerprinting algorithm)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing: hash every ``shingle_n``-gram, slide a ``window`` of
+    consecutive hashes over each document, and keep the minimum hash of
+    every full window. The published guarantee: any shared substring
+    long enough to cover window+shingle-1 grams yields at least one
+    shared fingerprint, while only ~2/(window+1) of hashes are kept —
+    the local, position-robust dedup primitive plagiarism/overlap
+    detectors use where MinHash's global signature is too coarse.
+    (Adapted to word shingles — the engine's shingle convention — the
+    paper uses char k-grams; parameterization is identical.)
+
+    Output: DISTINCT (id, fp). Tie positions inside a window don't
+    affect the distinct fingerprint set, so the window reduction is a
+    plain ``min`` — one sort-free window pass over the exploded grams
+    (rows frame, map-side after the per-doc shuffle), then a distinct.
+    Docs with fewer than ``window`` full grams emit nothing (paper
+    semantics: no full window, no fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    toks = T.tokenize(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(toks, shingle_n)).alias("_p", "_s"),
+    ).select(F.col(id_col), F.col("_p"), md5_int(F.col("_s")).alias("_h"))
+    part = W.partitionBy(id_col)
+    win = part.orderBy("_p").rowsBetween(0, window - 1)
+    sel = grams.select(
+        F.col(id_col),
+        F.col("_p"),
+        F.count(F.lit(1)).over(part).alias("_n"),
+        F.min("_h").over(win).alias("fp"),
+    ).where(F.col("_p") <= F.col("_n") - window)
+    return sel.select(id_col, "fp").distinct()
+
+
+def winnowing_fingerprints_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`winnowing_fingerprints` (same hash,
+    same full-window rule)."""
+    from ..functions.hashing import md5_int_sql
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_n))
+    h = md5_int_sql("g")
+    return f"""WITH base AS (
+  SELECT {id_col}, string_split(trim({text_col}), ' ') AS w FROM {table}),
+grams AS (
+  -- i is 1-based: grams i = 1 .. len(w) - shingle_n + 1
+  SELECT {id_col}, s.i AS p, {gram} AS g
+  FROM base, unnest(range(1, greatest(len(w) - {shingle_n} + 2, 1))) s(i)),
+hashed AS (
+  SELECT {id_col}, p, CAST({h} AS BIGINT) AS h FROM grams),
+sel AS (
+  SELECT {id_col}, p,
+         count(*) OVER (PARTITION BY {id_col}) AS n,
+         min(h) OVER (PARTITION BY {id_col} ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+  FROM hashed)
+SELECT DISTINCT {id_col}, fp FROM sel WHERE p <= n - {window} + 1"""

@@ -2861,6 +2861,26 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _winnow_sql() -> str:
+    from pliers_spark.operators.dedup import winnowing_fingerprints_sql
+
+    return winnowing_fingerprints_sql()
+
+
+@query("winnowing", _winnow_sql())
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): min hash of every full sliding window of
+    consecutive shingle hashes — guaranteed to catch any sufficiently
+    long shared substring while keeping ~2/(w+1) of hashes. One
+    windowed min over the exploded grams (rows frame, single per-doc
+    shuffle) + distinct; complements MinHash (global similarity) with
+    LOCAL overlap detection."""
+    from pliers_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def _bloom_sql() -> str:
     from pliers_spark.operators.dedup import bloom_dedup_sql
 

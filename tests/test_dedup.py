@@ -310,3 +310,42 @@ class TestBloomDedup:
         df = spark.createDataFrame(rows, "doc_id long, text string, hist boolean")
         out = bloom_dedup(df, F.col("hist"), m_bits=1).collect()[0]
         assert out["maybe_dup"] and not out["is_dup_exact"] and out["false_positive"]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantees_shared_fingerprint(self, spark):
+        from pliers_spark.operators.dedup import winnowing_fingerprints
+
+        shared = "the quick brown fox jumps over the lazy dog again today"
+        rows = [
+            (1, "intro words here " + shared + " closing remark"),
+            (2, shared + " entirely different ending material follows now"),
+            (3, "no overlap with anything else at all whatsoever here friend"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {}
+        for r in winnowing_fingerprints(df).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        # winnowing guarantee: a match of >= window + shingle_n - 1 grams
+        # shares at least one selected fingerprint
+        assert fps[1] & fps[2]
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    def test_short_docs_emit_nothing_and_density_bounded(self, spark):
+        from pliers_spark.operators.dedup import winnowing_fingerprints
+
+        long_text = " ".join(f"w{i}" for i in range(100))
+        rows = [(1, "too short"), (2, long_text)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = winnowing_fingerprints(df).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["fp"])
+        assert 1 not in by_doc  # fewer grams than the window
+        n_grams = 100 - 2  # 3-gram count
+        assert 0 < len(by_doc[2]) <= n_grams  # strictly thinned
+        assert len(by_doc[2]) < n_grams / 2  # ~2/(w+1) density, w=4
