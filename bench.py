@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "video_motion",
     "bloom_dedup",
     "winnowing",
+    "edit_distance_dups",
 ]
 
 

@@ -831,3 +831,87 @@ sel AS (
                       ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
   FROM hashed)
 SELECT DISTINCT {id_col}, fp FROM sel WHERE p <= n - {window} + 1"""
+
+
+def edit_distance_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_fps: int = 2,
+    max_fp_df: int = 50,
+    prefix: int = 256,
+    threshold: int = 40,
+) -> DataFrame:
+    """Edit-distance near-duplicate verification over winnowing-gated
+    candidates — the fuzzy-dedup tier between exact hashing and
+    MinHash: pairs that share >= ``min_shared_fps`` winnowing
+    fingerprints (fingerprints appearing in more than ``max_fp_df``
+    docs are dropped first — the stop-shingle/df-cap defense, so a
+    ubiquitous phrase never drives a quadratic bucket) are verified
+    with EXACT Levenshtein distance over the first ``prefix`` chars.
+
+    The prefix bound is the scale design, not a shortcut: Levenshtein
+    is O(len_a * len_b) per pair, so production fuzzy dedup always
+    verifies on a bounded window — cost per pair is a constant
+    O(prefix^2) at any corpus size. ``levenshtein`` is a built-in with
+    identical standard semantics in Spark and DuckDB, so the distance
+    column is integer-exact cross-engine.
+
+    Returns (id_a, id_b, n_shared_fps, lev_prefix, near_dup) with
+    id_a < id_b.
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_fp_df
+    )
+    gated = fps.join(rare.select("fp"), "fp")
+    a, b = gated.alias("a"), gated.alias("b")
+    cand = (
+        a.join(b, "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= min_shared_fps)
+    )
+    texts = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, prefix).alias("_pfx")
+    )
+    return (
+        cand.join(texts.withColumnsRenamed({id_col: "id_a", "_pfx": "_pa"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", "_pfx": "_pb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_fps",
+            F.levenshtein("_pa", "_pb").cast("long").alias("lev_prefix"),
+        )
+        .withColumn("near_dup", F.col("lev_prefix") <= threshold)
+    )
+
+
+def edit_distance_dups_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_fps: int = 2,
+    max_fp_df: int = 50,
+    prefix: int = 256,
+    threshold: int = 40,
+) -> str:
+    """DuckDB oracle for :func:`edit_distance_dups`."""
+    return f"""WITH fps AS ({winnowing_fingerprints_sql(table, text_col, id_col)}),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_df}),
+gated AS (SELECT f.* FROM fps f JOIN rare USING (fp)),
+cand AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         count(*)::BIGINT AS n_shared_fps
+  FROM gated a JOIN gated b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared_fps}),
+tx AS (SELECT {id_col}, substr({text_col}, 1, {prefix}) AS pfx FROM {table})
+SELECT c.id_a, c.id_b, c.n_shared_fps,
+       levenshtein(ta.pfx, tb.pfx)::BIGINT AS lev_prefix,
+       (levenshtein(ta.pfx, tb.pfx) <= {threshold}) AS near_dup
+FROM cand c
+JOIN tx ta ON ta.{id_col} = c.id_a
+JOIN tx tb ON tb.{id_col} = c.id_b"""

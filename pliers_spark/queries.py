@@ -2881,6 +2881,25 @@ def q_winnowing(spark, sf_dir):
     return winnowing_fingerprints(_docs(spark, sf_dir))
 
 
+def _editdist_sql() -> str:
+    from pliers_spark.operators.dedup import edit_distance_dups_sql
+
+    return edit_distance_dups_sql()
+
+
+@query("edit_distance_dups", _editdist_sql())
+def q_edit_distance_dups(spark, sf_dir):
+    """Fuzzy dedup by exact edit distance: winnowing-fingerprint
+    candidate gating (df-capped inverted index, >= 2 shared
+    fingerprints) then Levenshtein over bounded 256-char prefixes —
+    O(prefix^2) per pair at any corpus size, never full-text
+    quadratic. `levenshtein` is a JVM/DuckDB built-in with identical
+    standard semantics, so distances are integer-exact cross-engine."""
+    from pliers_spark.operators.dedup import edit_distance_dups
+
+    return edit_distance_dups(_docs(spark, sf_dir))
+
+
 def _bloom_sql() -> str:
     from pliers_spark.operators.dedup import bloom_dedup_sql
 

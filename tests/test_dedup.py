@@ -349,3 +349,23 @@ class TestWinnowing:
         n_grams = 100 - 2  # 3-gram count
         assert 0 < len(by_doc[2]) <= n_grams  # strictly thinned
         assert len(by_doc[2]) < n_grams / 2  # ~2/(w+1) density, w=4
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy dedup (winnowing-gated Levenshtein)
+
+
+def test_edit_distance_dups_catches_small_edits(spark):
+    from pliers_spark.operators.dedup import edit_distance_dups
+
+    base = " ".join(f"word{i} filler{i} token{i}" for i in range(20))
+    edited = base.replace("word7", "w0rd7").replace("token3", "tokenX")
+    unrelated = " ".join(f"zz{i} qq{i} kk{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, unrelated)], "doc_id long, text string"
+    )
+    out = {(r["id_a"], r["id_b"]): r.asDict() for r in edit_distance_dups(df).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["near_dup"]  # two tiny edits, lev well under 40
+    assert out[(1, 2)]["lev_prefix"] <= 4
+    assert not any(3 in k for k in out)  # no shared fingerprints with 3
