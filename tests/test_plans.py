@@ -311,3 +311,81 @@ def test_blocklist_filter_no_join_single_agg_shuffle(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_gopher_rules_no_python_bounded_shuffles(spark):
+    """gopher_rules is pure Column algebra: token branch + line branch
+    + scalar projection, each one hash shuffle on the doc key, joined
+    co-partitioned. No Python anywhere."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["gopher_rules"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    # the two branch-agg joins back onto the scalar spine must be
+    # broadcast (per-doc dims), never shuffle joins
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # 3 branch scans (each with the deliberate small-file spread) + 3
+    # doc-key aggs + 2 broadcasts; a regression to per-rule scans shows
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_semantic_dedup_no_cross_cluster_join(spark):
+    """Pairwise work is confined to applyInPandas per cluster — the plan
+    must contain NO join at all (and no Cartesian product): the Gram
+    matmul happens inside one Arrow group stage."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_dsir_bucket_model_broadcasts(spark):
+    """The lr dimension (<= n_buckets rows) must reach per-doc features
+    via broadcast, never a shuffle join on the big side."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["dsir_weights"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_bloom_positions_stay_jvm_side(spark):
+    """Bloom positions are seeded md5 Column arithmetic — no Python; the
+    delta-vs-position-set membership is joins + one count aggregate."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["bloom_dedup"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_winnowing_single_window_pass(spark):
+    """Winnowing = explode → windowed count + windowed min, BOTH over
+    the same (doc) partitioning — exactly one hash shuffle feeds them;
+    no Python."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["winnowing"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "PythonUDF" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_url_canonicalization_is_narrow(spark):
+    """canonical_url is a codegen regex chain: the canonicalization
+    itself adds no exchange — only the dedup groupBy shuffles."""
+    import pyspark.sql.functions as F2
+
+    from pliers_spark.pages_pipeline import canonical_url
+
+    df = spark.range(100).select(
+        canonical_url(
+            F2.concat(F2.lit("https://Host.com:443/a/"), F2.col("id").cast("string"))
+        ).alias("c")
+    )
+    plan = plan_of(df)
+    assert "Exchange" not in plan and "PythonUDF" not in plan, plan
