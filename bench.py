@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "winnowing",
     "edit_distance_dups",
+    "char_entropy",
+    "feature_histogram",
 ]
 
 

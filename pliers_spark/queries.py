@@ -2861,6 +2861,109 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), "text", "doc_id")
 
 
+@query(
+    "char_entropy",
+    """WITH chars AS (
+         SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+         FROM documents),
+       cc AS (
+         SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY 1, 2),
+       w AS (
+         SELECT doc_id, c,
+                sum(c) OVER (PARTITION BY doc_id) AS n
+         FROM cc),
+       terms AS (
+         SELECT doc_id, n,
+                c * CAST(round(ln(c::DOUBLE / n::DOUBLE) * 1e6) AS BIGINT) AS t
+         FROM w)
+       SELECT doc_id, max(n)::BIGINT AS n_chars,
+              (-sum(t))::BIGINT AS entropy_sum_unats,
+              round((-sum(t)::DOUBLE / max(n)) / 1000000.0, 6) AS entropy_nats
+       FROM terms GROUP BY doc_id""",
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the classic
+    gibberish/encoding-junk detector a curation pipeline runs on web
+    text (low entropy = repeated filler, high = binary soup). Each
+    char class contributes c·round(ln(c/n)·1e6) integer micro-nats
+    (the bigram-LM rounding convention) so the per-doc sum is an
+    order-free exact integer; the convenience nats column divides
+    once at the end. One explode → (doc,char) count → windowed total
+    → doc aggregation, all JVM-side."""
+    from pyspark.sql import Window as W
+
+    chars = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '(?s).', 0)")).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = cc.select(
+        "doc_id", "c", F.sum("c").over(W.partitionBy("doc_id")).alias("n")
+    )
+    terms = w.select(
+        "doc_id",
+        "n",
+        (F.col("c") * F.round(F.log(F.col("c") / F.col("n")) * 1e6, 0).cast("long")).alias("t"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars"),
+        (-F.sum("t")).cast("long").alias("entropy_sum_unats"),
+        F.round((-F.sum("t").cast("double") / F.max("n")) / 1e6, 6).alias("entropy_nats"),
+    )
+
+
+@query(
+    "feature_histogram",
+    """WITH stats AS (
+         SELECT event_type, min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY event_type),
+       binned AS (
+         SELECT e.event_type,
+                CASE WHEN s.mx = s.mn THEN 0
+                     ELSE least(CAST(floor((e.value - s.mn) * 16 / (s.mx - s.mn)) AS BIGINT), 15)
+                END AS bin,
+                s.mn, s.mx
+         FROM events e JOIN stats s USING (event_type))
+       SELECT event_type, bin, count(*)::BIGINT AS n,
+              round(mn + bin * (mx - mn) / 16, 6) AS lo,
+              round(mn + (bin + 1) * (mx - mn) / 16, 6) AS hi
+       FROM binned GROUP BY event_type, bin, mn, mx""",
+)
+def q_feature_histogram(spark, sf_dir):
+    """Equi-width histogram per feature group (16 bins over the
+    group's [min,max]) — the distribution-profiling diagnostic run
+    before choosing clipping/normalization constants. Two passes: a
+    tiny per-group stats dimension (broadcast back), then one binned
+    count; bin indices are floor of the same IEEE expression on both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) * 16 / (F.col("mx") - F.col("mn"))).cast("long"),
+                F.lit(15).cast("long"),
+            )
+        )
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("event_type", "bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "bin",
+        "n",
+        F.round(F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn")) / 16, 6).alias("lo"),
+        F.round(F.col("mn") + (F.col("bin") + 1) * (F.col("mx") - F.col("mn")) / 16, 6).alias("hi"),
+    )
+
+
 def _winnow_sql() -> str:
     from pliers_spark.operators.dedup import winnowing_fingerprints_sql
 
