@@ -421,11 +421,19 @@ def dsir_weights(
             F.pmod(md5_int(F.col("_g")), F.lit(n_buckets)).alias("b"),
         )
     )
-    per_doc_b = feats.groupBy(id_col, "_t", "b").agg(F.count(F.lit(1)).alias("k"))
+    # per_doc_b feeds BOTH the bucket model and the final scoring pass;
+    # bucket_dim feeds both lr and the scalar totals. Without a
+    # materialized cut Spark re-runs the explode → md5 → groupBy scan
+    # (the expensive part) three times. Checkpoint the smallest cuts:
+    # per_doc_b is one row per (doc, bucket) — far smaller than the
+    # exploded grams — and bucket_dim is <= n_buckets rows.
+    per_doc_b = feats.groupBy(id_col, "_t", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint(eager=True)
     bucket_dim = per_doc_b.groupBy("b").agg(
         F.sum(F.when(~F.col("_t"), F.col("k")).otherwise(0)).alias("r_cnt"),
         F.sum(F.when(F.col("_t"), F.col("k")).otherwise(0)).alias("t_cnt"),
-    )
+    ).localCheckpoint(eager=True)
     totals = bucket_dim.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
     )

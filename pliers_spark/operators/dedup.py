@@ -860,7 +860,10 @@ def edit_distance_dups(
     Returns (id_a, id_b, n_shared_fps, lev_prefix, near_dup) with
     id_a < id_b.
     """
-    fps = winnowing_fingerprints(df, text_col, id_col)
+    # fps feeds the df census AND the gated index — checkpoint the
+    # (doc, fp) cut (one row per selected fingerprint) so the winnowing
+    # scan (explode + hash + window) runs once, not twice.
+    fps = winnowing_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df") <= max_fp_df
     )
