@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "edit_distance_dups",
     "char_entropy",
     "feature_histogram",
+    "cluster_representatives",
 ]
 
 

@@ -1318,9 +1318,15 @@ def q_framed_agg(spark, sf_dir):
     )
 
 
-def _simhash_pairs_cte() -> str:
+def _simhash_pairs_cte(bands: int = 4, max_hamming: int = 3) -> str:
     """CTE chain ending in ``nd_pairs(id_a, id_b, hamming)`` — shared by
-    the near-dup-pairs oracle and the dup-clusters recursive oracle."""
+    the near-dup-pairs oracle and the dup-clusters recursive oracle.
+    ``bands`` exact slices of the 16-bit fingerprint (pigeonhole needs
+    max_hamming < bands for zero false negatives)."""
+    assert _SIMHASH_BITS % bands == 0 and max_hamming < bands
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(bands))
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(_SIMHASH_BITS)
@@ -1335,16 +1341,16 @@ def _simhash_pairs_cte() -> str:
        sims AS (
          SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes),
        banded AS (
-         SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band_id FROM sims),
+         SELECT doc_id, simhash, unnest([{band_ids}]) AS band_id FROM sims),
        b2 AS (
-         SELECT doc_id, simhash, band_id, (simhash >> (band_id * 4)) & 15 AS band_val
+         SELECT doc_id, simhash, band_id, (simhash >> (band_id * {width})) & {mask} AS band_val
          FROM banded),
        nd_pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.band_val = b.band_val
                              AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming})"""
 
 
 def _simhash_near_dups_sql() -> str:
@@ -2095,6 +2101,67 @@ def q_dup_clusters(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+def _cluster_reps_sql() -> str:
+    # stricter pair gate than dup_clusters (hamming <= 1, 2 exact 8-bit
+    # bands): 16-bit SimHash at hamming <= 3 merges most of this corpus
+    # into one giant component — real pipelines tighten the gate until
+    # clusters are actual near-dup groups, which is exactly the knob
+    # this query demonstrates.
+    return f"""WITH RECURSIVE {_simhash_pairs_cte(bands=2, max_hamming=1)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+reach(node, peer) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+cl AS (
+  SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
+  FROM reach GROUP BY node),
+q AS ({_QUALITY_ORACLE}),
+spine AS (
+  SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN cl USING (doc_id)),
+ranked AS (
+  SELECT doc_id, cluster_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM spine)
+SELECT doc_id, cluster_id::BIGINT AS cluster_id, quality, (rn = 1) AS keep
+FROM ranked"""
+
+
+@query("cluster_representatives", _cluster_reps_sql())
+def q_cluster_representatives(spark, sf_dir):
+    """End-to-end fuzzy-dedup keep rule (the RefinedWeb 'retire all but
+    one' step): transitive SimHash dup clusters (iterative CC) joined
+    with the quality score; within each cluster the highest-quality
+    doc (ties → smallest id) is the kept representative, singleton
+    docs keep themselves (cluster_id = own id). One rank window per
+    cluster after the CC fixpoint — dedup decisions follow document
+    QUALITY, not arrival order. Pair gate: hamming <= 1 over 2 exact
+    8-bit bands (stricter than dup_clusters' <= 3, which merges most
+    of this synthetic corpus into one component)."""
+    from pyspark.sql import Window as W
+
+    pairs = D.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        bits=_SIMHASH_BITS, bands=2, max_hamming=1,
+    ).select("id_a", "id_b")
+    clusters = D.connected_components(pairs)
+    quality = q_quality_score(spark, sf_dir)
+    spine = quality.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        "quality",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    return spine.select("doc_id", "cluster_id", "quality", (rn == 1).alias("keep"))
 
 
 @query(

@@ -369,3 +369,24 @@ def test_edit_distance_dups_catches_small_edits(spark):
     assert out[(1, 2)]["near_dup"]  # two tiny edits, lev well under 40
     assert out[(1, 2)]["lev_prefix"] <= 4
     assert not any(3 in k for k in out)  # no shared fingerprints with 3
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection (quality-ranked keep rule)
+
+
+def test_cluster_representatives_keep_best_quality(spark):
+    from pliers_spark.queries import QUERIES
+
+    rows = {r["doc_id"]: r.asDict()
+            for r in QUERIES["cluster_representatives"](spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == 500  # every doc gets a verdict
+    by_cluster = {}
+    for r in rows.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1  # exactly one representative per cluster
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+    assert len(by_cluster) > 1  # the hamming<=1 gate yields real structure
