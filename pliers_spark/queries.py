@@ -2104,30 +2104,23 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def _cluster_reps_sql() -> str:
-    # stricter pair gate than dup_clusters (hamming <= 1, 2 exact 8-bit
-    # bands): 16-bit SimHash at hamming <= 3 merges most of this corpus
-    # into one giant component — real pipelines tighten the gate until
-    # clusters are actual near-dup groups, which is exactly the knob
-    # this query demonstrates.
-    return f"""WITH RECURSIVE {_simhash_pairs_cte(bands=2, max_hamming=1)},
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM nd_pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-reach(node, peer) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
-cl AS (
-  SELECT node AS doc_id, min(peer)::BIGINT AS cluster_id
-  FROM reach GROUP BY node),
+    # cluster key = the EXACT 16-bit SimHash fingerprint (hamming-0
+    # equivalence classes): still fuzzy at the token level (the
+    # majority vote erases small word reorderings/substitutions) but a
+    # single hash-groupBy — no pair expansion, no iterative closure.
+    # Graph-transitive clustering is dup_clusters' job; this query is
+    # the KEEP RULE on top of whatever clustering ran.
+    cte = _simhash_pairs_cte(bands=2, max_hamming=1)
+    sims_cte = cte.split(",\n       banded")[0]  # toks/hashed/votes/sims only
+    return f"""WITH {sims_cte},
 q AS ({_QUALITY_ORACLE}),
 spine AS (
-  SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id, q.quality
-  FROM q LEFT JOIN cl USING (doc_id)),
+  SELECT q.doc_id, s.simhash, q.quality
+  FROM q JOIN sims s USING (doc_id)),
 ranked AS (
-  SELECT doc_id, cluster_id, quality,
-         row_number() OVER (PARTITION BY cluster_id
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY simhash) AS cluster_id,
+         row_number() OVER (PARTITION BY simhash
                             ORDER BY quality DESC, doc_id) AS rn
   FROM spine)
 SELECT doc_id, cluster_id::BIGINT AS cluster_id, quality, (rn = 1) AS keep
@@ -2137,31 +2130,30 @@ FROM ranked"""
 @query("cluster_representatives", _cluster_reps_sql())
 def q_cluster_representatives(spark, sf_dir):
     """End-to-end fuzzy-dedup keep rule (the RefinedWeb 'retire all but
-    one' step): transitive SimHash dup clusters (iterative CC) joined
-    with the quality score; within each cluster the highest-quality
-    doc (ties → smallest id) is the kept representative, singleton
-    docs keep themselves (cluster_id = own id). One rank window per
-    cluster after the CC fixpoint — dedup decisions follow document
-    QUALITY, not arrival order. Pair gate: hamming <= 1 over 2 exact
-    8-bit bands (stricter than dup_clusters' <= 3, which merges most
-    of this synthetic corpus into one component)."""
+    one' step): SimHash hamming-0 equivalence classes (the majority
+    vote already absorbs small token edits/reorderings) joined with
+    the quality score; within each class the highest-quality doc
+    (ties -> smallest id) is the kept representative, singletons keep
+    themselves. ONE fingerprint groupBy + one rank window — no pair
+    expansion, no iterative closure (transitive clustering at looser
+    thresholds is `dup_clusters`; this is the quality-ranked keep
+    decision that follows ANY clustering). Dedup keeps the BEST
+    document, not the first-seen one."""
     from pyspark.sql import Window as W
 
-    pairs = D.simhash_near_dup_pairs(
-        _docs(spark, sf_dir), "text", "doc_id",
-        bits=_SIMHASH_BITS, bands=2, max_hamming=1,
-    ).select("id_a", "id_b")
-    clusters = D.connected_components(pairs)
+    sims = D.simhash_fingerprints(
+        _docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_BITS
+    )
     quality = q_quality_score(spark, sf_dir)
-    spine = quality.join(clusters, "doc_id", "left").select(
+    spine = quality.join(sims, "doc_id")
+    w = W.partitionBy("simhash")
+    rn = F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+    return spine.select(
         "doc_id",
-        F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        F.min("doc_id").over(w).cast("long").alias("cluster_id"),
         "quality",
+        (rn == 1).alias("keep"),
     )
-    rn = F.row_number().over(
-        W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
-    )
-    return spine.select("doc_id", "cluster_id", "quality", (rn == 1).alias("keep"))
 
 
 @query(
