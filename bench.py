@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "embedding_topk",
     "ann_ivf_topk",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "events_pivot",
     "stft_power",
     "spectral_shape",
