@@ -82,3 +82,36 @@ def streaming_dedup(
     route stragglers to the batch dedup in the daily compaction.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_enrich_latest(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    dim_ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment with the LATEST dimension row per key —
+    the streaming face of the engine's as-of join (north rule): events
+    arriving on a stream are joined to a static snapshot table, keeping
+    for each key the dimension row with the greatest ``dim_ts_col``
+    (the "current" version, i.e. the as-of answer for now-arriving
+    events; full point-in-time history against a STREAM is batch
+    territory — `operators/asof.py` — since a stream-side event must
+    not wait for future dim versions).
+
+    The dimension is reduced to one row per key with ``max_by`` (one
+    small aggregation, no window sort) and Spark broadcasts it into
+    every micro-batch — a stream-static equi-join, which Structured
+    Streaming executes stateless (no watermark needed on the dim
+    side). The dim DataFrame is re-read per micro-batch, so a snapshot
+    table that gains a new version between batches enriches later
+    events with the newer row, exactly Iceberg-style "current
+    snapshot" semantics.
+    """
+    latest = dim.groupBy(key_col).agg(
+        *[F.expr(f"max_by({c}, {dim_ts_col})").alias(c) for c in value_cols],
+        F.max(dim_ts_col).alias("dim_ts"),
+    )
+    return stream.join(F.broadcast(latest), key_col, "left")

@@ -212,3 +212,44 @@ def test_streaming_extract_matches_batch_and_is_incremental(spark, tmp_path):
     batch2 = extract_page_features(spark.read.parquet(str(land)))
     assert got2.count() == batch2.count() > n1
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, batch2.collect()))
+
+
+def test_streaming_enrich_latest_dim_version(spark, stream_dir, tmp_path):
+    """Stream-static as-of enrichment: events joined to the LATEST
+    dimension row per key; a key with two versions gets the newer one,
+    an unknown key stays null (left join)."""
+    import datetime as dt2
+
+    from pliers_spark.streaming.sessions import streaming_enrich_latest
+
+    dim = spark.createDataFrame(
+        [
+            ("u1", dt2.datetime(2023, 1, 1), "old-segment"),
+            ("u1", dt2.datetime(2023, 6, 1), "new-segment"),
+            ("u3", dt2.datetime(2023, 6, 1), "never-matches"),
+        ],
+        "uid string, updated_at timestamp, segment string",
+    )
+    stream = (
+        spark.readStream.schema("uid string, ts timestamp, value double")
+        .parquet(stream_dir)
+    )
+    out = streaming_enrich_latest(
+        stream, dim, "uid", "ts", "updated_at", ["segment"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert rows, "stream produced no rows"
+    by_uid = {}
+    for r in rows:
+        by_uid.setdefault(r["uid"], set()).add(r["segment"])
+    assert by_uid["u1"] == {"new-segment"}  # latest version wins
+    assert by_uid["u2"] == {None}  # unknown key -> left-join null
