@@ -412,7 +412,12 @@ def dsir_weights(
     feats = (
         docs.select(
             F.col(id_col),
-            target_pred.alias("_t"),
+            # NULL predicate (e.g. `lang = 'en'` on a NULL lang) means
+            # "not target" → raw pool, matching the oracle's CASE
+            # (which routes non-TRUE rows to r_cnt). Without the
+            # coalesce, ~NULL is NULL and those rows vanish from BOTH
+            # models, silently skewing r_tot.
+            F.coalesce(target_pred, F.lit(False)).alias("_t"),
             F.explode(_shingles(toks, 2)).alias("_g"),
         )
         .select(
@@ -468,7 +473,7 @@ def dsir_weights_sql(
     smoothing, same micro-nat rounding, same division order."""
     g_hash = md5_int_sql("g")
     return f"""WITH base AS (
-  SELECT {id_col}, ({target_pred_sql}) AS is_t,
+  SELECT {id_col}, coalesce(({target_pred_sql}), false) AS is_t,
          string_split(trim({text_col}), ' ') AS w
   FROM {table}),
 grams AS (

@@ -528,10 +528,13 @@ def semantic_dedup(
 
         dot > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * ||a||^2 * ||b||^2
 
-    entirely in int64: with D dims and |x| <= xmax, the largest term
-    is tau_den^2 * (D * (1e3 * xmax)^2)^2 — for D=64, xmax<=2,
-    tau_den<=20 that is ~2.6e18 < 2^63. The UDF asserts the envelope
-    (|x| <= 2) so an out-of-range corpus fails loudly instead of
+    entirely in int64: with squared milli-unit norms n2 = Σ v_u², the
+    largest products are tau_den²·G² and tau_num²·n2_a·n2_b, and
+    |G| <= max(n2) by Cauchy–Schwarz, so exactness needs
+    max(n2) <= sqrt(2^63 / max(tau_den², tau_num²)) ≈ 1.5e8 at the
+    default tau — e.g. unit-normalized vectors at any D (n2 ≈ 1e6), or
+    D=64 with |x| ≲ 1.5. The UDF asserts THIS bound on the actual data
+    so an out-of-range corpus fails loudly instead of silently
     wrapping. Milli-unit quantization bounds the cosine decision at
     ~1e-3 coordinate resolution — a dedup-gate threshold, not a
     ranking score, so the quantization is immaterial and buys a fully
@@ -563,12 +566,21 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         du = pdf["d_u"].to_numpy(dtype=np.int64)
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        if np.abs(X).max(initial=0.0) > 2.0:
-            raise ValueError(
-                "semantic_dedup int64 envelope requires |x| <= 2 "
-                f"(got {np.abs(X).max():.3f})"
-            )
         V = np.floor(X * 1e3 + 0.5).astype(np.int64)
+        n2_all = (V * V).sum(axis=1)
+        # exact int64 envelope: the largest products formed below are
+        # den2*G*G and num2*n2_a*n2_b; |G| <= max(n2) (Cauchy–Schwarz),
+        # so both are bounded by max(den2, num2) * max(n2)^2 — assert
+        # THAT directly instead of a loose per-coordinate bound (a
+        # |x|<=2 bound at D=64 already overflows: 400*(2.56e8)^2 ≈
+        # 2.6e19 > 2^63).
+        n2_cap = int(np.sqrt((2**63 - 1) / max(den2, num2)))
+        if n2_all.size and int(n2_all.max()) > n2_cap:
+            raise ValueError(
+                "semantic_dedup int64 envelope exceeded: max squared "
+                f"milli-unit norm {int(n2_all.max())} > {n2_cap} "
+                "(shrink coordinates or dimensionality, or reduce tau_den)"
+            )
         G = V @ V.T  # exact int64 Gram matrix
         n2 = np.diag(G)
         dup = (G > 0) & (den2 * G * G >= num2 * np.outer(n2, n2))
@@ -677,19 +689,17 @@ def bloom_dedup(
     h = docs.select(
         F.col(id_col), history_pred.alias("_hist"), F.col(text_col).alias("_t")
     )
-    pos = lambda side, seed: F.pmod(md5_int(F.col("_t"), seed=seed), F.lit(m_bits))
+    pos = lambda seed: F.pmod(md5_int(F.col("_t"), seed=seed), F.lit(m_bits))
     hist_pos = (
         h.where(F.col("_hist"))
-        .select(
-            F.explode(F.array(*[pos("h", s) for s in range(k_hashes)])).alias("p")
-        )
+        .select(F.explode(F.array(*[pos(s) for s in range(k_hashes)])).alias("p"))
         .distinct()
     )
     hist_hash = h.where(F.col("_hist")).select(md5_int(F.col("_t")).alias("_ch")).distinct()
     delta = h.where(~F.col("_hist"))
     delta_pos = delta.select(
         F.col(id_col),
-        F.posexplode(F.array(*[pos("d", s) for s in range(k_hashes)])).alias("_i", "p"),
+        F.explode(F.array(*[pos(s) for s in range(k_hashes)])).alias("p"),
     )
     bloom_hits = (
         delta_pos.join(hist_pos, "p")

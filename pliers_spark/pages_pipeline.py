@@ -401,7 +401,13 @@ def canonical_url(url_col) -> "Column":
     qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host, path, qs)
+    # scheme-less / malformed input (relative URLs, mailto:, junk) has
+    # no canonical form — pass it through UNCHANGED rather than
+    # collapsing every such row to the same ':///' key, which would
+    # merge unrelated documents in a downstream URL-keyed dedup.
+    return F.when(scheme == "", url_col).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qs)
+    )
 
 
 def canonical_url_sql(url_expr: str) -> str:
@@ -424,4 +430,7 @@ def canonical_url_sql(url_expr: str) -> str:
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))"
     )
     qs = f"CASE WHEN len({kept}) > 0 THEN '?' || array_to_string({kept}, '&') ELSE '' END"
-    return f"{scheme} || '://' || {host} || {path} || {qs}"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {url_expr} "
+        f"ELSE {scheme} || '://' || {host} || {path} || {qs} END"
+    )

@@ -1412,15 +1412,9 @@ def q_framed_agg(spark, sf_dir):
     )
 
 
-def _simhash_pairs_cte(bands: int = 4, max_hamming: int = 3) -> str:
-    """CTE chain ending in ``nd_pairs(id_a, id_b, hamming)`` — shared by
-    the near-dup-pairs oracle and the dup-clusters recursive oracle.
-    ``bands`` exact slices of the 16-bit fingerprint (pigeonhole needs
-    max_hamming < bands for zero false negatives)."""
-    assert _SIMHASH_BITS % bands == 0 and max_hamming < bands
-    width = _SIMHASH_BITS // bands
-    mask = (1 << width) - 1
-    band_ids = ", ".join(str(b) for b in range(bands))
+def _simhash_sims_cte() -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)`` — the fingerprint
+    computation shared by the pair oracles and the keep-rule oracle."""
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(_SIMHASH_BITS)
@@ -1433,7 +1427,19 @@ def _simhash_pairs_cte(bands: int = 4, max_hamming: int = 3) -> str:
        votes AS (
          SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
        sims AS (
-         SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes),
+         SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes)"""
+
+
+def _simhash_pairs_cte(bands: int = 4, max_hamming: int = 3) -> str:
+    """CTE chain ending in ``nd_pairs(id_a, id_b, hamming)`` — shared by
+    the near-dup-pairs oracle and the dup-clusters recursive oracle.
+    ``bands`` exact slices of the 16-bit fingerprint (pigeonhole needs
+    max_hamming < bands for zero false negatives)."""
+    assert _SIMHASH_BITS % bands == 0 and max_hamming < bands
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""{_simhash_sims_cte()},
        banded AS (
          SELECT doc_id, simhash, unnest([{band_ids}]) AS band_id FROM sims),
        b2 AS (
@@ -2204,9 +2210,7 @@ def _cluster_reps_sql() -> str:
     # single hash-groupBy — no pair expansion, no iterative closure.
     # Graph-transitive clustering is dup_clusters' job; this query is
     # the KEEP RULE on top of whatever clustering ran.
-    cte = _simhash_pairs_cte(bands=2, max_hamming=1)
-    sims_cte = cte.split(",\n       banded")[0]  # toks/hashed/votes/sims only
-    return f"""WITH {sims_cte},
+    return f"""WITH {_simhash_sims_cte()},
 q AS ({_QUALITY_ORACLE}),
 spine AS (
   SELECT q.doc_id, s.simhash, q.quality

@@ -88,7 +88,6 @@ def streaming_enrich_latest(
     stream: DataFrame,
     dim: DataFrame,
     key_col: str,
-    ts_col: str,
     dim_ts_col: str,
     value_cols: list[str],
 ) -> DataFrame:
@@ -110,8 +109,15 @@ def streaming_enrich_latest(
     events with the newer row, exactly Iceberg-style "current
     snapshot" semantics.
     """
+    # ONE max_by over a struct of all value columns: per-column max_by
+    # calls would resolve dim_ts ties independently and could stitch
+    # together fields from two different dimension versions (row
+    # tearing). The struct keeps the winning ROW atomic; which row wins
+    # an exact-timestamp tie is still unspecified — version timestamps
+    # are expected unique per key (append a sequence number when not).
+    cols = ", ".join(value_cols)
     latest = dim.groupBy(key_col).agg(
-        *[F.expr(f"max_by({c}, {dim_ts_col})").alias(c) for c in value_cols],
+        F.expr(f"max_by(struct({cols}), {dim_ts_col})").alias("_v"),
         F.max(dim_ts_col).alias("dim_ts"),
-    )
+    ).select(key_col, *[F.col(f"_v.{c}").alias(c) for c in value_cols], "dim_ts")
     return stream.join(F.broadcast(latest), key_col, "left")

@@ -390,3 +390,29 @@ def test_cluster_representatives_keep_best_quality(spark):
         best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
     assert len(by_cluster) > 1  # the hamming<=1 gate yields real structure
+
+
+def test_semantic_dedup_envelope_raises_not_wraps(spark):
+    """Norms past the int64 product envelope must raise, never wrap:
+    two parallel big vectors (cos=1, a certain dup inside the gate)
+    would be MISSED under silent int64 wraparound."""
+    import pytest as _pytest
+
+    from pliers_spark.operators.dedup import semantic_dedup
+
+    big = [2.0] * 64  # n2 = 64*(2000^2) = 2.56e8 > cap ~1.52e8
+    rows = [(0, big), (1, [0.0] * 63 + [1.0]), (2, big)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="envelope"):
+        semantic_dedup(df, k=2).collect()
+
+
+def test_semantic_dedup_near_envelope_exact(spark):
+    """Just inside the bound the verdicts are exact (no wrap)."""
+    from pliers_spark.operators.dedup import semantic_dedup
+
+    v = [1.2] * 64  # n2 = 64*1200^2 = 9.2e7 < cap
+    rows = [(0, v), (1, [0.0] * 63 + [1.0]), (2, v)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["dropped"] for r in semantic_dedup(df, k=2).collect()}
+    assert out[2] and not out[0] and not out[1]

@@ -200,3 +200,17 @@ def test_canonical_url_rules(spark):
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_canonical_url_malformed_passthrough(spark):
+    """Scheme-less / malformed URLs have no canonical form: they must
+    pass through unchanged, never collapse to one shared key."""
+    import pyspark.sql.functions as F
+
+    from pliers_spark.pages_pipeline import canonical_url
+
+    raws = ["www.site.com/page", "mailto:x@y.com", "not a url", "/rel/path"]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, raw in enumerate(raws):
+        assert got[i] == raw, (raw, got[i])

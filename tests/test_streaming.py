@@ -234,9 +234,7 @@ def test_streaming_enrich_latest_dim_version(spark, stream_dir, tmp_path):
         spark.readStream.schema("uid string, ts timestamp, value double")
         .parquet(stream_dir)
     )
-    out = streaming_enrich_latest(
-        stream, dim, "uid", "ts", "updated_at", ["segment"]
-    )
+    out = streaming_enrich_latest(stream, dim, "uid", "updated_at", ["segment"])
     q = (
         out.writeStream.format("memory")
         .queryName("enriched")
