@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "feature_histogram",
     "cluster_representatives",
+    "countmin_tokens",
 ]
 
 

@@ -2141,6 +2141,43 @@ def q_token_top100(spark, sf_dir):
     )
 
 
+def _cms_sql() -> str:
+    from pliers_spark.operators.sketches import countmin_token_sql
+
+    return countmin_token_sql()
+
+
+@query("countmin_tokens", _cms_sql())
+def q_countmin_tokens(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus
+    tokens, probed with the exact top-20: depth=3 x width=1024 BIGINT
+    counters via the seeded 60-bit md5 — build is one explode +
+    groupBy whose shuffle carries at most depth*width rows regardless
+    of corpus size; probes take MIN over their depth counters
+    (guaranteed overestimate, emitted as the `overcount` column a
+    pipeline watches when sizing the sketch). Fully deterministic —
+    the oracle replays build AND probe bit-for-bit."""
+    from pliers_spark.operators.sketches import countmin_build, countmin_probe
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    sketch = countmin_build(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = countmin_probe(sketch, exact.select("token"), "token")
+    return exact.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
 @query(
     "salted_unique_tokens",
     """WITH toks AS (

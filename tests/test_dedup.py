@@ -416,3 +416,33 @@ def test_semantic_dedup_near_envelope_exact(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r["vec_id"]: r["dropped"] for r in semantic_dedup(df, k=2).collect()}
     assert out[2] and not out[0] and not out[1]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_countmin_never_underestimates_and_is_tight_when_sparse(spark):
+    from pliers_spark.operators.sketches import countmin_build, countmin_probe
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    items = spark.createDataFrame(rows, "token string")
+    sketch = countmin_build(items, "token", depth=3, width=1024)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "token string")
+    est = {r["token"]: r["cms_est"] for r in countmin_probe(sketch, probes, "token").collect()}
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1  # never under
+    assert est["a"] == 50 and est["b"] == 7  # 3 tokens in 1024 cols: no collision
+    assert est["zzz"] == 0  # absent item with empty counters -> 0
+
+
+def test_countmin_collisions_overestimate_only(spark):
+    from pliers_spark.operators.sketches import countmin_build, countmin_probe
+
+    # width=1 forces every token into the same counter on every row
+    rows = [("a",)] * 5 + [("b",)] * 3
+    items = spark.createDataFrame(rows, "token string")
+    sketch = countmin_build(items, "token", depth=2, width=1)
+    probes = spark.createDataFrame([("a",), ("b",)], "token string")
+    est = {r["token"]: r["cms_est"]
+           for r in countmin_probe(sketch, probes, "token", depth=2, width=1).collect()}
+    assert est["a"] == 8 and est["b"] == 8  # total mass, the CMS worst case
