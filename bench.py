@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "feature_histogram",
     "cluster_representatives",
     "countmin_tokens",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -505,3 +505,74 @@ SELECT b.{id_col},
        coalesce(s.n_feats, 0)::BIGINT AS n_feats,
        coalesce(s.logw_unats, 0)::BIGINT AS logw_unats
 FROM base b LEFT JOIN scored s USING ({id_col})"""
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_mod: int = 97,
+    min_shared_fps: int = 2,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs sharing
+    winnowing fingerprints with the eval set — the robust sibling of
+    the exact-n-gram :func:`decontaminate`. Winnowing's guarantee
+    (any sufficiently long shared substring yields a shared selected
+    fingerprint) survives small edits and repositioning that break
+    exact n-gram matching, which is how lightly-paraphrased eval
+    content actually leaks into training corpora.
+
+    Same split convention as :func:`decontaminate` (id % eval_mod == 0
+    carves a deterministic eval side for tests; in production the eval
+    side is the benchmark table), same plan shape: fingerprints once
+    per doc (windowed min over the exploded grams — one per-doc
+    shuffle), DISTINCT eval fingerprint set broadcast, train side
+    aggregates shared-distinct-fp counts with map-side partial agg.
+
+    Returns one row per NON-eval doc:
+    (id, n_shared_fps, fuzzy_contaminated).
+    """
+    from .dedup import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(docs, text_col, id_col)
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_fps = fps.where(is_eval).select("fp").distinct()
+    train_fps = fps.where(~is_eval)
+    hits = (
+        train_fps.join(F.broadcast(eval_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    spine = docs.where(~is_eval).select(id_col)
+    return spine.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shared_fps", F.lit(0)).cast("long").alias("n_shared_fps"),
+        (F.coalesce("n_shared_fps", F.lit(0)) >= min_shared_fps).alias(
+            "fuzzy_contaminated"
+        ),
+    )
+
+
+def decontaminate_fuzzy_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_mod: int = 97,
+    min_shared_fps: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`decontaminate_fuzzy`."""
+    from .dedup import winnowing_fingerprints_sql
+
+    return f"""WITH fps AS ({winnowing_fingerprints_sql(table, text_col, id_col)}),
+eval_fps AS (
+  SELECT DISTINCT fp FROM fps WHERE {id_col} % {eval_mod} = 0),
+hits AS (
+  SELECT f.{id_col}, count(*)::BIGINT AS n_shared_fps
+  FROM fps f JOIN eval_fps USING (fp)
+  WHERE f.{id_col} % {eval_mod} <> 0
+  GROUP BY 1)
+SELECT d.{id_col},
+       coalesce(h.n_shared_fps, 0)::BIGINT AS n_shared_fps,
+       (coalesce(h.n_shared_fps, 0) >= {min_shared_fps}) AS fuzzy_contaminated
+FROM (SELECT {id_col} FROM {table} WHERE {id_col} % {eval_mod} <> 0) d
+LEFT JOIN hits h USING ({id_col})"""

@@ -2141,6 +2141,26 @@ def q_token_top100(spark, sf_dir):
     )
 
 
+def _decon_fuzzy_sql() -> str:
+    from pliers_spark.operators.curation import decontaminate_fuzzy_sql
+
+    return decontaminate_fuzzy_sql()
+
+
+@query("decontaminate_fuzzy", _decon_fuzzy_sql())
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination: training docs sharing >= 2
+    winnowing fingerprints with the eval split are flagged — winnowing's
+    local-overlap guarantee survives the small edits and repositioning
+    that defeat the exact n-gram protocol (`decontaminate`), which is
+    how lightly-paraphrased eval content actually leaks. Same broadcast
+    shape: the eval fingerprint set is a tiny dimension; the training
+    scan stays narrow."""
+    from pliers_spark.operators.curation import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(_docs(spark, sf_dir))
+
+
 def _cms_sql() -> str:
     from pliers_spark.operators.sketches import countmin_token_sql
 

@@ -185,3 +185,28 @@ def test_dsir_empty_and_single_token_docs_get_zero(spark):
     assert len(out) == 3  # spine keeps featureless docs
     assert out[2]["n_feats"] == 0 and out[2]["logw_unats"] == 0
     assert out[3]["n_feats"] == 0 and out[3]["logw_unats"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination (winnowing-based)
+
+
+def test_fuzzy_decontamination_survives_small_edits(spark):
+    from pliers_spark.operators.curation import decontaminate, decontaminate_fuzzy
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again today"
+    # paraphrase-adjacent training doc: one token changed mid-passage —
+    # breaks every 5-gram spanning the edit but not the surrounding grams
+    leaked = eval_text.replace("lazy", "sleepy") + " with extra trailing words here"
+    clean = "completely unrelated training content with no shared passages at all"
+    rows = [(0, eval_text), (1, leaked), (2, clean)]  # id 0 -> eval (0 % 97 == 0)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fuzzy = {r["doc_id"]: r["fuzzy_contaminated"]
+             for r in decontaminate_fuzzy(df, eval_mod=97).collect()}
+    assert fuzzy[1] and not fuzzy[2]
+    # the edited doc still shares surrounding exact 5-grams too; the
+    # point of the fuzzy tier is the GUARANTEE at matched-span length,
+    # not that exact matching always fails — both flag this one
+    exact = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(df, eval_mod=97).collect()}
+    assert exact[1] and not exact[2]
