@@ -999,6 +999,37 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "prefix_filter_jaccard",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+         FROM toks a JOIN toks b USING (tok)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              inter_size::BIGINT AS inter_size,
+              (sa.set_size + sb.set_size - inter_size)::BIGINT AS union_size,
+              round(inter_size::DOUBLE / (sa.set_size + sb.set_size - inter_size), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE 5 * inter_size >= 3 * (sa.set_size + sb.set_size - inter_size)""",
+)
+def q_prefix_filter_jaccard(spark, sf_dir):
+    """EXACT Jaccard near-dup join via positional prefix filtering
+    (Chaudhuri ICDE'06 / PPJoin) at t = 3/5. The engine explodes only
+    each doc's rarest ``L - ceil(t·L) + 1`` tokens (ascending-DF global
+    order) so the inverted index never contains Zipf-head tokens; the
+    oracle is the brute-force all-pairs join — set equality IS the
+    prefix-filter correctness theorem."""
+    return D.prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold_num=3, threshold_den=5
+    )
+
+
+@query(
     "doc_fingerprint",
     f"""WITH base AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents),
        sh_t AS (

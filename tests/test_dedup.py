@@ -54,6 +54,41 @@ def test_ngram_jaccard_exact(docs):
     assert (1, 4) not in got
 
 
+def test_prefix_filter_jaccard_matches_brute_force(docs):
+    out = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id", 1, 2)  # t = 0.5
+    got = {(r.id_a, r.id_b): (r.inter_size, r.union_size, r.jaccard) for r in out.collect()}
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.5).collect()
+    }
+    # prefix-filter theorem: exact result set equality with brute force
+    assert set(got) == set(brute)
+    for k, (inter, union, jac) in got.items():
+        assert jac == brute[k]
+        assert round(inter / union, 6) == jac
+    assert got[(1, 2)][2] == 1.0  # identical docs
+    # integer cross-multiplied gate: den*inter >= num*union holds for all rows
+    assert all(2 * i >= 1 * u for i, u, _ in got.values())
+
+
+def test_prefix_filter_explodes_only_prefix_tokens(spark):
+    # 10-token docs at t=0.8 → prefix length 10 - 8 + 1 = 3: the index must
+    # hold 3 rows per doc, not 10.
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(10))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.prefix_filter_jaccard_pairs(df, "text", "doc_id", 4, 5)
+    assert out.count() == 0  # disjoint docs: no candidates at all
+    # shared-prefix pair: 8/10 token overlap → J = 8/12 < 0.8 (pruned),
+    # 9/10 overlap → J = 9/11 > 0.8 (kept)
+    base = [f"w{j}" for j in range(10)]
+    near = base[:9] + ["zz"]
+    df2 = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(near))], "doc_id long, text string"
+    )
+    kept = D.prefix_filter_jaccard_pairs(df2, "text", "doc_id", 4, 5).collect()
+    assert [(r.id_a, r.id_b, r.inter_size, r.union_size) for r in kept] == [(1, 2, 9, 11)]
+
+
 def test_simhash_hamming(docs):
     fp = D.simhash_fingerprints(docs, "text", "doc_id", bits=32)
     j = fp.alias("a").join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")).select(
