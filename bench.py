@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "cluster_representatives",
     "countmin_tokens",
     "decontaminate_fuzzy",
+    "prefix_filter_jaccard",
+    "exact_substr_spans",
 ]
 
 

@@ -311,6 +311,72 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def exact_substr_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr role of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span that is part of some
+    ``span_tokens``-token window occurring ≥ ``min_count`` times in the
+    corpus (across documents OR repeated within one). Unlike the
+    doc-level dedups above, the unit of removal is the SPAN — the
+    precise regions a curation pipeline would cut from otherwise-unique
+    documents (licence boilerplate, quoted headers, lyrics).
+
+    The paper builds a corpus-wide suffix array; the relational
+    equivalent at fixed window granularity is three linear passes with
+    no pair expansion anywhere:
+
+    1. window grams: every ``span_tokens``-token window per doc
+       (positional), hashed to 60-bit ints immediately so the gram
+       string never reaches a shuffle;
+    2. corpus census: groupBy(hash) count — map-side partial agg, safe
+       under the boilerplate skew it is designed to catch (a window
+       repeated 10^9 times is ONE census row, not a pair explosion);
+    3. flagged positions join back on hash (1:1 per position), then a
+       per-doc interval merge of overlapping windows — the classic
+       gaps-and-islands: break when a position starts after the running
+       max end of all previous windows, island = running sum of breaks.
+
+    Returns (id, span_start, span_end, span_len) in token coordinates,
+    inclusive; one row per maximal duplicated span. Docs with fewer
+    than ``span_tokens`` tokens emit nothing.
+    """
+    from pyspark.sql import Window as W
+
+    toks = T.tokenize(F.col(text_col))
+    # posexplode over the shingle array: shingles() drops only TRAILING
+    # partial windows, so _p is the 0-based start position of each gram.
+    wins = df.select(
+        F.col(id_col), F.posexplode(shingles(toks, span_tokens)).alias("pos", "_s")
+    ).select(F.col(id_col), "pos", md5_int(F.col("_s")).alias("_h"))
+    census = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    flagged = wins.join(census.where(F.col("_cnt") >= min_count), "_h").select(
+        id_col, "pos"
+    )
+    part = W.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + span_tokens).over(
+        part.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = flagged.withColumn(
+        "_brk",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(part))
+    return (
+        marked.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + span_tokens - 1).cast("long").alias("span_end"),
+            (F.max("pos") + span_tokens - F.min("pos")).cast("long").alias("span_len"),
+        )
+        .drop("_island")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

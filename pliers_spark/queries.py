@@ -1030,6 +1030,45 @@ def q_prefix_filter_jaccard(spark, sf_dir):
 
 
 @query(
+    "exact_substr_spans",
+    f"""WITH toks AS (
+         SELECT doc_id, {_tok_sql()} AS t FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(len(t)))::BIGINT AS pos FROM toks),
+       wins AS (
+         SELECT doc_id, pos,
+                {md5_int_sql("array_to_string(t[pos+1:pos+8], ' ')")} AS h
+         FROM pos WHERE pos + 8 <= len(t)),
+       census AS (SELECT h, count(*) AS cnt FROM wins GROUP BY 1),
+       flagged AS (
+         SELECT w.doc_id, w.pos FROM wins w JOIN census c USING (h)
+         WHERE c.cnt >= 2),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos+8) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS brk
+         FROM flagged),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM marked)
+       SELECT doc_id, min(pos)::BIGINT AS span_start,
+              (max(pos)+7)::BIGINT AS span_end,
+              (max(pos)+8-min(pos))::BIGINT AS span_len
+       FROM isl GROUP BY doc_id, island""",
+)
+def q_exact_substr_spans(spark, sf_dir):
+    """Maximal duplicated token spans — the ExactSubstr curation role
+    (Lee et al. 2022): 8-token windows occurring ≥2 times anywhere in
+    the corpus, merged per doc into maximal intervals. Census is on the
+    60-bit gram hash in BOTH engines, so hash collisions (if any) are
+    identical and the match stays exact."""
+    return D.exact_substr_spans(_docs(spark, sf_dir), "text", "doc_id", 8, 2)
+
+
+@query(
     "doc_fingerprint",
     f"""WITH base AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents),
        sh_t AS (

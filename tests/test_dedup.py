@@ -89,6 +89,33 @@ def test_prefix_filter_explodes_only_prefix_tokens(spark):
     assert [(r.id_a, r.id_b, r.inter_size, r.union_size) for r in kept] == [(1, 2, 9, 11)]
 
 
+def test_exact_substr_spans_merges_overlapping_windows(spark):
+    # docs 1 and 2 share a 6-token run inside otherwise-unique text at
+    # L=4: windows at positions 2,3,4 (doc1) flag and must merge into
+    # ONE maximal span [2, 7]; doc3 is unique and must emit nothing.
+    shared = "a b c d e f"
+    rows = [
+        (1, f"u1 u2 {shared} u3 u4"),
+        (2, f"v1 v2 {shared} v3 v4"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.exact_substr_spans(df, "text", "doc_id", span_tokens=4, min_count=2)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_len) for r in out.collect()}
+    assert got == {(1, 2, 7, 6), (2, 2, 7, 6)}
+
+
+def test_exact_substr_spans_within_doc_repetition_and_short_docs(spark):
+    # the same 4-token window twice WITHIN one doc counts (corpus
+    # count >= 2), producing two disjoint spans; a doc shorter than L
+    # emits nothing.
+    rows = [(1, "p q r s x1 x2 p q r s"), (2, "t u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.exact_substr_spans(df, "text", "doc_id", span_tokens=4, min_count=2)
+    got = sorted((r.span_start, r.span_end) for r in out.collect())
+    assert got == [(0, 3), (6, 9)]
+
+
 def test_simhash_hamming(docs):
     fp = D.simhash_fingerprints(docs, "text", "doc_id", bits=32)
     j = fp.alias("a").join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")).select(
