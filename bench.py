@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "decontaminate_fuzzy",
     "prefix_filter_jaccard",
     "exact_substr_spans",
+    "host_pagerank",
 ]
 
 

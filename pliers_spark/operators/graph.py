@@ -1,0 +1,119 @@
+"""Link-graph operators for web-scale curation pipelines.
+
+Host-level PageRank is the canonical graph signal a Common-Crawl-style
+curation pipeline attaches to documents (domain authority → sampling
+weight / quality prior — the reference's stimulus graph has no
+counterpart, this is part of the beyond-reference training-data layer).
+
+The engine's twist: ranks are computed in EXACT fixed-point integer
+arithmetic (``SCALE`` micro-units, damping as the rational 17/20, all
+divisions integer ``div``), so a K-iteration run is bit-identical across
+engines — the DuckDB oracle unrolls the same K iterations as chained
+CTEs and the driver's hash comparison holds exactly, with no float
+accumulation-order caveats. Published formulation: Page et al. 1999
+(the simplified no-dangling-redistribution variant; leaked dangling
+mass is documented, not silently renormalized).
+
+Scale notes (100 TB design): edges are joined with the rank frame on
+``src`` and re-aggregated on ``dst`` each round — both shuffles hash on
+node id, so the edge partitioning is reused across all K rounds once
+AQE fixes the layout. The rank frame is one row per HOST (orders of
+magnitude smaller than the page table); lineage is cut per round with
+``localCheckpoint`` exactly like ``dedup.connected_components``. The
+only driver-side values are scalar counts (N hosts), never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # fixed-point unit: 1.0 == 10^9
+DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank over an edge list.
+
+    ``r_0(v) = SCALE div N``;
+    ``r_{k+1}(v) = (3·SCALE) div (20·N) + (17 · Σ_{u→v} (r_k(u) div outdeg(u))) div 20``.
+
+    Every operation is 64-bit integer arithmetic on non-negative values
+    (ranks ≤ SCALE = 10^9, so ``17·Σ`` stays far below 2^63): the K-round
+    result is a pure function of the edge list, identical on any engine
+    that implements integer division. Nodes without in-links keep the
+    base teleport mass; mass flowing into dangling nodes leaks (the
+    simplified variant — monotone, deterministic, and the standard
+    choice when ranks feed a *relative* ordering).
+
+    Returns (node, rank_fp BIGINT, rank DOUBLE = round(rank_fp/SCALE, 6)).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (3 * PR_SCALE) // (DAMP_DEN * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("rank_fp div outdeg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP_NUM} * coalesce(_in, 0L)) div {DAMP_DEN}")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(PR_SCALE), 6).alias("rank"),
+    )
+
+
+def host_link_edges(docs: DataFrame, id_col: str = "doc_id", n_hosts: int = 50,
+                    links_per_doc: int = 3) -> DataFrame:
+    """Deterministic host-level link graph derived from the documents
+    table (no external data): each doc belongs to host ``doc_id % n_hosts``
+    and emits ``links_per_doc`` out-links to hosts chosen by the
+    cross-engine 60-bit md5 hash — Zipf-free but collision-shaped like a
+    real host graph (multi-edges collapse via distinct, self-links drop).
+    In production this operator is replaced by the real (src_host,
+    dst_host) projection of a hyperlink table; everything downstream is
+    unchanged."""
+    from ..functions.hashing import md5_int
+
+    links = F.array(*[
+        F.pmod(
+            md5_int(F.concat(F.col(id_col).cast("string"), F.lit(f":{j}"))),
+            F.lit(n_hosts),
+        )
+        for j in range(links_per_doc)
+    ])
+    return (
+        docs.select(
+            F.pmod(F.col(id_col), F.lit(n_hosts)).alias("src"),
+            F.explode(links).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -1029,6 +1029,55 @@ def q_prefix_filter_jaccard(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iterations: int = 10, n_hosts: int = 50, links: int = 3) -> str:
+    """K-unrolled chained-CTE PageRank oracle: the same fixed-point
+    integer recurrence as operators.graph.pagerank, one CTE per round
+    (aggregation is not allowed in a recursive term, and unrolling makes
+    the oracle a pure function DuckDB optimizes as a straight DAG)."""
+    def dst(j: int) -> str:
+        h = md5_int_sql(f"concat(doc_id::VARCHAR, ':{j}')")
+        return f"({h} % {n_hosts})::BIGINT"
+    link_union = " UNION ALL ".join(
+        f"SELECT (doc_id % {n_hosts})::BIGINT AS src, {dst(j)} AS dst FROM documents"
+        for j in range(links)
+    )
+    base = "(3000000000 // (20 * (SELECT count(*) FROM nodes)))"
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({link_union}) WHERE src != dst)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, 1000000000 // (SELECT count(*) FROM nodes) AS rank_fp FROM nodes)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""r{k + 1} AS (
+              SELECT n.node, {base} + (17 * coalesce(s.i, 0)) // 20 AS rank_fp
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank_fp // o.outdeg) AS i
+                FROM edges e JOIN r{k} r ON r.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY 1) s USING (node))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, rank_fp::BIGINT AS rank_fp,
+               round(rank_fp / 1000000000, 6) AS rank
+        FROM r{iterations}"""
+    )
+
+
+@query("host_pagerank", _pagerank_sql())
+def q_host_pagerank(spark, sf_dir):
+    """Host-level PageRank (Page et al. 1999, simplified variant) over
+    the deterministic doc→host link graph, 10 rounds of the exact
+    fixed-point integer recurrence — bit-identical to the oracle's
+    unrolled CTE chain, no float accumulation anywhere."""
+    from .operators.graph import host_link_edges, pagerank
+
+    return pagerank(host_link_edges(_docs(spark, sf_dir)), iterations=10)
+
+
 @query(
     "exact_substr_spans",
     f"""WITH toks AS (
