@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "prefix_filter_jaccard",
     "exact_substr_spans",
     "host_pagerank",
+    "lsh_recall",
 ]
 
 

@@ -950,6 +950,76 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _lsh_recall_sql() -> str:
+    banded = ", ".join(_band_key_sql(b, _ROWS_PER_BAND) for b in range(_MH_BANDS))
+    return (
+        _minhash_cte()
+        + f""",
+       banded AS (
+         SELECT doc_id, unnest([{banded}]) AS band_key FROM sigs),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b USING (band_key)
+         WHERE a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, s FROM sh_e WHERE s IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS set_size FROM shd GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM shd a JOIN shd b USING (s)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       truth AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(inter::DOUBLE / (sa.set_size + sb.set_size - inter), 6) >= 0.5),
+       agg AS (
+         SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+                (SELECT count(*) FROM truth t JOIN cand c
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_hits)
+       SELECT n_truth, n_candidates, n_hits,
+              CASE WHEN n_truth = 0 THEN NULL
+                   ELSE round(n_hits::DOUBLE / n_truth, 6) END AS recall
+       FROM agg"""
+    )
+
+
+@query("lsh_recall", _lsh_recall_sql())
+def q_lsh_recall(spark, sf_dir):
+    """Dedup-quality audit: MinHash-LSH candidate recall against the
+    EXACT shingle-Jaccard truth at t=0.5 (same shingle convention and
+    banding as `minhash_lsh`). The number a curation pipeline must
+    publish before trusting probabilistic dedup — banding has a known
+    miss curve (1-(1-t^r)^b) and this measures the realized one. Both
+    pipelines are deterministic, so even this meta-metric carries a full
+    oracle. At production scale the truth side runs on a hash-sampled
+    slice; the LSH side is the production operator unchanged."""
+    docs = _docs(spark, sf_dir)
+    truth = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=_MH_SHINGLE, threshold=0.5
+    ).select("id_a", "id_b")
+    cand = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", _MH_K, _MH_BANDS, _MH_SHINGLE
+    ).select("id_a", "id_b")
+    j = truth.withColumn("_t", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    agg = j.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("n_hits"),
+    )
+    return agg.withColumn(
+        "recall",
+        F.when(
+            F.col("n_truth") > 0, F.round(F.col("n_hits") / F.col("n_truth"), 6)
+        ),
+    )
+
+
 _SIMHASH_BITS = 16
 
 

@@ -116,6 +116,20 @@ def test_exact_substr_spans_within_doc_repetition_and_short_docs(spark):
     assert got == [(0, 3), (6, 9)]
 
 
+def test_lsh_recall_is_one_on_exact_dups(spark, tmp_path):
+    # identical docs agree on every signature row, hence on every band:
+    # LSH can never miss an exact duplicate, so recall must be 1.0.
+    import pliers_spark.queries as Q
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    rows += [(10 + i, f"unique{i} filler{i} words{i} here{i} now{i}") for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = Q.QUERIES["lsh_recall"](spark, str(tmp_path)).collect()[0]
+    assert out.n_truth == 6 and out.n_hits == 6 and out.recall == 1.0
+
+
 def test_simhash_hamming(docs):
     fp = D.simhash_fingerprints(docs, "text", "doc_id", bits=32)
     j = fp.alias("a").join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")).select(
