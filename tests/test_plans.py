@@ -389,3 +389,47 @@ def test_url_canonicalization_is_narrow(spark):
     )
     plan = plan_of(df)
     assert "Exchange" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_exact_substr_spans_linear_no_pair_join(spark):
+    """Span dedup must stay linear: census + 1:1 join back + per-doc
+    window — no cartesian/pair expansion, no Python, bounded exchanges."""
+    from pliers_spark.operators.dedup import exact_substr_spans
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g h i j k "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = plan_of(exact_substr_spans(df, "text", "doc_id", 4, 2))
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_prefix_filter_jaccard_no_cartesian(spark):
+    """Candidate generation must go through the rare-token equi-join,
+    never a cross join; verification joins only candidates."""
+    from pliers_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z q "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = plan_of(prefix_filter_jaccard_pairs(df, "text", "doc_id", 1, 2))
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_pagerank_lineage_cut_per_round(spark):
+    """localCheckpoint each round: the FINAL plan must not grow with the
+    iteration count — K=6 compiles to the same bounded shape as K=2
+    (without the cut, the plan doubles per round and the driver dies
+    long before the data does)."""
+    from pliers_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], "src long, dst long"
+    )
+    p2 = plan_of(pagerank(edges, iterations=2))
+    p6 = plan_of(pagerank(edges, iterations=6))
+    assert "PythonUDF" not in p6
+    assert p6.count("Exchange") == p2.count("Exchange"), (p2, p6)
+    assert p6.count("Exchange") <= 4, p6
