@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "exact_substr_spans",
     "host_pagerank",
     "lsh_recall",
+    "exact_substr_cut",
 ]
 
 

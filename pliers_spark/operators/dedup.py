@@ -311,6 +311,26 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _dup_window_starts(
+    df: DataFrame, text_col: str, id_col: str, span_tokens: int, min_count: int
+) -> DataFrame:
+    """Start positions of every ``span_tokens``-token window whose gram
+    occurs ≥ ``min_count`` times in the corpus: gram-hash in place (the
+    string never reaches a shuffle) → map-side census → 1:1 join back.
+    Shared by :func:`exact_substr_spans` (report) and
+    :func:`exact_substr_cut` (rewrite)."""
+    toks = T.tokenize(F.col(text_col))
+    # posexplode over the shingle array: shingles() drops only TRAILING
+    # partial windows, so _p is the 0-based start position of each gram.
+    wins = df.select(
+        F.col(id_col), F.posexplode(shingles(toks, span_tokens)).alias("pos", "_s")
+    ).select(F.col(id_col), "pos", md5_int(F.col("_s")).alias("_h"))
+    census = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    return wins.join(census.where(F.col("_cnt") >= min_count), "_h").select(
+        id_col, "pos"
+    )
+
+
 def exact_substr_spans(
     df: DataFrame,
     text_col: str,
@@ -348,16 +368,7 @@ def exact_substr_spans(
     """
     from pyspark.sql import Window as W
 
-    toks = T.tokenize(F.col(text_col))
-    # posexplode over the shingle array: shingles() drops only TRAILING
-    # partial windows, so _p is the 0-based start position of each gram.
-    wins = df.select(
-        F.col(id_col), F.posexplode(shingles(toks, span_tokens)).alias("pos", "_s")
-    ).select(F.col(id_col), "pos", md5_int(F.col("_s")).alias("_h"))
-    census = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
-    flagged = wins.join(census.where(F.col("_cnt") >= min_count), "_h").select(
-        id_col, "pos"
-    )
+    flagged = _dup_window_starts(df, text_col, id_col, span_tokens, min_count)
     part = W.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + span_tokens).over(
         part.rowsBetween(W.unboundedPreceding, -1)
@@ -374,6 +385,66 @@ def exact_substr_spans(
             (F.max("pos") + span_tokens - F.min("pos")).cast("long").alias("span_len"),
         )
         .drop("_island")
+    )
+
+
+def exact_substr_cut(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The rewrite half of ExactSubstr dedup (Lee et al. 2022): return
+    every document with its duplicated spans REMOVED — the actual
+    training-corpus output, where :func:`exact_substr_spans` is the
+    audit report. A token is cut iff it is covered by at least one
+    flagged window (start ``s`` with ``p - span_tokens < s ≤ p``).
+
+    Shape: flagged window starts (see :func:`_dup_window_starts`) →
+    explode each start to its ``span_tokens`` covered positions
+    (bounded: only duplicated regions fan out, by exactly the span
+    length) → distinct covered set → anti-join against the positional
+    token explode → order-preserving re-aggregation per doc
+    (sort_array over (pos, tok) structs — no window, one groupBy).
+    Fully-duplicated docs come back as empty strings, not dropped,
+    via the final left join from the input (a curation pipeline needs
+    the row to count removal, and "doc became empty" is the signal to
+    drop it in the NEXT filter stage, explicitly).
+
+    Returns (id, clean_text, n_tokens, n_removed).
+    """
+    starts = _dup_window_starts(df, text_col, id_col, span_tokens, min_count)
+    covered = starts.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)).alias(
+            "pos"
+        ),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(T.tokenize(F.col(text_col))).alias("pos", "tok")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x.tok
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
 
 

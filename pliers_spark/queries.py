@@ -1188,6 +1188,47 @@ def q_exact_substr_spans(spark, sf_dir):
 
 
 @query(
+    "exact_substr_cut",
+    f"""WITH toks0 AS (
+         SELECT doc_id, {_tok_sql()} AS t FROM documents),
+       posn AS (
+         SELECT doc_id, t, unnest(range(len(t)))::BIGINT AS pos FROM toks0),
+       wins AS (
+         SELECT doc_id, pos,
+                {md5_int_sql("array_to_string(t[pos+1:pos+8], ' ')")} AS h
+         FROM posn WHERE pos + 8 <= len(t)),
+       census AS (SELECT h, count(*) AS cnt FROM wins GROUP BY 1),
+       flagged AS (
+         SELECT w.doc_id, w.pos FROM wins w JOIN census c USING (h)
+         WHERE c.cnt >= 2),
+       covered AS (
+         SELECT DISTINCT doc_id, pos + u AS pos
+         FROM flagged, (SELECT unnest(range(8)) AS u)),
+       toks AS (SELECT doc_id, pos, t[pos+1] AS tok FROM posn),
+       kept AS (
+         SELECT k.doc_id, k.pos, k.tok FROM toks k
+         LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.pos = k.pos
+         WHERE c.pos IS NULL),
+       rebuilt AS (
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                count(*) AS kept_n
+         FROM kept GROUP BY doc_id),
+       totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+       SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+              t.n_tokens::BIGINT AS n_tokens,
+              (t.n_tokens - coalesce(r.kept_n, 0))::BIGINT AS n_removed
+       FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
+)
+def q_exact_substr_cut(spark, sf_dir):
+    """ExactSubstr rewrite (Lee et al. 2022): documents with every
+    token covered by a duplicated 8-token window removed — the actual
+    deduplicated training corpus, where `exact_substr_spans` is the
+    audit. Fully-duplicated docs return as empty strings (the explicit
+    drop signal for the next filter stage), never silently vanish."""
+    return D.exact_substr_cut(_docs(spark, sf_dir), "text", "doc_id", 8, 2)
+
+
+@query(
     "doc_fingerprint",
     f"""WITH base AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents),
        sh_t AS (

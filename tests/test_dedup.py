@@ -116,6 +116,31 @@ def test_exact_substr_spans_within_doc_repetition_and_short_docs(spark):
     assert got == [(0, 3), (6, 9)]
 
 
+def test_exact_substr_cut_rewrites_only_covered_tokens(spark):
+    shared = "a b c d e f"
+    rows = [
+        (1, f"u1 u2 {shared} u3 u4"),
+        (2, f"v1 v2 {shared} v3 v4"),
+        (3, "w1 w2 w3"),  # shorter than L: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in D.exact_substr_cut(df, "text", "doc_id", 4, 2).collect()
+    }
+    assert out[1] == ("u1 u2 u3 u4", 10, 6)
+    assert out[2] == ("v1 v2 v3 v4", 10, 6)
+    assert out[3] == ("w1 w2 w3", 3, 0)
+
+
+def test_exact_substr_cut_fully_duplicated_doc_becomes_empty(spark):
+    rows = [(1, "x y z w"), (2, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           D.exact_substr_cut(df, "text", "doc_id", 4, 2).collect()}
+    assert out == {1: ("", 4), 2: ("", 4)}
+
+
 def test_lsh_recall_is_one_on_exact_dups(spark, tmp_path):
     # identical docs agree on every signature row, hence on every band:
     # LSH can never miss an exact duplicate, so recall must be 1.0.
