@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "sentiment_lexicon",
     "asof_join",
     "asof_join_cogroup",
+    "asof_join_nearest",
     "sessionize",
     "rolling_window",
     "resample_ffill",

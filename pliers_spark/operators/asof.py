@@ -94,6 +94,122 @@ def asof_join(
     return out
 
 
+def asof_join_directional(
+    spine: DataFrame,
+    right: DataFrame,
+    entity_cols: list[str],
+    spine_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str | None = "matched_ts",
+) -> DataFrame:
+    """Union + window as-of join with pandas ``merge_asof`` direction
+    and tolerance semantics — same ONE-shuffle/no-Python shape as
+    :func:`asof_join`, generalized:
+
+    - ``backward`` (default): latest right row with ``rt <= t``;
+    - ``forward``: earliest right row with ``rt >= t``;
+    - ``nearest``: whichever side is closer in absolute time,
+      ties (equal distance) resolved to the BACKWARD row — and an
+      exact-timestamp match is distance 0 on the backward side, so
+      inclusivity is automatic.
+
+    ``tolerance_seconds`` nulls the value columns (and matched ts) when
+    the chosen match is farther than the bound — pandas' ``tolerance``.
+    All distance arithmetic is exact integer microseconds
+    (``_util.epoch_micros``), never floats.
+
+    Physical shape: both directions come from TWO window frames over
+    the SAME per-entity sort (unbounded-preceding last + unbounded-
+    following first) — still exactly one shuffle, still whole-stage
+    codegen; ``nearest`` costs one extra window function, not an extra
+    exchange. Tie ordering puts right rows before spine rows, which
+    makes the preceding frame inclusive and the following frame
+    exclusive at equal ts: correct for ``backward`` and ``nearest``;
+    for ``forward`` the tag flips so the following frame is inclusive.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
+    spine_extra = [c for c in spine.columns if c not in entity_cols and c != spine_ts]
+    # right rows sort before spine rows at equal ts for backward/nearest
+    # (inclusive preceding frame); after them for forward (inclusive
+    # following frame).
+    right_side, spine_side = (0, 1) if direction != "forward" else (1, 0)
+
+    left_tagged = spine.select(
+        *entity_cols,
+        F.col(spine_ts).alias("_ts"),
+        F.lit(spine_side).alias("_side"),
+        F.lit(1).alias("_is_spine"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *[F.col(c) for c in spine_extra],
+    )
+    right_tagged = right.select(
+        *entity_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_side).alias("_side"),
+        F.lit(0).alias("_is_spine"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c) for c in spine_extra],
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+    from ._util import epoch_micros
+
+    us = epoch_micros(unioned, "_ts")
+    order = Window.partitionBy(*entity_cols).orderBy(F.col("_ts"), F.col("_side"))
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    cols = [*entity_cols, F.col("_ts"), F.col("_is_spine"), *spine_extra, us.alias("_us")]
+    if direction in ("backward", "nearest"):
+        cols += [F.last(f"_v_{c}", ignorenulls=True).over(w_back).alias(f"_b_{c}") for c in value_cols]
+        cols.append(F.last("_rts", ignorenulls=True).over(w_back).alias("_b_rts"))
+        cols.append(F.last(epoch_micros(unioned, "_rts"), ignorenulls=True).over(w_back).alias("_b_us"))
+    if direction in ("forward", "nearest"):
+        cols += [F.first(f"_v_{c}", ignorenulls=True).over(w_fwd).alias(f"_f_{c}") for c in value_cols]
+        cols.append(F.first("_rts", ignorenulls=True).over(w_fwd).alias("_f_rts"))
+        cols.append(F.first(epoch_micros(unioned, "_rts"), ignorenulls=True).over(w_fwd).alias("_f_us"))
+    filled = unioned.select(*cols).where(F.col("_is_spine") == 1).drop("_is_spine")
+
+    if direction == "backward":
+        use_back = F.lit(True)
+        dist = F.col("_us") - F.col("_b_us")
+    elif direction == "forward":
+        use_back = F.lit(False)
+        dist = F.col("_f_us") - F.col("_us")
+    else:
+        b_dist = F.col("_us") - F.col("_b_us")
+        f_dist = F.col("_f_us") - F.col("_us")
+        use_back = F.col("_b_us").isNotNull() & (
+            F.col("_f_us").isNull() | (b_dist <= f_dist)
+        )
+        dist = F.when(use_back, b_dist).otherwise(f_dist)
+
+    within = F.lit(True) if tolerance_seconds is None else (
+        dist <= F.lit(int(round(tolerance_seconds * 1_000_000)))
+    )
+    keep = within & dist.isNotNull()
+
+    def pick(prefix_b: str, prefix_f: str):
+        if direction == "backward":
+            return F.col(prefix_b)
+        if direction == "forward":
+            return F.col(prefix_f)
+        return F.when(use_back, F.col(prefix_b)).otherwise(F.col(prefix_f))
+
+    out_cols = [*entity_cols, F.col("_ts").alias(spine_ts), *spine_extra]
+    out_cols += [
+        F.when(keep, pick(f"_b_{c}", f"_f_{c}")).alias(c) for c in value_cols
+    ]
+    if matched_ts_col:
+        out_cols.append(F.when(keep, pick("_b_rts", "_f_rts")).alias(matched_ts_col))
+    return filled.select(*out_cols)
+
+
 def asof_join_cogroup(
     spine: DataFrame,
     right: DataFrame,

@@ -435,6 +435,76 @@ def q_asof_join(spark, sf_dir):
     return out.select("user_id", "t", F.col("value").alias("last_value"), "matched_ts")
 
 
+_ASOF_FWD_SQL = f"""SELECT g.user_id, g.t, e.value AS next_value, e.ts AS matched_ts
+       FROM {_grid_sql(6)} g
+       ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t <= e.ts"""
+
+
+@query("asof_join_forward", _ASOF_FWD_SQL)
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (earliest event with ts >= t, inclusive):
+    pandas merge_asof direction='forward' on the same one-shuffle
+    union+window plan — the backward operator's following-frame mirror."""
+    spine = _user_grid(spark, sf_dir, 6)
+    ev = _events(spark, sf_dir)
+    out = A.asof_join_directional(
+        spine, ev, ["user_id"], "t", "ts", ["value"],
+        direction="forward", matched_ts_col="matched_ts",
+    )
+    return out.select("user_id", "t", F.col("value").alias("next_value"), "matched_ts")
+
+
+_ASOF_NEAREST_TOL_S = 21_600  # 6 h — half the spine step, so some rows null out
+
+
+def _asof_nearest_sql() -> str:
+    tol_us = _ASOF_NEAREST_TOL_S * 1_000_000
+    return f"""WITH b AS (
+         SELECT g.user_id, g.t, e.value AS bv, e.ts AS bts
+         FROM {_grid_sql(6)} g
+         ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t >= e.ts),
+       f AS (
+         SELECT g.user_id, g.t, e.value AS fv, e.ts AS fts
+         FROM {_grid_sql(6)} g
+         ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t <= e.ts),
+       j AS (
+         SELECT b.user_id, b.t, bv, bts, fv, fts,
+                epoch_us(b.t) - epoch_us(bts) AS bd,
+                epoch_us(fts) - epoch_us(b.t) AS fd
+         FROM b JOIN f ON b.user_id = f.user_id AND b.t = f.t),
+       pick AS (
+         SELECT user_id, t,
+                (bts IS NOT NULL AND (fts IS NULL OR bd <= fd)) AS use_back,
+                CASE WHEN (bts IS NOT NULL AND (fts IS NULL OR bd <= fd))
+                     THEN bd ELSE fd END AS dist,
+                bv, bts, fv, fts
+         FROM j)
+       SELECT user_id, t,
+              CASE WHEN dist IS NOT NULL AND dist <= {tol_us}
+                   THEN (CASE WHEN use_back THEN bv ELSE fv END) END AS near_value,
+              CASE WHEN dist IS NOT NULL AND dist <= {tol_us}
+                   THEN (CASE WHEN use_back THEN bts ELSE fts END) END AS matched_ts
+       FROM pick"""
+
+
+@query("asof_join_nearest", _asof_nearest_sql())
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of join with tolerance (pandas merge_asof
+    direction='nearest', tolerance=6h): closest event either side,
+    equal-distance ties to the backward row, matches beyond the
+    tolerance nulled. Both directions come from two window frames over
+    ONE per-entity sort — still a single shuffle; distance arithmetic
+    is exact integer microseconds on both engines."""
+    spine = _user_grid(spark, sf_dir, 6)
+    ev = _events(spark, sf_dir)
+    out = A.asof_join_directional(
+        spine, ev, ["user_id"], "t", "ts", ["value"],
+        direction="nearest", tolerance_seconds=_ASOF_NEAREST_TOL_S,
+        matched_ts_col="matched_ts",
+    )
+    return out.select("user_id", "t", F.col("value").alias("near_value"), "matched_ts")
+
+
 @query("asof_join_cogroup", _ASOF_SQL)
 def q_asof_join_cogroup(spark, sf_dir):
     """Same semantics, second physical strategy: cogrouped applyInPandas

@@ -100,3 +100,61 @@ def test_heavy_hitter_census(spark, pages):
     assert hh.columns == ["url", "n_rows"]
     for r in hh.collect():
         assert r.n_rows >= 5
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, 3 * 86400.0])
+def test_directional_matches_pandas_merge_asof(spark, fixture, direction, tol):
+    """Differential: asof_join_directional ≡ pandas.merge_asof for every
+    direction × tolerance combination on the module fixture."""
+    import pandas as pd
+
+    from pliers_spark.operators.asof import asof_join_directional
+
+    spine, right = fixture
+    got = (
+        asof_join_directional(
+            spine, right, ["url"], "t", "warc_ts", ["v"],
+            direction=direction, tolerance_seconds=tol, matched_ts_col=None,
+        )
+        .toPandas()
+        .sort_values(["url", "t"])
+        .reset_index(drop=True)
+    )
+    lp = spine.toPandas().sort_values(["t", "url"]).reset_index(drop=True)
+    rp = right.toPandas().sort_values(["warc_ts", "url"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="warc_ts", by="url",
+        direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    ).sort_values(["url", "t"]).reset_index(drop=True)
+    assert list(got["v"].fillna(-1)) == list(exp["v"].fillna(-1)), (
+        direction, tol, got, exp)
+
+
+def test_directional_backward_equals_default_strategy(fixture):
+    from pliers_spark.operators.asof import asof_join_directional
+
+    spine, right = fixture
+    a = asof_join(spine, right, ["url"], "t", "warc_ts", ["v"]).collect()
+    b = asof_join_directional(
+        spine, right, ["url"], "t", "warc_ts", ["v"], direction="backward"
+    ).collect()
+    key = lambda r: (r.url, r.t)
+    assert sorted([(r.url, r.t, r.v, r.matched_ts) for r in a]) == sorted(
+        [(r.url, r.t, r.v, r.matched_ts) for r in b]
+    )
+
+
+def test_directional_single_shuffle(spark, fixture):
+    """nearest must still compile to ONE exchange (two frames over one
+    sort), never a second shuffle or a Python stage."""
+    from pliers_spark.operators.asof import asof_join_directional
+
+    spine, right = fixture
+    df = asof_join_directional(
+        spine, right, ["url"], "t", "warc_ts", ["v"], direction="nearest"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # 1 data + (AQE may add a read)
+    assert "PythonUDF" not in plan, plan
