@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "sequence_pack",
     "mixture_sample",
+    "temperature_sample",
     "ivf_multiprobe",
     "image_decode_stats",
     "wav_frame_stats",

@@ -221,6 +221,70 @@ def mixture_sample_sql(
              < m.min_n * 1000000"""
 
 
+def temperature_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Temperature-based mixture sampling at α = 1/2 (the multilingual
+    sampling rule of Conneau et al. 2020 / Xue et al. 2021: sample
+    group ``s`` proportional to ``n_s^α``, flattening the head without
+    equalizing — :func:`mixture_sample` is the α→0 corner, pass-through
+    is α=1). Pure downsampling calibration: the largest keep
+    probability is 1, so ``p_keep(s) = sqrt(n_min / n_s)`` and the
+    output mixture follows ``sqrt(n_s)`` exactly in expectation.
+
+    The keep decision never touches a float: ``ticket < SCALE·sqrt(
+    n_min/n_s)`` is squared into ``ticket²·n_s < SCALE²·n_min`` and
+    evaluated in DECIMAL(38,0) (DuckDB HUGEINT) — exact at any corpus
+    size, same boundary on every engine. Plan: one map-side group
+    census, rates broadcast back, narrow filter; the corpus scan
+    shuffles nothing."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
+    min_n = counts.agg(F.min("grp_n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n))
+    scale = 1_000_000
+    ticket = F.pmod(md5_int(F.col(text_col), seed=seed), F.lit(scale))
+    dec = "decimal(38,0)"
+    keep = (ticket.cast(dec) * ticket.cast(dec)) * F.col("grp_n").cast(dec) < (
+        F.lit(scale).cast(dec) * F.lit(scale).cast(dec) * F.col("min_n").cast(dec)
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(keep)
+        .select(
+            id_col,
+            group_col,
+            F.round(F.sqrt(F.col("min_n").cast("double") / F.col("grp_n")), 6).alias(
+                "keep_prob"
+            ),
+        )
+    )
+
+
+def temperature_sample_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> str:
+    """DuckDB oracle for :func:`temperature_sample` (same squared
+    integer keep rule in HUGEINT)."""
+    return f"""WITH counts AS (
+         SELECT {group_col}, count(*)::BIGINT AS grp_n FROM {table} GROUP BY {group_col}),
+       m AS (SELECT min(grp_n) AS min_n FROM counts)
+       SELECT d.{id_col}, d.{group_col},
+              round(sqrt(m.min_n::DOUBLE / c.grp_n), 6) AS keep_prob
+       FROM {table} d JOIN counts c USING ({group_col}) CROSS JOIN m
+       WHERE (({md5_int_sql(text_col, seed=seed)} % 1000000)::HUGEINT
+              * ({md5_int_sql(text_col, seed=seed)} % 1000000)::HUGEINT)
+             * c.grp_n::HUGEINT
+             < 1000000::HUGEINT * 1000000::HUGEINT * m.min_n::HUGEINT"""
+
+
 def source_kl(
     docs: DataFrame,
     group_col: str = "source",

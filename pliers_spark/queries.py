@@ -4039,6 +4039,24 @@ def _mixture_sql() -> str:
     return mixture_sample_sql()
 
 
+def _temperature_sql() -> str:
+    from pliers_spark.operators.curation import temperature_sample_sql
+
+    return temperature_sample_sql()
+
+
+@query("temperature_sample", _temperature_sql())
+def q_temperature_sample(spark, sf_dir):
+    """Temperature mixture sampling at α=1/2 (Conneau et al. 2020 /
+    Xue et al. 2021): output mixture ∝ sqrt(group size) — flattens the
+    source head without equalizing. Keep rule is the squared pure-
+    integer gate ticket²·n_s < SCALE²·n_min in DECIMAL/HUGEINT, exact
+    at any corpus size."""
+    from pliers_spark.operators.curation import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir))
+
+
 @query("mixture_sample", _mixture_sql())
 def q_mixture_sample(spark, sf_dir):
     """Data-mixture balancing across the `source` column (equalize to

@@ -64,3 +64,26 @@ def test_mixture_sample_equalizes_groups(spark):
     assert all(r.sample_weight == 10.0 for r in by_src["big"])
     # determinism
     assert sorted(out) == sorted(mixture_sample(df).collect())
+
+
+def test_temperature_sample_sqrt_mixture(spark):
+    from pliers_spark.operators.curation import temperature_sample
+
+    rows = [(i, f"text body {i}", "big") for i in range(400)] + [
+        (1000 + i, f"other {i}", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = temperature_sample(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # smallest group: keep_prob exactly 1 → all kept
+    assert len(by_src["small"]) == 100
+    assert all(r.keep_prob == 1.0 for r in by_src["small"])
+    # big group: p = sqrt(100/400) = 0.5 → ~200 kept (hash-deterministic)
+    assert all(r.keep_prob == 0.5 for r in by_src["big"])
+    assert 150 <= len(by_src["big"]) <= 250
+    # flattens but does NOT equalize: big still outnumbers small
+    assert len(by_src["big"]) > len(by_src["small"])
+    # determinism
+    assert sorted(out) == sorted(temperature_sample(df).collect())
