@@ -97,7 +97,10 @@ BENCH_QUERIES = [
     "cluster_representatives",
     "countmin_tokens",
     "decontaminate_fuzzy",
-    "prefix_filter_jaccard",
+    # prefix_filter_jaccard is correctness-gated (sf0.01) but NOT benched:
+    # on the synthetic corpus at t=0.6 the TRUE result is 7.1M pairs —
+    # 57% of all doc pairs — so wall time measures output materialization,
+    # not the operator (see tests/test_plans.py for its plan gates).
     "exact_substr_spans",
     "host_pagerank",
     "lsh_recall",

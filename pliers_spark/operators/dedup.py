@@ -240,15 +240,22 @@ def prefix_filter_jaccard_pairs(
 
     Scale shape: one token-DF census (map-side partial agg), one
     shuffle to rank tokens within docs, prefix explode (O(L·(1-t))
-    rows per doc), equi-join on rare tokens, then a verification join
-    restricted to candidates. No UDFs, no collects.
+    rows per doc), equi-join on rare tokens. Verification joins the
+    candidate pairs back to ONE compact token-array row per doc and
+    counts the intersection with ``array_intersect`` inside codegen —
+    one row per candidate pair, never a per-token fan-out (a corpus
+    whose vocabulary is small relative to |docs| makes candidates
+    near-quadratic, and an explode-based verification join then
+    multiplies that by tokens-per-doc; the array form keeps it linear
+    in |candidates|). No UDFs, no collects.
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(T.tokenize(F.col(text_col)))).alias("tok"),
-    )
+        F.array_distinct(T.tokenize(F.col(text_col))).alias("toks"),
+    ).withColumn("set_size", F.size("toks"))
+    toks = base.select("_id", F.explode("toks").alias("tok"))
     # Global order key: document frequency asc, token asc (deterministic).
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
@@ -264,8 +271,17 @@ def prefix_filter_jaccard_pairs(
         (F.lit(threshold_num) * F.col("set_size") + F.lit(threshold_den - 1))
         / F.lit(threshold_den)
     )
-    prefix = ranked.where(F.col("pos") <= F.col("set_size") - ceil_tl + 1).select(
-        "_id", "tok", "set_size"
+    # Pin the self-join's partitioning: the candidate join's OUTPUT can
+    # be orders of magnitude larger than its input (boilerplate-heavy
+    # corpora), and AQE sizes post-shuffle partitions from the INPUT —
+    # left alone it coalesces the pair expansion into one task. An
+    # explicit repartition-by-key with a fixed count is exempt from AQE
+    # coalescing, so the expansion stays spread across the cluster.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    prefix = (
+        ranked.where(F.col("pos") <= F.col("set_size") - ceil_tl + 1)
+        .select("_id", "tok", "set_size")
+        .repartition(n_part, "tok")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
@@ -284,13 +300,13 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col("_id").alias("id_a"), "tok")
-    tb = toks.select(F.col("_id").alias("id_b"), "tok")
+    ta = base.select(F.col("_id").alias("id_a"), F.col("toks").alias("_toks_a"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("toks").alias("_toks_b"))
     inter = (
         cands.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
+        .join(tb, "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("_toks_a", "_toks_b")))
+        .drop("_toks_a", "_toks_b")
     )
     union = F.col("size_a") + F.col("size_b") - F.col("inter_size")
     return (
