@@ -138,6 +138,16 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
             materialize(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # Release the previous query's localCheckpoint blocks: the JVM
+        # ContextCleaner only unpersists them once the Python-side
+        # DataFrame refs are collected — without this, checkpointed
+        # blocks from iterative queries (pagerank, CC, chunk_dedup)
+        # accumulate in executor storage and inflate later measurements
+        # with GC/spill noise that no real pipeline would carry.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     # headline: flagship extraction over documents + as-of join over events
     n_docs = load_table(spark, sf_dir, "documents").count()
