@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "host_pagerank",
     "lsh_recall",
     "exact_substr_cut",
+    "jl_projection",
+    "doc_authority",
+    "hash_split",
+    "stratified_sample",
 ]
 
 

@@ -512,3 +512,68 @@ def ivf_multiprobe_topk_sql(
                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
          FROM cand)
        SELECT q_id, c_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {k}"""
+
+
+def jl_project(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-sign projection (Achlioptas 2003:
+    ±1 entries preserve pairwise distances in expectation like Gaussian
+    projections) — the dimensionality-reduction front-end for ANN /
+    clustering over wide embedding columns, in EXACT integer
+    arithmetic: coordinates quantize to int64 micro-units with the
+    engine's half-up rule (``floor(x·1e6 + 0.5)``), the sign matrix
+    derives from the cross-engine md5 hash (``s(j,i) = 1 − 2·(h(j:i)
+    mod 2)``), and each output component is a pure integer dot product
+    — bit-identical on any engine, no float accumulation order.
+
+    Shape: positional explode of the vector column → broadcast join
+    against the (out_dims × D)-row sign dimension (built relationally
+    from the data's own dimension census, so D is never hard-coded) →
+    one groupBy(id, dim) integer sum with map-side partial agg. Output
+    long format (id, dim, y) — the relational shape downstream bucket
+    ops consume; |output| = out_dims rows per vector.
+    """
+    from ..functions.hashing import md5_int
+
+    pos = vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    )
+    q = pos.select(
+        id_col,
+        "i",
+        F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    dims = vectors.sparkSession.range(out_dims).select(F.col("id").alias("dim"))
+    sign = (
+        q.select("i")
+        .distinct()
+        .crossJoin(dims)
+        .select(
+            "i",
+            "dim",
+            (
+                F.lit(1)
+                - F.lit(2)
+                * F.pmod(
+                    md5_int(
+                        F.concat(
+                            F.col("dim").cast("string"), F.lit(":"), F.col("i").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        q.join(F.broadcast(sign), "i")
+        .groupBy(id_col, "dim")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("y"))
+    )

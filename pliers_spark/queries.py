@@ -1219,6 +1219,28 @@ def q_host_pagerank(spark, sf_dir):
 
 
 @query(
+    "doc_authority",
+    f"""WITH pr AS ({_pagerank_sql()})
+       SELECT d.doc_id, (d.doc_id % 50)::BIGINT AS host, pr.rank_fp
+       FROM documents d JOIN pr ON pr.node = d.doc_id % 50""",
+)
+def q_doc_authority(spark, sf_dir):
+    """Attach the host-PageRank authority prior to every document —
+    the curation signal a sampling/weighting stage consumes: rank table
+    is per-HOST (tiny), so the attachment is a broadcast join; the
+    corpus scan never shuffles."""
+    from .operators.graph import host_link_edges, pagerank
+
+    docs = _docs(spark, sf_dir)
+    pr = pagerank(host_link_edges(docs), iterations=10)
+    return docs.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(50)).alias("host")
+    ).join(F.broadcast(pr), F.col("host") == F.col("node")).select(
+        "doc_id", "host", "rank_fp"
+    )
+
+
+@query(
     "exact_substr_spans",
     f"""WITH toks AS (
          SELECT doc_id, {_tok_sql()} AS t FROM documents),
@@ -1906,6 +1928,33 @@ def q_embedding_norms(spark, sf_dir):
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.sqrt(sq), 6).alias("l2_norm"),
     )
+
+
+@query(
+    "jl_projection",
+    f"""WITH pos AS (
+         SELECT vec_id, unnest(range(len(embedding)))::BIGINT AS i, embedding
+         FROM embeddings),
+       q AS (
+         SELECT vec_id, i,
+                floor(embedding[i+1]::DOUBLE * 1000000 + 0.5)::BIGINT AS q
+         FROM pos),
+       s AS (
+         SELECT u.i, t.j AS dim,
+                1 - 2 * CAST({md5_int_sql("concat(t.j::VARCHAR, ':', u.i::VARCHAR)")} % 2 AS BIGINT) AS s
+         FROM (SELECT unnest(range(16))::BIGINT AS j) t,
+              (SELECT DISTINCT i FROM q) u)
+       SELECT q.vec_id, s.dim, sum(s.s * q.q)::BIGINT AS y
+       FROM q JOIN s USING (i) GROUP BY 1, 2""",
+)
+def q_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection (Achlioptas 2003) of the
+    64-d embeddings to 16 integer components: micro-unit quantization +
+    md5-derived sign matrix + integer dot products — bit-identical on
+    both engines, long-format output for downstream bucketing."""
+    from .operators.similarity import jl_project
+
+    return jl_project(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 16)
 
 
 @query(
@@ -4055,6 +4104,60 @@ def q_temperature_sample(spark, sf_dir):
     from pliers_spark.operators.curation import temperature_sample
 
     return temperature_sample(_docs(spark, sf_dir))
+
+
+def _hash_split_sql() -> str:
+    from pliers_spark.operators.sampling import hash_split_sql
+
+    return hash_split_sql("documents", "doc_id", "doc_id, lang")
+
+
+@query("hash_split", _hash_split_sql())
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split (98/1/1) by id hash — the
+    reproducible-corpus-construction split convention (C4/The Pile): a
+    pure projection (zero shuffle, no RNG), every row's split
+    recomputable from its id alone (operators/sampling.hash_split)."""
+    from pliers_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+
+
+def _rate_sample_sql() -> str:
+    from pliers_spark.operators.sampling import rate_sample_sql
+
+    return f"""WITH s AS ({rate_sample_sql('documents', 'doc_id', 250000, seed=3)})
+       SELECT doc_id, lang, source FROM s"""
+
+
+@query("rate_sample", _rate_sample_sql())
+def q_rate_sample(spark, sf_dir):
+    """Seeded Bernoulli-by-hash down-sampling gate (keep 25%): a plain
+    deterministic filter that pushes below wide operators and is stable
+    under task retries — the smoke-slice / ablation-corpus sampler
+    (operators/sampling.rate_sample)."""
+    from pliers_spark.operators.sampling import rate_sample
+
+    return rate_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"), "doc_id", 250000, seed=3
+    )
+
+
+def _stratified_sql() -> str:
+    from pliers_spark.operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql("documents", ["lang", "source"], "doc_id", 5)
+
+
+@query("stratified_sample", _stratified_sql())
+def q_stratified_sample(spark, sf_dir):
+    """Exact-k-per-stratum sample (5 per lang×source), winners = the k
+    smallest (hash(id), id) per stratum — deterministic and
+    layout-independent, unlike 'first k seen'. One shuffle on the
+    strata key (operators/sampling.stratified_sample)."""
+    from pliers_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), ["lang", "source"], "doc_id", 5)
 
 
 @query("mixture_sample", _mixture_sql())

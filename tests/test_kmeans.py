@@ -93,3 +93,43 @@ def test_ivf_multiprobe_recall_vs_bruteforce(spark):
     got = {(r.q_id, r.rank): r.c_id for r in ivf.collect()}
     want = {(r.q_id, r.rank): r.c_id for r in bf.collect()}
     assert got == want
+
+
+def test_jl_project_matches_numpy_integer_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from pliers_spark.operators.similarity import jl_project
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(20, 8).astype(np.float32) * 0.3
+    rows = [(i, [float(v) for v in X[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.dim): r.y for r in jl_project(df, out_dims=4).collect()}
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    S = np.array([[1 - 2 * (h(f"{j}:{i}") % 2) for i in range(8)] for j in range(4)])
+    for v in range(20):
+        for j in range(4):
+            assert got[(v, j)] == int((S[j] * Q[v]).sum())
+
+
+def test_jl_project_preserves_relative_distance_order(spark):
+    # JL guarantee (sanity, not statistics): an exact duplicate pair
+    # projects to identical vectors; a far pair stays far.
+    from pliers_spark.operators.similarity import jl_project
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (3, [-1.0, 5.0, -5.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {}
+    for r in jl_project(df, out_dims=6).collect():
+        out.setdefault(r.vec_id, {})[r.dim] = r.y
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -21,11 +21,16 @@ pair runs under (approximately) the same machine conditions. Before
 each pair a short multiprocess burn probe measures the machine's
 aggregate throughput; pairs whose probe falls below
 ``capacity_frac`` × the run's best probe are marked throttled and
-excluded. The HEADLINE statistic is the **median efficiency over the
-capacity-verified pairs of THIS run** (requires ≥ --min-verified of
-them) — never a best-pair or best-run-ever record, so the artifact
-always describes HEAD and regressions are visible. Prior runs are kept
-under ``history`` for context only.
+excluded; additionally an ABSOLUTE gate converts each probe to
+effective cores (probe / single-process burn rate) and rejects pairs
+where the machine could not actually host ``high`` concurrent workers
+(below that, local[high] is quota-starved while local[low] is not, and
+the ratio measures the hypervisor, not the engine). The HEADLINE
+statistic is the **median efficiency over the capacity-verified pairs
+of the latest capacity-verified run** — selection is always on the
+capacity covariate, never on the efficiency outcome; a throttle-window
+run is appended to ``history`` flagged with its probe evidence and
+never silently replaces (or inflates) a verified headline.
 
 Usage: python tools/scaling_bench.py [--n-urls 800000] [--low 4] [--high 16]
                                      [--pairs 9] [--min-verified 5]
@@ -129,6 +134,14 @@ def main():
     sys.path.insert(0, REPO)
     from tools.cpu_capacity import aggregate_throughput
 
+    # absolute capacity reference: single-process burn rate. A pair's
+    # probe divided by this gives the machine's EFFECTIVE core count in
+    # that window; when it is below the high parallelism level, local[high]
+    # is quota-starved while local[low] is not, and the efficiency ratio
+    # measures the hypervisor, not the engine.
+    single_rate = aggregate_throughput(1, seconds=args.probe_seconds)
+    print(f"single-proc rate: {single_rate:.1f} u/s", flush=True)
+
     factor = args.high / args.low
     lo_child = Child(args.path, args.low)
     hi_child = Child(args.path, args.high)
@@ -139,9 +152,16 @@ def main():
     pairs = []
     try:
         for i in range(args.pairs):
-            probe = aggregate_throughput(args.high, seconds=args.probe_seconds)
             lo = lo_child.run_once()
             hi = hi_child.run_once()
+            # probe AFTER the pair, with 2x the high level: a probe of
+            # exactly `high` procs saturates at `high` effective cores
+            # and cannot tell "just enough" from "plenty", and probing
+            # BEFORE the pair spends the very hypervisor quota budget
+            # the measurement needs (observed: high-probe-then-slow-pair
+            # inversions under a token-bucket-like cap). The after-probe
+            # samples the same window the pair just ran in.
+            probe = aggregate_throughput(2 * args.high, seconds=args.probe_seconds)
             eff = (lo / hi) / factor
             pairs.append(
                 {"low_s": lo, "high_s": hi, "efficiency": round(eff, 3),
@@ -156,7 +176,8 @@ def main():
             # best probe, so re-evaluate the running census each iteration)
             best_probe = max(p["probe_units_per_s"] for p in pairs)
             verified = [p for p in pairs
-                        if p["probe_units_per_s"] >= args.capacity_frac * best_probe]
+                        if p["probe_units_per_s"] >= args.capacity_frac * best_probe
+                        and p["probe_units_per_s"] >= 1.2 * args.high * single_rate]
             if len(verified) >= args.min_verified and i + 1 >= args.min_verified:
                 med = statistics.median(p["efficiency"] for p in verified)
                 if med >= 0.85:
@@ -168,11 +189,21 @@ def main():
 
     best_probe = max(p["probe_units_per_s"] for p in pairs)
     for p in pairs:
-        p["capacity_verified"] = p["probe_units_per_s"] >= args.capacity_frac * best_probe
+        p["effective_cores"] = round(p["probe_units_per_s"] / single_rate, 1)
+        p["capacity_verified"] = (
+            p["probe_units_per_s"] >= args.capacity_frac * best_probe
+            # absolute gate: the 2x-oversubscribed probe must show the
+            # machine hosting comfortably MORE than the high level
+            # (1.2x margin) — below that, local[high] is quota-starved
+            # while local[low] is not, and the ratio measures the
+            # hypervisor, not the engine
+            and p["effective_cores"] >= 1.2 * args.high
+        )
     verified = [p for p in pairs if p["capacity_verified"]]
-    med_eff = round(statistics.median(p["efficiency"] for p in verified), 3)
-    med_lo = statistics.median(p["low_s"] for p in verified)
-    med_hi = statistics.median(p["high_s"] for p in verified)
+    stat_pool = verified if verified else pairs  # throttled run: stats still recorded, marked invalid
+    med_eff = round(statistics.median(p["efficiency"] for p in stat_pool), 3)
+    med_lo = statistics.median(p["low_s"] for p in stat_pool)
+    med_hi = statistics.median(p["high_s"] for p in stat_pool)
     valid = len(verified) >= args.min_verified
 
     result = {
@@ -198,6 +229,7 @@ def main():
         "scaling_efficiency": med_eff,
         "verified_pairs": len(verified),
         "min_verified_required": args.min_verified,
+        "single_proc_units_per_s": round(single_rate, 1),
         "valid": valid,
         "all_pairs": pairs,
     }
@@ -210,17 +242,36 @@ def main():
     print(json.dumps(result, indent=2))
     out_path = args.out
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    # the artifact always describes the LATEST run (HEAD); prior runs move
-    # to history so regressions are never masked by an old record
+    # Headline policy: the LATEST absolutely-capacity-verified run (so
+    # the artifact describes HEAD under conditions where the machine
+    # could actually host local[high]); a run measured inside a
+    # hypervisor-throttle window (valid=False) NEVER replaces a valid
+    # headline — it is appended to history, flagged, where the probe
+    # numbers document exactly why it was excluded. Selection is on the
+    # capacity COVARIATE, never on the efficiency outcome.
     history = []
+    prev = None
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
         history = prev.pop("history", [])
-        history.append(prev)
-    result["history"] = history[-10:]
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=2)
+    if valid or prev is None or not prev.get("valid", False):
+        if prev is not None:
+            history.append(prev)
+        result["history"] = history[-10:]
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+    else:
+        result["excluded_reason"] = (
+            "machine throttled during run (effective cores below the high "
+            "parallelism level); headline kept from the last capacity-"
+            "verified run"
+        )
+        history.append(result)
+        prev["history"] = history[-10:]
+        with open(out_path, "w") as f:
+            json.dump(prev, f, indent=2)
+        print("RUN EXCLUDED FROM HEADLINE: " + result["excluded_reason"])
 
 
 if __name__ == "__main__":
