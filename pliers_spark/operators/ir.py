@@ -1,0 +1,325 @@
+"""IR / corpus-statistics operators: BM25 retrieval, PMI collocations,
+readability scoring.
+
+The classic text-analytics trio a web-corpus pipeline runs for search,
+phrase mining, and quality signals:
+
+- **bm25_topk** (Robertson–Spärck Jones Okapi BM25): seed-document
+  retrieval — the k best corpus documents for each query's term set.
+  The plan is inverted-index-shaped without materializing an index:
+  one (doc, term) tf aggregation over the corpus (map-side combine),
+  then a BROADCAST semi-join against the tiny query-term dimension so
+  document-frequency and scoring only ever touch matching postings;
+  the corpus is scanned once and never re-shuffled. Scores are summed
+  as integer micro-units (each per-term contribution rounds once), so
+  accumulation is order-independent and the ranking is total.
+
+- **pmi_collocations** (Church & Hanks 1990): top bigram collocations
+  by pointwise mutual information with a minimum-count gate. Two
+  censuses (token, bigram — each one shuffle with partial agg), the
+  corpus-total scalars ride a 1-row broadcast, and the top-k is
+  ``orderBy(...).limit(k)`` = TakeOrderedAndProject (per-partition
+  heaps, no global sort) on a unique (pmi_fp desc, w1, w2) order.
+
+- **readability** (Flesch 1948 / Kincaid 1975): per-document reading
+  ease and grade level from words/sentences/syllables. A pure narrow
+  projection — sentence boundaries and vowel-group syllable counts are
+  Column algebra over the token array (zero shuffle, no UDF), so the
+  stage fuses into any downstream quality gate.
+
+Cross-engine bit-determinism follows operators/lm.py: every float
+factor is the same IEEE-double expression tree on both engines and is
+rounded ONCE to integer micro-units (``round(x·1e6)`` as BIGINT)
+before any sum or ranking.
+
+Reference anchor: pliers has no retrieval/collocation surface; its
+TextStim complexity metrics (pliers/extractors/text.py length/
+frequency extractors) are the per-stimulus seed of the readability
+signals here, recast corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+K1 = 1.2
+B = 0.75
+
+
+def _tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) postings + per-doc length ``dl`` attached."""
+    toks = docs.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    term_col: str = "term",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25 (k1=1.2, b=0.75).
+
+    ``queries`` is a small (q_id, term) dimension — it is broadcast;
+    the corpus side is one tf aggregation and is never re-shuffled.
+    Returns (q_id, doc_id, score_fp, rank) with ``score_fp`` the BM25
+    score in integer micro-units (sum of once-rounded per-term
+    contributions — order-independent, total ranking).
+    """
+    tf = _tf(docs, text_col, id_col)
+    stats = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        tf.select(id_col, "dl").distinct().agg(F.sum("dl").cast("long").alias("sum_dl"))
+    )
+    qterms = queries.select(q_id_col, F.col(term_col).alias("term")).distinct()
+    postings = tf.join(F.broadcast(qterms), "term")
+    df_ = postings.select("term", id_col).distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            q_id_col,
+            id_col,
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf").cast("double") * F.lit(K1 + 1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(K1)
+                        * (
+                            F.lit(1.0 - B)
+                            + (F.lit(B) * (F.col("dl").cast("double") * F.col("n_docs").cast("double")))
+                            / F.col("sum_dl").cast("double")
+                        )
+                    )
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("contrib_fp"),
+        )
+    )
+    per_q = scored.groupBy(q_id_col, id_col).agg(F.sum("contrib_fp").alias("score_fp"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score_fp"), F.col(id_col))
+    return (
+        per_q.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    queries_cte: str = "queries",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> str:
+    """DuckDB oracle body for :func:`bm25_topk` — expects a CTE named
+    ``queries_cte`` with (q_id, term) to be prepended by the caller."""
+    return f"""toks AS (
+  SELECT {id_col}, unnest(string_split(trim({text_col}), ' ')) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT {id_col}, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM {table}) AS n_docs,
+                 (SELECT sum(dl) FROM dl) AS sum_dl),
+qt AS (SELECT DISTINCT q_id, term FROM {queries_cte}),
+post AS (SELECT qt.q_id, tf.{id_col}, tf.term, tf.tf, dl.dl
+         FROM tf JOIN qt USING (term) JOIN dl USING ({id_col})),
+dfreq AS (SELECT term, count(DISTINCT {id_col}) AS df FROM post GROUP BY 1),
+contrib AS (
+  SELECT post.q_id, post.{id_col},
+         CAST(round(
+           ln(1.0 + (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * ((CAST(post.tf AS DOUBLE) * {K1 + 1.0})
+              / (CAST(post.tf AS DOUBLE)
+                 + {K1} * ({1.0 - B}
+                           + ({B} * (CAST(post.dl AS DOUBLE) * CAST(stats.n_docs AS DOUBLE)))
+                             / CAST(stats.sum_dl AS DOUBLE))))
+           * 1000000.0) AS BIGINT) AS contrib_fp
+  FROM post JOIN dfreq USING (term) CROSS JOIN stats),
+per_q AS (SELECT q_id, {id_col}, sum(contrib_fp)::BIGINT AS score_fp FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT q_id, {id_col}, score_fp,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, {id_col})::BIGINT AS rank
+           FROM per_q)
+SELECT q_id, {id_col}, score_fp, rank FROM ranked WHERE rank <= {k}"""
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by PMI (integer micro-nats).
+
+    pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p from corpus counts:
+    ln( (c12·Ntok·Ntok) / (c1·c2·Nbg) ) — one double expression,
+    rounded once. Returns (w1, w2, c12, pmi_fp) in ranked order.
+    """
+    toks = docs.select(F.explode(T.tokenize(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    arr = docs.select(T.tokenize(F.col(text_col)).alias("t"))
+    pairs = arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    totals = uni.agg(F.sum("c").cast("long").alias("n_tok")).crossJoin(
+        bg.agg(F.sum("c12").cast("long").alias("n_bg"))
+    )
+    # uni is vocabulary-sized — billions of rows at web scale — so the
+    # count-attachment joins shuffle on the word key (AQE may still
+    # broadcast small vocabularies at runtime); only the 1-row totals
+    # dimension is an explicit broadcast.
+    out = (
+        bg.where(F.col("c12") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n_tok").cast("double") * F.col("n_tok").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double") * F.col("n_bg").cast("double"))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("pmi_fp"),
+        )
+    )
+    return out.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k)
+
+
+def pmi_collocations_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> str:
+    return f"""WITH toks AS (
+  SELECT unnest(string_split(trim({text_col}), ' ')) AS w FROM {table}),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+base AS (SELECT string_split(trim({text_col}), ' ') AS t FROM {table}),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM base, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+totals AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
+                  (SELECT sum(c12) FROM bg) AS n_bg)
+SELECT bg.w1, bg.w2, bg.c12::BIGINT AS c12,
+       CAST(round(ln((CAST(bg.c12 AS DOUBLE) * CAST(totals.n_tok AS DOUBLE) * CAST(totals.n_tok AS DOUBLE))
+                     / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(totals.n_bg AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS pmi_fp
+FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2
+CROSS JOIN totals
+WHERE bg.c12 >= {min_count}
+ORDER BY pmi_fp DESC, w1, w2 LIMIT {k}"""
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_word: str = "the",
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document, as one
+    narrow projection (zero shuffle, no UDF).
+
+    The synthetic corpus carries no punctuation, so sentence boundaries
+    are first derived deterministically (a '.' after every
+    ``boundary_word`` — the same device as the ``sentence_split``
+    query); production web text skips that step. Syllables are
+    vowel-group counts per token (min 1), summed with an array
+    ``aggregate`` — per-row work, no explode. Scores are integer
+    micro-units of the published formulas.
+    """
+    marked = F.regexp_replace(
+        F.trim(F.col(text_col)), rf"\b{boundary_word}\b", f"{boundary_word}."
+    )
+    sents = T.split_sentences(marked)
+    toks = T.tokenize(F.col(text_col))
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(F.lit(1), F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))).cast("long"),
+    )
+    n_w = F.size(toks).cast("long")
+    n_s = F.size(sents).cast("long")
+    wps = n_w.cast("double") / F.nullif(n_s, F.lit(0)).cast("double")
+    spw = syl.cast("double") / F.nullif(n_w, F.lit(0)).cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        F.col(id_col),
+        n_w.alias("n_words"),
+        n_s.alias("n_sents"),
+        syl.alias("n_syllables"),
+        F.round(flesch * F.lit(1e6), 0).cast("long").alias("flesch_fp"),
+        F.round(fk * F.lit(1e6), 0).cast("long").alias("fk_grade_fp"),
+    )
+
+
+def readability_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_word: str = "the",
+) -> str:
+    marked = (
+        f"regexp_replace(trim({text_col}), '\\b{boundary_word}\\b', '{boundary_word}.', 'g')"
+    )
+    sents = (
+        f"len(list_filter(string_split(regexp_replace({marked}, '([.!?])\\s+', "
+        f"'\\1' || chr(10), 'g'), chr(10)), s -> trim(s) <> ''))"
+    )
+    toks = f"string_split(trim({text_col}), ' ')"
+    syl = (
+        f"list_sum(list_transform({toks}, "
+        f"t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+')))))"
+    )
+    return f"""WITH m AS (
+  SELECT {id_col},
+         len({toks})::BIGINT AS n_words,
+         CAST({sents} AS BIGINT) AS n_sents,
+         CAST({syl} AS BIGINT) AS n_syllables
+  FROM {table})
+SELECT {id_col}, n_words, n_sents, n_syllables,
+       CAST(round((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(nullif(n_sents, 0) AS DOUBLE))
+                           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS flesch_fp,
+       CAST(round((0.39 * (CAST(n_words AS DOUBLE) / CAST(nullif(n_sents, 0) AS DOUBLE))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE))
+                   - 15.59)
+                  * 1000000.0) AS BIGINT) AS fk_grade_fp
+FROM m"""

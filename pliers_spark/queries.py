@@ -4106,6 +4106,73 @@ def q_temperature_sample(spark, sf_dir):
     return temperature_sample(_docs(spark, sf_dir))
 
 
+def _bm25_sql() -> str:
+    from pliers_spark.operators.ir import bm25_topk_sql
+
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       {bm25_topk_sql()}"""
+
+
+@query("bm25_topk", _bm25_sql())
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 seed-document retrieval: top-5 corpus documents per
+    seed query (8 smallest doc_ids, first 6 tokens each). Inverted-
+    index-shaped plan with no materialized index: one (doc,term) tf
+    aggregation, broadcast query-term semi-join, integer micro-unit
+    score sum (operators/ir.bm25_topk)."""
+    from pliers_spark.operators.ir import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    return bm25_topk(docs, seeds, k=5)
+
+
+def _pmi_sql() -> str:
+    from pliers_spark.operators.ir import pmi_collocations_sql
+
+    return pmi_collocations_sql()
+
+
+@query("pmi_collocations", _pmi_sql())
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990), min count 5: two partial-agg censuses, word-
+    key joins (vocab is NOT broadcast — it is corpus-vocabulary-sized at
+    scale), integer micro-nat PMI, TakeOrderedAndProject top-k
+    (operators/ir.pmi_collocations)."""
+    from pliers_spark.operators.ir import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
+def _readability_sql() -> str:
+    from pliers_spark.operators.ir import readability_sql
+
+    return readability_sql()
+
+
+@query("readability", _readability_sql())
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch–Kincaid grade per document in
+    integer micro-units — a pure narrow projection (sentence counting
+    and vowel-group syllables as Column algebra over the token array;
+    zero shuffle, no UDF) (operators/ir.readability)."""
+    from pliers_spark.operators.ir import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def _hash_split_sql() -> str:
     from pliers_spark.operators.sampling import hash_split_sql
 
