@@ -50,11 +50,9 @@ B = 0.75
 
 
 def _tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, term, tf) postings + per-doc length ``dl`` attached."""
+    """(id, term, tf) postings."""
     toks = docs.select(F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, id_col)
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
 def bm25_topk(
@@ -75,13 +73,15 @@ def bm25_topk(
     contributions — order-independent, total ranking).
     """
     tf = _tf(docs, text_col, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = docs.select(
         F.count(F.lit(1)).cast("long").alias("n_docs")
-    ).crossJoin(
-        tf.select(id_col, "dl").distinct().agg(F.sum("dl").cast("long").alias("sum_dl"))
-    )
+    ).crossJoin(dl.agg(F.sum("dl").cast("long").alias("sum_dl")))
     qterms = queries.select(q_id_col, F.col(term_col).alias("term")).distinct()
-    postings = tf.join(F.broadcast(qterms), "term")
+    # the broadcast term semi-join gates FIRST: only matching postings
+    # ever join the (narrow, one-long-per-doc) dl table — the full
+    # postings set is never shuffled on the doc key
+    postings = tf.join(F.broadcast(qterms), "term").join(dl, id_col)
     df_ = postings.select("term", id_col).distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -130,9 +130,13 @@ def bm25_topk_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    tail: str | None = None,
 ) -> str:
     """DuckDB oracle body for :func:`bm25_topk` — expects a CTE named
-    ``queries_cte`` with (q_id, term) to be prepended by the caller."""
+    ``queries_cte`` with (q_id, term) to be prepended by the caller.
+    ``tail`` (for composition, e.g. :func:`bm25_rerank_sql`) replaces
+    the default final SELECT; it sees the result as a CTE ``bm25``."""
+    final = tail if tail is not None else f"SELECT q_id, {id_col}, score_fp, rank FROM bm25"
     return f"""toks AS (
   SELECT {id_col}, unnest(string_split(trim({text_col}), ' ')) AS term FROM {table}),
 tf AS (SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -158,8 +162,101 @@ contrib AS (
 per_q AS (SELECT q_id, {id_col}, sum(contrib_fp)::BIGINT AS score_fp FROM contrib GROUP BY 1, 2),
 ranked AS (SELECT q_id, {id_col}, score_fp,
                   row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, {id_col})::BIGINT AS rank
-           FROM per_q)
-SELECT q_id, {id_col}, score_fp, rank FROM ranked WHERE rank <= {k}"""
+           FROM per_q),
+bm25 AS (SELECT q_id, {id_col}, score_fp, rank FROM ranked WHERE rank <= {k})
+{final}"""
+
+
+def bm25_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    term_col: str = "term",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: lexical BM25 recall (top ``k1``) →
+    semantic cosine rerank (top ``k``) against an embedding sidecar
+    table joined on document id.
+
+    The funnel is the scale story: the corpus-sized embedding table is
+    only ever touched through a BROADCAST semi-join against the tiny
+    candidate set (n_queries × k1 rows), so no dense scoring pass runs
+    over the full corpus — exactly how a production retrieval stack
+    gates its cross-encoder stage. Cosine reuses the exact expressions
+    of similarity.cosine_topk (same rounding contract as the
+    ``embedding_topk`` oracle).
+
+    Returns (q_id, doc_id, bm25_fp, cosine, rank) — ``rank`` is the
+    semantic rerank order; ``bm25_fp`` rides along for score fusion
+    downstream.
+    """
+    from .similarity import _dot, _norm
+
+    cands = bm25_topk(
+        docs, queries, text_col, id_col, q_id_col, term_col, k=k1
+    ).withColumnRenamed("score_fp", "bm25_fp").drop("rank")
+    cvec = emb.select(F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("c_vec"))
+    qvec = emb.select(F.col(vec_id_col).alias(q_id_col), F.col(vec_col).alias("q_vec"))
+    cand_vecs = cvec.join(F.broadcast(cands), id_col)
+    q_ids = cands.select(q_id_col).distinct()
+    q_vecs = qvec.join(F.broadcast(q_ids), q_id_col)
+    scored = cand_vecs.join(F.broadcast(q_vecs), q_id_col).select(
+        q_id_col,
+        id_col,
+        "bm25_fp",
+        F.round(
+            _dot(F.col("c_vec"), F.col("q_vec"))
+            / (_norm(F.col("c_vec")) * _norm(F.col("q_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_rerank_sql(
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    queries_cte: str = "queries",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 20,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle body for :func:`bm25_rerank` (caller prepends the
+    ``queries_cte``); cosine SQL mirrors the ``embedding_topk`` oracle."""
+    dot = (
+        f"list_sum(list_transform(range(1, len(c.c_emb)+1),"
+        f" i -> c.c_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))"
+    )
+    n_c = f"sqrt(list_sum(list_transform(c.c_emb, x -> x::DOUBLE * x::DOUBLE)))"
+    n_q = f"sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE)))"
+    tail = f""", cvec AS (
+  SELECT b.q_id, b.{id_col}, b.score_fp AS bm25_fp, e.{vec_col} AS c_emb
+  FROM bm25 b JOIN {emb_table} e ON e.{vec_id_col} = b.{id_col}),
+qvec AS (
+  SELECT {vec_id_col} AS q_id, {vec_col} AS q_emb FROM {emb_table}
+  WHERE {vec_id_col} IN (SELECT DISTINCT q_id FROM bm25)),
+rescored AS (
+  SELECT c.q_id, c.{id_col}, c.bm25_fp,
+         round({dot} / ({n_c} * {n_q}), 6) AS cosine
+  FROM cvec c JOIN qvec q USING (q_id)),
+reranked AS (
+  SELECT q_id, {id_col}, bm25_fp, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, {id_col})::BIGINT AS rank
+  FROM rescored)
+SELECT q_id, {id_col}, bm25_fp, cosine, rank FROM reranked WHERE rank <= {k}"""
+    return bm25_topk_sql(table, queries_cte, "text", id_col, k=k1, tail=tail)
 
 
 def pmi_collocations(

@@ -4173,6 +4173,57 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def _bm25_rerank_sql() -> str:
+    from pliers_spark.operators.ir import bm25_rerank_sql
+
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       {bm25_rerank_sql(k1=20, k=5)}"""
+
+
+@query("bm25_rerank", _bm25_rerank_sql())
+def q_bm25_rerank(spark, sf_dir):
+    """Two-stage hybrid retrieval funnel: BM25 lexical recall (top-20)
+    → semantic cosine rerank (top-5) against the embedding sidecar
+    table. The corpus-sized embedding table is touched only through a
+    broadcast semi-join against the tiny candidate set — no dense pass
+    (operators/ir.bm25_rerank)."""
+    from pliers_spark.operators.ir import bm25_rerank
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bm25_rerank(docs, seeds, emb, k1=20, k=5)
+
+
+def _rollup_sql() -> str:
+    from pliers_spark.operators.rollup import multires_rollup_sql
+
+    return multires_rollup_sql()
+
+
+@query("rollup_multires", _rollup_sql())
+def q_rollup_multires(spark, sf_dir):
+    """Hour→day→week event rollup where every coarser level re-aggregates
+    the level below it (raw scanned ONCE, DAG cut at the hour partials);
+    the oracle computes all three levels directly from raw, so green
+    equality proves the int64 partial-merge is exact
+    (operators/rollup.multires_rollup)."""
+    from pliers_spark.operators.rollup import multires_rollup
+
+    return multires_rollup(_events(spark, sf_dir))
+
+
 def _hash_split_sql() -> str:
     from pliers_spark.operators.sampling import hash_split_sql
 

@@ -6,7 +6,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from pliers_spark.operators.ir import bm25_topk, pmi_collocations, readability
+from pliers_spark.operators.ir import bm25_rerank, bm25_topk, pmi_collocations, readability
 
 K1, B = 1.2, 0.75
 
@@ -134,6 +134,50 @@ def test_readability_counts_vowel_groups_not_vowels(spark):
     )
     r = readability(df).collect()[0]
     assert r.n_syllables == 1 + 3 + 1
+
+
+def test_bm25_rerank_reorders_by_cosine_within_candidates(spark):
+    # docs 1 and 2 are both BM25 hits for 'spark'; doc 2's embedding is
+    # aligned with the query's, doc 1's is orthogonal -> rerank flips
+    # the lexical order. doc 3 never contains the term -> excluded even
+    # though its embedding is identical to the query's.
+    docs = [
+        (1, "spark spark spark"),
+        (2, "spark engine"),
+        (3, "planner only"),
+        (4, "query planner text"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.05]),
+            (3, [1.0, 0.0]),
+            (4, [-1.0, 0.0]),
+            (10, [1.0, 0.0]),  # the query's own vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame([(10, "spark")], "q_id long, term string")
+    rows = bm25_rerank(ddf, qdf, emb, k1=10, k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [2, 1]  # cosine order, not bm25 order
+    assert rows[0].cosine > rows[1].cosine
+    # bm25 lexical order was the reverse
+    assert rows[1].bm25_fp > rows[0].bm25_fp
+
+
+def test_bm25_rerank_k1_gates_the_semantic_stage(spark):
+    # k1=1 keeps only the single best lexical hit -> the semantically
+    # perfect doc 2 is never scored
+    docs = [(1, "spark spark spark"), (2, "spark engine")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (10, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame([(10, "spark")], "q_id long, term string")
+    rows = bm25_rerank(ddf, qdf, emb, k1=1, k=5).collect()
+    assert [r.doc_id for r in rows] == [1]
 
 
 def test_readability_is_shuffle_free(spark):
