@@ -109,6 +109,11 @@ BENCH_QUERIES = [
     "doc_authority",
     "hash_split",
     "stratified_sample",
+    "bm25_topk",
+    "bm25_rerank",
+    "pmi_collocations",
+    "readability",
+    "rollup_multires",
 ]
 
 

@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 LEVELS = ("hour", "day", "week")
 
 
+def coarsen(fine: DataFrame, level: str) -> DataFrame:
+    """Re-aggregate a (bucket_start, n_events, sum_value_fp) tier to a
+    coarser ``level`` — the merge step both the batch multires rollup
+    and the streaming hour tier's read path share."""
+    return (
+        fine.groupBy(F.date_trunc(level, F.col("bucket_start")).alias("bucket_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_fp").alias("sum_value_fp"),
+        )
+    )
+
+
 def multires_rollup(
     events: DataFrame,
     ts_col: str = "ts",
@@ -67,13 +80,7 @@ def multires_rollup(
     tiers = [fine.select(F.lit(levels[0]).alias("resolution"), "*")]
     prev = fine
     for lv in levels[1:]:
-        nxt = (
-            prev.groupBy(F.date_trunc(lv, F.col("bucket_start")).alias("bucket_start"))
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value_fp").alias("sum_value_fp"),
-            )
-        )
+        nxt = coarsen(prev, lv)
         tiers.append(nxt.select(F.lit(lv).alias("resolution"), "*"))
         prev = nxt
     out = tiers[0]

@@ -251,3 +251,44 @@ def test_streaming_enrich_latest_dim_version(spark, stream_dir, tmp_path):
         by_uid.setdefault(r["uid"], set()).add(r["segment"])
     assert by_uid["u1"] == {"new-segment"}  # latest version wins
     assert by_uid["u2"] == {None}  # unknown key -> left-join null
+
+
+def test_streaming_hour_rollup_matches_batch_and_coarsens(spark, stream_dir):
+    """The streaming hour tier equals the batch hour tier on replay;
+    coarsening the streamed partials to 'day' equals the batch day tier
+    (the lambda read path of operators/rollup)."""
+    from pliers_spark.operators.rollup import coarsen, multires_rollup
+    from pliers_spark.streaming.rollup import streaming_hour_rollup
+
+    batch = multires_rollup(spark.read.parquet(stream_dir), cut=False)
+    want_hour = {
+        (r.bucket_start, r.n_events, r.sum_value_fp)
+        for r in batch.where(F.col("resolution") == "hour").collect()
+    }
+    want_day = {
+        (r.bucket_start, r.n_events, r.sum_value_fp)
+        for r in batch.where(F.col("resolution") == "day").collect()
+    }
+
+    stream = spark.readStream.schema("uid string, ts timestamp, value double").parquet(stream_dir)
+    q = (
+        streaming_hour_rollup(stream, "ts", "value", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("hour_rollup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hour_df = spark.sql("SELECT * FROM hour_rollup")
+        got_hour = {
+            (r.bucket_start, r.n_events, r.sum_value_fp) for r in hour_df.collect()
+        }
+        got_day = {
+            (r.bucket_start, r.n_events, r.sum_value_fp)
+            for r in coarsen(hour_df, "day").collect()
+        }
+    finally:
+        q.stop()
+    assert got_hour == want_hour
+    assert got_day == want_day
