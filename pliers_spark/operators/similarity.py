@@ -577,3 +577,216 @@ def jl_project(
         .groupBy(id_col, "dim")
         .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("y"))
     )
+
+
+def _pq_codebook(vectors, id_col: str, vec_col: str, m: int, ksub: int):
+    """Collect the PQ codebook: the ``ksub`` smallest-id vectors, sliced
+    into ``m`` subspaces, in int64 micro-units. Returns
+    (m, ksub, subdim) int64 array. Bounded k-row dimension fetch — the
+    codebook is a model parameter (production trains it with
+    :func:`kmeans_fit` per subspace; the deterministic seed codebook
+    keeps the oracle replayable)."""
+    seeds = (
+        vectors.where(F.col(id_col) < ksub)
+        .select(vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    cu = _scale_u(np.asarray([r[0] for r in seeds], dtype=np.float64))
+    ksub_eff, dim = cu.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    subdim = dim // m
+    return cu.reshape(ksub_eff, m, subdim).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector
+    becomes ``m`` sub-codes — the nearest of ``ksub`` codebook entries
+    per subspace — shrinking a D-float vector to m small ints (64 f32
+    → 8 codes = 32× memory cut; the difference between a 10^12-vector
+    index fitting in cluster RAM or not).
+
+    Same exactness contract as :func:`kmeans_assign`: micro-unit int64
+    coordinates, exact integer distances, ties toward the smaller code.
+    One Arrow-batched numpy pass per partition (a (B×sd)·(sd×ksub)
+    integer matmul per subspace), zero shuffle — the encode stage fuses
+    onto the scan. Returns (id, codes array<long> of length m).
+    """
+    cb = _pq_codebook(vectors, id_col, vec_col, m, ksub)  # (m, ksub, sd)
+    subdim = cb.shape[2]
+
+    @F.pandas_udf("array<long>")
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cc = [(cb[s], (cb[s] * cb[s]).sum(axis=1)) for s in range(m)]
+        for emb in batches:
+            vu = _scale_u(np.stack(emb.to_numpy()))
+            out = np.empty((len(vu), m), dtype=np.int64)
+            for s in range(m):
+                blk = vu[:, s * subdim : (s + 1) * subdim]
+                cs, c2 = cc[s]
+                d = (
+                    (blk * blk).sum(axis=1, keepdims=True)
+                    - 2 * (blk @ cs.T)
+                    + c2[None, :]
+                )
+                out[:, s] = d.argmin(axis=1)  # first min = smallest code
+            yield pd.Series(list(out))
+
+    return vectors.select(id_col, encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_encode_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`pq_encode` — codebook, micro-unit
+    scaling, integer distances, and the smaller-code tie rule replayed
+    relationally."""
+    return f"""WITH seeds AS (
+         SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS j, {vec_col} AS cemb
+         FROM {table} WHERE {id_col} < {ksub}),
+       dim AS (SELECT len({vec_col}) // {m} AS sd FROM {table} LIMIT 1),
+       d AS (
+         SELECT e.{id_col}, s.s, seeds.j,
+                CAST(list_sum(list_transform(
+                  list_transform(range(s.s * dim.sd + 1, (s.s + 1) * dim.sd + 1),
+                    i -> CAST(floor(e.{vec_col}[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)
+                       - CAST(floor(seeds.cemb[i]::DOUBLE * 1e6 + 0.5) AS BIGINT)),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e
+         CROSS JOIN (SELECT unnest(range({m})) AS s) s
+         CROSS JOIN seeds CROSS JOIN dim),
+       best AS (
+         SELECT {id_col}, s, j,
+                row_number() OVER (PARTITION BY {id_col}, s ORDER BY d_u, j) AS rn
+         FROM d)
+       SELECT {id_col}, list(j ORDER BY s) AS codes
+       FROM best WHERE rn = 1 GROUP BY {id_col}"""
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    an (m × ksub) table of exact integer subspace distances to the
+    codebook; a candidate's approximate distance is m table lookups
+    summed in int64 — the corpus is touched only through its codes
+    (one Arrow pass over the encode output; no full-precision vector
+    is ever read at query time). Returns (q_id, c_id, adist_u, rank)
+    ranked ascending by approximate squared distance.
+    """
+    cb = _pq_codebook(vectors, id_col, vec_col, m, ksub)  # (m, ksub, sd)
+    subdim = cb.shape[2]
+    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qu = _scale_u(np.asarray([r[1] for r in qrows], dtype=np.float64))
+    nq = len(q_ids)
+    # dtab[q, s, j] = exact int64 squared distance of query q's subspace
+    # s block to codebook entry j
+    dtab = np.empty((nq, m, ksub), dtype=np.int64)
+    for s in range(m):
+        blk = qu[:, s * subdim : (s + 1) * subdim]
+        cs = cb[s]
+        dtab[:, s, :] = (
+            (blk * blk).sum(axis=1, keepdims=True)
+            - 2 * (blk @ cs.T)
+            + (cs * cs).sum(axis=1)[None, :]
+        )
+
+    codes = pq_encode(vectors, id_col, vec_col, m, ksub)
+
+    @F.pandas_udf("array<struct<q_id: long, adist_u: long>>")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in batches:
+            cmat = np.stack(col.to_numpy()).astype(np.int64)  # (B, m)
+            # gather: adist[b, q] = Σ_s dtab[q, s, cmat[b, s]]
+            a = np.empty((len(cmat), nq), dtype=np.int64)
+            srange = np.arange(m)[None, :]
+            for qi in range(nq):
+                a[:, qi] = dtab[qi][srange, cmat].sum(axis=1)
+            yield pd.Series(
+                [
+                    [
+                        {"q_id": int(q_ids[qi]), "adist_u": int(a[bi, qi])}
+                        for qi in range(nq)
+                    ]
+                    for bi in range(len(cmat))
+                ]
+            )
+
+    scored = (
+        codes.select(F.col(id_col).alias("c_id"), score(F.col("codes")).alias("ss"))
+        .select("c_id", F.explode("ss").alias("s"))
+        .select(F.col("s.q_id").alias("q_id"), "c_id", F.col("s.adist_u").alias("adist_u"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("c_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("adist_u", F.col("c_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_adc_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`pq_adc_topk` (queries = ``{id_col} <
+    n_queries``, self-matches excluded)."""
+    scale = (
+        lambda e, i: f"CAST(floor({e}[{i}]::DOUBLE * 1e6 + 0.5) AS BIGINT)"
+    )
+    return f"""WITH seeds AS (
+         SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS j, {vec_col} AS cemb
+         FROM {table} WHERE {id_col} < {ksub}),
+       dim AS (SELECT len({vec_col}) // {m} AS sd FROM {table} LIMIT 1),
+       subsp AS (SELECT unnest(range({m})) AS s),
+       cd AS (
+         SELECT e.{id_col}, subsp.s, seeds.j,
+                CAST(list_sum(list_transform(
+                  list_transform(range(subsp.s * dim.sd + 1, (subsp.s + 1) * dim.sd + 1),
+                    i -> {scale('e.' + vec_col, 'i')}
+                       - {scale('seeds.cemb', 'i')}),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN subsp CROSS JOIN seeds CROSS JOIN dim),
+       codes AS (
+         SELECT {id_col} AS c_id, s, j AS code
+         FROM (SELECT {id_col}, s, j,
+                      row_number() OVER (PARTITION BY {id_col}, s ORDER BY d_u, j) AS rn
+               FROM cd) WHERE rn = 1),
+       qtab AS (
+         SELECT cd.{id_col} AS q_id, cd.s, cd.j, cd.d_u
+         FROM cd WHERE cd.{id_col} < {n_queries}),
+       adist AS (
+         SELECT qtab.q_id, codes.c_id, CAST(sum(qtab.d_u) AS BIGINT) AS adist_u
+         FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.j = codes.code
+         WHERE codes.c_id <> qtab.q_id
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, c_id, adist_u,
+                row_number() OVER (PARTITION BY q_id ORDER BY adist_u, c_id)::BIGINT AS rank
+         FROM adist)
+       SELECT q_id, c_id, adist_u, rank FROM ranked WHERE rank <= {k}"""

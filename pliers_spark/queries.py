@@ -4206,6 +4206,41 @@ def q_bm25_rerank(spark, sf_dir):
     return bm25_rerank(docs, seeds, emb, k1=20, k=5)
 
 
+def _pq_codes_sql() -> str:
+    from pliers_spark.operators.similarity import pq_encode_sql
+
+    return pq_encode_sql()
+
+
+@query("pq_codes", _pq_codes_sql())
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011): 64-float
+    vectors → 8 sub-codes against a deterministic seed codebook —
+    exact int64 micro-unit distances, smaller-code ties, one
+    zero-shuffle Arrow matmul pass (operators/similarity.pq_encode)."""
+    from pliers_spark.operators.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_adc_sql() -> str:
+    from pliers_spark.operators.similarity import pq_adc_topk_sql
+
+    return pq_adc_topk_sql()
+
+
+@query("pq_adc_topk", _pq_adc_sql())
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance ANN over PQ codes: per-query (m × ksub)
+    integer distance tables, candidate distance = m table lookups
+    summed in int64 — query time never reads a full-precision corpus
+    vector (operators/similarity.pq_adc_topk)."""
+    from pliers_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
 def _rollup_sql() -> str:
     from pliers_spark.operators.rollup import multires_rollup_sql
 
