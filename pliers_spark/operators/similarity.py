@@ -673,25 +673,23 @@ def pq_encode_sql(
        FROM best WHERE rn = 1 GROUP BY {id_col}"""
 
 
-def pq_adc_topk(
+def _adc_scores(
+    codes: DataFrame,
     vectors: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    q_id_col: str = "vec_id",
-    m: int = 8,
-    ksub: int = 16,
-    k: int = 5,
-    exclude_self: bool = True,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    m: int,
+    ksub: int,
 ) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: each query precomputes
-    an (m × ksub) table of exact integer subspace distances to the
+    """Shared ADC scorer: (q_id, c_id, adist_u) for every (query,
+    candidate-row-of-``codes``) pair. Each query precomputes an
+    (m × ksub) table of exact integer subspace distances to the
     codebook; a candidate's approximate distance is m table lookups
-    summed in int64 — the corpus is touched only through its codes
-    (one Arrow pass over the encode output; no full-precision vector
-    is ever read at query time). Returns (q_id, c_id, adist_u, rank)
-    ranked ascending by approximate squared distance.
-    """
+    summed in int64 — no full-precision corpus vector is read at
+    query time. Extra columns on ``codes`` (e.g. a coarse cluster id)
+    are carried through for downstream gating."""
     cb = _pq_codebook(vectors, id_col, vec_col, m, ksub)  # (m, ksub, sd)
     subdim = cb.shape[2]
     qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
@@ -709,8 +707,6 @@ def pq_adc_topk(
             - 2 * (blk @ cs.T)
             + (cs * cs).sum(axis=1)[None, :]
         )
-
-    codes = pq_encode(vectors, id_col, vec_col, m, ksub)
 
     @F.pandas_udf("array<struct<q_id: long, adist_u: long>>")
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -731,16 +727,95 @@ def pq_adc_topk(
                 ]
             )
 
-    scored = (
-        codes.select(F.col(id_col).alias("c_id"), score(F.col("codes")).alias("ss"))
-        .select("c_id", F.explode("ss").alias("s"))
-        .select(F.col("s.q_id").alias("q_id"), "c_id", F.col("s.adist_u").alias("adist_u"))
+    carried = [c for c in codes.columns if c not in (id_col, "codes")]
+    return (
+        codes.select(
+            F.col(id_col).alias("c_id"), *carried, score(F.col("codes")).alias("ss")
+        )
+        .select("c_id", *carried, F.explode("ss").alias("s"))
+        .select(
+            F.col("s.q_id").alias("q_id"),
+            "c_id",
+            F.col("s.adist_u").alias("adist_u"),
+            *carried,
+        )
     )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (see :func:`_adc_scores`
+    for the scoring contract). Returns (q_id, c_id, adist_u, rank)
+    ranked ascending by approximate squared distance."""
+    codes = pq_encode(vectors, id_col, vec_col, m, ksub)
+    scored = _adc_scores(codes, vectors, queries, id_col, vec_col, q_id_col, m, ksub)
     if exclude_self:
         scored = scored.where(F.col("c_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy("adist_u", F.col("c_id"))
     return (
         scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    kc: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011, the composition FAISS ships as
+    IndexIVFPQ): coarse k-means cluster gate × PQ asymmetric-distance
+    scoring — THE 10^12-vector index shape. The inverted-file gate cuts
+    candidates by the cluster fan-out; the PQ codes cut bytes-per-
+    candidate by 32×; both reuse this engine's exact-int64 primitives
+    (:func:`kmeans_assign`, :func:`pq_encode`), so the whole index is
+    bit-reproducible across engines. nprobe=1 here (the query's own
+    cluster); :func:`ivf_multiprobe_topk` shows the multi-probe gate.
+
+    Returns (q_id, c_id, adist_u, rank) among same-cluster candidates.
+    """
+    coarse = kmeans_assign(vectors, id_col, vec_col, k=kc).select(
+        id_col, "cluster_id"
+    )
+    q_clusters = coarse.join(
+        F.broadcast(queries.select(F.col(q_id_col).alias(id_col))), id_col
+    ).select(F.col(id_col).alias("q_id"), F.col("cluster_id").alias("q_cluster"))
+    # inverted-file gate BEFORE scoring: only clusters that contain a
+    # query are ever encoded-scored (the fan-out cut happens on the
+    # corpus side, not after the fact)
+    probed = q_clusters.select(F.col("q_cluster").alias("cluster_id")).distinct()
+    codes = (
+        pq_encode(vectors, id_col, vec_col, m, ksub)
+        .join(coarse, id_col)
+        .join(F.broadcast(probed), "cluster_id", "semi")
+    )
+    scored = _adc_scores(codes, vectors, queries, id_col, vec_col, q_id_col, m, ksub)
+    scored = scored.join(F.broadcast(q_clusters), "q_id").where(
+        F.col("cluster_id") == F.col("q_cluster")
+    )
+    if exclude_self:
+        scored = scored.where(F.col("c_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("adist_u", F.col("c_id"))
+    return (
+        scored.select(
+            "q_id", "c_id", "adist_u", F.row_number().over(w).cast("long").alias("rank")
+        )
         .where(F.col("rank") <= k)
     )
 
@@ -783,6 +858,71 @@ def pq_adc_topk_sql(
        adist AS (
          SELECT qtab.q_id, codes.c_id, CAST(sum(qtab.d_u) AS BIGINT) AS adist_u
          FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.j = codes.code
+         WHERE codes.c_id <> qtab.q_id
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, c_id, adist_u,
+                row_number() OVER (PARTITION BY q_id ORDER BY adist_u, c_id)::BIGINT AS rank
+         FROM adist)
+       SELECT q_id, c_id, adist_u, rank FROM ranked WHERE rank <= {k}"""
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    kc: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`ivfpq_topk`: the kmeans_assign oracle
+    (coarse gate) composed with the pq_adc oracle (ADC scoring) —
+    candidates restricted to the query's coarse cluster."""
+    sc = lambda e, i: f"CAST(floor({e}[{i}]::DOUBLE * 1e6 + 0.5) AS BIGINT)"
+    return f"""WITH cc AS (
+         SELECT {id_col} AS cid, {vec_col} AS cemb FROM {table} WHERE {id_col} < {kc}),
+       cdist AS (
+         SELECT e.{id_col}, cc.cid,
+                CAST(list_sum(list_transform(
+                  list_transform(range(1, len(e.{vec_col}) + 1),
+                    i -> {sc('e.' + vec_col, 'i')} - {sc('cc.cemb', 'i')}),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN cc),
+       coarse AS (
+         SELECT {id_col}, cid AS cluster_id
+         FROM (SELECT {id_col}, cid, row_number() OVER
+                 (PARTITION BY {id_col} ORDER BY d_u, cid) AS rn FROM cdist)
+         WHERE rn = 1),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS j, {vec_col} AS cemb
+         FROM {table} WHERE {id_col} < {ksub}),
+       dim AS (SELECT len({vec_col}) // {m} AS sd FROM {table} LIMIT 1),
+       subsp AS (SELECT unnest(range({m})) AS s),
+       cd AS (
+         SELECT e.{id_col}, subsp.s, seeds.j,
+                CAST(list_sum(list_transform(
+                  list_transform(range(subsp.s * dim.sd + 1, (subsp.s + 1) * dim.sd + 1),
+                    i -> {sc('e.' + vec_col, 'i')} - {sc('seeds.cemb', 'i')}),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN subsp CROSS JOIN seeds CROSS JOIN dim),
+       codes AS (
+         SELECT {id_col} AS c_id, s, j AS code
+         FROM (SELECT {id_col}, s, j,
+                      row_number() OVER (PARTITION BY {id_col}, s ORDER BY d_u, j) AS rn
+               FROM cd) WHERE rn = 1),
+       qtab AS (
+         SELECT cd.{id_col} AS q_id, cd.s, cd.j, cd.d_u
+         FROM cd WHERE cd.{id_col} < {n_queries}),
+       qc AS (SELECT {id_col} AS q_id, cluster_id AS q_cluster
+              FROM coarse WHERE {id_col} < {n_queries}),
+       adist AS (
+         SELECT qtab.q_id, codes.c_id, CAST(sum(qtab.d_u) AS BIGINT) AS adist_u
+         FROM codes
+         JOIN coarse cm ON cm.{id_col} = codes.c_id
+         JOIN qc ON qc.q_cluster = cm.cluster_id
+         JOIN qtab ON qtab.q_id = qc.q_id AND qtab.s = codes.s AND qtab.j = codes.code
          WHERE codes.c_id <> qtab.q_id
          GROUP BY 1, 2),
        ranked AS (

@@ -4241,6 +4241,24 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
+def _ivfpq_sql() -> str:
+    from pliers_spark.operators.similarity import ivfpq_topk_sql
+
+    return ivfpq_topk_sql()
+
+
+@query("ivfpq_topk", _ivfpq_sql())
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (FAISS IndexIVFPQ shape): coarse k-means inverted-file
+    gate — only clusters containing a query are encoded-scored — times
+    PQ asymmetric-distance scoring; both stages exact int64, the whole
+    index bit-reproducible (operators/similarity.ivfpq_topk)."""
+    from pliers_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 8), kc=8, k=5)
+
+
 def _rollup_sql() -> str:
     from pliers_spark.operators.rollup import multires_rollup_sql
 

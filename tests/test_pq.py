@@ -95,3 +95,31 @@ def test_encode_stage_is_shuffle_free(spark, tmp_path):
     df = spark.read.parquet(p)
     plan = _plan(pq_encode(df, m=4, ksub=4))
     assert "Exchange" not in plan, plan
+
+
+def test_ivfpq_equals_adc_restricted_to_query_cluster(spark):
+    from pliers_spark.operators.similarity import ivfpq_topk, kmeans_assign
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(24, 8).round(3).tolist()
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") < 3)
+    got = {
+        (r.q_id, r.c_id): (r.adist_u, r.rank)
+        for r in ivfpq_topk(df, q, kc=4, m=4, ksub=4, k=50).collect()
+    }
+    # reference: full ADC scores filtered to the query's coarse cluster
+    clusters = {r.vec_id: r.cluster_id for r in kmeans_assign(df, k=4).collect()}
+    full = {
+        (r.q_id, r.c_id): r.adist_u
+        for r in pq_adc_topk(df, q, m=4, ksub=4, k=50).collect()
+    }
+    want = {}
+    for (qi, ci), d in full.items():
+        if clusters[ci] == clusters[qi]:
+            want[(qi, ci)] = d
+    assert {k: v[0] for k, v in got.items()} == want
+    # ranks are dense (1..n) and ordered by ascending distance per query
+    for qi in range(3):
+        pairs = sorted(v for k, v in got.items() if k[0] == qi)  # by adist
+        assert [rank for _, rank in pairs] == list(range(1, len(pairs) + 1))
