@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "readability",
     "rollup_multires",
+    "pq_codes",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "pq_recall",
 ]
 
 

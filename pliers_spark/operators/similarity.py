@@ -930,3 +930,155 @@ def ivfpq_topk_sql(
                 row_number() OVER (PARTITION BY q_id ORDER BY adist_u, c_id)::BIGINT AS rank
          FROM adist)
        SELECT q_id, c_id, adist_u, rank FROM ranked WHERE rank <= {k}"""
+
+
+def exact_l2_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact squared-L2 top-k in the engine's int64 micro-unit space —
+    the ground truth the PQ/IVF approximations are audited against.
+    Same Arrow-batched (B×D)·(D×nq) integer matmul as kmeans_assign;
+    one corpus pass, rank window on q_id."""
+    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qu = _scale_u(np.asarray([r[1] for r in qrows], dtype=np.float64))
+    nq = len(q_ids)
+
+    @F.pandas_udf("array<struct<q_id: long, d_u: long>>")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        q2 = (qu * qu).sum(axis=1)
+        for emb in batches:
+            vu = _scale_u(np.stack(emb.to_numpy()))
+            d = (vu * vu).sum(axis=1, keepdims=True) - 2 * (vu @ qu.T) + q2[None, :]
+            yield pd.Series(
+                [
+                    [
+                        {"q_id": int(q_ids[qi]), "d_u": int(d[bi, qi])}
+                        for qi in range(nq)
+                    ]
+                    for bi in range(len(d))
+                ]
+            )
+
+    scored = (
+        vectors.select(F.col(id_col).alias("c_id"), score(F.col(vec_col)).alias("ss"))
+        .select("c_id", F.explode("ss").alias("s"))
+        .select(F.col("s.q_id").alias("q_id"), "c_id", F.col("s.d_u").alias("d_u"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("c_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("d_u", F.col("c_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k audit of the PQ ADC index against the exact int64 L2
+    truth — the number an ANN deployment must publish before trusting
+    compressed search (the PQ analog of the ``lsh_recall`` audit).
+    Returns one row per query: (q_id, n_hits, recall). At production
+    scale the truth side runs on a hash-sampled query slice; the ADC
+    side is the production operator unchanged."""
+    truth = exact_l2_topk(vectors, queries, id_col, vec_col, q_id_col, k).select(
+        "q_id", "c_id"
+    )
+    approx = pq_adc_topk(
+        vectors, queries, id_col, vec_col, q_id_col, m, ksub, k
+    ).select("q_id", "c_id")
+    hits = truth.join(approx, ["q_id", "c_id"], "semi")
+    n_hits = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    all_q = truth.select("q_id").distinct()
+    return (
+        all_q.join(n_hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def pq_recall_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`pq_recall`: exact micro-unit L2 truth
+    top-k vs the pq_adc oracle top-k, per-query overlap."""
+    sc = lambda e, i: f"CAST(floor({e}[{i}]::DOUBLE * 1e6 + 0.5) AS BIGINT)"
+    return f"""WITH q AS (
+         SELECT {id_col} AS q_id, {vec_col} AS q_emb FROM {table}
+         WHERE {id_col} < {n_queries}),
+       exact AS (
+         SELECT q.q_id, e.{id_col} AS c_id,
+                CAST(list_sum(list_transform(
+                  list_transform(range(1, len(e.{vec_col}) + 1),
+                    i -> {sc('e.' + vec_col, 'i')} - {sc('q.q_emb', 'i')}),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN q WHERE e.{id_col} <> q.q_id),
+       truth AS (
+         SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY d_u, c_id) AS rn
+           FROM exact) WHERE rn <= {k}),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS j, {vec_col} AS cemb
+         FROM {table} WHERE {id_col} < {ksub}),
+       dim AS (SELECT len({vec_col}) // {m} AS sd FROM {table} LIMIT 1),
+       subsp AS (SELECT unnest(range({m})) AS s),
+       cd AS (
+         SELECT e.{id_col}, subsp.s, seeds.j,
+                CAST(list_sum(list_transform(
+                  list_transform(range(subsp.s * dim.sd + 1, (subsp.s + 1) * dim.sd + 1),
+                    i -> {sc('e.' + vec_col, 'i')} - {sc('seeds.cemb', 'i')}),
+                  x -> x * x)) AS BIGINT) AS d_u
+         FROM {table} e CROSS JOIN subsp CROSS JOIN seeds CROSS JOIN dim),
+       codes AS (
+         SELECT {id_col} AS c_id, s, j AS code
+         FROM (SELECT {id_col}, s, j,
+                      row_number() OVER (PARTITION BY {id_col}, s ORDER BY d_u, j) AS rn
+               FROM cd) WHERE rn = 1),
+       qtab AS (
+         SELECT cd.{id_col} AS q_id, cd.s, cd.j, cd.d_u
+         FROM cd WHERE cd.{id_col} < {n_queries}),
+       adist AS (
+         SELECT qtab.q_id, codes.c_id, CAST(sum(qtab.d_u) AS BIGINT) AS adist_u
+         FROM codes JOIN qtab ON qtab.s = codes.s AND qtab.j = codes.code
+         WHERE codes.c_id <> qtab.q_id
+         GROUP BY 1, 2),
+       approx AS (
+         SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY adist_u, c_id) AS rn
+           FROM adist) WHERE rn <= {k}),
+       hits AS (
+         SELECT t.q_id, count(*) AS n_hits
+         FROM truth t JOIN approx a ON a.q_id = t.q_id AND a.c_id = t.c_id
+         GROUP BY 1)
+       SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+              round(coalesce(h.n_hits, 0)::DOUBLE / {k}.0, 6) AS recall
+       FROM (SELECT DISTINCT q_id FROM truth) q
+       LEFT JOIN hits h USING (q_id)"""

@@ -4259,6 +4259,29 @@ def q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(emb, emb.where(F.col("vec_id") < 8), kc=8, k=5)
 
 
+def _pq_recall_sql() -> str:
+    from pliers_spark.operators.similarity import pq_recall_sql
+
+    return pq_recall_sql()
+
+
+@query("pq_recall", _pq_recall_sql())
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 audit of the PQ ADC index against the exact int64 L2
+    truth — the PQ analog of `lsh_recall`: the realized (not
+    theoretical) miss rate a deployment must publish before trusting
+    compressed search. The synthetic corpus is PQ's worst case
+    (near-orthogonal random vectors carry no subspace structure, and
+    the codebook is an untrained 16-seed sample), so recall@5 lands
+    around 0.15 — which is exactly the point of shipping the audit:
+    it is the gate that tells you to train the codebook
+    (operators/similarity.pq_recall)."""
+    from pliers_spark.operators.similarity import pq_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recall(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
 def _rollup_sql() -> str:
     from pliers_spark.operators.rollup import multires_rollup_sql
 

@@ -123,3 +123,28 @@ def test_ivfpq_equals_adc_restricted_to_query_cluster(spark):
     for qi in range(3):
         pairs = sorted(v for k, v in got.items() if k[0] == qi)  # by adist
         assert [rank for _, rank in pairs] == list(range(1, len(pairs) + 1))
+
+
+def test_exact_l2_topk_matches_numpy_and_recall_is_one_on_self_index(spark):
+    from pliers_spark.operators.similarity import exact_l2_topk, pq_recall
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(15, 8).round(3).tolist()
+    df = _mk(spark, vecs)
+    q = df.where(F.col("vec_id") < 2)
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.d_u)
+        for r in exact_l2_topk(df, q, k=3).collect()
+    }
+    v = np.floor(np.asarray(vecs, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+    for qi in range(2):
+        d = [(int(((v[qi] - v[c]) ** 2).sum()), c) for c in range(15) if c != qi]
+        d.sort()
+        for rank, (du, c) in enumerate(d[:3], start=1):
+            assert got[(qi, rank)] == (c, du)
+
+    # m=8 subspaces of dim 1 with ksub=15 codebook covering every value
+    # in each subspace -> ADC is nearly exact; with ksub = corpus the
+    # encode is lossless and recall must be 1.0
+    rec = pq_recall(df, q, m=8, ksub=15, k=3).collect()
+    assert all(r.recall == 1.0 for r in rec), rec
