@@ -89,6 +89,42 @@ def multires_rollup(
     return out.select("resolution", "bucket_start", "n_events", "sum_value_fp")
 
 
+def merge_rollup(
+    existing_fine: DataFrame,
+    delta_events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    level: str = LEVELS[0],
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a snapshot DELTA into an
+    existing finest-tier rollup without touching historical raw data —
+    the materialized-view-maintenance read path of
+    ``sources/snapshots.read_incremental``. At 100 TB this is the
+    difference between re-scanning the table per refresh and scanning
+    only the appended files; exactness is inherited from the int64
+    partial-merge contract (tests pin merged == from-scratch)."""
+    delta_fine = (
+        delta_events.select(
+            F.date_trunc(level, F.col(ts_col)).alias("bucket_start"),
+            F.round(F.col(value_col) * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fp").alias("sum_value_fp"),
+        )
+    )
+    return (
+        existing_fine.select("bucket_start", "n_events", "sum_value_fp")
+        .unionByName(delta_fine)
+        .groupBy("bucket_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_fp").alias("sum_value_fp"),
+        )
+    )
+
+
 def multires_rollup_sql(
     table: str = "events",
     ts_col: str = "ts",

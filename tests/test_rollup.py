@@ -74,3 +74,36 @@ def test_dag_cut_removes_raw_rescan(spark, tmp_path):
     # without the cut each tier replays the scan (here: 3 branches)
     plan_raw = _plan(multires_rollup(ev, cut=False))
     assert plan_raw.count("Scan parquet") == 3
+
+
+def test_incremental_rollup_merge_equals_from_scratch(spark, tmp_path):
+    """Snapshot delta folded into an existing hour rollup == rollup of
+    the full table (materialized-view maintenance over snapshots)."""
+    from pliers_spark.operators.rollup import merge_rollup, multires_rollup
+    from pliers_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    batch1 = _mk(spark)
+    s1 = t.commit(batch1.select("event_id", "ts", "value"))
+    rolled = multires_rollup(t.read(spark, s1), cut=False).where(
+        F.col("resolution") == "hour"
+    )
+
+    batch2 = spark.createDataFrame(
+        [
+            (6, dt.datetime(2024, 3, 1, 10, 59), 0.5),   # lands in an EXISTING hour
+            (7, dt.datetime(2024, 3, 5, 12, 0), -2.25),  # new hour entirely
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    s2 = t.commit(batch2)
+
+    merged = merge_rollup(rolled, t.read_incremental(spark, from_id=s1, to_id=s2))
+    scratch = multires_rollup(t.read(spark, s2), cut=False).where(
+        F.col("resolution") == "hour"
+    )
+    got = {(r.bucket_start): (r.n_events, r.sum_value_fp) for r in merged.collect()}
+    want = {(r.bucket_start): (r.n_events, r.sum_value_fp) for r in scratch.collect()}
+    assert got == want
+    # and the existing-hour bucket really absorbed the delta row
+    assert got[dt.datetime(2024, 3, 1, 10)] == (3, 4_250_000)
