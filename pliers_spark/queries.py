@@ -4288,6 +4288,147 @@ def _rollup_sql() -> str:
     return multires_rollup_sql()
 
 
+@query(
+    "tpch_q6",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT)
+              AS revenue_cents
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_tpch_q6(spark, sf_dir):
+    """Forecasting-revenue-change scan (TPC-H Q6): every predicate
+    pushes to the parquet scan, one map-side partial sum, no shuffle of
+    data rows. Per-row product rounded ONCE to integer cents so the
+    global sum is order-independent (cross-engine bit-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("cents")
+        )
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+
+
+@query(
+    "rolling_multi",
+    """WITH base AS (
+         SELECT user_id, ts, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events)
+       SELECT user_id, ts,
+              count(*) OVER w1::BIGINT AS cnt_1h,
+              sum(v_fp) OVER w1::BIGINT AS sum_1h_fp,
+              count(*) OVER w2::BIGINT AS cnt_24h,
+              sum(v_fp) OVER w2::BIGINT AS sum_24h_fp,
+              count(*) OVER w3::BIGINT AS cnt_7d,
+              sum(v_fp) OVER w3::BIGINT AS sum_7d_fp
+       FROM base
+       WINDOW
+         w1 AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+         w3 AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_multi(spark, sf_dir):
+    """Multi-horizon trailing features (1h/24h/7d count+sum) in ONE
+    sorted pass: all six frames share the (user_id, ts) partition+order,
+    so Spark plans a single Exchange and a single Sort — the
+    several-horizons-per-entity shape every feature store materializes.
+    Leakage-safe (frames end at the current row); int64 micro-unit sums
+    (tests/test_plans.py pins the 1-Exchange/1-Sort plan)."""
+    ev = _events(spark, sf_dir)
+    from pliers_spark.operators._util import epoch_micros
+
+    base = ev.select(
+        "user_id",
+        "ts",
+        epoch_micros(ev, "ts").alias("u"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    out = base
+    for name, hours in (("1h", 1), ("24h", 24), ("7d", 168)):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("u")
+            .rangeBetween(-hours * 3_600_000_000, 0)
+        )
+        out = out.withColumn(f"cnt_{name}", F.count(F.lit(1)).over(w).cast("long"))
+        out = out.withColumn(f"sum_{name}_fp", F.sum("v_fp").over(w).cast("long"))
+    return out.select(
+        "user_id", "ts",
+        "cnt_1h", "sum_1h_fp", "cnt_24h", "sum_24h_fp", "cnt_7d", "sum_7d_fp",
+    )
+
+
+@query(
+    "interarrival_stats",
+    """WITH g AS (
+         SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts) AS gap_us
+         FROM events)
+       SELECT user_id, count(gap_us)::BIGINT AS n_gaps,
+              min(gap_us)::BIGINT AS min_gap_us,
+              max(gap_us)::BIGINT AS max_gap_us,
+              CAST(round(sum(gap_us)::DOUBLE / count(gap_us)) AS BIGINT) AS mean_gap_us
+       FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+)
+def q_interarrival_stats(spark, sf_dir):
+    """Per-entity inter-arrival cadence (crawl-revisit scheduling
+    signal): lag over the entity timeline → exact integer gap
+    microseconds → min/max/mean per entity. Equal-timestamp ties leave
+    the gap MULTISET invariant, so the aggregates are deterministic
+    without a tiebreak column. One shuffle on the entity key."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    u = epoch_micros(ev, "ts")
+    g = ev.select(
+        "user_id", (u - F.lag(u).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("mean_gap_us"),
+    )
+
+
+@query(
+    "quantile_bins",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::BIGINT AS ql FROM documents)
+       SELECT doc_id, lang, ql,
+              ntile(10) OVER (PARTITION BY lang ORDER BY ql, doc_id)::BIGINT AS decile
+       FROM f""",
+)
+def q_quantile_bins(spark, sf_dir):
+    """Per-language decile binning of a quality proxy (feature
+    discretization before bucketed training mixes): ntile over the
+    language-keyed window with a doc_id tiebreak — deterministic, and
+    keyed windows keep the sort partition-sized at corpus scale (the
+    same shape as `quality_filter`'s percentile gate)."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
+    w = Window.partitionBy("lang").orderBy("ql", "doc_id")
+    return f.select("*", F.ntile(10).over(w).cast("long").alias("decile"))
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates

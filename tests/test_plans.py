@@ -433,3 +433,36 @@ def test_pagerank_lineage_cut_per_round(spark):
     assert "PythonUDF" not in p6
     assert p6.count("Exchange") == p2.count("Exchange"), (p2, p6)
     assert p6.count("Exchange") <= 4, p6
+
+
+def test_rolling_multi_shares_one_sort_across_horizons(spark):
+    """Six frames over three horizons must reuse ONE (user_id, ts)
+    Exchange+Sort — the multi-horizon feature pass does not pay per
+    window spec."""
+    import datetime as dt
+
+    rows = [
+        (i % 3, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * i), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    from pliers_spark.operators._util import epoch_micros
+    from pyspark.sql import Window
+
+    base = df.select(
+        "user_id", "ts", epoch_micros(df, "ts").alias("u"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_fp"),
+    )
+    out = base
+    for name, hours in (("1h", 1), ("24h", 24), ("7d", 168)):
+        w = Window.partitionBy("user_id").orderBy("u").rangeBetween(
+            -hours * 3_600_000_000, 0
+        )
+        out = out.withColumn(f"cnt_{name}", F.count(F.lit(1)).over(w).cast("long"))
+        out = out.withColumn(f"sum_{name}_fp", F.sum("v_fp").over(w).cast("long"))
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    # Spark collapses all six frames into a single Window operator
+    assert plan.count("+- Window ") == 1, plan
