@@ -4429,6 +4429,63 @@ def q_quantile_bins(spark, sf_dir):
     return f.select("*", F.ntile(10).over(w).cast("long").alias("decile"))
 
 
+@query(
+    "training_matrix",
+    """WITH vts AS (
+         SELECT user_id, ts,
+                sum(CAST(round(value * 1000000.0) AS BIGINT)) AS v_ts
+         FROM events GROUP BY 1, 2),
+       f1 AS (
+         SELECT user_id, ts,
+                sum(v_ts) OVER (PARTITION BY user_id ORDER BY ts)::BIGINT AS cum_v_fp
+         FROM vts),
+       f2 AS (SELECT user_id, ts, max(event_type) AS last_type
+              FROM events GROUP BY 1, 2),
+       labels AS (
+         SELECT user_id, ts AS label_ts,
+                max(CASE WHEN value > 0 THEN 1 ELSE 0 END)::BIGINT AS label
+         FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT l.user_id, l.label_ts, l.label, a.cum_v_fp, b.last_type
+       FROM labels l
+       ASOF LEFT JOIN f1 a ON l.user_id = a.user_id AND l.label_ts >= a.ts
+       ASOF LEFT JOIN f2 b ON l.user_id = b.user_id AND l.label_ts >= b.ts""",
+)
+def q_training_matrix(spark, sf_dir):
+    """Point-in-time training-set assembly — the north-rule showcase:
+    a label spine as-of joined to TWO feature tables at different
+    semantics (cumulative micro-unit value; latest categorical state),
+    each via the one-shuffle union+window as-of strategy, so no feature
+    cell ever reads past its label_ts (backward-inclusive, pliers'
+    step-fill convention). Feature tables are deduped to unique
+    (entity, ts) keys first, which makes the as-of match deterministic.
+    This is the feature-store read path every training pipeline runs."""
+    ev = _events(spark, sf_dir)
+    v_fp = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    vts = ev.select("user_id", "ts", v_fp.alias("v_fp")).groupBy("user_id", "ts").agg(
+        F.sum("v_fp").alias("v_ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    f1 = vts.select("user_id", "ts", F.sum("v_ts").over(w).cast("long").alias("cum_v_fp"))
+    f2 = ev.groupBy("user_id", "ts").agg(F.max("event_type").alias("last_type"))
+    labels = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("label_ts"),
+            F.when(F.col("value") > 0, 1).otherwise(0).alias("l"),
+        )
+        .groupBy("user_id", "label_ts")
+        .agg(F.max("l").cast("long").alias("label"))
+    )
+    m1 = A.asof_join(
+        labels, f1, ["user_id"], "label_ts", "ts", ["cum_v_fp"], matched_ts_col=None
+    )
+    m2 = A.asof_join(
+        m1, f2, ["user_id"], "label_ts", "ts", ["last_type"], matched_ts_col=None
+    )
+    return m2.select("user_id", "label_ts", "label", "cum_v_fp", "last_type")
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates

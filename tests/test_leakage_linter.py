@@ -88,3 +88,13 @@ def test_engine_temporal_operators_are_clean(spark, series):
     with pytest.raises(LeakageError):
         assert_leakage_free(labeled)  # lead must be explicitly flagged
     assert_leakage_free(labeled, allow_lead={"v_lead1"})
+
+
+def test_training_matrix_passes_the_leakage_audit(spark):
+    """The point-in-time training matrix survives the optimized-plan
+    window audit: no frame reaches past the current row."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["training_matrix"](spark, "/root/testdata/sf0.001")
+    assert_leakage_free(df)
+    assert df.count() > 0
