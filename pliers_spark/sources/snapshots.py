@@ -45,6 +45,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _strip_scheme(path: str) -> str:
+    """``input_file_name()`` returns a URI (file:///root/...); manifests
+    store plain paths — normalize for set membership."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    return path
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed between this commit's parent read and its
     pointer flip — retry on top of the new current snapshot (Iceberg's
@@ -92,6 +100,15 @@ class SnapshotTable:
 
     # -- write path ----------------------------------------------------------
 
+    def _write_data_files(self, df: DataFrame, snapshot_id: str) -> list[str]:
+        data_dir = os.path.join(self.root, "data", snapshot_id)
+        df.write.mode("error").parquet(data_dir)
+        return sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+
     def commit(self, df: DataFrame, operation: str = "append") -> str:
         """Write ``df``'s rows as new immutable files and commit a new
         snapshot. ``operation``: 'append' keeps the parent's files
@@ -101,25 +118,35 @@ class SnapshotTable:
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
         snapshot_id = uuid.uuid4().hex[:16]
-        data_dir = os.path.join(self.root, "data", snapshot_id)
-        df.write.mode("error").parquet(data_dir)
-        new_files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        )
+        new_files = self._write_data_files(df, snapshot_id)
         parent_id = self.current_snapshot_id()
         files = list(new_files)
         if operation == "append" and parent_id is not None:
             files = self._load_manifest(parent_id)["files"] + files
+        return self._commit_manifest(
+            snapshot_id, parent_id, operation, files, new_files, df.schema.json()
+        )
+
+    def _commit_manifest(
+        self,
+        snapshot_id: str,
+        parent_id: str | None,
+        operation: str,
+        files: list[str],
+        added_files: list[str],
+        schema_json: str,
+        removed_files: list[str] | None = None,
+    ) -> str:
         manifest = {
             "snapshot_id": snapshot_id,
             "parent_id": parent_id,
             "operation": operation,
             "files": files,
-            "added_files": new_files,
-            "schema": df.schema.json(),
+            "added_files": added_files,
+            "schema": schema_json,
         }
+        if removed_files is not None:
+            manifest["removed_files"] = removed_files
         os.makedirs(self._snap_dir, exist_ok=True)
         with open(self._manifest_path(snapshot_id), "w") as f:
             json.dump(manifest, f)
@@ -152,6 +179,62 @@ class SnapshotTable:
             os.unlink(lock)
         return snapshot_id
 
+    def delete_where(self, spark: SparkSession, condition) -> str:
+        """Copy-on-write row delete (≡ Iceberg DELETE, COW mode): only
+        files that actually CONTAIN matching rows are rewritten without
+        them; untouched files carry over by reference, and old files
+        stay on disk for time travel. At 10^12 rows the affected-file
+        census is one pushed-down scan and the rewrite cost is
+        proportional to the hit set, not the table.
+
+        Incremental reads across a delete snapshot raise (rows
+        disappeared; an add-only delta cannot represent that — Iceberg's
+        incremental scan has the same restriction)."""
+        from pyspark.sql import functions as F
+
+        parent_id = self.current_snapshot_id()
+        if parent_id is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        m = self._load_manifest(parent_id)
+        cur = self.read(spark, parent_id)
+        affected = {
+            _strip_scheme(r[0])
+            for r in cur.where(condition)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        if not affected:
+            return parent_id  # no-op: nothing matched, no new snapshot
+        snapshot_id = uuid.uuid4().hex[:16]
+        kept_rows = spark.read.parquet(*sorted(affected)).where(~condition)
+        new_files = self._write_data_files(kept_rows, snapshot_id)
+        files = [f for f in m["files"] if f not in affected] + new_files
+        return self._commit_manifest(
+            snapshot_id, parent_id, "delete", files, new_files,
+            m["schema"], removed_files=sorted(affected),
+        )
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> str:
+        """Bin-pack the table's data files into ``target_files`` files
+        (≡ Iceberg rewrite_data_files): a pure REWRITE — same logical
+        rows, new physical layout — fixing the small-files problem that
+        append-heavy 10^12-row tables accumulate (every extra file is a
+        task, a footer fetch, and an object-store request). Incremental
+        readers skip compaction snapshots entirely: their added files
+        carry no new rows."""
+        parent_id = self.current_snapshot_id()
+        if parent_id is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        m = self._load_manifest(parent_id)
+        snapshot_id = uuid.uuid4().hex[:16]
+        rows = self.read(spark, parent_id).coalesce(target_files)
+        new_files = self._write_data_files(rows, snapshot_id)
+        return self._commit_manifest(
+            snapshot_id, parent_id, "compact", new_files, new_files,
+            m["schema"], removed_files=m["files"],
+        )
+
     # -- read paths ----------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
@@ -182,8 +265,19 @@ class SnapshotTable:
         while sid is not None and sid != from_id:
             m = self._load_manifest(sid)
             if accumulating:
-                delta = m["added_files"] + delta
-                if m["operation"] == "overwrite":
+                op = m["operation"]
+                if op == "delete":
+                    # rows disappeared; an add-only delta can't express
+                    # that (Iceberg's incremental scan refuses too)
+                    raise ValueError(
+                        f"incremental read crosses delete snapshot "
+                        f"{m['snapshot_id']!r}; re-read the full table from it"
+                    )
+                if op == "compact":
+                    pass  # pure rewrite: its added files carry no new rows
+                else:
+                    delta = m["added_files"] + delta
+                if op == "overwrite":
                     # an overwrite truncates visibility: files added by
                     # older snapshots are not part of the table at to_id
                     accumulating = False

@@ -150,3 +150,46 @@ def test_incremental_dedup_checks_delta_against_history(spark, table):
     # first ingest (no history): only within-delta dedup applies
     out0 = incremental_dedup(spark, table, None)
     assert len(out0.collect()) > 0
+
+
+def test_delete_where_is_copy_on_write(spark, table):
+    from pyspark.sql import functions as F
+
+    s1 = table.commit(spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"))
+    s2 = table.commit(spark.createDataFrame([("c", 3), ("d", 4)], "url string, v int"))
+    s3 = table.delete_where(spark, F.col("url") == "c")
+    assert _rows(table.read(spark)) == [("a", 1), ("b", 2), ("d", 4)]
+    # time travel still sees the deleted row
+    assert ("c", 3) in _rows(table.read(spark, s2))
+    # COW: only the file(s) containing 'c' were rewritten — the s1 files
+    # carry over by reference
+    m3 = table._load_manifest(s3)
+    m1 = table._load_manifest(s1)
+    assert set(m1["files"]) <= set(m3["files"])
+    assert m3["operation"] == "delete" and m3["removed_files"]
+    # a delete matching nothing is a metadata no-op (same snapshot id)
+    assert table.delete_where(spark, F.col("url") == "zzz") == s3
+
+
+def test_incremental_raises_across_delete(spark, table):
+    from pyspark.sql import functions as F
+
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.delete_where(spark, F.col("url") == "a")
+    s3 = table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    with pytest.raises(ValueError, match="delete snapshot"):
+        table.read_incremental(spark, from_id=s1, to_id=s3)
+
+
+def test_compact_rewrites_layout_not_rows(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int").repartition(4))
+    s2 = table.commit(spark.createDataFrame([("b", 2)], "url string, v int").repartition(4))
+    before = table._load_manifest(s2)["files"]
+    sc = table.compact(spark, target_files=1)
+    after = table._load_manifest(sc)["files"]
+    assert len(after) < len(before)
+    assert _rows(table.read(spark)) == [("a", 1), ("b", 2)]
+    # incremental across the compaction sees appended rows exactly once
+    s3 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+    delta = table.read_incremental(spark, from_id=s1, to_id=s3)
+    assert _rows(delta) == [("b", 2), ("c", 3)]
