@@ -4486,6 +4486,157 @@ def q_training_matrix(spark, sf_dir):
     return m2.select("user_id", "label_ts", "label", "cum_v_fp", "last_type")
 
 
+@query(
+    "target_encode_pit",
+    """WITH base AS (
+         SELECT event_id, event_type, ts, epoch_us(ts) AS u,
+                CASE WHEN value > 34.0 THEN 1 ELSE 0 END AS label
+         FROM events)
+       SELECT event_id, event_type, ts, label::BIGINT AS label,
+              (count(label) OVER w)::BIGINT AS cnt_past,
+              CASE WHEN (count(label) OVER w) = 0 THEN NULL
+                   ELSE CAST(round((sum(label) OVER w)::DOUBLE * 1000000.0
+                                   / (count(label) OVER w)) AS BIGINT)
+              END AS enc_fp
+       FROM base
+       WINDOW w AS (PARTITION BY event_type ORDER BY u
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""",
+)
+def q_target_encode_pit(spark, sf_dir):
+    """Point-in-time target encoding — the leakage-SAFE variant of the
+    classic categorical encoder: each row's encoding is the mean label
+    of STRICTLY-PAST rows in its category (expanding frame ending 1µs
+    before the current key), so the feature never sees its own or any
+    future label — train-serve-consistent by construction and exactly
+    the north rule's zero-leakage contract. Equal-timestamp rows share
+    identical frames (deterministic without a tiebreak). First
+    occurrence per category encodes NULL (the explicit cold-start
+    signal, not a silent prior)."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        epoch_micros(ev, "ts").alias("u"),
+        F.when(F.col("value") > 34.0, 1).otherwise(0).alias("label"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("u")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.count("label").over(w)
+    s = F.sum("label").over(w)
+    return base.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("label").cast("long").alias("label"),
+        cnt.cast("long").alias("cnt_past"),
+        F.when(
+            cnt == 0, F.lit(None).cast("long")
+        ).otherwise(
+            F.round(s.cast("double") * F.lit(1e6) / cnt, 0).cast("long")
+        ).alias("enc_fp"),
+    )
+
+
+_PSI_BINS = 8
+
+
+@query(
+    "feature_psi",
+    f"""WITH f AS (
+         SELECT doc_id, length(trim(text))::BIGINT AS ql,
+                doc_id < 250 AS is_ref
+         FROM documents),
+       rstats AS (
+         SELECT min(ql) AS rmin, max(ql) AS rmax FROM f WHERE is_ref),
+       binned AS (
+         SELECT CAST(greatest(least(floor((ql - rstats.rmin) * {_PSI_BINS}
+                                          / (rstats.rmax - rstats.rmin + 1)),
+                                    {_PSI_BINS - 1}), 0) AS BIGINT) AS bin,
+                is_ref
+         FROM f CROSS JOIN rstats),
+       cnts AS (
+         SELECT b.bin,
+                coalesce(sum(CASE WHEN binned.is_ref THEN 1 END), 0)::BIGINT AS ref_cnt,
+                coalesce(sum(CASE WHEN NOT binned.is_ref THEN 1 END), 0)::BIGINT AS cur_cnt
+         FROM (SELECT unnest(range({_PSI_BINS}))::BIGINT AS bin) b
+         LEFT JOIN binned ON binned.bin = b.bin
+         GROUP BY 1),
+       tot AS (SELECT sum(ref_cnt) AS n_ref, sum(cur_cnt) AS n_cur FROM cnts),
+       terms AS (
+         SELECT bin, ref_cnt, cur_cnt,
+                CAST(round(
+                  ((ref_cnt + 1)::DOUBLE / (tot.n_ref + {_PSI_BINS})
+                   - (cur_cnt + 1)::DOUBLE / (tot.n_cur + {_PSI_BINS}))
+                  * ln(((ref_cnt + 1)::DOUBLE / (tot.n_ref + {_PSI_BINS}))
+                       / ((cur_cnt + 1)::DOUBLE / (tot.n_cur + {_PSI_BINS})))
+                  * 1000000.0) AS BIGINT) AS term_fp
+         FROM cnts CROSS JOIN tot)
+       SELECT bin, ref_cnt, cur_cnt, term_fp,
+              sum(term_fp) OVER ()::BIGINT AS psi_total_fp
+       FROM terms""",
+)
+def q_feature_psi(spark, sf_dir):
+    """Population-stability-index drift monitor between a reference
+    corpus slice and the current one (the alarm a feature store raises
+    before a model silently degrades on a new crawl): reference-anchored
+    equal-width integer bins (exact int64 arithmetic, clamped), Laplace-
+    smoothed bin shares, each PSI term rounded ONCE to integer
+    micro-nats then summed exactly — per-bin evidence plus the headline
+    total on every row. Two partial-agg passes, 1-row broadcast stats;
+    nothing here breaks at 10^12 rows."""
+    d = _docs(spark, sf_dir)
+    f = d.select(
+        T.text_length("text").cast("long").alias("ql"),
+        (F.col("doc_id") < 250).alias("is_ref"),
+    )
+    rstats = f.where("is_ref").agg(
+        F.min("ql").alias("rmin"), F.max("ql").alias("rmax")
+    )
+    binned = f.crossJoin(F.broadcast(rstats)).select(
+        F.greatest(
+            F.least(
+                (F.col("ql") - F.col("rmin")) * _PSI_BINS
+                / (F.col("rmax") - F.col("rmin") + 1),
+                F.lit(_PSI_BINS - 1),
+            ),
+            F.lit(0),
+        ).cast("long").alias("bin"),
+        "is_ref",
+    )
+    cnts = (
+        spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+        .join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0))
+            .cast("long").alias("ref_cnt"),
+            F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0))
+            .cast("long").alias("cur_cnt"),
+        )
+    )
+    tot = cnts.agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    p = (F.col("ref_cnt") + 1).cast("double") / (F.col("n_ref") + _PSI_BINS)
+    q = (F.col("cur_cnt") + 1).cast("double") / (F.col("n_cur") + _PSI_BINS)
+    terms = cnts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round((p - q) * F.log(p / q) * F.lit(1e6), 0).cast("long").alias("term_fp"),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "*", F.sum("term_fp").over(wall).cast("long").alias("psi_total_fp")
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
