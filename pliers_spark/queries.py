@@ -4637,6 +4637,312 @@ def q_feature_psi(spark, sf_dir):
     )
 
 
+_DECAY_TIERS = 6
+_DECAY_H_US = 3_600_000_000  # 1h tier width in µs
+
+
+def _decay_tiers_sql() -> str:
+    cols, wins = [], []
+    for k in range(_DECAY_TIERS):
+        lo = (k + 1) * _DECAY_H_US - 1
+        hi = max(k * _DECAY_H_US, 1)
+        wins.append(
+            f"w{k} AS (PARTITION BY user_id ORDER BY u "
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} PRECEDING)"
+        )
+        cols.append(f"(count(*) OVER w{k})::BIGINT AS cnt_t{k}")
+    decayed = " + ".join(
+        f"count(*) OVER w{k} * {2 ** (_DECAY_TIERS - 1 - k)}"
+        for k in range(_DECAY_TIERS)
+    )
+    return (
+        "WITH base AS (SELECT event_id, user_id, ts, epoch_us(ts) AS u FROM events)\n"
+        "SELECT event_id, user_id, ts,\n  "
+        + ",\n  ".join(cols)
+        + f",\n  ({decayed})::BIGINT AS decayed_fp\nFROM base\nWINDOW "
+        + ",\n  ".join(wins)
+    )
+
+
+@query("decay_tiers", _decay_tiers_sql())
+def q_decay_tiers(spark, sf_dir):
+    """Tiered geometric time-decay counts — the feature store's EWMA
+    recency signal in EXACT integer arithmetic: the strictly-past hour
+    axis is cut into 6 half-open 1h tiers (t-(k+1)h, t-kh], tier k
+    weighted 2^(5-k), so decayed_fp halves per hour of age with no
+    float accumulation and no cross-engine drift. All 6 frames share
+    one (user_id, u) partition+order → a single Exchange and a single
+    Sort regardless of tier count (same 1-pass shape as rolling_multi).
+    Frames end at 1µs before the row: same-timestamp neighbours and the
+    row itself are excluded — zero leakage AND tie-determinism."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    out = ev.select(
+        "event_id", "user_id", "ts", epoch_micros(ev, "ts").alias("u")
+    )
+    decayed = F.lit(0)
+    for k in range(_DECAY_TIERS):
+        lo = -((k + 1) * _DECAY_H_US - 1)
+        hi = -max(k * _DECAY_H_US, 1)
+        w = Window.partitionBy("user_id").orderBy("u").rangeBetween(lo, hi)
+        cnt = F.count(F.lit(1)).over(w)
+        out = out.withColumn(f"cnt_t{k}", cnt.cast("long"))
+        decayed = decayed + F.col(f"cnt_t{k}") * F.lit(2 ** (_DECAY_TIERS - 1 - k))
+    return out.withColumn("decayed_fp", decayed.cast("long")).drop("u")
+
+
+@query(
+    "session_position",
+    f"""WITH flagged AS (
+         SELECT event_id, user_id, ts, epoch_us(ts) AS u,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged)
+       SELECT event_id, user_id, ts, session_id::BIGINT AS session_id,
+              row_number() OVER (PARTITION BY user_id, session_id
+                                 ORDER BY ts, event_id)::BIGINT AS pos_in_session,
+              (u - min(u) OVER (PARTITION BY user_id, session_id))::BIGINT
+                AS t_into_session_us,
+              gap_us::BIGINT AS gap_us
+       FROM sess""",
+)
+def q_session_position(spark, sf_dir):
+    """Event-grain within-session features that are leakage-safe by
+    construction: position-in-session, µs since session start, and gap
+    to the previous event all derive from the CURRENT and EARLIER rows
+    only (session start is the first event's own timestamp — known the
+    moment it happens, unlike session end/duration which are future
+    facts and belong in session-grain offline rollups like `sessionize`).
+    Session assignment reuses temporal.sessionize's running-flag-sum;
+    both window layers share the user_id shuffle. Ties broken by
+    event_id so row_number is deterministic."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    u = epoch_micros(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("event_id", "user_id", "ts", u.alias("u"))
+    prev_u = F.lag("u").over(w)
+    flagged = base.select(
+        "*",
+        F.when(
+            prev_u.isNull()
+            | ((F.col("u") - prev_u) > _SESSION_GAP_S * 1_000_000),
+            1,
+        ).otherwise(0).alias("is_new"),
+        (F.col("u") - prev_u).alias("gap_us"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(wc))
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id", "session_id")
+    return sess.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.row_number().over(ws).cast("long").alias("pos_in_session"),
+        (F.col("u") - F.min("u").over(wall)).cast("long").alias("t_into_session_us"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
+
+
+@query(
+    "label_horizon",
+    """WITH base AS (
+         SELECT event_id, user_id, ts, epoch_us(ts) AS u, event_type,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events)
+       SELECT event_id, user_id, ts,
+              (count(*) OVER w1)::BIGINT AS future_cnt_1h,
+              coalesce(sum(v_fp) OVER w1, 0)::BIGINT AS future_sum_1h_fp,
+              coalesce(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         OVER w24, 0)::BIGINT AS label_error_24h
+       FROM base
+       WINDOW
+         w1 AS (PARTITION BY user_id ORDER BY u
+                RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING),
+         w24 AS (PARTITION BY user_id ORDER BY u
+                 RANGE BETWEEN 1 FOLLOWING AND 86400000000 FOLLOWING)""",
+)
+def q_label_horizon(spark, sf_dir):
+    """Forward-horizon label construction — the ONE place future rows
+    are legal: supervision targets. For each event, activity count/sum
+    over (t, t+1h] and a binary did-an-error-occur flag over (t, t+24h],
+    as strictly-FORWARD range frames (offset 1 excludes the row itself
+    and its same-timestamp peers, so labels are tie-deterministic and
+    never self-referential). Paired with target_encode_pit /
+    training_matrix this completes the leakage discipline: features
+    look strictly back, labels strictly forward, same single per-entity
+    shuffle either way."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        epoch_micros(ev, "ts").alias("u"),
+        "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    w1 = Window.partitionBy("user_id").orderBy("u").rangeBetween(1, 3_600_000_000)
+    w24 = Window.partitionBy("user_id").orderBy("u").rangeBetween(1, 86_400_000_000)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w1).cast("long").alias("future_cnt_1h"),
+        F.coalesce(F.sum("v_fp").over(w1), F.lit(0)).cast("long")
+        .alias("future_sum_1h_fp"),
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w24),
+            F.lit(0),
+        ).cast("long").alias("label_error_24h"),
+    )
+
+
+_MI_MIN_DF = 5
+_MI_LABEL_LEN = 300
+
+
+@query(
+    "token_label_mi",
+    f"""WITH docs2 AS (
+         SELECT doc_id,
+                CASE WHEN length(trim(text)) > {_MI_LABEL_LEN} THEN 1 ELSE 0 END AS label,
+                list_distinct({_tok_sql()}) AS toks
+         FROM documents),
+       tot AS (SELECT sum(label) AS n_pos, count(*) - sum(label) AS n_neg FROM docs2),
+       tl AS (
+         SELECT unnest(toks) AS token, label FROM docs2),
+       cnt AS (
+         SELECT token,
+                sum(label)::BIGINT AS n11,
+                (count(*) - sum(label))::BIGINT AS n10
+         FROM tl GROUP BY token HAVING count(*) >= {_MI_MIN_DF}),
+       cells AS (
+         SELECT token, n11, n10,
+                (tot.n_pos - n11)::BIGINT AS n01,
+                (tot.n_neg - n10)::BIGINT AS n00,
+                (tot.n_pos + tot.n_neg)::BIGINT AS n
+         FROM cnt CROSS JOIN tot),
+       mi AS (
+         SELECT token, n11, n10, n01, n00,
+                (CAST(round(((n11 + 1.0) / (n + 4)) * ln((n11 + 1.0) * (n + 4)
+                     / ((n11 + n10 + 2.0) * (n11 + n01 + 2.0))) * 1000000.0) AS BIGINT)
+               + CAST(round(((n10 + 1.0) / (n + 4)) * ln((n10 + 1.0) * (n + 4)
+                     / ((n11 + n10 + 2.0) * (n10 + n00 + 2.0))) * 1000000.0) AS BIGINT)
+               + CAST(round(((n01 + 1.0) / (n + 4)) * ln((n01 + 1.0) * (n + 4)
+                     / ((n01 + n00 + 2.0) * (n11 + n01 + 2.0))) * 1000000.0) AS BIGINT)
+               + CAST(round(((n00 + 1.0) / (n + 4)) * ln((n00 + 1.0) * (n + 4)
+                     / ((n01 + n00 + 2.0) * (n10 + n00 + 2.0))) * 1000000.0) AS BIGINT)
+                ) AS mi_fp
+         FROM cells)
+       SELECT token, n11, n10, n01, n00, mi_fp
+       FROM mi ORDER BY mi_fp DESC, token LIMIT 100""",
+)
+def q_token_label_mi(spark, sf_dir):
+    """Mutual-information feature selection (token presence vs a doc
+    label): per-token 2x2 contingency from ONE explode+groupBy of
+    distinct tokens (map-side partial agg; the label marginals are a
+    1-row broadcast), Laplace-smoothed pointwise terms each rounded
+    ONCE to integer micro-nats (the feature_psi determinism recipe),
+    min_df gate, top-100 by (mi_fp, token) — deterministic under ties.
+    This is the supervised cousin of tfidf: the standard cheap filter
+    before training a quality/edu classifier at corpus scale."""
+    d = _docs(spark, sf_dir)
+    docs2 = d.select(
+        F.when(T.text_length("text") > _MI_LABEL_LEN, 1).otherwise(0).alias("label"),
+        F.array_distinct(T.tokenize(F.col("text"))).alias("toks"),
+    )
+    tot = docs2.agg(
+        F.sum("label").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n_neg"),
+    )
+    cnt = (
+        docs2.select(F.explode("toks").alias("token"), "label")
+        .groupBy("token")
+        .agg(
+            F.sum("label").cast("long").alias("n11"),
+            (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n10"),
+        )
+        .where(F.col("n11") + F.col("n10") >= _MI_MIN_DF)
+    )
+    cells = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n11",
+        "n10",
+        (F.col("n_pos") - F.col("n11")).cast("long").alias("n01"),
+        (F.col("n_neg") - F.col("n10")).cast("long").alias("n00"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+    )
+
+    def term(nij, row_m, col_m):
+        p = (nij + F.lit(1.0)) / (F.col("n") + 4)
+        lift = (nij + F.lit(1.0)) * (F.col("n") + 4) / ((row_m + F.lit(2.0)) * (col_m + F.lit(2.0)))
+        return F.round(p * F.log(lift) * F.lit(1e6), 0).cast("long")
+
+    n11, n10, n01, n00 = (F.col(c) for c in ("n11", "n10", "n01", "n00"))
+    mi = cells.select(
+        "token", "n11", "n10", "n01", "n00",
+        (
+            term(n11, n11 + n10, n11 + n01)
+            + term(n10, n11 + n10, n10 + n00)
+            + term(n01, n01 + n00, n11 + n01)
+            + term(n00, n01 + n00, n10 + n00)
+        ).alias("mi_fp"),
+    )
+    return mi.orderBy(F.desc("mi_fp"), "token").limit(100)
+
+
+_CROSS_BUCKETS = 64
+
+
+@query(
+    "hashed_cross",
+    f"""WITH pairs AS (
+         SELECT event_type || '|' || CAST(hour(ts) AS VARCHAR) AS cross_key
+         FROM events)
+       SELECT CAST({md5_int_sql('cross_key')} % {_CROSS_BUCKETS} AS BIGINT) AS bucket,
+              count(*)::BIGINT AS n_events,
+              count(DISTINCT cross_key)::BIGINT AS n_crosses
+       FROM pairs GROUP BY 1""",
+)
+def q_hashed_cross(spark, sf_dir):
+    """Feature-hashing trick over a categorical cross (event_type x
+    hour-of-day → fixed 64-bucket space): the md5-derived bucket is a
+    pure per-row map (no vocabulary build, no second pass — the whole
+    point of hashing features at 10^12 rows), then one groupBy with
+    map-side partial agg; n_crosses per bucket surfaces the collision
+    rate the dimensionality trade bought. Bit-identical across engines
+    because the hash is md5-prefix arithmetic (functions/hashing.py)."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.hour("ts").cast("string")
+        ).alias("cross_key")
+    )
+    return (
+        pairs.withColumn(
+            "bucket", (md5_int(F.col("cross_key")) % _CROSS_BUCKETS).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("cross_key").cast("long").alias("n_crosses"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates

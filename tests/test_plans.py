@@ -466,3 +466,28 @@ def test_rolling_multi_shares_one_sort_across_horizons(spark):
     assert plan.count("+- Sort ") == 1, plan
     # Spark collapses all six frames into a single Window operator
     assert plan.count("+- Window ") == 1, plan
+
+
+def test_decay_tiers_and_labels_share_one_exchange(spark):
+    """The 6-tier decay pass and the forward-label pass each reuse ONE
+    (user_id, u) Exchange+Sort+Window — recency features and horizon
+    labels cost one shuffle apiece no matter how many frames ride it."""
+    from pliers_spark.queries import QUERIES
+
+    for name in ("decay_tiers", "label_horizon"):
+        plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert plan.count("+- Sort ") == 1, (name, plan)
+        assert plan.count("+- Window ") == 1, (name, plan)
+        assert "PythonUDF" not in plan, name
+
+
+def test_session_position_single_shuffle(spark):
+    """Both window layers (user_id) and (user_id, session_id) must ride
+    one user_id Exchange: the second layer's keys are a superset, so
+    only an intra-partition re-Sort is allowed, never a new shuffle."""
+    from pliers_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["session_position"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan, plan
