@@ -4943,6 +4943,364 @@ def q_hashed_cross(spark, sf_dir):
     )
 
 
+@query(
+    "scd2_build",
+    """WITH ordered AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       changes AS (
+         SELECT user_id, ts AS valid_from, event_type AS state
+         FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+       SELECT user_id, state, valid_from,
+              lead(valid_from) OVER w AS valid_to,
+              row_number() OVER w::BIGINT AS version,
+              (lead(valid_from) OVER w IS NULL) AS is_current
+       FROM changes
+       WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)""",
+)
+def q_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from an event log: keep
+    only rows where the tracked state CHANGES (lag compare), then
+    lead() closes each interval — (user, state, valid_from, valid_to,
+    version, is_current). This is the dimension table the as-of join /
+    training_matrix reads for point-in-time categorical state, produced
+    in one entity shuffle shared by both window layers (change rows are
+    a subset, so the second Sort is intra-partition). Ties broken by
+    event_id; valid_to is exclusive and NULL on the open interval."""
+    ev = _events(spark, sf_dir)
+    w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w0).alias("prev_type"),
+    )
+    changes = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("ts").alias("valid_from"),
+             F.col("event_type").alias("state"))
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "funnel_steps",
+    """WITH base AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS u FROM events),
+       scanned AS (
+         SELECT user_id, event_type, u,
+                min(CASE WHEN event_type = 'view' THEN u END) OVER w AS v_min
+         FROM base WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id
+                                ROWS UNBOUNDED PRECEDING)),
+       s2 AS (
+         SELECT user_id, event_type, u, v_min,
+                min(CASE WHEN event_type = 'click' AND v_min < u THEN u END)
+                  OVER w AS c_min
+         FROM scanned WINDOW w AS (PARTITION BY user_id ORDER BY u
+                                   ROWS UNBOUNDED PRECEDING))
+       SELECT user_id,
+              min(v_min)::BIGINT AS view_u,
+              min(c_min)::BIGINT AS click_u,
+              min(CASE WHEN event_type = 'purchase' AND c_min < u THEN u END)
+                ::BIGINT AS purchase_u,
+              (CASE WHEN min(CASE WHEN event_type = 'purchase' AND c_min < u
+                                  THEN u END) IS NOT NULL THEN 3
+                    WHEN min(c_min) IS NOT NULL THEN 2
+                    WHEN min(v_min) IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
+       FROM s2 GROUP BY user_id""",
+)
+def q_funnel_steps(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase) in ONE sorted
+    scan per entity — no self-joins, no per-step passes: a running min
+    of qualifying-step timestamps makes step k's predicate 'after the
+    earliest step-(k-1) completion so far' a plain window expression,
+    so the classic product-analytics sequence match costs exactly one
+    (user_id, u) Exchange+Sort however deep the funnel. Strict '<'
+    keeps one event from serving two steps; final per-user agg reports
+    each step's completion time and the funnel depth reached."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", "event_type", epoch_micros(ev, "ts").alias("u")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("u", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = F.col("u")
+    v_min = F.min(F.when(F.col("event_type") == "view", u)).over(w)
+    scanned = base.select("user_id", "event_type", "u", v_min.alias("v_min"))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c_min = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("v_min") < u), u)
+    ).over(w2)
+    s2 = scanned.select("user_id", "event_type", "u", "v_min", c_min.alias("c_min"))
+    p_u = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("c_min") < u), u)
+    )
+    return s2.groupBy("user_id").agg(
+        F.min("v_min").cast("long").alias("view_u"),
+        F.min("c_min").cast("long").alias("click_u"),
+        p_u.cast("long").alias("purchase_u"),
+        F.when(p_u.isNotNull(), 3)
+        .when(F.min("c_min").isNotNull(), 2)
+        .when(F.min("v_min").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("depth"),
+    )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "retention_cohorts",
+    f"""WITH uw AS (
+         SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week_idx FROM events),
+       firsts AS (
+         SELECT user_id, min(week_idx) AS cohort_w FROM uw GROUP BY user_id),
+       active AS (SELECT DISTINCT user_id, week_idx FROM uw)
+       SELECT f.cohort_w::BIGINT AS cohort_w,
+              (a.week_idx - f.cohort_w)::BIGINT AS week_offset,
+              count(*)::BIGINT AS n_users
+       FROM active a JOIN firsts f USING (user_id)
+       GROUP BY 1, 2""",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention-cohort matrix (the crawl-revisit loyalty table): epoch
+    weeks (integer µs division — no calendar/timezone semantics to
+    disagree on across engines), first-week cohort per entity, distinct
+    active (entity, week) pairs, then cohort x offset user counts. The
+    cohort table is entity-grain (small) so the join broadcasts at any
+    corpus scale; both aggs are map-side partial."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.floor(epoch_micros(ev, "ts") / _WEEK_US).alias("week_idx")
+    )
+    firsts = uw.groupBy("user_id").agg(F.min("week_idx").alias("cohort_w"))
+    active = uw.distinct()
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("cohort_w").cast("long").alias("cohort_w"),
+            (F.col("week_idx") - F.col("cohort_w")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "cdc_merge",
+    """WITH base AS (
+         SELECT event_id AS key, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events WHERE event_id < 5000),
+       ch AS (
+         SELECT event_id - 5000 AS key,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                CAST(round(value * 1000000.0) AS BIGINT) AS new_v
+         FROM events WHERE event_id >= 5000)
+       SELECT coalesce(b.key, c.key)::BIGINT AS key,
+              (CASE WHEN c.op = 'U' THEN c.new_v ELSE b.v_fp END)::BIGINT AS v_fp,
+              CASE WHEN c.op IS NULL THEN 'kept'
+                   WHEN b.key IS NULL THEN 'inserted'
+                   ELSE 'updated' END AS action
+       FROM base b FULL JOIN ch c ON b.key = c.key
+       WHERE c.op IS NULL OR c.op <> 'D'""",
+)
+def q_cdc_merge(spark, sf_dir):
+    """MERGE INTO semantics (the lakehouse CDC apply step) as one full
+    outer join on the key: unmatched base rows are kept, 'U' changes
+    update-or-insert, 'D' changes delete — all resolved with plain
+    conditional projection, no per-row Python and exactly one key
+    shuffle (AQE splits skewed keys at scale; a real run would write
+    copy-on-write files like sources/snapshots.delete_rows). The change
+    feed here is derived deterministically from the events table so the
+    oracle replays the identical merge."""
+    ev = _events(spark, sf_dir)
+    v_fp = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    base = ev.where(F.col("event_id") < 5000).select(
+        F.col("event_id").alias("key"), v_fp.alias("v_fp")
+    )
+    ch = ev.where(F.col("event_id") >= 5000).select(
+        (F.col("event_id") - 5000).alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        v_fp.alias("new_v"),
+    )
+    j = base.join(ch, "key", "full")
+    return (
+        j.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.when(F.col("op") == "U", F.col("new_v"))
+            .otherwise(F.col("v_fp"))
+            .cast("long")
+            .alias("v_fp"),
+            F.when(F.col("op").isNull(), "kept")
+            .when(F.col("v_fp").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+
+
+_CV_FOLDS = 4
+_CV_EMBARGO_US = 3_600_000_000  # 1h purge gap between train end and test start
+
+
+@query(
+    "walk_forward_cv",
+    f"""WITH base AS (SELECT event_id, epoch_us(ts) AS u FROM events),
+       bounds AS (SELECT min(u) AS u0,
+                         (max(u) - min(u)) // {_CV_FOLDS} AS span FROM base),
+       folds AS (
+         SELECT f.fold, bounds.u0 + f.fold * bounds.span AS test_start,
+                bounds.u0 + (f.fold + 1) * bounds.span AS test_end
+         FROM (SELECT unnest(range({_CV_FOLDS}))::BIGINT AS fold) f
+         CROSS JOIN bounds)
+       SELECT b.event_id, f.fold,
+              CASE WHEN b.u >= f.test_start AND b.u < f.test_end THEN 'test'
+                   ELSE 'train' END AS role
+       FROM base b CROSS JOIN folds f
+       WHERE (b.u >= f.test_start AND b.u < f.test_end)
+          OR b.u < f.test_start - {_CV_EMBARGO_US}""",
+)
+def q_walk_forward_cv(spark, sf_dir):
+    """Walk-forward (purged) cross-validation assignment — the
+    time-series CV that respects the zero-leakage rule: fold k tests on
+    window k and trains ONLY on rows ending an embargo gap before the
+    test window starts (rows inside the gap are excluded entirely, so
+    rolling features computed near the boundary can't smuggle test-set
+    information into training). Fold boundaries are integer-µs
+    arithmetic off a 1-row broadcast bounds agg; assignment is a
+    broadcast cross with a 4-row fold spec — a pure per-row map at any
+    corpus scale. Ordinary k-fold on time-series data leaks; this is
+    the standard fix (cf. combinatorial purged CV in the quant ML
+    literature)."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select("event_id", epoch_micros(ev, "ts").alias("u"))
+    bounds = base.agg(
+        F.min("u").alias("u0"),
+        F.floor((F.max("u") - F.min("u")) / _CV_FOLDS).alias("span"),
+    )
+    folds = (
+        spark.range(_CV_FOLDS)
+        .select(F.col("id").alias("fold"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "fold",
+            (F.col("u0") + F.col("fold") * F.col("span")).alias("test_start"),
+            (F.col("u0") + (F.col("fold") + 1) * F.col("span")).alias("test_end"),
+        )
+    )
+    j = base.crossJoin(F.broadcast(folds))
+    in_test = (F.col("u") >= F.col("test_start")) & (F.col("u") < F.col("test_end"))
+    in_train = F.col("u") < F.col("test_start") - _CV_EMBARGO_US
+    return j.where(in_test | in_train).select(
+        "event_id",
+        F.col("fold").cast("long").alias("fold"),
+        F.when(in_test, "test").otherwise("train").alias("role"),
+    )
+
+
+_ANOM_WIN = 100
+_ANOM_MIN_N = 20
+
+
+@query(
+    "rolling_anomaly",
+    f"""WITH base AS (
+         SELECT event_id, user_id, epoch_us(ts) AS u,
+                CAST(round(value * 100.0) AS BIGINT) AS c
+         FROM events),
+       stats AS (
+         SELECT event_id, user_id, c,
+                count(*) OVER w::BIGINT AS n_win,
+                sum(c) OVER w AS s,
+                sum(c * c) OVER w AS ss
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id
+                      ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id, n_win,
+              CASE WHEN n_win >= {_ANOM_MIN_N} AND n_win * ss - s * s > 0
+                   THEN CAST(round(
+                     (c - s::DOUBLE / n_win)
+                     / sqrt((n_win * ss - s * s)::DOUBLE / (n_win * (n_win - 1)))
+                     * 1000000.0) AS BIGINT)
+              END AS z_fp,
+              coalesce(abs(CASE WHEN n_win >= {_ANOM_MIN_N}
+                                     AND n_win * ss - s * s > 0
+                   THEN CAST(round(
+                     (c - s::DOUBLE / n_win)
+                     / sqrt((n_win * ss - s * s)::DOUBLE / (n_win * (n_win - 1)))
+                     * 1000000.0) AS BIGINT) END) > 3000000, FALSE) AS is_anomaly
+       FROM stats""",
+)
+def q_rolling_anomaly(spark, sf_dir):
+    """Trailing z-score anomaly flag with EXACT sufficient statistics:
+    the strictly-past {_ANOM_WIN}-row frame carries int64 sum and
+    sum-of-squares of centi-scaled values (bounded frame ⇒ bounded
+    magnitude at ANY corpus size), variance comes from the integer
+    identity n·Σx² − (Σx)², and the only float ops are IEEE-exact
+    divide/sqrt rounded ONCE to micro-z — bit-stable across engines.
+    One (user_id) shuffle; NULL z below {_ANOM_MIN_N} warm-up rows or
+    on zero variance (explicit cold-start signal, mirroring
+    target_encode_pit)."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        epoch_micros(ev, "ts").alias("u"),
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("u", "event_id")
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    stats = base.select(
+        "event_id",
+        "user_id",
+        "c",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_win"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    n, s, ss = F.col("n_win"), F.col("s"), F.col("ss")
+    var_num = n * ss - s * s
+    z = F.round(
+        (F.col("c") - s.cast("double") / n)
+        / F.sqrt(var_num.cast("double") / (n * (n - 1)))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    z_col = F.when((n >= _ANOM_MIN_N) & (var_num > 0), z)
+    return stats.select(
+        "event_id",
+        "user_id",
+        "n_win",
+        z_col.alias("z_fp"),
+        F.coalesce(F.abs(z_col) > 3_000_000, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates

@@ -491,3 +491,15 @@ def test_session_position_single_shuffle(spark):
     plan = plan_of(QUERIES["session_position"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 1, plan
     assert "PythonUDF" not in plan, plan
+
+
+def test_funnel_scd2_anomaly_single_shuffle(spark):
+    """The single-sorted-scan family — SCD2 build (lag + lead/rownum
+    layers), ordered funnel (two running-min layers + final agg), and
+    trailing z-score — must each cost exactly ONE entity Exchange."""
+    from pliers_spark.queries import QUERIES
+
+    for name in ("scd2_build", "funnel_steps", "rolling_anomaly"):
+        plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "PythonUDF" not in plan, name
