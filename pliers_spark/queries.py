@@ -5301,6 +5301,131 @@ def q_rolling_anomaly(spark, sf_dir):
     )
 
 
+@query(
+    "winsorize",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::BIGINT AS ql FROM documents),
+       ranked AS (
+         SELECT doc_id, lang, ql,
+                row_number() OVER (PARTITION BY lang ORDER BY ql, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM f),
+       cut AS (
+         SELECT *,
+                max(CASE WHEN rn = (5 * n + 99) // 100 THEN ql END)
+                  OVER (PARTITION BY lang) AS lo,
+                max(CASE WHEN rn = (95 * n + 99) // 100 THEN ql END)
+                  OVER (PARTITION BY lang) AS hi
+         FROM ranked)
+       SELECT doc_id, lang, ql, lo::BIGINT AS lo, hi::BIGINT AS hi,
+              greatest(least(ql, hi), lo)::BIGINT AS ql_w
+       FROM cut""",
+)
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization at the exact p5/p95 ORDER STATISTICS —
+    rank selection (row_number = ceil(p·n)) instead of interpolated
+    percentiles, so the cut points are actual data values in pure
+    integer arithmetic: no interpolation formula to disagree on across
+    engines and no approx-percentile sketch error. Rank pass and
+    cut-broadcast pass share one lang shuffle (the second window is an
+    unbounded frame over the same partition — no new Exchange); clamp
+    is a narrow map. The standard heavy-tail guard before z-scoring a
+    feature (pairs with feature_zscore / rolling_anomaly)."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
+    wr = Window.partitionBy("lang").orderBy("ql", "doc_id")
+    wall = Window.partitionBy("lang")
+    ranked = f.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    lo_rank = F.floor((5 * F.col("n") + 99) / 100)
+    hi_rank = F.floor((95 * F.col("n") + 99) / 100)
+    cut = ranked.select(
+        "*",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("ql"))).over(wall).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("ql"))).over(wall).alias("hi"),
+    )
+    return cut.select(
+        "doc_id", "lang", "ql",
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.greatest(F.least(F.col("ql"), F.col("hi")), F.col("lo"))
+        .cast("long").alias("ql_w"),
+    )
+
+
+_BOOT_B = 64
+
+
+@query(
+    "bootstrap_ci",
+    f"""WITH reps AS (
+         SELECT b.b, d.doc_id, length(trim(d.text))::BIGINT AS ql
+         FROM documents d
+         CROSS JOIN (SELECT unnest(range({_BOOT_B}))::BIGINT AS b) b
+         WHERE {md5_int_sql("concat(CAST(b.b AS VARCHAR), ':', CAST(d.doc_id AS VARCHAR))")} % 2 = 0),
+       means AS (
+         SELECT b, count(*)::BIGINT AS n_docs,
+                CAST(round(sum(ql)::DOUBLE * 1000000.0 / count(*)) AS BIGINT)
+                  AS mean_fp
+         FROM reps GROUP BY b),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY mean_fp, b) AS rn FROM means)
+       SELECT b, n_docs, mean_fp,
+              max(CASE WHEN rn = {max(1, (25 * _BOOT_B + 999) // 1000)} THEN mean_fp END)
+                OVER ()::BIGINT AS ci_lo_fp,
+              max(CASE WHEN rn = {(975 * _BOOT_B + 999) // 1000} THEN mean_fp END)
+                OVER ()::BIGINT AS ci_hi_fp
+       FROM ranked""",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic subsample-bootstrap confidence interval for a
+    corpus metric (mean doc length): replicate b keeps a doc iff
+    md5(b:doc_id) is even — reproducible across retries/executors, no
+    rand() — so each of the {_BOOT_B} half-samples is a fixed function
+    of the data. Replicate means are exact int64 micro-units rounded
+    once; the 2.5/97.5 CI endpoints are ORDER STATISTICS over the
+    {_BOOT_B}-row replicate table (tiny, single partition by
+    construction). Scale shape: one corpus scan fanned out ×B with
+    map-side partial aggs — only B rows ever shuffle, the textbook
+    distributed-bootstrap plan."""
+    d = _docs(spark, sf_dir)
+    reps = (
+        d.select("doc_id", T.text_length("text").cast("long").alias("ql"))
+        .crossJoin(
+            F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
+        )
+        .where(
+            md5_int(
+                F.concat(
+                    F.col("b").cast("string"), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ) % 2
+            == 0
+        )
+    )
+    means = reps.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("ql").cast("double") * F.lit(1e6) / F.count(F.lit(1)), 0)
+        .cast("long").alias("mean_fp"),
+    )
+    wr = Window.orderBy("mean_fp", "b")
+    wall = Window.partitionBy()
+    lo_rank = max(1, (25 * _BOOT_B + 999) // 1000)
+    hi_rank = (975 * _BOOT_B + 999) // 1000
+    ranked = means.select("*", F.row_number().over(wr).alias("rn"))
+    return ranked.select(
+        "b", "n_docs", "mean_fp",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("mean_fp"))).over(wall)
+        .cast("long").alias("ci_lo_fp"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("mean_fp"))).over(wall)
+        .cast("long").alias("ci_hi_fp"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
