@@ -5426,6 +5426,230 @@ def q_bootstrap_ci(spark, sf_dir):
     )
 
 
+@query(
+    "dq_checks",
+    """SELECT 'pk_unique_orders' AS check_name,
+              (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations
+       FROM orders
+       UNION ALL
+       SELECT 'fk_orders_customer',
+              count(*)::BIGINT
+       FROM orders o WHERE o.o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       UNION ALL
+       SELECT 'fk_lineitem_orders',
+              count(*)::BIGINT
+       FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       UNION ALL
+       SELECT 'discount_in_unit_range',
+              sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                ::BIGINT
+       FROM lineitem
+       UNION ALL
+       SELECT 'quantity_positive',
+              sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT
+       FROM lineitem
+       UNION ALL
+       SELECT 'custkey_not_null',
+              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+       FROM orders""",
+)
+def q_dq_checks(spark, sf_dir):
+    """Deequ-style declarative data-quality audit — one row per
+    constraint with its violation count: primary-key uniqueness,
+    two referential-integrity checks as LEFT ANTI joins (customer
+    broadcasts — it's the dimension; lineitem→orders shuffles on the
+    key like any fact-fact join), and three scalar range/null checks
+    that are pure map-side conditional sums. Each check is a 1-row
+    aggregate, so the union ships six rows total no matter the corpus
+    size — the audit you run before promoting a snapshot (pairs with
+    sources/snapshots lineage)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, df_cnt):
+        return df_cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+    )
+    fk1 = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk2 = (
+        lineitem.select(F.col("l_orderkey").alias("k"))
+        .join(orders.select(F.col("o_orderkey").alias("k")), "k", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rng = lineitem.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("n")
+    )
+    pos = lineitem.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n")
+    )
+    nn = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n")
+    )
+    return (
+        one("pk_unique_orders", pk)
+        .unionAll(one("fk_orders_customer", fk1))
+        .unionAll(one("fk_lineitem_orders", fk2))
+        .unionAll(one("discount_in_unit_range", rng))
+        .unionAll(one("quantity_positive", pos))
+        .unionAll(one("custkey_not_null", nn))
+    )
+
+
+@query(
+    "table_profile",
+    """WITH s AS (
+         SELECT count(*) AS n,
+                count(*) - count(event_id) AS null_event_id,
+                count(DISTINCT event_id) AS d_event_id,
+                min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+                count(*) - count(user_id) AS null_user_id,
+                count(DISTINCT user_id) AS d_user_id,
+                min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+                count(*) - count(ts) AS null_ts,
+                count(DISTINCT ts) AS d_ts,
+                min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+                count(*) - count(value) AS null_value,
+                count(DISTINCT value) AS d_value,
+                min(CAST(round(value * 1000000.0) AS BIGINT)) AS min_value,
+                max(CAST(round(value * 1000000.0) AS BIGINT)) AS max_value,
+                count(*) - count(event_type) AS null_event_type,
+                count(DISTINCT event_type) AS d_event_type
+         FROM events)
+       SELECT 'event_id' AS col_name, n::BIGINT AS n_rows,
+              null_event_id::BIGINT AS n_null, d_event_id::BIGINT AS n_distinct,
+              min_event_id::BIGINT AS min_fp, max_event_id::BIGINT AS max_fp
+       FROM s
+       UNION ALL
+       SELECT 'user_id', n, null_user_id, d_user_id, min_user_id, max_user_id FROM s
+       UNION ALL
+       SELECT 'ts', n, null_ts, d_ts, min_ts, max_ts FROM s
+       UNION ALL
+       SELECT 'value_fp', n, null_value, d_value, min_value, max_value FROM s
+       UNION ALL
+       SELECT 'event_type', n, null_event_type, d_event_type, NULL, NULL FROM s""",
+)
+def q_table_profile(spark, sf_dir):
+    """Single-pass column profiler (the deequ/dbt-docs summary stats
+    table): null counts, distinct cardinalities, and numeric/timestamp
+    min-max for five columns computed in ONE aggregate over ONE scan —
+    then unpivoted to a row-per-column report with a narrow stack().
+    Non-numeric columns report NULL extrema rather than lexicographic
+    fakes. countDistinct on several columns in one agg expands via
+    Spark's expand operator — still a single source scan, which is the
+    whole game when the source is 100 TB."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    v_fp = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    n = F.count(F.lit(1))
+    s = ev.agg(
+        n.alias("n"),
+        (n - F.count("event_id")).alias("null_event_id"),
+        F.countDistinct("event_id").alias("d_event_id"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        (n - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        (n - F.count("ts")).alias("null_ts"),
+        F.countDistinct("ts").alias("d_ts"),
+        F.min(epoch_micros(ev, "ts")).alias("min_ts"),
+        F.max(epoch_micros(ev, "ts")).alias("max_ts"),
+        (n - F.count("value")).alias("null_value"),
+        F.countDistinct("value").alias("d_value"),
+        F.min(v_fp).alias("min_value"),
+        F.max(v_fp).alias("max_value"),
+        (n - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").alias("d_event_type"),
+    )
+    stacked = s.select(
+        F.expr(
+            """stack(5,
+                 'event_id',  null_event_id,  d_event_id,  min_event_id, max_event_id,
+                 'user_id',   null_user_id,   d_user_id,   min_user_id,  max_user_id,
+                 'ts',        null_ts,        d_ts,        min_ts,       max_ts,
+                 'value_fp',  null_value,     d_value,     min_value,    max_value,
+                 'event_type',null_event_type,d_event_type,
+                              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+               ) AS (col_name, n_null, n_distinct, min_fp, max_fp)"""
+        ),
+        F.col("n"),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("min_fp").cast("long").alias("min_fp"),
+        F.col("max_fp").cast("long").alias("max_fp"),
+    )
+
+
+@query(
+    "seasonal_profile",
+    """WITH base AS (
+         SELECT event_id, hour(ts) AS hod,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       prof AS (
+         SELECT hod, count(*)::BIGINT AS n,
+                CAST(round(sum(v_fp)::DOUBLE / count(*)) AS BIGINT) AS hour_mean_fp
+         FROM base GROUP BY hod)
+       SELECT b.event_id, b.hod::BIGINT AS hod, b.v_fp,
+              p.hour_mean_fp, (b.v_fp - p.hour_mean_fp)::BIGINT AS resid_fp
+       FROM base b JOIN prof p USING (hod)""",
+)
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonal (hour-of-day) profile + residual features — the
+    de-seasonalization step before anomaly scoring or forecasting:
+    a 24-row mean profile from one map-side partial agg, broadcast back
+    onto the events so the residual is a pure per-row map (no second
+    shuffle of the fact table, ever). Means are int64 micro-units
+    rounded once; residuals are exact integer differences. hour() is
+    UTC-deterministic on both engines."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    prof = base.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v_fp").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long").alias("hour_mean_fp"),
+    )
+    return (
+        base.join(F.broadcast(prof.select("hod", "hour_mean_fp")), "hod")
+        .select(
+            "event_id",
+            F.col("hod").cast("long").alias("hod"),
+            "v_fp",
+            "hour_mean_fp",
+            (F.col("v_fp") - F.col("hour_mean_fp")).cast("long").alias("resid_fp"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
