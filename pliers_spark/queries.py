@@ -5650,6 +5650,217 @@ def q_seasonal_profile(spark, sf_dir):
     )
 
 
+@query(
+    "transition_matrix",
+    """WITH pairs AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type,
+                event_type AS next_type
+         FROM events),
+       cnt AS (
+         SELECT prev_type, next_type, count(*)::BIGINT AS n
+         FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+              CAST(round(n::DOUBLE * 1000000.0 / sum(n) OVER
+                         (PARTITION BY prev_type)) AS BIGINT) AS p_fp
+       FROM cnt""",
+)
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-entity event
+    sequences (the behavioral-prior table for session models and
+    next-event prediction): lag pairs from one entity-sorted window
+    pass, bigram counts with map-side partial agg, then row-normalized
+    probabilities where the denominator is a window sum over the
+    TYPE×TYPE matrix (≤25 rows here — never the fact table). Integer
+    micro-probabilities rounded once."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double") * F.lit(1e6) / F.sum("n").over(wrow), 0)
+        .cast("long").alias("p_fp"),
+    )
+
+
+_AC_MIN_N = 10
+
+
+@query(
+    "autocorr_lag1",
+    f"""WITH base AS (
+         SELECT user_id, CAST(round(value * 100.0) AS BIGINT) AS y,
+                lag(CAST(round(value * 100.0) AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS x
+         FROM events),
+       s AS (
+         SELECT user_id, count(*)::BIGINT AS n,
+                sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                sum(x * x) AS sxx, sum(y * y) AS syy
+         FROM base WHERE x IS NOT NULL GROUP BY user_id)
+       SELECT user_id, n,
+              CASE WHEN n >= {_AC_MIN_N}
+                        AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                   THEN CAST(round(
+                     (n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+                     * 1000000.0) AS BIGINT)
+              END AS r1_fp
+       FROM s""",
+)
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation per entity — the persistence/burstiness
+    feature for crawl-value series: lag pairs from one sorted window
+    pass, then Pearson r from EXACT int64 sufficient statistics
+    (centi-scaled values bound every sum; the two variance terms stay
+    under separate sqrt() calls so nothing exceeds int64 — the
+    expression is mirrored verbatim in the oracle, and IEEE
+    divide/sqrt make it bit-stable). NULL below {_AC_MIN_N} pairs or on
+    constant series. Window and groupBy share the entity shuffle."""
+    ev = _events(spark, sf_dir)
+    c = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", c.alias("y"), F.lag(c).over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return s.select(
+        "user_id", "n",
+        F.when((n >= _AC_MIN_N) & (vx > 0) & (vy > 0), r).alias("r1_fp"),
+    )
+
+
+@query(
+    "cusum_drawdown",
+    """WITH base AS (
+         SELECT event_id, user_id, ts,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       m AS (
+         SELECT *, CAST(round(avg(v_fp) OVER (PARTITION BY user_id)) AS BIGINT)
+                     AS mean_fp
+         FROM base),
+       c AS (
+         SELECT event_id, user_id, ts,
+                sum(v_fp - mean_fp) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS cusum_fp
+         FROM m)
+       SELECT event_id, user_id, cusum_fp::BIGINT AS cusum_fp,
+              (max(cusum_fp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) - cusum_fp)::BIGINT AS drawdown_fp
+       FROM c""",
+)
+def q_cusum_drawdown(spark, sf_dir):
+    """CUSUM chart + running drawdown per entity — the classic
+    change-point / regression-detection pair: cumulative sum of exact
+    integer deviations from the entity mean (mean itself rounded ONCE
+    to µ-units, so every later op is int64), and drawdown = running
+    peak minus current CUSUM. Three window layers (unordered mean,
+    ordered cumsum, ordered running max) all key on user_id — ONE
+    Exchange; a sustained level shift shows up as a monotone CUSUM
+    ramp, a regression as a growing drawdown."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    wall = Window.partitionBy("user_id")
+    m = base.withColumn(
+        "mean_fp", F.round(F.avg("v_fp").over(wall), 0).cast("long")
+    )
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("v_fp") - F.col("mean_fp")).over(wo).alias("cusum_fp"),
+    )
+    return c.select(
+        "event_id", "user_id",
+        F.col("cusum_fp").cast("long").alias("cusum_fp"),
+        (F.max("cusum_fp").over(wo) - F.col("cusum_fp"))
+        .cast("long").alias("drawdown_fp"),
+    )
+
+
+@query(
+    "gini_tokens",
+    f"""WITH freq AS (
+         SELECT token, count(*)::BIGINT AS f
+         FROM (SELECT unnest({_tok_sql()}) AS token FROM documents)
+         GROUP BY token),
+       ranked AS (
+         SELECT f, row_number() OVER (ORDER BY f, token) AS rn,
+                count(*) OVER () AS n, sum(f) OVER () AS tot
+         FROM freq)
+       SELECT n::BIGINT AS n_tokens, tot::BIGINT AS total_count,
+              CAST(round(sum((2 * rn - n - 1) * f)::DOUBLE
+                         / (n * tot) * 1000000.0) AS BIGINT) AS gini_fp
+       FROM ranked GROUP BY n, tot""",
+)
+def q_gini_tokens(spark, sf_dir):
+    """Gini coefficient of the token-frequency distribution — the
+    one-number concentration summary behind Zipf plots (how much of
+    the corpus a handful of tokens own): exact integer rank-weighted
+    sum Σ(2i−n−1)fᵢ over the VOCABULARY (corpus-sized data never sorts
+    globally — only the post-agg vocab does, the same concession zipf
+    top-k makes), divided once and rounded once. Deterministic rank
+    ties broken by token."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wr = Window.orderBy("f", "token")
+    wall = Window.partitionBy()
+    ranked = freq.select(
+        "f",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("f").over(wall).alias("tot"),
+    )
+    return ranked.groupBy("n", "tot").agg(
+        F.round(
+            F.sum((2 * F.col("rn") - F.col("n") - 1) * F.col("f")).cast("double")
+            / (F.col("n") * F.col("tot"))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("gini_fp"),
+    ).select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("tot").cast("long").alias("total_count"),
+        "gini_fp",
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
