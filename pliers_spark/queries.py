@@ -5861,6 +5861,252 @@ def q_gini_tokens(spark, sf_dir):
     )
 
 
+@query(
+    "ab_test_stats",
+    f"""WITH per_user AS (
+         SELECT user_id, {md5_int_sql("concat('ab:', CAST(user_id AS VARCHAR))")} % 2
+                  AS variant,
+                sum(CAST(round(value * 100.0) AS BIGINT)) AS x
+         FROM events GROUP BY user_id),
+       s AS (
+         SELECT variant, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx
+         FROM per_user GROUP BY variant),
+       wide AS (
+         SELECT
+           max(CASE WHEN variant = 0 THEN n END) AS n_a,
+           max(CASE WHEN variant = 0 THEN sx END) AS sx_a,
+           max(CASE WHEN variant = 0 THEN sxx END) AS sxx_a,
+           max(CASE WHEN variant = 1 THEN n END) AS n_b,
+           max(CASE WHEN variant = 1 THEN sx END) AS sx_b,
+           max(CASE WHEN variant = 1 THEN sxx END) AS sxx_b
+         FROM s)
+       SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+              CAST(round(sx_a::DOUBLE / n_a * 10000.0) AS BIGINT) AS mean_a_fp,
+              CAST(round(sx_b::DOUBLE / n_b * 10000.0) AS BIGINT) AS mean_b_fp,
+              CAST(round((sx_a::DOUBLE / n_a - sx_b::DOUBLE / n_b) * 10000.0)
+                   AS BIGINT) AS diff_fp,
+              CAST(round(
+                (sx_a::DOUBLE / n_a - sx_b::DOUBLE / n_b)
+                / sqrt(((n_a * sxx_a - sx_a * sx_a)::DOUBLE / (n_a * (n_a - 1)))
+                         / n_a
+                       + ((n_b * sxx_b - sx_b * sx_b)::DOUBLE / (n_b * (n_b - 1)))
+                         / n_b)
+                * 1000000.0) AS BIGINT) AS welch_t_fp
+       FROM wide""",
+)
+def q_ab_test_stats(spark, sf_dir):
+    """A/B experiment readout with deterministic assignment and exact
+    sufficient statistics: variant = md5(user) % 2 — assignment at the
+    ENTITY grain (assigning at event grain would correlate a user's own
+    events across arms, the classic interference bug) and reproducible
+    across retries, no rand(). Per-user centi-scaled totals roll into
+    int64 (n, Σx, Σx²) per arm, and the Welch t statistic is one
+    mirrored IEEE expression rounded once. Two partial-agg passes on
+    shrinking data; the final 2-row pivot is driver-trivial."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * F.lit(100.0), 0).cast("long")).alias("x")
+    ).select(
+        (md5_int(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2)
+        .alias("variant"),
+        "x",
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    wide = s.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(f"{c}_{a}")
+            for v, a in ((0, "a"), (1, "b"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    mean = lambda a: F.col(f"sx_{a}").cast("double") / F.col(f"n_{a}")
+    var = lambda a: (
+        F.col(f"n_{a}") * F.col(f"sxx_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}")
+    ).cast("double") / (F.col(f"n_{a}") * (F.col(f"n_{a}") - 1))
+    t = (mean("a") - mean("b")) / F.sqrt(
+        var("a") / F.col("n_a") + var("b") / F.col("n_b")
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean("a") * 1e4, 0).cast("long").alias("mean_a_fp"),
+        F.round(mean("b") * 1e4, 0).cast("long").alias("mean_b_fp"),
+        F.round((mean("a") - mean("b")) * 1e4, 0).cast("long").alias("diff_fp"),
+        F.round(t * 1e6, 0).cast("long").alias("welch_t_fp"),
+    )
+
+
+@query(
+    "roc_auc",
+    """WITH base AS (
+         SELECT CAST(round(value * 1000000.0) AS BIGINT) AS score,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+         FROM events),
+       ranked AS (
+         SELECT label,
+                2 * rank() OVER (ORDER BY score)
+                  + count(*) OVER (PARTITION BY score) - 1 AS avg_rank2
+         FROM base)
+       SELECT sum(label)::BIGINT AS n_pos,
+              (count(*) - sum(label))::BIGINT AS n_neg,
+              CAST(round(
+                (sum(CASE WHEN label = 1 THEN avg_rank2 END)
+                   - sum(label) * (sum(label) + 1))::DOUBLE
+                / (2.0 * sum(label) * (count(*) - sum(label)))
+                * 1000000.0) AS BIGINT) AS auc_fp
+       FROM ranked""",
+)
+def q_roc_auc(spark, sf_dir):
+    """EXACT ROC AUC via the Mann-Whitney rank identity — no threshold
+    sweep, no trapezoids, and ties handled exactly: 2×(average tie
+    rank) = 2·min_rank + tie_count − 1 stays integer, so the positive
+    rank-sum is int64 and AUC is one rational rounded once. The global
+    sort is over the EVAL set (the one table a global window is honest
+    for — docstring contract: this is an evaluation operator, not a
+    corpus pass; at corpus scale use sampled eval slices). Score:
+    does `value` predict an error event."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+    )
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = base.select(
+        "label",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("avg_rank2"),
+    )
+    n_pos = F.sum("label")
+    n_all = F.count(F.lit(1))
+    pos_rank2 = F.sum(F.when(F.col("label") == 1, F.col("avg_rank2")))
+    return ranked.agg(
+        n_pos.cast("long").alias("n_pos"),
+        (n_all - n_pos).cast("long").alias("n_neg"),
+        F.round(
+            (pos_rank2 - n_pos * (n_pos + 1)).cast("double")
+            / (F.lit(2.0) * n_pos * (n_all - n_pos))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("auc_fp"),
+    )
+
+
+@query(
+    "ks_drift",
+    """WITH tagged AS (
+         SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                user_id % 2 AS grp
+         FROM events),
+       per_v AS (
+         SELECT v_fp,
+                sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a_cnt,
+                sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS b_cnt
+         FROM tagged GROUP BY v_fp),
+       cum AS (
+         SELECT sum(a_cnt) OVER (ORDER BY v_fp
+                  ROWS UNBOUNDED PRECEDING) AS ca,
+                sum(b_cnt) OVER (ORDER BY v_fp
+                  ROWS UNBOUNDED PRECEDING) AS cb,
+                sum(a_cnt) OVER () AS na, sum(b_cnt) OVER () AS nb
+         FROM per_v)
+       SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+              max(abs(nb * ca - na * cb))::BIGINT AS d_num,
+              CAST(round(max(abs(nb * ca - na * cb))::DOUBLE
+                         / (max(na) * max(nb)) * 1000000.0) AS BIGINT) AS ks_fp
+       FROM cum""",
+)
+def q_ks_drift(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic: per-value
+    counts for both samples (one partial agg collapses the corpus to
+    distinct values), cumulative counts give both ECDFs at every jump
+    point, and the sup-distance is max |n_b·F_a − n_a·F_b| in pure
+    int64 — the D statistic is a rational, rounded once. Only the
+    post-agg DISTINCT-VALUE table sorts globally (the zipf/gini
+    concession); the corpus itself never does. The distribution-drift
+    alarm that complements feature_psi's binned version with an exact,
+    bin-free answer."""
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    per_v = tagged.groupBy("v_fp").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("b_cnt"),
+    )
+    wc = Window.orderBy("v_fp").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        F.sum("a_cnt").over(wc).alias("ca"),
+        F.sum("b_cnt").over(wc).alias("cb"),
+        F.sum("a_cnt").over(wall).alias("na"),
+        F.sum("b_cnt").over(wall).alias("nb"),
+    )
+    d_num = F.max(F.abs(F.col("nb") * F.col("ca") - F.col("na") * F.col("cb")))
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        d_num.cast("long").alias("d_num"),
+        F.round(
+            d_num.cast("double") / (F.max("na") * F.max("nb")) * F.lit(1e6), 0
+        ).cast("long").alias("ks_fp"),
+    )
+
+
+@query(
+    "calibration_bins",
+    """WITH base AS (
+         SELECT event_type,
+                CAST(round(value * 1000000.0) AS BIGINT) AS score_fp,
+                CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
+                     THEN 1 ELSE 0 END AS label,
+                event_id
+         FROM events),
+       binned AS (
+         SELECT *, ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY score_fp, event_id) AS decile
+         FROM base)
+       SELECT event_type, decile::BIGINT AS decile, count(*)::BIGINT AS n,
+              CAST(round(avg(score_fp)) AS BIGINT) AS mean_score_fp,
+              CAST(round(sum(label)::DOUBLE * 1000000.0 / count(*)) AS BIGINT)
+                AS pos_rate_fp
+       FROM binned GROUP BY 1, 2""",
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability / calibration table per segment: keyed decile
+    binning of the score (ntile over the event_type partition — sorts
+    stay partition-sized, the quantile_bins discipline) then observed
+    positive rate and mean score per bin, both integer-rounded once.
+    Where the curve bends away from the diagonal is where a model's
+    scores need recalibrating — the standard post-training audit,
+    here with the label pulled from the JSON payload (JVM-side
+    get_json_object, no Python)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score_fp"),
+        F.when(
+            F.get_json_object(F.col("props"), "$.k").cast("long") > 50, 1
+        ).otherwise(0).alias("label"),
+        "event_id",
+    )
+    wb = Window.partitionBy("event_type").orderBy("score_fp", "event_id")
+    binned = base.select("*", F.ntile(10).over(wb).alias("decile"))
+    return binned.groupBy(
+        "event_type", F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("score_fp"), 0).cast("long").alias("mean_score_fp"),
+        F.round(
+            F.sum("label").cast("double") * F.lit(1e6) / F.count(F.lit(1)), 0
+        ).cast("long").alias("pos_rate_fp"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
