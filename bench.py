@@ -118,6 +118,21 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "ivfpq_topk",
     "pq_recall",
+    # round-2 feature-engineering / evaluation families
+    "training_matrix",
+    "rolling_multi",
+    "target_encode_pit",
+    "decay_tiers",
+    "label_horizon",
+    "session_position",
+    "funnel_steps",
+    "scd2_build",
+    "rolling_anomaly",
+    "token_label_mi",
+    "ks_drift",
+    "roc_auc",
+    "dq_checks",
+    "winsorize",
 ]
 
 
