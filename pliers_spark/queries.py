@@ -930,6 +930,17 @@ def _tok_sql(src: str = "trim(text)") -> str:
     return f"string_split({src}, ' ')"
 
 
+_URL_SYNTH_SQL = """(CASE WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END)
+             || 'www.site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/sec' || CAST(doc_id % 5 AS VARCHAR)
+             || '/page' || CAST(doc_id % 11 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?q=spark' ELSE '' END)"""
+
+_URL_HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+_URL_PATH_SQL = "regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)"
+
+
 @query(
     "dedup_exact",
     f"""SELECT {md5_int_sql('text')} AS text_hash,
@@ -6107,6 +6118,359 @@ def q_calibration_bins(spark, sf_dir):
     )
 
 
+_HEAPS_STEP = 50
+
+
+@query(
+    "heaps_law",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents),
+       first_seen AS (
+         SELECT token, min(doc_id) AS fs FROM tok GROUP BY token),
+       doc_tokens AS (
+         SELECT doc_id, count(*)::BIGINT AS n_tok FROM tok GROUP BY doc_id),
+       new_at AS (
+         SELECT fs AS doc_id, count(*)::BIGINT AS n_new
+         FROM first_seen GROUP BY fs),
+       curve AS (
+         SELECT d.doc_id,
+                sum(d.n_tok) OVER w AS cum_tokens,
+                sum(coalesce(n.n_new, 0)) OVER w AS vocab_size
+         FROM doc_tokens d LEFT JOIN new_at n USING (doc_id)
+         WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING))
+       SELECT doc_id, cum_tokens::BIGINT AS cum_tokens,
+              vocab_size::BIGINT AS vocab_size
+       FROM curve WHERE (doc_id + 1) % {_HEAPS_STEP} = 0""",
+)
+def q_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve WITHOUT sequential scanning:
+    running-distinct is inherently serial, but 'vocabulary size after
+    doc d' equals the count of tokens whose FIRST occurrence is ≤ d —
+    so one token census (min doc_id per token, map-side partial agg)
+    plus a cumulative sum over the doc-grain table gives the whole
+    curve. Only doc-grain/vocab-grain rows ever sort; checkpointed
+    every {_HEAPS_STEP} docs. The curve's flattening is the
+    diminishing-returns signal for corpus growth decisions."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fs"))
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_at = first_seen.groupBy(F.col("fs").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = doc_tokens.join(new_at, "doc_id", "left").select(
+        "doc_id",
+        F.sum("n_tok").over(w).alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("vocab_size"),
+    )
+    return curve.where((F.col("doc_id") + 1) % _HEAPS_STEP == 0).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+    )
+
+
+_TREND_MIN_N = 10
+
+
+@query(
+    "trend_slope",
+    f"""WITH base AS (
+         SELECT user_id,
+                (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                  // 1000000 AS t,
+                CAST(round(value * 100.0) AS BIGINT) AS y
+         FROM events),
+       s AS (
+         SELECT user_id, count(*)::BIGINT AS n, sum(t) AS st, sum(y) AS sy,
+                sum(t * y) AS sty, sum(t * t) AS stt
+         FROM base GROUP BY user_id)
+       SELECT user_id, n,
+              CASE WHEN n >= {_TREND_MIN_N} AND n * stt - st * st > 0
+                   THEN CAST(round((n * sty - st * sy)::DOUBLE
+                                   / (n * stt - st * st)::DOUBLE
+                                   * 1000000000.0) AS BIGINT)
+              END AS slope_fp
+       FROM s""",
+)
+def q_trend_slope(spark, sf_dir):
+    """Per-entity linear trend via closed-form OLS on EXACT integer
+    sufficient statistics: time re-based to seconds since the entity's
+    own first event (bounds Σt·y and Σt² in int64 — absolute epochs
+    would overflow), centi-scaled values, slope = the one float
+    division rounded once (nano-units/sec). The drift/ramp feature for
+    revisit scheduling and degradation detection; window (entity min)
+    and groupBy share one shuffle. NULL below {_TREND_MIN_N} points or
+    on a single-instant entity."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wall = Window.partitionBy("user_id")
+    u = epoch_micros(ev, "ts")
+    base = ev.select(
+        "user_id",
+        F.floor((u - F.min(u).over(wall)) / F.lit(1_000_000)).alias("t"),
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("y"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    den = n * F.col("stt") - st * st
+    slope = F.round(
+        (n * F.col("sty") - st * sy).cast("double") / den.cast("double")
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    return s.select(
+        "user_id", "n",
+        F.when((n >= _TREND_MIN_N) & (den > 0), slope).alias("slope_fp"),
+    )
+
+
+@query(
+    "activity_halflife",
+    """WITH base AS (
+         SELECT user_id, epoch_us(ts) AS u,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM events)
+       SELECT user_id, max(n)::BIGINT AS n_events,
+              min(u)::BIGINT AS first_u, max(u)::BIGINT AS last_u,
+              min(CASE WHEN 2 * rn >= n THEN u END)::BIGINT AS half_u,
+              CAST(round((min(CASE WHEN 2 * rn >= n THEN u END) - min(u))
+                         * 1000000.0
+                         / nullif(max(u) - min(u), 0)) AS BIGINT)
+                AS half_frac_fp
+       FROM base GROUP BY user_id""",
+)
+def q_activity_halflife(spark, sf_dir):
+    """Activity half-life per entity — when did the FIRST half of an
+    entity's lifetime events happen: the timestamp where the running
+    event count crosses 50% of the total, plus its position as a
+    fraction of the entity's observed lifespan (front-loaded ≈ 0,
+    uniform ≈ 0.5, late-bursting ≈ 1). Rank and partition count come
+    from one window pass; the crossing point is a conditional min —
+    exact integer µs throughout, one rational rounded once. An offline
+    lifecycle descriptor (uses the full history by design — not a
+    point-in-time feature)."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        epoch_micros(ev, "ts").alias("u"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    half_u = F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("u")))
+    span = F.max("u") - F.min("u")
+    return base.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.min("u").cast("long").alias("first_u"),
+        F.max("u").cast("long").alias("last_u"),
+        half_u.cast("long").alias("half_u"),
+        F.round(
+            (half_u - F.min("u")) * F.lit(1e6)
+            / F.nullif(span, F.lit(0)).cast("double"),
+            0,
+        ).cast("long").alias("half_frac_fp"),
+    )
+
+
+_N_PREFIX_RULES = 12
+
+
+@query(
+    "robots_prefix_match",
+    f"""WITH u AS (
+         SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+       parsed AS (
+         SELECT doc_id, url, {_URL_PATH_SQL} AS path FROM u),
+       rules AS (
+         SELECT r, CASE WHEN r < 5 THEN '/sec' || CAST(r % 5 AS VARCHAR)
+                        ELSE '/sec' || CAST(r % 5 AS VARCHAR)
+                             || '/page' || CAST(r % 11 AS VARCHAR) END AS rule_path,
+                CASE WHEN r % 2 = 0 THEN 'deny' ELSE 'allow' END AS decision
+         FROM (SELECT unnest(range({_N_PREFIX_RULES}))::BIGINT AS r)),
+       cand AS (
+         SELECT p.doc_id, p.url, pfx.pfx
+         FROM parsed p
+         CROSS JOIN LATERAL (
+           SELECT unnest([regexp_extract(p.path, '^(/[^/]+)', 1), p.path]) AS pfx
+         ) pfx),
+       matched AS (
+         SELECT c.doc_id, c.url, r.rule_path, r.decision, r.r,
+                row_number() OVER (PARTITION BY c.doc_id
+                  ORDER BY length(r.rule_path) DESC, r.r) AS rnk
+         FROM cand c JOIN rules r ON c.pfx = r.rule_path)
+       SELECT p.doc_id, p.url,
+              m.rule_path AS matched_rule,
+              coalesce(m.decision, 'allow') AS decision
+       FROM parsed p LEFT JOIN (SELECT * FROM matched WHERE rnk = 1) m
+         USING (doc_id)""",
+)
+def q_robots_prefix_match(spark, sf_dir):
+    """Longest-prefix-match against a path rule table — robots.txt /
+    routing semantics at corpus scale: each url explodes into its
+    (bounded-depth) path prefixes, joins the BROADCAST rule dimension
+    on exact prefix equality (never a LIKE scan per rule — prefix
+    explosion turns the scan×rules product into an equi-join), and the
+    winner is the longest matching rule with a deterministic rule-id
+    tiebreak. Unmatched urls default-allow. The decision column is the
+    crawl-compliance gate in front of every ingestion pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 1, F.lit("https://")).otherwise(F.lit("http://")),
+        F.lit("www.site"), (did % 50).cast("string"),
+        F.lit(".example"), (did % 7).cast("string"),
+        F.lit(".com/sec"), (did % 5).cast("string"),
+        F.lit("/page"), (did % 11).cast("string"),
+        F.when(did % 3 == 0, F.lit("?q=spark")).otherwise(F.lit("")),
+    )
+    parsed = d.select(
+        "doc_id", url.alias("url"),
+        F.regexp_extract(url, r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+    )
+    parts = F.split(F.col("path"), "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, 1, i + 1), "/"),
+    )
+    cand = parsed.select(
+        "doc_id", "url", F.explode(prefixes).alias("pfx")
+    )
+    r = F.col("r")
+    rules = spark.range(_N_PREFIX_RULES).select(
+        F.col("id").alias("r"),
+        F.when(
+            r < 5, F.concat(F.lit("/sec"), (r % 5).cast("string"))
+        ).otherwise(
+            F.concat(
+                F.lit("/sec"), (r % 5).cast("string"),
+                F.lit("/page"), (r % 11).cast("string"),
+            )
+        ).alias("rule_path"),
+        F.when(r % 2 == 0, "deny").otherwise("allow").alias("decision"),
+    )
+    matched = cand.join(
+        F.broadcast(rules), cand.pfx == rules.rule_path
+    )
+    wm = Window.partitionBy("doc_id").orderBy(
+        F.length("rule_path").desc(), "r"
+    )
+    best = matched.select(
+        "doc_id", "rule_path", "decision", F.row_number().over(wm).alias("rnk")
+    ).where(F.col("rnk") == 1)
+    return parsed.join(best, "doc_id", "left").select(
+        "doc_id", "url",
+        F.col("rule_path").alias("matched_rule"),
+        F.coalesce(F.col("decision"), F.lit("allow")).alias("decision"),
+    )
+
+
+@query(
+    "ecdf_normalize",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::BIGINT AS ql FROM documents)
+       SELECT doc_id, lang, ql,
+              CAST(round(percent_rank() OVER (PARTITION BY lang ORDER BY ql)
+                         * 1000000.0) AS BIGINT) AS pr_fp
+       FROM f""",
+)
+def q_ecdf_normalize(spark, sf_dir):
+    """Quantile (ECDF) feature transform — rank-normalize a skewed
+    feature into [0,1] per group, the robust alternative to z-scoring
+    when the distribution is heavy-tailed: percent_rank = (min-rank−1)
+    / (n−1) is an exact rational of integers (tied values share the
+    min rank on BOTH engines — no tiebreak column needed, unlike
+    ntile), rounded once to micro-units. Keyed window keeps sorts
+    partition-sized; pairs with winsorize/feature_zscore as the third
+    standard scaler."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
+    w = Window.partitionBy("lang").orderBy("ql")
+    return f.select(
+        "doc_id", "lang", "ql",
+        F.round(F.percent_rank().over(w) * F.lit(1e6), 0)
+        .cast("long").alias("pr_fp"),
+    )
+
+
+_NEG_K = 4
+
+
+@query(
+    "negative_sample",
+    f"""WITH anchors AS (
+         SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 50),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       cand AS (
+         SELECT a.anchor_id, k.k,
+                {md5_int_sql("concat('neg:', CAST(k.k AS VARCHAR), ':', CAST(a.anchor_id AS VARCHAR))")}
+                  % n.n_docs AS neg_id
+         FROM anchors a
+         CROSS JOIN (SELECT unnest(range({_NEG_K}))::BIGINT AS k) k
+         CROSS JOIN n)
+       SELECT c.anchor_id, c.k, c.neg_id::BIGINT AS neg_id,
+              length(trim(d.text))::BIGINT AS neg_len
+       FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+       WHERE c.neg_id <> c.anchor_id""",
+)
+def q_negative_sample(spark, sf_dir):
+    """Deterministic random negative sampling for contrastive training
+    pairs: negative k for an anchor is md5('neg:k:anchor') mod corpus
+    size — reproducible across retries and executors (a rand()-based
+    sampler breaks resume and the oracle), self-pairs dropped
+    explicitly. The candidate ids then JOIN the corpus to materialize
+    the negatives' features — at scale that's a shuffle join on the id
+    (anchors×K is the small side and broadcasts). The standard data
+    prep for embedding/contrastive objectives."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = d.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = (
+        anchors.crossJoin(
+            F.broadcast(spark.range(_NEG_K).select(F.col("id").alias("k")))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "anchor_id", "k",
+            (
+                md5_int(
+                    F.concat(
+                        F.lit("neg:"), F.col("k").cast("string"),
+                        F.lit(":"), F.col("anchor_id").cast("string"),
+                    )
+                ) % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("neg_id"),
+        T.text_length("text").cast("long").alias("neg_len"),
+    )
+    return cand.join(corpus, "neg_id").select(
+        "anchor_id", "k",
+        F.col("neg_id").cast("long").alias("neg_id"),
+        "neg_len",
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
@@ -7026,15 +7390,7 @@ def q_beat_track(spark, sf_dir):
     return beat_track(spectral_flux(frames))
 
 
-_URL_SYNTH_SQL = """(CASE WHEN doc_id % 2 = 1 THEN 'https://' ELSE 'http://' END)
-             || 'www.site' || CAST(doc_id % 50 AS VARCHAR)
-             || '.example' || CAST(doc_id % 7 AS VARCHAR)
-             || '.com/sec' || CAST(doc_id % 5 AS VARCHAR)
-             || '/page' || CAST(doc_id % 11 AS VARCHAR)
-             || (CASE WHEN doc_id % 3 = 0 THEN '?q=spark' ELSE '' END)"""
-
-_URL_HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
-_URL_PATH_SQL = "regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)"
+# (_URL_*_SQL constants are defined near _tok_sql, used by several queries)
 
 
 @query(
