@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "roc_auc",
     "dq_checks",
     "winsorize",
+    "heaps_law",
+    "robots_prefix_match",
+    "ecdf_normalize",
+    "transition_matrix",
+    "cusum_drawdown",
 ]
 
 
