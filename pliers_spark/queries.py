@@ -6471,6 +6471,232 @@ def q_negative_sample(spark, sf_dir):
     )
 
 
+@query(
+    "rake_keywords",
+    f"""WITH tok AS (
+         SELECT doc_id, pos, token,
+                CASE WHEN lower(token) IN ({_STOPWORD_SQL_LIST})
+                     THEN 1 ELSE 0 END AS is_stop
+         FROM (SELECT doc_id,
+                      unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                      unnest(string_split(trim(text), ' ')) AS token
+               FROM documents)),
+       seg AS (
+         SELECT *, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS phrase_id
+         FROM tok),
+       words AS (SELECT doc_id, phrase_id, pos, lower(token) AS w
+                 FROM seg WHERE is_stop = 0),
+       plen AS (
+         SELECT doc_id, phrase_id, count(*)::BIGINT AS phrase_len
+         FROM words GROUP BY 1, 2),
+       wstat AS (
+         SELECT w, count(*)::BIGINT AS freq, sum(p.phrase_len)::BIGINT AS deg,
+                CAST(round(sum(p.phrase_len)::DOUBLE * 1000000.0 / count(*))
+                     AS BIGINT) AS wscore_fp
+         FROM words JOIN plen p USING (doc_id, phrase_id)
+         GROUP BY w),
+       phrases AS (
+         SELECT wo.doc_id, wo.phrase_id,
+                string_agg(wo.w, ' ' ORDER BY wo.pos) AS phrase,
+                sum(ws.wscore_fp)::BIGINT AS score_fp
+         FROM words wo JOIN wstat ws USING (w)
+         GROUP BY 1, 2),
+       top AS (
+         SELECT doc_id, phrase, score_fp,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_fp DESC, phrase) AS rnk
+         FROM phrases)
+       SELECT doc_id, rnk::BIGINT AS rnk, phrase, score_fp
+       FROM top WHERE rnk <= 3""",
+)
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — stopword-delimited
+    candidate phrases scored by summed word degree/frequency ratios:
+    phrase segmentation is the SESSIONIZE pattern transplanted to token
+    streams (running sum of stopword flags = phrase id, one doc-keyed
+    window pass), word degree/frequency is a corpus census with
+    map-side partial aggs, and each word score is rounded ONCE to
+    micro-units so phrase scores are exact integer sums. Top-3 phrases
+    per doc with a lexicographic tiebreak."""
+    stop_arr = F.array(*[F.lit(w) for w in T.ENGLISH_STOPWORDS])
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token")
+    ).select(
+        "doc_id", "pos", "token",
+        F.when(F.array_contains(stop_arr, F.lower(F.col("token"))), 1)
+        .otherwise(0).alias("is_stop"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    words = (
+        tok.withColumn("phrase_id", F.sum("is_stop").over(wseg))
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", F.lower(F.col("token")).alias("w"))
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_len")
+    )
+    wstat = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("phrase_len").cast("long").alias("deg"),
+        )
+        .select(
+            "w",
+            F.round(F.col("deg").cast("double") * F.lit(1e6) / F.col("freq"), 0)
+            .cast("long").alias("wscore_fp"),
+        )
+    )
+    phrases = (
+        words.join(wstat, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore_fp").cast("long").alias("score_fp"),
+        )
+    )
+    wt = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), "phrase")
+    return (
+        phrases.withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"),
+                "phrase", "score_fp")
+    )
+
+
+@query(
+    "circadian_entropy",
+    """WITH hcnt AS (
+         SELECT user_id, hour(ts) AS hod, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT user_id, sum(c) AS n, count(*)::BIGINT AS n_active_hours
+         FROM hcnt GROUP BY user_id)
+       SELECT h.user_id, t.n::BIGINT AS n_events, t.n_active_hours,
+              sum(CAST(round(-(h.c::DOUBLE / t.n) * ln(h.c::DOUBLE / t.n)
+                             * 1000000.0) AS BIGINT))::BIGINT AS entropy_fp
+       FROM hcnt h JOIN tot t USING (user_id)
+       GROUP BY h.user_id, t.n, t.n_active_hours""",
+)
+def q_circadian_entropy(spark, sf_dir):
+    """Circadian regularity per entity: Shannon entropy of the
+    hour-of-day histogram (0 = always the same hour, ln 24 ≈ 3.178 =
+    uniform) — the bot-vs-human / scheduled-vs-organic signal for
+    crawl sources. Hour counts are one partial agg; each entropy term
+    is rounded ONCE to micro-nats (the feature_psi recipe) so the
+    per-entity sum is an exact integer sum. The totals join is
+    entity-grain on both sides — co-partitioned by the same key,
+    no extra fact shuffle."""
+    ev = _events(spark, sf_dir)
+    hcnt = ev.groupBy("user_id", F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hcnt.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) * F.lit(1e6), 0).cast("long")
+    return (
+        hcnt.join(tot, "user_id")
+        .groupBy("user_id", "n", "n_active_hours")
+        .agg(F.sum(term).cast("long").alias("entropy_fp"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_active_hours",
+            "entropy_fp",
+        )
+    )
+
+
+@query(
+    "semi_join_returns",
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def q_semi_join_returns(spark, sf_dir):
+    """TPC-H Q4's LEFT SEMI join shape (order-priority checking,
+    adapted to this schema's columns): existence of a returned
+    lineitem, never materializing match multiplicity (a plain join
+    would double-count orders with several returned lines and force a
+    distinct). The date filter pushes to the orders scan; the semi
+    join shuffles both sides on the key once and AQE handles any hot
+    order. Complements dq_checks' ANTI joins — both existence
+    polarities covered."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "custdist_hist",
+    """WITH c_orders AS (
+         SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+         FROM customer c LEFT JOIN orders o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       SELECT c_count, count(*)::BIGINT AS custdist
+       FROM c_orders GROUP BY c_count""",
+)
+def q_custdist_hist(spark, sf_dir):
+    """Customer distribution (TPC-H Q13 shape) — the left-outer join
+    with a JOIN-TIME predicate (the priority filter must sit in the ON
+    clause, not a WHERE, or zero-order customers silently vanish from
+    the histogram) followed by two-level re-aggregation:
+    orders-per-customer, then the histogram of that. The second
+    groupBy runs over customer-grain data — already tiny — and the
+    first gets map-side partial counts. The classic 'distribution of
+    engagement' report shape."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    c_orders = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
