@@ -6697,6 +6697,179 @@ def q_custdist_hist(spark, sf_dir):
     )
 
 
+_CHURN_T1 = "2024-01-15 00:00:00"
+_CHURN_T2 = "2024-01-30 00:00:00"
+
+
+@query(
+    "state_churn",
+    f"""WITH s1 AS (
+         SELECT user_id, event_type AS state_t1 FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts <= TIMESTAMP '{_CHURN_T1}') WHERE rn = 1),
+       s2 AS (
+         SELECT user_id, event_type AS state_t2 FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts <= TIMESTAMP '{_CHURN_T2}') WHERE rn = 1)
+       SELECT s2.user_id, s1.state_t1, s2.state_t2,
+              (s1.state_t1 IS NOT NULL
+               AND s1.state_t1 <> s2.state_t2) AS changed
+       FROM s2 LEFT JOIN s1 USING (user_id)""",
+)
+def q_state_churn(spark, sf_dir):
+    """State churn between two snapshot cutoffs — how volatile is the
+    latest-known state per entity (the crawl-freshness planning
+    signal: high churn → revisit often): latest state as-of T1 and
+    as-of T2 via max-by-(ts, id) structs (argmax with a deterministic
+    tiebreak, NO window sort — one partial-aggregable max per cutoff),
+    then an entity-grain compare. Both aggs and the join share the
+    entity key; entities born after T1 report NULL→state (not
+    'changed')."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    u = epoch_micros(ev, "ts")
+
+    def latest_before(cutoff, out):
+        return (
+            ev.where(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        u.alias("u"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("state"),
+                    )
+                ).getField("state").alias(out)
+            )
+        )
+
+    s1 = latest_before(_CHURN_T1, "state_t1")
+    s2 = latest_before(_CHURN_T2, "state_t2")
+    return s2.join(s1, "user_id", "left").select(
+        "user_id", "state_t1", "state_t2",
+        (
+            F.col("state_t1").isNotNull()
+            & (F.col("state_t1") != F.col("state_t2"))
+        ).alias("changed"),
+    )
+
+
+_ATTR_WIN_US = 7 * 86_400_000_000
+
+
+@query(
+    "attribution",
+    f"""WITH base AS (
+         SELECT event_id, user_id, event_type, epoch_us(ts) AS u FROM events),
+       scanned AS (
+         SELECT *,
+                min(CASE WHEN event_type = 'click' THEN u END) OVER w
+                  AS first_click_u,
+                max(CASE WHEN event_type = 'click' THEN u END) OVER w
+                  AS last_click_u
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY u
+                      RANGE BETWEEN {_ATTR_WIN_US} PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id,
+              first_click_u::BIGINT AS first_click_u,
+              last_click_u::BIGINT AS last_click_u,
+              (u - last_click_u)::BIGINT AS gap_to_last_click_us
+       FROM scanned WHERE event_type = 'purchase'""",
+)
+def q_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution — for every conversion,
+    the earliest and latest preceding click inside a 7-day lookback:
+    two conditional extremes over ONE strictly-past range frame (the
+    same single (user, u) Exchange+Sort as every other windowed
+    feature; frames end 1µs before the purchase so a same-instant
+    click never self-attributes). NULL when no click is in window —
+    the 'organic conversion' signal. The revenue-assignment primitive
+    behind every marketing-mix table."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_micros(ev, "ts").alias("u")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("u")
+        .rangeBetween(-_ATTR_WIN_US, -1)
+    )
+    click_u = F.when(F.col("event_type") == "click", F.col("u"))
+    scanned = base.select(
+        "*",
+        F.min(click_u).over(w).alias("first_click_u"),
+        F.max(click_u).over(w).alias("last_click_u"),
+    )
+    return scanned.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("first_click_u").cast("long").alias("first_click_u"),
+        F.col("last_click_u").cast("long").alias("last_click_u"),
+        (F.col("u") - F.col("last_click_u")).cast("long")
+        .alias("gap_to_last_click_us"),
+    )
+
+
+@query(
+    "stickiness",
+    f"""WITH uw AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS w FROM events),
+       weeks AS (SELECT DISTINCT w FROM uw),
+       wau AS (SELECT w, count(*)::BIGINT AS n_wau FROM uw GROUP BY w),
+       m4 AS (
+         SELECT wk.w, count(DISTINCT u.user_id)::BIGINT AS n_m4
+         FROM weeks wk JOIN uw u ON u.w BETWEEN wk.w - 3 AND wk.w
+         GROUP BY wk.w)
+       SELECT w::BIGINT AS w, wau.n_wau, m4.n_m4,
+              CAST(round(wau.n_wau::DOUBLE * 1000000.0 / m4.n_m4) AS BIGINT)
+                AS stickiness_fp
+       FROM wau JOIN m4 USING (w)""",
+)
+def q_stickiness(spark, sf_dir):
+    """WAU / 4-week-AU stickiness ratio (the DAU/MAU engagement metric
+    at week grain): the fact table collapses ONCE to distinct
+    (entity, epoch-week) pairs — everything after runs on that tiny
+    entity-week grain, including the sliding 4-week distinct, which is
+    a self-range-join of the small table against its own week spine
+    (never a sliding distinct over raw events). Integer micro-ratios
+    rounded once."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.floor(epoch_micros(ev, "ts") / _WEEK_US).alias("w")
+    ).distinct()
+    weeks = uw.select("w").distinct()
+    wau = uw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_wau"))
+    u2 = uw.select(F.col("user_id"), F.col("w").alias("uw_w"))
+    m4 = (
+        weeks.join(
+            u2,
+            (F.col("uw_w") >= F.col("w") - 3) & (F.col("uw_w") <= F.col("w")),
+        )
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_m4"))
+    )
+    return (
+        wau.join(m4, "w")
+        .select(
+            F.col("w").cast("long").alias("w"),
+            "n_wau",
+            "n_m4",
+            F.round(
+                F.col("n_wau").cast("double") * F.lit(1e6) / F.col("n_m4"), 0
+            ).cast("long").alias("stickiness_fp"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
