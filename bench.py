@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     "ecdf_normalize",
     "transition_matrix",
     "cusum_drawdown",
+    "rake_keywords",
+    "attribution",
+    "autocorr_lag1",
+    "retention_cohorts",
+    "seasonal_profile",
+    "stickiness",
 ]
 
 

@@ -503,3 +503,29 @@ def test_funnel_scd2_anomaly_single_shuffle(spark):
         plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange") == 1, (name, plan)
         assert "PythonUDF" not in plan, name
+
+
+def test_attribution_cusum_one_exchange(spark):
+    """Attribution (two conditional extremes over one strictly-past
+    frame) and CUSUM/drawdown (three stacked window layers) each claim
+    ONE entity Exchange in their docstrings — pin it."""
+    from pliers_spark.queries import QUERIES
+
+    for name in ("attribution", "cusum_drawdown", "autocorr_lag1"):
+        plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "PythonUDF" not in plan, name
+
+
+def test_semi_join_returns_is_semi_and_pushed(spark):
+    """The existence query must plan a LeftSemi join (never inner +
+    distinct) with the date filter pushed into the orders scan."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["semi_join_returns"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    fmt = formatted(df)
+    assert "PushedFilters" in fmt
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, fmt
