@@ -6870,6 +6870,181 @@ def q_stickiness(spark, sf_dir):
     )
 
 
+_XCORR_MAX_LAG = 6
+
+
+@query(
+    "lead_lag_corr",
+    f"""WITH hc AS (
+         SELECT epoch_us(ts) // 3600000000 AS h,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+         FROM events GROUP BY h),
+       lags AS (SELECT unnest(range({_XCORR_MAX_LAG + 1}))::BIGINT AS lag),
+       pairs AS (
+         SELECT l.lag, a.x, b.y
+         FROM lags l
+         JOIN hc a ON TRUE
+         JOIN hc b ON b.h = a.h + l.lag),
+       s AS (
+         SELECT lag, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         FROM pairs GROUP BY lag)
+       SELECT lag, n,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                   THEN CAST(round((n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+                     * 1000000.0) AS BIGINT)
+              END AS r_fp
+       FROM s""",
+)
+def q_lead_lag_corr(spark, sf_dir):
+    """Lead-lag cross-correlation between two event streams (do clicks
+    lead purchases, and by how many hours): the fact table collapses
+    ONCE to an hourly two-series table, every lag then correlates that
+    tiny series against its own shifted self (equi-join on h = h+lag —
+    never a window per lag, never the fact table again). Pearson r per
+    lag from exact int64 sufficient statistics, the autocorr_lag1
+    recipe; the argmax lag is the actionable lead time."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    hc = ev.groupBy(
+        F.floor(epoch_micros(ev, "ts") / F.lit(3_600_000_000)).alias("h")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = hc.select("h", "x")
+    b = hc.select(F.col("h").alias("hb"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("hb") == F.col("h") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return s.select(
+        "lag", "n", F.when((vx > 0) & (vy > 0), r).alias("r_fp")
+    )
+
+
+@query(
+    "cube_events",
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+              coalesce(hod, -1)::BIGINT AS hod,
+              grouping(event_type)::BIGINT + 2 * grouping(hod)::BIGINT
+                AS grouping_id,
+              count(*)::BIGINT AS n,
+              sum(CAST(round(value * 1000000.0) AS BIGINT))::BIGINT AS sum_fp
+       FROM (SELECT event_type, hour(ts)::BIGINT AS hod, value FROM events)
+       GROUP BY CUBE (event_type, hod)""",
+)
+def q_cube_events(spark, sf_dir):
+    """OLAP CUBE over (event_type, hour-of-day) — all four grouping
+    sets (detail, each one-way rollup, grand total) in ONE aggregation:
+    Spark's Expand operator fans each row into its grouping
+    combinations map-side and the partial aggs still combine before
+    the single shuffle — at 10^12 rows that beats four separate
+    groupBys by 4× on scan cost alone. grouping() flags disambiguate
+    the NULL-as-total rows (coalesced to sentinels so the hash compare
+    has no NULL/total ambiguity)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    out = base.cube("event_type", "hod").agg(
+        (
+            F.grouping("event_type").cast("long")
+            + 2 * F.grouping("hod").cast("long")
+        ).alias("grouping_id"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fp").cast("long").alias("sum_fp"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("hod"), F.lit(-1)).cast("long").alias("hod"),
+        "grouping_id",
+        "n",
+        "sum_fp",
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    f"""WITH st AS (
+         SELECT DISTINCT source, unnest({_tok_sql()}) AS token FROM documents),
+       sizes AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+       inter AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+         FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+              CAST(round(i.n_inter::DOUBLE * 1000000.0
+                         / (sa.n + sb.n - i.n_inter)) AS BIGINT) AS jaccard_fp
+       FROM inter i
+       JOIN sizes sa ON sa.source = i.src_a
+       JOIN sizes sb ON sb.source = i.src_b""",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Vocabulary overlap between corpus sources (the diversity audit
+    before mixing: near-identical vocabularies mean the 'new' source
+    adds little): the corpus collapses ONCE to distinct (source, token)
+    pairs, the token-keyed self-join counts intersections (source
+    cardinality is tiny, so pair fan-out per token is bounded by
+    |sources|² — and the ordered predicate halves it), and Jaccard is
+    exact integer |∩| / (|A|+|B|−|∩|) rounded once. Size dims broadcast
+    back onto the pair table."""
+    d = _docs(spark, sf_dir)
+    st = d.select(
+        "source", F.explode(T.tokenize(F.col("text"))).alias("token")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_inter",
+            F.round(
+                F.col("n_inter").cast("double") * F.lit(1e6)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                0,
+            ).cast("long").alias("jaccard_fp"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
