@@ -7045,6 +7045,180 @@ def q_source_vocab_overlap(spark, sf_dir):
     )
 
 
+_SHRINK_K = 20
+
+
+@query(
+    "shrunk_means",
+    f"""WITH base AS (
+         SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       g AS (SELECT sum(v_fp) AS gs, count(*) AS gn FROM base),
+       c AS (
+         SELECT event_type, count(*)::BIGINT AS n, sum(v_fp) AS s
+         FROM base GROUP BY event_type)
+       SELECT c.event_type, c.n,
+              CAST(round(c.s::DOUBLE / c.n) AS BIGINT) AS raw_mean_fp,
+              CAST(round(g.gs::DOUBLE / g.gn) AS BIGINT) AS prior_mean_fp,
+              CAST(round((c.s::DOUBLE + {_SHRINK_K}.0 * (g.gs::DOUBLE / g.gn))
+                         / (c.n + {_SHRINK_K})) AS BIGINT) AS shrunk_mean_fp
+       FROM c CROSS JOIN g""",
+)
+def q_shrunk_means(spark, sf_dir):
+    """Empirical-Bayes (James-Stein-style) shrunk category means — the
+    production form of mean/target encoding: rare categories pull
+    toward the global prior with pseudo-count k={_SHRINK_K}, so a
+    category seen 3 times can't memorize its 3 labels (the
+    regularization target_encode_pit's strictly-past frame still
+    needs when categories are sparse). Two partial aggs — category
+    sums and a 1-row broadcast prior — and one mirrored IEEE
+    expression per category, rounded once."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    g = base.agg(
+        F.sum("v_fp").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    c = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v_fp").alias("s")
+    )
+    prior = F.col("gs").cast("double") / F.col("gn")
+    return c.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 0)
+        .cast("long").alias("raw_mean_fp"),
+        F.round(prior, 0).cast("long").alias("prior_mean_fp"),
+        F.round(
+            (F.col("s").cast("double") + _SHRINK_K * prior)
+            / (F.col("n") + _SHRINK_K),
+            0,
+        ).cast("long").alias("shrunk_mean_fp"),
+    )
+
+
+@query(
+    "share_shift",
+    f"""WITH wk AS (
+         SELECT epoch_us(ts) // {_WEEK_US} AS w, event_type,
+                count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT w, sum(n) AS wn FROM wk GROUP BY w),
+       shares AS (
+         SELECT wk.w, wk.event_type, wk.n,
+                CAST(round(wk.n::DOUBLE * 1000000.0 / tot.wn) AS BIGINT)
+                  AS share_fp
+         FROM wk JOIN tot USING (w))
+       SELECT w::BIGINT AS w, event_type, n, share_fp,
+              (share_fp - lag(share_fp) OVER
+                 (PARTITION BY event_type ORDER BY w))::BIGINT
+                AS share_delta_fp
+       FROM shares""",
+)
+def q_share_shift(spark, sf_dir):
+    """Share-of-total per week + week-over-week share shift (the mix
+    drift report: which event type is gaining share): weekly counts
+    are one partial agg, the weekly totals join runs at week grain,
+    shares are single-rounded micro-fractions, and the WoW delta is a
+    lag over the tiny (type, week) table — the fact table is touched
+    exactly once. Integer epoch weeks, no calendar ambiguity."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wk = ev.groupBy(
+        F.floor(epoch_micros(ev, "ts") / _WEEK_US).alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = wk.groupBy("w").agg(F.sum("n").alias("wn"))
+    shares = wk.join(tot, "w").select(
+        "w", "event_type", "n",
+        F.round(F.col("n").cast("double") * F.lit(1e6) / F.col("wn"), 0)
+        .cast("long").alias("share_fp"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("w")
+    return shares.select(
+        F.col("w").cast("long").alias("w"),
+        "event_type",
+        "n",
+        "share_fp",
+        (F.col("share_fp") - F.lag("share_fp").over(wl)).cast("long")
+        .alias("share_delta_fp"),
+    )
+
+
+@query(
+    "transition_entropy",
+    """WITH pairs AS (
+         SELECT user_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type,
+                event_type AS next_type
+         FROM events),
+       cnt AS (
+         SELECT user_id, prev_type, next_type, count(*)::BIGINT AS c
+         FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+       rowtot AS (
+         SELECT user_id, prev_type, sum(c) AS rn FROM cnt GROUP BY 1, 2),
+       terms AS (
+         SELECT c.user_id, c.prev_type, r.rn, c.c,
+                CAST(round(-(c.c::DOUBLE / r.rn) * ln(c.c::DOUBLE / r.rn)
+                           * 1000000.0) AS BIGINT) AS term_fp
+         FROM cnt c JOIN rowtot r USING (user_id, prev_type)),
+       hrow AS (
+         SELECT user_id, prev_type, max(rn) AS rn,
+                sum(term_fp)::BIGINT AS h_fp
+         FROM terms GROUP BY 1, 2),
+       utot AS (SELECT user_id, sum(rn) AS un FROM hrow GROUP BY user_id)
+       SELECT h.user_id,
+              CAST(round(sum(h.h_fp * h.rn)::DOUBLE / u.un) AS BIGINT)
+                AS entropy_rate_fp
+       FROM hrow h JOIN utot u USING (user_id)
+       GROUP BY h.user_id, u.un""",
+)
+def q_transition_entropy(spark, sf_dir):
+    """Per-entity Markov entropy RATE — how predictable is each
+    entity's next event given its current one: H(next|prev) = Σ_prev
+    p(prev)·H(next|prev=s), the sequence-predictability feature that
+    separates scripted agents (≈0) from organic users. Bigram counts
+    from one sorted lag pass; per-row entropies use the micro-nat
+    single-rounding recipe; the p(prev) mixture weights are exact
+    count ratios applied as an EXACT int64 weighted sum (Σ h_fp·rn,
+    divided once at the end — a double-valued sum would be
+    accumulation-order-dependent across engines). Every join after the
+    lag runs on (entity, type) grain — never the fact table twice."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("user_id", "prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rowtot = cnt.groupBy("user_id", "prev_type").agg(F.sum("c").alias("rn"))
+    p = F.col("c").cast("double") / F.col("rn")
+    terms = cnt.join(rowtot, ["user_id", "prev_type"]).select(
+        "user_id", "prev_type", "rn", "c",
+        F.round(-p * F.log(p) * F.lit(1e6), 0).cast("long").alias("term_fp"),
+    )
+    hrow = terms.groupBy("user_id", "prev_type").agg(
+        F.max("rn").alias("rn"), F.sum("term_fp").cast("long").alias("h_fp")
+    )
+    utot = hrow.groupBy("user_id").agg(F.sum("rn").alias("un"))
+    return (
+        hrow.join(utot, "user_id")
+        .groupBy("user_id", "un")
+        .agg(F.sum(F.col("h_fp") * F.col("rn")).alias("wsum"))
+        .select(
+            "user_id",
+            F.round(F.col("wsum").cast("double") / F.col("un"), 0)
+            .cast("long").alias("entropy_rate_fp"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
