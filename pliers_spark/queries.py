@@ -7219,6 +7219,194 @@ def q_transition_entropy(spark, sf_dir):
     )
 
 
+@query(
+    "group_quantiles",
+    """WITH base AS (
+         SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                event_id
+         FROM events),
+       ranked AS (
+         SELECT event_type, v_fp,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY v_fp, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+         FROM base)
+       SELECT event_type, max(n)::BIGINT AS n,
+              max(CASE WHEN rn = (10 * n + 99) // 100 THEN v_fp END)::BIGINT
+                AS p10_fp,
+              max(CASE WHEN rn = (50 * n + 99) // 100 THEN v_fp END)::BIGINT
+                AS p50_fp,
+              max(CASE WHEN rn = (90 * n + 99) // 100 THEN v_fp END)::BIGINT
+                AS p90_fp
+       FROM ranked GROUP BY event_type""",
+)
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles as ORDER STATISTICS (p10/p50/p90 via
+    rank = ceil(p·n)) — actual data values selected by integer rank,
+    the winsorize discipline generalized to a quantile report: no
+    interpolation formula, no approx-percentile sketch error, nothing
+    for two engines to disagree on. One keyed rank window + one
+    conditional-max agg sharing the group shuffle; at corpus scale the
+    sort is partition-sized per group."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type", "v_fp",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def at(p):
+        rank = F.floor((p * F.col("n") + 99) / 100)
+        return F.max(F.when(F.col("rn") == rank, F.col("v_fp"))).cast("long")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        at(10).alias("p10_fp"),
+        at(50).alias("p50_fp"),
+        at(90).alias("p90_fp"),
+    )
+
+
+@query(
+    "basket_lift",
+    f"""WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, event_type,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged),
+       baskets AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+       nb AS (SELECT count(DISTINCT (user_id, session_id)) AS n FROM baskets),
+       item AS (
+         SELECT event_type, count(*)::BIGINT AS c FROM baskets GROUP BY 1),
+       pair AS (
+         SELECT a.event_type AS item_a, b.event_type AS item_b,
+                count(*)::BIGINT AS c_ab
+         FROM baskets a JOIN baskets b
+           ON a.user_id = b.user_id AND a.session_id = b.session_id
+          AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT p.item_a, p.item_b, p.c_ab, ia.c AS c_a, ib.c AS c_b,
+              CAST(round(p.c_ab::DOUBLE * 1000000.0 / ia.c) AS BIGINT)
+                AS confidence_fp,
+              CAST(round(p.c_ab::DOUBLE * nb.n / (ia.c::DOUBLE * ib.c)
+                         * 1000000.0) AS BIGINT) AS lift_fp
+       FROM pair p
+       JOIN item ia ON ia.event_type = p.item_a
+       JOIN item ib ON ib.event_type = p.item_b
+       CROSS JOIN nb""",
+)
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association mining over SESSIONS as baskets:
+    support, confidence, and lift for every event-type pair that
+    co-occurs inside a gap-session. The basket table is distinct
+    (entity, session, type) — tiny — so the pair self-join fans out by
+    at most |types|² per basket, never by raw events; item supports
+    and the basket count are broadcast dims. Lift > 1e6 (micro-units)
+    = genuinely associated behaviors, the recommender/bundling
+    primitive. Reuses temporal.sessionize's running-flag pattern."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    s = TP.sessionize(ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S)
+    baskets = s.select("user_id", "session_id", "event_type").distinct()
+    nb = baskets.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = baskets.select("user_id", "session_id", F.col("event_type").alias("item_a"))
+    b = baskets.select("user_id", "session_id", F.col("event_type").alias("item_b"))
+    pair = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("item_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("event_type").alias("item_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b", "c_ab", "c_a", "c_b",
+            F.round(F.col("c_ab").cast("double") * F.lit(1e6) / F.col("c_a"), 0)
+            .cast("long").alias("confidence_fp"),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("lift_fp"),
+        )
+    )
+
+
+@query(
+    "longest_streak",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       runs AS (
+         SELECT user_id, event_type,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS run_id
+         FROM flagged),
+       runlen AS (
+         SELECT user_id, event_type, run_id, count(*)::BIGINT AS len
+         FROM runs GROUP BY 1, 2, 3)
+       SELECT user_id, len::BIGINT AS max_streak, event_type AS streak_type
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, event_type DESC) AS rnk FROM runlen)
+       WHERE rnk = 1""",
+)
+def q_longest_streak(spark, sf_dir):
+    """Longest same-type run per entity — the gaps-and-islands pattern
+    on VALUE changes rather than time gaps (sessionize's sibling):
+    change flags from one lag pass, run ids from the running flag sum,
+    run lengths from a grain-reduced groupBy, then max-with-tiebreak
+    (longest run, lexicographically-LAST type on equal lengths — the
+    struct-max convention both engines share, fully deterministic). Burst/monotony signal: a 40-event 'error' streak
+    is an incident, a 40-event 'click' streak is a bot."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0).alias("is_new"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.withColumn("run_id", F.sum("is_new").over(wc))
+    runlen = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    best = F.max(
+        F.struct(F.col("len"), F.col("event_type").alias("t"))
+    )
+    return runlen.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("max_streak"),
+        best.getField("t").alias("streak_type"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
