@@ -7407,6 +7407,180 @@ def q_longest_streak(spark, sf_dir):
     )
 
 
+@query(
+    "spearman_rho",
+    """WITH f AS (
+         SELECT doc_id, length(trim(text))::BIGINT AS a,
+                len(string_split(trim(text), ' '))::BIGINT AS b
+         FROM documents),
+       ranked AS (
+         SELECT doc_id,
+                2 * rank() OVER (ORDER BY a) + count(*) OVER (PARTITION BY a)
+                  - 1 AS ra2,
+                2 * rank() OVER (ORDER BY b) + count(*) OVER (PARTITION BY b)
+                  - 1 AS rb2
+         FROM f)
+       SELECT count(*)::BIGINT AS n,
+              CAST(round(
+                (count(*) * sum(ra2 * rb2) - sum(ra2) * sum(rb2))::DOUBLE
+                / (sqrt((count(*) * sum(ra2 * ra2) - sum(ra2) * sum(ra2))::DOUBLE)
+                   * sqrt((count(*) * sum(rb2 * rb2) - sum(rb2) * sum(rb2))::DOUBLE))
+                * 1000000.0) AS BIGINT) AS rho_fp
+       FROM ranked""",
+)
+def q_spearman_rho(spark, sf_dir):
+    """EXACT Spearman rank correlation between two features (doc
+    length vs token count): tie-averaged ranks stay INTEGER via the
+    2×rank + tie_count − 1 identity (the roc_auc trick), so Pearson on
+    the doubled ranks runs on exact int64 sufficient statistics with
+    separate sqrt terms and ONE final rounding. The robust dependence
+    measure feature selection uses when the relationship is monotone
+    but not linear. Global rank windows = eval-table concession (same
+    contract as roc_auc)."""
+    d = _docs(spark, sf_dir)
+    f = d.select(
+        T.text_length("text").cast("long").alias("a"),
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("b"),
+    )
+    ra2 = (
+        2 * F.rank().over(Window.orderBy("a"))
+        + F.count(F.lit(1)).over(Window.partitionBy("a"))
+        - 1
+    )
+    rb2 = (
+        2 * F.rank().over(Window.orderBy("b"))
+        + F.count(F.lit(1)).over(Window.partitionBy("b"))
+        - 1
+    )
+    ranked = f.select(ra2.alias("ra2"), rb2.alias("rb2"))
+    n = F.count(F.lit(1))
+    sa, sb = F.sum("ra2"), F.sum("rb2")
+    sab = F.sum(F.col("ra2") * F.col("rb2"))
+    saa = F.sum(F.col("ra2") * F.col("ra2"))
+    sbb = F.sum(F.col("rb2") * F.col("rb2"))
+    return ranked.agg(
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sab - sa * sb).cast("double")
+            / (
+                F.sqrt((n * saa - sa * sa).cast("double"))
+                * F.sqrt((n * sbb - sb * sb).cast("double"))
+            )
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("rho_fp"),
+    )
+
+
+@query(
+    "benford_audit",
+    """WITH d1 AS (
+         SELECT CAST(substr(CAST(CAST(round(value * 100.0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         FROM events WHERE value >= 0.01),
+       cnt AS (SELECT digit, count(*)::BIGINT AS n FROM d1 GROUP BY digit),
+       tot AS (SELECT sum(n) AS t FROM cnt)
+       SELECT c.digit, c.n,
+              CAST(round(c.n::DOUBLE * 1000000.0 / tot.t) AS BIGINT)
+                AS observed_fp,
+              CAST(round(ln(1.0 + 1.0 / c.digit) / ln(10.0) * 1000000.0)
+                   AS BIGINT) AS benford_fp,
+              (CAST(round(c.n::DOUBLE * 1000000.0 / tot.t) AS BIGINT)
+               - CAST(round(ln(1.0 + 1.0 / c.digit) / ln(10.0) * 1000000.0)
+                      AS BIGINT))::BIGINT AS dev_fp
+       FROM cnt c CROSS JOIN tot""",
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit — the forensic data-quality
+    check for fabricated or truncated numeric columns: first
+    significant digit of the centi-scaled value (string head of the
+    exact integer — no float log10 needed for extraction), observed
+    share vs the log10(1+1/d) expectation, both micro-rounded once,
+    and the signed deviation. One digit census with map-side partial
+    agg + a 1-row broadcast total; a synthetic uniform column shows
+    flat ~111,111 shares, flagging itself."""
+    ev = _events(spark, sf_dir)
+    c = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    d1 = ev.where(F.col("value") >= 0.01).select(
+        F.substring(c.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    cnt = d1.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    observed = F.round(
+        F.col("n").cast("double") * F.lit(1e6) / F.col("t"), 0
+    ).cast("long")
+    benford = F.round(
+        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * F.lit(1e6), 0
+    ).cast("long")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        observed.alias("observed_fp"),
+        benford.alias("benford_fp"),
+        (observed - benford).cast("long").alias("dev_fp"),
+    )
+
+
+_PATH_CAP = 8
+
+
+@query(
+    "session_paths",
+    f"""WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged),
+       stepped AS (
+         SELECT user_id, session_id, event_type,
+                row_number() OVER (PARTITION BY user_id, session_id
+                  ORDER BY ts, event_id) AS step
+         FROM sess),
+       paths AS (
+         SELECT user_id, session_id,
+                string_agg(event_type, '>' ORDER BY step) AS path
+         FROM stepped WHERE step <= {_PATH_CAP}
+         GROUP BY 1, 2),
+       pcnt AS (SELECT path, count(*)::BIGINT AS n FROM paths GROUP BY path)
+       SELECT path, n FROM pcnt ORDER BY n DESC, path LIMIT 25""",
+)
+def q_session_paths(spark, sf_dir):
+    """Top session paths — the most common event-type sequences per
+    gap-session (the UX/behavior-flow report): sessions from the
+    running-flag pattern, per-session paths truncated to the first
+    {_PATH_CAP} steps (unbounded concat of a pathological session
+    would make one unbounded string — the same cap discipline as
+    minhash_lsh's bucket gate), then a path census and deterministic
+    top-25. Path assembly is sort-within-group + join, never a
+    driver-side collect."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    s = TP.sessionize(ev, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S)
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    stepped = s.select(
+        "user_id", "session_id", "event_type",
+        F.row_number().over(ws).alias("step"),
+    ).where(F.col("step") <= _PATH_CAP)
+    paths = stepped.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("step"), F.col("event_type")))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    pcnt = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return pcnt.orderBy(F.desc("n"), "path").limit(25)
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
