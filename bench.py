@@ -144,6 +144,11 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "seasonal_profile",
     "stickiness",
+    "cube_events",
+    "basket_lift",
+    "session_paths",
+    "group_quantiles",
+    "transition_entropy",
 ]
 
 
