@@ -7581,6 +7581,162 @@ def q_session_paths(spark, sf_dir):
     return pcnt.orderBy(F.desc("n"), "path").limit(25)
 
 
+@query(
+    "hazard_table",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_u,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_u,
+                max(epoch_us(ts)) AS last_u
+         FROM events GROUP BY user_id),
+       spans AS (
+         SELECT user_id,
+                CASE WHEN p_u IS NOT NULL AND p_u > v_u
+                     THEN (p_u - v_u) // 86400000000 END AS conv_day,
+                (last_u - v_u) // 86400000000 AS censor_day
+         FROM firsts WHERE v_u IS NOT NULL),
+       days AS (SELECT unnest(range(30))::BIGINT AS day),
+       tbl AS (
+         SELECT d.day,
+                sum(CASE WHEN coalesce(s.conv_day, s.censor_day) >= d.day
+                         THEN 1 ELSE 0 END)::BIGINT AS n_at_risk,
+                sum(CASE WHEN s.conv_day = d.day THEN 1 ELSE 0 END)::BIGINT
+                  AS n_converted
+         FROM days d CROSS JOIN spans s GROUP BY d.day)
+       SELECT day, n_at_risk, n_converted,
+              CASE WHEN n_at_risk > 0
+                   THEN CAST(round(n_converted::DOUBLE * 1000000.0 / n_at_risk)
+                             AS BIGINT) END AS hazard_fp
+       FROM tbl WHERE n_at_risk > 0""",
+)
+def q_hazard_table(spark, sf_dir):
+    """Discrete-time hazard table for time-to-conversion (first view →
+    first purchase) with right-censoring at the entity's last observed
+    event — the survival-analysis primitive behind 'how long until a
+    crawled page converts/changes': risk sets and conversion counts
+    are EXACT integer sums (a Kaplan-Meier cumulative product would
+    need an order-dependent float product — the hazard table carries
+    the same information exactly), hazard = d/n rounded once per day.
+    The entity table collapses to one row each before the 30-row day
+    spine fans it out (broadcast), so the fact table is scanned
+    once."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    u = epoch_micros(ev, "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", u)).alias("v_u"),
+        F.min(F.when(F.col("event_type") == "purchase", u)).alias("p_u"),
+        F.max(u).alias("last_u"),
+    )
+    day_us = 86_400_000_000
+    spans = firsts.where(F.col("v_u").isNotNull()).select(
+        "user_id",
+        F.when(
+            F.col("p_u").isNotNull() & (F.col("p_u") > F.col("v_u")),
+            F.floor((F.col("p_u") - F.col("v_u")) / day_us),
+        ).alias("conv_day"),
+        F.floor((F.col("last_u") - F.col("v_u")) / day_us).alias("censor_day"),
+    )
+    days = spark.range(30).select(F.col("id").alias("day"))
+    tbl = (
+        F.broadcast(days)
+        .crossJoin(spans)
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("conv_day"), F.col("censor_day"))
+                    >= F.col("day"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("conv_day") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("n_converted"),
+        )
+    )
+    return tbl.where(F.col("n_at_risk") > 0).select(
+        "day", "n_at_risk", "n_converted",
+        F.when(
+            F.col("n_at_risk") > 0,
+            F.round(
+                F.col("n_converted").cast("double") * F.lit(1e6)
+                / F.col("n_at_risk"),
+                0,
+            ).cast("long"),
+        ).alias("hazard_fp"),
+    )
+
+
+@query(
+    "key_skew_report",
+    """WITH kc AS (
+         SELECT l_orderkey AS key, count(*)::BIGINT AS c
+         FROM lineitem GROUP BY l_orderkey),
+       tot AS (SELECT sum(c) AS t, count(*) AS nk FROM kc),
+       ranked AS (
+         SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rnk,
+                row_number() OVER (ORDER BY c, key) AS rn_asc
+         FROM kc),
+       gini AS (
+         SELECT CAST(round(sum((2 * rn_asc - tot.nk - 1) * c)::DOUBLE
+                           / (tot.nk * tot.t) * 1000000.0) AS BIGINT) AS g_fp
+         FROM ranked CROSS JOIN tot GROUP BY tot.nk, tot.t)
+       SELECT r.rnk AS rnk, r.key, r.c,
+              CAST(round(r.c::DOUBLE * 1000000.0 / tot.t) AS BIGINT) AS share_fp,
+              gini.g_fp AS key_gini_fp
+       FROM ranked r CROSS JOIN tot CROSS JOIN gini
+       WHERE r.rnk <= 10""",
+)
+def q_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic — the report you read BEFORE choosing
+    salting factors or AQE thresholds: per-key census (map-side
+    partial agg collapses the fact table to key grain), top-10 heavy
+    hitters with their traffic share, plus the Gini concentration of
+    the whole key distribution (gini_tokens' exact rank-weighted
+    integer sum, reused on keys). Only the key-grain table ever sorts.
+    Pairs with operators/asof.detect_heavy_hitters — this is its
+    offline, human-readable face."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = kc.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("nk"))
+    wd = Window.orderBy(F.desc("c"), "key")
+    wa = Window.orderBy("c", "key")
+    ranked = kc.select(
+        "key", "c",
+        F.row_number().over(wd).alias("rnk"),
+        F.row_number().over(wa).alias("rn_asc"),
+    )
+    gini = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("nk", "t")
+        .agg(
+            F.round(
+                F.sum((2 * F.col("rn_asc") - F.col("nk") - 1) * F.col("c"))
+                .cast("double")
+                / (F.col("nk") * F.col("t"))
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("g_fp")
+        )
+        .select("g_fp")
+    )
+    return (
+        ranked.where(F.col("rnk") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "rnk", "key", "c",
+            F.round(F.col("c").cast("double") * F.lit(1e6) / F.col("t"), 0)
+            .cast("long").alias("share_fp"),
+            F.col("g_fp").alias("key_gini_fp"),
+        )
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
