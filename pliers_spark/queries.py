@@ -7737,6 +7737,136 @@ def q_key_skew_report(spark, sf_dir):
     )
 
 
+def _khop_sql(hops: int = 3, n_hosts: int = 50, links: int = 3) -> str:
+    def dst(j: int) -> str:
+        h = md5_int_sql(f"concat(doc_id::VARCHAR, ':{j}')")
+        return f"({h} % {n_hosts})::BIGINT"
+
+    link_union = " UNION ALL ".join(
+        f"SELECT (doc_id % {n_hosts})::BIGINT AS src, {dst(j)} AS dst FROM documents"
+        for j in range(links)
+    )
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({link_union}) WHERE src != dst)",
+        "s0 AS (SELECT unnest([0, 1])::BIGINT AS node)",
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"s{k} AS (SELECT DISTINCT node FROM (SELECT node FROM s{k-1} "
+            f"UNION ALL SELECT e.dst FROM edges e JOIN s{k-1} p ON e.src = p.node))"
+        )
+    dist = "CASE " + " ".join(
+        f"WHEN node IN (SELECT node FROM s{k}) THEN {k}"
+        for k in range(hops + 1)
+    ) + " END"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ({dist})::BIGINT AS dist FROM s{hops}"
+    )
+
+
+@query("khop_reach", _khop_sql())
+def q_khop_reach(spark, sf_dir):
+    """k-hop BFS reachability over the host link graph (seed hosts
+    {0,1}, 3 hops) — the frontier-expansion primitive behind crawl
+    scheduling and influence radius: each round joins the CURRENT
+    frontier (small) against the edge table and anti-joins out the
+    already-reached set, so per-round shuffle cost is frontier-sized,
+    never graph-sized; distances are the round at which a node first
+    appears (exact min-hop by construction). The oracle unrolls the
+    same rounds as chained CTEs — same DAG, declarative form."""
+    from .operators.graph import host_link_edges
+
+    edges = host_link_edges(_docs(spark, sf_dir))
+    reached = spark.createDataFrame(
+        [(0, 0), (1, 0)], "node long, dist long"
+    )
+    frontier = reached.select("node")
+    for k in range(1, 4):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("dist"))
+        )
+        nxt = nxt.localCheckpoint()
+        reached = reached.unionAll(nxt)
+        frontier = nxt.select("node")
+    return reached.select("node", "dist")
+
+
+@query(
+    "mad_scale",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::BIGINT AS ql FROM documents),
+       ranked AS (
+         SELECT lang, ql,
+                row_number() OVER (PARTITION BY lang ORDER BY ql, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM f),
+       med AS (
+         SELECT lang, max(n)::BIGINT AS n,
+                max(CASE WHEN rn = (50 * n + 99) // 100 THEN ql END)::BIGINT
+                  AS median_ql
+         FROM ranked GROUP BY lang),
+       dev AS (
+         SELECT f.lang, abs(f.ql - m.median_ql) AS d, f.doc_id
+         FROM f JOIN med m USING (lang)),
+       dranked AS (
+         SELECT lang, d,
+                row_number() OVER (PARTITION BY lang ORDER BY d, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM dev)
+       SELECT m.lang, m.n, m.median_ql,
+              max(CASE WHEN dr.rn = (50 * dr.n + 99) // 100 THEN dr.d END)
+                ::BIGINT AS mad
+       FROM dranked dr JOIN med m USING (lang)
+       GROUP BY m.lang, m.n, m.median_ql""",
+)
+def q_mad_scale(spark, sf_dir):
+    """Median absolute deviation per group — the robust scale estimate
+    that (unlike stddev) one outlier can't poison: median by exact
+    rank selection (the winsorize/group_quantiles discipline), absolute
+    deviations against the broadcast group medians, then a second rank
+    selection for the MAD — all integer order statistics, nothing to
+    interpolate. Both rank passes are keyed windows; the med dim is
+    group-grain and broadcasts. Completes the robust trio: winsorize
+    (clip), ecdf_normalize (rank transform), mad_scale (scale)."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
+    wr = Window.partitionBy("lang").orderBy("ql", "doc_id")
+    wall = Window.partitionBy("lang")
+    ranked = f.select(
+        "lang", "ql",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med_rank = F.floor((50 * F.col("n") + 99) / 100)
+    med = ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("ql")))
+        .cast("long").alias("median_ql"),
+    )
+    dev = f.join(F.broadcast(med), "lang").select(
+        "lang", "doc_id", F.abs(F.col("ql") - F.col("median_ql")).alias("d")
+    )
+    wd = Window.partitionBy("lang").orderBy("d", "doc_id")
+    dranked = dev.select(
+        "lang", "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    mad_rank = F.floor((50 * F.col("n") + 99) / 100)
+    mad = dranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == mad_rank, F.col("d")))
+        .cast("long").alias("mad")
+    )
+    return med.join(mad, "lang").select("lang", "n", "median_ql", "mad")
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
