@@ -7867,6 +7867,101 @@ def q_mad_scale(spark, sf_dir):
     return med.join(mad, "lang").select("lang", "n", "median_ql", "mad")
 
 
+@query(
+    "time_weighted_avg",
+    """WITH base AS (
+         SELECT user_id, epoch_us(ts) AS u, event_id,
+                CAST(round(value * 100.0) AS BIGINT) AS c
+         FROM events),
+       held AS (
+         SELECT user_id, c,
+                (lead(u) OVER (PARTITION BY user_id ORDER BY u, event_id) - u)
+                  // 1000000 AS dur_s
+         FROM base)
+       SELECT user_id, count(*)::BIGINT AS n_intervals,
+              sum(dur_s)::BIGINT AS total_s,
+              CAST(round(sum(c * dur_s)::DOUBLE * 10000.0 / sum(dur_s))
+                   AS BIGINT) AS twap_fp
+       FROM held WHERE dur_s IS NOT NULL AND dur_s > 0
+       GROUP BY user_id""",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP) per entity — the state's integral
+    over time, not the per-event mean (an entity that held value 100
+    for a month and 0 for a second should read ≈100): each observation
+    is held until the next one (lead), weights are whole-second
+    durations and values centi-scaled so Σ value·duration stays in
+    int64 at any realistic per-entity history, one division rounded
+    once. Zero-duration intervals (same-second bursts) drop —
+    documented whole-second granularity. One sorted window pass +
+    groupBy on the shared entity shuffle."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        epoch_micros(ev, "ts").alias("u"),
+        "event_id",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    held = base.select(
+        "user_id", "c",
+        F.floor((F.lead("u").over(w) - F.col("u")) / F.lit(1_000_000))
+        .alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.round(
+            F.sum(F.col("c") * F.col("dur_s")).cast("double")
+            * F.lit(1e4)
+            / F.sum("dur_s"),
+            0,
+        ).cast("long").alias("twap_fp"),
+    )
+
+
+@query(
+    "dense_counts",
+    """WITH days AS (
+         SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       grid AS (SELECT d.day, t.event_type FROM days d CROSS JOIN types t),
+       cnt AS (
+         SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2)
+       SELECT g.day::BIGINT AS day, g.event_type,
+              coalesce(c.n, 0)::BIGINT AS n
+       FROM grid g LEFT JOIN cnt c
+         ON c.day = g.day AND c.event_type = g.event_type""",
+)
+def q_dense_counts(spark, sf_dir):
+    """Sparse→dense densification: the complete (day × type) grid with
+    explicit zeros — what every charting/forecasting consumer needs
+    (a missing combination is a ZERO, not an absent row; models
+    trained on sparse counts silently skip the zeros that matter
+    most). The spine is the cross product of two DISTINCT dims (tiny),
+    the left join back fills gaps, and the fact table aggregates once
+    map-side. Integer epoch days."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    day = F.floor(epoch_micros(ev, "ts") / F.lit(86_400_000_000)).alias("day")
+    days = ev.select(day).distinct()
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    cnt = ev.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return grid.join(cnt, ["day", "event_type"], "left").select(
+        F.col("day").cast("long").alias("day"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
