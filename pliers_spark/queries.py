@@ -4620,15 +4620,23 @@ def q_feature_psi(spark, sf_dir):
         ).cast("long").alias("bin"),
         "is_ref",
     )
+    # aggregate to bin grain BEFORE touching the spine: the corpus
+    # collapses map-side to ≤ _PSI_BINS rows; joining the raw binned
+    # rows against an 8-row spine first would be an 8-key skewed join
+    # (and unbroadcastable at corpus scale)
+    agg0 = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long").alias("ref_cnt"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("long").alias("cur_cnt"),
+    )
     cnts = (
         spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
-        .join(binned, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0))
-            .cast("long").alias("ref_cnt"),
-            F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0))
-            .cast("long").alias("cur_cnt"),
+        .join(F.broadcast(agg0), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).cast("long").alias("ref_cnt"),
+            F.coalesce(F.col("cur_cnt"), F.lit(0)).cast("long").alias("cur_cnt"),
         )
     )
     tot = cnts.agg(
