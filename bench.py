@@ -149,6 +149,13 @@ BENCH_QUERIES = [
     "session_paths",
     "group_quantiles",
     "transition_entropy",
+    "hazard_table",
+    "key_skew_report",
+    "khop_reach",
+    "mad_scale",
+    "time_weighted_avg",
+    "spearman_rho",
+    "benford_audit",
 ]
 
 
