@@ -7970,6 +7970,164 @@ def q_dense_counts(spark, sf_dir):
     )
 
 
+@query(
+    "naive_bayes_lang",
+    f"""WITH docs2 AS (
+         SELECT doc_id, lang, list_distinct({_tok_sql()}) AS toks
+         FROM documents),
+       train AS (SELECT * FROM docs2 WHERE doc_id % 5 <> 0),
+       test  AS (SELECT * FROM docs2 WHERE doc_id % 5 = 0),
+       classes AS (
+         SELECT lang AS c, count(*)::BIGINT AS n_docs FROM train GROUP BY lang),
+       ntr AS (SELECT sum(n_docs) AS n FROM classes),
+       tokc AS (
+         SELECT t.token, tr.lang AS c, count(*)::BIGINT AS df
+         FROM (SELECT doc_id, unnest(toks) AS token FROM train) t
+         JOIN train tr USING (doc_id) GROUP BY 1, 2),
+       vocab AS (SELECT count(DISTINCT token) AS v FROM tokc),
+       llik AS (
+         SELECT tok.token, cl.c,
+                CAST(round(ln((coalesce(tc.df, 0) + 1.0)
+                              / (cl.n_docs + 2.0)) * 1000000.0) AS BIGINT)
+                  AS lp_fp
+         FROM (SELECT DISTINCT token FROM tokc) tok
+         CROSS JOIN classes cl
+         LEFT JOIN tokc tc ON tc.token = tok.token AND tc.c = cl.c),
+       scored AS (
+         SELECT te.doc_id, te.lang, cl.c,
+                CAST(round(ln(cl.n_docs::DOUBLE / ntr.n) * 1000000.0) AS BIGINT)
+                + coalesce(sum(l.lp_fp), 0) AS score_fp
+         FROM test te
+         CROSS JOIN classes cl CROSS JOIN ntr
+         LEFT JOIN (SELECT DISTINCT doc_id, unnest(toks) AS token FROM test) tt
+           ON tt.doc_id = te.doc_id
+         LEFT JOIN llik l ON l.token = tt.token AND l.c = cl.c
+         GROUP BY te.doc_id, te.lang, cl.c, cl.n_docs, ntr.n),
+       pred AS (
+         SELECT doc_id, lang, c AS pred_lang, score_fp::BIGINT AS best_score_fp
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_fp DESC, c DESC) AS rnk FROM scored)
+         WHERE rnk = 1)
+       SELECT doc_id, lang, pred_lang, best_score_fp,
+              (lang = pred_lang) AS correct
+       FROM pred""",
+)
+def q_naive_bayes_lang(spark, sf_dir):
+    """Bernoulli Naive Bayes trained AND scored in one DAG with fully
+    EXACT arithmetic: per-(token, class) Laplace log-likelihoods are
+    rounded ONCE corpus-side to integer micro-nats, so every document
+    score is an exact int64 SUM of small integers (float log-prob
+    accumulation would be order-dependent — the whole reason NB is
+    usually hard to bit-reproduce distributed). 80/20 hash split,
+    class priors from a broadcast dim, prediction = argmax with a
+    deterministic class tiebreak, per-doc correctness against truth.
+    The trainable-classifier pattern (edu_classifier's learned cousin):
+    token census → broadcast model → per-doc exact additive scoring."""
+    d = _docs(spark, sf_dir)
+    docs2 = d.select(
+        "doc_id", "lang", F.array_distinct(T.tokenize(F.col("text"))).alias("toks")
+    )
+    train = docs2.where(F.col("doc_id") % 5 != 0)
+    test = docs2.where(F.col("doc_id") % 5 == 0)
+    classes = train.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ntr = classes.agg(F.sum("n_docs").alias("n"))
+    tokc = (
+        train.select("doc_id", F.col("lang").alias("c"), F.explode("toks").alias("token"))
+        .groupBy("token", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    vocab_toks = tokc.select("token").distinct()
+    llik = (
+        vocab_toks.crossJoin(F.broadcast(classes))
+        .join(tokc, ["token", "c"], "left")
+        .select(
+            "token", "c",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_docs") + F.lit(2.0))
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("lp_fp"),
+        )
+    )
+    tt = test.select("doc_id", F.explode("toks").alias("token")).distinct()
+    prior = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("n")) * F.lit(1e6), 0
+    ).cast("long")
+    scored = (
+        test.select("doc_id", "lang")
+        .crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(ntr))
+        .join(tt, "doc_id", "left")
+        .join(llik, ["token", "c"], "left")
+        .groupBy("doc_id", "lang", "c", "n_docs", "n")
+        .agg(F.coalesce(F.sum("lp_fp"), F.lit(0)).alias("tok_fp"))
+        .select(
+            "doc_id", "lang", "c",
+            (prior + F.col("tok_fp")).cast("long").alias("score_fp"),
+        )
+    )
+    best = F.max(F.struct(F.col("score_fp"), F.col("c")))
+    pred = scored.groupBy("doc_id", "lang").agg(
+        best.getField("c").alias("pred_lang"),
+        F.max("score_fp").cast("long").alias("best_score_fp"),
+    )
+    return pred.select(
+        "doc_id", "lang", "pred_lang", "best_score_fp",
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+_SKIP_WIN = 2
+
+
+@query(
+    "skipgram_counts",
+    f"""WITH toks AS (
+         SELECT doc_id, {_tok_sql()} AS t FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(len(t)))::BIGINT AS p FROM toks),
+       pairs AS (
+         SELECT lower(t[p + 1]) AS w, lower(t[p + 1 + o]) AS c
+         FROM pos
+         CROSS JOIN (SELECT unnest(range(1, {_SKIP_WIN + 1}))::BIGINT AS o)
+         WHERE p + 1 + o <= len(t)),
+       cnt AS (SELECT w, c, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2)
+       SELECT w, c, n FROM cnt ORDER BY n DESC, w, c LIMIT 100""",
+)
+def q_skipgram_counts(spark, sf_dir):
+    """Skip-gram co-occurrence census (window +{_SKIP_WIN}, the
+    word2vec/GloVe preprocessing): context pairs come from ARRAY
+    offsets — element_at against the token array per (position,
+    offset), no self-join of an exploded table on doc & position
+    (which would shuffle the corpus against itself); one groupBy with
+    map-side partial counts, deterministic top-100. Directional pairs
+    (left→right) so each unordered co-occurrence is counted exactly
+    once per offset."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(T.tokenize(F.col("text")).alias("t"))
+    pos = toks.select(
+        "t", F.posexplode(F.col("t")).alias("p", "_w")
+    )
+    offs = spark.range(1, _SKIP_WIN + 1).select(F.col("id").alias("o"))
+    pairs = (
+        pos.crossJoin(F.broadcast(offs))
+        .where(F.col("p") + 1 + F.col("o") <= F.size("t"))
+        .select(
+            F.lower(F.element_at("t", (F.col("p") + 1).cast("int"))).alias("w"),
+            F.lower(
+                F.element_at("t", (F.col("p") + 1 + F.col("o")).cast("int"))
+            ).alias("c"),
+        )
+    )
+    cnt = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return cnt.orderBy(F.desc("n"), "w", "c").limit(100)
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
