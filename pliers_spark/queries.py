@@ -8128,6 +8128,130 @@ def q_skipgram_counts(spark, sf_dir):
     return cnt.orderBy(F.desc("n"), "w", "c").limit(100)
 
 
+@query(
+    "quantile_normalize",
+    """WITH f AS (
+         SELECT doc_id, lang, length(trim(text))::BIGINT AS ql FROM documents),
+       grp AS (
+         SELECT doc_id, lang, ql,
+                row_number() OVER (PARTITION BY lang ORDER BY ql, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM f),
+       pooled AS (
+         SELECT ql AS pooled_ql,
+                row_number() OVER (ORDER BY ql, doc_id) AS pr
+         FROM f),
+       ptot AS (SELECT count(*) AS pn FROM f),
+       target AS (
+         SELECT g.doc_id, g.lang, g.ql,
+                greatest(1, (g.rn * ptot.pn + g.n - 1) // g.n) AS want
+         FROM grp g CROSS JOIN ptot)
+       SELECT t.doc_id, t.lang, t.ql, p.pooled_ql AS ql_qnorm
+       FROM target t JOIN pooled p ON p.pr = t.want""",
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization — remap every group's values onto the
+    POOLED distribution's order statistics (rank i of n in a group →
+    the pooled value at ceil(i·N/n)), the microarray-era technique
+    that makes per-source feature distributions directly comparable
+    before mixing corpora: all integer rank arithmetic (the winsorize
+    discipline), two rank passes plus an equi-join on the target rank
+    — no interpolation, no float quantiles. The pooled rank table is
+    value-grain; the global sort is the eval-table concession shared
+    with ecdf/roc_auc."""
+    d = _docs(spark, sf_dir)
+    f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
+    wg = Window.partitionBy("lang").orderBy("ql", "doc_id")
+    wng = Window.partitionBy("lang")
+    grp = f.select(
+        "doc_id", "lang", "ql",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wng).alias("n"),
+    )
+    wp = Window.orderBy("ql", "doc_id")
+    pooled = f.select(
+        F.col("ql").alias("pooled_ql"), F.row_number().over(wp).alias("pr")
+    )
+    ptot = f.agg(F.count(F.lit(1)).alias("pn"))
+    target = grp.crossJoin(F.broadcast(ptot)).select(
+        "doc_id", "lang", "ql",
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("rn") * F.col("pn") + F.col("n") - 1) / F.col("n")),
+        ).alias("want"),
+    )
+    return target.join(pooled, target.want == pooled.pr).select(
+        "doc_id", "lang", "ql", F.col("pooled_ql").alias("ql_qnorm")
+    )
+
+
+@query(
+    "seasonality_strength",
+    """WITH base AS (
+         SELECT hour(ts) AS hod, CAST(round(value * 100.0) AS BIGINT) AS c
+         FROM events),
+       h AS (
+         SELECT hod, count(*)::BIGINT AS n, sum(c) AS s, sum(c * c) AS ss
+         FROM base GROUP BY hod),
+       terms AS (
+         SELECT CAST(round(s * s / n::DOUBLE) AS BIGINT) AS t_fp, n, s, ss
+         FROM h),
+       tot AS (
+         SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+                sum(t_fp) AS bsum_fp
+         FROM terms)
+       SELECT tn::BIGINT AS n,
+              CAST(round(
+                (bsum_fp - CAST(round(ts * ts / tn::DOUBLE) AS BIGINT))::DOUBLE
+                / (tss - CAST(round(ts * ts / tn::DOUBLE) AS BIGINT))
+                * 1000000.0) AS BIGINT) AS strength_fp
+       FROM tot""",
+)
+def q_seasonality_strength(spark, sf_dir):
+    """Seasonality strength = between-hour variance share of total
+    variance (the one-way ANOVA R²): how much of the signal the
+    hour-of-day profile explains — ≈0 means seasonal_profile's
+    residuals carry everything, ≈1 means the clock IS the signal.
+    Sufficient statistics per hour (count, Σc, Σc²) are exact int64;
+    each s²/n term is rounded ONCE to an integer before summing (a
+    float sum of the 24 terms would be accumulation-order-dependent
+    across engines — the PSI/MI recipe applies to variance terms too),
+    then the R² ratio is one rounded expression."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("c"),
+    )
+    h = base.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    terms = h.select(
+        "n", "s", "ss",
+        F.round(F.col("s") * F.col("s") / F.col("n").cast("double"), 0)
+        .cast("long").alias("t_fp"),
+    )
+    tot = terms.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.sum("t_fp").alias("bsum_fp"),
+    )
+    grand = F.round(
+        F.col("ts") * F.col("ts") / F.col("tn").cast("double"), 0
+    ).cast("long")
+    return tot.select(
+        F.col("tn").cast("long").alias("n"),
+        F.round(
+            (F.col("bsum_fp") - grand).cast("double")
+            / (F.col("tss") - grand)
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("strength_fp"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
