@@ -8252,6 +8252,138 @@ def q_seasonality_strength(spark, sf_dir):
     )
 
 
+@query(
+    "revenue_hierarchy",
+    """WITH rev AS (
+         SELECT c.c_nationkey,
+                sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_nationkey),
+       nat AS (
+         SELECT n.n_name AS nation, r.r_name AS region, rev.cents
+         FROM rev
+         JOIN nation n ON n.n_nationkey = rev.c_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey)
+       SELECT region, nation, cents::BIGINT AS revenue_cents,
+              CAST(round(cents::DOUBLE * 1000000.0
+                         / sum(cents) OVER (PARTITION BY region)) AS BIGINT)
+                AS share_of_region_fp,
+              CAST(round(sum(cents) OVER (PARTITION BY region) * 1000000.0
+                         / sum(cents) OVER ()) AS BIGINT)
+                AS region_share_fp
+       FROM nat""",
+)
+def q_revenue_hierarchy(spark, sf_dir):
+    """Percent-of-parent hierarchy rollup (region → nation revenue
+    shares, the drill-down report every BI layer renders): the fact
+    join aggregates to nation grain FIRST (map-side partial sums of
+    integer cents), then both share levels are window sums over the
+    ≤25-row nation table — the dimension joins broadcast, the fact
+    table shuffles once on the join key, and no percent is computed
+    against un-aggregated data. Exact integer cents; shares rounded
+    once."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    nat = (
+        rev.join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            rev.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "cents",
+        )
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return nat.select(
+        "region", "nation",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.round(
+            F.col("cents").cast("double") * F.lit(1e6) / F.sum("cents").over(wr), 0
+        ).cast("long").alias("share_of_region_fp"),
+        F.round(
+            F.sum("cents").over(wr) * F.lit(1e6) / F.sum("cents").over(wall), 0
+        ).cast("long").alias("region_share_fp"),
+    )
+
+
+@query(
+    "median_impute",
+    """WITH base AS (
+         SELECT event_id, event_type,
+                CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE CAST(round(value * 1000000.0) AS BIGINT) END AS v_fp
+         FROM events),
+       present AS (
+         SELECT event_type, v_fp,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY v_fp, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+         FROM base WHERE v_fp IS NOT NULL),
+       med AS (
+         SELECT event_type,
+                max(CASE WHEN rn = (50 * n + 99) // 100 THEN v_fp END)::BIGINT
+                  AS med_fp
+         FROM present GROUP BY event_type)
+       SELECT b.event_id, b.event_type,
+              coalesce(b.v_fp, m.med_fp)::BIGINT AS v_imputed_fp,
+              (b.v_fp IS NULL) AS was_imputed
+       FROM base b JOIN med m USING (event_type)""",
+)
+def q_median_impute(spark, sf_dir):
+    """Group-median imputation with an explicit provenance flag — the
+    standard missing-value fill that (unlike mean-fill) a skewed tail
+    can't distort, and (unlike silent fills) downstream models can
+    condition on `was_imputed`: medians by exact rank selection over
+    the PRESENT values only (the winsorize discipline), broadcast back
+    as a group-grain dim so imputation is a pure per-row map.
+    Missingness is synthesized deterministically (event_id % 7) so
+    the oracle replays the identical holes."""
+    ev = _events(spark, sf_dir)
+    v_fp = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(v_fp).alias("v_fp"),
+    )
+    present = base.where(F.col("v_fp").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("v_fp", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = present.select(
+        "event_type", "v_fp",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med_rank = F.floor((50 * F.col("n") + 99) / 100)
+    med = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == med_rank, F.col("v_fp")))
+        .cast("long").alias("med_fp")
+    )
+    return base.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type",
+        F.coalesce(F.col("v_fp"), F.col("med_fp")).cast("long")
+        .alias("v_imputed_fp"),
+        F.col("v_fp").isNull().alias("was_imputed"),
+    )
+
+
 @query("rollup_multires", _rollup_sql())
 def q_rollup_multires(spark, sf_dir):
     """Hour→day→week event rollup where every coarser level re-aggregates
