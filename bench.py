@@ -156,6 +156,10 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "spearman_rho",
     "benford_audit",
+    "naive_bayes_lang",
+    "skipgram_counts",
+    "quantile_normalize",
+    "revenue_hierarchy",
 ]
 
 
