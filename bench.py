@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "quantile_normalize",
     "revenue_hierarchy",
+    "rrf_fusion",
+    "containment_dedup",
+    "tpch_q18",
 ]
 
 

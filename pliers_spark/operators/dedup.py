@@ -1184,3 +1184,113 @@ SELECT c.id_a, c.id_b, c.n_shared_fps,
 FROM cand c
 JOIN tx ta ON ta.{id_col} = c.id_a
 JOIN tx tb ON tb.{id_col} = c.id_b"""
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle-set CONTAINMENT join: pairs where the smaller set is
+    almost a subset of the larger — |A∩B| / min(|A|,|B|) ≥ t.
+
+    Jaccard misses inclusion dups (a paragraph quoted inside a much
+    longer page scores near 0 on Jaccard but 1.0 on containment);
+    containment is the statistic quote/boilerplate-inclusion detection
+    actually needs (Broder 1997 §2 defines both resemblance and
+    containment for exactly this reason).
+
+    Plan shape = the inverted-index join of :func:`ngram_jaccard_pairs`
+    (explode distinct tokens → equi-join on token → per-pair
+    intersection census), with the same ``max_df`` stop-token guard for
+    Zipf-skewed corpora. The threshold gate is the pure-integer cross
+    product ``den·∩ ≥ num·min(|A|,|B|)`` — no float until the reported
+    score, which rounds once to 6 dp. At 100 TB the index join carries
+    only post-``max_df`` postings; nothing is ever all-pairs.
+    """
+    grams = (
+        T.tokenize(F.col(text_col))
+        if n <= 1
+        else shingles(T.tokenize(F.col(text_col)), n)
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams)).alias("tok"),
+    )
+    if max_df is not None:
+        df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        toks = toks.join(F.broadcast(df_counts.where(F.col("_df") <= max_df)), "tok").drop("_df")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, on="tok")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    min_sz = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * min_sz)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter_size"),
+            min_sz.cast("long").alias("min_size"),
+            F.round(F.col("inter").cast("double") / min_sz, 6).alias("containment"),
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`containment_pairs`."""
+    if n <= 1:
+        gram = f"unnest(string_split(trim({text_col}), ' '))"
+        toks_cte = f"""toks AS (
+  SELECT DISTINCT {id_col}, {gram} AS tok
+  FROM {table})"""
+    else:
+        cat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        toks_cte = f"""base AS (
+  SELECT {id_col}, string_split(trim({text_col}), ' ') AS t FROM {table}),
+toks AS (
+  SELECT DISTINCT {id_col},
+         unnest(list_transform(range(1, len(t) - {n - 2}), i -> {cat})) AS tok
+  FROM base WHERE len(t) >= {n})"""
+    gate = ""
+    if max_df is not None:
+        gate = f""", keep AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {max_df}),
+gated AS (SELECT t.* FROM toks t JOIN keep USING (tok))"""
+    src = "gated" if max_df is not None else "toks"
+    return f"""WITH {toks_cte}{gate},
+sizes AS (SELECT {id_col}, count(*) AS set_size FROM {src} GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS inter
+  FROM {src} a JOIN {src} b USING (tok)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       inter::BIGINT AS inter_size,
+       least(sa.set_size, sb.set_size)::BIGINT AS min_size,
+       round(inter::DOUBLE / least(sa.set_size, sb.set_size), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE {threshold_den} * inter >= {threshold_num} * least(sa.set_size, sb.set_size)"""

@@ -420,3 +420,134 @@ SELECT {id_col}, n_words, n_sents, n_syllables,
                    - 15.59)
                   * 1000000.0) AS BIGINT) AS fk_grade_fp
 FROM m"""
+
+
+def rrf_fuse(
+    docs: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    term_col: str = "term",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of a lexical and a dense ranking — the standard hybrid-search merge
+    (Elasticsearch/Vespa ship exactly this formula).
+
+    Two independent top-``k1`` rankings per query — BM25 over the text
+    corpus and cosine over the embedding sidecar (query vector = the
+    seed document's own embedding) — are fused by
+    ``rrf = Σ 1/(rrf_k + rank)`` over the rankings a document appears
+    in, computed in integer micro-units (one rounding per ranking, so
+    the fused score is an order-independent BIGINT sum and the final
+    ordering is total).
+
+    Scale shape: BM25 reuses the broadcast-gated postings plan of
+    :func:`bm25_topk`; the dense side here scores the full embedding
+    table against the broadcast query vectors (the exact baseline — at
+    corpus scale the IVF/LSH operators in operators/similarity.py
+    produce the same (q_id, id, rank) contract and swap in unchanged).
+    The fusion itself joins two (n_queries × k1)-row rankings — a
+    driver-free full-outer join on (q_id, id) that is trivially
+    broadcastable.
+
+    Returns (q_id, doc_id, bm25_rank, cos_rank, rrf_fp, rank).
+    """
+    from .similarity import _dot, _norm
+
+    lex = (
+        bm25_topk(docs, queries, text_col, id_col, q_id_col, term_col, k=k1)
+        .select(q_id_col, id_col, F.col("rank").alias("bm25_rank"))
+    )
+    q_ids = queries.select(q_id_col).distinct()
+    qvec = (
+        emb.select(F.col(vec_id_col).alias(q_id_col), F.col(vec_col).alias("q_vec"))
+        .join(F.broadcast(q_ids), q_id_col)
+    )
+    dense_scored = emb.crossJoin(F.broadcast(qvec)).select(
+        q_id_col,
+        F.col(vec_id_col).alias(id_col),
+        F.round(
+            _dot(F.col(vec_col), F.col("q_vec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("q_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w_d = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    dense = (
+        dense_scored.select(q_id_col, id_col, F.row_number().over(w_d).cast("long").alias("cos_rank"))
+        .where(F.col("cos_rank") <= k1)
+    )
+    fused = lex.join(dense, [q_id_col, id_col], "full_outer").select(
+        q_id_col,
+        id_col,
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(
+                F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("bm25_rank")), 0).cast("long"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("cos_rank")), 0).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_fp"),
+    )
+    w_f = Window.partitionBy(q_id_col).orderBy(F.desc("rrf_fp"), F.col(id_col))
+    return (
+        fused.select("*", F.row_number().over(w_f).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse_sql(
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    queries_cte: str = "queries",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB oracle body for :func:`rrf_fuse` (caller prepends the
+    ``queries_cte``); the dense ranking mirrors the ``embedding_topk``
+    oracle's rounded-cosine + id tie-break ordering."""
+    dot = (
+        f"list_sum(list_transform(range(1, len(e.{vec_col})+1),"
+        f" i -> e.{vec_col}[i]::DOUBLE * q.q_emb[i]::DOUBLE))"
+    )
+    n_c = f"sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    n_q = f"sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE)))"
+    tail = f""", qvec AS (
+  SELECT {vec_id_col} AS q_id, {vec_col} AS q_emb FROM {emb_table}
+  WHERE {vec_id_col} IN (SELECT DISTINCT q_id FROM qt)),
+dscore AS (
+  SELECT q.q_id, e.{vec_id_col} AS {id_col},
+         round({dot} / ({n_c} * {n_q}), 6) AS cosine
+  FROM {emb_table} e CROSS JOIN qvec q),
+dense AS (
+  SELECT q_id, {id_col},
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, {id_col})::BIGINT AS cos_rank
+  FROM dscore QUALIFY cos_rank <= {k1}),
+lex AS (SELECT q_id, {id_col}, rank AS bm25_rank FROM bm25),
+fused AS (
+  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+         coalesce(l.{id_col}, d.{id_col}) AS {id_col},
+         l.bm25_rank, d.cos_rank,
+         (coalesce(CAST(round(1000000.0 / ({rrf_k} + l.bm25_rank), 0) AS BIGINT), 0)
+          + coalesce(CAST(round(1000000.0 / ({rrf_k} + d.cos_rank), 0) AS BIGINT), 0)) AS rrf_fp
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.q_id = d.q_id AND l.{id_col} = d.{id_col})
+SELECT q_id, {id_col}, bm25_rank, cos_rank, rrf_fp,
+       row_number() OVER (PARTITION BY q_id ORDER BY rrf_fp DESC, {id_col})::BIGINT AS rank
+FROM fused QUALIFY rank <= {k}"""
+    return bm25_topk_sql(table, queries_cte, "text", id_col, k=k1, tail=tail)

@@ -9524,3 +9524,103 @@ def q_mixture_epochs(spark, sf_dir):
             F.col("n_epochs").cast("long").alias("n_epochs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 21: hybrid rank fusion, containment dedup, TPC-H Q18
+
+def _rrf_sql() -> str:
+    from pliers_spark.operators.ir import rrf_fuse_sql
+
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       {rrf_fuse_sql(k1=20, k=10, rrf_k=60)}"""
+
+
+@query("rrf_fusion", _rrf_sql())
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-search reciprocal-rank fusion (Cormack et al. SIGIR'09 —
+    the Elasticsearch/Vespa hybrid merge): BM25 top-20 and dense-cosine
+    top-20 rankings per seed query, fused by Σ 1/(60+rank) in integer
+    micro-units. Lexical side reuses the broadcast-gated BM25 postings
+    plan; dense side is the exact brute-force baseline (IVF/LSH swap in
+    at scale); fusion is a full-outer join of two tiny (q×k1) rankings
+    (operators/ir.rrf_fuse)."""
+    from pliers_spark.operators.ir import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_fuse(docs, seeds, emb, k1=20, k=10, rrf_k=60)
+
+
+def _containment_sql() -> str:
+    from pliers_spark.operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(n=3, threshold_num=4, threshold_den=5, max_df=50)
+
+
+@query("containment_dedup", _containment_sql())
+def q_containment_dedup(spark, sf_dir):
+    """Shingle-set CONTAINMENT near-dup join (Broder 1997 §2): pairs
+    where ≥80% of the smaller doc's 3-gram shingles appear in the
+    larger — catches quote/inclusion duplicates that Jaccard scores
+    near zero. Inverted-index join over distinct shingles with a
+    max_df=50 stop-shingle cap; the threshold gate is the pure-integer
+    cross product 5·∩ ≥ 4·min(|A|,|B|) (operators/dedup.containment_pairs)."""
+    from pliers_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold_num=4, threshold_den=5, max_df=50
+    )
+
+
+@query(
+    "tpch_q18",
+    """WITH big AS (
+         SELECT l_orderkey, sum(l_quantity) AS total_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+              round(b.total_qty, 6) AS total_qty
+       FROM big b
+       JOIN orders o ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+       LIMIT 100""",
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): HAVING-gated order census →
+    join back to orders + customer → global top-100. The quantity
+    census is one map-side-combined shuffle on l_orderkey; the gated
+    set is a tiny fraction of orders (AQE broadcasts it into the
+    orders join at runtime); the top-100 with a full (price, date,
+    orderkey) tiebreak runs as TakeOrderedAndProject — per-partition
+    heaps, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("total_qty", 6).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
