@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "containment_dedup",
     "tpch_q18",
+    "dedup_incremental",
+    "ngram_novelty",
+    "event_bursts",
 ]
 
 

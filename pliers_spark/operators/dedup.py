@@ -41,7 +41,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature columns ``mh_0..mh_{K-1}`` over
     word-``shingle_n``-gram shingles.
@@ -55,15 +60,19 @@ def minhash_signatures(
     ``transform`` passes, each re-hashing every shingle with a seeded
     md5) did 16× the hash work inside interpreted HOF lambdas.
     ``explode_outer`` keeps empty-shingle docs as all-NULL signatures
-    (min over an all-NULL group is NULL)."""
+    (min over an all-NULL group is NULL). ``extra_cols`` (id-functional
+    attributes, e.g. a delta/partition flag) ride along as extra
+    grouping keys — partial agg is unaffected since they don't widen
+    the key space."""
     from ..functions.hashing import MINHASH_MASK30, minhash_params, minhash_permute
 
+    extras = list(extra_cols or [])
     toks = T.tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
-    exploded = df.select(F.col(id_col), F.explode_outer(sh).alias("_s"))
+    exploded = df.select(F.col(id_col), *extras, F.explode_outer(sh).alias("_s"))
     hashed = exploded.withColumn("_h30", md5_int(F.col("_s")).bitwiseAND(F.lit(MINHASH_MASK30)))
     params = minhash_params(num_hashes)
-    return hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col, *extras).agg(
         *[
             F.min(minhash_permute(F.col("_h30"), a, b)).alias(f"mh_{k}")
             for k, (a, b) in enumerate(params)
@@ -1294,3 +1303,82 @@ FROM inter
 JOIN sizes sa ON sa.{id_col} = id_a
 JOIN sizes sb ON sb.{id_col} = id_b
 WHERE {threshold_den} * inter >= {threshold_num} * least(sa.set_size, sb.set_size)"""
+
+
+def incremental_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    delta_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Incremental near-dup gate for a NEW crawl batch against an
+    already-indexed corpus — the shape a continuously-ingesting pipeline
+    actually runs (GPT-3 appendix A / CCNet both dedup each dump against
+    prior dumps, not the union from scratch).
+
+    ``delta_col`` (boolean) marks the incoming batch. A delta doc is a
+    duplicate if it shares ≥1 LSH band with ANY index doc, or with an
+    EARLIER (smaller id) delta doc — keep-first within the batch, index
+    always wins. Returns one row per delta doc:
+    (id, n_matches, first_match, keep).
+
+    Scale shape: signatures are computed here for both sides (the sf
+    tables are one parquet), but the join is asymmetric by construction
+    — only the DELTA side explodes into probe band keys that drive the
+    equi-join; in production the index side's (band_key, id) postings
+    are a materialized table maintained by `sources/snapshots.py`
+    commits, so each ingest shuffles only the tiny delta. The candidate
+    census aggregates per delta doc (map-side partial agg) — bucket
+    degeneracy is bounded by the same max-bucket logic as
+    :func:`minhash_lsh_candidates` upstream of this gate.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df.select(F.col(id_col), F.col(text_col), F.col(delta_col)),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+        extra_cols=[delta_col],
+    )
+    sig_cols = [F.col(f"mh_{k}") for k in range(num_hashes)]
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(delta_col),
+        F.explode(
+            F.array(*[band_key(sig_cols, b, rows_per_band) for b in range(bands)])
+        ).alias("band_key"),
+    ).where(F.col("band_key").isNotNull())
+    probe = banded.where(F.col(delta_col)).select(
+        F.col(id_col).alias("new_id"), "band_key"
+    )
+    post = banded.select(
+        F.col(id_col).alias("old_id"), F.col(delta_col).alias("old_delta"), "band_key"
+    )
+    cand = (
+        probe.join(post, "band_key")
+        .where(
+            (~F.col("old_delta") & (F.col("old_id") != F.col("new_id")))
+            | (F.col("old_delta") & (F.col("old_id") < F.col("new_id")))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    matches = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("old_id").cast("long").alias("first_match"),
+    )
+    delta_ids = df.where(F.col(delta_col)).select(F.col(id_col).alias("new_id"))
+    return (
+        delta_ids.join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias("n_matches"),
+            "first_match",
+            F.col("n_matches").isNull().alias("keep"),
+        )
+    )

@@ -9624,3 +9624,141 @@ def q_tpch_q18(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# batch 22: incremental crawl-batch dedup, n-gram novelty, burst detection
+
+def _dedup_incremental_sql() -> str:
+    bands = ", ".join(_band_key_sql(b, _ROWS_PER_BAND) for b in range(_MH_BANDS))
+    return (
+        _minhash_cte()
+        + f""",
+       banded AS (
+         SELECT doc_id, unnest([{bands}]) AS band_key FROM sigs),
+       bf AS (
+         SELECT doc_id, (doc_id % 5 = 0) AS is_delta, band_key
+         FROM banded WHERE band_key IS NOT NULL),
+       cand AS (
+         SELECT DISTINCT p.doc_id AS new_id, o.doc_id AS old_id
+         FROM bf p JOIN bf o USING (band_key)
+         WHERE p.is_delta
+           AND ((NOT o.is_delta AND o.doc_id != p.doc_id)
+                OR (o.is_delta AND o.doc_id < p.doc_id))),
+       m AS (
+         SELECT new_id, count(*)::BIGINT AS n_matches,
+                min(old_id)::BIGINT AS first_match
+         FROM cand GROUP BY 1)
+       SELECT d.doc_id, coalesce(m.n_matches, 0)::BIGINT AS n_matches,
+              m.first_match, (m.new_id IS NULL) AS keep
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+       LEFT JOIN m ON m.new_id = d.doc_id"""
+    )
+
+
+@query("dedup_incremental", _dedup_incremental_sql())
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup gate: the NEWEST crawl batch (doc_id%5=0
+    plays the incoming dump) LSH-probed against the indexed corpus +
+    earlier batch members — keep-first semantics, index always wins.
+    Only the delta side drives the band-key equi-join; in production
+    the index postings are a materialized snapshot table, so each
+    ingest shuffles just the delta (operators/dedup.incremental_lsh_dedup)."""
+    from pliers_spark.operators.dedup import incremental_lsh_dedup
+
+    d = _docs(spark, sf_dir).withColumn("is_delta", F.col("doc_id") % 5 == 0)
+    return incremental_lsh_dedup(
+        d, "text", "doc_id", "is_delta",
+        num_hashes=_MH_K, bands=_MH_BANDS, shingle_n=_MH_SHINGLE,
+    )
+
+
+@query(
+    "ngram_novelty",
+    """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM base WHERE len(t) >= 3),
+       first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+       SELECT sh.doc_id,
+              count(*)::BIGINT AS n_shingles,
+              SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+              CAST(round(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                         * 1000000.0 / count(*)) AS BIGINT) AS novelty_ppm
+       FROM sh JOIN first f USING (s)
+       GROUP BY sh.doc_id""",
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-corpus n-gram novelty (the memorization/contamination
+    statistic of Lee et al. 2022 §5: how much of a doc is new text vs
+    already-seen shingles): per doc, the fraction of its distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id owning
+    the shingle) is this doc. One shingle census (map-side combined
+    min), one join back on the shingle key, one per-doc re-agg — the
+    novelty twin of the dedup inverted index, never all-pairs."""
+    d = _docs(spark, sf_dir)
+    from pliers_spark.functions.hashing import shingles
+
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(T.tokenize(F.col("text")), 3))).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) * F.lit(1e6) / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
+    "event_bursts",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+                count(*)::BIGINT AS n_events
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, count(*)::BIGINT AS n_days,
+                sum(n_events)::BIGINT AS s, sum(n_events * n_events)::BIGINT AS q
+         FROM daily GROUP BY 1)
+       SELECT d.event_type, d.day, d.n_events,
+              (s.n_days * d.n_events - s.s)::BIGINT AS dev_num,
+              (s.n_days * d.n_events - s.s > 0
+               AND (s.n_days * d.n_events - s.s) * (s.n_days * d.n_events - s.s)
+                   > 9 * (s.n_days * s.q - s.s * s.s)) AS is_burst
+       FROM daily d JOIN stats s USING (event_type)""",
+)
+def q_event_bursts(spark, sf_dir):
+    """Burst / trending-day detection per event stream (the 3σ spike
+    rule behind ops alerting and trending-topic feeds), entirely in
+    EXACT integer algebra: a day is a burst iff n·c − S > 0 and
+    (n·c − S)² > 9·(nQ − S²) — the squared z-score test cleared of
+    division and sqrt, so both engines compare identical int64s. Two
+    stacked aggregations (day grain → stream grain, both map-side
+    combined) + a broadcast of the per-stream stats; the fact table is
+    scanned once."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "day", "n_events",
+        dev.cast("long").alias("dev_num"),
+        ((dev > 0) & (dev * dev > 9 * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s"))))
+        .alias("is_burst"),
+    )
