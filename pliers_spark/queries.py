@@ -9762,3 +9762,232 @@ def q_event_bursts(spark, sf_dir):
         ((dev > 0) & (dev * dev > 9 * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s"))))
         .alias("is_burst"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 23: SIF embedding pooling, c-TF-IDF cluster terms, SAX symbols
+
+def _sif_sql() -> str:
+    from pliers_spark.functions.embeddings import hash_embedding_dim_ppm_sql
+
+    dims = ", ".join(
+        f"round(sum({hash_embedding_dim_ppm_sql('token', d)} * w_ppm)"
+        f" / (1000000.0 * sum(w_ppm)), 6) AS emb_{d}"
+        for d in range(_EMB_DIM)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       tot AS (SELECT count(*)::BIGINT AS t FROM toks),
+       cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token),
+       w AS (
+         SELECT token, CAST(round(1000000.0 * t / (t + 1000 * c)) AS BIGINT) AS w_ppm
+         FROM cnt CROSS JOIN tot)
+       SELECT doc_id, {dims}
+       FROM toks JOIN w USING (token)
+       GROUP BY doc_id"""
+
+
+@query("sif_embedding", _sif_sql())
+def q_sif_embedding(spark, sf_dir):
+    """SIF-weighted document embedding pooling (Arora, Liang & Ma, ICLR
+    2017 — 'a simple but tough-to-beat baseline'): each token weighted
+    by a/(a+p(w)) before averaging, so Zipf-head words stop dominating
+    the mean. With a = 1/1000 the weight is EXACTLY T/(T + 1000·c) —
+    one rounding to integer ppm per vocab word, so the weighted sums
+    are order-independent int64s and the single final division is
+    bit-identical cross-engine. Plan: token census (one shuffle) →
+    weight dim joined back on the token key (vocab-sized, NOT broadcast
+    at corpus scale) → per-doc weighted reduction. The common-component
+    (first-PC) removal step of the paper is a KxK driver-side PCA at
+    corpus scale — out of scope here, as in most production uses."""
+    d = _docs(spark, sf_dir)
+    from pliers_spark.functions.embeddings import hash_embedding_dim_ppm
+
+    toks = d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.lit(1e6) * F.col("t") / (F.col("t") + 1000 * F.col("c")), 0)
+        .cast("long")
+        .alias("w_ppm"),
+    )
+    weighted = toks.join(w, "token")
+    return weighted.groupBy("doc_id").agg(
+        *[
+            F.round(
+                F.sum(hash_embedding_dim_ppm(F.col("token"), dd) * F.col("w_ppm"))
+                / (F.lit(1e6) * F.sum("w_ppm")),
+                6,
+            ).alias(f"emb_{dd}")
+            for dd in range(_EMB_DIM)
+        ]
+    )
+
+
+def _ctfidf_sql(k: int = 8, topk: int = 5) -> str:
+    from pliers_spark.operators.similarity import kmeans_assign_sql
+
+    return f"""WITH assign AS ({kmeans_assign_sql(k=k)}),
+       toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       joined AS (
+         SELECT a.cluster_id, t.token
+         FROM toks t JOIN assign a ON a.vec_id = t.doc_id),
+       tf AS (SELECT cluster_id, token, count(*)::BIGINT AS tf FROM joined GROUP BY 1, 2),
+       ft AS (SELECT token, sum(tf)::BIGINT AS f_t FROM tf GROUP BY token),
+       sc AS (
+         SELECT (SELECT sum(tf) FROM tf)::BIGINT AS total_tokens,
+                (SELECT count(DISTINCT cluster_id) FROM tf)::BIGINT AS n_clusters),
+       scored AS (
+         SELECT tf.cluster_id, tf.token, tf.tf,
+                tf.tf * CAST(round(ln(1.0 + total_tokens::DOUBLE
+                                       / (n_clusters::DOUBLE * f_t::DOUBLE))
+                                   * 1000000.0) AS BIGINT) AS score_fp
+         FROM tf JOIN ft USING (token) CROSS JOIN sc)
+       SELECT cluster_id, token, tf, score_fp,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY score_fp DESC, token)::BIGINT AS rank
+       FROM scored QUALIFY rank <= {topk}"""
+
+
+@query("ctfidf_terms", _ctfidf_sql())
+def q_ctfidf_terms(spark, sf_dir):
+    """c-TF-IDF cluster labeling (Grootendorst 2022, BERTopic §3.3):
+    top-5 characteristic terms per embedding k-means cluster, scored
+    tf_{t,c} · ln(1 + A/f_t) with A = average tokens per class. The
+    cluster assignment is the exact-int64 Lloyd step (kmeans_assign);
+    the term side is two stacked censuses on (cluster, token) / token
+    keys — the idf factor rounds ONCE to integer micro-nats, so the
+    int64 product ordering is total and cross-engine identical. This
+    is the topic-labeling readout every embedding-cluster curation
+    pipeline runs after `kmeans_assign`/`semantic_dedup`."""
+    from pliers_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    joined = toks.join(assign, "doc_id")
+    tf = joined.groupBy("cluster_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ft = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("f_t"))
+    sc = tf.agg(
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    scored = (
+        tf.join(ft, "token")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "cluster_id", "token", "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        F.lit(1.0)
+                        + F.col("total_tokens").cast("double")
+                        / (F.col("n_clusters").cast("double") * F.col("f_t").cast("double"))
+                    )
+                    * F.lit(1e6),
+                    0,
+                ).cast("long")
+            ).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score_fp"), F.col("token"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+_SAX_B2_NUM = 45_495_025  # 0.6745² · 1e8 (exactly: 0.45495025)
+_SAX_B2_DEN = 100_000_000
+
+
+@query(
+    "sax_symbols",
+    f"""WITH v AS (
+         SELECT user_id, event_id,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       st AS (
+         SELECT user_id, count(*)::BIGINT AS n,
+                sum(v_fp)::BIGINT AS s,
+                sum(v_fp::HUGEINT * v_fp::HUGEINT) AS q
+         FROM v GROUP BY user_id),
+       paa AS (
+         SELECT user_id, ((rn - 1) // 8)::BIGINT AS window_id,
+                count(*)::BIGINT AS cn, sum(v_fp)::BIGINT AS cs
+         FROM v GROUP BY 1, 2),
+       j AS (
+         SELECT p.user_id, p.window_id, p.cn,
+                CAST(round(p.cs::DOUBLE / p.cn) AS BIGINT) AS paa_fp,
+                (s.n::HUGEINT * p.cs::HUGEINT - p.cn::HUGEINT * s.s::HUGEINT) AS dev,
+                (s.n::HUGEINT * s.q - s.s::HUGEINT * s.s::HUGEINT) AS m,
+                p.cn::HUGEINT AS cnh
+         FROM paa p JOIN st s USING (user_id))
+       SELECT user_id, window_id, cn, paa_fp,
+              CASE
+                WHEN dev < 0 AND {_SAX_B2_DEN}::HUGEINT * dev * dev
+                                 > {_SAX_B2_NUM}::HUGEINT * cnh * cnh * m THEN 'a'
+                WHEN dev < 0 THEN 'b'
+                WHEN {_SAX_B2_DEN}::HUGEINT * dev * dev
+                     <= {_SAX_B2_NUM}::HUGEINT * cnh * cnh * m THEN 'c'
+                ELSE 'd'
+              END AS symbol
+       FROM j""",
+)
+def q_sax_symbols(spark, sf_dir):
+    """SAX symbolic time-series approximation (Lin et al., DMKD 2007):
+    per user, the event-value sequence is PAA-averaged over chunks of 8
+    and each chunk mapped to a 4-letter alphabet by the Gaussian
+    breakpoints (−0.6745, 0, +0.6745) of the per-user z-distribution —
+    the front door to motif discovery / symbolic indexing over raw
+    series. The z-comparison never touches a float: PAA-mean vs
+    μ + b·σ is cross-multiplied and squared into
+    1e8·dev² ≷ 45495025·cn²·(nQ−S²) with dev = n·cs − cn·S, evaluated
+    in DECIMAL(38,0)/HUGEINT (the temperature_sample discipline), so
+    the symbol boundaries are bit-identical on both engines. Plan: one
+    per-user sequence window (single shuffle on user_id), two stacked
+    aggregations, broadcast per-user stats back onto chunk grain."""
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    v_fp = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id", "event_id", v_fp.alias("v_fp"), F.row_number().over(w).alias("rn")
+    )
+    st = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fp").cast("long").alias("s"),
+        F.sum(F.col("v_fp").cast(dec) * F.col("v_fp").cast(dec)).cast(dec).alias("q"),
+    )
+    paa = v.groupBy(
+        "user_id", F.floor((F.col("rn") - 1) / 8).cast("long").alias("window_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("v_fp").cast("long").alias("cs"),
+    )
+    j = paa.join(st, "user_id").select(
+        "user_id", "window_id", "cn",
+        F.round(F.col("cs").cast("double") / F.col("cn"), 0).cast("long").alias("paa_fp"),
+        (F.col("n").cast(dec) * F.col("cs").cast(dec) - F.col("cn").cast(dec) * F.col("s").cast(dec)).alias("dev"),
+        (F.col("n").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s").cast(dec)).alias("m"),
+        F.col("cn").cast(dec).alias("cnh"),
+    )
+    lhs = F.lit(_SAX_B2_DEN).cast(dec) * F.col("dev") * F.col("dev")
+    rhs = F.lit(_SAX_B2_NUM).cast(dec) * F.col("cnh") * F.col("cnh") * F.col("m")
+    symbol = (
+        F.when((F.col("dev") < 0) & (lhs > rhs), F.lit("a"))
+        .when(F.col("dev") < 0, F.lit("b"))
+        .when(lhs <= rhs, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return j.select("user_id", "window_id", "cn", "paa_fp", symbol.alias("symbol"))
