@@ -166,6 +166,12 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "ngram_novelty",
     "event_bursts",
+    "sif_embedding",
+    "ctfidf_terms",
+    "sax_symbols",
+    "ndcg_at_k",
+    "dunning_keyness",
+    "woe_iv",
 ]
 
 

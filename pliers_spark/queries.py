@@ -9991,3 +9991,273 @@ def q_sax_symbols(spark, sf_dir):
         .otherwise(F.lit("d"))
     )
     return j.select("user_id", "window_id", "cn", "paa_fp", symbol.alias("symbol"))
+
+
+# --------------------------------------------------------------------------
+# batch 24: NDCG ranking evaluation, Dunning keyness, WOE/IV binning
+
+# exact integer discount weights round(1e6 / log2(1+r)) for ranks 1..5 —
+# computed once in Python and shared verbatim by BOTH engines so the DCG
+# sums are pure int64 arithmetic (see tools/golden_hashes.py discipline)
+_NDCG_W = {1: 1_000_000, 2: 630_930, 3: 500_000, 4: 430_677, 5: 386_853}
+_NDCG_GAIN = {r: 2**r - 1 for r in range(0, 7)}  # graded gain 2^rel - 1
+
+
+def _ndcg_sql(k: int = 5) -> str:
+    from pliers_spark.operators.ir import bm25_topk_sql
+
+    w_case = " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items())
+    g_case = " ".join(f"WHEN {r} THEN {g}" for r, g in _NDCG_GAIN.items())
+    tail = f""", rel AS (
+  SELECT b.q_id, b.doc_id, b.rank, count(tf.term)::BIGINT AS rel
+  FROM bm25 b
+  JOIN qt ON qt.q_id = b.q_id
+  LEFT JOIN tf ON tf.doc_id = b.doc_id AND tf.term = qt.term
+  GROUP BY 1, 2, 3),
+gains AS (
+  SELECT q_id, doc_id, rank,
+         (CASE rel {g_case} END)::BIGINT AS gain,
+         row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id)::BIGINT AS irank
+  FROM rel),
+agg AS (
+  SELECT q_id,
+         sum(gain * (CASE rank {w_case} END))::BIGINT AS dcg_fp,
+         sum(gain * (CASE irank {w_case} END))::BIGINT AS idcg_fp
+  FROM gains GROUP BY q_id)
+SELECT q_id, dcg_fp, idcg_fp,
+       CASE WHEN idcg_fp = 0 THEN 0.0
+            ELSE round(dcg_fp::DOUBLE / idcg_fp::DOUBLE, 6) END AS ndcg
+FROM agg"""
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       {bm25_topk_sql(k=k, tail=tail)}"""
+
+
+@query("ndcg_at_k", _ndcg_sql())
+def q_ndcg_at_k(spark, sf_dir):
+    """NDCG@5 ranking evaluation (Järvelin & Kekäläinen, TOIS 2002) of
+    the engine's own BM25 retrieval: graded relevance = number of the
+    query's terms the candidate actually contains (0..6), gain 2^rel−1,
+    discount 1/log2(1+rank) as ONCE-rounded integer micro-weights shared
+    verbatim by both engines — so DCG and ideal-DCG are exact int64 sums
+    and the single final division is bit-identical. Plan: the corpus is
+    touched only by the BM25 postings pass; relevance grading joins the
+    (queries × k)-sized candidate set back to doc term sets through a
+    broadcast gate, so the evaluation stage never shuffles the corpus.
+    This is the eval loop every retrieval/curation pipeline runs over
+    its ranker."""
+    from pliers_spark.operators.ir import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id")
+        .limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    cand = bm25_topk(docs, seeds, k=5)  # (q_id, doc_id, score_fp, rank)
+    qt = seeds.distinct()
+    cand_docs = cand.select("doc_id").distinct()
+    # distinct (doc, term) postings of candidate docs only — broadcast-gated
+    doc_terms = (
+        docs.join(F.broadcast(cand_docs), "doc_id")
+        .select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    matched = (
+        doc_terms.join(F.broadcast(qt), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+    rel = cand.join(matched, ["q_id", "doc_id"], "left").select(
+        "q_id", "doc_id", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    gain = F.create_map(
+        *[F.lit(x) for kv in _NDCG_GAIN.items() for x in kv]
+    )[F.col("rel")].cast("long")
+    wmap = F.create_map(*[F.lit(x) for kv in _NDCG_W.items() for x in kv])
+    iw = Window.partitionBy("q_id").orderBy(F.desc("rel"), "doc_id")
+    gains = rel.select(
+        "q_id",
+        gain.alias("gain"),
+        wmap[F.col("rank")].cast("long").alias("w"),
+        wmap[F.row_number().over(iw).cast("long")].cast("long").alias("iw"),
+    )
+    agg = gains.groupBy("q_id").agg(
+        F.sum(F.col("gain") * F.col("w")).cast("long").alias("dcg_fp"),
+        F.sum(F.col("gain") * F.col("iw")).cast("long").alias("idcg_fp"),
+    )
+    return agg.select(
+        "q_id", "dcg_fp", "idcg_fp",
+        F.when(F.col("idcg_fp") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"), 6)
+        )
+        .alias("ndcg"),
+    )
+
+
+def _keyness_sql(min_count: int = 10, topk: int = 20) -> str:
+    return f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       st AS (SELECT source, token, count(*)::BIGINT AS a FROM toks GROUP BY 1, 2),
+       tt AS (SELECT token, sum(a)::BIGINT AS c FROM st GROUP BY token),
+       src AS (SELECT source, sum(a)::BIGINT AS n1 FROM st GROUP BY source),
+       tot AS (SELECT sum(a)::BIGINT AS n FROM st),
+       j AS (
+         SELECT st.source, st.token, st.a, tt.c - st.a AS b,
+                src.n1, tot.n - src.n1 AS n2, tt.c, tot.n
+         FROM st JOIN tt USING (token) JOIN src USING (source) CROSS JOIN tot
+         WHERE tt.c >= {min_count}),
+       g AS (
+         SELECT source, token, a, b,
+                2 * (a * CAST(round(1000000.0 * ln((a::DOUBLE * n::DOUBLE)
+                                                   / (n1::DOUBLE * c::DOUBLE))) AS BIGINT)
+                     + CASE WHEN b = 0 THEN 0
+                            ELSE b * CAST(round(1000000.0 * ln((b::DOUBLE * n::DOUBLE)
+                                                               / (n2::DOUBLE * c::DOUBLE))) AS BIGINT)
+                       END) AS g2_fp,
+                (a::DOUBLE * n::DOUBLE > n1::DOUBLE * c::DOUBLE) AS overused
+         FROM j)
+       SELECT source, token, a AS cnt_focus, b AS cnt_rest, g2_fp, overused,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY g2_fp DESC, token)::BIGINT AS rank
+       FROM g QUALIFY rank <= {topk}"""
+
+
+@query("dunning_keyness", _keyness_sql())
+def q_dunning_keyness(spark, sf_dir):
+    """Log-likelihood keyness (Dunning, CL 1993 G²): for every source,
+    the 20 tokens whose frequency most defies the corpus-wide rate —
+    the standard corpus-linguistics answer to 'what is distinctive
+    about this slice', and the readout behind domain-mix debugging in
+    pretraining curation. G² = 2Σ Oᵢ·ln(Oᵢ/Eᵢ) with each ln computed on
+    one double ratio of exact int64 counts and rounded ONCE to integer
+    micro-nats before the count multiplier, so both engines sum
+    identical int64s (b=0 term is the 0·ln0 = 0 limit). Plan: one
+    (source, token) census shuffle, a token-grain join for corpus
+    counts (vocab-sized — NOT broadcast at web scale), per-source
+    totals broadcast, top-k per source via TakeOrdered-style window."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    tt = st.groupBy("token").agg(F.sum("a").cast("long").alias("c"))
+    src = st.groupBy("source").agg(F.sum("a").cast("long").alias("n1"))
+    tot = st.agg(F.sum("a").cast("long").alias("n"))
+    j = (
+        st.join(tt, "token")
+        .where(F.col("c") >= 10)
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "token", "a", (F.col("c") - F.col("a")).alias("b"),
+            "n1", (F.col("n") - F.col("n1")).alias("n2"), "c", "n",
+        )
+    )
+    d_ = lambda col: F.col(col).cast("double")  # noqa: E731
+    lg1 = F.round(
+        F.lit(1e6) * F.log((d_("a") * d_("n")) / (d_("n1") * d_("c"))), 0
+    ).cast("long")
+    lg2 = F.round(
+        F.lit(1e6) * F.log((d_("b") * d_("n")) / (d_("n2") * d_("c"))), 0
+    ).cast("long")
+    g2 = 2 * (
+        F.col("a") * lg1
+        + F.when(F.col("b") == 0, F.lit(0)).otherwise(F.col("b") * lg2)
+    )
+    scored = j.select(
+        "source", "token", F.col("a").alias("cnt_focus"), F.col("b").alias("cnt_rest"),
+        g2.alias("g2_fp"),
+        (d_("a") * d_("n") > d_("n1") * d_("c")).alias("overused"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2_fp"), "token")
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    ).where(F.col("rank") <= 20)
+
+
+def _woe_sql(bins: int = 10) -> str:
+    return f"""WITH v AS (
+         SELECT o_orderkey,
+                CAST(round(o_totalprice * 100.0) AS BIGINT) AS v_fp,
+                (o_orderstatus = 'F')::INT AS bad
+         FROM orders),
+       r AS (
+         SELECT v_fp, bad,
+                row_number() OVER (ORDER BY v_fp, o_orderkey) AS rn,
+                count(*) OVER () AS nn
+         FROM v),
+       b AS (
+         SELECT ((rn - 1) * {bins} // nn)::BIGINT AS bin,
+                count(*)::BIGINT AS n,
+                sum(1 - bad)::BIGINT AS goods,
+                sum(bad)::BIGINT AS bads
+         FROM r GROUP BY 1),
+       t AS (SELECT sum(goods)::BIGINT AS g, sum(bads)::BIGINT AS bb FROM b),
+       s AS (
+         SELECT bin, n, goods, bads,
+                CAST(round(1000000.0 * ln((goods::DOUBLE * bb::DOUBLE)
+                                          / (bads::DOUBLE * g::DOUBLE))) AS BIGINT) AS woe_fp,
+                (goods::DOUBLE * bb::DOUBLE - bads::DOUBLE * g::DOUBLE) AS diff,
+                g::DOUBLE * bb::DOUBLE AS gb
+         FROM b CROSS JOIN t
+         WHERE goods > 0 AND bads > 0)
+       SELECT bin, n, goods, bads, woe_fp,
+              round(diff * woe_fp::DOUBLE / (gb * 1000000.0), 6) AS iv_part
+       FROM s"""
+
+
+@query("woe_iv", _woe_sql())
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value binning (the credit-
+    scoring feature-screening standard; Siddiqi 2006): o_totalprice is
+    exact-rank-deciled (integer rank arithmetic — no ntile remainder
+    ambiguity), per-bin WOE = ln(good-share / bad-share) rounded ONCE
+    to integer micro-nats from a single double ratio of exact int64
+    counts, and the IV contribution (gᵢ/G − bᵢ/B)·WOE evaluated in the
+    identical double-expression shape on both engines. Plan: global
+    rank is ONE total-order sort (the same exact-quantile discipline as
+    group_quantiles — at corpus scale swap in the two-pass rank
+    histogram); everything after is bin-grain (10 rows) with the class
+    totals broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v_fp"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+    )
+    wr = Window.orderBy("v_fp", "o_orderkey")
+    n = v.count()
+    r = v.select("v_fp", "bad", F.row_number().over(wr).alias("rn"))
+    b = r.groupBy(
+        F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(1 - F.col("bad")).cast("long").alias("goods"),
+        F.sum("bad").cast("long").alias("bads"),
+    )
+    t = b.agg(
+        F.sum("goods").cast("long").alias("g"), F.sum("bads").cast("long").alias("bb")
+    )
+    d_ = lambda col: F.col(col).cast("double")  # noqa: E731
+    s = (
+        b.crossJoin(F.broadcast(t))
+        .where((F.col("goods") > 0) & (F.col("bads") > 0))
+        .select(
+            "bin", "n", "goods", "bads",
+            F.round(
+                F.lit(1e6) * F.log((d_("goods") * d_("bb")) / (d_("bads") * d_("g"))), 0
+            ).cast("long").alias("woe_fp"),
+            (d_("goods") * d_("bb") - d_("bads") * d_("g")).alias("diff"),
+            (d_("g") * d_("bb")).alias("gb"),
+        )
+    )
+    return s.select(
+        "bin", "n", "goods", "bads", "woe_fp",
+        F.round(F.col("diff") * F.col("woe_fp").cast("double") / (F.col("gb") * F.lit(1e6)), 6).alias("iv_part"),
+    )
