@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "ndcg_at_k",
     "dunning_keyness",
     "woe_iv",
+    "kn_perplexity",
+    "burrows_delta",
+    "item_cosine",
 ]
 
 

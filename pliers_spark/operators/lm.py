@@ -390,3 +390,145 @@ def chunk_dedup_sql(
               (b.n_chunks - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
               coalesce(r.clean_text, '') AS clean_text
        FROM base b LEFT JOIN rebuilt r USING ({id_col})"""
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    min_count: int = 1,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document score under an interpolated Kneser-Ney bigram LM
+    (Kneser & Ney, ICASSP 1995; Chen & Goodman 1999 eq. 4.24) trained on
+    the corpus itself — the smoothing family KenLM uses, i.e. the actual
+    CCNet quality-filter model class, upgrading :func:`bigram_lm_score`'s
+    add-one baseline:
+
+        p(w2|w1) = (c(w1,w2) − D)/c(w1·)
+                 + D · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with absolute discount D and continuation probability
+    N1+(·w2)/N1+(··) (distinct-predecessor types, not raw counts — the
+    "San Francisco" correction). Every scored bigram exists in the
+    training counts (same corpus), so the discounted term is > 0.
+
+    Plan: identical shuffle structure to :func:`bigram_lm_score` —
+    vocab top-k census, one bigram-key model aggregation (the N1+ type
+    counts are count-distinct on the SAME (w1,w2) grain, no extra
+    corpus pass), broadcast model join, one per-doc reduction. Per-type
+    log-probs round ONCE to integer micro-nats; per-doc sums are exact
+    int64; perplexity exp()s the final rounded average only.
+
+    Returns ``(id, n_bigrams, sum_lp_unats, avg_lp, ppl)``.
+    """
+    tok_census = (
+        docs.select(F.explode(T.tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    vocab = (
+        tok_census.orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w")
+        .localCheckpoint(eager=True)
+    )
+    bg = (
+        _mapped_bigrams(docs, vocab, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    model = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    ctx = model.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count(F.lit(1)).cast("long").alias("n1_fwd")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1_bwd"))
+    nt = model.agg(F.count(F.lit(1)).cast("long").alias("n1_all"))
+    full = model.join(ctx, "w1").join(cont, "w2").crossJoin(F.broadcast(nt))
+
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = (d_("cb") - F.lit(discount)) / d_("cw") + (
+        F.lit(discount) * d_("n1_fwd") / d_("cw")
+    ) * (d_("n1_bwd") / d_("n1_all"))
+    scored = bg.join(F.broadcast(full), ["w1", "w2"]).select(
+        id_col,
+        F.col("k"),
+        (F.col("k") * F.round(F.log(p) * 1e6, 0).cast("long")).alias("lp_unats"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"), F.sum("lp_unats").alias("sum_lp_unats")
+    )
+    avg = F.round(
+        (F.col("sum_lp_unats").cast("double") / F.col("n_bigrams")) / F.lit(1e6), 6
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_lp_unats", F.lit(0)).cast("long").alias("sum_lp_unats"),
+            F.when(F.col("n_bigrams").isNotNull(), avg).alias("avg_lp"),
+            F.when(F.col("n_bigrams").isNotNull(), F.round(F.exp(-avg), 6)).alias("ppl"),
+        )
+    )
+
+
+def kneser_ney_score_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    min_count: int = 1,
+    discount: float = 0.75,
+) -> str:
+    """DuckDB oracle for :func:`kneser_ney_score` (same discount, same
+    micro-nat rounding, same division/exp order)."""
+    return f"""WITH base AS (
+         SELECT {id_col}, string_split(trim({text_col}), ' ') AS toks FROM {table}),
+       census AS (
+         SELECT t AS w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+         HAVING count(*) >= {min_count}),
+       vocab AS (SELECT w FROM census ORDER BY c DESC, w LIMIT {vocab_size}),
+       bi AS (
+         SELECT b.{id_col},
+                CASE WHEN v1.w IS NULL THEN '{UNK}' ELSE w1r END AS w1,
+                CASE WHEN v2.w IS NULL THEN '{UNK}' ELSE w2r END AS w2
+         FROM (SELECT {id_col},
+                      unnest(toks[1:len(toks)-1]) AS w1r,
+                      unnest(toks[2:len(toks)]) AS w2r
+               FROM base) b
+         LEFT JOIN vocab v1 ON b.w1r = v1.w
+         LEFT JOIN vocab v2 ON b.w2r = v2.w),
+       model AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi GROUP BY w1, w2),
+       ctx AS (SELECT w1, sum(cb)::BIGINT AS cw, count(*)::BIGINT AS n1_fwd
+               FROM model GROUP BY w1),
+       cont AS (SELECT w2, count(*)::BIGINT AS n1_bwd FROM model GROUP BY w2),
+       nt AS (SELECT count(*)::BIGINT AS n1_all FROM model),
+       scored AS (
+         SELECT bi.{id_col},
+                CAST(round(ln((m.cb::DOUBLE - {discount}) / c.cw::DOUBLE
+                              + ({discount} * c.n1_fwd::DOUBLE / c.cw::DOUBLE)
+                                * (co.n1_bwd::DOUBLE / nt.n1_all::DOUBLE)) * 1e6)
+                     AS BIGINT) AS lp_unats
+         FROM bi JOIN model m USING (w1, w2) JOIN ctx c USING (w1)
+              JOIN cont co USING (w2) CROSS JOIN nt),
+       per_doc AS (
+         SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
+                sum(lp_unats)::BIGINT AS sum_lp_unats
+         FROM scored GROUP BY {id_col})
+       SELECT b.{id_col},
+              coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+              coalesce(p.sum_lp_unats, 0)::BIGINT AS sum_lp_unats,
+              CASE WHEN p.n_bigrams IS NOT NULL
+                   THEN round((p.sum_lp_unats::DOUBLE / p.n_bigrams) / 1000000.0, 6)
+              END AS avg_lp,
+              CASE WHEN p.n_bigrams IS NOT NULL
+                   THEN round(exp(-round((p.sum_lp_unats::DOUBLE / p.n_bigrams)
+                                         / 1000000.0, 6)), 6)
+              END AS ppl
+       FROM base b LEFT JOIN per_doc p USING ({id_col})"""

@@ -10261,3 +10261,211 @@ def q_woe_iv(spark, sf_dir):
         "bin", "n", "goods", "bads", "woe_fp",
         F.round(F.col("diff") * F.col("woe_fp").cast("double") / (F.col("gb") * F.lit(1e6)), 6).alias("iv_part"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 25: Kneser-Ney LM scoring, Burrows' Delta stylometry, item-item cosine
+
+def _kn_sql() -> str:
+    from pliers_spark.operators.lm import kneser_ney_score_sql
+
+    return kneser_ney_score_sql()
+
+
+@query("kn_perplexity", _kn_sql())
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring + perplexity — the
+    KenLM smoothing family, i.e. the model class CCNet's actual quality
+    filter uses (operators/lm.kneser_ney_score; Kneser & Ney 1995,
+    Chen & Goodman 1999). Same shuffle structure as `lm_score` (vocab
+    top-k, ONE bigram-grain model agg — the continuation-type counts
+    ride the same grain — broadcast model, per-doc reduction); per-type
+    log-probs in once-rounded integer micro-nats."""
+    from pliers_spark.operators.lm import kneser_ney_score
+
+    return kneser_ney_score(_docs(spark, sf_dir))
+
+
+_DELTA_TOPM = 50
+
+
+def _burrows_sql(top_m: int = _DELTA_TOPM) -> str:
+    return f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       st AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       topm AS (
+         SELECT token FROM (SELECT token, sum(c) AS tc FROM st GROUP BY token)
+         ORDER BY tc DESC, token LIMIT {top_m}),
+       ns AS (SELECT source, sum(c)::BIGINT AS n FROM st GROUP BY source),
+       cells AS (
+         SELECT ns.source, topm.token,
+                CAST(round(1000000000.0 * coalesce(st.c, 0) / ns.n) AS BIGINT) AS f_ppb
+         FROM ns CROSS JOIN topm
+         LEFT JOIN st ON st.source = ns.source AND st.token = topm.token),
+       stats AS (
+         SELECT token, count(*)::BIGINT AS s,
+                sum(f_ppb)::BIGINT AS t,
+                sum(f_ppb::HUGEINT * f_ppb::HUGEINT) AS q
+         FROM cells GROUP BY token),
+       pairs AS (
+         SELECT a.source AS source_a, b.source AS source_b, a.token,
+                CAST(round(1000000.0
+                           * (st.s * abs(a.f_ppb - b.f_ppb))::DOUBLE
+                           / sqrt((st.s::HUGEINT * st.q
+                                   - st.t::HUGEINT * st.t::HUGEINT)::DOUBLE))
+                     AS BIGINT) AS zdiff_fp
+         FROM cells a
+         JOIN cells b ON a.token = b.token AND a.source < b.source
+         JOIN stats st ON st.token = a.token
+         WHERE st.s::HUGEINT * st.q - st.t::HUGEINT * st.t::HUGEINT > 0)
+       SELECT source_a, source_b, count(*)::BIGINT AS n_terms,
+              round(sum(zdiff_fp)::DOUBLE / (count(*) * 1000000.0), 6) AS delta
+       FROM pairs GROUP BY 1, 2"""
+
+
+@query("burrows_delta", _burrows_sql())
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources (Burrows,
+    LLC 2002; the standard authorship-attribution measure): mean |Δz|
+    over the top-50 corpus function words, where z is each source's
+    token rate standardized across the source population. The z
+    difference is computed EXACTLY as S·|f_A − f_B|/√(S·Q − T²) on
+    integer-ppb rates (the (f−μ)/σ cancellation), with S·Q − T² in
+    DECIMAL(38,0) — one correctly-rounded sqrt and one once-rounded
+    micro-unit per (pair, term), so the per-pair integer sums are
+    cross-engine identical. Plan: ONE corpus census shuffle on
+    (source, token); everything after lives at the S×50 dimension
+    grain. This is the source-style drift monitor for corpus mixing."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topm = (
+        st.groupBy("token").agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "token").limit(_DELTA_TOPM).select("token")
+    )
+    ns = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    cells = (
+        ns.crossJoin(F.broadcast(topm))
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source", "token",
+            F.round(F.lit(1e9) * F.coalesce(F.col("c"), F.lit(0)) / F.col("n"), 0)
+            .cast("long")
+            .alias("f_ppb"),
+        )
+        .localCheckpoint(eager=True)  # feeds stats AND both pair sides
+    )
+    stats = cells.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("f_ppb").cast("long").alias("t"),
+        F.sum(F.col("f_ppb").cast(dec) * F.col("f_ppb").cast(dec)).cast(dec).alias("q"),
+    )
+    a = cells.select(F.col("source").alias("source_a"), "token", F.col("f_ppb").alias("fa"))
+    b = cells.select(F.col("source").alias("source_b"), "token", F.col("f_ppb").alias("fb"))
+    var = F.col("s").cast(dec) * F.col("q") - F.col("t").cast(dec) * F.col("t").cast(dec)
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(stats), "token")
+        .where(var > 0)
+        .select(
+            "source_a", "source_b",
+            F.round(
+                F.lit(1e6)
+                * (F.col("s") * F.abs(F.col("fa") - F.col("fb"))).cast("double")
+                / F.sqrt(var.cast("double")),
+                0,
+            ).cast("long").alias("zdiff_fp"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.sum("zdiff_fp").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("delta"),
+    )
+
+
+def _item_cosine_sql(topk: int = 5, basket_cap: int = 20) -> str:
+    return f"""WITH op AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (
+         SELECT l_orderkey FROM op GROUP BY l_orderkey
+         HAVING count(*) BETWEEN 2 AND {basket_cap}),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       ci AS (SELECT l_partkey, count(*)::BIGINT AS c FROM b GROUP BY l_partkey),
+       co AS (
+         SELECT a.l_partkey AS p1, bb.l_partkey AS p2, count(*)::BIGINT AS c_co
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey
+         GROUP BY 1, 2),
+       sym AS (
+         SELECT p1 AS part_id, p2 AS neighbor_id, c_co FROM co
+         UNION ALL
+         SELECT p2, p1, c_co FROM co),
+       scored AS (
+         SELECT s.part_id, s.neighbor_id, s.c_co,
+                round(s.c_co::DOUBLE / sqrt(c1.c::DOUBLE * c2.c::DOUBLE), 6) AS cosine
+         FROM sym s JOIN ci c1 ON c1.l_partkey = s.part_id
+                    JOIN ci c2 ON c2.l_partkey = s.neighbor_id)
+       SELECT part_id, neighbor_id, c_co, cosine,
+              row_number() OVER (PARTITION BY part_id
+                                 ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+       FROM scored QUALIFY rank <= {topk}"""
+
+
+@query("item_cosine", _item_cosine_sql())
+def q_item_cosine(spark, sf_dir):
+    """Item-item co-occurrence cosine (Sarwar et al., WWW 2001 — the
+    classic collaborative-filtering neighborhood model): top-5 nearest
+    parts per part by co-purchase cosine c_ij/√(c_i·c_j) over order
+    baskets. The within-basket pair expansion is quadratic in basket
+    size, so baskets above a cap (20; TPC-H max is 7) are EXCLUDED
+    up front — the standard defense that keeps the self-join bounded at
+    web scale (a mega-basket bot order would otherwise dominate one
+    task). Plan: distinct (order, part) census → size-gated self-join
+    co-census on the order key (ONE shuffle each) → item-count joins on
+    the part key → per-item top-k window. Cosine rounds once from
+    exact int64 counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20))
+        .select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    ci = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    a2 = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    co = (
+        a1.join(a2, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_co"))
+    )
+    sym = co.select(
+        F.col("p1").alias("part_id"), F.col("p2").alias("neighbor_id"), "c_co"
+    ).unionAll(
+        co.select(
+            F.col("p2").alias("part_id"), F.col("p1").alias("neighbor_id"), "c_co"
+        )
+    )
+    scored = (
+        sym.join(ci.withColumnRenamed("l_partkey", "part_id").withColumnRenamed("c", "c1"), "part_id")
+        .join(ci.withColumnRenamed("l_partkey", "neighbor_id").withColumnRenamed("c", "c2"), "neighbor_id")
+        .select(
+            "part_id", "neighbor_id", "c_co",
+            F.round(
+                F.col("c_co").cast("double")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    ).where(F.col("rank") <= 5)
