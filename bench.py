@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "kn_perplexity",
     "burrows_delta",
     "item_cosine",
+    "cdc_chunks",
+    "ucb_arms",
+    "dbscan_clusters",
 ]
 
 

@@ -10469,3 +10469,311 @@ def q_item_cosine(spark, sf_dir):
     return scored.select(
         "*", F.row_number().over(w).cast("long").alias("rank")
     ).where(F.col("rank") <= 5)
+
+
+# --------------------------------------------------------------------------
+# batch 26: content-defined chunking, UCB1 bandit replay, grid DBSCAN
+
+def _cdc_sql(mod: int = 16) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    return f"""WITH toks AS (
+         SELECT doc_id, t.token, t.pos::BIGINT AS pos
+         FROM (SELECT doc_id,
+                      unnest(string_split(trim(text), ' ')) AS token,
+                      generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS pos
+               FROM documents) t(doc_id, token, pos)),
+       flagged AS (
+         SELECT doc_id, token, pos,
+                ({md5_int_sql('token')} % {mod} = 0)::INT AS boundary
+         FROM toks),
+       chunks AS (
+         SELECT doc_id, token, pos,
+                coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING), 0) AS chunk_id
+         FROM flagged),
+       ch AS (
+         SELECT doc_id, chunk_id,
+                md5(string_agg(token, ' ' ORDER BY pos)) AS chash,
+                count(*)::BIGINT AS c_toks
+         FROM chunks GROUP BY doc_id, chunk_id),
+       census AS (
+         SELECT chash, count(DISTINCT doc_id)::BIGINT AS n_docs FROM ch GROUP BY chash)
+       SELECT ch.doc_id,
+              count(*)::BIGINT AS n_chunks,
+              sum(c_toks)::BIGINT AS n_tokens,
+              sum((census.n_docs >= 2)::INT)::BIGINT AS dup_chunks,
+              sum(CASE WHEN census.n_docs >= 2 THEN c_toks ELSE 0 END)::BIGINT AS dup_tokens,
+              round(sum(CASE WHEN census.n_docs >= 2 THEN c_toks ELSE 0 END)::DOUBLE
+                    / sum(c_toks), 6) AS dup_token_share
+       FROM ch JOIN census USING (chash)
+       GROUP BY ch.doc_id"""
+
+
+@query("cdc_chunks", _cdc_sql())
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup census (LBFS, Muthitacharoen et
+    al. SOSP 2001 — the rsync/storage-dedup primitive, here at token
+    grain): a chunk boundary falls AFTER any token whose 60-bit md5
+    hash ≡ 0 (mod 16) — boundaries depend only on LOCAL content, so an
+    insertion early in a page reshuffles ONE chunk instead of every
+    fixed-width window (the failure mode of `chunk_dedup`'s K-token
+    spans). Per doc: chunk count and the share of tokens living in
+    chunks seen in ≥2 documents. Plan: posexplode → one per-doc window
+    cumsum (doc-key shuffle) → chunk grouping on the SAME key (no extra
+    exchange) → chunk-hash census shuffle → hash-key join back +
+    doc-grain agg. All hashing is md5 inside codegen; no Python."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token")
+    )
+    flagged = toks.select(
+        "doc_id", "token", F.col("pos").cast("long").alias("pos"),
+        (md5_int(F.col("token")) % 16 == 0).cast("int").alias("boundary"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = flagged.select(
+        "doc_id", "token", "pos",
+        F.coalesce(F.sum("boundary").over(wc), F.lit(0)).alias("chunk_id"),
+    )
+    ch = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("long").alias("c_toks"),
+    )
+    census = ch.groupBy("chash").agg(
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs")
+    )
+    j = ch.join(census, "chash")
+    dup_t = F.when(F.col("n_docs") >= 2, F.col("c_toks")).otherwise(F.lit(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("c_toks").cast("long").alias("n_tokens"),
+        F.sum((F.col("n_docs") >= 2).cast("int")).cast("long").alias("dup_chunks"),
+        F.sum(dup_t).cast("long").alias("dup_tokens"),
+        F.round(F.sum(dup_t).cast("double") / F.sum("c_toks"), 6).alias("dup_token_share"),
+    )
+
+
+@query(
+    "ucb_arms",
+    """WITH v AS (
+         SELECT event_id, event_type,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       r AS (SELECT *, row_number() OVER (ORDER BY v_fp, event_id) AS rn,
+                    count(*) OVER () AS nn FROM v),
+       med AS (SELECT max(v_fp) AS m FROM r WHERE rn <= (nn + 1) // 2),
+       arms AS (
+         SELECT event_type, count(*)::BIGINT AS n,
+                sum((v_fp >= med.m)::INT)::BIGINT AS s
+         FROM v CROSS JOIN med GROUP BY event_type),
+       tot AS (SELECT sum(n)::BIGINT AS nn FROM arms),
+       scored AS (
+         SELECT event_type AS arm, n, s,
+                round(s::DOUBLE / n, 6) AS mean_reward,
+                round(s::DOUBLE / n + sqrt(2.0 * ln(tot.nn::DOUBLE) / n::DOUBLE), 6) AS ucb
+         FROM arms CROSS JOIN tot)
+       SELECT arm, n, s, mean_reward, ucb,
+              row_number() OVER (ORDER BY ucb DESC, arm)::BIGINT AS rank
+       FROM scored""",
+)
+def q_ucb_arms(spark, sf_dir):
+    """UCB1 bandit replay scoring (Auer, Cesa-Bianchi & Fischer, MLJ
+    2002): treat each event_type as an arm, reward = value above the
+    EXACT global lower median (integer-rank median — no interpolation
+    ambiguity), and rank arms by mean + √(2·ln N / n). This is the
+    offline-replay readout behind every explore/exploit rollout
+    analysis. Plan: one global rank pass for the median (at corpus
+    scale swap in the two-pass rank histogram, as group_quantiles
+    documents), one arm census with map-side partial agg, then
+    arm-grain math (a handful of rows); the transcendentals touch only
+    the final once-rounded arm-grain expression."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    n_all = v.count()
+    wr = Window.orderBy("v_fp", "event_id")
+    med = (
+        v.select("v_fp", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= (n_all + 1) // 2)
+        .agg(F.max("v_fp").alias("m"))
+    )
+    arms = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("v_fp") >= F.col("m")).cast("int")).cast("long").alias("s"),
+        )
+    )
+    scored = arms.select(
+        F.col("event_type").alias("arm"), "n", "s",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_reward"),
+        F.round(
+            F.col("s").cast("double") / F.col("n")
+            + F.sqrt(F.lit(2.0) * F.log(F.lit(float(n_all))) / F.col("n").cast("double")),
+            6,
+        ).alias("ucb"),
+    )
+    w = Window.orderBy(F.desc("ucb"), "arm")
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rank"))
+
+
+_DBSCAN_EPS = 3       # Euclidean radius in (token-count, avg-wordlen·100) space
+_DBSCAN_MINNB = 4     # neighbors excluding self, i.e. classic minPts = 5
+
+
+def _dbscan_sql(eps: int = _DBSCAN_EPS, min_nb: int = _DBSCAN_MINNB) -> str:
+    return f"""WITH RECURSIVE f AS (
+         SELECT doc_id,
+                len(string_split(trim(text), ' '))::BIGINT AS x,
+                round(100.0 * (length(trim(text)) - len(string_split(trim(text), ' ')) + 1)
+                      / len(string_split(trim(text), ' ')))::BIGINT AS y
+         FROM documents
+         WHERE len(string_split(trim(text), ' ')) > 0),
+       pairs AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib
+         FROM f a JOIN f b
+           ON a.doc_id < b.doc_id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps * eps}),
+       sym AS (SELECT ia AS a, ib AS b FROM pairs
+               UNION ALL SELECT ib, ia FROM pairs),
+       deg AS (SELECT a AS doc_id, count(*)::BIGINT AS nb FROM sym GROUP BY a),
+       core AS (SELECT doc_id FROM deg WHERE nb >= {min_nb}),
+       cedges AS (
+         SELECT s.a, s.b FROM sym s
+         JOIN core ca ON ca.doc_id = s.a
+         JOIN core cb ON cb.doc_id = s.b),
+       reach(node, peer) AS (
+         SELECT a, a FROM cedges
+         UNION
+         SELECT r.node, e.b FROM reach r JOIN cedges e ON r.peer = e.a),
+       cc AS (SELECT node, min(peer)::BIGINT AS cluster_id FROM reach GROUP BY node),
+       corec AS (
+         SELECT core.doc_id, coalesce(cc.cluster_id, core.doc_id) AS cluster_id
+         FROM core LEFT JOIN cc ON cc.node = core.doc_id),
+       border AS (
+         SELECT s.a AS doc_id, min(k.cluster_id)::BIGINT AS cluster_id
+         FROM sym s
+         JOIN corec k ON k.doc_id = s.b
+         LEFT JOIN core c ON c.doc_id = s.a
+         WHERE c.doc_id IS NULL
+         GROUP BY s.a)
+       SELECT f.doc_id, f.x, f.y,
+              CASE WHEN corec.doc_id IS NOT NULL THEN 'core'
+                   WHEN border.doc_id IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              coalesce(corec.cluster_id, border.cluster_id) AS cluster_id
+       FROM f
+       LEFT JOIN corec ON corec.doc_id = f.doc_id
+       LEFT JOIN border ON border.doc_id = f.doc_id"""
+
+
+@query("dbscan_clusters", _dbscan_sql())
+def q_dbscan_clusters(spark, sf_dir):
+    """Grid-accelerated DBSCAN (Ester et al., KDD 1996) over the
+    document (token-count, avg-word-length) plane: core = ≥4 neighbors
+    within Euclidean eps=3 (minPts 5 counting self), clusters =
+    connected components over core-core adjacency (reusing the dedup
+    CC operator's min-label propagation), border points adopt the min
+    cluster id of an adjacent core, the rest is noise. The neighbor
+    search is the textbook scale shape: cell = eps-sized grid square,
+    each point probes its 9 adjacent cells (equi-join on the cell key
+    — NEVER an all-pairs distance join; with cell size = eps the grid
+    candidates provably cover every true neighbor pair), then the
+    exact integer distance filter. Density clustering like this is how
+    curation pipelines find coherent document populations / outlier
+    bands without a k guess. All coordinates and distances are exact
+    int64; roles and labels are bit-deterministic."""
+    eps, min_nb = _DBSCAN_EPS, _DBSCAN_MINNB
+    d = _docs(spark, sf_dir)
+    n_t = F.size(T.tokenize(F.col("text")))
+    f = (
+        d.where(n_t > 0)
+        .select(
+            "doc_id",
+            n_t.cast("long").alias("x"),
+            F.round(
+                F.lit(100.0) * (F.length(F.trim(F.col("text"))) - n_t + 1) / n_t, 0
+            ).cast("long").alias("y"),
+        )
+        .withColumn("cx", F.floor(F.col("x") / eps))
+        .withColumn("cy", F.floor(F.col("y") / eps))
+        .localCheckpoint(eager=True)  # feeds probe side, build side, final join
+    )
+    offs = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    probe = f.select(
+        F.col("doc_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        "cx", "cy", offs.alias("o"),
+    ).select(
+        "ia", "xa", "ya",
+        (F.col("cx") + F.col("o.dx")).alias("pcx"),
+        (F.col("cy") + F.col("o.dy")).alias("pcy"),
+    )
+    build = f.select(
+        F.col("doc_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        probe.join(build, ["pcx", "pcy"])
+        .where((F.col("ia") < F.col("ib")) & (dist2 <= eps * eps))
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)  # feeds degree census, CC edges, border join
+    )
+    sym = pairs.unionAll(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
+    deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("nb"))
+    core = deg.where(F.col("nb") >= min_nb).select(F.col("ia").alias("doc_id"))
+    cedges = (
+        sym.join(core.select(F.col("doc_id").alias("ia")), "ia")
+        .join(core.select(F.col("doc_id").alias("ib")), "ib")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    cc = D.connected_components(cedges).select(
+        F.col("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    corec = core.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    border = (
+        sym.join(corec.select(F.col("doc_id").alias("ib"), "cluster_id"), "ib")
+        .join(core.select(F.col("doc_id").alias("ia"), F.lit(1).alias("is_core")), "ia", "left")
+        .where(F.col("is_core").isNull())
+        .groupBy(F.col("ia").alias("doc_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        f.select("doc_id", "x", "y")
+        .join(corec.withColumnRenamed("cluster_id", "c_core"), "doc_id", "left")
+        .join(border.withColumnRenamed("cluster_id", "c_border"), "doc_id", "left")
+        .select(
+            "doc_id", "x", "y",
+            F.when(F.col("c_core").isNotNull(), F.lit("core"))
+            .when(F.col("c_border").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("c_core", "c_border").alias("cluster_id"),
+        )
+    )
