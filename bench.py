@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "ucb_arms",
     "dbscan_clusters",
+    "ari_nmi",
+    "triangle_coeffs",
+    "covariate_balance",
 ]
 
 

@@ -10777,3 +10777,310 @@ def q_dbscan_clusters(spark, sf_dir):
             F.coalesce("c_core", "c_border").alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 27: clustering agreement (ARI/NMI), triangle counting, SMD balance
+
+def _ari_sql(k: int = 8) -> str:
+    from pliers_spark.operators.similarity import kmeans_assign_sql
+
+    return f"""WITH assign AS ({kmeans_assign_sql(k=k)}),
+       pairs AS (
+         SELECT a.cluster_id AS ci, e.label::BIGINT AS lj
+         FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+       ct AS (SELECT ci, lj, count(*)::BIGINT AS nij FROM pairs GROUP BY 1, 2),
+       ra AS (SELECT ci, sum(nij)::BIGINT AS ai FROM ct GROUP BY ci),
+       rb AS (SELECT lj, sum(nij)::BIGINT AS bj FROM ct GROUP BY lj),
+       sums AS (
+         SELECT (SELECT sum(nij * (nij - 1) / 2) FROM ct)::HUGEINT AS sij,
+                (SELECT sum(ai * (ai - 1) / 2) FROM ra)::HUGEINT AS sa,
+                (SELECT sum(bj * (bj - 1) / 2) FROM rb)::HUGEINT AS sb,
+                (SELECT sum(nij) FROM ct)::HUGEINT AS n),
+       mi AS (
+         SELECT sum(ct.nij * CAST(round(1000000.0
+                     * ln((ct.nij::DOUBLE * s.n::DOUBLE)
+                          / (ra.ai::DOUBLE * rb.bj::DOUBLE))) AS BIGINT))::BIGINT AS mi_fp
+         FROM ct JOIN ra USING (ci) JOIN rb USING (lj) CROSS JOIN sums s),
+       ha AS (
+         SELECT -sum(ai * CAST(round(1000000.0 * ln(ai::DOUBLE / s.n::DOUBLE)) AS BIGINT))::BIGINT AS ha_fp
+         FROM ra CROSS JOIN sums s),
+       hb AS (
+         SELECT -sum(bj * CAST(round(1000000.0 * ln(bj::DOUBLE / s.n::DOUBLE)) AS BIGINT))::BIGINT AS hb_fp
+         FROM rb CROSS JOIN sums s)
+       SELECT
+         round((s.n * (s.n - 1) / 2 * s.sij - s.sa * s.sb)::DOUBLE
+               / ((s.n * (s.n - 1) / 2)::DOUBLE * ((s.sa + s.sb)::DOUBLE / 2.0)
+                  - (s.sa * s.sb)::DOUBLE), 6) AS ari,
+         round(mi.mi_fp::DOUBLE / sqrt(ha.ha_fp::DOUBLE * hb.hb_fp::DOUBLE), 6) AS nmi,
+         s.sij::BIGINT AS pair_agree, s.sa::BIGINT AS pairs_pred,
+         s.sb::BIGINT AS pairs_true, s.n::BIGINT AS n
+       FROM sums s CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+
+
+@query("ari_nmi", _ari_sql())
+def q_ari_nmi(spark, sf_dir):
+    """Clustering-agreement evaluation: Adjusted Rand Index (Hubert &
+    Arabie 1985) and Normalized Mutual Information between the exact
+    int64 k-means assignment and the embeddings' ground-truth labels —
+    the standard pair of external clustering metrics. ARI is pure pair
+    combinatorics: ΣC(nᵢⱼ,2), ΣC(aᵢ,2), ΣC(bⱼ,2) as exact integers
+    (DECIMAL(38,0)/HUGEINT headroom), ONE final double division. NMI's
+    per-cell logs round once to integer micro-nats so MI and the two
+    entropies are exact int sums; the 1e6·n scale cancels in the ratio.
+    Plan: one contingency census (the only corpus shuffle), everything
+    after is k×L-grain."""
+    from pliers_spark.operators.similarity import kmeans_assign
+
+    dec = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8).select("vec_id", "cluster_id")
+    ct = (
+        assign.join(emb.select("vec_id", F.col("label").cast("long").alias("lj")), "vec_id")
+        .groupBy(F.col("cluster_id").alias("ci"), "lj")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=True)  # feeds row sums, col sums, MI
+    )
+    ra = ct.groupBy("ci").agg(F.sum("nij").cast("long").alias("ai"))
+    rb = ct.groupBy("lj").agg(F.sum("nij").cast("long").alias("bj"))
+    c2 = lambda c: (F.col(c).cast(dec) * (F.col(c) - 1).cast(dec) / 2).cast(dec)  # noqa: E731
+    sums = (
+        ct.agg(F.sum(c2("nij")).cast(dec).alias("sij"), F.sum("nij").cast(dec).alias("n"))
+        .crossJoin(ra.agg(F.sum(c2("ai")).cast(dec).alias("sa")))
+        .crossJoin(rb.agg(F.sum(c2("bj")).cast(dec).alias("sb")))
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi = (
+        ct.join(ra, "ci").join(rb, "lj").crossJoin(F.broadcast(sums))
+        .select(
+            (
+                F.col("nij")
+                * F.round(
+                    F.lit(1e6) * F.log((d_("nij") * d_("n")) / (d_("ai") * d_("bj"))), 0
+                ).cast("long")
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("mi_fp"))
+    )
+    ha = (
+        ra.crossJoin(F.broadcast(sums))
+        .select((F.col("ai") * F.round(F.lit(1e6) * F.log(d_("ai") / d_("n")), 0).cast("long")).alias("t"))
+        .agg((-F.sum("t")).cast("long").alias("ha_fp"))
+    )
+    hb = (
+        rb.crossJoin(F.broadcast(sums))
+        .select((F.col("bj") * F.round(F.lit(1e6) * F.log(d_("bj") / d_("n")), 0).cast("long")).alias("t"))
+        .agg((-F.sum("t")).cast("long").alias("hb_fp"))
+    )
+    cn2 = (F.col("n") * (F.col("n") - F.lit(1).cast(dec)) / 2).cast(dec)
+    return (
+        sums.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+        .select(
+            F.round(
+                (cn2 * F.col("sij") - F.col("sa") * F.col("sb")).cast("double")
+                / (
+                    cn2.cast("double") * ((F.col("sa") + F.col("sb")).cast("double") / F.lit(2.0))
+                    - (F.col("sa") * F.col("sb")).cast("double")
+                ),
+                6,
+            ).alias("ari"),
+            F.round(
+                F.col("mi_fp").cast("double")
+                / F.sqrt(F.col("ha_fp").cast("double") * F.col("hb_fp").cast("double")),
+                6,
+            ).alias("nmi"),
+            F.col("sij").cast("long").alias("pair_agree"),
+            F.col("sa").cast("long").alias("pairs_pred"),
+            F.col("sb").cast("long").alias("pairs_true"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def _tri_sql(basket_cap: int = 20) -> str:
+    return f"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND {basket_cap}),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       o AS (
+         SELECT s.a AS src, s.b AS dst
+         FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+         WHERE (da.d, s.a) < (db.d, s.b)),
+       tri AS (
+         SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       pert AS (
+         SELECT node, count(*)::BIGINT AS t FROM (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT v FROM tri
+           UNION ALL SELECT w FROM tri) GROUP BY node)
+       SELECT deg.node AS part_id, deg.d AS degree,
+              coalesce(pert.t, 0)::BIGINT AS triangles,
+              CASE WHEN deg.d >= 2
+                   THEN round(2.0 * coalesce(pert.t, 0) / (deg.d * (deg.d - 1)), 6)
+                   ELSE 0.0 END AS clustering_coeff
+       FROM deg LEFT JOIN pert ON pert.node = deg.node"""
+
+
+@query("triangle_coeffs", _tri_sql())
+def q_triangle_coeffs(spark, sf_dir):
+    """Per-node triangle counts and local clustering coefficient over
+    the co-purchase graph, via DEGREE-ORDERED edge orientation (the
+    Schank-Wagner/Cohen MapReduce trick): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, so every
+    triangle is enumerated exactly once from its lowest vertex and the
+    wedge-join fan-out is bounded by out-degree ≤ O(√m) (graph
+    arboricity) instead of max raw degree — THE difference between a
+    plan that survives a power-law graph at 100× and one hot task
+    materializing a celebrity node's d² wedges. Plan: basket-capped
+    distinct edge census, degree census, two self-joins on the
+    oriented edge key. Everything integer; coefficient rounds once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree census + orientation
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
+    o = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)  # feeds wedge join twice + closing probe
+    )
+    e1 = o.select(F.col("src"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "src").where(F.col("v") != F.col("w"))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("u"), "v", "w"
+    )
+    pert = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return deg.join(pert, "node", "left").select(
+        F.col("node").alias("part_id"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                F.lit(2.0) * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+    )
+
+
+@query(
+    "covariate_balance",
+    """WITH base AS (
+         SELECT (o_orderpriority = '1-URGENT')::INT AS treat,
+                CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_fp,
+                dayofweek(o_orderdate)::BIGINT AS dow,
+                month(o_orderdate)::BIGINT AS mon
+         FROM orders),
+       stacked AS (
+         SELECT treat, 'price_fp' AS covariate, price_fp AS v FROM base
+         UNION ALL SELECT treat, 'dow', dow FROM base
+         UNION ALL SELECT treat, 'mon', mon FROM base),
+       g AS (
+         SELECT covariate, treat, count(*)::BIGINT AS n,
+                sum(v)::BIGINT AS s, sum(v::HUGEINT * v::HUGEINT) AS q
+         FROM stacked GROUP BY 1, 2),
+       wide AS (
+         SELECT covariate,
+                max(CASE WHEN treat = 1 THEN n END) AS n1,
+                max(CASE WHEN treat = 1 THEN s END) AS s1,
+                max(CASE WHEN treat = 1 THEN q END) AS q1,
+                max(CASE WHEN treat = 0 THEN n END) AS n0,
+                max(CASE WHEN treat = 0 THEN s END) AS s0,
+                max(CASE WHEN treat = 0 THEN q END) AS q0
+         FROM g GROUP BY covariate)
+       SELECT covariate, n1::BIGINT AS n1, n0::BIGINT AS n0,
+              CASE WHEN (q1::DOUBLE / n1 - (s1::DOUBLE / n1) * (s1::DOUBLE / n1))
+                        + (q0::DOUBLE / n0 - (s0::DOUBLE / n0) * (s0::DOUBLE / n0)) > 0
+                   THEN round((s1::DOUBLE / n1 - s0::DOUBLE / n0)
+                    / sqrt(((q1::DOUBLE / n1 - (s1::DOUBLE / n1) * (s1::DOUBLE / n1))
+                            + (q0::DOUBLE / n0 - (s0::DOUBLE / n0) * (s0::DOUBLE / n0))) / 2.0),
+                    6) END AS smd
+       FROM wide""",
+)
+def q_covariate_balance(spark, sf_dir):
+    """Covariate-balance table (standardized mean difference — the
+    causal-inference / A-B-assignment health check; |SMD| ≤ 0.1 is the
+    conventional balance bar): treatment = urgent order priority,
+    covariates stacked long so ONE census shuffle covers all of them.
+    Sufficient stats (n, Σv, Σv²) are exact int64/HUGEINT; the SMD
+    expression is the identical double shape on both engines with one
+    final rounding. The stack-then-census shape is how a real pipeline
+    checks dozens of covariates without dozens of passes."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    base = o.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("treat"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("price_fp"),
+        F.dayofweek(F.col("o_orderdate")).cast("long").alias("dow"),
+        F.month(F.col("o_orderdate")).cast("long").alias("mon"),
+    )
+    stacked = base.select(
+        "treat",
+        F.explode(
+            F.array(
+                F.struct(F.lit("price_fp").alias("covariate"), F.col("price_fp").alias("v")),
+                F.struct(F.lit("dow").alias("covariate"), F.col("dow").alias("v")),
+                F.struct(F.lit("mon").alias("covariate"), F.col("mon").alias("v")),
+            )
+        ).alias("cv"),
+    ).select("treat", "cv.covariate", "cv.v")
+    g = stacked.groupBy("covariate", "treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).cast(dec).alias("q"),
+    )
+    wide = g.groupBy("covariate").agg(
+        F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("treat") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("treat") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("treat") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("treat") == 0, F.col("q"))).alias("q0"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1, m0 = d_("s1") / d_("n1"), d_("s0") / d_("n0")
+    v1 = d_("q1") / d_("n1") - m1 * m1
+    v0 = d_("q0") / d_("n0") - m0 * m0
+    return wide.select(
+        "covariate",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        # zero pooled variance (constant covariate) -> NULL, not a 0/0:
+        # Spark ANSI mode rightly refuses the division
+        F.when(
+            v1 + v0 > 0, F.round((m1 - m0) / F.sqrt((v1 + v0) / F.lit(2.0)), 6)
+        ).alias("smd"),
+    )
