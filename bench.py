@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     "ari_nmi",
     "triangle_coeffs",
     "covariate_balance",
+    "wasserstein_1d",
+    "texttiling_gaps",
+    "degree_assortativity",
 ]
 
 

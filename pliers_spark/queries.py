@@ -11084,3 +11084,257 @@ def q_covariate_balance(spark, sf_dir):
             v1 + v0 > 0, F.round((m1 - m0) / F.sqrt((v1 + v0) / F.lit(2.0)), 6)
         ).alias("smd"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 28: 1-D Wasserstein drift, TextTiling gaps, degree assortativity
+
+@query(
+    "wasserstein_1d",
+    """WITH c AS (
+         SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS cnt
+         FROM documents GROUP BY 1, 2),
+       ns AS (SELECT source, sum(cnt)::BIGINT AS n FROM c GROUP BY source),
+       pr AS (
+         SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+         FROM ns a JOIN ns b ON a.source < b.source),
+       vals AS (SELECT DISTINCT v FROM c),
+       grid AS (
+         SELECT pr.src_a, pr.src_b, pr.na, pr.nb, vals.v,
+                coalesce(ca.cnt, 0) AS ca, coalesce(cb.cnt, 0) AS cb
+         FROM pr CROSS JOIN vals
+         LEFT JOIN c ca ON ca.source = pr.src_a AND ca.v = vals.v
+         LEFT JOIN c cb ON cb.source = pr.src_b AND cb.v = vals.v),
+       cum AS (
+         SELECT src_a, src_b, na, nb, v,
+                sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cua,
+                sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cub,
+                lead(v) OVER (PARTITION BY src_a, src_b ORDER BY v) AS nxt
+         FROM grid)
+       SELECT src_a, src_b,
+              round(sum(abs(cua * nb - cub * na) * (nxt - v))::DOUBLE
+                    / (na::DOUBLE * nb::DOUBLE), 6) AS w1
+       FROM cum WHERE nxt IS NOT NULL
+       GROUP BY src_a, src_b, na, nb""",
+)
+def q_wasserstein_1d(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between every
+    source pair's document-length distribution — the drift metric that,
+    unlike KS (`ks_drift`), measures HOW FAR mass moved, not just the
+    max ECDF gap: W1 = ∫|F_A − F_B| = Σ_segments |cumA·nB − cumB·nA|·gap
+    / (nA·nB), all integer until ONE final division. Plan: one
+    (source, value) census, the segment grid lives at (pairs × distinct
+    values) grain with a single window cumsum per pair — the corpus is
+    never re-scanned per pair. The shared global value grid adds only
+    zero-count segments, which contribute the same |diff|·gap as the
+    merged-support formulation."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("source", F.col("n_chars").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)  # feeds per-source totals + both grid sides
+    ns = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    a = ns.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = ns.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    pr = a.join(b, F.col("src_a") < F.col("src_b"))
+    vals = c.select("v").distinct()
+    grid = (
+        pr.crossJoin(vals)
+        .join(
+            c.select(F.col("source").alias("src_a"), "v", F.col("cnt").alias("ca")),
+            ["src_a", "v"], "left",
+        )
+        .join(
+            c.select(F.col("source").alias("src_b"), "v", F.col("cnt").alias("cb")),
+            ["src_b", "v"], "left",
+        )
+        .select(
+            "src_a", "src_b", "na", "nb", "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("v")
+    cum = grid.select(
+        "src_a", "src_b", "na", "nb", "v",
+        F.sum("ca").over(w).alias("cua"),
+        F.sum("cb").over(w).alias("cub"),
+        F.lead("v").over(w).alias("nxt"),
+    )
+    return (
+        cum.where(F.col("nxt").isNotNull())
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cua") * F.col("nb") - F.col("cub") * F.col("na"))
+                    * (F.col("nxt") - F.col("v"))
+                ).cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("w1")
+        )
+        .select("src_a", "src_b", "w1")
+    )
+
+
+_TILE_W = 10  # tokens per TextTiling block
+
+
+def _texttiling_sql(w: int = _TILE_W) -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id, t.token, t.pos::BIGINT AS pos
+         FROM (SELECT doc_id,
+                      unnest(string_split(trim(text), ' ')) AS token,
+                      generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS pos
+               FROM documents) t(doc_id, token, pos)),
+       tf AS (
+         SELECT doc_id, (pos // {w})::BIGINT AS blk, token, count(*)::BIGINT AS c
+         FROM toks GROUP BY 1, 2, 3),
+       nrm AS (SELECT doc_id, blk, sum(c * c)::BIGINT AS n2 FROM tf GROUP BY 1, 2),
+       dots AS (
+         SELECT a.doc_id, a.blk AS gap_idx, sum(a.c * b.c)::BIGINT AS dot
+         FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+                            AND a.token = b.token
+         GROUP BY 1, 2),
+       gaps AS (
+         SELECT n1.doc_id, n1.blk AS gap_idx,
+                round(coalesce(d.dot, 0)::DOUBLE
+                      / sqrt(n1.n2::DOUBLE * n2.n2::DOUBLE), 6) AS cosine
+         FROM nrm n1 JOIN nrm n2 ON n1.doc_id = n2.doc_id AND n2.blk = n1.blk + 1
+         LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.gap_idx = n1.blk)
+       SELECT doc_id, gap_idx, cosine,
+              (cosine < coalesce(lag(cosine) OVER dw, 1e9)
+               AND cosine < coalesce(lead(cosine) OVER dw, 1e9)) AS is_valley
+       FROM gaps
+       WINDOW dw AS (PARTITION BY doc_id ORDER BY gap_idx)"""
+
+
+@query("texttiling_gaps", _texttiling_sql())
+def q_texttiling_gaps(spark, sf_dir):
+    """TextTiling topic-segmentation signal (Hearst, CL 1997): cosine
+    lexical cohesion between adjacent {_TILE_W}-token blocks of each
+    document; a strict local minimum (valley) marks a candidate topic
+    boundary — the pre-chunking step for retrieval indexing that
+    respects topic structure instead of fixed windows. Dot products
+    and norms are exact int64 token-count sums (ONE rounding at the
+    cosine); blocks with no shared vocabulary coalesce to dot 0. Plan:
+    posexplode → (doc, block, token) census → adjacent-block self-join
+    on the SAME (doc, token) key + one per-doc window for the valley
+    flag — every shuffle is doc-keyed, so partitions stay aligned."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token")
+    )
+    tf = toks.groupBy(
+        "doc_id",
+        F.floor(F.col("pos") / _TILE_W).cast("long").alias("blk"),
+        "token",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    nrm = tf.groupBy("doc_id", "blk").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = tf.select("doc_id", F.col("blk").alias("gap_idx"), "token", F.col("c").alias("ca"))
+    bb = tf.select("doc_id", (F.col("blk") - 1).alias("gap_idx"), "token", F.col("c").alias("cb"))
+    dots = (
+        a.join(bb, ["doc_id", "gap_idx", "token"])
+        .groupBy("doc_id", "gap_idx")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    n1 = nrm.select("doc_id", F.col("blk").alias("gap_idx"), F.col("n2").alias("n2a"))
+    n2 = nrm.select("doc_id", (F.col("blk") - 1).alias("gap_idx"), F.col("n2").alias("n2b"))
+    gaps = (
+        n1.join(n2, ["doc_id", "gap_idx"])
+        .join(dots, ["doc_id", "gap_idx"], "left")
+        .select(
+            "doc_id", "gap_idx",
+            F.round(
+                F.coalesce("dot", F.lit(0)).cast("double")
+                / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    dw = Window.partitionBy("doc_id").orderBy("gap_idx")
+    big = F.lit(1e9)
+    return gaps.select(
+        "doc_id", "gap_idx", "cosine",
+        (
+            (F.col("cosine") < F.coalesce(F.lag("cosine").over(dw), big))
+            & (F.col("cosine") < F.coalesce(F.lead("cosine").over(dw), big))
+        ).alias("is_valley"),
+    )
+
+
+@query(
+    "degree_assortativity",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       ed AS (
+         SELECT da.d AS du, db.d AS dv
+         FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b),
+       st AS (
+         SELECT count(*)::HUGEINT AS m, sum(du)::HUGEINT AS sx,
+                sum(du::HUGEINT * du::HUGEINT) AS sxx,
+                sum(du::HUGEINT * dv::HUGEINT) AS sxy
+         FROM ed)
+       SELECT (m / 2)::BIGINT AS n_edges,
+              CASE WHEN m * sxx - sx * sx > 0
+                   THEN round((m * sxy - sx * sx)::DOUBLE
+                              / (m * sxx - sx * sx)::DOUBLE, 6) END AS assortativity
+       FROM st""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized co-purchase
+    edge list — positive means hubs link hubs (social-style), negative
+    means hub-spoke (web/retail-style); the one-number summary that
+    predicts whether skew defenses will be needed downstream. The
+    symmetric edge orientation makes Sx = Sy and Sxx = Syy, so
+    r = (m·Sxy − Sx²)/(m·Sxx − Sx²) with every sufficient statistic an
+    exact DECIMAL(38,0) sum and ONE final rounded division (NULL on a
+    degree-regular graph). Plan: edge census, degree census, two
+    degree joins, one global agg — no window, no driver math."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
+    ed = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select("du", "dv")
+    )
+    st = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("du").cast(dec).alias("sx"),
+        F.sum(F.col("du").cast(dec) * F.col("du").cast(dec)).cast(dec).alias("sxx"),
+        F.sum(F.col("du").cast(dec) * F.col("dv").cast(dec)).cast(dec).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return st.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "assortativity"
+        ),
+    )
