@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "wasserstein_1d",
     "texttiling_gaps",
     "degree_assortativity",
+    "mann_kendall_sen",
+    "kruskal_wallis",
+    "cmh_odds",
 ]
 
 

@@ -11338,3 +11338,276 @@ def q_degree_assortativity(spark, sf_dir):
             "assortativity"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 29: Mann-Kendall + Sen slope, Kruskal-Wallis, CMH stratified odds
+
+_MK_MIN_N = 5
+_MK_CAP = 500  # series longer than this are excluded (quadratic pair guard)
+
+
+def _mk_sql(min_n: int = _MK_MIN_N, cap: int = _MK_CAP) -> str:
+    return f"""WITH v AS (
+         SELECT user_id, epoch_us(ts)::BIGINT AS t_us,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM events),
+       g AS (SELECT * FROM v WHERE n BETWEEN {min_n} AND {cap}),
+       p AS (
+         SELECT a.user_id, a.n,
+                CASE WHEN b.v_fp > a.v_fp THEN 1
+                     WHEN b.v_fp < a.v_fp THEN -1 ELSE 0 END AS sgn,
+                CASE WHEN b.t_us <> a.t_us
+                     THEN CAST(round(1000000.0 * (b.v_fp - a.v_fp)::DOUBLE
+                                     / (b.t_us - a.t_us)::DOUBLE) AS BIGINT)
+                END AS slope_fp
+         FROM g a JOIN g b ON a.user_id = b.user_id AND a.rn < b.rn),
+       s AS (
+         SELECT user_id, any_value(n)::BIGINT AS n, sum(sgn)::BIGINT AS mk_s
+         FROM p GROUP BY user_id),
+       sl AS (
+         SELECT user_id, slope_fp,
+                row_number() OVER (PARTITION BY user_id ORDER BY slope_fp) AS srn,
+                count(*) OVER (PARTITION BY user_id) AS m
+         FROM p WHERE slope_fp IS NOT NULL),
+       sen AS (
+         SELECT user_id, max(slope_fp)::BIGINT AS sen_slope_fp
+         FROM sl WHERE srn <= (m + 1) // 2 GROUP BY user_id)
+       SELECT s.user_id, s.n, s.mk_s,
+              round(2.0 * s.mk_s / (s.n * (s.n - 1)), 6) AS tau,
+              sen.sen_slope_fp
+       FROM s LEFT JOIN sen USING (user_id)"""
+
+
+@query("mann_kendall_sen", _mk_sql())
+def q_mann_kendall_sen(spark, sf_dir):
+    """Mann-Kendall trend test + Sen's slope per user series (Mann 1945,
+    Kendall 1975; Sen, JASA 1968) — the standard nonparametric
+    monotone-trend pair for noisy series: S = Σ sign(vⱼ−vᵢ) over
+    time-ordered pairs (exact int), τ-a = 2S/n(n−1) (one rounded
+    division), Sen slope = EXACT lower median of the pairwise
+    micro-unit slopes (integer rank, no interpolation; same-timestamp
+    pairs excluded). The O(n²) per-series pair join is gated to
+    {_MK_MIN_N} ≤ n ≤ {_MK_CAP} — at crawl scale a bot user with 10⁶
+    events would otherwise put 10¹² pairs on one task (the item_cosine
+    basket-cap discipline). Plan: one user-key window pass, one
+    user-key self-join (co-partitioned — no second shuffle), two
+    user-grain aggs."""
+    ev = _events(spark, sf_dir)
+    from pliers_spark.operators._util import epoch_micros
+
+    wu = Window.partitionBy("user_id")
+    v = ev.select(
+        "user_id",
+        epoch_micros(ev, "ts").cast("long").alias("t_us"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    g = v.where((F.col("n") >= _MK_MIN_N) & (F.col("n") <= _MK_CAP)).localCheckpoint(
+        eager=True
+    )
+    a = g.select("user_id", "n", F.col("rn").alias("ra"), F.col("t_us").alias("ta"), F.col("v_fp").alias("va"))
+    b = g.select("user_id", F.col("rn").alias("rb"), F.col("t_us").alias("tb"), F.col("v_fp").alias("vb"))
+    p = (
+        a.join(b, "user_id")
+        .where(F.col("ra") < F.col("rb"))
+        .select(
+            "user_id", "n",
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            F.when(
+                F.col("tb") != F.col("ta"),
+                F.round(
+                    F.lit(1e6) * (F.col("vb") - F.col("va")).cast("double")
+                    / (F.col("tb") - F.col("ta")).cast("double"),
+                    0,
+                ).cast("long"),
+            ).alias("slope_fp"),
+        )
+        .localCheckpoint(eager=True)  # feeds S agg and the slope median
+    )
+    s = p.groupBy("user_id").agg(
+        F.first("n").cast("long").alias("n"), F.sum("sgn").cast("long").alias("mk_s")
+    )
+    ws = Window.partitionBy("user_id").orderBy("slope_fp")
+    sl = p.where(F.col("slope_fp").isNotNull()).select(
+        "user_id", "slope_fp",
+        F.row_number().over(ws).alias("srn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("m"),
+    )
+    sen = (
+        sl.where(F.col("srn") <= (F.col("m") + 1) / 2)
+        .groupBy("user_id")
+        .agg(F.max("slope_fp").cast("long").alias("sen_slope_fp"))
+    )
+    return s.join(sen, "user_id", "left").select(
+        "user_id", "n", "mk_s",
+        F.round(F.lit(2.0) * F.col("mk_s") / (F.col("n") * (F.col("n") - 1)), 6).alias("tau"),
+        "sen_slope_fp",
+    )
+
+
+@query(
+    "kruskal_wallis",
+    """WITH v AS (
+         SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       dist AS (SELECT v_fp, count(*)::BIGINT AS eq FROM v GROUP BY v_fp),
+       rk AS (
+         SELECT v_fp, eq,
+                2 * (sum(eq) OVER (ORDER BY v_fp) - eq) + eq + 1 AS r2
+         FROM dist),
+       per_g AS (
+         SELECT v.event_type, count(*)::BIGINT AS ni, sum(rk.r2)::BIGINT AS r2i
+         FROM v JOIN rk USING (v_fp) GROUP BY v.event_type),
+       tot AS (
+         SELECT sum(ni)::BIGINT AS n,
+                (SELECT sum(eq * eq * eq - eq) FROM dist)::BIGINT AS tie3
+         FROM per_g),
+       h AS (
+         SELECT (SELECT count(*) FROM per_g)::BIGINT AS k, tot.n, tot.tie3,
+                12.0 / (tot.n::DOUBLE * (tot.n + 1)::DOUBLE)
+                  * (SELECT sum((r2i::DOUBLE / 2.0) * (r2i::DOUBLE / 2.0) / ni::DOUBLE)
+                     FROM per_g)
+                  - 3.0 * (tot.n + 1)::DOUBLE AS h_raw
+         FROM tot)
+       SELECT k, n, round(h_raw, 6) AS h,
+              CASE WHEN tie3 < n * n * n - n
+                   THEN round(h_raw / (1.0 - tie3::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 6)
+              END AS h_tie_corrected
+       FROM h""",
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank one-way ANOVA across event types (Kruskal &
+    Wallis, JASA 1952) — the nonparametric twin of
+    `seasonality_strength`'s parametric R²: H = 12/(N(N+1))·ΣRᵢ²/nᵢ −
+    3(N+1) with average-rank ties and the Σ(t³−t) tie correction.
+    Ranks never touch a float: the DOUBLED average rank of a value is
+    2·|{<v}| + |{=v}| + 1 — an exact integer from the value census —
+    so per-group rank sums are exact int64 and H is one identical
+    double expression on both engines. Plan: value census (one
+    shuffle), a value-grain running-sum window, one join back on the
+    value key, group-grain math."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp")
+    )
+    dist = v.groupBy("v_fp").agg(F.count(F.lit(1)).cast("long").alias("eq"))
+    wv = Window.orderBy("v_fp").rowsBetween(Window.unboundedPreceding, 0)
+    rk = dist.select(
+        "v_fp", "eq",
+        (2 * (F.sum("eq").over(wv) - F.col("eq")) + F.col("eq") + 1).alias("r2"),
+    )
+    per_g = (
+        v.join(rk, "v_fp")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"), F.sum("r2").cast("long").alias("r2i"))
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"), F.sum("ni").cast("long").alias("n")
+    ).crossJoin(
+        dist.agg(
+            F.sum(F.col("eq") * F.col("eq") * F.col("eq") - F.col("eq"))
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssum = per_g.agg(
+        F.sum(
+            (d_("r2i") / F.lit(2.0)) * (d_("r2i") / F.lit(2.0)) / d_("ni")
+        ).alias("ss")
+    )
+    j = tot.crossJoin(ssum)
+    h_raw = (
+        F.lit(12.0) / (d_("n") * (F.col("n") + 1).cast("double")) * F.col("ss")
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    )
+    nnn = d_("n") * d_("n") * d_("n") - d_("n")
+    return j.select(
+        "k", "n",
+        F.round(h_raw, 6).alias("h"),
+        F.when(
+            F.col("tie3") < F.col("n") * F.col("n") * F.col("n") - F.col("n"),
+            F.round(h_raw / (F.lit(1.0) - d_("tie3") / nnn), 6),
+        ).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "cmh_odds",
+    """WITH b AS (
+         SELECT month(o_orderdate)::BIGINT AS stratum,
+                (o_orderpriority = '1-URGENT')::INT AS t,
+                (o_orderstatus = 'F')::INT AS y
+         FROM orders),
+       s AS (
+         SELECT stratum,
+                sum((t = 1 AND y = 1)::INT)::BIGINT AS a,
+                sum((t = 1 AND y = 0)::INT)::BIGINT AS bb,
+                sum((t = 0 AND y = 1)::INT)::BIGINT AS c,
+                sum((t = 0 AND y = 0)::INT)::BIGINT AS d,
+                count(*)::BIGINT AS n
+         FROM b GROUP BY stratum),
+       fp AS (
+         SELECT sum(CAST(round(1000000.0 * a * d / n) AS BIGINT))::BIGINT AS num_fp,
+                sum(CAST(round(1000000.0 * bb * c / n) AS BIGINT))::BIGINT AS den_fp,
+                count(*)::BIGINT AS n_strata,
+                sum(a)::BIGINT AS a_tot, sum(bb)::BIGINT AS b_tot,
+                sum(c)::BIGINT AS c_tot, sum(d)::BIGINT AS d_tot
+         FROM s)
+       SELECT n_strata,
+              round(num_fp::DOUBLE / den_fp::DOUBLE, 6) AS or_cmh,
+              round((a_tot * d_tot)::DOUBLE / (b_tot * c_tot)::DOUBLE, 6) AS or_pooled,
+              round(ln(num_fp::DOUBLE / den_fp::DOUBLE), 6) AS log_or_cmh
+       FROM fp""",
+)
+def q_cmh_odds(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified odds ratio (Mantel & Haenszel,
+    JNCI 1959): the Simpson's-paradox-safe pooled effect of urgent
+    priority on order-failure odds, stratified by order month —
+    OR_CMH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ), reported next to the crude
+    pooled OR so confounding is visible as their gap. Each stratum's
+    ratio rounds ONCE to integer micro-units before the cross-strata
+    sum (float-accumulation-order-proof, the same discipline as every
+    *_fp sum in this file). Plan: one stratum census with map-side
+    partial agg; stratum grain (12 rows) afterwards."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.month("o_orderdate").cast("long").alias("stratum"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    s = b.groupBy("stratum").agg(
+        F.sum(((F.col("t") == 1) & (F.col("y") == 1)).cast("int")).cast("long").alias("a"),
+        F.sum(((F.col("t") == 1) & (F.col("y") == 0)).cast("int")).cast("long").alias("bb"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 1)).cast("int")).cast("long").alias("c"),
+        F.sum(((F.col("t") == 0) & (F.col("y") == 0)).cast("int")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    fp = s.agg(
+        F.sum(
+            F.round(F.lit(1e6) * F.col("a") * F.col("d") / F.col("n"), 0).cast("long")
+        ).cast("long").alias("num_fp"),
+        F.sum(
+            F.round(F.lit(1e6) * F.col("bb") * F.col("c") / F.col("n"), 0).cast("long")
+        ).cast("long").alias("den_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("a_tot"),
+        F.sum("bb").cast("long").alias("b_tot"),
+        F.sum("c").cast("long").alias("c_tot"),
+        F.sum("d").cast("long").alias("d_tot"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return fp.select(
+        "n_strata",
+        F.round(d_("num_fp") / d_("den_fp"), 6).alias("or_cmh"),
+        F.round((F.col("a_tot") * F.col("d_tot")).cast("double")
+                / (F.col("b_tot") * F.col("c_tot")).cast("double"), 6).alias("or_pooled"),
+        F.round(F.log(d_("num_fp") / d_("den_fp")), 6).alias("log_or_cmh"),
+    )
