@@ -529,3 +529,56 @@ def test_semi_join_returns_is_semi_and_pushed(spark):
     assert "PushedFilters" in fmt
     pushed = [l for l in fmt.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
     assert pushed, fmt
+
+
+def test_new_batch_queries_no_cartesian_no_python(spark):
+    """Batches 24-29 (graphs, clustering eval, nonparametric stats):
+    every join is an equi-join or an intentional dimension-grain
+    broadcast — never a CartesianProduct — and nothing falls back to a
+    Python UDF."""
+    from pliers_spark.queries import QUERIES
+
+    for name in (
+        "ndcg_at_k", "dunning_keyness", "woe_iv", "kn_perplexity",
+        "burrows_delta", "item_cosine", "cdc_chunks", "ucb_arms",
+        "dbscan_clusters", "ari_nmi", "triangle_coeffs", "covariate_balance",
+        "wasserstein_1d", "texttiling_gaps", "degree_assortativity",
+        "mann_kendall_sen", "kruskal_wallis", "cmh_odds",
+    ):
+        plan = plan_of(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_mann_kendall_pair_join_single_shuffle(spark):
+    """The O(n²) per-user pair join must reuse the checkpointed series
+    frame: one user-key exchange for the join, one for the final
+    user-grain agg — no more."""
+    from pliers_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["mann_kendall_sen"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ndcg_checkpoint_bounds_branch_recompute(spark):
+    """The BM25 candidate frame feeds three branches; without the
+    checkpoint the postings pass re-ran per branch (observed: 63
+    Exchanges). Pin the bounded plan."""
+    from pliers_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["ndcg_at_k"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") <= 10, plan.count("Exchange")
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_dbscan_grid_probe_is_equijoin(spark):
+    """The 9-cell neighbor probe must plan as an equi-join on the cell
+    key (hash-partitionable at any scale), never a nested-loop distance
+    join."""
+    from pliers_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dbscan_clusters"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
