@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "mann_kendall_sen",
     "kruskal_wallis",
     "cmh_odds",
+    "doremi_step",
+    "ann_hubness",
+    "padding_waste",
 ]
 
 

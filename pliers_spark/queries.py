@@ -11614,3 +11614,195 @@ def q_cmh_odds(spark, sf_dir):
                 / (F.col("b_tot") * F.col("c_tot")).cast("double"), 6).alias("or_pooled"),
         F.round(F.log(d_("num_fp") / d_("den_fp")), 6).alias("log_or_cmh"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 30: DoReMi reweighting step, ANN hubness diagnostic, padding waste
+
+_DOREMI_ETA = 4.0
+
+
+def _doremi_sql(eta: float = _DOREMI_ETA) -> str:
+    return f"""WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}) t),
+       qs AS (
+         SELECT d.source, CAST(round(q.quality * 1000000.0) AS BIGINT) AS q_fp
+         FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       per AS (
+         SELECT source, count(*)::BIGINT AS n, sum(q_fp)::BIGINT AS sq
+         FROM qs GROUP BY source),
+       tot AS (SELECT sum(n)::BIGINT AS nn, sum(sq)::BIGINT AS sqq FROM per),
+       f AS (
+         SELECT source, n,
+                CAST(round(1000000.0 * n / tot.nn) AS BIGINT) AS share_ppm,
+                round((sq::DOUBLE / n - tot.sqq::DOUBLE / tot.nn) / 1000000.0, 6)
+                  AS excess,
+                CAST(round(1000000.0
+                     * exp({eta} * ((sq::DOUBLE / n - tot.sqq::DOUBLE / tot.nn)
+                                    / 1000000.0))) AS BIGINT) AS factor_ppm
+         FROM per CROSS JOIN tot),
+       raw AS (SELECT *, share_ppm * factor_ppm AS raw_w FROM f),
+       z AS (SELECT sum(raw_w)::BIGINT AS zz FROM raw)
+       SELECT source, n AS n_docs, share_ppm, excess,
+              round(raw_w::DOUBLE / z.zz::DOUBLE, 6) AS weight_new
+       FROM raw CROSS JOIN z"""
+
+
+@query("doremi_step", _doremi_sql())
+def q_doremi_step(spark, sf_dir):
+    """One DoReMi-style exponentiated-gradient domain-reweighting step
+    (Xie et al., NeurIPS 2023): each source's mixture weight is its
+    corpus share multiplied by exp(η · excess), where excess is the
+    source's mean quality above the corpus mean (the proxy for the
+    reference-vs-proxy loss gap), then renormalized — the update every
+    mixture-tuning loop runs between training epochs. The per-doc
+    quality is already a 6dp-rounded value, so its micro-unit int is
+    exact; the single exp() per SOURCE rounds once to ppm; the raw
+    weights are int64 products; normalization is one division. Plan:
+    doc-grain quality map (narrow) → source census → source-grain
+    math. Composes with `mixture_sample`/`mixture_epochs` for the
+    actual resample."""
+    d = _docs(spark, sf_dir)
+    qs = d.select(
+        "source", F.round(T.quality_score("text") * F.lit(1e6), 0).cast("long").alias("q_fp")
+    )
+    per = qs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("q_fp").cast("long").alias("sq")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("nn"), F.sum("sq").cast("long").alias("sqq"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    excess = (d_("sq") / d_("n") - d_("sqq") / d_("nn")) / F.lit(1e6)
+    f = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n",
+        F.round(F.lit(1e6) * F.col("n") / F.col("nn"), 0).cast("long").alias("share_ppm"),
+        F.round(excess, 6).alias("excess"),
+        F.round(F.lit(1e6) * F.exp(F.lit(_DOREMI_ETA) * excess), 0).cast("long").alias("factor_ppm"),
+    )
+    raw = f.select("*", (F.col("share_ppm") * F.col("factor_ppm")).alias("raw_w"))
+    z = raw.agg(F.sum("raw_w").cast("long").alias("zz"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source", F.col("n").alias("n_docs"), "share_ppm", "excess",
+        F.round(d_("raw_w") / d_("zz"), 6).alias("weight_new"),
+    )
+
+
+def _hubness_sql(k: int = 5) -> str:
+    return f"""WITH scored AS (
+         SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+                round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) AS cosine
+         FROM embeddings a JOIN embeddings q
+           ON a.label = q.label AND a.vec_id <> q.vec_id),
+       topk AS (
+         SELECT c_id FROM (
+           SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, c_id) AS rank
+           FROM scored) WHERE rank <= {k}),
+       occ AS (SELECT c_id, count(*)::BIGINT AS nk FROM topk GROUP BY c_id),
+       alln AS (
+         SELECT e.vec_id, coalesce(occ.nk, 0)::BIGINT AS nk
+         FROM embeddings e LEFT JOIN occ ON occ.c_id = e.vec_id),
+       st AS (
+         SELECT count(*)::BIGINT AS n, sum(nk)::BIGINT AS s1,
+                sum(nk::HUGEINT * nk::HUGEINT) AS s2,
+                sum(nk::HUGEINT * nk::HUGEINT * nk::HUGEINT) AS s3,
+                max(nk)::BIGINT AS max_occ,
+                sum((nk = 0)::INT)::BIGINT AS never
+         FROM alln)
+       SELECT n, {k}::BIGINT AS k, max_occ,
+              round(never::DOUBLE / n, 6) AS pct_never,
+              CASE WHEN s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 0
+                   THEN round((s3::DOUBLE / n
+                               - 3.0 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                               + 2.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                              / pow(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n), 1.5), 6)
+              END AS skewness
+       FROM st"""
+
+
+@query("ann_hubness", _hubness_sql())
+def q_ann_hubness(spark, sf_dir):
+    """Hubness diagnostic of the ANN neighborhood graph (Radovanović,
+    Nanopoulos & Ivanović, JMLR 2010): the k-occurrence distribution —
+    how often each vector appears in others' IVF-gated top-k — and its
+    skewness. High positive skew (a few hub vectors in everyone's
+    neighbor list, many never retrieved) is THE symptom of
+    concentrated / low-quality embedding spaces and silently poisons
+    kNN dedup and retrieval; pct_never is the orphan share. Plan: the
+    bucket-gated scoring join of `ann_ivf_topk` with every vector as a
+    query (never all-pairs across buckets), one per-query top-k
+    window, one occurrence census, moment math on exact int64/HUGEINT
+    sufficient stats with ONE rounded division chain."""
+    from pliers_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ivf_topk(emb, emb, "vec_id", "embedding", "vec_id", "embedding", "label", k=5)
+    occ = topk.groupBy("c_id").agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    alln = emb.select("vec_id").join(
+        occ.withColumnRenamed("c_id", "vec_id"), "vec_id", "left"
+    ).select("vec_id", F.coalesce("nk", F.lit(0)).cast("long").alias("nk"))
+    dec = "decimal(38,0)"
+    st = alln.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nk").cast("long").alias("s1"),
+        F.sum(F.col("nk").cast(dec) * F.col("nk").cast(dec)).cast(dec).alias("s2"),
+        F.sum(F.col("nk").cast(dec) * F.col("nk").cast(dec) * F.col("nk").cast(dec)).cast(dec).alias("s3"),
+        F.max("nk").cast("long").alias("max_occ"),
+        F.sum((F.col("nk") == 0).cast("int")).cast("long").alias("never"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1 = d_("s1") / d_("n")
+    var = d_("s2") / d_("n") - m1 * m1
+    skew = (
+        d_("s3") / d_("n") - F.lit(3.0) * m1 * (d_("s2") / d_("n")) + F.lit(2.0) * m1 * m1 * m1
+    ) / F.pow(var, 1.5)
+    return st.select(
+        "n", F.lit(5).cast("long").alias("k"), "max_occ",
+        F.round(d_("never") / d_("n"), 6).alias("pct_never"),
+        F.when(var > 0, F.round(skew, 6)).alias("skewness"),
+    )
+
+
+@query(
+    "padding_waste",
+    """WITH t AS (
+         SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n
+         FROM documents),
+       b AS (
+         SELECT doc_id, n,
+                greatest(16, CAST(power(2, ceil(log2(n::DOUBLE))) AS BIGINT)) AS bucket
+         FROM t WHERE n > 0)
+       SELECT bucket, count(*)::BIGINT AS n_docs,
+              sum(n)::BIGINT AS tokens,
+              sum(bucket - n)::BIGINT AS padding,
+              round(sum(bucket - n)::DOUBLE / (bucket::DOUBLE * count(*)), 6)
+                AS waste_share
+       FROM b GROUP BY bucket""",
+)
+def q_padding_waste(spark, sf_dir):
+    """Padding-waste accounting for power-of-2 length-bucketed batching
+    (the alternative to `sequence_pack`'s concat-and-chunk): each doc
+    rounds up to the nearest 2^⌈log2 n⌉ bucket (floor 16) and the per-
+    bucket waste share says what fraction of batch FLOPs would burn on
+    pad tokens — the number that decides bucketed-batching vs packing
+    for a fine-tuning corpus. log2 of an exact power of two is exact in
+    IEEE, so the ceil never mis-rounds at bucket boundaries; everything
+    else is integer. Plan: one narrow map + one bucket census."""
+    d = _docs(spark, sf_dir)
+    n = F.size(T.tokenize(F.col("text"))).cast("long")
+    b = d.select("doc_id", n.alias("n")).where(F.col("n") > 0).select(
+        "doc_id", "n",
+        F.greatest(
+            F.lit(16).cast("long"),
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n").cast("double")))).cast("long"),
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("tokens"),
+        F.sum(F.col("bucket") - F.col("n")).cast("long").alias("padding"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n")).cast("double")
+            / (F.col("bucket").cast("double") * F.count(F.lit(1))),
+            6,
+        ).alias("waste_share"),
+    )
