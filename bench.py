@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     "doremi_step",
     "ann_hubness",
     "padding_waste",
+    "kwic_concordance",
+    "zipf_alpha",
+    "dup_size_histogram",
 ]
 
 

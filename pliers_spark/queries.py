@@ -11806,3 +11806,175 @@ def q_padding_waste(spark, sf_dir):
             6,
         ).alias("waste_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 31: KWIC concordance, Zipf tail exponent, dup cluster-size histogram
+
+_KWIC_CTX = 3
+_KWIC_MIN_LEN = 4
+
+
+def _kwic_sql(ctx: int = _KWIC_CTX) -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       census AS (
+         SELECT u AS token, count(*)::BIGINT AS c
+         FROM (SELECT unnest(t) AS u FROM toks)
+         WHERE length(u) >= {_KWIC_MIN_LEN} GROUP BY u),
+       term AS (SELECT token FROM census ORDER BY c DESC, token LIMIT 1),
+       hits AS (
+         SELECT toks.doc_id, gs.p::BIGINT AS pos, toks.t
+         FROM toks CROSS JOIN term,
+              LATERAL (SELECT unnest(generate_series(1, len(toks.t))) AS p) gs
+         WHERE toks.t[gs.p] = term.token)
+       SELECT doc_id, pos,
+              coalesce(array_to_string(t[greatest(pos - {ctx}, 1):pos - 1], ' '), '') AS left_ctx,
+              t[pos] AS term,
+              coalesce(array_to_string(t[pos + 1:least(pos + {ctx}, len(t))], ' '), '') AS right_ctx
+       FROM hits"""
+
+
+@query("kwic_concordance", _kwic_sql())
+def q_kwic_concordance(spark, sf_dir):
+    """KWIC (keyword-in-context) concordance — the corpus-linguistics
+    workhorse readout (and the human-audit view every curation pipeline
+    ships next to its filters): every occurrence of the corpus's most
+    frequent ≥4-char token with {_KWIC_CTX} tokens of context either
+    side. The term is picked by a global census (deterministic
+    count-then-token order); occurrences come from one posexplode
+    filter; contexts are per-row array slices — the corpus never
+    shuffles except the census. At scale the term is a broadcast
+    1-row dimension."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", T.tokenize(F.col("text")).alias("t"))
+    census = (
+        toks.select(F.explode("t").alias("token"))
+        .where(F.length("token") >= _KWIC_MIN_LEN)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = census.orderBy(F.desc("c"), "token").limit(1).select("token")
+    hits = (
+        toks.crossJoin(F.broadcast(term))
+        .select("doc_id", "t", F.posexplode("t").alias("p0", "tok"), F.col("token"))
+        .where(F.col("tok") == F.col("token"))
+        .select("doc_id", "t", (F.col("p0") + 1).alias("pos"))
+    )
+    left_start = F.greatest(F.col("pos") - _KWIC_CTX, F.lit(1))
+    left_len = F.col("pos") - left_start
+    right_len = F.least(F.col("pos") + _KWIC_CTX, F.size("t")) - F.col("pos")
+    return hits.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice(F.col("t"), left_start, F.greatest(left_len, F.lit(0)))).alias("left_ctx"),
+        F.element_at(F.col("t"), F.col("pos").cast("int")).alias("term"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("pos") + 1, F.greatest(right_len, F.lit(0)))).alias("right_ctx"),
+    )
+
+
+_HILL_K = 100
+
+
+@query(
+    "zipf_alpha",
+    f"""WITH census AS (
+         SELECT u AS token, count(*)::BIGINT AS c
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS u FROM documents)
+         GROUP BY u),
+       topk AS (
+         SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+         FROM census QUALIFY rnk <= {_HILL_K}),
+       fk AS (SELECT c AS f_k FROM topk WHERE rnk = (SELECT max(rnk) FROM topk)),
+       s AS (
+         SELECT count(*)::BIGINT AS k, min(f_k)::BIGINT AS f_k,
+                sum(CAST(round(1000000.0 * ln(topk.c::DOUBLE / fk.f_k::DOUBLE))
+                         AS BIGINT))::BIGINT AS lsum_fp
+         FROM topk CROSS JOIN fk)
+       SELECT k, f_k,
+              CASE WHEN lsum_fp > 0
+                   THEN round(1.0 + k::DOUBLE * 1000000.0 / lsum_fp::DOUBLE, 6)
+              END AS alpha_hill
+       FROM s""",
+)
+def q_zipf_alpha(spark, sf_dir):
+    """Zipf tail-exponent estimate via the Hill estimator (Hill, Annals
+    of Statistics 1975) over the top-{_HILL_K} token frequencies:
+    α̂ = 1 + k / Σ ln(fᵢ/f_k) — the one-number heavy-tail summary that
+    (with `heaps_law`) characterizes a corpus's vocabulary shape and
+    flags template/bot corpora (α drifts far from ~2). Per-rank logs
+    round once to micro-nats so the sum is exact int64; one final
+    division. Plan: token census (one shuffle) → distributed top-k →
+    k-grain math; NULL if the top-k plateau is flat (all counts equal
+    f_k)."""
+    d = _docs(spark, sf_dir)
+    census = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    topk = census.orderBy(F.desc("c"), "token").limit(_HILL_K).localCheckpoint(eager=True)
+    fk = topk.agg(F.min("c").alias("f_k"))
+    s = topk.crossJoin(F.broadcast(fk)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("f_k").cast("long").alias("f_k"),
+        F.sum(
+            F.round(
+                F.lit(1e6) * F.log(F.col("c").cast("double") / F.col("f_k").cast("double")), 0
+            ).cast("long")
+        ).cast("long").alias("lsum_fp"),
+    )
+    return s.select(
+        "k", "f_k",
+        F.when(
+            F.col("lsum_fp") > 0,
+            F.round(F.lit(1.0) + F.col("k").cast("double") * F.lit(1e6) / F.col("lsum_fp").cast("double"), 6),
+        ).alias("alpha_hill"),
+    )
+
+
+def _dup_hist_sql() -> str:
+    return f"""WITH RECURSIVE {_simhash_pairs_cte()},
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM nd_pairs
+         UNION
+         SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+       reach(node, peer) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+       cc AS (SELECT node, min(peer)::BIGINT AS cluster_id FROM reach GROUP BY node),
+       sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id),
+       hist AS (
+         SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         FROM sizes GROUP BY cluster_size),
+       singles AS (
+         SELECT 1::BIGINT AS cluster_size,
+                ((SELECT count(*) FROM documents) - (SELECT count(*) FROM cc))::BIGINT AS n_clusters)
+       SELECT cluster_size, n_clusters FROM hist
+       UNION ALL
+       SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0"""
+
+
+@query("dup_size_histogram", _dup_hist_sql())
+def q_dup_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the report every dedup run
+    publishes (how much is pairwise noise vs boilerplate mega-clusters,
+    and what the keep-one-per-cluster reduction will be): connected
+    components over the SimHash near-dup graph (reusing the banded pair
+    generation + iterative CC of `dup_clusters`), cluster-size census,
+    plus the singleton mass (docs in no pair) as size 1. The histogram
+    grain is tiny; the only corpus work is the banding pass and the CC
+    rounds, both already bounded."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    n_docs = docs.count()
+    n_clustered = cc.count()
+    singles = spark.createDataFrame(
+        [(1, n_docs - n_clustered)], "cluster_size long, n_clusters long"
+    ).where(F.col("n_clusters") > 0)
+    return hist.unionAll(singles)
