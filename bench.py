@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "kwic_concordance",
     "zipf_alpha",
     "dup_size_histogram",
+    "kmv_distinct",
+    "kmv_overlap",
+    "bloom_fpr_audit",
 ]
 
 

@@ -11978,3 +11978,261 @@ def q_dup_size_histogram(spark, sf_dir):
         [(1, n_docs - n_clustered)], "cluster_size long, n_clusters long"
     ).where(F.col("n_clusters") > 0)
     return hist.unionAll(singles)
+
+
+# --------------------------------------------------------------------------
+# batch 32: KMV distinct sketch, KMV Jaccard, Bloom FPR audit — the
+# "sketch accuracy audit" family: at 100 TB these sketches ARE the plan;
+# auditing them against exact truth at small scale is how you size them.
+
+_KMV_K = 64
+_H60 = 1 << 60  # md5_int range
+
+
+def _kmv_sql(k: int = _KMV_K) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    return f"""WITH th AS (
+         SELECT DISTINCT source, {md5_int_sql('u')}::BIGINT AS h
+         FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS u FROM documents)),
+       ranked AS (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rnk,
+                count(*) OVER (PARTITION BY source) AS n_exact
+         FROM th),
+       sk AS (
+         SELECT source, max(n_exact)::BIGINT AS exact_distinct,
+                count(*)::BIGINT AS in_sketch,
+                max(CASE WHEN rnk = {k} THEN h END)::BIGINT AS v_k
+         FROM ranked WHERE rnk <= {k} GROUP BY source)
+       SELECT source, exact_distinct,
+              CASE WHEN in_sketch < {k} THEN exact_distinct::DOUBLE
+                   ELSE round(({k} - 1)::DOUBLE * {_H60}::DOUBLE / v_k::DOUBLE, 4)
+              END AS est_distinct,
+              CASE WHEN in_sketch < {k} THEN 0.0
+                   ELSE round((({k} - 1)::DOUBLE * {_H60}::DOUBLE / v_k::DOUBLE
+                               - exact_distinct::DOUBLE) / exact_distinct::DOUBLE, 6)
+              END AS rel_err
+       FROM sk"""
+
+
+@query("kmv_distinct", _kmv_sql())
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch audit
+    (Bar-Yossef et al., RANDOM 2002): per source, the estimate
+    (k−1)·H/v_k from the k smallest 60-bit token hashes next to the
+    exact distinct count and the relative error. Unlike HLL the KMV
+    sketch is EXACTLY reproducible cross-engine (it is just an order
+    statistic of md5 values), fully mergeable (union = k smallest of
+    concatenated sketches), and collapses to exact below k — so it is
+    the sketch this engine recommends where approx_count_distinct
+    can't be oracle-checked. Plan: distinct (source, hash) census, one
+    per-source bottom-k window, source-grain math."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    th = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("tok"))
+        .select("source", md5_int(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    ws = Window.partitionBy("source")
+    ranked = th.select(
+        "source", "h",
+        F.row_number().over(ws.orderBy("h")).alias("rnk"),
+        F.count(F.lit(1)).over(ws).alias("n_exact"),
+    )
+    sk = ranked.where(F.col("rnk") <= _KMV_K).groupBy("source").agg(
+        F.max("n_exact").cast("long").alias("exact_distinct"),
+        F.count(F.lit(1)).cast("long").alias("in_sketch"),
+        F.max(F.when(F.col("rnk") == _KMV_K, F.col("h"))).cast("long").alias("v_k"),
+    )
+    est = (F.lit(float(_KMV_K - 1)) * F.lit(float(_H60))) / F.col("v_k").cast("double")
+    return sk.select(
+        "source", "exact_distinct",
+        F.when(F.col("in_sketch") < _KMV_K, F.col("exact_distinct").cast("double"))
+        .otherwise(F.round(est, 4))
+        .alias("est_distinct"),
+        F.when(F.col("in_sketch") < _KMV_K, F.lit(0.0))
+        .otherwise(
+            F.round((est - F.col("exact_distinct").cast("double")) / F.col("exact_distinct").cast("double"), 6)
+        )
+        .alias("rel_err"),
+    )
+
+
+def _kmv_overlap_sql(k: int = _KMV_K) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    return f"""WITH th AS (
+         SELECT DISTINCT source, {md5_int_sql('u')}::BIGINT AS h
+         FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS u FROM documents)),
+       srcs AS (SELECT DISTINCT source FROM th),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b
+         FROM srcs a JOIN srcs b ON a.source < b.source),
+       tagged AS (
+         SELECT p.src_a, p.src_b, t.h,
+                max((t.source = p.src_a)::INT) AS ina,
+                max((t.source = p.src_b)::INT) AS inb
+         FROM pairs p JOIN th t ON t.source IN (p.src_a, p.src_b)
+         GROUP BY 1, 2, 3),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk,
+                count(*) OVER (PARTITION BY src_a, src_b) AS n_union
+         FROM tagged),
+       sk AS (
+         SELECT src_a, src_b,
+                least(max(n_union), {k})::BIGINT AS k_eff,
+                sum((ina = 1 AND inb = 1)::INT)::BIGINT AS both_in_sketch
+         FROM ranked WHERE rnk <= {k} GROUP BY 1, 2),
+       ex AS (
+         SELECT src_a, src_b,
+                sum((ina = 1 AND inb = 1)::INT)::BIGINT AS inter,
+                count(*)::BIGINT AS uni
+         FROM tagged GROUP BY 1, 2)
+       SELECT sk.src_a, sk.src_b,
+              round(sk.both_in_sketch::DOUBLE / sk.k_eff::DOUBLE, 6) AS j_est,
+              round(ex.inter::DOUBLE / ex.uni::DOUBLE, 6) AS j_exact,
+              round(abs(sk.both_in_sketch::DOUBLE / sk.k_eff::DOUBLE
+                        - ex.inter::DOUBLE / ex.uni::DOUBLE), 6) AS abs_err
+       FROM sk JOIN ex USING (src_a, src_b)"""
+
+
+@query("kmv_overlap", _kmv_overlap_sql())
+def q_kmv_overlap(spark, sf_dir):
+    """KMV Jaccard estimation between source vocabularies (Beyer et al.,
+    SIGMOD 2007): the union's bottom-k hash sketch doubles as a uniform
+    sample of A∪B, so |sketch ∩ A ∩ B| / k estimates J(A,B) — audited
+    against the exact Jaccard (`source_vocab_overlap`'s quantity). This
+    is the mergeable scale path for pairwise corpus-overlap matrices
+    where exact set intersection would shuffle the full vocabulary per
+    pair. Plan: one distinct (source, hash) census; pair tagging joins
+    the census to the S² pair dimension; bottom-k is a per-pair window
+    over union-grain rows."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    th = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("tok"))
+        .select("source", md5_int(F.col("tok")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    srcs = th.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")), F.col("src_a") < F.col("src_b"))
+    )
+    tagged = (
+        pairs.join(
+            th, (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b"))
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(
+            F.max((F.col("source") == F.col("src_a")).cast("int")).alias("ina"),
+            F.max((F.col("source") == F.col("src_b")).cast("int")).alias("inb"),
+        )
+        .localCheckpoint(eager=True)  # feeds sketch ranking AND exact truth
+    )
+    wp = Window.partitionBy("src_a", "src_b")
+    ranked = tagged.select(
+        "*",
+        F.row_number().over(wp.orderBy("h")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n_union"),
+    )
+    sk = ranked.where(F.col("rnk") <= _KMV_K).groupBy("src_a", "src_b").agg(
+        F.least(F.max("n_union"), F.lit(_KMV_K)).cast("long").alias("k_eff"),
+        F.sum(((F.col("ina") == 1) & (F.col("inb") == 1)).cast("int")).cast("long").alias("both_in_sketch"),
+    )
+    ex = tagged.groupBy("src_a", "src_b").agg(
+        F.sum(((F.col("ina") == 1) & (F.col("inb") == 1)).cast("int")).cast("long").alias("inter"),
+        F.count(F.lit(1)).cast("long").alias("uni"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    j_est = d_("both_in_sketch") / d_("k_eff")
+    j_ex = d_("inter") / d_("uni")
+    return sk.join(ex, ["src_a", "src_b"]).select(
+        "src_a", "src_b",
+        F.round(j_est, 6).alias("j_est"),
+        F.round(j_ex, 6).alias("j_exact"),
+        F.round(F.abs(j_est - j_ex), 6).alias("abs_err"),
+    )
+
+
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def _bloom_fpr_sql(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    poss = ", ".join(
+        f"(({md5_int_sql('text', seed=s)}) % {m})::BIGINT" for s in range(k)
+    )
+    return f"""WITH hist AS (
+         SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+       probe AS (
+         SELECT DISTINCT d.text FROM documents d
+         WHERE d.doc_id % 2 = 1
+           AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = d.text)),
+       hp AS (
+         SELECT DISTINCT p FROM (SELECT unnest([{poss}]) AS p FROM hist)),
+       probe_pos AS (SELECT text, unnest([{poss}]) AS p FROM probe),
+       hits AS (
+         SELECT text, count(*)::BIGINT AS nhit
+         FROM probe_pos JOIN hp USING (p) GROUP BY text),
+       st AS (
+         SELECT (SELECT count(*) FROM hist)::BIGINT AS n_inserted,
+                (SELECT count(*) FROM probe)::BIGINT AS n_probes,
+                (SELECT count(*) FROM hits WHERE nhit = {k})::BIGINT AS n_fp)
+       SELECT n_inserted, n_probes, n_fp,
+              CASE WHEN n_probes > 0
+                   THEN round(n_fp::DOUBLE / n_probes::DOUBLE, 6) END AS fpr_observed,
+              round(pow(1.0 - exp(-({k}.0 * n_inserted::DOUBLE) / {m}.0), {k}.0), 6)
+                AS fpr_theory
+       FROM st"""
+
+
+@query("bloom_fpr_audit", _bloom_fpr_sql())
+def q_bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter false-positive-rate audit: insert the even-half
+    document contents into an (m=1024, k=3) position-set Bloom filter
+    (the `bloom_dedup` representation), probe with contents PROVABLY
+    absent (odd-half, anti-joined on exact text), and report observed
+    FPR against the (1 − e^(−kn/m))^k theory line — the sizing check an
+    operator runs before trusting a constant-memory gate at ingest
+    scale. The deliberately small m puts the filter in its loaded
+    regime (kn/m ≈ 0.7) so the audit exercises real collisions. All
+    counts exact; the two transcendentals touch one final row."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    hist = (
+        d.where(F.col("doc_id") % 2 == 0).select("text").distinct().localCheckpoint(eager=True)
+    )
+    probe = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("text")
+        .distinct()
+        .join(hist, "text", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    pos = lambda s: F.pmod(md5_int(F.col("text"), seed=s), F.lit(_BLOOM_M))  # noqa: E731
+    hp = hist.select(
+        F.explode(F.array(*[pos(s) for s in range(_BLOOM_K)])).alias("p")
+    ).distinct()
+    probe_pos = probe.select(
+        "text", F.explode(F.array(*[pos(s) for s in range(_BLOOM_K)])).alias("p")
+    )
+    hits = probe_pos.join(hp, "p").groupBy("text").agg(F.count(F.lit(1)).alias("nhit"))
+    n_fp = hits.where(F.col("nhit") == _BLOOM_K).count()
+    n_ins = hist.count()
+    n_pr = probe.count()
+    import math as _m
+
+    theory = round((1.0 - _m.exp(-(_BLOOM_K * n_ins) / _BLOOM_M)) ** _BLOOM_K, 6)
+    return spark.createDataFrame(
+        [(n_ins, n_pr, n_fp, round(n_fp / n_pr, 6) if n_pr else None, theory)],
+        "n_inserted long, n_probes long, n_fp long, fpr_observed double, fpr_theory double",
+    )
