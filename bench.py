@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "kmv_overlap",
     "bloom_fpr_audit",
+    "priority_sample",
+    "rendezvous_shards",
+    "neyman_allocation",
 ]
 
 

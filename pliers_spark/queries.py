@@ -12236,3 +12236,221 @@ def q_bloom_fpr_audit(spark, sf_dir):
         [(n_ins, n_pr, n_fp, round(n_fp / n_pr, 6) if n_pr else None, theory)],
         "n_inserted long, n_probes long, n_fp long, fpr_observed double, fpr_theory double",
     )
+
+
+# --------------------------------------------------------------------------
+# batch 33: priority sampling, rendezvous sharding, Neyman allocation
+
+_PRIO_K = 64
+
+
+def _priority_sql(k: int = _PRIO_K) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""WITH w AS (
+         SELECT doc_id, source,
+                len(string_split(trim(text), ' '))::BIGINT AS wt,
+                ({h} + 1)::BIGINT AS hu
+         FROM documents),
+       q AS (
+         SELECT *, wt::DOUBLE * {_H60}::DOUBLE / hu::DOUBLE AS prio,
+                row_number() OVER (ORDER BY wt::DOUBLE * {_H60}::DOUBLE / hu::DOUBLE DESC,
+                                   doc_id) AS rnk
+         FROM w),
+       tau AS (SELECT prio AS t FROM q WHERE rnk = {k} + 1),
+       est AS (
+         SELECT source,
+                sum(CAST(round(CASE WHEN wt::DOUBLE > tau.t THEN wt::DOUBLE
+                                    ELSE tau.t END) AS BIGINT))::BIGINT AS est_tokens
+         FROM q CROSS JOIN tau WHERE rnk <= {k} GROUP BY source),
+       exact AS (SELECT source, sum(wt)::BIGINT AS exact_tokens FROM w GROUP BY source)
+       SELECT exact.source, exact.exact_tokens,
+              coalesce(est.est_tokens, 0)::BIGINT AS est_tokens,
+              round((coalesce(est.est_tokens, 0) - exact.exact_tokens)::DOUBLE
+                    / exact.exact_tokens, 6) AS rel_err
+       FROM exact LEFT JOIN est USING (source)"""
+
+
+@query("priority_sample", _priority_sql())
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling subset-sum audit (Duffield, Lund & Thorup,
+    JACM 2007): weight = doc token count, priority = w/u with u the
+    deterministic 60-bit hash uniform, keep the top-k priorities, and
+    estimate each source's TOTAL tokens as Σ max(wᵢ, τ) over its
+    sampled docs (τ = the (k+1)-th priority) — the provably
+    near-optimal weighted sample for answering arbitrary subset-sum
+    questions later from k rows instead of the corpus. Estimates round
+    to integer tokens per item before summing (order-proof). Plan: one
+    narrow weight/priority map, a distributed top-(k+1), source-grain
+    joins of a k-row frame against the exact census."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", "source",
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("wt"),
+        (md5_int(F.col("doc_id").cast("string")) + 1).alias("hu"),
+    ).localCheckpoint(eager=True)  # feeds sample AND exact census
+    prio = F.col("wt").cast("double") * F.lit(float(_H60)) / F.col("hu").cast("double")
+    q = w.select("*", prio.alias("prio"), F.row_number().over(
+        Window.orderBy(F.desc(prio), "doc_id")
+    ).alias("rnk"))
+    topk1 = q.where(F.col("rnk") <= _PRIO_K + 1).localCheckpoint(eager=True)
+    tau = topk1.where(F.col("rnk") == _PRIO_K + 1).select(F.col("prio").alias("t"))
+    est = (
+        topk1.where(F.col("rnk") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.round(
+                    F.when(F.col("wt").cast("double") > F.col("t"), F.col("wt").cast("double"))
+                    .otherwise(F.col("t")),
+                    0,
+                ).cast("long")
+            ).cast("long").alias("est_tokens")
+        )
+    )
+    exact = w.groupBy("source").agg(F.sum("wt").cast("long").alias("exact_tokens"))
+    return exact.join(est, "source", "left").select(
+        "source", "exact_tokens",
+        F.coalesce("est_tokens", F.lit(0)).cast("long").alias("est_tokens"),
+        F.round(
+            (F.coalesce("est_tokens", F.lit(0)) - F.col("exact_tokens")).cast("double")
+            / F.col("exact_tokens").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+_RDV_SHARDS = 16
+
+
+def _rendezvous_sql(n_shards: int = _RDV_SHARDS) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    def argmax(n):
+        items = ", ".join(
+            f"{{'h': {md5_int_sql('CAST(doc_id AS VARCHAR)', seed=s)}, 's': {s}}}"
+            for s in range(n)
+        )
+        return f"list_max([{items}]).s"
+
+    return f"""WITH a AS (
+         SELECT doc_id, {argmax(n_shards)}::BIGINT AS shard,
+                {argmax(n_shards + 1)}::BIGINT AS shard_plus
+         FROM documents)
+       SELECT shard, count(*)::BIGINT AS n_docs,
+              sum((shard <> shard_plus)::INT)::BIGINT AS n_moved,
+              sum((shard <> shard_plus AND shard_plus <> {n_shards})::INT)::BIGINT
+                AS n_moved_elsewhere
+       FROM a GROUP BY shard"""
+
+
+@query("rendezvous_shards", _rendezvous_sql())
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment audit
+    (Thaler & Ravishankar, ToN 1998 — the consistent-placement scheme
+    behind cache rings and shard maps): each doc goes to the shard with
+    the highest seeded hash; per shard, the doc count (balance) and how
+    many docs MOVE when a {_RDV_SHARDS + 1}th shard joins. HRW's
+    guarantee — relocations land ONLY on the new shard — is emitted as
+    n_moved_elsewhere (must be 0), and expected movement is
+    n/{_RDV_SHARDS + 1}. The argmax is a per-row array-of-struct max
+    (lexicographic, hash-then-shard) — zero shuffle besides the final
+    16-row census; exactly how a reshard cost estimate runs over a
+    10^12-row table."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+
+    def argmax(n):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        md5_int(F.col("doc_id").cast("string"), seed=s).alias("h"),
+                        F.lit(s).alias("s"),
+                    )
+                    for s in range(n)
+                ]
+            )
+        )["s"]
+
+    a = d.select(
+        "doc_id",
+        argmax(_RDV_SHARDS).cast("long").alias("shard"),
+        argmax(_RDV_SHARDS + 1).cast("long").alias("shard_plus"),
+    )
+    return a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("shard") != F.col("shard_plus")).cast("int")).cast("long").alias("n_moved"),
+        F.sum(
+            ((F.col("shard") != F.col("shard_plus")) & (F.col("shard_plus") != _RDV_SHARDS)).cast("int")
+        ).cast("long").alias("n_moved_elsewhere"),
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation",
+    f"""WITH s AS (
+         SELECT source, count(*)::BIGINT AS n,
+                sum(n_chars)::BIGINT AS sv,
+                sum(n_chars::HUGEINT * n_chars::HUGEINT) AS q
+         FROM documents GROUP BY source),
+       w AS (
+         SELECT source, n,
+                CAST(round(1000000.0 * sqrt((n::DOUBLE * q::DOUBLE
+                                             - sv::DOUBLE * sv::DOUBLE))
+                           / n::DOUBLE) AS BIGINT) AS sigma_fp
+         FROM s),
+       ww AS (SELECT *, n * sigma_fp AS wgt FROM w),
+       z AS (SELECT sum(wgt)::BIGINT AS zw, sum(n)::BIGINT AS zn FROM ww)
+       SELECT source, n AS n_docs,
+              round(sigma_fp / 1000000.0, 6) AS sigma,
+              CAST(round({_NEYMAN_BUDGET}.0 * wgt::DOUBLE / z.zw::DOUBLE) AS BIGINT)
+                AS alloc_neyman,
+              CAST(round({_NEYMAN_BUDGET}.0 * n::DOUBLE / z.zn::DOUBLE) AS BIGINT)
+                AS alloc_proportional
+       FROM ww CROSS JOIN z""",
+)
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified-sample allocation (Neyman, JRSS 1934):
+    a {_NEYMAN_BUDGET}-row audit budget is split across sources
+    ∝ N_h·σ_h (population std of doc length) — minimizing estimator
+    variance — next to the naive proportional split, so the gap shows
+    which strata are over/under-sampled by uniform auditing. σ_h comes
+    from exact int64/HUGEINT sufficient stats via √(nQ−S²)/n rounded
+    ONCE to micro-units; weights are exact int64 products; the two
+    normalizing divisions are the only further floats. Plan: one
+    stratum census; everything after is S-grain. Composes with
+    `stratified_sample` for the actual draw."""
+    dec = "decimal(38,0)"
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sv"),
+        F.sum(F.col("n_chars").cast(dec) * F.col("n_chars").cast(dec)).cast(dec).alias("q"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    w = s.select(
+        "source", "n",
+        F.round(
+            F.lit(1e6)
+            * F.sqrt(d_("n") * d_("q") - d_("sv") * d_("sv"))
+            / d_("n"),
+            0,
+        ).cast("long").alias("sigma_fp"),
+    )
+    ww = w.select("*", (F.col("n") * F.col("sigma_fp")).alias("wgt"))
+    z = ww.agg(F.sum("wgt").cast("long").alias("zw"), F.sum("n").cast("long").alias("zn"))
+    return ww.crossJoin(F.broadcast(z)).select(
+        "source", F.col("n").alias("n_docs"),
+        F.round(F.col("sigma_fp") / F.lit(1e6), 6).alias("sigma"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * d_("wgt") / d_("zw"), 0).cast("long").alias("alloc_neyman"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * d_("n") / d_("zn"), 0).cast("long").alias("alloc_proportional"),
+    )
