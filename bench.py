@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "priority_sample",
     "rendezvous_shards",
     "neyman_allocation",
+    "kmv_rollup",
+    "diff_in_diff",
+    "markov_accuracy",
 ]
 
 

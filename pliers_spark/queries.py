@@ -12454,3 +12454,248 @@ def q_neyman_allocation(spark, sf_dir):
         F.round(F.lit(float(_NEYMAN_BUDGET)) * d_("wgt") / d_("zw"), 0).cast("long").alias("alloc_neyman"),
         F.round(F.lit(float(_NEYMAN_BUDGET)) * d_("n") / d_("zn"), 0).cast("long").alias("alloc_proportional"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 34: mergeable KMV rollup, difference-in-differences, Markov eval
+
+_KMVR_K = 32
+
+
+def _kmv_rollup_sql(k: int = _KMVR_K) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(user_id AS VARCHAR)")
+    return f"""WITH uh AS (
+         SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day,
+                date_trunc('week', ts)::TIMESTAMP AS week,
+                {h}::BIGINT AS h
+         FROM events),
+       daily AS (
+         SELECT day, week, h,
+                row_number() OVER (PARTITION BY day ORDER BY h) AS rnk
+         FROM uh),
+       dsk AS (SELECT day, week, h FROM daily WHERE rnk <= {k}),
+       merged AS (
+         SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rnk
+         FROM (SELECT DISTINCT week, h FROM dsk)),
+       wsk AS (
+         SELECT week, count(*)::BIGINT AS in_sketch,
+                max(CASE WHEN rnk = {k} THEN h END)::BIGINT AS v_k
+         FROM merged WHERE rnk <= {k} GROUP BY week),
+       exact AS (
+         SELECT week, count(DISTINCT h)::BIGINT AS exact_users,
+                count(DISTINCT day)::BIGINT AS n_days
+         FROM uh GROUP BY week)
+       SELECT exact.week, exact.n_days, exact.exact_users,
+              CASE WHEN wsk.in_sketch < {k} THEN wsk.in_sketch::DOUBLE
+                   ELSE round(({k} - 1)::DOUBLE * {_H60}::DOUBLE / wsk.v_k::DOUBLE, 4)
+              END AS est_users,
+              round((CASE WHEN wsk.in_sketch < {k} THEN wsk.in_sketch::DOUBLE
+                          ELSE round(({k} - 1)::DOUBLE * {_H60}::DOUBLE / wsk.v_k::DOUBLE, 4)
+                     END - exact_users::DOUBLE) / exact_users::DOUBLE, 6) AS rel_err
+       FROM exact JOIN wsk USING (week)"""
+
+
+@query("kmv_rollup", _kmv_rollup_sql())
+def q_kmv_rollup(spark, sf_dir):
+    """Mergeable distinct-count rollup: per-DAY KMV bottom-k sketches of
+    active users, merged day→week by taking the k smallest of the
+    unioned sketch values — the weekly estimate touches ONLY k×7 sketch
+    rows, never the raw events again (the `rollup_multires` pattern for
+    COUNT DISTINCT, which plain partial sums can't roll up). Audited
+    against the exact weekly distinct count; if every constituent day
+    stayed under k the merged sketch is provably exact and the estimate
+    collapses to it. Plan: one distinct (day, user-hash) census, two
+    bottom-k windows at day and week grain — at 100 TB the daily sketch
+    table is the only thing the weekly/monthly/yearly jobs read."""
+    from pliers_spark.functions.hashing import md5_int
+
+    ev = _events(spark, sf_dir)
+    uh = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        md5_int(F.col("user_id").cast("string")).alias("h"),
+    ).distinct().localCheckpoint(eager=True)  # feeds sketches AND exact truth
+    wd = Window.partitionBy("day").orderBy("h")
+    dsk = uh.select("day", "week", "h", F.row_number().over(wd).alias("rnk")).where(
+        F.col("rnk") <= _KMVR_K
+    )
+    ww = Window.partitionBy("week").orderBy("h")
+    merged = (
+        dsk.select("week", "h").distinct()
+        .select("week", "h", F.row_number().over(ww).alias("rnk"))
+        .where(F.col("rnk") <= _KMVR_K)
+    )
+    wsk = merged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("in_sketch"),
+        F.max(F.when(F.col("rnk") == _KMVR_K, F.col("h"))).cast("long").alias("v_k"),
+    )
+    exact = uh.groupBy("week").agg(
+        F.count_distinct("h").cast("long").alias("exact_users"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )
+    est = F.when(
+        F.col("in_sketch") < _KMVR_K, F.col("in_sketch").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(_KMVR_K - 1)) * F.lit(float(_H60)) / F.col("v_k").cast("double"), 4)
+    )
+    return exact.join(wsk, "week").select(
+        "week", "n_days", "exact_users",
+        est.alias("est_users"),
+        F.round((est - F.col("exact_users").cast("double")) / F.col("exact_users").cast("double"), 6).alias("rel_err"),
+    )
+
+
+@query(
+    "diff_in_diff",
+    """WITH v AS (
+         SELECT (user_id % 2 = 0) AS treat, epoch_us(ts)::BIGINT AS t_us,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                event_id
+         FROM events),
+       r AS (SELECT *, row_number() OVER (ORDER BY t_us, event_id) AS rn,
+                    count(*) OVER () AS nn FROM v),
+       med AS (SELECT max(t_us) AS m FROM r WHERE rn <= (nn + 1) // 2),
+       cells AS (
+         SELECT treat, (t_us > med.m) AS post,
+                count(*)::BIGINT AS n, sum(v_fp)::BIGINT AS s
+         FROM v CROSS JOIN med GROUP BY 1, 2),
+       wide AS (
+         SELECT
+           max(CASE WHEN treat AND post THEN s END)::BIGINT AS s11,
+           max(CASE WHEN treat AND post THEN n END)::BIGINT AS n11,
+           max(CASE WHEN treat AND NOT post THEN s END)::BIGINT AS s10,
+           max(CASE WHEN treat AND NOT post THEN n END)::BIGINT AS n10,
+           max(CASE WHEN NOT treat AND post THEN s END)::BIGINT AS s01,
+           max(CASE WHEN NOT treat AND post THEN n END)::BIGINT AS n01,
+           max(CASE WHEN NOT treat AND NOT post THEN s END)::BIGINT AS s00,
+           max(CASE WHEN NOT treat AND NOT post THEN n END)::BIGINT AS n00
+         FROM cells)
+       SELECT n11, n10, n01, n00,
+              round(((s11::DOUBLE / n11 - s10::DOUBLE / n10)
+                     - (s01::DOUBLE / n01 - s00::DOUBLE / n00)) / 1000000.0, 6) AS did
+       FROM wide""",
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator (the Card-Krueger design):
+    treatment = even user ids, post = events after the EXACT global
+    median timestamp (integer-rank median, deterministic cutoff), DiD =
+    (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) — the
+    parallel-trends causal readout every experimentation platform
+    reports next to the naive post-mean gap. Four cell means from exact
+    int64 sufficient stats; ONE identical double expression both
+    engines. Plan: global rank for the cutoff (two-pass histogram at
+    scale, as documented in group_quantiles), one 4-cell census."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        epoch_micros(ev, "ts").cast("long").alias("t_us"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        "event_id",
+    )
+    n_all = v.count()
+    wr = Window.orderBy("t_us", "event_id")
+    med = (
+        v.select("t_us", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= (n_all + 1) // 2)
+        .agg(F.max("t_us").alias("m"))
+    )
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("treat", (F.col("t_us") > F.col("m")).alias("post"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v_fp").cast("long").alias("s"))
+    )
+    def cell(t, p, c):
+        return F.max(F.when((F.col("treat") == t) & (F.col("post") == p), F.col(c))).cast("long")
+    wide = cells.agg(
+        cell(True, True, "s").alias("s11"), cell(True, True, "n").alias("n11"),
+        cell(True, False, "s").alias("s10"), cell(True, False, "n").alias("n10"),
+        cell(False, True, "s").alias("s01"), cell(False, True, "n").alias("n01"),
+        cell(False, False, "s").alias("s00"), cell(False, False, "n").alias("n00"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    did = (
+        (d_("s11") / d_("n11") - d_("s10") / d_("n10"))
+        - (d_("s01") / d_("n01") - d_("s00") / d_("n00"))
+    ) / F.lit(1e6)
+    return wide.select("n11", "n10", "n01", "n00", F.round(did, 6).alias("did"))
+
+
+@query(
+    "markov_accuracy",
+    """WITH r AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       tr AS (
+         SELECT a.event_type AS prev, b.event_type AS nxt, b.rn AS nrn
+         FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+       train AS (SELECT prev, nxt FROM tr WHERE nrn % 2 = 0),
+       test AS (SELECT prev, nxt FROM tr WHERE nrn % 2 = 1),
+       model AS (
+         SELECT prev, nxt AS pred FROM (
+           SELECT prev, nxt, count(*) AS c,
+                  row_number() OVER (PARTITION BY prev ORDER BY count(*) DESC, nxt) AS rk
+           FROM train GROUP BY prev, nxt) WHERE rk = 1),
+       maj AS (
+         SELECT nxt AS pred FROM (
+           SELECT nxt, count(*) AS c,
+                  row_number() OVER (ORDER BY count(*) DESC, nxt) AS rk
+           FROM train GROUP BY nxt) WHERE rk = 1),
+       sc AS (
+         SELECT count(*)::BIGINT AS n_test,
+                sum((t.nxt = m.pred)::INT)::BIGINT AS hit_markov,
+                sum((t.nxt = maj.pred)::INT)::BIGINT AS hit_majority
+         FROM test t LEFT JOIN model m ON m.prev = t.prev CROSS JOIN maj)
+       SELECT (SELECT count(*) FROM train)::BIGINT AS n_train, n_test,
+              round(hit_markov::DOUBLE / n_test, 6) AS acc_markov,
+              round(hit_majority::DOUBLE / n_test, 6) AS acc_majority
+       FROM sc""",
+)
+def q_markov_accuracy(spark, sf_dir):
+    """Held-out next-event prediction accuracy of the first-order
+    Markov model vs the majority-class baseline: transitions split by
+    parity of their target position (a deterministic interleaved
+    train/test split that can't leak a user's whole series into one
+    side), the model is argmax of the train transition census (count
+    then type tiebreak), and the lift of acc_markov over acc_majority
+    is the standard 'is sequence structure real?' check before anyone
+    ships a session-based recommender. All counts exact; two final
+    divisions. Plan: one user-key window, a self-join on the SAME key
+    (co-partitioned), two tiny censuses, broadcast model join."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type", F.row_number().over(wu).alias("rn")).localCheckpoint(eager=True)
+    a = r.select("user_id", F.col("event_type").alias("prev"), F.col("rn").alias("ra"))
+    b = r.select("user_id", F.col("event_type").alias("nxt"), F.col("rn").alias("nrn"))
+    tr = a.join(b, "user_id").where(F.col("nrn") == F.col("ra") + 1).select(
+        "prev", "nxt", "nrn"
+    ).localCheckpoint(eager=True)
+    train = tr.where(F.col("nrn") % 2 == 0).select("prev", "nxt")
+    test = tr.where(F.col("nrn") % 2 == 1).select("prev", "nxt")
+    tc = train.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("prev").orderBy(F.desc("c"), "nxt")
+    model = tc.select("prev", F.col("nxt").alias("pred"), F.row_number().over(wm).alias("rk")).where(
+        F.col("rk") == 1
+    ).drop("rk")
+    mj = tc.groupBy("nxt").agg(F.sum("c").alias("c"))
+    maj = mj.orderBy(F.desc("c"), "nxt").limit(1).select(F.col("nxt").alias("mpred"))
+    sc = (
+        test.join(F.broadcast(model), "prev", "left")
+        .crossJoin(F.broadcast(maj))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("nxt") == F.col("pred")).cast("int")).cast("long").alias("hit_markov"),
+            F.sum((F.col("nxt") == F.col("mpred")).cast("int")).cast("long").alias("hit_majority"),
+        )
+    )
+    n_train = train.count()
+    return sc.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        "n_test",
+        F.round(F.col("hit_markov").cast("double") / F.col("n_test"), 6).alias("acc_markov"),
+        F.round(F.col("hit_majority").cast("double") / F.col("n_test"), 6).alias("acc_majority"),
+    )
