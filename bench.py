@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "kmv_rollup",
     "diff_in_diff",
     "markov_accuracy",
+    "mde_power",
+    "cuped_adjustment",
+    "sprt_crossing",
 ]
 
 

@@ -12699,3 +12699,266 @@ def q_markov_accuracy(spark, sf_dir):
         F.round(F.col("hit_markov").cast("double") / F.col("n_test"), 6).alias("acc_markov"),
         F.round(F.col("hit_majority").cast("double") / F.col("n_test"), 6).alias("acc_majority"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 35: MDE power analysis, CUPED variance reduction, SPRT crossing
+
+_Z_ALPHA2 = 1.959964  # two-sided 5%
+_Z_BETA = 0.841621    # 80% power
+
+
+@query(
+    "mde_power",
+    f"""WITH v AS (
+         SELECT (user_id % 2 = 0) AS arm_a,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       g AS (
+         SELECT count(*)::BIGINT AS n, sum(v_fp)::BIGINT AS s,
+                sum(v_fp::HUGEINT * v_fp::HUGEINT) AS q,
+                sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS n_a
+         FROM v)
+       SELECT n_a, (n - n_a)::BIGINT AS n_b,
+              round(sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                    / 1000000.0, 6) AS sigma,
+              round(({_Z_ALPHA2} + {_Z_BETA})
+                    * sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                    * sqrt(2.0 / least(n_a, n - n_a)::DOUBLE) / 1000000.0, 6) AS mde_abs,
+              round(({_Z_ALPHA2} + {_Z_BETA})
+                    * sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                    * sqrt(2.0 / least(n_a, n - n_a)::DOUBLE) / (s::DOUBLE / n), 6)
+                AS mde_rel
+       FROM g""",
+)
+def q_mde_power(spark, sf_dir):
+    """Minimum detectable effect at 80% power / 5% two-sided α for the
+    even-vs-odd-user experiment split: MDE = (z_{{α/2}}+z_β)·σ·√(2/n)
+    with n the smaller arm — the pre-registration number every A/B
+    design doc states before launch (complements `ab_test_stats`'s
+    post-hoc read). σ comes from exact int64/HUGEINT sufficient stats;
+    the z constants are shared literals so both engines evaluate the
+    identical expression. Plan: ONE corpus census row; no shuffle
+    beyond the partial agg."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        (F.col("user_id") % 2 == 0).alias("arm_a"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    dec = "decimal(38,0)"
+    g = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fp").cast("long").alias("s"),
+        F.sum(F.col("v_fp").cast(dec) * F.col("v_fp").cast(dec)).cast(dec).alias("q"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    sig = F.sqrt(d_("q") / d_("n") - (d_("s") / d_("n")) * (d_("s") / d_("n")))
+    nmin = F.least(F.col("n_a"), F.col("n") - F.col("n_a")).cast("double")
+    mde = F.lit(_Z_ALPHA2 + _Z_BETA) * sig * F.sqrt(F.lit(2.0) / nmin)
+    return g.select(
+        "n_a", (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        F.round(sig / F.lit(1e6), 6).alias("sigma"),
+        F.round(mde / F.lit(1e6), 6).alias("mde_abs"),
+        F.round(mde / (d_("s") / d_("n")), 6).alias("mde_rel"),
+    )
+
+
+@query(
+    "cuped_adjustment",
+    """WITH v AS (
+         SELECT user_id, epoch_us(ts)::BIGINT AS t_us,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp, event_id
+         FROM events),
+       r AS (SELECT *, row_number() OVER (ORDER BY t_us, event_id) AS rn,
+                    count(*) OVER () AS nn FROM v),
+       med AS (SELECT max(t_us) AS m FROM r WHERE rn <= (nn + 1) // 2),
+       per_u AS (
+         SELECT user_id,
+                CAST(round(sum(CASE WHEN t_us <= med.m THEN v_fp END)::DOUBLE
+                           / count(CASE WHEN t_us <= med.m THEN 1 END)) AS BIGINT) AS x_fp,
+                CAST(round(sum(CASE WHEN t_us > med.m THEN v_fp END)::DOUBLE
+                           / count(CASE WHEN t_us > med.m THEN 1 END)) AS BIGINT) AS y_fp
+         FROM v CROSS JOIN med GROUP BY user_id
+         HAVING count(CASE WHEN t_us <= med.m THEN 1 END) > 0
+            AND count(CASE WHEN t_us > med.m THEN 1 END) > 0),
+       st AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(x_fp)::BIGINT AS sx, sum(y_fp)::BIGINT AS sy,
+                sum(x_fp::HUGEINT * x_fp::HUGEINT) AS qx,
+                sum(y_fp::HUGEINT * y_fp::HUGEINT) AS qy,
+                sum(x_fp::HUGEINT * y_fp::HUGEINT) AS qxy
+         FROM per_u)
+       SELECT n,
+              CASE WHEN n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                   THEN round((n::DOUBLE * qxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                              / (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+              END AS theta,
+              CASE WHEN (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                    AND (n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                   THEN round((n::DOUBLE * qxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                              * (n::DOUBLE * qxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                              / ((n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+              END AS var_reduction
+       FROM st""",
+)
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED pre-period covariate adjustment (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): per user, pre-period mean (before the exact global
+    median timestamp) as covariate X and post-period mean as metric Y;
+    θ = cov(X,Y)/var(X) and the guaranteed variance reduction
+    var(Y−θX)/var(Y) − 1 = −ρ² — the single highest-leverage trick in
+    industrial A/B testing (same metric, ρ²-fraction less sample
+    needed). Per-user means round once to micro-units; moments are
+    exact int64/HUGEINT; θ and ρ² are identical double expressions.
+    Plan: global-median rank pass + one user census + one moment row."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "user_id", epoch_micros(ev, "ts").cast("long").alias("t_us"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        "event_id",
+    )
+    n_all = v.count()
+    wr = Window.orderBy("t_us", "event_id")
+    med = (
+        v.select("t_us", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= (n_all + 1) // 2)
+        .agg(F.max("t_us").alias("m"))
+    )
+    pre = F.when(F.col("t_us") <= F.col("m"), F.col("v_fp"))
+    post = F.when(F.col("t_us") > F.col("m"), F.col("v_fp"))
+    per_u = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(pre).cast("double") / F.count(pre), 0).cast("long").alias("x_fp"),
+            F.round(F.sum(post).cast("double") / F.count(post), 0).cast("long").alias("y_fp"),
+            F.count(pre).alias("n_pre"),
+            F.count(post).alias("n_post"),
+        )
+        .where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+    )
+    dec = "decimal(38,0)"
+    st = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("long").alias("sx"),
+        F.sum("y_fp").cast("long").alias("sy"),
+        F.sum(F.col("x_fp").cast(dec) * F.col("x_fp").cast(dec)).cast(dec).alias("qx"),
+        F.sum(F.col("y_fp").cast(dec) * F.col("y_fp").cast(dec)).cast(dec).alias("qy"),
+        F.sum(F.col("x_fp").cast(dec) * F.col("y_fp").cast(dec)).cast(dec).alias("qxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d_("n") * d_("qx") - d_("sx") * d_("sx")
+    vy = d_("n") * d_("qy") - d_("sy") * d_("sy")
+    cv = d_("n") * d_("qxy") - d_("sx") * d_("sy")
+    return st.select(
+        "n",
+        F.when(vx > 0, F.round(cv / vx, 6)).alias("theta"),
+        F.when((vx > 0) & (vy > 0), F.round(cv * cv / (vx * vy), 6)).alias("var_reduction"),
+    )
+
+
+_SPRT_LLR1 = 182_322    # round(1e6·ln(0.6/0.5))
+_SPRT_LLR0 = -223_144   # round(1e6·ln(0.4/0.5))
+_SPRT_BOUND = 2_944_439  # round(1e6·ln(19)) — α = β = 0.05
+
+
+@query(
+    "sprt_crossing",
+    f"""WITH v AS (
+         SELECT event_id, epoch_us(ts)::BIGINT AS t_us,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       r AS (SELECT *, row_number() OVER (ORDER BY t_us, event_id) AS rn,
+                    count(*) OVER () AS nn FROM v),
+       med AS (SELECT max(v_fp) AS m
+               FROM (SELECT v_fp, row_number() OVER (ORDER BY v_fp, event_id) AS vr,
+                            count(*) OVER () AS vn FROM v)
+               WHERE vr <= (vn + 1) // 2),
+       llr AS (
+         SELECT r.rn,
+                sum(CASE WHEN r.v_fp >= med.m THEN {_SPRT_LLR1}
+                         ELSE {_SPRT_LLR0} END)
+                  OVER (ORDER BY r.rn)::BIGINT AS cum
+         FROM r CROSS JOIN med),
+       crossing AS (
+         SELECT rn, cum,
+                CASE WHEN cum >= {_SPRT_BOUND} THEN 'h1'
+                     WHEN cum <= -{_SPRT_BOUND} THEN 'h0' END AS hit
+         FROM llr),
+       first_hit AS (
+         SELECT rn, hit FROM crossing WHERE hit IS NOT NULL
+         ORDER BY rn LIMIT 1)
+       SELECT (SELECT max(rn) FROM llr)::BIGINT AS n,
+              coalesce((SELECT rn FROM first_hit), 0)::BIGINT AS first_cross,
+              coalesce((SELECT hit FROM first_hit), 'none') AS decision,
+              (SELECT cum FROM llr WHERE rn = (SELECT max(rn) FROM llr))::BIGINT
+                AS llr_final_fp""",
+)
+def q_sprt_crossing(spark, sf_dir):
+    """Wald sequential probability ratio test replay (Wald 1945): the
+    time-ordered stream of above-median indicators accumulates
+    log-likelihood ratio for p=0.6 vs p=0.5 in once-rounded integer
+    micro-nats; the FIRST crossing of ±ln(19) (α=β=0.05) is the early-
+    stopping decision every sequential experimentation / monitoring
+    system implements — the replay says when the experiment COULD have
+    stopped. Integer cumsum = order-proof; the global ordered scan is
+    one window (two-pass range partitioning at scale, as documented in
+    sequence_pack). Reward threshold is the exact integer-rank median
+    so the replay is self-contained and deterministic."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_id", epoch_micros(ev, "ts").cast("long").alias("t_us"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    ).localCheckpoint(eager=True)  # feeds median rank AND the ordered scan
+    n_all = v.count()
+    wv = Window.orderBy("v_fp", "event_id")
+    med = (
+        v.select("v_fp", F.row_number().over(wv).alias("vr"))
+        .where(F.col("vr") <= (n_all + 1) // 2)
+        .agg(F.max("v_fp").alias("m"))
+    )
+    wr = Window.orderBy("t_us", "event_id")
+    wc = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    llr = (
+        v.crossJoin(F.broadcast(med))
+        .select(
+            F.row_number().over(wr).alias("rn"),
+            F.when(F.col("v_fp") >= F.col("m"), F.lit(_SPRT_LLR1))
+            .otherwise(F.lit(_SPRT_LLR0))
+            .alias("step"),
+        )
+        .select("rn", F.sum("step").over(wc).cast("long").alias("cum"))
+        .localCheckpoint(eager=True)  # feeds first-hit scan AND final row
+    )
+    hit = F.when(F.col("cum") >= _SPRT_BOUND, F.lit("h1")).when(
+        F.col("cum") <= -_SPRT_BOUND, F.lit("h0")
+    )
+    first = (
+        llr.select("rn", "cum", hit.alias("hit"))
+        .where(F.col("hit").isNotNull())
+        .orderBy("rn")
+        .limit(1)
+        .select(F.col("rn").alias("first_cross"), F.col("hit").alias("decision"))
+    )
+    final = llr.orderBy(F.desc("rn")).limit(1).select(
+        F.col("rn").alias("n"), F.col("cum").alias("llr_final_fp")
+    )
+    return (
+        final.crossJoin(
+            first.unionAll(
+                spark.createDataFrame([(0, "none")], "first_cross long, decision string")
+            ).limit(1)
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("first_cross").cast("long").alias("first_cross"),
+            "decision",
+            F.col("llr_final_fp").cast("long").alias("llr_final_fp"),
+        )
+    )
