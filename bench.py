@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "mde_power",
     "cuped_adjustment",
     "sprt_crossing",
+    "source_jsd",
+    "conformal_coverage",
+    "budget_select",
 ]
 
 

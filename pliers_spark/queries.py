@@ -12962,3 +12962,265 @@ def q_sprt_crossing(spark, sf_dir):
             F.col("llr_final_fp").cast("long").alias("llr_final_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 36: Jensen-Shannon source drift, conformal coverage, budget curation
+
+_JSD_V = 100
+
+
+def _jsd_sql(v: int = _JSD_V) -> str:
+    return f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       topv AS (
+         SELECT token FROM (SELECT token, sum(c) AS tc FROM cnt GROUP BY token)
+         ORDER BY tc DESC, token LIMIT {v}),
+       mapped AS (
+         SELECT cnt.source,
+                CASE WHEN topv.token IS NOT NULL THEN cnt.token ELSE '<other>' END AS tok,
+                sum(cnt.c)::BIGINT AS c
+         FROM cnt LEFT JOIN topv ON topv.token = cnt.token
+         GROUP BY 1, 2),
+       ns AS (SELECT source, sum(c)::BIGINT AS n FROM mapped GROUP BY source),
+       pr AS (SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+              FROM ns a JOIN ns b ON a.source < b.source),
+       cells AS (
+         SELECT pr.src_a, pr.src_b, pr.na, pr.nb, t.tok,
+                coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+         FROM pr CROSS JOIN (SELECT DISTINCT tok FROM mapped) t
+         LEFT JOIN mapped ca ON ca.source = pr.src_a AND ca.tok = t.tok
+         LEFT JOIN mapped cb ON cb.source = pr.src_b AND cb.tok = t.tok),
+       terms AS (
+         SELECT src_a, src_b, na, nb,
+                CASE WHEN a > 0
+                     THEN a * CAST(round(1000000.0 * ln(2.0 * a::DOUBLE * nb::DOUBLE
+                                   / (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+                              AS BIGINT) ELSE 0 END AS ta,
+                CASE WHEN b > 0
+                     THEN b * CAST(round(1000000.0 * ln(2.0 * b::DOUBLE * na::DOUBLE
+                                   / (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+                              AS BIGINT) ELSE 0 END AS tb
+         FROM cells)
+       SELECT src_a, src_b,
+              round((sum(ta)::DOUBLE / na + sum(tb)::DOUBLE / nb) / 2000000.0, 6) AS jsd
+       FROM terms GROUP BY src_a, src_b, na, nb"""
+
+
+@query("source_jsd", _jsd_sql())
+def q_source_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between source token distributions
+    (Lin, IEEE-IT 1991): the symmetric, bounded (≤ ln 2) drift metric —
+    unlike `source_kl` it tolerates zero-frequency tokens without
+    smoothing, and unlike `wasserstein_1d` it compares CATEGORY
+    distributions. Vocabulary is the global top-{_JSD_V} plus an
+    '<other>' bucket so the cell grid stays bounded at any corpus
+    size. Each cell's ln rounds once to micro-nats against its exact
+    integer count; the two per-source sums divide by their totals at
+    the very end. Plan: one census shuffle, pair×vocab dimension grid."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topv = (
+        cnt.groupBy("token").agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "token").limit(_JSD_V).select("token", F.lit(1).alias("keep"))
+    )
+    mapped = (
+        cnt.join(F.broadcast(topv), "token", "left")
+        .select(
+            "source",
+            F.when(F.col("keep") == 1, F.col("token")).otherwise(F.lit("<other>")).alias("tok"),
+            "c",
+        )
+        .groupBy("source", "tok")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds totals, vocab dim, and both cell sides
+    )
+    ns = mapped.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pr = (
+        ns.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+        .join(
+            ns.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    vocab = mapped.select("tok").distinct()
+    cells = (
+        pr.crossJoin(vocab)
+        .join(
+            mapped.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("a")),
+            ["src_a", "tok"], "left",
+        )
+        .join(
+            mapped.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("b")),
+            ["src_b", "tok"], "left",
+        )
+        .select(
+            "src_a", "src_b", "na", "nb",
+            F.coalesce("a", F.lit(0)).alias("a"), F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d_("a") * d_("nb") + d_("b") * d_("na")
+    ta = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.round(F.lit(1e6) * F.log(F.lit(2.0) * d_("a") * d_("nb") / den), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    tb = F.when(
+        F.col("b") > 0,
+        F.col("b") * F.round(F.lit(1e6) * F.log(F.lit(2.0) * d_("b") * d_("na") / den), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        cells.select("src_a", "src_b", "na", "nb", ta.alias("ta"), tb.alias("tb"))
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(
+            F.round(
+                (F.sum("ta").cast("double") / F.col("na") + F.sum("tb").cast("double") / F.col("nb"))
+                / F.lit(2e6),
+                6,
+            ).alias("jsd")
+        )
+        .select("src_a", "src_b", "jsd")
+    )
+
+
+@query(
+    "conformal_coverage",
+    """WITH v AS (
+         SELECT event_id, event_type,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp,
+                event_id % 3 AS fold
+         FROM events),
+       model AS (
+         SELECT event_type,
+                CAST(round(sum(v_fp)::DOUBLE / count(*)) AS BIGINT) AS pred
+         FROM v WHERE fold = 0 GROUP BY event_type),
+       cal AS (
+         SELECT abs(v.v_fp - m.pred)::BIGINT AS r
+         FROM v JOIN model m USING (event_type) WHERE fold = 1),
+       qh AS (
+         SELECT max(r)::BIGINT AS q_hat, max(n)::BIGINT AS n_cal FROM (
+           SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n
+           FROM cal) WHERE rn <= CAST(ceil(0.9 * (n + 1)) AS BIGINT)),
+       test AS (
+         SELECT abs(v.v_fp - m.pred)::BIGINT AS r
+         FROM v JOIN model m USING (event_type) WHERE fold = 2)
+       SELECT qh.n_cal, count(*)::BIGINT AS n_test, qh.q_hat,
+              round(sum((test.r <= qh.q_hat)::INT)::DOUBLE / count(*), 6) AS coverage
+       FROM test CROSS JOIN qh GROUP BY qh.n_cal, qh.q_hat""",
+)
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction-interval calibration (Vovk 2005;
+    Angelopoulos & Bates 2023 tutorial): train a per-event-type mean
+    predictor on fold 0, take q̂ = the ⌈0.9(n+1)⌉-th smallest absolute
+    residual on calibration fold 1, and report empirical coverage of
+    |y−ŷ| ≤ q̂ on held-out fold 2 — the distribution-free guarantee
+    check that modern ML-deployment pipelines run on every model. The
+    deterministic event_id%3 folds make the audit reproducible;
+    residuals and the rank quantile are exact integers; coverage is
+    one division. Plan: one fold census for the model (broadcast dim),
+    one rank window on the calibration residuals (cal-fold-sized)."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+        (F.col("event_id") % 3).alias("fold"),
+    ).localCheckpoint(eager=True)
+    model = (
+        v.where(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(F.round(F.sum("v_fp").cast("double") / F.count(F.lit(1)), 0).cast("long").alias("pred"))
+    )
+    cal = v.where(F.col("fold") == 1).join(F.broadcast(model), "event_type").select(
+        F.abs(F.col("v_fp") - F.col("pred")).cast("long").alias("r")
+    )
+    wr = Window.orderBy("r")
+    ranked = cal.select(
+        "r", F.row_number().over(wr).alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n")
+    )
+    qh = ranked.where(
+        F.col("rn") <= F.ceil(F.lit(0.9) * (F.col("n") + 1)).cast("long")
+    ).agg(F.max("r").cast("long").alias("q_hat"), F.max("n").cast("long").alias("n_cal"))
+    test = v.where(F.col("fold") == 2).join(F.broadcast(model), "event_type").select(
+        F.abs(F.col("v_fp") - F.col("pred")).cast("long").alias("r")
+    )
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum((F.col("r") <= F.col("q_hat")).cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+        )
+        .select("n_cal", "n_test", "q_hat", "coverage")
+    )
+
+
+def _budget_sql() -> str:
+    return f"""WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}) t),
+       w AS (
+         SELECT d.doc_id,
+                len(string_split(trim(d.text), ' '))::BIGINT AS toks,
+                CAST(round(q.quality * 1000000.0) AS BIGINT) AS q_fp
+         FROM documents d JOIN q ON q.doc_id = d.doc_id
+         WHERE len(string_split(trim(d.text), ' ')) > 0),
+       tot AS (SELECT (sum(toks) // 5)::BIGINT AS budget FROM w),
+       ranked AS (
+         SELECT *, CAST(round(1000000000.0 * q_fp / toks) AS BIGINT) AS ratio_fp
+         FROM w),
+       cum AS (
+         SELECT *, sum(toks) OVER (ORDER BY ratio_fp DESC, doc_id) AS cum_toks
+         FROM ranked),
+       flagged AS (SELECT cum.*, (cum_toks <= tot.budget) AS kept FROM cum CROSS JOIN tot)
+       SELECT max(tot.budget)::BIGINT AS budget,
+              sum(kept::INT)::BIGINT AS n_kept,
+              sum(CASE WHEN kept THEN toks ELSE 0 END)::BIGINT AS tokens_kept,
+              round(sum(CASE WHEN kept THEN q_fp ELSE 0 END)::DOUBLE
+                    / (1000000.0 * sum(kept::INT)), 6) AS avg_q_kept,
+              round(sum(CASE WHEN NOT kept THEN q_fp ELSE 0 END)::DOUBLE
+                    / (1000000.0 * sum((NOT kept)::INT)), 6) AS avg_q_dropped
+       FROM flagged CROSS JOIN tot GROUP BY tot.budget"""
+
+
+@query("budget_select", _budget_sql())
+def q_budget_select(spark, sf_dir):
+    """Budget-constrained greedy curation (the fractional-knapsack
+    ratio rule): rank documents by quality-per-token and keep the
+    prefix that fits a 20%-of-corpus token budget — the selection move
+    every 'train on the best X tokens' pipeline makes, reported as
+    kept/dropped quality separation. Ratios round once to integer
+    nano-units (total order, deterministic ties by doc id); the
+    running token total is one global ordered window (two-pass range
+    partitioning at scale, as documented in sequence_pack). Output is
+    a single audit row."""
+    d = _docs(spark, sf_dir)
+    n_t = F.size(T.tokenize(F.col("text"))).cast("long")
+    w = d.select(
+        "doc_id", n_t.alias("toks"),
+        F.round(T.quality_score("text") * F.lit(1e6), 0).cast("long").alias("q_fp"),
+    ).where(F.col("toks") > 0).localCheckpoint(eager=True)
+    budget = w.agg((F.floor(F.sum("toks") / 5)).cast("long").alias("budget"))
+    ranked = w.select(
+        "*", F.round(F.lit(1e9) * F.col("q_fp") / F.col("toks"), 0).cast("long").alias("ratio_fp")
+    )
+    wo = Window.orderBy(F.desc("ratio_fp"), "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select("*", F.sum("toks").over(wo).alias("cum_toks"))
+    flagged = cum.crossJoin(F.broadcast(budget)).select(
+        "*", (F.col("cum_toks") <= F.col("budget")).alias("kept")
+    )
+    return flagged.groupBy("budget").agg(
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("toks")).otherwise(0)).cast("long").alias("tokens_kept"),
+        F.round(
+            F.sum(F.when(F.col("kept"), F.col("q_fp")).otherwise(0)).cast("double")
+            / (F.lit(1e6) * F.sum(F.col("kept").cast("int"))),
+            6,
+        ).alias("avg_q_kept"),
+        F.round(
+            F.sum(F.when(~F.col("kept"), F.col("q_fp")).otherwise(0)).cast("double")
+            / (F.lit(1e6) * F.sum((~F.col("kept")).cast("int"))),
+            6,
+        ).alias("avg_q_dropped"),
+    ).select("budget", "n_kept", "tokens_kept", "avg_q_kept", "avg_q_dropped")
