@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "source_jsd",
     "conformal_coverage",
     "budget_select",
+    "lsh_band_sweep",
+    "rec_coverage",
+    "missing_mass",
 ]
 
 

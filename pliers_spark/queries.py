@@ -13224,3 +13224,236 @@ def q_budget_select(spark, sf_dir):
             6,
         ).alias("avg_q_dropped"),
     ).select("budget", "n_kept", "tokens_kept", "avg_q_kept", "avg_q_dropped")
+
+
+# --------------------------------------------------------------------------
+# batch 37: LSH band-tuning sweep, recommender coverage, missing mass
+
+_SWEEP_CFGS = [(1, 8), (2, 4), (4, 2), (8, 1)]  # (bands, rows) over K=8
+_SWEEP_S = (0.5, 0.8, 0.9)
+
+
+def _sweep_theory(b: int, r: int) -> tuple[float, float, float]:
+    return tuple(round(1.0 - (1.0 - s**r) ** b, 6) for s in _SWEEP_S)
+
+
+def _sweep_band_sql(cfg_i: int, b: int, rows: int) -> str:
+    concat = " || '|' || ".join(
+        f"CAST(mh_{b * rows + j} AS VARCHAR)" for j in range(rows)
+    )
+    return md5_int_sql(f"({concat})", seed=20_000 + cfg_i * 16 + b)
+
+
+def _lsh_sweep_sql() -> str:
+    parts = []
+    for i, (nb, rows) in enumerate(_SWEEP_CFGS):
+        keys = ", ".join(_sweep_band_sql(i, b, rows) for b in range(nb))
+        p50, p80, p90 = _sweep_theory(nb, rows)
+        parts.append(f"""(
+          SELECT {nb}::BIGINT AS bands, {rows}::BIGINT AS rows_per_band,
+                 (SELECT count(*) FROM (
+                    SELECT DISTINCT a.doc_id, b.doc_id
+                    FROM (SELECT doc_id, unnest([{keys}]) AS bk FROM sigs) a
+                    JOIN (SELECT doc_id, unnest([{keys}]) AS bk FROM sigs) b
+                      USING (bk)
+                    WHERE a.doc_id < b.doc_id))::BIGINT AS n_candidates,
+                 {p50}::DOUBLE AS p_at_s50, {p80}::DOUBLE AS p_at_s80,
+                 {p90}::DOUBLE AS p_at_s90)""")
+    return _minhash_cte() + " " + "\nUNION ALL\n".join(parts)
+
+
+@query("lsh_band_sweep", _lsh_sweep_sql())
+def q_lsh_band_sweep(spark, sf_dir):
+    """LSH banding-parameter sweep over the SAME K=8 MinHash signature:
+    for each (bands, rows) split, the realized candidate-pair count next
+    to the theoretical capture probability 1−(1−s^r)^b at similarity
+    0.5/0.8/0.9 — the tuning table every LSH deployment derives before
+    fixing its S-curve (more bands = higher recall AND more candidate
+    volume; this query shows both sides on real data). Signatures are
+    computed ONCE (checkpointed) and each config is a banded explode +
+    bucket self-join — the sweep never rescans the corpus. Theory
+    values are Python-computed shared literals."""
+    sigs = D.minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", _MH_K, _MH_SHINGLE
+    ).localCheckpoint(eager=True)
+    rows_out = []
+    for i, (nb, rows) in enumerate(_SWEEP_CFGS):
+        keys = F.array(
+            *[
+                md5_int(
+                    F.concat_ws("|", *[F.col(f"mh_{b * rows + j}").cast("string") for j in range(rows)]),
+                    seed=20_000 + i * 16 + b,
+                )
+                for b in range(nb)
+            ]
+        )
+        banded = sigs.select("doc_id", F.explode(keys).alias("bk"))
+        a = banded.select(F.col("doc_id").alias("ia"), "bk")
+        bb = banded.select(F.col("doc_id").alias("ib"), "bk")
+        n_cand = (
+            a.join(bb, "bk").where(F.col("ia") < F.col("ib")).select("ia", "ib").distinct().count()
+        )
+        p50, p80, p90 = _sweep_theory(nb, rows)
+        rows_out.append((nb, rows, n_cand, p50, p80, p90))
+    return spark.createDataFrame(
+        rows_out,
+        "bands long, rows_per_band long, n_candidates long, "
+        "p_at_s50 double, p_at_s80 double, p_at_s90 double",
+    )
+
+
+@query(
+    "rec_coverage",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       ci AS (SELECT l_partkey, count(*)::BIGINT AS c FROM b GROUP BY l_partkey),
+       co AS (
+         SELECT a.l_partkey AS p1, bb.l_partkey AS p2, count(*)::BIGINT AS c_co
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey
+         GROUP BY 1, 2),
+       sym AS (SELECT p1 AS part_id, p2 AS neighbor_id, c_co FROM co
+               UNION ALL SELECT p2, p1, c_co FROM co),
+       scored AS (
+         SELECT s.part_id, s.neighbor_id,
+                round(s.c_co::DOUBLE / sqrt(c1.c::DOUBLE * c2.c::DOUBLE), 6) AS cosine
+         FROM sym s JOIN ci c1 ON c1.l_partkey = s.part_id
+                    JOIN ci c2 ON c2.l_partkey = s.neighbor_id),
+       recs AS (
+         SELECT neighbor_id FROM (
+           SELECT part_id, neighbor_id,
+                  row_number() OVER (PARTITION BY part_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5),
+       rc AS (
+         SELECT ci.l_partkey, count(recs.neighbor_id)::BIGINT AS nrec
+         FROM ci LEFT JOIN recs ON recs.neighbor_id = ci.l_partkey
+         GROUP BY ci.l_partkey),
+       lorenz AS (
+         SELECT nrec, row_number() OVER (ORDER BY nrec, l_partkey) AS i,
+                count(*) OVER () AS n, sum(nrec) OVER () AS tot
+         FROM rc)
+       SELECT max(n)::BIGINT AS catalog,
+              sum((nrec > 0)::INT)::BIGINT AS recommended,
+              round(sum((nrec > 0)::INT)::DOUBLE / max(n), 6) AS coverage,
+              round(2.0 * sum(i::HUGEINT * nrec::HUGEINT)::DOUBLE
+                    / (max(n)::DOUBLE * max(tot)::DOUBLE)
+                    - (max(n) + 1)::DOUBLE / max(n)::DOUBLE, 6) AS gini
+       FROM lorenz""",
+)
+def q_rec_coverage(spark, sf_dir):
+    """Catalog coverage and popularity-bias Gini of the `item_cosine`
+    recommender's top-5 lists — the aggregate-diversity health check
+    (Adomavicius & Kwon, TKDE 2012): what share of the catalog is ever
+    recommended, and how concentrated recommendation slots are (Gini
+    over per-item recommendation counts, zeros included — the
+    long-tail starvation number a marketplace watches). Gini comes
+    from the exact Lorenz identity 2Σi·xᵢ/(n·Σx) − (n+1)/n with one
+    global rank window on the item-grain table; everything upstream is
+    the item_cosine plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    ci = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    a2 = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    co = (
+        a1.join(a2, "l_orderkey").where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).cast("long").alias("c_co"))
+    )
+    sym = co.select(F.col("p1").alias("part_id"), F.col("p2").alias("neighbor_id"), "c_co").unionAll(
+        co.select(F.col("p2").alias("part_id"), F.col("p1").alias("neighbor_id"), "c_co")
+    )
+    scored = (
+        sym.join(ci.withColumnRenamed("l_partkey", "part_id").withColumnRenamed("c", "c1"), "part_id")
+        .join(ci.withColumnRenamed("l_partkey", "neighbor_id").withColumnRenamed("c", "c2"), "neighbor_id")
+        .select(
+            "part_id", "neighbor_id",
+            F.round(
+                F.col("c_co").cast("double")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2").cast("double")), 6
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("part_id").orderBy(F.desc("cosine"), "neighbor_id")
+    recs = scored.select("neighbor_id", F.row_number().over(wr).alias("rank")).where(
+        F.col("rank") <= 5
+    )
+    rc = (
+        ci.select("l_partkey")
+        .join(recs.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("nrec")),
+              ci.l_partkey == F.col("neighbor_id"), "left")
+        .select("l_partkey", F.coalesce("nrec", F.lit(0)).cast("long").alias("nrec"))
+    )
+    dec = "decimal(38,0)"
+    wl = Window.orderBy("nrec", "l_partkey")
+    lorenz = rc.select(
+        "nrec", F.row_number().over(wl).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("nrec").over(Window.partitionBy()).alias("tot"),
+    )
+    return lorenz.agg(
+        F.max("n").cast("long").alias("catalog"),
+        F.sum((F.col("nrec") > 0).cast("int")).cast("long").alias("recommended"),
+        F.round(F.sum((F.col("nrec") > 0).cast("int")).cast("double") / F.max("n"), 6).alias("coverage"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i").cast(dec) * F.col("nrec").cast(dec)).cast("double")
+            / (F.max("n").cast("double") * F.max("tot").cast("double"))
+            - (F.max("n") + 1).cast("double") / F.max("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "missing_mass",
+    """WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2)
+       SELECT source,
+              sum(c)::BIGINT AS n_tokens,
+              count(*)::BIGINT AS s_obs,
+              sum((c = 1)::INT)::BIGINT AS hapax,
+              sum((c = 2)::INT)::BIGINT AS doubletons,
+              round(sum((c = 1)::INT)::DOUBLE / sum(c), 6) AS missing_mass,
+              round(count(*)::DOUBLE
+                    + sum((c = 1)::INT)::DOUBLE * (sum((c = 1)::INT) - 1)::DOUBLE
+                      / (2.0 * (sum((c = 2)::INT) + 1)::DOUBLE), 6) AS chao1
+       FROM cnt GROUP BY source""",
+)
+def q_missing_mass(spark, sf_dir):
+    """Good-Turing missing mass and bias-corrected Chao1 richness per
+    source (Good 1953; Chao 1984): the hapax share N₁/N estimates the
+    probability the NEXT token is unseen, and Chao1 = S + N₁(N₁−1)/
+    (2(N₂+1)) estimates total vocabulary including the unobserved tail
+    — the pair of numbers that says whether a source's vocabulary is
+    exhausted or barely sampled (drives crawl-more-vs-enough
+    decisions). All counts exact from one (source, token) census; two
+    final divisions. The bias-corrected Chao1 form stays defined when
+    no doubletons exist."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n1 = F.sum((F.col("c") == 1).cast("int")).cast("long")
+    n2 = F.sum((F.col("c") == 2).cast("int")).cast("long")
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        n1.alias("hapax"),
+        n2.alias("doubletons"),
+        F.round(n1.cast("double") / F.sum("c"), 6).alias("missing_mass"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            + n1.cast("double") * (n1 - 1).cast("double") / (F.lit(2.0) * (n2 + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+    )
