@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "lsh_band_sweep",
     "rec_coverage",
     "missing_mass",
+    "snapshot_asof",
+    "classifier_kappa",
+    "posting_compression",
 ]
 
 

@@ -13457,3 +13457,176 @@ def q_missing_mass(spark, sf_dir):
             6,
         ).alias("chao1"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 38: snapshot time travel, Cohen's kappa, posting-list compression
+
+@query(
+    "snapshot_asof",
+    """SELECT 'asof_s1' AS snapshot_label,
+              count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       FROM documents WHERE doc_id % 3 = 0
+       UNION ALL
+       SELECT 'current', count(*)::BIGINT, sum(n_chars)::BIGINT
+       FROM documents WHERE doc_id % 3 IN (0, 1)
+       UNION ALL
+       SELECT 'delta_s2', count(*)::BIGINT, sum(n_chars)::BIGINT
+       FROM documents WHERE doc_id % 3 = 1""",
+)
+def q_snapshot_asof(spark, sf_dir):
+    """Iceberg-style snapshot isolation exercised end-to-end (north
+    rule: versioned input with time travel): commit docs with
+    doc_id%3==0 as snapshot 1, append doc_id%3==1 as snapshot 2, then
+    read (a) AS OF snapshot 1 — later commits must be invisible,
+    (b) the current table, and (c) the INCREMENTAL delta (s1, s2] —
+    only snapshot 2's files are scanned. The oracle is the pure
+    relational meaning of each read, so a stale manifest, a leaked
+    file, or a wrong delta walk all hash-mismatch. The table lives
+    under spark-warehouse/ and is rebuilt idempotently per run
+    (sources/snapshots.py; reference anchor: pliers has no versioned
+    store — this is the engine-level Iceberg contract the 10^12-page
+    crawl table needs)."""
+    import os
+    import shutil
+
+    from pliers_spark.sources.snapshots import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/root/repo/spark-warehouse", f"_asof_demo_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    s1 = t.commit(d.where(F.col("doc_id") % 3 == 0), "append")
+    s2 = t.commit(d.where(F.col("doc_id") % 3 == 1), "append")
+
+    def summarize(df, label):
+        return df.agg(
+            F.lit(label).alias("snapshot_label"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select("snapshot_label", "n_docs", "sum_chars")
+
+    asof = summarize(t.read(spark, s1), "asof_s1")
+    cur = summarize(t.read(spark), "current")
+    delta = summarize(t.read_incremental(spark, s1, s2), "delta_s2")
+    return asof.unionAll(cur).unionAll(delta)
+
+
+@query(
+    "classifier_kappa",
+    f"""WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}) t),
+       j AS (
+         SELECT (q.quality >= 0.5)::INT AS a,
+                (len(string_split(trim(d.text), ' ')) >= 30)::INT AS b
+         FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       s AS (
+         SELECT count(*)::BIGINT AS n,
+                sum((a = b)::INT)::BIGINT AS agree,
+                sum(a)::BIGINT AS a_yes, sum(b)::BIGINT AS b_yes
+         FROM j)
+       SELECT n, agree, a_yes, b_yes,
+              round((n::DOUBLE * agree::DOUBLE
+                     - (a_yes::DOUBLE * b_yes::DOUBLE
+                        + (n - a_yes)::DOUBLE * (n - b_yes)::DOUBLE))
+                    / (n::DOUBLE * n::DOUBLE
+                       - (a_yes::DOUBLE * b_yes::DOUBLE
+                          + (n - a_yes)::DOUBLE * (n - b_yes)::DOUBLE)), 6) AS kappa
+       FROM s""",
+)
+def q_classifier_kappa(spark, sf_dir):
+    """Cohen's kappa agreement (Cohen 1960) between two in-repo quality
+    signals — the composite quality score ≥ 0.5 vs a plain ≥30-token
+    length gate: κ = (p_o − p_e)/(1 − p_e) with chance agreement from
+    the marginals. This is the annotator/classifier-agreement audit a
+    curation team runs before trusting cheap heuristic labels as
+    training signal for a learned filter. Everything is one 2×2 census
+    in exact int64; κ is a single identical double expression (the
+    n·agree − (a·b + a'·b') cross-multiplied form avoids intermediate
+    ratios)."""
+    d = _docs(spark, sf_dir)
+    j = d.select(
+        (T.quality_score("text") >= 0.5).cast("int").alias("a"),
+        (F.size(T.tokenize(F.col("text"))) >= 30).cast("int").alias("b"),
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("long").alias("agree"),
+        F.sum("a").cast("long").alias("a_yes"),
+        F.sum("b").cast("long").alias("b_yes"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    pe_num = d_("a_yes") * d_("b_yes") + (F.col("n") - F.col("a_yes")).cast("double") * (
+        F.col("n") - F.col("b_yes")
+    ).cast("double")
+    return s.select(
+        "n", "agree", "a_yes", "b_yes",
+        F.round(
+            (d_("n") * d_("agree") - pe_num) / (d_("n") * d_("n") - pe_num), 6
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "posting_compression",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       g AS (
+         SELECT token, doc_id,
+                doc_id - lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id) AS gap
+         FROM toks),
+       bits AS (
+         SELECT token,
+                count(*)::BIGINT AS df,
+                sum(CASE WHEN gap IS NULL THEN 2 * CAST(floor(log2(doc_id + 1)) AS BIGINT) + 1
+                         ELSE 2 * CAST(floor(log2(gap)) AS BIGINT) + 1 END)::BIGINT
+                  AS gamma_bits
+         FROM g GROUP BY token HAVING count(*) >= 2)
+       SELECT token, df, gamma_bits, (64 * df)::BIGINT AS raw_bits,
+              round(gamma_bits::DOUBLE / (64.0 * df), 6) AS ratio,
+              row_number() OVER (ORDER BY (64 * df - gamma_bits) DESC, token)::BIGINT
+                AS rank
+       FROM bits QUALIFY rank <= 20""",
+)
+def q_posting_compression(spark, sf_dir):
+    """Elias-γ posting-list compression planning (Witten/Moffat/Bell,
+    'Managing Gigabytes'): per frequent token, the delta-gap-encoded
+    index size (Σ 2⌊log2 gap⌋+1 bits; first posting encodes doc_id+1)
+    against the raw 64-bit layout, top-20 by absolute savings — the
+    back-of-envelope every inverted-index/storage design doc runs
+    before choosing an encoding. Gaps come from ONE per-token window
+    over the distinct postings census (token-key shuffle); ⌊log2⌋ of an
+    exact integer never mis-rounds at power-of-2 boundaries. All bit
+    counts are exact int64."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    ).distinct()
+    wt = Window.partitionBy("token").orderBy("doc_id")
+    g = toks.select(
+        "token", "doc_id", (F.col("doc_id") - F.lag("doc_id").over(wt)).alias("gap")
+    )
+    bit = F.when(
+        F.col("gap").isNull(),
+        2 * F.floor(F.log2((F.col("doc_id") + 1).cast("double"))).cast("long") + 1,
+    ).otherwise(2 * F.floor(F.log2(F.col("gap").cast("double"))).cast("long") + 1)
+    bits = (
+        g.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum(bit).cast("long").alias("gamma_bits"),
+        )
+        .where(F.col("df") >= 2)
+    )
+    wr = Window.orderBy(F.desc(64 * F.col("df") - F.col("gamma_bits")), "token")
+    return (
+        bits.select(
+            "token", "df", "gamma_bits",
+            (64 * F.col("df")).cast("long").alias("raw_bits"),
+            F.round(F.col("gamma_bits").cast("double") / (F.lit(64.0) * F.col("df")), 6).alias("ratio"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )
