@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     "snapshot_asof",
     "classifier_kappa",
     "posting_compression",
+    "k_anonymity",
+    "mutual_knn",
+    "stopword_discovery",
 ]
 
 

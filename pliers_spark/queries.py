@@ -13630,3 +13630,183 @@ def q_posting_compression(spark, sf_dir):
         )
         .where(F.col("rank") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# batch 39: k-anonymity audit, mutual kNN mining, stopword induction
+
+@query(
+    "k_anonymity",
+    """WITH g AS (
+         SELECT source, (n_chars // 100)::BIGINT AS len_bucket,
+                count(*)::BIGINT AS grp,
+                count(DISTINCT lang)::BIGINT AS l_div
+         FROM documents GROUP BY 1, 2)
+       SELECT count(*)::BIGINT AS n_groups,
+              sum(grp)::BIGINT AS n_rows,
+              sum(CASE WHEN grp < 5 THEN grp ELSE 0 END)::BIGINT AS rows_at_risk,
+              round(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END)::DOUBLE / sum(grp), 6)
+                AS risk_share,
+              min(grp)::BIGINT AS min_group_size,
+              min(l_div)::BIGINT AS min_l_diversity
+       FROM g""",
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) over the quasi-identifier (source, 100-char length bucket):
+    how many rows sit in groups smaller than k=5 (re-identifiable), the
+    smallest group, and the minimum l-diversity of the sensitive
+    attribute (lang) within any group — the privacy readout a data-
+    release pipeline runs before publishing web-derived corpora with
+    metadata columns. One census shuffle; group-grain math; all exact
+    integers plus one share division."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy(
+        "source", F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("grp"),
+        F.count_distinct("lang").cast("long").alias("l_div"),
+    )
+    risk = F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.round(risk.cast("double") / F.sum("grp"), 6).alias("risk_share"),
+        F.min("grp").cast("long").alias("min_group_size"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
+
+
+def _mutual_sql(k: int = 4) -> str:
+    # two-step rounding (6dp double, then micro-int) mirrors the Spark
+    # path exactly — ivf_topk emits the 6dp-rounded cosine first
+    return f"""WITH scored AS (
+         SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+                CAST(round(round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6) * 1000000.0)
+                     AS BIGINT) AS cos_fp
+         FROM embeddings a JOIN embeddings q
+           ON a.label = q.label AND a.vec_id <> q.vec_id),
+       topk AS (
+         SELECT q_id, c_id, cos_fp,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos_fp DESC, c_id) AS rank
+         FROM scored QUALIFY rank <= {k}),
+       agg AS (
+         SELECT q_id,
+                max(CASE WHEN rank = 1 THEN c_id END)::BIGINT AS top1,
+                max(CASE WHEN rank = 1 THEN cos_fp END)::BIGINT AS cos1_fp,
+                sum(cos_fp)::BIGINT AS sum_fp, count(*)::BIGINT AS kk
+         FROM topk GROUP BY q_id)
+       SELECT a.q_id AS id_a, a.top1 AS id_b,
+              round(a.cos1_fp / 1000000.0, 6) AS cosine,
+              round(a.kk::DOUBLE * a.cos1_fp::DOUBLE / a.sum_fp::DOUBLE, 4) AS margin_a,
+              round(b.kk::DOUBLE * b.cos1_fp::DOUBLE / b.sum_fp::DOUBLE, 4) AS margin_b
+       FROM agg a JOIN agg b ON b.q_id = a.top1 AND b.top1 = a.q_id
+       WHERE a.q_id < b.q_id"""
+
+
+@query("mutual_knn", _mutual_sql())
+def q_mutual_knn(spark, sf_dir):
+    """Margin-based mutual-nearest-neighbor pair mining (Artetxe &
+    Schwenk, ACL 2019 — the method behind CCMatrix/LASER bitext
+    mining): keep (a, b) only when each is the other's top-1 IVF-gated
+    neighbor, scored by the margin cos(a,b) / mean(top-k cosines) —
+    the ratio criterion that suppresses hub matches a raw threshold
+    lets through. Cosines round once to integer micro-units so the
+    per-query top-k sums are exact; margins are one division each.
+    Plan: the bucket-gated scoring join, one per-query top-k window, a
+    self-join of the QUERY-GRAIN aggregate with itself (tiny)."""
+    from pliers_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ivf_topk(emb, emb, "vec_id", "embedding", "vec_id", "embedding", "label", k=4)
+    t = topk.select(
+        "q_id", "c_id", "rank",
+        F.round(F.col("cosine") * F.lit(1e6), 0).cast("long").alias("cos_fp"),
+    )
+    agg = t.groupBy("q_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("c_id"))).cast("long").alias("top1"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_fp"))).cast("long").alias("cos1_fp"),
+        F.sum("cos_fp").cast("long").alias("sum_fp"),
+        F.count(F.lit(1)).cast("long").alias("kk"),
+    ).localCheckpoint(eager=True)  # both sides of the mutual self-join
+    a = agg
+    b = agg.select(
+        F.col("q_id").alias("b_q"), F.col("top1").alias("b_top1"),
+        F.col("cos1_fp").alias("b_cos1"), F.col("sum_fp").alias("b_sum"),
+        F.col("kk").alias("b_kk"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        a.join(b, (F.col("b_q") == F.col("top1")) & (F.col("b_top1") == F.col("q_id")))
+        .where(F.col("q_id") < F.col("b_q"))
+        .select(
+            F.col("q_id").alias("id_a"), F.col("top1").alias("id_b"),
+            F.round(F.col("cos1_fp") / F.lit(1e6), 6).alias("cosine"),
+            # 4dp, not 6: a last-ulp dot-product difference can flip one
+            # constituent cosine's 6dp rounding and shift sum_fp by 1 —
+            # the margin quotient amplifies that past 1e-6 (see verify
+            # skill note on near-collinear quotients)
+            F.round(d_("kk") * d_("cos1_fp") / d_("sum_fp"), 4).alias("margin_a"),
+            F.round(d_("b_kk") * d_("b_cos1") / d_("b_sum"), 4).alias("margin_b"),
+        )
+    )
+
+
+_SW_MIN_SHARE_PPM = 100_000  # token must appear in >=10% of EVERY source's docs
+
+
+@query(
+    "stopword_discovery",
+    f"""WITH dt AS (
+         SELECT DISTINCT source, doc_id,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       nd AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM documents GROUP BY source),
+       df AS (SELECT source, token, count(*)::BIGINT AS df FROM dt GROUP BY 1, 2),
+       shares AS (
+         SELECT df.token,
+                min(CAST(round(1000000.0 * df.df / nd.n_docs) AS BIGINT)) AS min_share_ppm,
+                count(*)::BIGINT AS n_sources
+         FROM df JOIN nd USING (source)
+         GROUP BY df.token),
+       ns AS (SELECT count(DISTINCT source)::BIGINT AS s FROM documents)
+       SELECT token, min_share_ppm,
+              row_number() OVER (ORDER BY min_share_ppm DESC, token)::BIGINT AS rank
+       FROM shares CROSS JOIN ns
+       WHERE n_sources = ns.s AND min_share_ppm >= {_SW_MIN_SHARE_PPM}
+       QUALIFY rank <= 20""",
+)
+def q_stopword_discovery(spark, sf_dir):
+    """Corpus-driven stopword induction: tokens whose document-frequency
+    share clears 10% in EVERY source, ranked by the MINIMUM share —
+    the min-across-slices criterion keeps domain jargon (frequent in
+    one source only) out, which is how stopword lists are bootstrapped
+    for new languages/domains before any curated list exists (feeds
+    `remove_stopwords` / the max_df gates in the dedup family). One
+    distinct (source, doc, token) census, a token-grain min-aggregate,
+    a broadcast source count; shares round once to ppm integers."""
+    d = _docs(spark, sf_dir)
+    dt = d.select(
+        "source", "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    ).distinct()
+    nd = d.groupBy("source").agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    df = dt.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    shares = (
+        df.join(F.broadcast(nd), "source")
+        .groupBy("token")
+        .agg(
+            F.min(
+                F.round(F.lit(1e6) * F.col("df") / F.col("n_docs"), 0).cast("long")
+            ).alias("min_share_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+    )
+    ns = d.select("source").distinct().count()
+    w = Window.orderBy(F.desc("min_share_ppm"), "token")
+    return (
+        shares.where((F.col("n_sources") == ns) & (F.col("min_share_ppm") >= _SW_MIN_SHARE_PPM))
+        .select("token", "min_share_ppm", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= 20)
+    )
