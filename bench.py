@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "k_anonymity",
     "mutual_knn",
     "stopword_discovery",
+    "rfm_scores",
+    "passage_bm25",
+    "linkage_profile",
 ]
 
 

@@ -13810,3 +13810,185 @@ def q_stopword_discovery(spark, sf_dir):
         .select("token", "min_share_ppm", F.row_number().over(w).cast("long").alias("rank"))
         .where(F.col("rank") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# batch 40: RFM segmentation, passage-level BM25, linkage threshold profile
+
+@query(
+    "rfm_scores",
+    """WITH per_c AS (
+         SELECT o_custkey,
+                max(epoch_us(o_orderdate))::BIGINT AS last_us,
+                count(*)::BIGINT AS freq,
+                CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS mon_fp
+         FROM orders GROUP BY o_custkey),
+       ranked AS (
+         SELECT *, count(*) OVER () AS n,
+                row_number() OVER (ORDER BY last_us, o_custkey) AS rr,
+                row_number() OVER (ORDER BY freq, o_custkey) AS rf,
+                row_number() OVER (ORDER BY mon_fp, o_custkey) AS rm
+         FROM per_c)
+       SELECT o_custkey,
+              ((rr - 1) * 5 // n + 1)::BIGINT AS r_score,
+              ((rf - 1) * 5 // n + 1)::BIGINT AS f_score,
+              ((rm - 1) * 5 // n + 1)::BIGINT AS m_score,
+              (((rr - 1) * 5 // n + 1) * 100
+               + ((rf - 1) * 5 // n + 1) * 10
+               + ((rm - 1) * 5 // n + 1))::BIGINT AS rfm_code
+       FROM ranked""",
+)
+def q_rfm_scores(spark, sf_dir):
+    """RFM customer segmentation (Hughes 1994 — the classic marketing
+    feature triple): recency (latest order date), frequency (order
+    count), monetary (total spend), each exact-rank-quintiled
+    (integer rank arithmetic, custkey tiebreak — no ntile remainder
+    ambiguity) into 1..5 and packed as the familiar 3-digit segment
+    code (555 = best). Per-customer grain after one census; the three
+    rank windows run on the customer-grain table, not the fact table.
+    This is the feature every churn/LTV model starts from."""
+    o = load_table(spark, sf_dir, "orders")
+    from pliers_spark.operators._util import epoch_micros
+
+    per_c = o.groupBy("o_custkey").agg(
+        F.max(epoch_micros(o, "o_orderdate")).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.round(F.sum("o_totalprice") * 100.0, 0).cast("long").alias("mon_fp"),
+    ).localCheckpoint(eager=True)  # three rank windows + final projection
+    n = per_c.count()
+    rr = F.row_number().over(Window.orderBy("last_us", "o_custkey"))
+    rf = F.row_number().over(Window.orderBy("freq", "o_custkey"))
+    rm = F.row_number().over(Window.orderBy("mon_fp", "o_custkey"))
+    ranked = per_c.select(
+        "o_custkey", rr.alias("rr"), rf.alias("rf"), rm.alias("rm")
+    )
+    sc = lambda c: (F.floor((F.col(c) - 1) * 5 / F.lit(n)) + 1).cast("long")  # noqa: E731
+    return ranked.select(
+        "o_custkey",
+        sc("rr").alias("r_score"),
+        sc("rf").alias("f_score"),
+        sc("rm").alias("m_score"),
+        (sc("rr") * 100 + sc("rf") * 10 + sc("rm")).cast("long").alias("rfm_code"),
+    )
+
+
+_PASSAGE_W = 32
+
+
+def _passage_bm25_sql(w: int = _PASSAGE_W, k: int = 3) -> str:
+    from pliers_spark.operators.ir import bm25_topk_sql
+
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       ptoks AS (
+         SELECT doc_id, t.token, t.pos::BIGINT AS pos
+         FROM (SELECT doc_id,
+                      unnest(string_split(trim(text), ' ')) AS token,
+                      generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS pos
+               FROM documents) t(doc_id, token, pos)),
+       passages AS (
+         SELECT (doc_id * 10000 + pos // {w})::BIGINT AS pid,
+                string_agg(token, ' ' ORDER BY pos) AS ptext
+         FROM ptoks GROUP BY doc_id, pos // {w}),
+       {bm25_topk_sql(table="passages", text_col="ptext", id_col="pid", k=k,
+                      tail=f"SELECT q_id, pid // 10000 AS doc_id, pid % 10000 AS passage_idx, score_fp, rank FROM bm25")}"""
+
+
+@query("passage_bm25", _passage_bm25_sql())
+def q_passage_bm25(spark, sf_dir):
+    """Passage-level BM25 retrieval: documents split into {_PASSAGE_W}-
+    token passages (the retrieve-then-read granularity RAG stacks
+    index), each passage scored as its own BM25 unit against the seed
+    queries, top-3 passages returned with (doc, passage index) — finer
+    than `bm25_topk`'s whole-doc ranking and the direct feeder for
+    `chunk_windows`-style context assembly. The passage table reuses
+    the content-defined ordering census (posexplode → per-passage
+    concat); the scoring plan is exactly operators/ir.bm25_topk with
+    passages as the corpus — no new shuffle shapes."""
+    from pliers_spark.operators.ir import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    seeds = (
+        d.orderBy("doc_id").limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    toks = d.select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+    passages = (
+        toks.groupBy("doc_id", F.floor(F.col("pos") / _PASSAGE_W).cast("long").alias("blk"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("ptext")
+        )
+        .select((F.col("doc_id") * 10000 + F.col("blk")).alias("pid"), "ptext")
+    )
+    out = bm25_topk(passages, seeds, text_col="ptext", id_col="pid", k=3)
+    return out.select(
+        "q_id",
+        (F.col("pid") / 10000).cast("long").alias("doc_id"),
+        (F.col("pid") % 10000).cast("long").alias("passage_idx"),
+        "score_fp",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _linkage_sql() -> str:
+    reaches = []
+    for t in (1, 2, 3):
+        reaches.append(f"""
+       e{t} AS (SELECT id_a AS src, id_b AS dst FROM nd_pairs WHERE hamming <= {t}
+                UNION SELECT id_b, id_a FROM nd_pairs WHERE hamming <= {t}),
+       reach{t}(node, peer) AS (
+         SELECT src, src FROM e{t}
+         UNION
+         SELECT r.node, e.dst FROM reach{t} r JOIN e{t} e ON r.peer = e.src),
+       cc{t} AS (SELECT node, min(peer) AS cid FROM reach{t} GROUP BY node),
+       row{t} AS (
+         SELECT {t}::BIGINT AS max_hamming,
+                (SELECT count(*) FROM nd_pairs WHERE hamming <= {t})::BIGINT AS n_pairs,
+                (SELECT count(*) FROM cc{t})::BIGINT AS n_nodes,
+                (SELECT count(DISTINCT cid) FROM cc{t})::BIGINT AS n_clusters)""")
+    return (
+        f"WITH RECURSIVE {_simhash_pairs_cte()}," + ",".join(reaches)
+        + " SELECT * FROM row1 UNION ALL SELECT * FROM row2 UNION ALL SELECT * FROM row3"
+    )
+
+
+@query("linkage_profile", _linkage_sql())
+def q_linkage_profile(spark, sf_dir):
+    """Dedup-threshold sensitivity profile: the SimHash near-dup graph
+    is banded ONCE at the loosest threshold (Hamming ≤ 3 carries the
+    distance), then single-linkage components are computed at Hamming
+    ≤ 1, ≤ 2, ≤ 3 by filtering the SAME pair list — pairs, touched
+    nodes, and cluster counts per threshold. This is the dial-setting
+    report (how much mass each notch of fuzziness merges) a dedup
+    owner reads before fixing the production threshold; the expensive
+    corpus banding never re-runs per threshold."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    ).localCheckpoint(eager=True)
+    rows = []
+    for t in (1, 2, 3):
+        pt = pairs.where(F.col("hamming") <= t).select("id_a", "id_b")
+        n_pairs = pt.count()
+        if n_pairs:
+            cc = D.connected_components(pt)
+            n_nodes = cc.count()
+            n_clusters = cc.select("cluster_id").distinct().count()
+        else:
+            n_nodes = n_clusters = 0
+        rows.append((t, n_pairs, n_nodes, n_clusters))
+    return spark.createDataFrame(
+        rows, "max_hamming long, n_pairs long, n_nodes long, n_clusters long"
+    )
