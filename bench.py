@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "rfm_scores",
     "passage_bm25",
     "linkage_profile",
+    "deleted_interpolation",
+    "rmst",
+    "pr_auc",
 ]
 
 

@@ -13992,3 +13992,240 @@ def q_linkage_profile(spark, sf_dir):
     return spark.createDataFrame(
         rows, "max_hamming long, n_pairs long, n_nodes long, n_clusters long"
     )
+
+
+# --------------------------------------------------------------------------
+# batch 41: deleted-interpolation lambdas, RMST, PR-AUC
+
+@query(
+    "deleted_interpolation",
+    """WITH base AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       bi AS (
+         SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                unnest(toks[2:len(toks)]) AS w2
+         FROM base),
+       c2 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+       c1 AS (SELECT w1, sum(c)::BIGINT AS cw1 FROM c2 GROUP BY w1),
+       u AS (SELECT w2, sum(c)::BIGINT AS cw2 FROM c2 GROUP BY w2),
+       nn AS (SELECT sum(c)::BIGINT AS n FROM c2),
+       votes AS (
+         SELECT
+           sum(CASE WHEN (c2.c - 1) * (nn.n - 1) > (u.cw2 - 1) * (c1.cw1 - 1)
+                    THEN c2.c ELSE 0 END)::BIGINT AS v_bi,
+           sum(CASE WHEN (c2.c - 1) * (nn.n - 1) <= (u.cw2 - 1) * (c1.cw1 - 1)
+                    THEN c2.c ELSE 0 END)::BIGINT AS v_uni
+         FROM c2 JOIN c1 USING (w1) JOIN u USING (w2) CROSS JOIN nn)
+       SELECT v_uni, v_bi,
+              round(v_uni::DOUBLE / (v_uni + v_bi), 6) AS lambda_uni,
+              round(v_bi::DOUBLE / (v_uni + v_bi), 6) AS lambda_bi
+       FROM votes""",
+)
+def q_deleted_interpolation(spark, sf_dir):
+    """Deleted-interpolation smoothing weights (Brants, ANLP 2000 — the
+    TnT tagger's λ estimation): every bigram token votes its count for
+    the bigram or unigram model depending on which deleted estimate is
+    larger, (c₂−1)/(c(w₁)−1) vs (c(w₂)−1)/(N−1) — compared EXACTLY by
+    integer cross-multiplication (ties, including the c=1 singleton
+    mass, fall to the unigram back-off as TnT's safer default). The
+    normalized λs are the interpolation weights `lm_score`-family
+    models would use. Plan: one bigram census, two marginal aggs on
+    its grain, a single vote row."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(T.tokenize(F.col("text")).alias("toks"))
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))).alias("a"),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("cw1"))
+    u = c2.groupBy("w2").agg(F.sum("c").cast("long").alias("cw2"))
+    nn = c2.agg(F.sum("c").cast("long").alias("n"))
+    j = c2.join(c1, "w1").join(u, "w2").crossJoin(F.broadcast(nn))
+    bi_wins = (F.col("c") - 1) * (F.col("n") - 1) > (F.col("cw2") - 1) * (F.col("cw1") - 1)
+    votes = j.agg(
+        F.sum(F.when(bi_wins, F.col("c")).otherwise(0)).cast("long").alias("v_bi"),
+        F.sum(F.when(~bi_wins, F.col("c")).otherwise(0)).cast("long").alias("v_uni"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return votes.select(
+        "v_uni", "v_bi",
+        F.round(d_("v_uni") / (F.col("v_uni") + F.col("v_bi")), 6).alias("lambda_uni"),
+        F.round(d_("v_bi") / (F.col("v_uni") + F.col("v_bi")), 6).alias("lambda_bi"),
+    )
+
+
+@query(
+    "rmst",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_u,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_u,
+                max(epoch_us(ts)) AS last_u
+         FROM events GROUP BY user_id),
+       spans AS (
+         SELECT user_id,
+                CASE WHEN p_u IS NOT NULL AND p_u > v_u
+                     THEN (p_u - v_u) // 86400000000 END AS conv_day,
+                (last_u - v_u) // 86400000000 AS censor_day
+         FROM firsts WHERE v_u IS NOT NULL),
+       days AS (SELECT unnest(range(30))::BIGINT AS day),
+       tbl AS (
+         SELECT d.day,
+                sum(CASE WHEN coalesce(s.conv_day, s.censor_day) >= d.day
+                         THEN 1 ELSE 0 END)::BIGINT AS n,
+                coalesce(sum(CASE WHEN s.conv_day = d.day THEN 1 ELSE 0 END), 0)::BIGINT AS dd
+         FROM days d CROSS JOIN spans s GROUP BY d.day),
+       lg AS (
+         SELECT day, n, dd,
+                CASE WHEN n = 0 THEN 0
+                     WHEN n > dd
+                     THEN CAST(round(1000000.0 * ln(1.0 - dd::DOUBLE / n::DOUBLE))
+                               AS BIGINT) END AS l_fp
+         FROM tbl),
+       surv AS (
+         SELECT day,
+                coalesce(sum(l_fp) OVER (ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING), 0) AS cum_l,
+                min(CASE WHEN l_fp IS NULL THEN day END)
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS dead_at
+         FROM lg),
+       s_fp AS (
+         SELECT day,
+                CASE WHEN dead_at IS NOT NULL THEN 0
+                     ELSE CAST(round(1000000.0 * exp(cum_l / 1000000.0)) AS BIGINT)
+                END AS s
+         FROM surv)
+       SELECT count(*)::BIGINT AS horizon_days,
+              (SELECT count(*) FROM spans)::BIGINT AS n_entities,
+              round(sum(s)::DOUBLE / 1000000.0, 6) AS rmst_days,
+              round(min(s)::DOUBLE / 1000000.0, 6) AS survival_end
+       FROM s_fp""",
+)
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time over a 30-day window (Royston &
+    Parmar 2013 — the clinically preferred KM summary, here 'expected
+    days until first purchase'): survival is the KM product computed in
+    LOG space — per-day ln(1−hazard) rounds once to integer micro-nats,
+    the cumulative sum is exact int64 (order-proof, unlike a float
+    product), each day's survival exp()s the rounded cumsum once, and
+    RMST sums the per-day micro-unit survivals exactly. A day with
+    hazard 1 zeroes survival from then on. Reuses `hazard_table`'s
+    risk-set construction (entities collapse to one row before the
+    30-row spine fans out)."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    uu = epoch_micros(ev, "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", uu)).alias("v_u"),
+        F.min(F.when(F.col("event_type") == "purchase", uu)).alias("p_u"),
+        F.max(uu).alias("last_u"),
+    )
+    spans = firsts.where(F.col("v_u").isNotNull()).select(
+        F.when(
+            F.col("p_u").isNotNull() & (F.col("p_u") > F.col("v_u")),
+            F.floor((F.col("p_u") - F.col("v_u")) / 86_400_000_000),
+        ).alias("conv_day"),
+        F.floor((F.col("last_u") - F.col("v_u")) / 86_400_000_000).alias("censor_day"),
+    ).localCheckpoint(eager=True)
+    n_entities = spans.count()
+    days = spark.range(30).select(F.col("id").alias("day"))
+    tbl = (
+        days.crossJoin(spans)
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.coalesce("conv_day", "censor_day") >= F.col("day")).cast("int")
+            ).cast("long").alias("n"),
+            F.coalesce(
+                F.sum((F.col("conv_day") == F.col("day")).cast("int")), F.lit(0)
+            ).cast("long").alias("dd"),
+        )
+    )
+    # n = 0 (risk set exhausted by censoring): KM is flat — carry survival
+    # with a zero log-step; n = dd (> 0) is a real death day -> NULL marks it
+    l_fp = F.when(F.col("n") == 0, F.lit(0)).when(
+        F.col("n") > F.col("dd"),
+        F.round(F.lit(1e6) * F.log(F.lit(1.0) - F.col("dd").cast("double") / F.col("n").cast("double")), 0).cast("long"),
+    )
+    lg = tbl.select("day", "n", "dd", l_fp.alias("l_fp"))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    surv = lg.select(
+        "day",
+        F.coalesce(F.sum("l_fp").over(wprev), F.lit(0)).alias("cum_l"),
+        F.min(F.when(F.col("l_fp").isNull(), F.col("day"))).over(wprev).alias("dead_at"),
+    )
+    s = F.when(F.col("dead_at").isNotNull(), F.lit(0)).otherwise(
+        F.round(F.lit(1e6) * F.exp(F.col("cum_l") / F.lit(1e6)), 0).cast("long")
+    )
+    return surv.select(s.alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("horizon_days"),
+        F.lit(n_entities).cast("long").alias("n_entities"),
+        F.round(F.sum("s").cast("double") / F.lit(1e6), 6).alias("rmst_days"),
+        F.round(F.min("s").cast("double") / F.lit(1e6), 6).alias("survival_end"),
+    )
+
+
+@query(
+    "pr_auc",
+    """WITH base AS (
+         SELECT event_id,
+                CAST(round(value * 1000000.0) AS BIGINT) AS score,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+         FROM events),
+       ranked AS (
+         SELECT label,
+                row_number() OVER (ORDER BY score DESC, event_id) AS i,
+                sum(label) OVER (ORDER BY score DESC, event_id) AS cum_pos
+         FROM base),
+       terms AS (
+         SELECT label,
+                CASE WHEN label = 1
+                     THEN CAST(round(1000000000.0 * cum_pos / i) AS BIGINT)
+                     ELSE 0 END AS t_fp
+         FROM ranked)
+       SELECT sum(label)::BIGINT AS n_pos,
+              count(*)::BIGINT AS n,
+              round(sum(t_fp)::DOUBLE / (sum(label)::DOUBLE * 1000000000.0), 6)
+                AS average_precision
+       FROM terms""",
+)
+def q_pr_auc(spark, sf_dir):
+    """Average precision / PR-AUC (the imbalanced-class companion to
+    `roc_auc`): AP = mean over positives of precision-at-their-rank,
+    under the deterministic total order (score desc, event_id) — each
+    positive's precision rounds once to integer nano-units so the sum
+    is exact and tie handling is reproducible, not library-dependent.
+    Same score/label framing as roc_auc (does `value` predict an
+    error event). The global rank window is an EVAL-set pass, per the
+    roc_auc docstring contract."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+    )
+    wr = Window.orderBy(F.desc("score"), "event_id")
+    ranked = base.select(
+        "label",
+        F.row_number().over(wr).alias("i"),
+        F.sum("label").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pos"),
+    )
+    t_fp = F.when(
+        F.col("label") == 1,
+        F.round(F.lit(1e9) * F.col("cum_pos") / F.col("i"), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    return ranked.select("label", t_fp.alias("t_fp")).agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("t_fp").cast("double") / (F.sum("label").cast("double") * F.lit(1e9)), 6
+        ).alias("average_precision"),
+    )
