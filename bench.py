@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "deleted_interpolation",
     "rmst",
     "pr_auc",
+    "qini_curve",
+    "filter_tradeoff",
+    "mrr_recall",
 ]
 
 

@@ -14229,3 +14229,224 @@ def q_pr_auc(spark, sf_dir):
             F.sum("t_fp").cast("double") / (F.sum("label").cast("double") * F.lit(1e9)), 6
         ).alias("average_precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 42: Qini uplift curve, filter operating points, MRR + recall@k
+
+@query(
+    "qini_curve",
+    """WITH u AS (
+         SELECT user_id, (user_id % 2 = 0)::INT AS treat,
+                max((event_type = 'error')::INT)::BIGINT AS y,
+                CAST(round(avg(value) * 1000000.0) AS BIGINT) AS score
+         FROM events GROUP BY user_id),
+       r AS (
+         SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+                count(*) OVER () AS nn
+         FROM u),
+       d AS (
+         SELECT ((rn - 1) * 10 // nn)::BIGINT AS decile,
+                sum(treat)::BIGINT AS nt, sum(1 - treat)::BIGINT AS nc,
+                sum(CASE WHEN treat = 1 THEN y ELSE 0 END)::BIGINT AS rt,
+                sum(CASE WHEN treat = 0 THEN y ELSE 0 END)::BIGINT AS rc
+         FROM r GROUP BY 1),
+       c AS (
+         SELECT decile,
+                sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+                sum(rt) OVER w AS crt, sum(rc) OVER w AS crc
+         FROM d WINDOW w AS (ORDER BY decile))
+       SELECT decile, cnt::BIGINT AS n_treat, cnc::BIGINT AS n_ctrl,
+              crt::BIGINT AS resp_treat, crc::BIGINT AS resp_ctrl,
+              round(crt::DOUBLE - crc::DOUBLE * cnt::DOUBLE / cnc::DOUBLE, 6) AS qini
+       FROM c""",
+)
+def q_qini_curve(spark, sf_dir):
+    """Qini curve for uplift evaluation (Radcliffe 2007 — the standard
+    'did targeting by this score find the persuadables' readout): users
+    ranked by predicted responsiveness (mean event value), cumulative
+    incremental responses qini(d) = Rt − Rc·Nt/Nc per score decile,
+    treatment = even user ids. Deciles come from exact integer rank
+    arithmetic; the cumulative window runs on the 10-row decile grain;
+    the single ratio per decile rounds once. Pairs with `diff_in_diff`
+    (effect) and `cuped_adjustment` (variance) as the experimentation
+    triptych."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "error").cast("int")).cast("long").alias("y"),
+        F.round(F.avg("value") * F.lit(1e6), 0).cast("long").alias("score"),
+    ).select(
+        "user_id", (F.col("user_id") % 2 == 0).cast("int").alias("treat"), "y", "score"
+    )
+    n = u.count()
+    rn = F.row_number().over(Window.orderBy(F.desc("score"), "user_id"))
+    r = u.select("*", rn.alias("rn"))
+    d = r.groupBy(F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("long").alias("decile")).agg(
+        F.sum("treat").cast("long").alias("nt"),
+        F.sum(1 - F.col("treat")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0)).cast("long").alias("rt"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0)).cast("long").alias("rc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "decile",
+        F.sum("nt").over(wc).alias("cnt"), F.sum("nc").over(wc).alias("cnc"),
+        F.sum("rt").over(wc).alias("crt"), F.sum("rc").over(wc).alias("crc"),
+    )
+    d_ = lambda col: F.col(col).cast("double")  # noqa: E731
+    return c.select(
+        "decile",
+        F.col("cnt").cast("long").alias("n_treat"),
+        F.col("cnc").cast("long").alias("n_ctrl"),
+        F.col("crt").cast("long").alias("resp_treat"),
+        F.col("crc").cast("long").alias("resp_ctrl"),
+        F.round(d_("crt") - d_("crc") * d_("cnt") / d_("cnc"), 6).alias("qini"),
+    )
+
+
+def _tradeoff_sql() -> str:
+    rows = []
+    for t in (0.4, 0.5, 0.6):
+        rows.append(f"""(
+          SELECT {t}::DOUBLE AS threshold,
+                 sum((quality >= {t})::INT)::BIGINT AS n_kept,
+                 round(sum((quality >= {t})::INT)::DOUBLE / count(*), 6) AS keep_rate,
+                 round(sum((quality >= {t} AND lang = 'en')::INT)::DOUBLE
+                       / sum((lang = 'en')::INT), 6) AS good_recall,
+                 CASE WHEN sum((quality >= {t})::INT) > 0
+                      THEN round(sum((quality >= {t} AND lang = 'en')::INT)::DOUBLE
+                                 / sum((quality >= {t})::INT), 6) END AS good_precision
+          FROM j)""")
+    return (
+        f"""WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}) t),
+       j AS (SELECT q.quality, d.lang FROM documents d JOIN q ON q.doc_id = d.doc_id)
+       """
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query("filter_tradeoff", _tradeoff_sql())
+def q_filter_tradeoff(spark, sf_dir):
+    """Quality-filter operating-point table: for thresholds 0.4/0.5/0.6
+    of the composite quality score, the kept volume, the recall of the
+    proxy-good class (lang='en' stands in for the labeled slice a team
+    actually audits), and the precision of the kept set — the three
+    numbers that pick a production filter threshold (`quality_filter`
+    applies one; this query is how it gets chosen). One doc-grain
+    quality map feeds all thresholds; each operating point is a single
+    census row."""
+    d = _docs(spark, sf_dir)
+    j = d.select(
+        T.quality_score("text").alias("quality"), "lang"
+    ).localCheckpoint(eager=True)  # one quality pass, three thresholds
+    outs = []
+    for t in (0.4, 0.5, 0.6):
+        kept = (F.col("quality") >= t).cast("int")
+        good = (F.col("lang") == "en").cast("int")
+        outs.append(
+            j.agg(
+                F.lit(float(t)).alias("threshold"),
+                F.sum(kept).cast("long").alias("n_kept"),
+                F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+                F.round(
+                    F.sum(kept * good).cast("double") / F.sum(good), 6
+                ).alias("good_recall"),
+                F.when(
+                    F.sum(kept) > 0,
+                    F.round(F.sum(kept * good).cast("double") / F.sum(kept), 6),
+                ).alias("good_precision"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _mrr_sql(k: int = 5, rel_min: int = 3) -> str:
+    from pliers_spark.operators.ir import bm25_topk_sql
+
+    tail = f""", rel AS (
+  SELECT qt.q_id, tf.doc_id, count(tf.term)::BIGINT AS rel
+  FROM qt JOIN tf ON tf.term = qt.term
+  GROUP BY 1, 2),
+relevant AS (SELECT q_id, doc_id FROM rel WHERE rel >= {rel_min}),
+hits AS (
+  SELECT b.q_id, b.rank,
+         (r.doc_id IS NOT NULL)::INT AS is_rel
+  FROM bm25 b LEFT JOIN relevant r ON r.q_id = b.q_id AND r.doc_id = b.doc_id),
+mq AS (
+  SELECT q_id,
+         min(CASE WHEN is_rel = 1 THEN rank END)::BIGINT AS first_rel_rank,
+         sum(is_rel)::BIGINT AS n_rel_at_k
+  FROM hits GROUP BY q_id),
+tot AS (SELECT q_id, count(*)::BIGINT AS n_rel_total FROM relevant GROUP BY q_id)
+SELECT t.q_id,
+       p.first_rel_rank,
+       coalesce(CAST(round(1000000.0 / p.first_rel_rank) AS BIGINT), 0)::BIGINT AS rr_fp,
+       t.n_rel_total,
+       coalesce(p.n_rel_at_k, 0)::BIGINT AS n_rel_at_k,
+       round(coalesce(p.n_rel_at_k, 0)::DOUBLE / t.n_rel_total, 6) AS recall_at_k
+FROM tot t LEFT JOIN mq p USING (q_id)"""
+    return f"""WITH seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds),
+       {bm25_topk_sql(k=k, tail=tail)}"""
+
+
+@query("mrr_recall", _mrr_sql())
+def q_mrr_recall(spark, sf_dir):
+    """MRR and recall@5 of the BM25 retriever against term-containment
+    relevance (a doc is relevant to a query iff it contains ≥3 of the
+    query's 6 terms — the same grading basis as `ndcg_at_k`): per
+    query, the reciprocal rank of the first relevant hit (integer
+    micro-units; 0 when none in the top-5) and the share of ALL
+    relevant corpus docs captured in the top-5. Completes the ranking-
+    eval suite (NDCG = graded order, MRR = first-hit latency, recall =
+    capture). The corpus-wide relevance census is one broadcast
+    term-join over the SAME tf table the scorer builds."""
+    from pliers_spark.operators.ir import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id").limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
+    qt = seeds.distinct().localCheckpoint(eager=True)
+    tf = (
+        docs.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    rel = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+        .where(F.col("rel") >= 3)
+        .select("q_id", "doc_id")
+        .localCheckpoint(eager=True)  # feeds totals AND the top-k join
+    )
+    hits = cand.join(
+        rel.withColumn("is_rel", F.lit(1)), ["q_id", "doc_id"], "left"
+    ).select("q_id", "rank", F.coalesce("is_rel", F.lit(0)).alias("is_rel"))
+    per_q = hits.groupBy("q_id").agg(
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).cast("long").alias("first_rel_rank"),
+        F.sum("is_rel").cast("long").alias("n_rel_at_k"),
+    )
+    tot = rel.groupBy("q_id").agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    return tot.join(per_q, "q_id", "left").select(
+        "q_id", "first_rel_rank",
+        F.coalesce(
+            F.round(F.lit(1e6) / F.col("first_rel_rank"), 0).cast("long"), F.lit(0)
+        ).alias("rr_fp"),
+        "n_rel_total",
+        F.coalesce("n_rel_at_k", F.lit(0)).cast("long").alias("n_rel_at_k"),
+        F.round(
+            F.coalesce("n_rel_at_k", F.lit(0)).cast("double") / F.col("n_rel_total"), 6
+        ).alias("recall_at_k"),
+    )
