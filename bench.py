@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "qini_curve",
     "filter_tradeoff",
     "mrr_recall",
+    "capture_recapture",
+    "jsd_contributors",
+    "dispersion_index",
 ]
 
 

@@ -14450,3 +14450,218 @@ def q_mrr_recall(spark, sf_dir):
             F.coalesce("n_rel_at_k", F.lit(0)).cast("double") / F.col("n_rel_total"), 6
         ).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 43: capture-recapture sizing, JSD contributors, dispersion index
+
+@query(
+    "capture_recapture",
+    """WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+       b AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+       s AS (
+         SELECT (SELECT count(*) FROM a)::BIGINT AS n1,
+                (SELECT count(*) FROM b)::BIGINT AS n2,
+                (SELECT count(*) FROM a JOIN b USING (h))::BIGINT AS m,
+                (SELECT count(DISTINCT md5(text)) FROM documents)::BIGINT AS true_distinct)
+       SELECT n1, n2, m, true_distinct,
+              round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0, 6)
+                AS chapman_estimate,
+              CASE WHEN m > 0
+                   THEN round(((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE
+                               - 1.0 - true_distinct::DOUBLE)
+                              / true_distinct::DOUBLE, 6) END AS rel_err
+       FROM s""",
+)
+def q_capture_recapture(spark, sf_dir):
+    """Capture-recapture corpus-size estimation (Lincoln-Petersen with
+    the Chapman bias correction, Chapman 1951): treat the even- and
+    odd-id halves as two independent crawls, mark-recapture on exact
+    content hash, and estimate the TRUE distinct-document population
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — how crawl teams estimate 'how much of
+    the web (or of a dark corpus) are we seeing' from two overlapping
+    passes, audited here against the known distinct count. All counts
+    are exact censuses on the content-hash key; one rounded estimate."""
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
+    b = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
+    n1 = a.count()
+    n2 = b.count()
+    m = a.join(b, "h").count()
+    true_distinct = d.select(F.md5("text")).distinct().count()
+    chapman = round((n1 + 1) * (n2 + 1) / (m + 1) - 1.0, 6)
+    rel = round((chapman - true_distinct) / true_distinct, 6) if m > 0 else None
+    return spark.createDataFrame(
+        [(n1, n2, m, true_distinct, chapman, rel)],
+        "n1 long, n2 long, m long, true_distinct long, "
+        "chapman_estimate double, rel_err double",
+    )
+
+
+@query(
+    "jsd_contributors",
+    f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       topv AS (
+         SELECT token FROM (SELECT token, sum(c) AS tc FROM cnt GROUP BY token)
+         ORDER BY tc DESC, token LIMIT {_JSD_V}),
+       mapped AS (
+         SELECT cnt.source,
+                CASE WHEN topv.token IS NOT NULL THEN cnt.token ELSE '<other>' END AS tok,
+                sum(cnt.c)::BIGINT AS c
+         FROM cnt LEFT JOIN topv ON topv.token = cnt.token
+         GROUP BY 1, 2),
+       ns AS (SELECT source, sum(c)::BIGINT AS n FROM mapped GROUP BY source),
+       pr AS (SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+              FROM ns a JOIN ns b ON a.source < b.source),
+       cells AS (
+         SELECT pr.src_a, pr.src_b, pr.na, pr.nb, t.tok,
+                coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+         FROM pr CROSS JOIN (SELECT DISTINCT tok FROM mapped) t
+         LEFT JOIN mapped ca ON ca.source = pr.src_a AND ca.tok = t.tok
+         LEFT JOIN mapped cb ON cb.source = pr.src_b AND cb.tok = t.tok),
+       terms AS (
+         SELECT src_a, src_b, tok,
+                (CASE WHEN a > 0
+                      THEN a * CAST(round(1000000.0 * ln(2.0 * a::DOUBLE * nb::DOUBLE
+                                    / (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+                               AS BIGINT) ELSE 0 END)::DOUBLE / na
+                + (CASE WHEN b > 0
+                        THEN b * CAST(round(1000000.0 * ln(2.0 * b::DOUBLE * na::DOUBLE
+                                      / (a::DOUBLE * nb::DOUBLE + b::DOUBLE * na::DOUBLE)))
+                                 AS BIGINT) ELSE 0 END)::DOUBLE / nb AS raw
+         FROM cells WHERE a > 0 OR b > 0)
+       SELECT src_a, src_b, tok,
+              round(raw / 2000000.0, 6) AS contribution,
+              row_number() OVER (PARTITION BY src_a, src_b
+                                 ORDER BY round(raw / 2000000.0, 6) DESC, tok)::BIGINT
+                AS rank
+       FROM terms QUALIFY rank <= 10""",
+)
+def q_jsd_contributors(spark, sf_dir):
+    """Per-token decomposition of the Jensen-Shannon divergence (the
+    shifterator/word-shift-graph readout, Gallagher et al. 2021): for
+    every source pair, the 10 tokens contributing most to `source_jsd`
+    — pointwise JSD terms are nonnegative, so the head of this list IS
+    the explanation of the drift ('why do these sources differ').
+    Identical cell construction and micro-nat rounding as source_jsd
+    (the decomposition provably sums to it); ranking on the
+    once-rounded contribution with token tiebreak."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topv = (
+        cnt.groupBy("token").agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "token").limit(_JSD_V).select("token", F.lit(1).alias("keep"))
+    )
+    mapped = (
+        cnt.join(F.broadcast(topv), "token", "left")
+        .select(
+            "source",
+            F.when(F.col("keep") == 1, F.col("token")).otherwise(F.lit("<other>")).alias("tok"),
+            "c",
+        )
+        .groupBy("source", "tok")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ns = mapped.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pr = (
+        ns.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+        .join(ns.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+              F.col("src_a") < F.col("src_b"))
+    )
+    vocab = mapped.select("tok").distinct()
+    cells = (
+        pr.crossJoin(vocab)
+        .join(mapped.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("a")),
+              ["src_a", "tok"], "left")
+        .join(mapped.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("b")),
+              ["src_b", "tok"], "left")
+        .select(
+            "src_a", "src_b", "na", "nb", "tok",
+            F.coalesce("a", F.lit(0)).alias("a"), F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .where((F.col("a") > 0) | (F.col("b") > 0))
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d_("a") * d_("nb") + d_("b") * d_("na")
+    ta = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.round(F.lit(1e6) * F.log(F.lit(2.0) * d_("a") * d_("nb") / den), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    tb = F.when(
+        F.col("b") > 0,
+        F.col("b") * F.round(F.lit(1e6) * F.log(F.lit(2.0) * d_("b") * d_("na") / den), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = cells.select(
+        "src_a", "src_b", "tok",
+        (ta.cast("double") / F.col("na") + tb.cast("double") / F.col("nb")).alias("raw"),
+    )
+    contrib = F.round(F.col("raw") / F.lit(2e6), 6)
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.desc(contrib), "tok")
+    return terms.select(
+        "src_a", "src_b", "tok", contrib.alias("contribution"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).where(F.col("rank") <= 10)
+
+
+@query(
+    "dispersion_index",
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       cnt AS (
+         SELECT user_id, event_type, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       dense AS (
+         SELECT t.event_type, coalesce(cnt.c, 0)::BIGINT AS c
+         FROM users u CROSS JOIN types t
+         LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.event_type = t.event_type),
+       st AS (
+         SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                sum(c::HUGEINT * c::HUGEINT) AS q
+         FROM dense GROUP BY event_type)
+       SELECT event_type, n AS n_users,
+              round(s::DOUBLE / n, 6) AS mean_count,
+              CASE WHEN s > 0
+                   THEN round((q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                              / (s::DOUBLE / n), 6) END AS dispersion,
+              CASE WHEN s > 0
+                   THEN (q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                        / (s::DOUBLE / n) > 1.0 END AS overdispersed
+       FROM st""",
+)
+def q_dispersion_index(spark, sf_dir):
+    """Index of dispersion (variance-to-mean ratio) of per-user event
+    counts, per event type — the count-data diagnostic that decides
+    Poisson vs negative-binomial modeling and flags bursty/bot-like
+    behavior (D ≫ 1 = a few users generate most events; the
+    `token_burstiness` idea at the behavioral grain). The user×type
+    grid is densified with explicit zeros (the dense_counts spine
+    pattern) so absent combinations count; sufficient stats are exact
+    int64/HUGEINT; one ratio per type."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select("event_type", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    dec = "decimal(38,0)"
+    st = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("q"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d_("s") / d_("n")
+    disp = (d_("q") / d_("n") - mean * mean) / mean
+    return st.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.round(mean, 6).alias("mean_count"),
+        F.when(F.col("s") > 0, F.round(disp, 6)).alias("dispersion"),
+        F.when(F.col("s") > 0, disp > 1.0).alias("overdispersed"),
+    )
