@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "capture_recapture",
     "jsd_contributors",
     "dispersion_index",
+    "price_index",
+    "self_excitation",
+    "triangle_nullmodel",
 ]
 
 

@@ -14665,3 +14665,248 @@ def q_dispersion_index(spark, sf_dir):
         F.when(F.col("s") > 0, F.round(disp, 6)).alias("dispersion"),
         F.when(F.col("s") > 0, disp > 1.0).alias("overdispersed"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 44: price indices, self-excitation lift, triangle null model
+
+@query(
+    "price_index",
+    """WITH m AS (
+         SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month, l_partkey,
+                CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT) AS v_fp,
+                CAST(sum(l_quantity) AS BIGINT) AS q
+         FROM lineitem GROUP BY 1, 2),
+       p AS (
+         SELECT month, l_partkey, q,
+                CAST(round(10000.0 * v_fp / q) AS BIGINT) AS p_fp
+         FROM m),
+       base AS (
+         SELECT l_partkey, q AS q0, p_fp AS p0
+         FROM p WHERE month = (SELECT min(month) FROM p)),
+       j AS (
+         SELECT p.month, p.l_partkey, p.p_fp, p.q, base.q0, base.p0
+         FROM p JOIN base USING (l_partkey)
+         WHERE p.month > (SELECT min(month) FROM p)),
+       agg AS (
+         SELECT month, count(*)::BIGINT AS n_parts,
+                sum(p_fp::HUGEINT * q0::HUGEINT) AS l_num,
+                sum(p0::HUGEINT * q0::HUGEINT) AS l_den,
+                sum(p_fp::HUGEINT * q::HUGEINT) AS pa_num,
+                sum(p0::HUGEINT * q::HUGEINT) AS pa_den
+         FROM j GROUP BY month)
+       SELECT month, n_parts,
+              round(l_num::DOUBLE / l_den::DOUBLE, 6) AS laspeyres,
+              round(pa_num::DOUBLE / pa_den::DOUBLE, 6) AS paasche,
+              round(sqrt((l_num::DOUBLE / l_den::DOUBLE)
+                         * (pa_num::DOUBLE / pa_den::DOUBLE)), 6) AS fisher
+       FROM agg""",
+)
+def q_price_index(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indices per ship month against
+    the first month as base (the national-accounts formulas; Fisher =
+    the 'ideal' geometric mean) over parts transacted in BOTH periods —
+    the longitudinal price-level readout an OLAP commerce stack
+    publishes. Unit prices are once-rounded integer micro-cent rates
+    per (month, part); index numerators/denominators are exact
+    DECIMAL(38,0) sums of int products; the two divisions and one sqrt
+    happen on the month grain. Plan: one fact census, a broadcast base-
+    month dimension join, month-grain math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    m = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"), "l_partkey"
+    ).agg(
+        F.round(F.sum("l_extendedprice") * 100.0, 0).cast("long").alias("v_fp"),
+        F.sum("l_quantity").cast("long").alias("q"),
+    )
+    p = m.select(
+        "month", "l_partkey", "q",
+        F.round(F.lit(1e4) * F.col("v_fp") / F.col("q"), 0).cast("long").alias("p_fp"),
+    ).localCheckpoint(eager=True)  # feeds base dim + fact side
+    min_month = p.agg(F.min("month").alias("mm"))
+    base = p.join(F.broadcast(min_month), p.month == F.col("mm")).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("p_fp").alias("p0")
+    )
+    j = (
+        p.crossJoin(F.broadcast(min_month))
+        .where(F.col("month") > F.col("mm"))
+        .join(F.broadcast(base), "l_partkey")
+    )
+    agg = j.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p_fp").cast(dec) * F.col("q0").cast(dec)).cast(dec).alias("l_num"),
+        F.sum(F.col("p0").cast(dec) * F.col("q0").cast(dec)).cast(dec).alias("l_den"),
+        F.sum(F.col("p_fp").cast(dec) * F.col("q").cast(dec)).cast(dec).alias("pa_num"),
+        F.sum(F.col("p0").cast(dec) * F.col("q").cast(dec)).cast(dec).alias("pa_den"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    las = d_("l_num") / d_("l_den")
+    paa = d_("pa_num") / d_("pa_den")
+    return agg.select(
+        "month", "n_parts",
+        F.round(las, 6).alias("laspeyres"),
+        F.round(paa, 6).alias("paasche"),
+        F.round(F.sqrt(las * paa), 6).alias("fisher"),
+    )
+
+
+@query(
+    "self_excitation",
+    """WITH r AS (
+         SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t_us,
+                lead(event_type) OVER w AS nxt,
+                lead(epoch_us(ts)::BIGINT) OVER w AS nxt_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       v AS (SELECT * FROM r WHERE nxt IS NOT NULL),
+       marg AS (
+         SELECT nxt AS event_type, count(*)::BIGINT AS as_next
+         FROM v GROUP BY nxt),
+       tot AS (SELECT count(*)::BIGINT AS n_trans FROM v),
+       per AS (
+         SELECT event_type,
+                count(*)::BIGINT AS n_from,
+                sum((nxt = event_type AND nxt_us - t_us <= 300000000)::INT)::BIGINT
+                  AS same_soon
+         FROM v GROUP BY event_type)
+       SELECT per.event_type, per.n_from, per.same_soon, marg.as_next, tot.n_trans,
+              round(per.same_soon::DOUBLE / per.n_from, 6) AS p_observed,
+              round(marg.as_next::DOUBLE / tot.n_trans, 6) AS p_marginal,
+              CASE WHEN per.same_soon > 0
+                   THEN round((per.same_soon::DOUBLE / per.n_from)
+                              / (marg.as_next::DOUBLE / tot.n_trans), 6) END AS lift
+       FROM per JOIN marg USING (event_type) CROSS JOIN tot""",
+)
+def q_self_excitation(spark, sf_dir):
+    """Self-excitation lift per event type (the Hawkes-process
+    diagnostic in census form): P(the NEXT event is the same type AND
+    arrives within 5 minutes | current type) against the marginal
+    next-event share of that type — lift ≫ 1 means the type clusters
+    in time (retry storms, scraping bursts, doomscrolling), which is
+    what decides whether a Poisson rate model is honest. One user-key
+    window pass for transitions; type-grain censuses; two divisions
+    and a ratio rounded once. NULL lift when the type never
+    self-follows."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = epoch_micros(ev, "ts").cast("long")
+    r = ev.select(
+        "event_type", t_us.alias("t_us"),
+        F.lead("event_type").over(wu).alias("nxt"),
+        F.lead(t_us).over(wu).alias("nxt_us"),
+    ).where(F.col("nxt").isNotNull()).localCheckpoint(eager=True)
+    marg = r.groupBy(F.col("nxt").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("as_next")
+    )
+    n_trans = r.count()
+    per = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_from"),
+        F.sum(
+            ((F.col("nxt") == F.col("event_type")) & (F.col("nxt_us") - F.col("t_us") <= 300_000_000)).cast("int")
+        ).cast("long").alias("same_soon"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_obs = d_("same_soon") / d_("n_from")
+    p_marg = d_("as_next") / F.lit(float(n_trans))
+    return per.join(marg, "event_type").select(
+        "event_type", "n_from", "same_soon", "as_next",
+        F.lit(n_trans).cast("long").alias("n_trans"),
+        F.round(p_obs, 6).alias("p_observed"),
+        F.round(p_marg, 6).alias("p_marginal"),
+        F.when(F.col("same_soon") > 0, F.round(p_obs / p_marg, 6)).alias("lift"),
+    )
+
+
+@query(
+    "triangle_nullmodel",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       o AS (
+         SELECT s.a AS src, s.b AS dst
+         FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+         WHERE (da.d, s.a) < (db.d, s.b)),
+       tri AS (
+         SELECT count(*)::BIGINT AS t FROM (
+           SELECT e1.src, e1.dst AS v, e2.dst AS w
+           FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+           JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)),
+       st AS (
+         SELECT count(*)::BIGINT AS n, sum(d)::HUGEINT AS sd,
+                sum(d::HUGEINT * (d - 1)::HUGEINT) AS sd2
+         FROM deg)
+       SELECT st.n AS n_nodes, (st.sd / 2)::BIGINT AS n_edges, tri.t AS triangles,
+              round(pow(st.sd2::DOUBLE / st.sd::DOUBLE, 3.0) / 6.0, 6)
+                AS expected_null,
+              CASE WHEN st.sd2 > 0
+                   THEN round(tri.t::DOUBLE
+                              / (pow(st.sd2::DOUBLE / st.sd::DOUBLE, 3.0) / 6.0), 4)
+              END AS clustering_ratio
+       FROM st CROSS JOIN tri""",
+)
+def q_triangle_nullmodel(spark, sf_dir):
+    """Triangle count vs the configuration-model null (Newman 2003,
+    eq. for E[T] ≈ (Σd(d−1)/Σd)³/6): is the co-purchase graph's
+    clustering REAL structure or just what its degree sequence forces?
+    clustering_ratio ≫ 1 = genuine community structure (worth running
+    community detection); ≈ 1 = degree artifact. Reuses the degree-
+    ordered triangle enumeration of `triangle_coeffs` for the exact
+    count; the null expectation needs only the degree census's
+    DECIMAL sufficient stats. Ratio rounds at 4dp (cube of a ratio of
+    near-collinear sums amplifies cross-engine ulps)."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    o = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = o.select("src", F.col("dst").alias("v"))
+    e2 = o.select("src", F.col("dst").alias("w"))
+    wedges = e1.join(e2, "src").where(F.col("v") != F.col("w"))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    t = wedges.join(closing, ["v", "w"]).count()
+    st = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast(dec).alias("sd"),
+        F.sum(F.col("d").cast(dec) * (F.col("d") - 1).cast(dec)).cast(dec).alias("sd2"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    exp_null = F.pow(d_("sd2") / d_("sd"), F.lit(3.0)) / F.lit(6.0)
+    return st.select(
+        F.col("n").alias("n_nodes"),
+        (F.col("sd") / 2).cast("long").alias("n_edges"),
+        F.lit(t).cast("long").alias("triangles"),
+        F.round(exp_null, 6).alias("expected_null"),
+        F.when(F.col("sd2") > 0, F.round(F.lit(float(t)) / exp_null, 4)).alias("clustering_ratio"),
+    )
