@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     "price_index",
     "self_excitation",
     "triangle_nullmodel",
+    "butterfly_count",
+    "weighted_jaccard",
+    "logrank_test",
 ]
 
 

@@ -14910,3 +14910,256 @@ def q_triangle_nullmodel(spark, sf_dir):
         F.round(exp_null, 6).alias("expected_null"),
         F.when(F.col("sd2") > 0, F.round(F.lit(float(t)) / exp_null, 4)).alias("clustering_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 45: butterfly counting, weighted Jaccard, log-rank test
+
+@query(
+    "butterfly_count",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       do_ AS (SELECT l_orderkey, count(*)::BIGINT AS d FROM b GROUP BY 1),
+       dp AS (SELECT l_partkey, count(*)::BIGINT AS d FROM b GROUP BY 1),
+       co AS (
+         SELECT a.l_partkey AS p1, bb.l_partkey AS p2, count(*)::BIGINT AS c_co
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey
+         GROUP BY 1, 2),
+       bf AS (SELECT sum(c_co * (c_co - 1) / 2)::HUGEINT AS butterflies FROM co),
+       l3 AS (
+         SELECT sum((do_.d - 1)::HUGEINT * (dp.d - 1)::HUGEINT) AS paths3
+         FROM b JOIN do_ USING (l_orderkey) JOIN dp USING (l_partkey))
+       SELECT (SELECT count(*) FROM b)::BIGINT AS n_edges,
+              bf.butterflies::BIGINT AS butterflies,
+              l3.paths3::BIGINT AS paths3,
+              CASE WHEN l3.paths3 > 0
+                   THEN round(4.0 * bf.butterflies::DOUBLE / l3.paths3::DOUBLE, 6)
+              END AS bipartite_cc
+       FROM bf CROSS JOIN l3""",
+)
+def q_butterfly_count(spark, sf_dir):
+    """Butterfly (2×2 biclique) counting and the Robins-Alexander
+    bipartite clustering coefficient 4·B/L₃ (Robins & Alexander 2004;
+    Wang et al., VLDB 2019 for the counting shape) over the order-part
+    bipartite graph — bipartite graphs have NO triangles, so this is
+    the correct cohesion measure for user-item / crawl-link data, and
+    the butterfly census is the workhorse behind bipartite community
+    detection. B = Σ C(co_{p1,p2}, 2) from the SAME co-occurrence
+    census item_cosine builds; L₃ (3-paths) = Σ_edges (d_o−1)(d_p−1)
+    from two degree joins. All exact int64/HUGEINT; one ratio."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    do_ = b.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("d_o"))
+    dp = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("d_p"))
+    a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    a2 = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    co = (
+        a1.join(a2, "l_orderkey").where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).cast("long").alias("c_co"))
+    )
+    bf = co.agg(
+        F.sum((F.col("c_co").cast(dec) * (F.col("c_co") - 1).cast(dec) / 2).cast(dec))
+        .cast(dec).alias("butterflies")
+    )
+    l3 = (
+        b.join(do_, "l_orderkey").join(dp, "l_partkey")
+        .agg(
+            F.sum((F.col("d_o") - 1).cast(dec) * (F.col("d_p") - 1).cast(dec))
+            .cast(dec).alias("paths3")
+        )
+    )
+    n_edges = b.count()
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return bf.crossJoin(l3).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.col("butterflies").cast("long").alias("butterflies"),
+        F.col("paths3").cast("long").alias("paths3"),
+        F.when(
+            F.col("paths3") > 0,
+            F.round(F.lit(4.0) * d_("butterflies") / d_("paths3"), 6),
+        ).alias("bipartite_cc"),
+    )
+
+
+@query(
+    "weighted_jaccard",
+    f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       srcs AS (SELECT DISTINCT source FROM cnt),
+       pairs AS (SELECT a.source AS src_a, b.source AS src_b
+                 FROM srcs a JOIN srcs b ON a.source < b.source),
+       cells AS (
+         SELECT p.src_a, p.src_b, t.token,
+                coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+         FROM pairs p CROSS JOIN (SELECT DISTINCT token FROM cnt) t
+         LEFT JOIN cnt ca ON ca.source = p.src_a AND ca.token = t.token
+         LEFT JOIN cnt cb ON cb.source = p.src_b AND cb.token = t.token
+         WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0)
+       SELECT src_a, src_b,
+              round(sum(least(a, b))::DOUBLE / sum(greatest(a, b)), 6)
+                AS weighted_jaccard
+       FROM cells GROUP BY src_a, src_b""",
+)
+def q_weighted_jaccard(spark, sf_dir):
+    """Weighted (multiset) Jaccard similarity between source token
+    frequency vectors: Σ min(fₐ, f_b) / Σ max(fₐ, f_b) — the quantity
+    weighted-MinHash sketches (Ioffe 2010) estimate, computed exactly
+    here as the ground truth those sketches would be audited against;
+    unlike set Jaccard it is sensitive to HOW OFTEN shared vocabulary
+    is used. Everything is exact integer min/max sums from one census;
+    one division per pair. At web scale the cell grid caps to a top-V
+    vocabulary exactly as source_jsd documents."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")), F.col("src_a") < F.col("src_b"))
+    )
+    vocab = cnt.select("token").distinct()
+    cells = (
+        pairs.crossJoin(vocab)
+        .join(cnt.select(F.col("source").alias("src_a"), "token", F.col("c").alias("a")),
+              ["src_a", "token"], "left")
+        .join(cnt.select(F.col("source").alias("src_b"), "token", F.col("c").alias("b")),
+              ["src_b", "token"], "left")
+        .select(
+            "src_a", "src_b",
+            F.coalesce("a", F.lit(0)).alias("a"), F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .where((F.col("a") > 0) | (F.col("b") > 0))
+    )
+    return cells.groupBy("src_a", "src_b").agg(
+        F.round(
+            F.sum(F.least("a", "b")).cast("double") / F.sum(F.greatest("a", "b")), 6
+        ).alias("weighted_jaccard")
+    )
+
+
+@query(
+    "logrank_test",
+    """WITH firsts AS (
+         SELECT user_id, (user_id % 2 = 0) AS treat,
+                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_u,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_u,
+                max(epoch_us(ts)) AS last_u
+         FROM events GROUP BY user_id, (user_id % 2 = 0)),
+       spans AS (
+         SELECT treat,
+                CASE WHEN p_u IS NOT NULL AND p_u > v_u
+                     THEN (p_u - v_u) // 86400000000 END AS conv_day,
+                (last_u - v_u) // 86400000000 AS censor_day
+         FROM firsts WHERE v_u IS NOT NULL),
+       days AS (SELECT unnest(range(30))::BIGINT AS day),
+       tbl AS (
+         SELECT d.day,
+                sum(CASE WHEN s.treat AND coalesce(s.conv_day, s.censor_day) >= d.day
+                         THEN 1 ELSE 0 END)::BIGINT AS n1,
+                sum(CASE WHEN NOT s.treat AND coalesce(s.conv_day, s.censor_day) >= d.day
+                         THEN 1 ELSE 0 END)::BIGINT AS n2,
+                sum(CASE WHEN s.treat AND s.conv_day = d.day THEN 1 ELSE 0 END)::BIGINT AS d1,
+                sum(CASE WHEN NOT s.treat AND s.conv_day = d.day THEN 1 ELSE 0 END)::BIGINT AS d2
+         FROM days d CROSS JOIN spans s GROUP BY d.day),
+       terms AS (
+         SELECT day, n1, n2, d1, d2,
+                CAST(round(1000000.0 * (d1::DOUBLE - (d1 + d2)::DOUBLE * n1::DOUBLE
+                                        / (n1 + n2)::DOUBLE)) AS BIGINT) AS ome_fp,
+                CASE WHEN n1 + n2 > 1
+                     THEN CAST(round(1000000.0 * (d1 + d2)::DOUBLE
+                          * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                          * (n2::DOUBLE / (n1 + n2)::DOUBLE)
+                          * ((n1 + n2 - d1 - d2)::DOUBLE / (n1 + n2 - 1)::DOUBLE))
+                          AS BIGINT)
+                     ELSE 0 END AS v_fp
+         FROM tbl WHERE n1 + n2 > 0 AND d1 + d2 > 0)
+       SELECT count(*)::BIGINT AS event_days,
+              sum(d1)::BIGINT AS events_treat, sum(d2)::BIGINT AS events_ctrl,
+              round(sum(ome_fp)::DOUBLE / 1000000.0, 6) AS o_minus_e,
+              CASE WHEN sum(v_fp) > 0
+                   THEN round((sum(ome_fp)::DOUBLE / 1000000.0)
+                              * (sum(ome_fp)::DOUBLE / 1000000.0)
+                              / (sum(v_fp)::DOUBLE / 1000000.0), 4) END AS chi2_logrank
+       FROM terms""",
+)
+def q_logrank_test(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test comparing time-to-purchase between
+    even- and odd-id users: per event day the hypergeometric O−E and
+    variance terms round ONCE to integer micro-units (exact sums across
+    days — the same order-proofing as every *_fp column), and
+    χ² = (Σ(O−E))²/ΣV rounds at 4dp (a squared quotient amplifies
+    ulps). This is THE standard two-group survival comparison —
+    completing the family: `hazard_table` (shape), `rmst` (magnitude),
+    log-rank (significance). Plan identical to hazard_table with a
+    group column."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    uu = epoch_micros(ev, "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", uu)).alias("v_u"),
+        F.min(F.when(F.col("event_type") == "purchase", uu)).alias("p_u"),
+        F.max(uu).alias("last_u"),
+    ).select("*", (F.col("user_id") % 2 == 0).alias("treat"))
+    spans = firsts.where(F.col("v_u").isNotNull()).select(
+        "treat",
+        F.when(
+            F.col("p_u").isNotNull() & (F.col("p_u") > F.col("v_u")),
+            F.floor((F.col("p_u") - F.col("v_u")) / 86_400_000_000),
+        ).alias("conv_day"),
+        F.floor((F.col("last_u") - F.col("v_u")) / 86_400_000_000).alias("censor_day"),
+    )
+    days = spark.range(30).select(F.col("id").alias("day"))
+    at_risk = F.coalesce("conv_day", "censor_day") >= F.col("day")
+    conv = F.col("conv_day") == F.col("day")
+    tbl = (
+        F.broadcast(days).crossJoin(spans)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("treat") & at_risk, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(~F.col("treat") & at_risk, 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(F.col("treat") & conv, 1).otherwise(0)).cast("long").alias("d1"),
+            F.sum(F.when(~F.col("treat") & conv, 1).otherwise(0)).cast("long").alias("d2"),
+        )
+        .where((F.col("n1") + F.col("n2") > 0) & (F.col("d1") + F.col("d2") > 0))
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    dd = (F.col("d1") + F.col("d2")).cast("double")
+    ome = F.round(F.lit(1e6) * (d_("d1") - dd * d_("n1") / nn), 0).cast("long")
+    v = F.when(
+        F.col("n1") + F.col("n2") > 1,
+        F.round(
+            F.lit(1e6) * dd * (d_("n1") / nn) * (d_("n2") / nn) * ((nn - dd) / (nn - 1)), 0
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = tbl.select("d1", "d2", ome.alias("ome_fp"), v.alias("v_fp"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("event_days"),
+        F.sum("d1").cast("long").alias("events_treat"),
+        F.sum("d2").cast("long").alias("events_ctrl"),
+        F.round(F.sum("ome_fp").cast("double") / F.lit(1e6), 6).alias("o_minus_e"),
+        F.when(
+            F.sum("v_fp") > 0,
+            F.round(
+                (F.sum("ome_fp").cast("double") / F.lit(1e6))
+                * (F.sum("ome_fp").cast("double") / F.lit(1e6))
+                / (F.sum("v_fp").cast("double") / F.lit(1e6)),
+                4,
+            ),
+        ).alias("chi2_logrank"),
+    )
