@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "butterfly_count",
     "weighted_jaccard",
     "logrank_test",
+    "mase_backtest",
+    "fk_orphans",
+    "novelty_decay",
 ]
 
 

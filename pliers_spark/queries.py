@@ -15163,3 +15163,170 @@ def q_logrank_test(spark, sf_dir):
             ),
         ).alias("chi2_logrank"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 46: MASE forecast backtest, FK orphan audit, novelty decay curve
+
+@query(
+    "mase_backtest",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+                count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       lagged AS (
+         SELECT event_type, day, c,
+                lag(c, 1) OVER w AS l1,
+                lag(c, 7) OVER w AS l7
+         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       scored AS (SELECT * FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL)
+       SELECT event_type,
+              count(*)::BIGINT AS n_days,
+              sum(abs(c - l7))::BIGINT AS abs_err_seasonal,
+              sum(abs(c - l1))::BIGINT AS abs_err_naive,
+              CASE WHEN sum(abs(c - l1)) > 0
+                   THEN round(sum(abs(c - l7))::DOUBLE / sum(abs(c - l1)), 6)
+              END AS mase
+       FROM scored GROUP BY event_type""",
+)
+def q_mase_backtest(spark, sf_dir):
+    """MASE forecast backtest (Hyndman & Koehler 2006 — the scale-free
+    forecast-accuracy standard): per event type's daily count series,
+    the seasonal-naive forecast (value 7 days ago) scored against the
+    one-step naive (yesterday) on the SAME days — MASE < 1 means weekly
+    seasonality genuinely helps, the go/no-go before any fancier
+    forecaster ships. Lag positions come from calendar-ordered rows per
+    type; absolute errors are exact int64 sums; one ratio (the shared
+    day count cancels). Plan: one daily census, one type-key window."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 7).over(w).alias("l7"),
+    ).where(F.col("l1").isNotNull() & F.col("l7").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("l7"))).cast("long").alias("abs_err_seasonal"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).cast("long").alias("abs_err_naive"),
+        F.when(
+            F.sum(F.abs(F.col("c") - F.col("l1"))) > 0,
+            F.round(
+                F.sum(F.abs(F.col("c") - F.col("l7"))).cast("double")
+                / F.sum(F.abs(F.col("c") - F.col("l1"))),
+                6,
+            ),
+        ).alias("mase"),
+    )
+
+
+def _fk_sql() -> str:
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        parts.append(f"""(
+          SELECT '{name}' AS relation,
+                 (SELECT count(*) FROM {child})::BIGINT AS child_rows,
+                 (SELECT count(*) FROM {child} c
+                  WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = c.{fk}))::BIGINT AS orphans)""")
+    return " UNION ALL ".join(parts)
+
+
+@query("fk_orphans", _fk_sql())
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit across the star schema's five FK
+    edges: orphan child rows (FK value with no parent) per relation —
+    the first data-quality gate any warehouse load runs (the FK cousin
+    of `dq_checks`' column rules). Each edge is one LEFT ANTI join
+    (never a full outer) against the parent's key projection; counts
+    are exact. At scale each parent side is a broadcast of just the
+    key column."""
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias(fk)).distinct()
+        rows.append((name, c.count(), c.join(p, fk, "left_anti").count()))
+    return spark.createDataFrame(rows, "relation string, child_rows long, orphans long")
+
+
+@query(
+    "novelty_decay",
+    """WITH d AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t,
+                row_number() OVER (ORDER BY doc_id) AS rn,
+                count(*) OVER () AS nn
+         FROM documents),
+       sh AS (
+         SELECT doc_id, rn, nn,
+                t[i] || ' ' || t[i + 1] AS shingle
+         FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+         WHERE len(t) >= 2),
+       firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+       per_doc AS (
+         SELECT sh.doc_id, sh.rn, sh.nn,
+                count(*)::BIGINT AS n_shingles,
+                sum((f.first_doc = sh.doc_id)::INT)::BIGINT AS n_first
+         FROM sh JOIN firsts f USING (shingle)
+         GROUP BY sh.doc_id, sh.rn, sh.nn)
+       SELECT ((rn - 1) * 10 // nn)::BIGINT AS decile,
+              count(*)::BIGINT AS docs,
+              sum(n_shingles)::BIGINT AS shingles,
+              sum(n_first)::BIGINT AS first_seen,
+              round(sum(n_first)::DOUBLE / sum(n_shingles), 6) AS novelty_rate
+       FROM per_doc GROUP BY 1""",
+)
+def q_novelty_decay(spark, sf_dir):
+    """Novelty-decay curve (the diminishing-returns-of-more-data
+    readout; Lee et al. 2022's dedup rationale at corpus grain): docs
+    ordered by ingestion id, split into deciles, and each decile's
+    share of word-bigram shingle OCCURRENCES whose shingle first
+    appears there — early deciles are nearly all novel, late deciles
+    show how much the marginal crawl batch still contributes. One
+    shingle census with a min-doc aggregate (the `ngram_novelty`
+    machinery at curve grain); exact counts, one division per
+    decile."""
+    d = _docs(spark, sf_dir)
+    from pliers_spark.functions.hashing import shingles
+
+    n = d.count()
+    dd = d.select(
+        "doc_id",
+        F.explode(shingles(T.tokenize(F.col("text")), 2)).alias("shingle"),
+    )
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    ranked_docs = d.select("doc_id").select("doc_id", rn.alias("rn"))
+    firsts = dd.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dd.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("long").alias("n_first"),
+        )
+        .join(ranked_docs, "doc_id")
+    )
+    return per_doc.groupBy(
+        F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_shingles").cast("long").alias("shingles"),
+        F.sum("n_first").cast("long").alias("first_seen"),
+        F.round(F.sum("n_first").cast("double") / F.sum("n_shingles"), 6).alias("novelty_rate"),
+    )
