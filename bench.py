@@ -238,6 +238,9 @@ BENCH_QUERIES = [
     "mase_backtest",
     "fk_orphans",
     "novelty_decay",
+    "max_coverage",
+    "rich_club",
+    "srm_check",
 ]
 
 

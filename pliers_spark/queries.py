@@ -15330,3 +15330,189 @@ def q_novelty_decay(spark, sf_dir):
         F.sum("n_first").cast("long").alias("first_seen"),
         F.round(F.sum("n_first").cast("double") / F.sum("n_shingles"), 6).alias("novelty_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 47: greedy max-coverage selection, rich-club coefficient, SRM check
+
+_MAXCOV_K = 5
+
+
+def _maxcov_sql(k: int = _MAXCOV_K) -> str:
+    parts = ["""sh AS (
+         SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS s
+         FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) d,
+              LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+         WHERE len(t) >= 2)"""]
+    prev_cov = None
+    rows = []
+    for i in range(1, k + 1):
+        uncov = "sh" if prev_cov is None else (
+            f"(SELECT sh.* FROM sh WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {prev_cov} c WHERE c.s = sh.s))"
+        )
+        parts.append(f"""r{i} AS (
+         SELECT doc_id, count(*)::BIGINT AS gain
+         FROM {uncov} u GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)""")
+        cov_body = f"SELECT s FROM sh WHERE doc_id = (SELECT doc_id FROM r{i})"
+        if prev_cov is not None:
+            cov_body = f"SELECT s FROM {prev_cov} UNION {cov_body}"
+        parts.append(f"c{i} AS ({cov_body})")
+        rows.append(
+            f"SELECT {i}::BIGINT AS round, doc_id, gain, "
+            f"(SELECT count(*) FROM c{i})::BIGINT AS covered_total FROM r{i}"
+        )
+        prev_cov = f"c{i}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("max_coverage", _maxcov_sql())
+def q_max_coverage(spark, sf_dir):
+    """Greedy maximum-coverage document selection (the (1−1/e)-optimal
+    submodular greedy; Nemhauser 1978): pick {_MAXCOV_K} documents that
+    together cover the most distinct word-bigram shingles — the
+    'diverse exemplar subset' move behind seed-set curation, eval-set
+    construction, and coverage-driven dedup retention. Each round is
+    one anti-join of the shingle census against the covered set plus a
+    distributed argmax (count desc, doc_id tie); the covered set is
+    checkpointed per round so the census never recomputes. The driver
+    loop is K iterations — the idiomatic Spark shape for greedy
+    submodular selection (same structure as the CC operator)."""
+    from pliers_spark.functions.hashing import shingles
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(shingles(T.tokenize(F.col("text")), 2)).alias("s")
+    ).distinct().localCheckpoint(eager=True)
+    covered = None
+    out = []
+    for rnd in range(1, _MAXCOV_K + 1):
+        uncov = sh if covered is None else sh.join(covered, "s", "left_anti")
+        picks = (
+            uncov.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        )
+        if not picks:  # coverage exhausted — later rounds have no argmax row
+            break
+        pick = picks[0]
+        new_cov = sh.where(F.col("doc_id") == pick.doc_id).select("s")
+        covered = (
+            new_cov if covered is None else covered.unionAll(new_cov).distinct()
+        ).distinct().localCheckpoint(eager=True)
+        out.append((rnd, pick.doc_id, pick.gain, covered.count()))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    )
+
+
+def _rich_club_sql() -> str:
+    parts = []
+    for k in (2, 4, 8):
+        parts.append(f"""(
+          SELECT {k}::BIGINT AS k,
+                 (SELECT count(*) FROM deg WHERE d > {k})::BIGINT AS n_rich,
+                 (SELECT count(*) FROM e
+                  JOIN deg da ON da.node = e.u AND da.d > {k}
+                  JOIN deg db ON db.node = e.v AND db.d > {k})::BIGINT AS rich_edges,
+                 CASE WHEN (SELECT count(*) FROM deg WHERE d > {k}) >= 2
+                      THEN round(2.0 * (SELECT count(*) FROM e
+                                        JOIN deg da ON da.node = e.u AND da.d > {k}
+                                        JOIN deg db ON db.node = e.v AND db.d > {k})::DOUBLE
+                                 / ((SELECT count(*) FROM deg WHERE d > {k})::DOUBLE
+                                    * ((SELECT count(*) FROM deg WHERE d > {k}) - 1)::DOUBLE), 6)
+                 END AS phi)""")
+    return (
+        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a)
+       """
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("rich_club", _rich_club_sql())
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004): the edge
+    density among nodes of degree > k, for k ∈ {2,4,8} — rising φ(k)
+    means hubs preferentially interconnect (an elite core that
+    dominates mixing and makes hub-failure catastrophic); flat/falling
+    φ means hubs spread out. Companion to `degree_assortativity` (one
+    number) with the k-resolved view. Degree census once; per-k the
+    rich subgraph is two broadcast-size degree joins; exact counts,
+    one density ratio per k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    rows = []
+    for k in (2, 4, 8):
+        rich = deg.where(F.col("d") > k).select("node")
+        n_rich = rich.count()
+        rich_edges = (
+            e.join(rich.withColumnRenamed("node", "u"), "u")
+            .join(rich.withColumnRenamed("node", "v"), "v")
+            .count()
+        )
+        phi = (
+            round(2.0 * rich_edges / (n_rich * (n_rich - 1)), 6) if n_rich >= 2 else None
+        )
+        rows.append((k, n_rich, rich_edges, phi))
+    return spark.createDataFrame(
+        rows, "k long, n_rich long, rich_edges long, phi double"
+    )
+
+
+@query(
+    "srm_check",
+    """WITH v AS (
+         SELECT (user_id % 2 = 0) AS arm_a FROM events),
+       s AS (
+         SELECT sum(arm_a::INT)::BIGINT AS n_a,
+                sum((NOT arm_a)::INT)::BIGINT AS n_b
+         FROM v)
+       SELECT n_a, n_b,
+              round((n_a - n_b)::DOUBLE * (n_a - n_b)::DOUBLE
+                    / (n_a + n_b)::DOUBLE, 6) AS chi2,
+              (n_a - n_b)::DOUBLE * (n_a - n_b)::DOUBLE / (n_a + n_b)::DOUBLE
+                > 3.841459 AS srm_flag
+       FROM s""",
+)
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check (Kohavi's #1 A/B validity gate): the
+    even/odd user split should route ~50% of EVENTS to each arm; the
+    1-df chi-square (n_a−n_b)²/(n_a+n_b) against the 0.05 critical
+    value 3.841459 flags exposure imbalance (activity skew, logging
+    loss, assignment bugs) before anyone reads the metric movement.
+    Users are assigned deterministically but their ACTIVITY is not, so
+    this genuinely tests traffic balance. One census row; one ratio."""
+    ev = _events(spark, sf_dir)
+    s = ev.select((F.col("user_id") % 2 == 0).cast("int").alias("a")).agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("a")).cast("long").alias("n_b"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    chi2 = (d_("n_a") - d_("n_b")) * (d_("n_a") - d_("n_b")) / (d_("n_a") + d_("n_b"))
+    return s.select(
+        "n_a", "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm_flag"),
+    )
