@@ -665,14 +665,27 @@ def connected_components(
     )
     changed = -1
     for _ in range(max_iter):
-        # candidate label for dst = current label of src; keep own label too
+        # phase 1 — propagate: candidate label for dst = current label of
+        # src; keep own label too
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        hop = (
             prop.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # phase 2 — shortcut (pointer jumping, the Hash-to-Min idea,
+        # Rastogi et al. 2013): label(v) <- label(label(v)). A label is
+        # always an existing node id, so the self-join resolves; this
+        # halves remaining path lengths each round, turning convergence
+        # from O(diameter) rounds into O(log diameter) — a 5000-point
+        # DBSCAN blob (diameter >> 25) converges where one-hop
+        # propagation hit the round cap.
+        lut = hop.select(F.col("node").alias("label"), F.col("label").alias("label2"))
+        new_labels = (
+            hop.join(lut, "label", "left")
+            .select("node", F.coalesce("label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -258,11 +258,24 @@ def test_connected_components_random_vs_union_find(spark, seed):
 
 
 def test_connected_components_nonconvergence_raises(spark):
-    # diameter 5 > max_iter=3 → must fail loudly, never return split clusters
-    edges = [(i, i + 1) for i in range(1, 6)]
+    # with pointer jumping one round resolves only a few hops — a
+    # 40-long path cannot converge in max_iter=1 → must fail loudly,
+    # never return split clusters
+    edges = [(i, i + 1) for i in range(1, 41)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iter=3)
+        D.connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_long_path_converges_log_rounds(spark):
+    # a 60-node path (diameter 60) must converge well inside 25 rounds
+    # thanks to the shortcut phase — this is the case that capped out
+    # under one-hop propagation
+    edges = [(i, i + 1) for i in range(1, 61)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = D.connected_components(pairs, max_iter=10)
+    labels = {r.cluster_id for r in out.collect()}
+    assert labels == {1}
 
 
 def test_minhash_lsh_bucket_cap_bounds_degenerate_bands(spark):
