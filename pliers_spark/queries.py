@@ -10968,12 +10968,19 @@ def q_triangle_coeffs(spark, sf_dir):
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
         .localCheckpoint(eager=True)  # feeds wedge join twice + closing probe
     )
-    e1 = o.select(F.col("src"), F.col("dst").alias("v"))
-    e2 = o.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, "src").where(F.col("v") != F.col("w"))
+    # enumerate each wedge ONCE in orientation order: the closing edge
+    # v->w exists only with (deg_v, v) < (deg_w, w), so generating the
+    # (w, v) ordering doubles the shuffle for rows that can never match
+    # (this halved the sf0.1 wall time of the wedge join)
+    e1 = o.select(F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("dv_"))
+    e2 = o.select(F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("dw_"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv_") < F.col("dw_"))
+        | ((F.col("dv_") == F.col("dw_")) & (F.col("v") < F.col("w")))
+    )
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select(
         F.col("src").alias("u"), "v", "w"
@@ -14888,12 +14895,16 @@ def q_triangle_nullmodel(spark, sf_dir):
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
         .localCheckpoint(eager=True)
     )
-    e1 = o.select("src", F.col("dst").alias("v"))
-    e2 = o.select("src", F.col("dst").alias("w"))
-    wedges = e1.join(e2, "src").where(F.col("v") != F.col("w"))
+    # orientation-ordered wedges only (see triangle_coeffs note)
+    e1 = o.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv_"))
+    e2 = o.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw_"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv_") < F.col("dw_"))
+        | ((F.col("dv_") == F.col("dw_")) & (F.col("v") < F.col("w")))
+    )
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     t = wedges.join(closing, ["v", "w"]).count()
     st = deg.agg(
@@ -15515,4 +15526,350 @@ def q_srm_check(spark, sf_dir):
         "n_a", "n_b",
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841459)).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# batch 48: 2-D skyline, Youden threshold, event debouncing
+
+@query(
+    "skyline_2d",
+    """WITH p AS (
+         SELECT p_partkey,
+                CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_fp,
+                p_size::BIGINT AS size
+         FROM part),
+       w AS (
+         SELECT *,
+                max(size) OVER (ORDER BY price_fp
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS max_size_cheaper,
+                max(size) OVER (PARTITION BY price_fp) AS max_size_same
+         FROM p)
+       SELECT p_partkey, price_fp, size
+       FROM w
+       WHERE (max_size_cheaper IS NULL OR max_size_cheaper < size)
+         AND max_size_same <= size""",
+)
+def q_skyline_2d(spark, sf_dir):
+    """2-D skyline / Pareto-front extraction (Börzsönyi, Kossmann &
+    Stocker, ICDE 2001): parts not dominated on (cheaper price, larger
+    size) — the classic multi-criteria shortlist operator ('show me
+    options where nothing is both cheaper AND bigger'). In 2-D the
+    skyline needs NO pairwise dominance join: one sort by price with a
+    running-max-of-size RANGE window (strictly-cheaper frame) plus a
+    same-price max handles ties exactly — the O(n log n) sweep-line as
+    a window plan. Points tied on both dims don't dominate each other
+    and all stay. Integer cents/sizes; no floats at all."""
+    pt = load_table(spark, sf_dir, "part")
+    p = pt.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100.0, 0).cast("long").alias("price_fp"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_lt = Window.orderBy("price_fp").rangeBetween(Window.unboundedPreceding, -1)
+    w_eq = Window.partitionBy("price_fp")
+    w = p.select(
+        "*",
+        F.max("size").over(w_lt).alias("max_size_cheaper"),
+        F.max("size").over(w_eq).alias("max_size_same"),
+    )
+    return w.where(
+        (F.col("max_size_cheaper").isNull() | (F.col("max_size_cheaper") < F.col("size")))
+        & (F.col("max_size_same") <= F.col("size"))
+    ).select("p_partkey", "price_fp", "size")
+
+
+@query(
+    "youden_threshold",
+    """WITH base AS (
+         SELECT CAST(round(value * 1000000.0) AS BIGINT) AS score,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+         FROM events),
+       tot AS (SELECT sum(label)::BIGINT AS pos,
+                      sum(1 - label)::BIGINT AS neg FROM base),
+       per_s AS (
+         SELECT score, sum(label)::BIGINT AS p, sum(1 - label)::BIGINT AS n
+         FROM base GROUP BY score),
+       cum AS (
+         SELECT score,
+                sum(p) OVER (ORDER BY score DESC) AS ctp,
+                sum(n) OVER (ORDER BY score DESC) AS cfp
+         FROM per_s),
+       j AS (
+         SELECT score, ctp, cfp,
+                ctp::HUGEINT * tot.neg::HUGEINT - cfp::HUGEINT * tot.pos::HUGEINT
+                  AS j_num,
+                tot.pos, tot.neg
+         FROM cum CROSS JOIN tot),
+       best AS (
+         SELECT * FROM j ORDER BY j_num DESC, score DESC LIMIT 1)
+       SELECT score AS threshold_fp, ctp::BIGINT AS tp, cfp::BIGINT AS fp,
+              round(ctp::DOUBLE / pos, 6) AS tpr,
+              round(cfp::DOUBLE / neg, 6) AS fpr,
+              round(ctp::DOUBLE / pos - cfp::DOUBLE / neg, 6) AS youden_j
+       FROM best""",
+)
+def q_youden_threshold(spark, sf_dir):
+    """Optimal classification threshold by Youden's J = TPR − FPR
+    (Youden 1950): sweep every distinct score as 'predict positive if
+    value ≥ t' and return the maximizer — how `quality_filter`-style
+    gates get their cutoff from labeled data (the argmax point of the
+    `roc_auc` curve; `filter_tradeoff` shows fixed points, this finds
+    the best one). The sweep is a cumulative window on the DISTINCT-
+    score grain, and the argmax compares the EXACT integer
+    ctp·N − cfp·P (no ratio rounding can reorder candidates); ties
+    break to the higher threshold (fewer kept). Two divisions at the
+    end for the report."""
+    dec = "decimal(38,0)"
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+    )
+    tot = base.agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    per_s = base.groupBy("score").agg(
+        F.sum("label").cast("long").alias("p"),
+        F.sum(1 - F.col("label")).cast("long").alias("n"),
+    )
+    wc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_s.select(
+        "score", F.sum("p").over(wc).alias("ctp"), F.sum("n").over(wc).alias("cfp")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (F.col("ctp").cast(dec) * F.col("neg").cast(dec)
+         - F.col("cfp").cast(dec) * F.col("pos").cast(dec)).alias("j_num"),
+    )
+    best = j.orderBy(F.desc("j_num"), F.desc("score")).limit(1)
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return best.select(
+        F.col("score").alias("threshold_fp"),
+        F.col("ctp").cast("long").alias("tp"),
+        F.col("cfp").cast("long").alias("fp"),
+        F.round(d_("ctp") / d_("pos"), 6).alias("tpr"),
+        F.round(d_("cfp") / d_("neg"), 6).alias("fpr"),
+        F.round(d_("ctp") / d_("pos") - d_("cfp") / d_("neg"), 6).alias("youden_j"),
+    )
+
+
+_DEBOUNCE_US = 5_000_000  # 5 s
+
+
+@query(
+    "debounce_events",
+    f"""WITH r AS (
+         SELECT user_id, event_type, event_id, epoch_us(ts)::BIGINT AS t_us,
+                lag(epoch_us(ts)::BIGINT) OVER w AS prev_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       flagged AS (
+         SELECT *, (prev_us IS NULL OR t_us - prev_us > {_DEBOUNCE_US})::INT AS new_burst
+         FROM r),
+       bursts AS (
+         SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY t_us, event_id) AS burst_id
+         FROM flagged)
+       SELECT user_id, event_type, burst_id::BIGINT AS burst_id,
+              min(t_us)::BIGINT AS burst_start_us,
+              count(*)::BIGINT AS n_events,
+              (max(t_us) - min(t_us))::BIGINT AS span_us
+       FROM bursts GROUP BY user_id, event_type, burst_id""",
+)
+def q_debounce_events(spark, sf_dir):
+    """Event debouncing: collapse rapid-fire repeats of the same
+    (user, event_type) within 5 s into one burst row (first timestamp,
+    size, span) — the telemetry-hygiene step that kills double-clicks,
+    retry storms and scraper bursts before counting anything (the
+    sessionize gaps-and-islands machinery at the action grain, feeding
+    `self_excitation`'s diagnosis with the actual fix). One composite-
+    key window; burst ids are exact integer cumsums; grouping stays on
+    the SAME key — no extra exchange."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wk = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t_us = epoch_micros(ev, "ts").cast("long")
+    r = ev.select(
+        "user_id", "event_type", "event_id", t_us.alias("t_us"),
+        F.lag(t_us).over(wk).alias("prev_us"),
+    )
+    flagged = r.select(
+        "*",
+        (
+            F.col("prev_us").isNull()
+            | (F.col("t_us") - F.col("prev_us") > _DEBOUNCE_US)
+        ).cast("int").alias("new_burst"),
+    )
+    wb = Window.partitionBy("user_id", "event_type").orderBy("t_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bursts = flagged.select("*", F.sum("new_burst").over(wb).alias("burst_id"))
+    return bursts.groupBy("user_id", "event_type", F.col("burst_id").cast("long").alias("burst_id")).agg(
+        F.min("t_us").cast("long").alias("burst_start_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# batch 49: peak concurrency, interarrival burstiness, Pareto 80/20
+
+_CONC_SPAN_US = 300_000_000  # each event holds a 5-minute slot
+
+
+@query(
+    "peak_concurrency",
+    f"""WITH iv AS (
+         SELECT epoch_us(ts)::BIGINT AS s,
+                epoch_us(ts)::BIGINT + {_CONC_SPAN_US} AS e,
+                event_id
+         FROM events),
+       pts AS (
+         SELECT s AS t, 1 AS delta, event_id FROM iv
+         UNION ALL
+         SELECT e, -1, event_id FROM iv),
+       sweep AS (
+         SELECT t, delta,
+                sum(delta) OVER (ORDER BY t, delta, event_id) AS conc
+         FROM pts),
+       best AS (SELECT t, conc FROM sweep ORDER BY conc DESC, t LIMIT 1)
+       SELECT (SELECT count(*) FROM iv)::BIGINT AS n_intervals,
+              best.conc::BIGINT AS peak_concurrency,
+              best.t::BIGINT AS peak_at_us
+       FROM best""",
+)
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrency via the sweep-line (+1/−1) scan: each event
+    holds a 5-minute slot; the maximum of the running delta sum is the
+    highest number of simultaneously open slots — the capacity-planning
+    number (max concurrent sessions/connections) every ops dashboard
+    needs and naive per-minute bucketing under-counts. Half-open
+    interval semantics: an end at instant t sorts BEFORE a start at t
+    (delta asc in the order), so touching intervals don't overlap. One
+    global ordered window (two-pass range partitioning at scale, per
+    the sequence_pack note); all integers."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    t_us = epoch_micros(ev, "ts").cast("long")
+    iv = ev.select(t_us.alias("s"), (t_us + _CONC_SPAN_US).alias("e"), "event_id")
+    n_iv = iv.count()
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id").unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    w = Window.orderBy("t", "delta", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = pts.select("t", F.sum("delta").over(w).alias("conc"))
+    best = sweep.orderBy(F.desc("conc"), "t").limit(1)
+    return best.select(
+        F.lit(n_iv).cast("long").alias("n_intervals"),
+        F.col("conc").cast("long").alias("peak_concurrency"),
+        F.col("t").cast("long").alias("peak_at_us"),
+    )
+
+
+@query(
+    "interarrival_burstiness",
+    """WITH r AS (
+         SELECT user_id, epoch_us(ts)::BIGINT AS t_us,
+                lag(epoch_us(ts)::BIGINT) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev
+         FROM events),
+       g AS (SELECT user_id, (t_us - prev)::BIGINT AS gap
+             FROM r WHERE prev IS NOT NULL),
+       st AS (
+         SELECT user_id, count(*)::BIGINT AS n, sum(gap)::BIGINT AS s,
+                sum(gap::HUGEINT * gap::HUGEINT) AS q
+         FROM g GROUP BY user_id HAVING count(*) >= 5)
+       SELECT user_id, n AS n_gaps,
+              CAST(round(s::DOUBLE / n) AS BIGINT) AS mean_gap_us,
+              round((sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                     - s::DOUBLE / n)
+                    / (sqrt(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+                       + s::DOUBLE / n), 6) AS burstiness_b
+       FROM st""",
+)
+def q_interarrival_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user interarrival
+    gaps (EPL 2008): −1 = metronome, 0 = Poisson, →1 = heavy bursts —
+    the one-number temporal twin of `dispersion_index` (which measures
+    WHO concentrates activity; this measures WHEN), feeding the same
+    bot/scraper triage as `self_excitation`. Gaps from one user-key
+    window; σ and μ from exact int64/HUGEINT sufficient stats in ONE
+    identical double expression; users need ≥5 gaps."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = epoch_micros(ev, "ts").cast("long")
+    g = ev.select(
+        "user_id", (t_us - F.lag(t_us).over(wu)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    dec = "decimal(38,0)"
+    st = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap").cast(dec)).cast(dec).alias("q"),
+    ).where(F.col("n") >= 5)
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d_("s") / d_("n")
+    sig = F.sqrt(d_("q") / d_("n") - mu * mu)
+    return st.select(
+        "user_id", F.col("n").alias("n_gaps"),
+        F.round(mu, 0).cast("long").alias("mean_gap_us"),
+        F.round((sig - mu) / (sig + mu), 6).alias("burstiness_b"),
+    )
+
+
+@query(
+    "pareto_8020",
+    """WITH c AS (
+         SELECT o_custkey,
+                CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS rev_fp
+         FROM orders GROUP BY o_custkey),
+       r AS (
+         SELECT *, row_number() OVER (ORDER BY rev_fp DESC, o_custkey) AS rn,
+                count(*) OVER () AS nn, sum(rev_fp) OVER () AS tot,
+                sum(rev_fp) OVER (ORDER BY rev_fp DESC, o_custkey) AS cum
+         FROM c)
+       SELECT max(nn)::BIGINT AS n_customers,
+              round(sum(CASE WHEN rn <= CAST(ceil(nn / 5.0) AS BIGINT)
+                             THEN rev_fp ELSE 0 END)::DOUBLE / max(tot), 6)
+                AS top20_revenue_share,
+              min(CASE WHEN 5 * cum >= 4 * tot THEN rn END)::BIGINT
+                AS customers_for_80pct
+       FROM r""",
+)
+def q_pareto_8020(spark, sf_dir):
+    """Pareto concentration audit: the revenue share of the top-20% of
+    customers AND the exact head count needed to reach 80% of revenue
+    — the 80/20 readout behind account tiering and (for corpora) 'how
+    few domains produce most tokens' (`key_skew_report`'s business
+    twin). One customer census, one rank/cumsum window on the
+    customer grain; the 80% crossing uses the exact integer inequality
+    5·cum ≥ 4·total (no ratio rounding); one division for the share."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100.0, 0).cast("long").alias("rev_fp")
+    )
+    n = c.count()
+    wr = Window.orderBy(F.desc("rev_fp"), "o_custkey")
+    r = c.select(
+        "rev_fp",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("rev_fp").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev_fp").over(Window.partitionBy()).alias("tot"),
+    )
+    top_k = -(-n // 5)  # ceil(n/5)
+    return r.agg(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= top_k, F.col("rev_fp")).otherwise(0)).cast("double")
+            / F.max("tot"),
+            6,
+        ).alias("top20_revenue_share"),
+        F.min(F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rn"))).cast("long").alias("customers_for_80pct"),
     )
