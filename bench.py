@@ -241,6 +241,12 @@ BENCH_QUERIES = [
     "max_coverage",
     "rich_club",
     "srm_check",
+    "skyline_2d",
+    "youden_threshold",
+    "debounce_events",
+    "peak_concurrency",
+    "interarrival_burstiness",
+    "pareto_8020",
 ]
 
 
