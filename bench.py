@@ -247,6 +247,9 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "interarrival_burstiness",
     "pareto_8020",
+    "modularity_q",
+    "demand_classes",
+    "rbo_rankings",
 ]
 
 

@@ -15873,3 +15873,239 @@ def q_pareto_8020(spark, sf_dir):
         ).alias("top20_revenue_share"),
         F.min(F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rn"))).cast("long").alias("customers_for_80pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 50: graph modularity, demand-pattern classes, RBO rank agreement
+
+@query(
+    "modularity_q",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       pe AS (
+         SELECT pu.p_brand AS bu, pv.p_brand AS bv
+         FROM e JOIN part pu ON pu.p_partkey = e.u
+                JOIN part pv ON pv.p_partkey = e.v),
+       m AS (SELECT count(*)::BIGINT AS m,
+                    sum((bu = bv)::INT)::BIGINT AS intra FROM pe),
+       dc AS (
+         SELECT brand, sum(d)::HUGEINT AS d_c FROM (
+           SELECT bu AS brand, 1 AS d FROM pe
+           UNION ALL SELECT bv, 1 FROM pe) GROUP BY brand),
+       expct AS (
+         SELECT sum(d_c * d_c)::HUGEINT AS sum_dc2,
+                count(*)::BIGINT AS n_comm FROM dc)
+       SELECT m.m AS n_edges, expct.n_comm AS n_communities, m.intra AS intra_edges,
+              round(m.intra::DOUBLE / m.m
+                    - expct.sum_dc2::DOUBLE / (4.0 * m.m::DOUBLE * m.m::DOUBLE), 6)
+                AS modularity
+       FROM m CROSS JOIN expct""",
+)
+def q_modularity_q(spark, sf_dir):
+    """Newman-Girvan modularity Q of the brand partition over the
+    co-purchase graph (Newman & Girvan 2004): Q = Σ_c (e_c/m −
+    (d_c/2m)²) — does 'brand' behave as real community structure
+    (Q ≫ 0) or do purchases ignore it (Q ≈ 0)? The evaluation every
+    community-detection run needs, here scoring a GIVEN labeling, so
+    no iteration at all: one edge census joined to the part dimension,
+    per-community degree sums, exact int64/HUGEINT stats, one double
+    expression."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    pe = (
+        e.join(F.broadcast(pt.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))), "u")
+        .join(F.broadcast(pt.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))), "v")
+        .select("bu", "bv")
+        .localCheckpoint(eager=True)  # feeds edge census + degree sums
+    )
+    m = pe.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("bu") == F.col("bv")).cast("int")).cast("long").alias("intra"),
+    )
+    dc = (
+        pe.select(F.col("bu").alias("brand"))
+        .unionAll(pe.select(F.col("bv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast(dec).alias("d_c"))
+    )
+    ex = dc.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast(dec).alias("sum_dc2"),
+        F.count(F.lit(1)).cast("long").alias("n_comm"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.crossJoin(ex).select(
+        F.col("m").alias("n_edges"),
+        F.col("n_comm").alias("n_communities"),
+        F.col("intra").alias("intra_edges"),
+        F.round(
+            d_("intra") / d_("m") - d_("sum_dc2") / (F.lit(4.0) * d_("m") * d_("m")), 6
+        ).alias("modularity"),
+    )
+
+
+@query(
+    "demand_classes",
+    """WITH months AS (
+         SELECT (SELECT count(DISTINCT date_trunc('month', l_shipdate))
+                 FROM lineitem)::BIGINT AS t),
+       md AS (
+         SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+                CAST(sum(l_quantity) AS BIGINT) AS q
+         FROM lineitem GROUP BY 1, 2),
+       st AS (
+         SELECT l_partkey, count(*)::BIGINT AS n_d, sum(q)::BIGINT AS s,
+                sum(q::HUGEINT * q::HUGEINT) AS qq
+         FROM md GROUP BY l_partkey),
+       cls AS (
+         SELECT l_partkey,
+                CASE
+                  WHEN 100 * months.t < 132 * n_d
+                       AND 100 * (n_d::HUGEINT * qq - s::HUGEINT * s::HUGEINT)
+                           < 49 * s::HUGEINT * s::HUGEINT THEN 'smooth'
+                  WHEN 100 * months.t >= 132 * n_d
+                       AND 100 * (n_d::HUGEINT * qq - s::HUGEINT * s::HUGEINT)
+                           < 49 * s::HUGEINT * s::HUGEINT THEN 'intermittent'
+                  WHEN 100 * months.t < 132 * n_d THEN 'erratic'
+                  ELSE 'lumpy'
+                END AS demand_class
+         FROM st CROSS JOIN months)
+       SELECT demand_class, count(*)::BIGINT AS n_parts
+       FROM cls GROUP BY demand_class""",
+)
+def q_demand_classes(spark, sf_dir):
+    """Syntetos-Boylan demand-pattern classification (IJF 2005): each
+    part's monthly demand lands in the smooth / intermittent / erratic
+    / lumpy quadrant by ADI (average inter-demand interval, months per
+    demand-month) vs CV² of nonzero demand, with the canonical 1.32 /
+    0.49 cutoffs — the router that decides Croston-style vs standard
+    forecasting per SKU. BOTH boundary tests are exact integer
+    cross-multiplications (100·T ≷ 132·n and 100(nQ−S²) ≷ 49·S²), so
+    the quadrant assignment is bit-deterministic. One fact census, one
+    part-grain pass, a 4-row class census."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(F.date_trunc("month", "l_shipdate")).distinct().count()
+    md = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.sum("l_quantity").cast("long").alias("q"))
+    st = md.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q").cast(dec) * F.col("q").cast(dec)).cast(dec).alias("qq"),
+    )
+    var_num = F.lit(100).cast(dec) * (
+        F.col("n_d").cast(dec) * F.col("qq") - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    cv2_small = var_num < F.lit(49).cast(dec) * F.col("s").cast(dec) * F.col("s").cast(dec)
+    adi_small = F.lit(100 * t) < 132 * F.col("n_d")
+    cls = st.select(
+        F.when(adi_small & cv2_small, "smooth")
+        .when(~adi_small & cv2_small, "intermittent")
+        .when(adi_small, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class")
+    )
+    return cls.groupBy("demand_class").agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+
+_RBO_W = (0.1, 0.045, 0.027, 0.018225, 0.013122)  # (1-p)·p^(d-1)/d, p=0.9
+
+
+def _rbo_sql() -> str:
+    from pliers_spark.operators.ir import bm25_rerank_sql, bm25_topk_sql
+
+    seeds = """seeds AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS t
+         FROM documents ORDER BY doc_id LIMIT 8),
+       queries AS (
+         SELECT doc_id AS q_id, unnest(t[1:6]) AS term FROM seeds)"""
+    xs = ", ".join(
+        f"sum((ra <= {d} AND rb <= {d})::INT)::BIGINT AS x{d}" for d in range(1, 6)
+    )
+    ao = "(60 * x1 + 30 * x2 + 20 * x3 + 15 * x4 + 12 * x5)"
+    rbo = " + ".join(f"{w} * x{d}" for d, w in enumerate(_RBO_W, 1))
+    return f"""WITH la AS (
+         SELECT q_id, doc_id, rank AS ra FROM (
+           WITH {seeds}, {bm25_topk_sql(k=5)})),
+       lb AS (
+         SELECT q_id, doc_id, rank AS rb FROM (
+           WITH {seeds}, {bm25_rerank_sql(k1=20, k=5)})),
+       j AS (
+         SELECT coalesce(la.q_id, lb.q_id) AS q_id,
+                coalesce(la.ra, 99) AS ra, coalesce(lb.rb, 99) AS rb
+         FROM la FULL JOIN lb ON la.q_id = lb.q_id AND la.doc_id = lb.doc_id),
+       x AS (SELECT q_id, {xs} FROM j GROUP BY q_id)
+       SELECT q_id, x5 AS overlap_at_5,
+              round({ao}::DOUBLE / 300.0, 6) AS avg_overlap,
+              round(({rbo})::DOUBLE, 6) AS rbo_min5
+       FROM x"""
+
+
+@query("rbo_rankings", _rbo_sql())
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (depth-5 partial sum, p=0.9; Webber, Moffat
+    & Zobel, TOIS 2010) plus Fagin average overlap between the LEXICAL
+    BM25 top-5 and the SEMANTIC rerank top-5 for the same queries —
+    the rank-agreement audit that says how much the dense stage
+    actually changes the lexical ordering (RBO ≈ 1 means the reranker
+    is a no-op; low RBO + good `mrr_recall` means it genuinely adds
+    signal). Overlap counts X_d are exact ints per query; average
+    overlap uses the exact common-denominator-60 integer sum; the RBO
+    weights are shared Python literals applied in fixed expression
+    order."""
+    from pliers_spark.operators.ir import bm25_rerank, bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    seeds = (
+        docs.orderBy("doc_id").limit(8)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    la = bm25_topk(docs, seeds, k=5).select("q_id", "doc_id", F.col("rank").alias("ra"))
+    lb = bm25_rerank(docs, seeds, emb, k1=20, k=5).select(
+        "q_id", "doc_id", F.col("rank").alias("rb")
+    )
+    j = la.join(lb, ["q_id", "doc_id"], "full").select(
+        "q_id",
+        F.coalesce("ra", F.lit(99)).alias("ra"),
+        F.coalesce("rb", F.lit(99)).alias("rb"),
+    )
+    xs = [
+        F.sum(((F.col("ra") <= d) & (F.col("rb") <= d)).cast("int")).cast("long").alias(f"x{d}")
+        for d in range(1, 6)
+    ]
+    x = j.groupBy("q_id").agg(*xs)
+    ao = (
+        60 * F.col("x1") + 30 * F.col("x2") + 20 * F.col("x3")
+        + 15 * F.col("x4") + 12 * F.col("x5")
+    )
+    rbo = sum(
+        (F.lit(w) * F.col(f"x{d}") for d, w in enumerate(_RBO_W, 1)), F.lit(0.0)
+    )
+    return x.select(
+        "q_id", F.col("x5").alias("overlap_at_5"),
+        F.round(ao.cast("double") / F.lit(300.0), 6).alias("avg_overlap"),
+        F.round(rbo, 6).alias("rbo_min5"),
+    )
