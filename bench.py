@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "modularity_q",
     "demand_classes",
     "rbo_rankings",
+    "hurst_exponent",
+    "shapley_attribution",
 ]
 
 

@@ -16109,3 +16109,290 @@ def q_rbo_rankings(spark, sf_dir):
         F.round(ao.cast("double") / F.lit(300.0), 6).alias("avg_overlap"),
         F.round(rbo, 6).alias("rbo_min5"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 51: Hurst exponent (R/S), Shapley channel attribution
+
+_HURST_SCALES = (4, 8, 16)
+import math as _math  # noqa: E402
+
+_LN_SCALES = {s: round(_math.log(s), 9) for s in _HURST_SCALES}
+
+
+def _hurst_sql() -> str:
+    scale_rows = []
+    blocks = []
+    daily_bs = []
+    for sc in _HURST_SCALES:
+        daily_bs.append(
+            f"daily_b_{sc} AS (SELECT ((rn - 1) // {sc})::BIGINT AS blk, rn, c FROM daily)"
+        )
+        blocks.append(f"""blk_{sc} AS (
+         SELECT blk, c,
+                sum(c) OVER (PARTITION BY blk ORDER BY rn) AS cum,
+                row_number() OVER (PARTITION BY blk ORDER BY rn) AS t
+         FROM daily_b_{sc}),
+       st_{sc} AS (
+         SELECT blk, count(*)::BIGINT AS n, sum(c)::BIGINT AS sm,
+                sum(c::HUGEINT * c::HUGEINT) AS q
+         FROM daily_b_{sc} GROUP BY blk),
+       y_{sc} AS (
+         SELECT b.blk, st.n, st.sm, st.q,
+                st.n::HUGEINT * b.cum::HUGEINT - b.t::HUGEINT * st.sm::HUGEINT AS yn
+         FROM blk_{sc} b JOIN st_{sc} st USING (blk) WHERE st.n = {sc}),
+       rs_{sc} AS (
+         SELECT blk,
+                CAST(round(1000000.0 * (max(yn) - min(yn))::DOUBLE
+                           / sqrt((max(n)::HUGEINT * max(q)
+                                   - max(sm)::HUGEINT * max(sm)::HUGEINT)::DOUBLE))
+                     AS BIGINT) AS rs_fp
+         FROM y_{sc}
+         GROUP BY blk
+         HAVING max(n)::HUGEINT * max(q) - max(sm)::HUGEINT * max(sm)::HUGEINT > 0)""")
+        scale_rows.append(f"""(
+          SELECT {sc}::BIGINT AS scale, {_LN_SCALES[sc]}::DOUBLE AS ln_s,
+                 count(*)::BIGINT AS n_blocks,
+                 avg(rs_fp)::DOUBLE AS rs_mean_fp
+          FROM rs_{sc})""")
+    return (
+        """WITH daily AS (
+         SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(*)::BIGINT AS c,
+                row_number() OVER (ORDER BY date_trunc('day', ts)) AS rn
+         FROM events GROUP BY date_trunc('day', ts)),
+       """
+        + ",\n       ".join(daily_bs)
+        + ",\n       "
+        + ",\n       ".join(blocks)
+        + ",\n       pts AS ("
+        + " UNION ALL ".join(scale_rows)
+        + """),
+       valid AS (SELECT * FROM pts WHERE n_blocks > 0 AND rs_mean_fp > 0),
+       reg AS (
+         SELECT count(*)::BIGINT AS k,
+                sum(ln_s) AS sx, sum(ln(rs_mean_fp / 1000000.0)) AS sy,
+                sum(ln_s * ln_s) AS sxx,
+                sum(ln_s * ln(rs_mean_fp / 1000000.0)) AS sxy
+         FROM valid)
+       SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days, reg.k AS n_scales,
+              CASE WHEN reg.k >= 2 AND reg.k * sxx - sx * sx > 0
+                   THEN round((reg.k * sxy - sx * sy) / (reg.k * sxx - sx * sx), 4)
+              END AS hurst_h
+       FROM reg"""
+    )
+
+
+@query("hurst_exponent", _hurst_sql())
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent via rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): the global daily event-count series is
+    cut into complete blocks at scales {4, 8, 16} days; per block,
+    R/S = (max−min of cumulative deviations) / std — computed as the
+    EXACT integer numerator n·cum − t·S over √(nQ−S²) so both engines
+    produce identical micro-unit values — and H is the log-log OLS
+    slope of mean R/S vs scale (literal ln-scale x values; 4dp — a
+    3-point regression slope amplifies ulps). H ≈ 0.5 = memoryless,
+    H > 0.5 = persistent trends (capacity forecasts must widen), the
+    classic long-memory diagnostic. One daily census; per-scale block
+    windows on the (tiny) day grain."""
+    from pliers_spark.operators._util import epoch_micros  # noqa: F401
+
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("*", F.row_number().over(Window.orderBy("day")).alias("rn"))
+        .localCheckpoint(eager=True)
+    )
+    n_days = daily.count()
+    pts = []
+    for s in _HURST_SCALES:
+        blk = F.floor((F.col("rn") - 1) / s).cast("long").alias("blk")
+        b = daily.select(blk, "rn", "c")
+        wb = Window.partitionBy("blk").orderBy("rn")
+        bb = b.select(
+            "blk", "c",
+            F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            F.row_number().over(wb).alias("t"),
+        )
+        st = b.groupBy("blk").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sm"),
+            F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("q"),
+        )
+        y = bb.join(st, "blk").where(F.col("n") == s).select(
+            "blk", "n", "sm", "q",
+            (
+                F.col("n").cast(dec) * F.col("cum").cast(dec)
+                - F.col("t").cast(dec) * F.col("sm").cast(dec)
+            ).alias("yn"),
+        )
+        var = F.max(F.col("n").cast(dec) * F.col("q") - F.col("sm").cast(dec) * F.col("sm").cast(dec))
+        rs = (
+            y.groupBy("blk")
+            .agg(
+                F.round(
+                    F.lit(1e6)
+                    * (F.max("yn") - F.min("yn")).cast("double")
+                    / F.sqrt(var.cast("double")),
+                    0,
+                ).cast("long").alias("rs_fp"),
+                var.alias("v"),
+            )
+            .where(F.col("v") > 0)
+        )
+        agg = rs.agg(
+            F.lit(s).cast("long").alias("scale"),
+            F.lit(_LN_SCALES[s]).alias("ln_s"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.avg("rs_fp").alias("rs_mean_fp"),
+        )
+        pts.append(agg)
+    all_pts = pts[0]
+    for p in pts[1:]:
+        all_pts = all_pts.unionAll(p)
+    valid = all_pts.where((F.col("n_blocks") > 0) & (F.col("rs_mean_fp") > 0))
+    reg = valid.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ln_s").alias("sx"),
+        F.sum(F.log(F.col("rs_mean_fp") / F.lit(1e6))).alias("sy"),
+        F.sum(F.col("ln_s") * F.col("ln_s")).alias("sxx"),
+        F.sum(F.col("ln_s") * F.log(F.col("rs_mean_fp") / F.lit(1e6))).alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d_("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return reg.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.col("k").alias("n_scales"),
+        F.when(
+            (F.col("k") >= 2) & (den > 0),
+            F.round((d_("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 4),
+        ).alias("hurst_h"),
+    )
+
+
+_FACT_SQL = "CASE {v} WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040 ELSE 40320 END"
+
+
+@query(
+    "shapley_attribution",
+    f"""WITH fp AS (
+         SELECT user_id, min(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END) AS p_u
+         FROM events GROUP BY user_id),
+       path AS (
+         SELECT e.user_id,
+                list_sort(list_distinct(list(e.event_type))) AS chans,
+                max((fp.p_u IS NOT NULL)::INT)::INT AS converted
+         FROM events e JOIN fp ON fp.user_id = e.user_id
+         WHERE e.event_type <> 'purchase'
+           AND (fp.p_u IS NULL OR epoch_us(e.ts) < fp.p_u)
+         GROUP BY e.user_id),
+       subsets AS (
+         SELECT array_to_string(chans, ',') AS skey, len(chans)::BIGINT AS sz,
+                chans,
+                count(*)::BIGINT AS n_paths, sum(converted)::BIGINT AS n_conv
+         FROM path GROUP BY chans),
+       v AS (SELECT skey, sz, chans,
+                    CAST(round(1000000.0 * n_conv / n_paths) AS BIGINT) AS v_fp
+             FROM subsets),
+       kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k
+              FROM events WHERE event_type <> 'purchase'),
+       exploded AS (
+         SELECT skey, sz, v_fp, unnest(chans) AS chan, chans FROM v),
+       keyed AS (
+         SELECT chan, sz, v_fp,
+                array_to_string(list_sort(list_filter(chans, c -> c <> chan)), ',')
+                  AS skey_minus
+         FROM exploded),
+       contrib AS (
+         SELECT k2.chan, k2.sz,
+                CAST(round(1000000.0
+                     * (CASE (k2.sz - 1)::INT WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040 ELSE 40320 END)::DOUBLE
+                     * (CASE (kk.k - k2.sz)::INT WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040 ELSE 40320 END)::DOUBLE
+                     / (CASE kk.k::INT WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040 ELSE 40320 END)::DOUBLE) AS BIGINT) AS w_ppm,
+                k2.v_fp - coalesce(vm.v_fp, 0) AS dv_fp
+         FROM keyed k2
+         LEFT JOIN v vm ON vm.skey = k2.skey_minus
+         CROSS JOIN kk)
+       SELECT chan AS channel,
+              round(sum(w_ppm::HUGEINT * dv_fp::HUGEINT)::DOUBLE
+                    / 1000000000000.0, 6) AS shapley_value
+       FROM contrib GROUP BY chan""",
+)
+def q_shapley_attribution(spark, sf_dir):
+    """Shapley-value channel attribution (Dalessandro et al. 2012 /
+    Zhao, Mahboobi & Bagheri 2018): each user's pre-purchase channel
+    SET is a coalition; v(S) = observed conversion rate of paths with
+    exactly that set (0 for unobserved coalitions — the standard
+    data-driven convention); each channel's credit is the exact
+    Shapley sum Σ w(|S|)·(v(S) − v(S∖{{i}})) with w = (s−1)!(k−s)!/k!
+    from a literal factorial table. Coalition values round once to ppm
+    ints, weights round once to ppm ints, and the per-channel sum is
+    exact integer arithmetic — the fair-division answer to 'which
+    touchpoint deserves the conversion', replacing first/last-touch
+    heuristics (`attribution`). The subset census is tiny (≤ 2^k rows
+    for k event types) after one user-grain pass."""
+    from pliers_spark.operators._util import epoch_micros
+
+    ev = _events(spark, sf_dir)
+    u = epoch_micros(ev, "ts")
+    fp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", u)).alias("p_u")
+    )
+    path = (
+        ev.select("user_id", "event_type", u.alias("t_us"))
+        .join(fp, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("p_u").isNull() | (F.col("t_us") < F.col("p_u")))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("chans"),
+            F.max(F.col("p_u").isNotNull().cast("int")).alias("converted"),
+        )
+    )
+    subsets = path.groupBy("chans").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    v = subsets.select(
+        F.concat_ws(",", "chans").alias("skey"),
+        F.size("chans").cast("long").alias("sz"),
+        "chans",
+        F.round(F.lit(1e6) * F.col("n_conv") / F.col("n_paths"), 0).cast("long").alias("v_fp"),
+    ).localCheckpoint(eager=True)  # both sides of the coalition lookup
+    k = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("event_type").distinct().count()
+    )
+    fact = [1, 1, 2, 6, 24, 120, 720, 5040, 40320]
+
+    def w_ppm(sz: int) -> int:
+        return round(1e6 * fact[sz - 1] * fact[k - sz] / fact[k])
+
+    wmap = F.create_map(*[F.lit(x) for s in range(1, k + 1) for x in (s, w_ppm(s))])
+    exploded = v.select(
+        "skey", "sz", "v_fp", F.explode("chans").alias("chan"), "chans"
+    ).select(
+        "chan", "sz", "v_fp",
+        F.concat_ws(
+            ",", F.filter("chans", lambda c: c != F.col("chan"))
+        ).alias("skey_minus"),
+    )
+    vm = v.select(F.col("skey").alias("skey_minus"), F.col("v_fp").alias("vm_fp"))
+    dec = "decimal(38,0)"
+    contrib = exploded.join(vm, "skey_minus", "left").select(
+        "chan",
+        wmap[F.col("sz")].cast("long").alias("w_ppm"),
+        (F.col("v_fp") - F.coalesce("vm_fp", F.lit(0))).alias("dv_fp"),
+    )
+    return contrib.groupBy(F.col("chan").alias("channel")).agg(
+        F.round(
+            F.sum(F.col("w_ppm").cast(dec) * F.col("dv_fp").cast(dec)).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("shapley_value")
+    )
