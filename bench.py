@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "rbo_rankings",
     "hurst_exponent",
     "shapley_attribution",
+    "hub_resilience",
+    "split_leakage_audit",
+    "heteroscedasticity_bp",
 ]
 
 

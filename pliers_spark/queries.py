@@ -16396,3 +16396,275 @@ def q_shapley_attribution(spark, sf_dir):
             6,
         ).alias("shapley_value")
     )
+
+
+# --------------------------------------------------------------------------
+# batch 52: hub-removal resilience, split leakage audit, Breusch-Pagan
+
+@query(
+    "hub_resilience",
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 10),
+       e2 AS (
+         SELECT e.u, e.v FROM e
+         WHERE NOT EXISTS (SELECT 1 FROM hubs h WHERE h.node = e.u)
+           AND NOT EXISTS (SELECT 1 FROM hubs h WHERE h.node = e.v)),
+       edges1 AS (SELECT u AS src, v AS dst FROM e
+                  UNION SELECT v, u FROM e),
+       r1(node, peer) AS (
+         SELECT src, src FROM edges1
+         UNION SELECT r.node, g.dst FROM r1 r JOIN edges1 g ON r.peer = g.src),
+       cc1 AS (SELECT node, min(peer) AS cid FROM r1 GROUP BY node),
+       g1 AS (SELECT max(cnt)::BIGINT AS giant FROM
+              (SELECT cid, count(*) AS cnt FROM cc1 GROUP BY cid)),
+       edges2 AS (SELECT u AS src, v AS dst FROM e2
+                  UNION SELECT v, u FROM e2),
+       r2(node, peer) AS (
+         SELECT src, src FROM edges2
+         UNION SELECT r.node, g.dst FROM r2 r JOIN edges2 g ON r.peer = g.src),
+       cc2 AS (SELECT node, min(peer) AS cid FROM r2 GROUP BY node),
+       g2 AS (SELECT coalesce(max(cnt), 0)::BIGINT AS giant FROM
+              (SELECT cid, count(*) AS cnt FROM cc2 GROUP BY cid))
+       SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+              (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              g1.giant AS giant_before,
+              (SELECT count(*) FROM e2)::BIGINT AS edges_after,
+              g2.giant AS giant_after,
+              round(g2.giant::DOUBLE / g1.giant::DOUBLE, 6) AS giant_retention
+       FROM g1 CROSS JOIN g2""",
+)
+def q_hub_resilience(spark, sf_dir):
+    """Attack-tolerance audit (Albert, Jeong & Barabási, Nature 2000):
+    delete the 10 highest-degree hubs from the co-purchase graph and
+    measure how much of the giant connected component survives —
+    scale-free graphs shatter under targeted hub removal while staying
+    robust to random failure, and giant_retention is the one number
+    that says which regime this graph is in (and how exposed any
+    hub-dependent pipeline is). Two CC runs (pointer-jumping operator)
+    on the full and hub-removed edge lists; hub selection is a
+    distributed top-k; all counts exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
+    hubs = deg.orderBy(F.desc("d"), "node").limit(10).select("node").localCheckpoint(eager=True)
+    e2 = (
+        e.join(hubs.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(hubs.withColumnRenamed("node", "v"), "v", "left_anti")
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    def giant(edges_df):
+        if edges_df.limit(1).count() == 0:
+            return 0
+        cc = D.connected_components(edges_df.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")))
+        return (
+            cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c")).collect()[0][0]
+        )
+    g1 = giant(e)
+    g2 = giant(e2)
+    n_nodes = deg.count()
+    n_edges = e.count()
+    edges_after = e2.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, g1, edges_after, g2, round(g2 / g1, 6) if g1 else None)],
+        "n_nodes long, n_edges long, giant_before long, edges_after long, "
+        "giant_after long, giant_retention double",
+    )
+
+
+def _split_leak_sql() -> str:
+    return f"""WITH {_simhash_pairs_cte()},
+       assign AS (
+         SELECT doc_id,
+                CASE WHEN ({md5_int_sql('text', seed=13)}) % 100 < 80 THEN 'train'
+                     WHEN ({md5_int_sql('text', seed=13)}) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split_content,
+                CASE WHEN ({md5_int_sql('CAST(doc_id AS VARCHAR)', seed=13)}) % 100 < 80
+                          THEN 'train'
+                     WHEN ({md5_int_sql('CAST(doc_id AS VARCHAR)', seed=13)}) % 100 < 90
+                          THEN 'val'
+                     ELSE 'test' END AS split_id
+         FROM documents),
+       j AS (
+         SELECT p.id_a, p.id_b,
+                a.split_content AS ca, b.split_content AS cb,
+                a.split_id AS ia, b.split_id AS ib
+         FROM nd_pairs p
+         JOIN assign a ON a.doc_id = p.id_a
+         JOIN assign b ON b.doc_id = p.id_b)
+       SELECT 'content_hash' AS scheme, count(*)::BIGINT AS n_pairs,
+              sum((ca <> cb)::INT)::BIGINT AS n_straddle,
+              round(sum((ca <> cb)::INT)::DOUBLE / count(*), 6) AS straddle_rate
+       FROM j
+       UNION ALL
+       SELECT 'id_hash', count(*)::BIGINT,
+              sum((ia <> ib)::INT)::BIGINT,
+              round(sum((ia <> ib)::INT)::DOUBLE / count(*), 6)
+       FROM j"""
+
+
+@query("split_leakage_audit", _split_leak_sql())
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/test leakage audit over NEAR-duplicate pairs: for every
+    SimHash near-dup pair, does the pair straddle splits under (a) the
+    engine's content-hash assignment (`split_assign` — exact dups
+    provably co-located, near-dups mostly so since identical text
+    hashes identically) vs (b) a naive id-hash split (near-dups land
+    independently ⇒ ≈2·p(1−p) straddle). The side-by-side rate is the
+    evidence that the leak-proof split discipline actually buys leak
+    reduction — the audit Lee et al. 2022 argue every dedup-aware
+    eval needs. One pair list (banded, never all-pairs) joined twice
+    to the doc-grain assignment."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    bc = F.pmod(md5_int(F.col("text"), seed=13), F.lit(100))
+    bi = F.pmod(md5_int(F.col("doc_id").cast("string"), seed=13), F.lit(100))
+    def split(b):
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    assign = docs.select(
+        "doc_id", split(bc).alias("sc"), split(bi).alias("si")
+    ).localCheckpoint(eager=True)
+    j = (
+        pairs.join(assign.select(F.col("doc_id").alias("id_a"),
+                                 F.col("sc").alias("ca"), F.col("si").alias("ia")), "id_a")
+        .join(assign.select(F.col("doc_id").alias("id_b"),
+                            F.col("sc").alias("cb"), F.col("si").alias("ib")), "id_b")
+        .localCheckpoint(eager=True)
+    )
+    def row(scheme, a, bcol):
+        return j.agg(
+            F.lit(scheme).alias("scheme"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col(a) != F.col(bcol)).cast("int")).cast("long").alias("n_straddle"),
+            F.round(
+                F.sum((F.col(a) != F.col(bcol)).cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("straddle_rate"),
+        ).select("scheme", "n_pairs", "n_straddle", "straddle_rate")
+    return row("content_hash", "ca", "cb").unionAll(row("id_hash", "ia", "ib"))
+
+
+@query(
+    "heteroscedasticity_bp",
+    """WITH f AS (
+         SELECT len(string_split(trim(text), ' '))::BIGINT AS x,
+                n_chars::BIGINT AS y
+         FROM documents),
+       s1 AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                sum(x::HUGEINT * y::HUGEINT) AS sxy
+         FROM f),
+       coef AS (
+         SELECT n, sx, sxx,
+                (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b,
+                (sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                              / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                              * sx::DOUBLE) / n::DOUBLE AS a
+         FROM s1),
+       e2 AS (
+         SELECT f.x,
+                CAST(round((f.y::DOUBLE - coef.a - coef.b * f.x::DOUBLE)
+                           * (f.y::DOUBLE - coef.a - coef.b * f.x::DOUBLE)) AS BIGINT)
+                  AS e2_fp
+         FROM f CROSS JOIN coef),
+       s2 AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                sum(e2_fp)::HUGEINT AS sy,
+                sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                sum(x::HUGEINT * e2_fp::HUGEINT) AS sxy,
+                sum(e2_fp::HUGEINT * e2_fp::HUGEINT) AS syy
+         FROM e2)
+       SELECT n,
+              round((SELECT b FROM coef), 6) AS slope,
+              CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                    AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                   THEN round(n::DOUBLE
+                        * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                        * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                        / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+              END AS lm_stat
+       FROM s2""",
+)
+def q_heteroscedasticity_bp(spark, sf_dir):
+    """Breusch-Pagan heteroscedasticity test (Econometrica 1979) on the
+    chars ~ tokens regression: squared OLS residuals regressed on the
+    predictor; LM = n·R² ~ χ²(1) under homoscedasticity — the audit
+    that says whether per-group variance modeling (or robust SEs) is
+    needed before trusting the fit's intervals. First-pass sufficient
+    stats are exact ints; residual squares round ONCE per row to
+    integer units (the doubles a, b are the identical expression on
+    both engines) so second-pass sums are exact; LM rounds at 4dp
+    (quotient of near-collinear moments)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    f = d.select(
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    ).localCheckpoint(eager=True)  # two passes
+    s1 = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    bnum = d_("n") * d_("sxy") - d_("sx") * d_("sy")
+    bden = d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    coef = s1.select(
+        "n", (bnum / bden).alias("b"),
+        ((d_("sy") - bnum / bden * d_("sx")) / d_("n")).alias("a"),
+    )
+    e2 = f.crossJoin(F.broadcast(coef)).select(
+        "x",
+        F.round(
+            (d_("y") - F.col("a") - F.col("b") * d_("x"))
+            * (d_("y") - F.col("a") - F.col("b") * d_("x")),
+            0,
+        ).cast("long").alias("e2_fp"),
+        "b",
+    )
+    s2 = e2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("e2_fp").cast(dec).alias("sy2"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("e2_fp").cast(dec)).cast(dec).alias("sxy2"),
+        F.sum(F.col("e2_fp").cast(dec) * F.col("e2_fp").cast(dec)).cast(dec).alias("syy"),
+        F.first("b").alias("b"),
+    )
+    vx = d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    vy = d_("n") * d_("syy") - d_("sy2") * d_("sy2")
+    cv = d_("n") * d_("sxy2") - d_("sx") * d_("sy2")
+    return s2.select(
+        "n",
+        F.round(F.col("b"), 6).alias("slope"),
+        F.when((vx > 0) & (vy > 0), F.round(d_("n") * cv * cv / (vx * vy), 4)).alias("lm_stat"),
+    )
