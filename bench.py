@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "hub_resilience",
     "split_leakage_audit",
     "heteroscedasticity_bp",
+    "loo_source_value",
+    "embedding_isotropy",
+    "mattr_diversity",
 ]
 
 

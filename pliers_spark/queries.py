@@ -16668,3 +16668,196 @@ def q_heteroscedasticity_bp(spark, sf_dir):
         F.round(F.col("b"), 6).alias("slope"),
         F.when((vx > 0) & (vy > 0), F.round(d_("n") * cv * cv / (vx * vy), 4)).alias("lm_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 53: leave-one-out source value, embedding isotropy, MATTR diversity
+
+def _loo_sql() -> str:
+    return f"""WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}) t),
+       qs AS (
+         SELECT d.source, CAST(round(q.quality * 1000000.0) AS BIGINT) AS q_fp
+         FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       per AS (SELECT source, count(*)::BIGINT AS n, sum(q_fp)::BIGINT AS s
+               FROM qs GROUP BY source),
+       tot AS (SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss FROM per)
+       SELECT source, n AS n_docs,
+              round(ss::DOUBLE / nn / 1000000.0, 6) AS mean_with,
+              round((ss - s)::DOUBLE / (nn - n) / 1000000.0, 6) AS mean_without,
+              round((ss::DOUBLE / nn - (ss - s)::DOUBLE / (nn - n)) / 1000000.0, 6)
+                AS contribution
+       FROM per CROSS JOIN tot WHERE nn > n"""
+
+
+@query("loo_source_value", _loo_sql())
+def q_loo_source_value(spark, sf_dir):
+    """Leave-one-out source valuation (the cheapest member of the data-
+    valuation family; the LOO baseline data-Shapley papers compare
+    against): each source's contribution = corpus mean quality WITH it
+    minus WITHOUT it — computed purely from per-source sufficient
+    stats, so valuing S sources costs ONE census, not S recomputations
+    (the algebraic trick that makes this viable at 100 TB). Positive
+    contribution = the source pulls the corpus up; feeds the same
+    decisions as `doremi_step` with an ablation framing. Quality is
+    6dp-rounded per doc so the micro-unit sums are exact; two
+    divisions per source row."""
+    d = _docs(spark, sf_dir)
+    qs = d.select(
+        "source", F.round(T.quality_score("text") * F.lit(1e6), 0).cast("long").alias("q_fp")
+    )
+    per = qs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("q_fp").cast("long").alias("s")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("nn"), F.sum("s").cast("long").alias("ss"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    with_ = d_("ss") / d_("nn")
+    without = (d_("ss") - d_("s")) / (d_("nn") - d_("n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("nn") > F.col("n"))
+        .select(
+            "source", F.col("n").alias("n_docs"),
+            F.round(with_ / F.lit(1e6), 6).alias("mean_with"),
+            F.round(without / F.lit(1e6), 6).alias("mean_without"),
+            F.round((with_ - without) / F.lit(1e6), 6).alias("contribution"),
+        )
+    )
+
+
+@query(
+    "embedding_isotropy",
+    f"""WITH pairs AS (
+         SELECT CAST(round(round({_DOT_SQL} / ({_NORM_A} * {_NORM_Q}), 6)
+                     * 1000000.0) AS BIGINT) AS cos_fp
+         FROM embeddings a JOIN embeddings q
+           ON a.label = q.label AND a.vec_id < q.vec_id),
+       norms AS (
+         SELECT CAST(round(1000000.0 *
+                sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))))
+                AS BIGINT) AS nrm_fp
+         FROM embeddings),
+       ns AS (
+         SELECT count(*)::BIGINT AS n, sum(nrm_fp)::BIGINT AS s,
+                sum(nrm_fp::HUGEINT * nrm_fp::HUGEINT) AS q2
+         FROM norms),
+       ps AS (
+         SELECT count(*)::BIGINT AS n_pairs,
+                sum(cos_fp)::BIGINT AS sc, sum(abs(cos_fp))::BIGINT AS sa
+         FROM pairs)
+       SELECT ns.n AS n_vecs, ps.n_pairs,
+              round(ps.sc::DOUBLE / ps.n_pairs / 1000000.0, 6) AS mean_cosine,
+              round(ps.sa::DOUBLE / ps.n_pairs / 1000000.0, 6) AS mean_abs_cosine,
+              round(sqrt(ns.q2::DOUBLE / ns.n - (ns.s::DOUBLE / ns.n) * (ns.s::DOUBLE / ns.n))
+                    / (ns.s::DOUBLE / ns.n), 6) AS norm_cv
+       FROM ns CROSS JOIN ps""",
+)
+def q_embedding_isotropy(spark, sf_dir):
+    """Embedding-space isotropy audit (Ethayarajh, EMNLP 2019; Mu &
+    Viswanath's common-direction observation): the mean pairwise cosine
+    within buckets (≫ 0 means a dominant common direction is eating the
+    representation — cosine similarities stop being informative) and
+    the coefficient of variation of vector norms (hub-norm pathology).
+    These two numbers decide whether to mean-center / whiten before
+    `semantic_dedup`/`mutual_knn` trust cosine at all. Pair scoring is
+    the bucket-gated join (never all-pairs across buckets); cosines and
+    norms round once to micro-units so all sums are exact."""
+    from pliers_spark.operators.similarity import _dot, _norm  # reuse exact exprs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), "label")
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.round(
+                F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("cos_fp")
+        )
+    )
+    norms = emb.select(
+        F.round(F.lit(1e6) * _norm(F.col("embedding")), 0).cast("long").alias("nrm_fp")
+    )
+    dec = "decimal(38,0)"
+    ns = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nrm_fp").cast("long").alias("s"),
+        F.sum(F.col("nrm_fp").cast(dec) * F.col("nrm_fp").cast(dec)).cast(dec).alias("q2"),
+    )
+    ps = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cos_fp").cast("long").alias("sc"),
+        F.sum(F.abs("cos_fp")).cast("long").alias("sa"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d_("s") / d_("n")
+    return ns.crossJoin(ps).select(
+        F.col("n").alias("n_vecs"), "n_pairs",
+        F.round(d_("sc") / d_("n_pairs") / F.lit(1e6), 6).alias("mean_cosine"),
+        F.round(d_("sa") / d_("n_pairs") / F.lit(1e6), 6).alias("mean_abs_cosine"),
+        F.round(F.sqrt(d_("q2") / d_("n") - mu * mu) / mu, 6).alias("norm_cv"),
+    )
+
+
+_MATTR_W = 25
+
+
+@query(
+    "mattr_diversity",
+    f"""WITH toks AS (
+         SELECT doc_id, t.token, t.pos::BIGINT AS pos,
+                count(*) OVER (PARTITION BY doc_id) AS n
+         FROM (SELECT doc_id,
+                      unnest(string_split(trim(text), ' ')) AS token,
+                      generate_subscripts(string_split(trim(text), ' '), 1) - 1 AS pos
+               FROM documents) t(doc_id, token, pos)),
+       eligible AS (SELECT * FROM toks WHERE n >= {_MATTR_W}),
+       starts AS (
+         SELECT DISTINCT doc_id, s.st::BIGINT AS st
+         FROM (SELECT doc_id, max(n)::BIGINT AS n FROM eligible GROUP BY doc_id) d,
+              LATERAL (SELECT unnest(range(d.n - {_MATTR_W} + 1)) AS st) s),
+       win AS (
+         SELECT st.doc_id, st.st, count(DISTINCT e.token)::BIGINT AS types
+         FROM starts st
+         JOIN eligible e ON e.doc_id = st.doc_id
+                        AND e.pos >= st.st AND e.pos < st.st + {_MATTR_W}
+         GROUP BY st.doc_id, st.st)
+       SELECT doc_id, count(*)::BIGINT AS n_windows,
+              round(sum(types)::DOUBLE / (count(*) * {_MATTR_W}.0), 6) AS mattr
+       FROM win GROUP BY doc_id""",
+)
+def q_mattr_diversity(spark, sf_dir):
+    """MATTR moving-average type-token ratio (Covington & McFall, JQL
+    2010): lexical diversity per document as the mean TTR over every
+    {_MATTR_W}-token sliding window — unlike raw TTR it doesn't shrink
+    with document length, so it is the comparable diversity feature
+    quality classifiers actually use (degenerate/repetitive text scores
+    low regardless of length). Window membership is a positional
+    band join per doc (bounded: ≤ n windows × w rows per doc — cap
+    window count per doc at scale exactly like the mann_kendall pair
+    gate); type counts and the final mean are exact, one division."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token")
+    ).select(
+        "doc_id", "token", F.col("pos").cast("long").alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    eligible = toks.where(F.col("n") >= _MATTR_W).localCheckpoint(eager=True)
+    doc_n = eligible.groupBy("doc_id").agg(F.max("n").cast("long").alias("n"))
+    starts = doc_n.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - _MATTR_W)).alias("st"),
+    )
+    win = (
+        starts.join(eligible, "doc_id")
+        .where((F.col("pos") >= F.col("st")) & (F.col("pos") < F.col("st") + _MATTR_W))
+        .groupBy("doc_id", "st")
+        .agg(F.count_distinct("token").cast("long").alias("types"))
+    )
+    return win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.sum("types").cast("double") / (F.count(F.lit(1)) * F.lit(float(_MATTR_W))), 6).alias("mattr"),
+    )
