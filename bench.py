@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "loo_source_value",
     "embedding_isotropy",
     "mattr_diversity",
+    "moore_lewis",
+    "oov_rate",
 ]
 
 

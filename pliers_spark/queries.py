@@ -16861,3 +16861,147 @@ def q_mattr_diversity(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.round(F.sum("types").cast("double") / (F.count(F.lit(1)) * F.lit(float(_MATTR_W))), 6).alias("mattr"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 54: Moore-Lewis CED selection, OOV-rate audit
+
+def _moore_lewis_sql(vocab_size: int = 1000) -> str:
+    return f"""WITH base AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+       census AS (
+         SELECT t AS w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+       vocab AS (SELECT w FROM census ORDER BY c DESC, w LIMIT {vocab_size}),
+       nv AS (SELECT count(*)::BIGINT AS n_vocab FROM vocab),
+       bi AS (
+         SELECT b.doc_id, b.lang,
+                CASE WHEN v1.w IS NULL THEN '<unk>' ELSE w1r END AS w1,
+                CASE WHEN v2.w IS NULL THEN '<unk>' ELSE w2r END AS w2
+         FROM (SELECT doc_id, lang,
+                      unnest(toks[1:len(toks)-1]) AS w1r,
+                      unnest(toks[2:len(toks)]) AS w2r
+               FROM base) b
+         LEFT JOIN vocab v1 ON b.w1r = v1.w
+         LEFT JOIN vocab v2 ON b.w2r = v2.w),
+       gen AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi GROUP BY w1, w2),
+       genc AS (SELECT w1, sum(cb)::BIGINT AS cw FROM gen GROUP BY w1),
+       ind AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi WHERE lang = 'en'
+               GROUP BY w1, w2),
+       indc AS (SELECT w1, sum(cb)::BIGINT AS cw FROM ind GROUP BY w1),
+       scored AS (
+         SELECT bi.doc_id,
+                CAST(round(ln((coalesce(i.cb, 0) + 1)::DOUBLE
+                              / (coalesce(ic.cw, 0) + nv.n_vocab + 1)::DOUBLE) * 1e6)
+                     AS BIGINT)
+                - CAST(round(ln((g.cb + 1)::DOUBLE
+                                / (gc.cw + nv.n_vocab + 1)::DOUBLE) * 1e6)
+                       AS BIGINT) AS ced_unats
+         FROM bi
+         JOIN gen g USING (w1, w2) JOIN genc gc USING (w1)
+         LEFT JOIN ind i ON i.w1 = bi.w1 AND i.w2 = bi.w2
+         LEFT JOIN indc ic ON ic.w1 = bi.w1
+         CROSS JOIN nv)
+       SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              round(sum(ced_unats)::DOUBLE / count(*) / 1000000.0, 6) AS ced,
+              (sum(ced_unats) > 0) AS selected
+       FROM scored GROUP BY doc_id"""
+
+
+@query("moore_lewis", _moore_lewis_sql())
+def q_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference data selection (ACL 2010 —
+    the canonical pick-what-looks-in-domain method, still the baseline
+    every data-selection paper fights): per document, the average
+    bigram log-prob under the IN-DOMAIN model (lang='en' slice) minus
+    under the GENERAL model (whole corpus), both add-one-smoothed over
+    a shared top-1000 vocabulary; positive CED = more in-domain-like
+    than average, selected. Both models' per-TYPE log-probs round once
+    to micro-nats (lm_score's discipline) so per-doc sums are exact;
+    the shared mapped-bigram table is built ONCE and feeds both model
+    censuses and the scoring join."""
+    from pliers_spark.operators.lm import UNK, _mapped_bigrams
+
+    d = _docs(spark, sf_dir)
+    tok_census = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        tok_census.orderBy(F.desc("c"), F.asc("w")).limit(1000)
+        .select("w").localCheckpoint(eager=True)
+    )
+    n_vocab = vocab.count()
+    bg = (
+        _mapped_bigrams(d, vocab, "text", "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)  # feeds both models AND scoring
+    )
+    gen = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("g_cb"))
+    genc = gen.groupBy("w1").agg(F.sum("g_cb").cast("long").alias("g_cw"))
+    ind = bg.where(F.col("lang") == "en").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("i_cb")
+    )
+    indc = ind.groupBy("w1").agg(F.sum("i_cb").cast("long").alias("i_cw"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    lp_in = F.round(
+        F.log(
+            (F.coalesce("i_cb", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("i_cw", F.lit(0)) + n_vocab + 1).cast("double")
+        ) * F.lit(1e6), 0,
+    ).cast("long")
+    lp_gen = F.round(
+        F.log((F.col("g_cb") + 1).cast("double") / (F.col("g_cw") + n_vocab + 1).cast("double"))
+        * F.lit(1e6), 0,
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(gen), ["w1", "w2"])
+        .join(F.broadcast(genc), "w1")
+        .join(F.broadcast(ind), ["w1", "w2"], "left")
+        .join(F.broadcast(indc), "w1", "left")
+        .select("doc_id", (lp_in - lp_gen).alias("ced_unats"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("ced_unats").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6).alias("ced"),
+        (F.sum("ced_unats") > 0).alias("selected"),
+    )
+
+
+@query(
+    "oov_rate",
+    """WITH census AS (
+         SELECT u AS w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS u FROM documents)
+         GROUP BY u),
+       vocab AS (SELECT w FROM census ORDER BY c DESC, w LIMIT 1000),
+       toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       SELECT source, count(*)::BIGINT AS n_tokens,
+              sum((vocab.w IS NULL)::INT)::BIGINT AS n_oov,
+              round(sum((vocab.w IS NULL)::INT)::DOUBLE / count(*), 6) AS oov_rate
+       FROM toks LEFT JOIN vocab ON vocab.w = toks.w
+       GROUP BY source""",
+)
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the global top-1000
+    vocabulary — the cheapest domain-shift alarm (a source whose OOV
+    rate spikes will inflate `token_fertility`, starve `dictionary_
+    lookup`, and break fixed-vocab models). One global census for the
+    vocab (distributed top-k), one broadcast left join over the token
+    stream, exact counts and one division per source."""
+    d = _docs(spark, sf_dir)
+    census = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = census.orderBy(F.desc("c"), F.asc("w")).limit(1000).select(
+        "w", F.lit(1).alias("in_v")
+    )
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("in_v").isNull().cast("int")).cast("long").alias("n_oov"),
+        F.round(F.sum(F.col("in_v").isNull().cast("int")).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
