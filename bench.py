@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "mattr_diversity",
     "moore_lewis",
     "oov_rate",
+    "haar_energy",
+    "fd_binning",
+    "pacf_lag2",
 ]
 
 

@@ -17005,3 +17005,226 @@ def q_oov_rate(spark, sf_dir):
         F.sum(F.col("in_v").isNull().cast("int")).cast("long").alias("n_oov"),
         F.round(F.sum(F.col("in_v").isNull().cast("int")).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 55: Haar wavelet energy, Freedman-Diaconis binning, PACF(2)
+
+@query(
+    "haar_energy",
+    """WITH daily AS (
+         SELECT count(*)::BIGINT AS c,
+                row_number() OVER (ORDER BY date_trunc('day', ts)) AS rn
+         FROM events GROUP BY date_trunc('day', ts)),
+       l0 AS (SELECT rn, c FROM daily WHERE rn <= 16),
+       l1 AS (
+         SELECT ((rn - 1) // 2)::BIGINT AS blk,
+                sum(CASE WHEN rn % 2 = 1 THEN c ELSE -c END)::BIGINT AS d,
+                sum(c)::BIGINT AS s
+         FROM l0 GROUP BY 1),
+       l2 AS (
+         SELECT (blk // 2)::BIGINT AS blk,
+                sum(CASE WHEN blk % 2 = 0 THEN s ELSE -s END)::BIGINT AS d,
+                sum(s)::BIGINT AS s
+         FROM l1 GROUP BY 1),
+       l3 AS (
+         SELECT (blk // 2)::BIGINT AS blk,
+                sum(CASE WHEN blk % 2 = 0 THEN s ELSE -s END)::BIGINT AS d,
+                sum(s)::BIGINT AS s
+         FROM l2 GROUP BY 1)
+       SELECT 1::BIGINT AS level, count(*)::BIGINT AS n_coeffs,
+              sum(d::HUGEINT * d::HUGEINT)::BIGINT AS energy FROM l1
+       UNION ALL
+       SELECT 2, count(*), sum(d::HUGEINT * d::HUGEINT)::BIGINT FROM l2
+       UNION ALL
+       SELECT 3, count(*), sum(d::HUGEINT * d::HUGEINT)::BIGINT FROM l3""",
+)
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet energy spectrum over the first 16 days of the daily
+    event-count series: level-ℓ detail coefficients are differences of
+    adjacent 2^(ℓ−1)-day block sums, and the per-level energy Σd² says
+    WHERE the variance lives — day-to-day jitter (level 1) vs weekly-ish
+    swells (level 3) — the multi-resolution twin of `seasonality_
+    strength` that needs no period guess. Unnormalized Haar keeps
+    every coefficient an exact integer (sums and differences of
+    counts), so energies are exact; each level is one tiny grouped agg
+    over the previous level's 16→8→4→2 rows."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("c", F.row_number().over(Window.orderBy("day")).alias("rn"))
+        .where(F.col("rn") <= 16)
+    )
+    dec = "decimal(38,0)"
+    l1 = daily.groupBy(F.floor((F.col("rn") - 1) / 2).cast("long").alias("blk")).agg(
+        F.sum(F.when(F.col("rn") % 2 == 1, F.col("c")).otherwise(-F.col("c"))).cast("long").alias("d"),
+        F.sum("c").cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    def up(prev):
+        return prev.groupBy(F.floor(F.col("blk") / 2).cast("long").alias("blk")).agg(
+            F.sum(F.when(F.col("blk") % 2 == 0, F.col("s")).otherwise(-F.col("s"))).cast("long").alias("d"),
+            F.sum("s").cast("long").alias("s"),
+        ).localCheckpoint(eager=True)
+    l2 = up(l1)
+    l3 = up(l2)
+    def row(lv, df):
+        return df.agg(
+            F.lit(lv).cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.sum(F.col("d").cast(dec) * F.col("d").cast(dec)).cast("long").alias("energy"),
+        ).select("level", "n_coeffs", "energy")
+    return row(1, l1).unionAll(row(2, l2)).unionAll(row(3, l3))
+
+
+@query(
+    "fd_binning",
+    """WITH v AS (
+         SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS x, o_orderkey
+         FROM orders),
+       r AS (SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS rn,
+                    count(*) OVER () AS n FROM v),
+       qs AS (
+         SELECT max(n)::BIGINT AS n,
+                max(CASE WHEN rn <= CAST(ceil(0.25 * max_n) AS BIGINT) THEN x END)::BIGINT AS q1,
+                max(CASE WHEN rn <= CAST(ceil(0.75 * max_n) AS BIGINT) THEN x END)::BIGINT AS q3,
+                min(x)::BIGINT AS mn, max(x)::BIGINT AS mx
+         FROM (SELECT *, max(n) OVER () AS max_n FROM r))
+       SELECT n, (q3 - q1)::BIGINT AS iqr_fp,
+              round(2.0 * (q3 - q1)::DOUBLE / pow(n::DOUBLE, 1.0 / 3.0), 4) AS width_fp,
+              CAST(ceil((mx - mn)::DOUBLE
+                        / (2.0 * (q3 - q1)::DOUBLE / pow(n::DOUBLE, 1.0 / 3.0)))
+                   AS BIGINT) AS n_bins
+       FROM qs WHERE q3 > q1""",
+)
+def q_fd_binning(spark, sf_dir):
+    """Freedman-Diaconis histogram bin selection (1981): width =
+    2·IQR/n^⅓ over order totals — the robust automatic binning rule
+    `feature_histogram`-style reports should use instead of guessing a
+    bucket count. Quartiles are EXACT type-1 rank statistics (value at
+    rank ⌈0.25n⌉ / ⌈0.75n⌉, orderkey tiebreak — no interpolation
+    ambiguity); the cube root and division touch one final row. One
+    rank window on the (already value-grain) table."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("x"), "o_orderkey"
+    )
+    n = v.count()
+    wr = Window.orderBy("x", "o_orderkey")
+    r = v.select("x", F.row_number().over(wr).alias("rn"))
+    import math as _m
+
+    k1 = _m.ceil(0.25 * n)
+    k3 = _m.ceil(0.75 * n)
+    qs = r.agg(
+        F.max(F.when(F.col("rn") <= k1, F.col("x"))).cast("long").alias("q1"),
+        F.max(F.when(F.col("rn") <= k3, F.col("x"))).cast("long").alias("q3"),
+        F.min("x").cast("long").alias("mn"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    width = F.lit(2.0) * (d_("q3") - d_("q1")) / F.pow(F.lit(float(n)), F.lit(1.0 / 3.0))
+    return qs.where(F.col("q3") > F.col("q1")).select(
+        F.lit(n).cast("long").alias("n"),
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr_fp"),
+        F.round(width, 4).alias("width_fp"),
+        F.ceil((d_("mx") - d_("mn")) / width).cast("long").alias("n_bins"),
+    )
+
+
+@query(
+    "pacf_lag2",
+    """WITH daily AS (
+         SELECT count(*)::BIGINT AS c,
+                row_number() OVER (ORDER BY date_trunc('day', ts)) AS rn
+         FROM events GROUP BY date_trunc('day', ts)),
+       lagged AS (
+         SELECT c, lag(c, 1) OVER (ORDER BY rn) AS c1,
+                lag(c, 2) OVER (ORDER BY rn) AS c2
+         FROM daily),
+       st AS (
+         SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                sum(c::HUGEINT * c::HUGEINT) AS q FROM daily),
+       r1 AS (
+         SELECT count(*)::BIGINT AS n1, sum(c)::BIGINT AS sx, sum(c1)::BIGINT AS sy,
+                sum(c::HUGEINT * c1::HUGEINT) AS sxy,
+                sum(c::HUGEINT * c::HUGEINT) AS sxx,
+                sum(c1::HUGEINT * c1::HUGEINT) AS syy
+         FROM lagged WHERE c1 IS NOT NULL),
+       r2 AS (
+         SELECT count(*)::BIGINT AS n2, sum(c)::BIGINT AS sx, sum(c2)::BIGINT AS sy,
+                sum(c::HUGEINT * c2::HUGEINT) AS sxy,
+                sum(c::HUGEINT * c::HUGEINT) AS sxx,
+                sum(c2::HUGEINT * c2::HUGEINT) AS syy
+         FROM lagged WHERE c2 IS NOT NULL),
+       rhos AS (
+         SELECT round((r1.n1::DOUBLE * r1.sxy::DOUBLE - r1.sx::DOUBLE * r1.sy::DOUBLE)
+                / sqrt((r1.n1::DOUBLE * r1.sxx::DOUBLE - r1.sx::DOUBLE * r1.sx::DOUBLE)
+                       * (r1.n1::DOUBLE * r1.syy::DOUBLE - r1.sy::DOUBLE * r1.sy::DOUBLE)), 6)
+                  AS rho1,
+                round((r2.n2::DOUBLE * r2.sxy::DOUBLE - r2.sx::DOUBLE * r2.sy::DOUBLE)
+                / sqrt((r2.n2::DOUBLE * r2.sxx::DOUBLE - r2.sx::DOUBLE * r2.sx::DOUBLE)
+                       * (r2.n2::DOUBLE * r2.syy::DOUBLE - r2.sy::DOUBLE * r2.sy::DOUBLE)), 6)
+                  AS rho2
+         FROM r1 CROSS JOIN r2)
+       SELECT rho1, rho2,
+              CASE WHEN 1.0 - rho1 * rho1 > 1e-12
+                   THEN round((rho2 - rho1 * rho1) / (1.0 - rho1 * rho1), 4)
+              END AS pacf2
+       FROM rhos""",
+)
+def q_pacf_lag2(spark, sf_dir):
+    """Partial autocorrelation at lag 2 via Durbin-Levinson:
+    φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²) on the daily count series — with
+    `autocorr_lag1` this is the AR-order identification pair (an AR(1)
+    process has φ₂₂ ≈ 0; a surviving φ₂₂ says one lag isn't enough).
+    Each ρ uses exact int64/HUGEINT Pearson sufficient stats over its
+    own lag-aligned support and rounds ONCE at 6dp; the φ₂₂ quotient
+    rounds at 4dp (ratio of near-collinear quantities). One day-grain
+    window, two moment rows."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("c", F.row_number().over(Window.orderBy("day")).alias("rn"))
+    )
+    w = Window.orderBy("rn")
+    lagged = daily.select(
+        "c", F.lag("c", 1).over(w).alias("c1"), F.lag("c", 2).over(w).alias("c2")
+    ).localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    def rho(col):
+        sub = lagged.where(F.col(col).isNotNull())
+        st = sub.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sx"),
+            F.sum(col).cast("long").alias("sy"),
+            F.sum(F.col("c").cast(dec) * F.col(col).cast(dec)).cast(dec).alias("sxy"),
+            F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("sxx"),
+            F.sum(F.col(col).cast(dec) * F.col(col).cast(dec)).cast(dec).alias("syy"),
+        )
+        d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+        return st.select(
+            F.round(
+                (d_("n") * d_("sxy") - d_("sx") * d_("sy"))
+                / F.sqrt(
+                    (d_("n") * d_("sxx") - d_("sx") * d_("sx"))
+                    * (d_("n") * d_("syy") - d_("sy") * d_("sy"))
+                ),
+                6,
+            ).alias(f"rho_{col}")
+        )
+    rhos = rho("c1").crossJoin(rho("c2")).select(
+        F.col("rho_c1").alias("rho1"), F.col("rho_c2").alias("rho2")
+    )
+    return rhos.select(
+        "rho1", "rho2",
+        F.when(
+            F.lit(1.0) - F.col("rho1") * F.col("rho1") > 1e-12,
+            F.round(
+                (F.col("rho2") - F.col("rho1") * F.col("rho1"))
+                / (F.lit(1.0) - F.col("rho1") * F.col("rho1")),
+                4,
+            ),
+        ).alias("pacf2"),
+    )
