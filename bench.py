@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "haar_energy",
     "fd_binning",
     "pacf_lag2",
+    "ams_f2",
+    "negbin_fit",
+    "transitivity_global",
 ]
 
 

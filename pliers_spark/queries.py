@@ -17228,3 +17228,239 @@ def q_pacf_lag2(spark, sf_dir):
             ),
         ).alias("pacf2"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 56: AMS F2 sketch audit, negative-binomial fit, global transitivity
+
+_AMS_K = 64
+_AMS_GROUPS = 8  # median of 8 group-means (the AMS median-of-means combiner)
+
+
+def _ams_sql(k: int = _AMS_K, g: int = _AMS_GROUPS) -> str:
+    from pliers_spark.functions.hashing import md5_int_sql
+
+    signs = ", ".join(
+        f"sum((1 - 2 * CAST((({md5_int_sql('w', seed=100 + j)}) % 2) AS BIGINT)) * c)"
+        f"::BIGINT AS z{j}" for j in range(k)
+    )
+    per_g = k // g
+    gsums = ", ".join(
+        "("
+        + " + ".join(f"z{i}::HUGEINT * z{i}::HUGEINT" for i in range(gi * per_g, (gi + 1) * per_g))
+        + f") AS g{gi}"
+        for gi in range(g)
+    )
+    glist = ", ".join(f"g{gi}" for gi in range(g))
+    return f"""WITH cnt AS (
+         SELECT u AS w, count(*)::BIGINT AS c
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS u FROM documents)
+         GROUP BY u),
+       f2x AS (SELECT sum(c::HUGEINT * c::HUGEINT)::BIGINT AS f2_exact FROM cnt),
+       zs AS (SELECT {signs} FROM cnt),
+       gs AS (SELECT {gsums} FROM zs),
+       med AS (
+         SELECT CAST(e AS BIGINT) AS e,
+                row_number() OVER (ORDER BY e) AS rn
+         FROM (SELECT unnest([{glist}]) AS e FROM gs))
+       SELECT f2x.f2_exact,
+              CAST(round((SELECT max(e) FROM med WHERE rn <= {(g + 1) // 2})::DOUBLE
+                         / {per_g}.0) AS BIGINT) AS f2_est,
+              round((round((SELECT max(e) FROM med WHERE rn <= {(g + 1) // 2})::DOUBLE
+                           / {per_g}.0) - f2x.f2_exact::DOUBLE)
+                    / f2x.f2_exact::DOUBLE, 6) AS rel_err
+       FROM f2x"""
+
+
+@query("ams_f2", _ams_sql())
+def q_ams_f2(spark, sf_dir):
+    """AMS second-moment (F₂) sketch audit (Alon, Matias & Szegedy,
+    STOC 1996 — the Gödel-Prize streaming sketch): 64 independent
+    ±1-hash estimators Z_j = Σ s_j(w)·f(w) combined by the canonical
+    MEDIAN-OF-MEANS (8 groups of 8 — a plain median of single Z² values
+    would be biased toward the χ² median ≈ 0.45·F₂), audited against
+    the exact Σf² of the token frequency vector. F₂ drives self-join
+    size estimation and skew planning; deterministic md5 sign hashes
+    make the sketch fully reproducible cross-engine (every Z_j and
+    group sum is exact integer arithmetic; one division by the group
+    size at the end)."""
+    from pliers_spark.functions.hashing import md5_int
+
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    f2_exact = cnt.agg(
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast("long").alias("f2")
+    ).collect()[0].f2
+    zs = cnt.agg(
+        *[
+            F.sum((1 - 2 * F.pmod(md5_int(F.col("w"), seed=100 + j), F.lit(2))) * F.col("c"))
+            .cast("long").alias(f"z{j}")
+            for j in range(_AMS_K)
+        ]
+    ).collect()[0]
+    per_g = _AMS_K // _AMS_GROUPS
+    gsums = sorted(
+        sum(int(zs[f"z{i}"]) ** 2 for i in range(gi * per_g, (gi + 1) * per_g))
+        for gi in range(_AMS_GROUPS)
+    )
+    med = gsums[(_AMS_GROUPS + 1) // 2 - 1]
+    f2_est = round(med / per_g)
+    rel = round((round(med / per_g) - f2_exact) / f2_exact, 6)
+    return spark.createDataFrame(
+        [(f2_exact, f2_est, rel)], "f2_exact long, f2_est long, rel_err double"
+    )
+
+
+@query(
+    "negbin_fit",
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       cnt AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+       dense AS (
+         SELECT t.event_type, coalesce(cnt.c, 0)::BIGINT AS c
+         FROM users u CROSS JOIN types t
+         LEFT JOIN cnt ON cnt.user_id = u.user_id AND cnt.event_type = t.event_type),
+       st AS (
+         SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                sum(c::HUGEINT * c::HUGEINT) AS q
+         FROM dense GROUP BY event_type)
+       SELECT event_type, n AS n_users,
+              round(s::DOUBLE / n, 6) AS mu,
+              round(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 6) AS var,
+              CASE WHEN q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)
+                        > s::DOUBLE / n
+                   THEN round((s::DOUBLE / n) * (s::DOUBLE / n)
+                              / (q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)
+                                 - s::DOUBLE / n), 6) END AS nb_r,
+              CASE WHEN q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)
+                        > s::DOUBLE / n
+                   THEN round((s::DOUBLE / n)
+                              / (q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)), 6)
+              END AS nb_p
+       FROM st""",
+)
+def q_negbin_fit(spark, sf_dir):
+    """Negative-binomial method-of-moments fit per event type
+    (r = μ²/(σ²−μ), p = μ/σ²) over zero-densified per-user counts —
+    the model `dispersion_index` motivates: when counts are
+    overdispersed the NB(r,p) parameters drive capacity simulation and
+    per-user rate modeling; NULL when σ² ≤ μ (Poisson or under-
+    dispersed, NB undefined). Exact int64/HUGEINT sufficient stats;
+    identical one-expression doubles both engines."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select("event_type", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    dec = "decimal(38,0)"
+    st = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("q"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d_("s") / d_("n")
+    var = d_("q") / d_("n") - mu * mu
+    over = var > mu
+    return st.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.round(mu, 6).alias("mu"),
+        F.round(var, 6).alias("var"),
+        F.when(over, F.round(mu * mu / (var - mu), 6)).alias("nb_r"),
+        F.when(over, F.round(mu / var, 6)).alias("nb_p"),
+    )
+
+
+@query(
+    "transitivity_global",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       o AS (
+         SELECT s.a AS src, s.b AS dst, db.d AS dd
+         FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+         WHERE (da.d, s.a) < (db.d, s.b)),
+       tri AS (
+         SELECT count(*)::BIGINT AS t FROM (
+           SELECT e1.src
+           FROM o e1 JOIN o e2 ON e1.src = e2.src
+             AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+           JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)),
+       wd AS (SELECT sum(d::HUGEINT * (d - 1)::HUGEINT / 2)::BIGINT AS wedges,
+                     count(*)::BIGINT AS n FROM deg)
+       SELECT wd.n AS n_nodes, wd.wedges, tri.t AS triangles,
+              CASE WHEN wd.wedges > 0
+                   THEN round(3.0 * tri.t::DOUBLE / wd.wedges::DOUBLE, 6) END
+                AS transitivity
+       FROM wd CROSS JOIN tri""",
+)
+def q_transitivity_global(spark, sf_dir):
+    """Global transitivity C = 3·triangles / wedges (the graph-level
+    clustering number; Watts-Strogatz's C is its per-node mean, emitted
+    by `triangle_coeffs`) — with `triangle_nullmodel` this closes the
+    clustering triptych: per-node profile, global ratio, null
+    expectation. Triangles reuse the orientation-ordered enumeration;
+    wedges are Σ C(d,2) from the degree census — no new shuffle
+    shapes, one ratio."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    o = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = o.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv_"))
+    e2 = o.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw_"))
+    wedges_j = e1.join(e2, "src").where(
+        (F.col("dv_") < F.col("dw_"))
+        | ((F.col("dv_") == F.col("dw_")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    t = wedges_j.join(closing, ["v", "w"]).count()
+    wd = deg.agg(
+        F.sum((F.col("d").cast(dec) * (F.col("d") - 1).cast(dec) / 2).cast(dec))
+        .cast("long").alias("wedges"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).collect()[0]
+    trans = round(3.0 * t / wd.wedges, 6) if wd.wedges else None
+    return spark.createDataFrame(
+        [(wd.n, wd.wedges, t, trans)],
+        "n_nodes long, wedges long, triangles long, transitivity double",
+    )
