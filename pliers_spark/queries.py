@@ -13980,24 +13980,53 @@ def q_linkage_profile(spark, sf_dir):
     nodes, and cluster counts per threshold. This is the dial-setting
     report (how much mass each notch of fuzziness merges) a dedup
     owner reads before fixing the production threshold; the expensive
-    corpus banding never re-runs per threshold."""
+    corpus banding never re-runs per threshold.
+
+    Plan: the three per-threshold single-linkage problems are FUSED
+    into one connected-components run by lifting each node into a
+    threshold-tagged id (t·2⁴² + doc_id) and unioning the ≤t edge
+    slices — components never span thresholds because every edge stays
+    inside its slice. One iterative CC loop (the expensive part: a
+    driver-round loop of join+agg jobs) instead of three, and all
+    per-threshold pair counts come from a single conditional agg over
+    the checkpointed pair list."""
     docs = _docs(spark, sf_dir)
     pairs = D.simhash_near_dup_pairs(
         docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
     ).localCheckpoint(eager=True)
-    rows = []
+    big = F.lit(1 << 42)
+    aug = None
     for t in (1, 2, 3):
-        pt = pairs.where(F.col("hamming") <= t).select("id_a", "id_b")
-        n_pairs = pt.count()
-        if n_pairs:
-            cc = D.connected_components(pt)
-            n_nodes = cc.count()
-            n_clusters = cc.select("cluster_id").distinct().count()
-        else:
-            n_nodes = n_clusters = 0
-        rows.append((t, n_pairs, n_nodes, n_clusters))
-    return spark.createDataFrame(
-        rows, "max_hamming long, n_pairs long, n_nodes long, n_clusters long"
+        sl = pairs.where(F.col("hamming") <= t).select(
+            (F.col("id_a") + big * t).alias("id_a"),
+            (F.col("id_b") + big * t).alias("id_b"),
+        )
+        aug = sl if aug is None else aug.unionByName(sl)
+    cc = D.connected_components(aug)
+    per_t = cc.groupBy(
+        F.floor(F.col("doc_id") / big).cast("long").alias("max_hamming")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    n_pairs = pairs.groupBy(
+        F.col("hamming").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    thresholds = spark.range(1, 4).select(F.col("id").alias("max_hamming"))
+    counts = (
+        thresholds.join(F.broadcast(n_pairs), F.col("h") <= F.col("max_hamming"), "left")
+        .groupBy("max_hamming")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_pairs"))
+    )
+    return (
+        counts.join(F.broadcast(per_t), "max_hamming", "left")
+        .select(
+            "max_hamming",
+            "n_pairs",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_clusters", F.lit(0)).cast("long").alias("n_clusters"),
+        )
+        .orderBy("max_hamming")
     )
 
 
