@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "ams_f2",
     "negbin_fit",
     "transitivity_global",
+    "adamic_adar",
+    "kendall_tau_binned",
+    "chi2_independence",
 ]
 
 

@@ -17493,3 +17493,269 @@ def q_transitivity_global(spark, sf_dir):
         [(wd.n, wd.wedges, t, trans)],
         "n_nodes long, wedges long, triangles long, transitivity double",
     )
+
+
+# --------------------------------------------------------------------------
+# batch 57: Adamic-Adar link prediction, binned Kendall tau-b, chi-square
+
+_AA_MAX_DEG = 500  # hub cap: a hub z adds <= 1/ln(500) per wedge but O(d_z^2) wedges
+
+
+@query(
+    "adamic_adar",
+    f"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       sym AS (SELECT u AS z, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT z AS node, count(*)::BIGINT AS d FROM sym GROUP BY z),
+       mid AS (
+         SELECT s.z, s.nb, round(1000000.0 / ln(d.d))::BIGINT AS w_micro
+         FROM sym s JOIN deg d ON d.node = s.z
+         WHERE d.d >= 2 AND d.d <= {_AA_MAX_DEG}),
+       wedge AS (
+         SELECT x.nb AS a, y.nb AS b,
+                sum(x.w_micro)::BIGINT AS aa_micro, count(*)::BIGINT AS cn
+         FROM mid x JOIN mid y ON x.z = y.z AND x.nb < y.nb
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT w.* FROM wedge w
+         ANTI JOIN e ON e.u = w.a AND e.v = w.b)
+       SELECT a, b, cn AS common_neighbors, aa_micro,
+              round(aa_micro / 1000000.0, 6) AS aa_score
+       FROM cand
+       ORDER BY aa_micro DESC, a, b LIMIT 50""",
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003)
+    over the part co-purchase graph: for each NON-adjacent pair (a,b),
+    score = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) — the classic common-neighbor
+    index that down-weights promiscuous hubs. Plan: one wedge
+    enumeration through the shared neighbor z (join of the symmetric
+    edge list with itself on z, a<b), summed per pair, then an
+    anti-join against the edge list keeps only non-edges — no all-pairs
+    product anywhere. z is capped at deg ≤ {_AA_MAX_DEG} on BOTH
+    engines (a hub contributes ≤ 1/ln(cap) per wedge yet O(d²) wedges;
+    truncated-AA is the standard production form of this index — the
+    same reasoning as `ngram_jaccard`'s max_df stop-shingle cap).
+    Weights are integer micro-units (round(1e6/ln d)) so the per-pair
+    sum is exact and order-independent cross-engine; top-50 by
+    (score, a, b) is a deterministic TakeOrderedAndProject."""
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mid = (
+        sym.join(deg.where((F.col("d") >= 2) & (F.col("d") <= _AA_MAX_DEG)), "z")
+        .select("z", "nb", F.round(F.lit(1e6) / F.log(F.col("d")), 0).cast("long").alias("w_micro"))
+    )
+    wedge = (
+        mid.alias("x").join(mid.alias("y"), "z")
+        .where(F.col("x.nb") < F.col("y.nb"))
+        .groupBy(F.col("x.nb").alias("a"), F.col("y.nb").alias("b"))
+        .agg(
+            F.sum("x.w_micro").cast("long").alias("aa_micro"),
+            F.count(F.lit(1)).cast("long").alias("cn"),
+        )
+    )
+    cand = wedge.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"], "left_anti"
+    )
+    return (
+        cand.select(
+            "a", "b", F.col("cn").alias("common_neighbors"), "aa_micro",
+            F.round(F.col("aa_micro") / 1e6, 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_micro"), "a", "b")
+        .limit(50)
+    )
+
+
+@query(
+    "kendall_tau_binned",
+    """WITH base AS (
+         SELECT doc_id, n_chars,
+                len(string_split(trim(text), ' '))::BIGINT AS n_toks
+         FROM documents),
+       nq AS (
+         SELECT n_chars, n_toks,
+                ntile(5) OVER (ORDER BY n_chars, doc_id) AS qx,
+                ntile(5) OVER (ORDER BY n_toks, doc_id) AS qy
+         FROM base),
+       cell AS (SELECT qx, qy, count(*)::HUGEINT AS n FROM nq GROUP BY 1, 2),
+       tot AS (SELECT sum(n) AS n FROM cell),
+       conc AS (
+         SELECT sum(c1.n * c2.n) AS c
+         FROM cell c1 JOIN cell c2 ON c2.qx > c1.qx AND c2.qy > c1.qy),
+       disc AS (
+         SELECT sum(c1.n * c2.n) AS d
+         FROM cell c1 JOIN cell c2 ON c2.qx > c1.qx AND c2.qy < c1.qy),
+       tx AS (SELECT sum(s * (s - 1) / 2) AS t FROM
+                (SELECT sum(n) AS s FROM cell GROUP BY qx)),
+       ty AS (SELECT sum(s * (s - 1) / 2) AS t FROM
+                (SELECT sum(n) AS s FROM cell GROUP BY qy))
+       SELECT conc.c::BIGINT AS concordant, disc.d::BIGINT AS discordant,
+              round((conc.c::DOUBLE - disc.d::DOUBLE)
+                    / sqrt((tot.n * (tot.n - 1) / 2 - tx.t)::DOUBLE
+                           * (tot.n * (tot.n - 1) / 2 - ty.t)::DOUBLE), 6)
+                AS tau_b
+       FROM conc, disc, tx, ty, tot""",
+)
+def q_kendall_tau_binned(spark, sf_dir):
+    """Kendall τ-b rank correlation between document length in chars
+    and in tokens, computed on QUINTILE-BINNED data (Kendall 1945 ties
+    correction): concordant/discordant pair counts come from the 5×5
+    contingency table — Σ n_ij · n_i'j' over strictly greater /
+    strictly lesser cells — so the O(n²) pair space collapses to 25²
+    cell pairs after one aggregation. This is the scale form of τ
+    (exact for the binned ordinal variables; `spearman_rho` covers the
+    continuous ranks): all counts are exact integers, one sqrt at the
+    end. ntile ties are broken by doc_id on BOTH engines — without the
+    total order, equal raw values straddle tile boundaries differently
+    per engine and the 5×5 census drifts."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "n_chars", F.size(T.tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    nq = base.select(
+        F.ntile(5).over(Window.orderBy("n_chars", "doc_id")).alias("qx"),
+        F.ntile(5).over(Window.orderBy("n_toks", "doc_id")).alias("qy"),
+    )
+    dec = "decimal(38,0)"
+    cell = nq.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast(dec).alias("n")).localCheckpoint(eager=True)
+    tot = cell.agg(F.sum("n").cast(dec).alias("n"))
+    conc = (
+        cell.alias("c1").join(
+            cell.alias("c2"),
+            (F.col("c2.qx") > F.col("c1.qx")) & (F.col("c2.qy") > F.col("c1.qy")),
+        )
+        .agg(F.sum(F.col("c1.n") * F.col("c2.n")).cast(dec).alias("c"))
+    )
+    disc = (
+        cell.alias("c1").join(
+            cell.alias("c2"),
+            (F.col("c2.qx") > F.col("c1.qx")) & (F.col("c2.qy") < F.col("c1.qy")),
+        )
+        .agg(F.sum(F.col("c1.n") * F.col("c2.n")).cast(dec).alias("d"))
+    )
+    tx = (
+        cell.groupBy("qx").agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast(dec).alias("t"))
+    )
+    ty = (
+        cell.groupBy("qy").agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast(dec).alias("t"))
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    half = F.col("n").cast(dec) * (F.col("n").cast(dec) - 1) / 2
+    return (
+        conc.crossJoin(disc).crossJoin(tx.withColumnRenamed("t", "t_x"))
+        .crossJoin(ty.withColumnRenamed("t", "t_y")).crossJoin(tot)
+        .select(
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            F.round(
+                (d_("c") - d_("d"))
+                / F.sqrt(
+                    (half - F.col("t_x")).cast("double")
+                    * (half - F.col("t_y")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "chi2_independence",
+    """WITH o AS (SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+       r AS (SELECT lang, sum(o)::BIGINT AS r FROM o GROUP BY lang),
+       c AS (SELECT source, sum(o)::BIGINT AS c FROM o GROUP BY source),
+       n AS (SELECT sum(o)::BIGINT AS n FROM o),
+       dense AS (
+         SELECT r.lang, c.source, coalesce(o.o, 0)::BIGINT AS o, r.r, c.c, n.n
+         FROM r CROSS JOIN c CROSS JOIN n
+         LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+       terms AS (
+         SELECT round(1e9 * ((o * n - r * c)::HUGEINT * (o * n - r * c)::HUGEINT)::DOUBLE
+                      / (r::HUGEINT * c::HUGEINT * n::HUGEINT)::DOUBLE / n::DOUBLE
+                )::BIGINT AS t_nano,
+                r, c, n
+         FROM dense),
+       dims AS (SELECT count(DISTINCT lang)::BIGINT AS nr,
+                       count(DISTINCT source)::BIGINT AS nc FROM o)
+       SELECT sum(t_nano)::BIGINT AS chi2_nano,
+              round(sum(t_nano) / 1e9, 6) AS chi2,
+              (SELECT (nr - 1) * (nc - 1) FROM dims)::BIGINT AS dof,
+              round(sqrt(sum(t_nano) / 1e9 / (SELECT max(n) FROM n)
+                         / (SELECT least(nr - 1, nc - 1) FROM dims)), 6) AS cramers_v
+       FROM terms""",
+)
+def q_chi2_independence(spark, sf_dir):
+    """Pearson χ² test of independence on the lang × source contingency
+    table plus Cramér's V effect size (the corpus-design alarm behind
+    `lang_confusion`/`source_jsd`: is language mix independent of
+    source?). Each cell's term uses the margin identity
+    (o·n − r·c)²/(r·c·n²) — ALL-INTEGER numerator, so the only float is
+    one division per cell, rounded to integer NANO-units before the
+    sum (order-independent cross-engine, the `pr_auc` convention);
+    zero-cells are densified via the margin cross join (χ² needs every
+    expected cell). One groupBy census + two broadcast margins; V =
+    sqrt(χ²/(n·min(R−1,C−1)))."""
+    d = _docs(spark, sf_dir)
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(eager=True)
+    r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    dense = (
+        r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .select(F.coalesce("o", F.lit(0)).cast("long").alias("o"), "r", "c", "n")
+    )
+    dec = "decimal(38,0)"
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(dec)
+    t_nano = F.round(
+        F.lit(1e9) * (diff * diff).cast("double")
+        / (F.col("r").cast(dec) * F.col("c").cast(dec) * F.col("n").cast(dec)).cast("double")
+        / F.col("n").cast("double"),
+        0,
+    ).cast("long")
+    dims = o.agg(
+        F.count_distinct("lang").cast("long").alias("nr"),
+        F.count_distinct("source").cast("long").alias("nc"),
+    )
+    agg = dense.agg(F.sum(t_nano).cast("long").alias("chi2_nano"))
+    return (
+        agg.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(n))
+        .select(
+            "chi2_nano",
+            F.round(F.col("chi2_nano") / 1e9, 6).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_nano") / 1e9 / F.col("n").cast("double")
+                    / F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
