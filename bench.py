@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "adamic_adar",
     "kendall_tau_binned",
     "chi2_independence",
+    "hash_bootstrap_ci",
+    "kcore_members",
+    "jaro_winkler_dups",
 ]
 
 

@@ -21,6 +21,9 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1395,3 +1398,123 @@ def incremental_lsh_dedup(
             F.col("n_matches").isNull().alias("keep"),
         )
     )
+
+
+def jaro_winkler_blocked(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 5,
+    block_chars: int = 2,
+    max_len_diff: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Jaro-Winkler fuzzy token matching with prefix blocking — the
+    record-linkage workhorse (Winkler, ASA 1990) for typo/variant
+    detection in vocabularies, entity names, and URL slugs. Candidate
+    pairs come from a ``block_chars``-char prefix block + length-window
+    gate (|len_a − len_b| ≤ ``max_len_diff``) so the all-pairs product
+    never forms: the join is an equi-join on the block key, the same
+    candidate-gating shape as ``edit_distance_dups``'s winnowing gate.
+
+    Scoring is the standard Jaro similarity (match window
+    ⌊max(l1,l2)/2⌋−1, half-transpositions) with the Winkler prefix
+    bonus (p=0.1, prefix ≤ 4, applied only when jaro > 0.7) — verified
+    against DuckDB's ``jaro_winkler_similarity`` semantics so the
+    oracle is the built-in. Scoring runs in ONE Arrow-batched pandas
+    UDF over the gated pairs (never per-row Python in the corpus scan;
+    the pair list after blocking is the small side).
+
+    Returns (tok_a, tok_b, jw) with tok_a < tok_b and jw ≥ threshold,
+    rounded to 6dp.
+    """
+    @F.pandas_udf("double")
+    def _jw(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        def score(s1: str, s2: str) -> float:
+            l1, l2 = len(s1), len(s2)
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            win = max(l1, l2) // 2 - 1
+            if win < 0:
+                win = 0
+            m2 = [False] * l2
+            m1 = [False] * l1
+            m = 0
+            for i, c in enumerate(s1):
+                lo, hi = max(0, i - win), min(l2, i + win + 1)
+                for j in range(lo, hi):
+                    if not m2[j] and s2[j] == c:
+                        m1[i] = m2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            j = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[j]:
+                        j += 1
+                    if s1[i] != s2[j]:
+                        t += 1
+                    j += 1
+            t //= 2
+            jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+            if jaro > 0.7:
+                p = 0
+                for i in range(min(4, l1, l2)):
+                    if s1[i] == s2[i]:
+                        p += 1
+                    else:
+                        break
+                jaro = jaro + p * 0.1 * (1.0 - jaro)
+            return jaro
+
+        for a, b in batches:
+            yield pd.Series([score(x, y) for x, y in zip(a, b)])
+
+    toks = (
+        docs.select(F.explode(T.tokenize(F.col(text_col))).alias("tok"))
+        .where(F.length("tok") >= min_len)
+        .distinct()
+        .select("tok", F.substring("tok", 1, block_chars).alias("blk"), F.length("tok").alias("ln"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, "blk")
+        .where(
+            (F.col("a.tok") < F.col("b.tok"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_len_diff)
+        )
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+    )
+    return (
+        pairs.withColumn("jw", F.round(_jw("tok_a", "tok_b"), 6))
+        .where(F.col("jw") >= threshold)
+        .select("tok_a", "tok_b", "jw")
+    )
+
+
+def jaro_winkler_blocked_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_len: int = 5,
+    block_chars: int = 2,
+    max_len_diff: int = 2,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB oracle for :func:`jaro_winkler_blocked` — the scorer is
+    DuckDB's built-in ``jaro_winkler_similarity`` (same standard
+    semantics: window ⌊max/2⌋−1, p=0.1, prefix ≤ 4, 0.7 boost gate)."""
+    return f"""WITH toks AS (
+  SELECT DISTINCT unnest(string_split(trim({text_col}), ' ')) AS tok FROM {table}),
+sel AS (
+  SELECT tok, substr(tok, 1, {block_chars}) AS blk, length(tok) AS ln
+  FROM toks WHERE length(tok) >= {min_len}),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM sel a JOIN sel b ON a.blk = b.blk AND a.tok < b.tok
+         AND abs(a.ln - b.ln) <= {max_len_diff})
+SELECT tok_a, tok_b, round(jaro_winkler_similarity(tok_a, tok_b), 6) AS jw
+FROM pairs
+WHERE round(jaro_winkler_similarity(tok_a, tok_b), 6) >= {threshold}"""

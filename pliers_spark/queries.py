@@ -17759,3 +17759,206 @@ def q_chi2_independence(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 58: deterministic bootstrap CI, k-core peeling, Jaro-Winkler linkage
+
+# Poisson(1) inverse-CDF thresholds scaled to the md5_int 60-bit hash
+# range: multiplicity k iff hash < floor(P(X<=k)*2^60); tail capped at 6.
+_BOOT_THRESH = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+)
+_BOOT_B = 200
+
+
+def _boot_case_sql(hv: str) -> str:
+    branches = "".join(
+        f" WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE{branches} ELSE 6 END"
+
+
+@query(
+    "hash_bootstrap_ci",
+    f"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+       bs AS (SELECT b, doc_id, n_chars
+              FROM d CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1}))::BIGINT AS b)),
+       h AS (SELECT b, n_chars,
+                    {md5_int_sql("concat(doc_id::VARCHAR, ':', b::VARCHAR)")} AS hv
+             FROM bs),
+       kk AS (SELECT b, n_chars, {_boot_case_sql('hv')} AS k FROM h),
+       m AS (SELECT b, sum(k * n_chars)::BIGINT AS sx, sum(k)::BIGINT AS sk
+             FROM kk GROUP BY b),
+       means AS (SELECT b, sx::DOUBLE / sk AS mb,
+                        row_number() OVER (ORDER BY sx::DOUBLE / sk, b) AS rn
+                 FROM m WHERE sk > 0),
+       fl AS (SELECT count(*)::BIGINT AS n_docs,
+                     round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_full
+              FROM d)
+       SELECT fl.n_docs, fl.mean_full,
+              round((SELECT mb FROM means WHERE rn = 5), 6) AS ci_lo,
+              round((SELECT mb FROM means WHERE rn = {_BOOT_B - 4}), 6) AS ci_hi,
+              (SELECT count(*) FROM means)::BIGINT AS n_resamples
+       FROM fl""",
+)
+def q_hash_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poissonized bootstrap 95% CI for the mean document
+    length (Efron 1979; the Poisson(1) multiplicity approximation to
+    multinomial resampling is the standard one-pass STREAMING bootstrap
+    — Owen & Eckles 2012): resample b counts row i with multiplicity
+    Poisson(1) read off a seeded md5 hash of (doc_id, b) against
+    precomputed 60-bit inverse-CDF thresholds — NO rand(), so every
+    resample is replan/retry-stable and identical cross-engine (the
+    `hash_sample` design extended to multiplicities). B=200 resample
+    means are exact-integer sums (Σk·x / Σk, one division); the CI is
+    nearest-rank order statistics (ranks 5 and 196, ties broken by b).
+    Scale shape: ONE explode×B pass + one groupBy — per-row work is B
+    hashes, no collect, no iteration; B partial sums per partition is
+    the map-side-combine form of the one-pass bootstrap."""
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    bs = d.select(
+        "doc_id", "n_chars", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    )
+    hv = md5_int(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")))
+    k = F.lit(6)
+    for kk in range(len(_BOOT_THRESH) - 1, -1, -1):
+        k = F.when(hv < _BOOT_THRESH[kk], F.lit(kk)).otherwise(k)
+    m = (
+        bs.select("b", "n_chars", k.alias("k"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("k") * F.col("n_chars")).cast("long").alias("sx"),
+            F.sum("k").cast("long").alias("sk"),
+        )
+        .where(F.col("sk") > 0)
+    )
+    means = m.select(
+        "b", (F.col("sx").cast("double") / F.col("sk")).alias("mb")
+    ).withColumn("rn", F.row_number().over(Window.orderBy("mb", "b")))
+    fl = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("mean_full"),
+    )
+    lo = means.where(F.col("rn") == 5).select(F.round("mb", 6).alias("ci_lo"))
+    hi = means.where(F.col("rn") == _BOOT_B - 4).select(F.round("mb", 6).alias("ci_hi"))
+    nb = means.agg(F.count(F.lit(1)).cast("long").alias("n_resamples"))
+    return (
+        fl.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).crossJoin(F.broadcast(nb))
+        .select("n_docs", "mean_full", "ci_lo", "ci_hi", "n_resamples")
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 40
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every CTE is MATERIALIZED: each round references the previous one
+    # three times, so default CTE inlining would expand the plan 3^rounds
+    parts = [
+        """op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS MATERIALIZED (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       bb AS MATERIALIZED (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b2.l_partkey AS v
+         FROM bb a JOIN bb b2 ON a.l_orderkey = b2.l_orderkey
+                            AND a.l_partkey < b2.l_partkey),
+       s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)"""
+    ]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT u AS node FROM {prev} "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.u, s.v FROM {prev} s "
+            f"JOIN n{r} na ON na.node = s.u JOIN n{r} nb ON nb.node = s.v)"
+        )
+        prev = f"s{r}"
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f"\n       SELECT u AS node, count(*)::BIGINT AS core_degree "
+        f"FROM {prev} GROUP BY u"
+    )
+
+
+@query("kcore_members", _kcore_sql())
+def q_kcore_members(spark, sf_dir):
+    """k-core decomposition membership (Seidman 1983; Batagelj-Zaveršnik
+    peeling) for k=3 on the part co-purchase graph: repeatedly remove
+    every node of degree < k until the remaining induced subgraph is
+    the maximal one with min degree ≥ k — THE standard dense-nucleus
+    extractor (spam-farm / community cores; `rich_club` profiles by
+    degree, this peels by induced degree). Spark side is the canonical
+    driver-loop peel: per round one degree census + two semi-joins,
+    lineage truncated per round, terminating at the fixpoint (node set
+    unchanged) with a loud guard at 40 rounds — the oracle
+    unrolls the same synchronous peel 40× (idempotent once the
+    fixpoint is reached, so extra rounds are harmless). Returns every
+    core member with its degree inside the core."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_n = -1
+    for _ in range(_KCORE_ROUNDS + 1):
+        keep = (
+            sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K).select(F.col("u").alias("node"))
+        )
+        n_now = keep.count()
+        if n_now == prev_n:
+            break
+        sym = (
+            sym.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.selectExpr("node AS v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        prev_n = n_now
+    else:
+        raise RuntimeError(
+            f"k-core peel did not reach a fixpoint in {_KCORE_ROUNDS} rounds"
+        )
+    return sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core_degree")).withColumnRenamed("u", "node")
+
+
+def _jw_sql() -> str:
+    from pliers_spark.operators.dedup import jaro_winkler_blocked_sql
+
+    return jaro_winkler_blocked_sql()
+
+
+@query("jaro_winkler_dups", _jw_sql())
+def q_jaro_winkler_dups(spark, sf_dir):
+    """Jaro-Winkler fuzzy vocabulary matching (Winkler 1990) — typo and
+    variant detection over the distinct-token vocabulary, blocked by a
+    2-char prefix + length window so no all-pairs product forms (the
+    record-linkage blocking discipline; same gate shape as
+    `edit_distance_dups`). Scoring is one Arrow-batched pandas UDF over
+    the gated pairs, semantics verified against DuckDB's built-in
+    ``jaro_winkler_similarity`` (0.7 boost gate, p=0.1, prefix ≤ 4),
+    which IS the oracle."""
+    from pliers_spark.operators.dedup import jaro_winkler_blocked
+
+    return jaro_winkler_blocked(_docs(spark, sf_dir))
