@@ -272,6 +272,9 @@ BENCH_QUERIES = [
     "hash_bootstrap_ci",
     "kcore_members",
     "jaro_winkler_dups",
+    "image_phash",
+    "ewma_smooth",
+    "cusum_changepoint",
 ]
 
 

@@ -21,6 +21,7 @@ memory; metadata-only stages must never touch the payload column
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -521,3 +522,55 @@ def video_motion(
     return df.select(id_col, payload_col).mapInPandas(
         fn, schema="id long, frame int, dy long, dx long, sad long"
     )
+
+
+# Quantized 8-point DCT-II kernel: K[u][x] = round(cos(pi*(2x+1)*u/16) * 2^18).
+# Integer so the 2-D DCT below is EXACT int64 arithmetic — order-independent
+# and bit-identical cross-engine (the chroma_cqt literal-kernel discipline);
+# envelope: |lum| <= 255000, |K| <= 2^18 -> |coeff| <= 64*255000*2^36 ~ 1.12e18 < 2^63.
+PHASH_KERNEL = tuple(
+    tuple(round(math.cos(math.pi * (2 * x + 1) * u / 16) * (1 << 18)) for x in range(8))
+    for u in range(8)
+)
+
+IMAGE_PHASH_SCHEMA = "id long, phash long, n_above long"
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image: decode → integer luma
+    (299·R + 587·G + 114·B, ×1000 scale, never divided) → exact integer
+    2-D DCT-II via the quantized kernel (C = K·L·Kᵀ, int64 matmul) →
+    each of the 63 AC coefficients compares against their MEDIAN (the
+    32nd smallest of the 63 — an exact multiset order statistic) →
+    63 bits packed by coefficient index into a sign-safe BIGINT. The
+    DCT concentrates structure into low frequencies, so pHash survives
+    blur/re-encode perturbations that flip dHash's pixel-adjacent
+    bits — the second standard perceptual key for crawl image dedup
+    (dedup itself stays an exact hash groupBy / banded near-dup join).
+    mapInPandas decode; the whole hash is integer arithmetic, so both
+    engines agree bit-for-bit."""
+    K = np.array(PHASH_KERNEL, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            ids, hashes, nab = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                ys = (np.arange(8) * img.shape[0] // 8).clip(0, img.shape[0] - 1)
+                xs = (np.arange(8) * img.shape[1] // 8).clip(0, img.shape[1] - 1)
+                lum = (img[ys][:, xs].astype(np.int64) * weights).sum(axis=2)
+                coeff = K @ lum @ K.T  # exact int64 2-D DCT
+                ac = coeff.ravel()[1:]  # drop DC at (0,0)
+                med = int(np.partition(ac, 31)[31])  # 32nd smallest of 63
+                bits = ac > med
+                ids.append(int(i))
+                hashes.append(int((bits << np.arange(63, dtype=np.int64)).sum()))
+                nab.append(int(bits.sum()))
+            yield pd.DataFrame({"id": ids, "phash": hashes, "n_above": nab})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_PHASH_SCHEMA)

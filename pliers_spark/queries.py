@@ -17962,3 +17962,186 @@ def q_jaro_winkler_dups(spark, sf_dir):
     from pliers_spark.operators.dedup import jaro_winkler_blocked
 
     return jaro_winkler_blocked(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# batch 59: perceptual DCT hash, truncated EWMA, CUSUM changepoint
+
+
+def _phash_sql() -> str:
+    from pliers_spark.multimodal import PHASH_KERNEL
+
+    kern = ", ".join(
+        f"({u}, {x}, {kq})" for u, row in enumerate(PHASH_KERNEL) for x, kq in enumerate(row)
+    )
+    px = "(doc_id*131 + r.r*17 + c.c*5 + {ch})"
+    return f"""WITH kern(u, x, kq) AS (VALUES {kern}),
+       lum AS (
+         SELECT d.doc_id, r.r, c.c,
+                (299*({px.format(ch=0)} % 256)
+               + 587*({px.format(ch=29)} % 256)
+               + 114*({px.format(ch=58)} % 256))::BIGINT AS lum
+         FROM documents d, generate_series(0,7) r(r), generate_series(0,7) c(c)),
+       coeff AS (
+         SELECT doc_id, ku.u AS u, kv.u AS v,
+                sum(lum * ku.kq * kv.kq)::BIGINT AS cf
+         FROM lum JOIN kern ku ON ku.x = lum.r JOIN kern kv ON kv.x = lum.c
+         GROUP BY 1, 2, 3),
+       ac AS (
+         SELECT doc_id, u, v, cf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY cf, u, v) AS rn
+         FROM coeff WHERE NOT (u = 0 AND v = 0)),
+       med AS (SELECT doc_id, max(CASE WHEN rn = 32 THEN cf END) AS med
+               FROM ac GROUP BY doc_id),
+       bits AS (
+         SELECT a.doc_id, a.u*8 + a.v - 1 AS pos,
+                CASE WHEN a.cf > m.med THEN 1 ELSE 0 END AS b
+         FROM ac a JOIN med m USING (doc_id))
+       SELECT doc_id, sum(b * (1::BIGINT << pos))::BIGINT AS phash,
+              sum(b)::BIGINT AS n_above
+       FROM bits GROUP BY doc_id"""
+
+
+@query("image_phash", _phash_sql())
+def q_image_phash(spark, sf_dir):
+    """Perceptual DCT hash (pHash) over a REAL PPM round trip: synthetic
+    8×8 images (pixel formula keyed by doc_id) are encoded to P6 bytes,
+    decoded by the production codec path, luma'd, and 2-D DCT'd with
+    the QUANTIZED integer kernel (round(cos·2¹⁸) literals — the
+    chroma_cqt discipline), so every coefficient, the 63-way AC median
+    (exact 32nd-smallest order statistic), each comparison bit, and
+    the packed 63-bit hash are exact int64 on both engines. pHash is
+    the frequency-domain complement to `image_dhash_dups`: DCT energy
+    compaction makes it robust to blur/re-encode, the standard second
+    perceptual key in crawl image dedup. The oracle recomputes
+    pixel → luma → DCT relationally from the same formula, certifying
+    encode → decode → DCT → median → pack bit-for-bit."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        return codecs.encode_ppm(_synth_image(did))
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_phash(payloads).withColumnRenamed("id", "doc_id")
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 20
+_EWMA_W = tuple(
+    round(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j * 1e9) for j in range(_EWMA_LAGS)
+)
+
+
+def _ewma_sql() -> str:
+    wx = " + ".join(
+        f"coalesce(lag(x, {j}) OVER w, 0) * {w}::BIGINT" for j, w in enumerate(_EWMA_W)
+    )
+    ww = " + ".join(
+        f"CASE WHEN lag(x, {j}) OVER w IS NOT NULL THEN {w}::BIGINT ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""WITH base AS (
+         SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS x
+         FROM events),
+       s AS (
+         SELECT event_id, user_id,
+                ({wx}) AS sum_wx,
+                ({ww}) AS sum_w
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id,
+              round(sum_wx::DOUBLE / sum_w::DOUBLE / 100.0, 6) AS ewma
+       FROM s"""
+
+
+@query("ewma_smooth", _ewma_sql())
+def q_ewma_smooth(spark, sf_dir):
+    """Truncated exponential smoothing (EWMA, α=0.3) of each user's
+    event-value stream — the classic online noise filter behind
+    anomaly bands and `rolling_anomaly`-style monitors. The recursion
+    s_t = α·x_t + (1−α)·s_{t−1} is unrolled to its 20-term window form
+    with integer NANO-unit weights w_j = round(α(1−α)ʲ·10⁹) and
+    cent-unit values, normalized by the weights actually present at
+    the stream head — so both sums are exact int64 and the smoothed
+    value is one identical double division per row. Plan: ONE window
+    pass per user (20 lag() columns share a single sort/shuffle on
+    user_id — whole-stage codegen, no interpreted array fold, no
+    exploding (1−α)^{−t} rescale that would overflow on long
+    streams)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select("event_id", "user_id", "ts", x.alias("x"))
+    sum_wx = None
+    sum_w = None
+    for j, wj in enumerate(_EWMA_W):
+        lj = F.lag("x", j).over(w)
+        term_x = F.coalesce(lj, F.lit(0)) * F.lit(wj)
+        term_w = F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+        sum_wx = term_x if sum_wx is None else sum_wx + term_x
+        sum_w = term_w if sum_w is None else sum_w + term_w
+    return base.select(
+        "event_id", "user_id",
+        F.round(
+            sum_wx.cast("double") / sum_w.cast("double") / F.lit(100.0), 6
+        ).alias("ewma"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    """WITH daily AS (
+         SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+                count(*)::BIGINT AS n_events
+         FROM events GROUP BY 1),
+       tot AS (SELECT sum(n_events)::BIGINT AS s, count(*)::BIGINT AS n FROM daily),
+       p AS (
+         SELECT day, n_events, s, n,
+                sum(n * n_events - s) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+         FROM daily CROSS JOIN tot),
+       sc AS (
+         SELECT day, n_events, s, n,
+                pf - least(0, min(pf) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp
+         FROM p)
+       SELECT day, n_events,
+              round(sp::DOUBLE / n, 6) AS cusum,
+              (sp::DOUBLE / n > 3.0 * sqrt(s::DOUBLE / n)) AS alarm
+       FROM sc""",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM changepoint monitor (Page, Biometrika 1954) on
+    the daily event-count series: S_t = max(0, S_{t−1} + (x_t − μ)).
+    The max-reset recursion is NOT window-expressible directly, but the
+    prefix identity S_t = P_t − min_{0≤j≤t} P_j (P = running sum of
+    deviations, P₀ = 0 folded in via least(0, ·)) turns it into two
+    stacked running windows over ONE sort — the scale shape, no
+    driver recursion. Deviations are scaled by n (y' = n·x − Σx) so
+    every prefix sum and running min is exact int64; the alarm fires
+    when S_t > 3·√μ̂ (one identical float comparison). This is the
+    formal changepoint detector behind `rolling_anomaly`'s z-score
+    heuristic."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = daily.agg(
+        F.sum("n_events").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "pf", F.sum(F.col("n") * F.col("n_events") - F.col("s")).over(wrun)
+    )
+    sc = p.withColumn("sp", F.col("pf") - F.least(F.lit(0).cast("long"), F.min("pf").over(wrun)))
+    return sc.select(
+        "day", "n_events",
+        F.round(F.col("sp").cast("double") / F.col("n"), 6).alias("cusum"),
+        (
+            F.col("sp").cast("double") / F.col("n")
+            > F.lit(3.0) * F.sqrt(F.col("s").cast("double") / F.col("n"))
+        ).alias("alarm"),
+    )
