@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "image_phash",
     "ewma_smooth",
     "cusum_changepoint",
+    "brier_calibration",
+    "bh_fdr",
+    "theil_index",
 ]
 
 

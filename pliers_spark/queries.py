@@ -18145,3 +18145,280 @@ def q_cusum_changepoint(spark, sf_dir):
             > F.lit(3.0) * F.sqrt(F.col("s").cast("double") / F.col("n"))
         ).alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 60: Brier calibration decomposition, BH-FDR, Theil inequality
+
+
+@query(
+    "brier_calibration",
+    """WITH scored AS (
+         SELECT round(n_chars * 1e6 / (n_chars + 500))::BIGINT AS p_micro,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y
+         FROM documents),
+       binned AS (
+         SELECT least(9, p_micro // 100000)::BIGINT AS bin, p_micro, y
+         FROM scored),
+       bins AS (
+         SELECT bin, count(*)::BIGINT AS nk,
+                sum(p_micro)::BIGINT AS sp, sum(y)::BIGINT AS sy
+         FROM binned GROUP BY bin),
+       tot AS (
+         SELECT sum(nk)::BIGINT AS n, sum(sy)::BIGINT AS sy_all,
+                (SELECT sum((p_micro - 1000000*y)::HUGEINT
+                            * (p_micro - 1000000*y)::HUGEINT) FROM binned)
+                  AS brier_num
+         FROM bins),
+       terms AS (
+         SELECT b.bin, b.nk,
+                round(b.sp::DOUBLE / b.nk / 1e6, 6) AS mean_p,
+                round(b.sy::DOUBLE / b.nk, 6) AS frac_pos,
+                round(1e9 * ((b.sp - 1000000*b.sy)::HUGEINT
+                             * (b.sp - 1000000*b.sy)::HUGEINT)::DOUBLE
+                      / b.nk / 1e12 / t.n)::BIGINT AS rel_nano,
+                round(1e9 * ((b.sy * t.n - b.nk * t.sy_all)::HUGEINT
+                             * (b.sy * t.n - b.nk * t.sy_all)::HUGEINT)::DOUBLE
+                      / b.nk / t.n / t.n / t.n)::BIGINT AS res_nano
+         FROM bins b CROSS JOIN tot t)
+       SELECT (SELECT round(brier_num::DOUBLE / 1e12 / n, 6) FROM tot) AS brier,
+              round(sum(rel_nano) / 1e9, 6) AS reliability,
+              round(sum(res_nano) / 1e9, 6) AS resolution,
+              (SELECT round(sy_all::DOUBLE / n * (n - sy_all) / n, 6) FROM tot)
+                AS uncertainty,
+              count(*)::BIGINT AS n_bins
+       FROM terms""",
+)
+def q_brier_calibration(spark, sf_dir):
+    """Brier score with Murphy's calibration decomposition (Murphy, JAM
+    1973: Brier = reliability − resolution + uncertainty) for a
+    deterministic length-based probability that a document is English
+    (p = n_chars/(n_chars+500) — an exact integer-ratio score, so no
+    model RNG): 10 equal-width probability bins, per-bin mean forecast
+    vs observed frequency. Every sufficient statistic is an exact
+    integer (micro-unit forecasts, HUGEINT squared deviations); the
+    reliability/resolution bin terms round once to NANO-units before
+    the 10-term sum (the `pr_auc` order-independence convention), and
+    the Brier numerator is a single exact integer sum. The
+    calibration-curve audit every probabilistic quality/langid scorer
+    feeding `quality_weighted_sample` should pass before its scores
+    are trusted as sampling weights."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    scored = d.select(
+        F.round(F.col("n_chars") * 1e6 / (F.col("n_chars") + 500), 0).cast("long").alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("p_micro") / 100000)).cast("long").alias("bin"),
+        "p_micro", "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("p_micro").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    ).localCheckpoint(eager=True)
+    bdiff = (F.col("p_micro") - 1000000 * F.col("y")).cast(dec)
+    brier_num = binned.agg(F.sum(bdiff * bdiff).cast(dec).alias("brier_num"))
+    tot = (
+        bins.agg(
+            F.sum("nk").cast("long").alias("n"), F.sum("sy").cast("long").alias("sy_all")
+        )
+        .crossJoin(F.broadcast(brier_num))
+    )
+    t = bins.crossJoin(F.broadcast(tot))
+    rdiff = (F.col("sp") - 1000000 * F.col("sy")).cast(dec)
+    sdiff = (F.col("sy") * F.col("n") - F.col("nk") * F.col("sy_all")).cast(dec)
+    terms = t.select(
+        F.round(
+            F.lit(1e9) * (rdiff * rdiff).cast("double") / F.col("nk") / 1e12 / F.col("n"), 0
+        ).cast("long").alias("rel_nano"),
+        F.round(
+            F.lit(1e9) * (sdiff * sdiff).cast("double")
+            / F.col("nk") / F.col("n") / F.col("n") / F.col("n"), 0
+        ).cast("long").alias("res_nano"),
+    )
+    agg = terms.agg(
+        F.round(F.sum("rel_nano") / 1e9, 6).alias("reliability"),
+        F.round(F.sum("res_nano") / 1e9, 6).alias("resolution"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("brier_num").cast("double") / 1e12 / F.col("n"), 6).alias("brier"),
+            "reliability", "resolution",
+            F.round(
+                F.col("sy_all").cast("double") / F.col("n")
+                * (F.col("n") - F.col("sy_all")) / F.col("n"), 6
+            ).alias("uncertainty"),
+            "n_bins",
+        )
+    )
+
+
+_BH_ALPHA_MICRO = 100000  # alpha = 0.10 in micro-units
+
+
+@query(
+    "bh_fdr",
+    f"""WITH st AS (
+         SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+                sum(n_chars::HUGEINT * n_chars::HUGEINT) AS q
+         FROM documents GROUP BY source),
+       tot AS (SELECT sum(n)::BIGINT AS tn, sum(s)::BIGINT AS ts,
+                      sum(q) AS tq, count(*)::BIGINT AS m FROM st),
+       z AS (
+         SELECT st.source, st.n,
+                (st.s::DOUBLE / st.n - (t.ts - st.s)::DOUBLE / (t.tn - st.n)) AS diff,
+                (st.q::DOUBLE / st.n - (st.s::DOUBLE / st.n) * (st.s::DOUBLE / st.n))
+                  / st.n
+              + ((t.tq - st.q)::DOUBLE / (t.tn - st.n)
+                 - ((t.ts - st.s)::DOUBLE / (t.tn - st.n))
+                   * ((t.ts - st.s)::DOUBLE / (t.tn - st.n)))
+                  / (t.tn - st.n) AS se2,
+                t.m
+         FROM st CROSS JOIN tot t),
+       pv AS (
+         SELECT source, m,
+                round(1e6 / (1.0 + diff * diff / se2))::BIGINT AS p_micro
+         FROM z),
+       ranked AS (
+         SELECT source, m, p_micro,
+                row_number() OVER (ORDER BY p_micro, source) AS rk
+         FROM pv),
+       cutoff AS (
+         SELECT coalesce(max(rk), 0) AS kstar
+         FROM ranked WHERE p_micro * m <= {_BH_ALPHA_MICRO}::BIGINT * rk)
+       SELECT r.source, round(r.p_micro / 1e6, 6) AS p_value, r.rk AS rank,
+              round({_BH_ALPHA_MICRO} * r.rk / 1e6 / r.m, 6) AS bh_threshold,
+              (r.rk <= c.kstar) AS rejected
+       FROM ranked r CROSS JOIN cutoff c""",
+)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) across the m
+    per-source "is this source's mean doc length shifted?" tests: each
+    source gets a distribution-free Cantelli-bound p-value
+    p = 1/(1+z²) from its two-sample z² (exact integer sufficient
+    stats, ONE identical float expression per source — conservative by
+    construction, so the procedure is honest without cross-engine
+    erf), then the step-up rule rejects ranks ≤ k* = max{k : p_(k) ≤
+    α·k/m} — the threshold comparison is INTEGER cross-multiplication
+    (p_micro·m ≤ α_micro·k), so the rejection set is exact. THE
+    standard multiple-comparisons gate when `dunning_keyness`/
+    `ks_drift`-style per-source screens run at corpus scale (m sources
+    → m tests → FDR, not per-test α). One census + rank window over m
+    rows."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars").cast(dec) * F.col("n_chars").cast(dec)).cast(dec).alias("q"),
+    ).localCheckpoint(eager=True)
+    tot = st.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("s").cast("long").alias("ts"),
+        F.sum("q").cast(dec).alias("tq"), F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    z = st.crossJoin(F.broadcast(tot))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_in = d_("s") / d_("n")
+    mean_out = (d_("ts") - d_("s")) / (d_("tn") - d_("n"))
+    var_in = d_("q") / d_("n") - mean_in * mean_in
+    var_out = (
+        (d_("tq") - d_("q")) / (d_("tn") - d_("n")) - mean_out * mean_out
+    )
+    diff = mean_in - mean_out
+    se2 = var_in / F.col("n") + var_out / (F.col("tn") - F.col("n"))
+    pv = z.select(
+        "source", "m",
+        F.round(F.lit(1e6) / (F.lit(1.0) + diff * diff / se2), 0).cast("long").alias("p_micro"),
+    )
+    ranked = pv.withColumn("rk", F.row_number().over(Window.orderBy("p_micro", "source")))
+    cutoff = ranked.where(
+        F.col("p_micro") * F.col("m") <= F.lit(_BH_ALPHA_MICRO) * F.col("rk")
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("kstar"))
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "source",
+        F.round(F.col("p_micro") / 1e6, 6).alias("p_value"),
+        F.col("rk").cast("long").alias("rank"),
+        F.round(F.lit(_BH_ALPHA_MICRO) * F.col("rk") / 1e6 / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("rk") <= F.col("kstar")).alias("rejected"),
+    )
+
+
+@query(
+    "theil_index",
+    """WITH x AS (SELECT source, n_chars::BIGINT AS x FROM documents WHERE n_chars > 0),
+       tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM x),
+       rows_t AS (
+         SELECT source,
+                round(1e6 * (x::DOUBLE * t.n / t.sx) * ln(x::DOUBLE * t.n / t.sx))::BIGINT
+                  AS t_micro,
+                x, t.n, t.sx
+         FROM x CROSS JOIN tot t),
+       grp AS (
+         SELECT source, count(*)::BIGINT AS ng, sum(x)::BIGINT AS sg,
+                sum(t_micro)::BIGINT AS tg_micro
+         FROM rows_t GROUP BY source),
+       btw AS (
+         SELECT sum(round(1e6 * (g.sg::DOUBLE / t.sx)
+                          * ln((g.sg::DOUBLE * t.n) / (g.ng::DOUBLE * t.sx)))::BIGINT)
+                  AS tb_micro
+         FROM grp g CROSS JOIN tot t)
+       SELECT round((SELECT sum(tg_micro) FROM grp) / 1e6
+                    / (SELECT n FROM tot), 6) AS theil_total,
+              round((SELECT tb_micro FROM btw) / 1e6, 6) AS theil_between,
+              round((SELECT sum(tg_micro) FROM grp) / 1e6 / (SELECT n FROM tot)
+                    - (SELECT tb_micro FROM btw) / 1e6, 6) AS theil_within""",
+)
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality index of document length with its exact
+    between/within-source decomposition (Theil 1967; the additive
+    decomposability that Gini lacks — the reason economists reach for
+    Theil when attributing inequality to groups): T = Σ (x/Σx)·
+    ln(x·n/Σx), T_between from source totals, T_within = T − T_between.
+    Per-row and per-group log terms round once to integer micro-units
+    (ln parity across engines is already pinned by `pmi_collocations`/
+    `dunning_keyness`), so every sum is exact and order-independent.
+    Complements `gini_tokens`/`pareto_8020`: same concentration
+    question, but attributable to sources — the corpus-curation view
+    of "is length inequality a few weird sources or everyone?"."""
+    d = _docs(spark, sf_dir)
+    x = d.where(F.col("n_chars") > 0).select("source", F.col("n_chars").cast("long").alias("x"))
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    rt = x.crossJoin(F.broadcast(tot))
+    share = F.col("x").cast("double") * F.col("n") / F.col("sx")
+    rows_t = rt.select(
+        "source",
+        F.round(F.lit(1e6) * share * F.log(share), 0).cast("long").alias("t_micro"),
+        "x", "n", "sx",
+    )
+    grp = rows_t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+        F.sum("t_micro").cast("long").alias("tg_micro"),
+    )
+    gt = grp.crossJoin(F.broadcast(tot))
+    btw_term = F.round(
+        F.lit(1e6) * (F.col("sg").cast("double") / F.col("sx"))
+        * F.log(
+            F.col("sg").cast("double") * F.col("n")
+            / (F.col("ng").cast("double") * F.col("sx"))
+        ),
+        0,
+    ).cast("long")
+    btw = gt.agg(F.sum(btw_term).cast("long").alias("tb_micro"))
+    total = rows_t.agg(F.sum("t_micro").cast("long").alias("tt_micro"))
+    return (
+        total.crossJoin(F.broadcast(btw)).crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("tt_micro") / 1e6 / F.col("n"), 6).alias("theil_total"),
+            F.round(F.col("tb_micro") / 1e6, 6).alias("theil_between"),
+            F.round(
+                F.col("tt_micro") / 1e6 / F.col("n") - F.col("tb_micro") / 1e6, 6
+            ).alias("theil_within"),
+        )
+    )
