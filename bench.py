@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     "brier_calibration",
     "bh_fdr",
     "theil_index",
+    "benford_audit",
+    "burrows_delta",
+    "assoc_rules",
 ]
 
 

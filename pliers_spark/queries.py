@@ -18422,3 +18422,246 @@ def q_theil_index(spark, sf_dir):
             ).alias("theil_within"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 61: Benford audit, Burrows' Delta stylometry, association rules
+
+
+@query(
+    "benford_audit",
+    """WITH cents AS (
+         SELECT round(value * 100)::BIGINT AS c FROM events
+         WHERE value IS NOT NULL AND round(value * 100) >= 1),
+       digits AS (
+         SELECT (c // power(10, floor(log10(c::DOUBLE)))::BIGINT)::BIGINT AS d
+         FROM cents),
+       obs AS (SELECT d, count(*)::BIGINT AS o FROM digits GROUP BY d),
+       tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+       dense AS (
+         SELECT g.d, coalesce(obs.o, 0)::BIGINT AS o, t.n
+         FROM generate_series(1, 9) g(d) CROSS JOIN tot t
+         LEFT JOIN obs ON obs.d = g.d)
+       SELECT d::BIGINT AS digit, o AS observed,
+              round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+              round(o::DOUBLE / n, 6) AS observed_p,
+              round(1e9 * (o::DOUBLE / n - log10(1.0 + 1.0 / d))
+                        * (o::DOUBLE / n - log10(1.0 + 1.0 / d))
+                        / log10(1.0 + 1.0 / d))::BIGINT AS chi2_term_nano
+       FROM dense ORDER BY d""",
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit (Benford 1938; Nigrini's fraud-
+    detection standard) of the event value column: observed leading-
+    digit shares vs log10(1+1/d), with per-digit χ²-style divergence
+    terms in NANO-units (exact integer counts; the only floats are one
+    identical expression per digit — log10 parity mirrors the pinned
+    ln parity). Fabricated, unit-mixed, or truncation-corrupted value
+    streams fail this audit long before distribution tests notice —
+    the classic first-look DQ check next to `dq_checks`/`fd_binning`.
+    The leading digit is extracted arithmetically (c / 10^⌊log10 c⌋ on
+    exact cent units), never via string casts."""
+    ev = _events(spark, sf_dir)
+    cents = ev.where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    ).where(F.col("c") >= 1)
+    digits = cents.select(
+        (F.col("c") / F.pow(F.lit(10.0), F.floor(F.log10(F.col("c").cast("double"))))).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").alias("d"))
+    dense = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(obs, "d", "left")
+        .select("d", F.coalesce("o", F.lit(0)).cast("long").alias("o"), "n")
+    )
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    op_ = F.col("o").cast("double") / F.col("n")
+    return dense.select(
+        F.col("d").cast("long").alias("digit"),
+        F.col("o").alias("observed"),
+        F.round(bp, 6).alias("benford_p"),
+        F.round(op_, 6).alias("observed_p"),
+        F.round(F.lit(1e9) * (op_ - bp) * (op_ - bp) / bp, 0).cast("long").alias("chi2_term_nano"),
+    ).orderBy("digit")
+
+
+_DELTA_TOP_W = 50
+
+
+@query(
+    "burrows_delta",
+    f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS w
+         FROM documents),
+       src_n AS (SELECT source, count(*)::BIGINT AS n FROM toks GROUP BY source),
+       topw AS (
+         SELECT w FROM toks GROUP BY w
+         ORDER BY count(*) DESC, w LIMIT {_DELTA_TOP_W}),
+       cnt AS (
+         SELECT t.source, t.w, count(*)::BIGINT AS c
+         FROM toks t JOIN topw USING (w) GROUP BY 1, 2),
+       freq AS (
+         SELECT sn.source, tw.w,
+                coalesce(c.c, 0)::DOUBLE / sn.n AS f
+         FROM src_n sn CROSS JOIN topw tw
+         LEFT JOIN cnt c ON c.source = sn.source AND c.w = tw.w),
+       mu AS (
+         SELECT w, avg(f) AS m,
+                sqrt(avg(f * f) - avg(f) * avg(f)) AS sd,
+                count(*)::BIGINT AS ns
+         FROM freq GROUP BY w),
+       z AS (
+         SELECT f.source, f.w, (f.f - m.m) / m.sd AS z
+         FROM freq f JOIN mu m USING (w) WHERE m.sd > 0),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                sum(round(1e6 * abs(a.z - b.z))::BIGINT) AS s_micro,
+                count(*)::BIGINT AS nw
+         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, nw AS n_words,
+              round(s_micro / 1e6 / nw, 6) AS delta
+       FROM pairs""",
+)
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources (Burrows,
+    LLC 2002 — the standard authorship-attribution measure): z-score
+    each source's relative frequency of the top-50 corpus
+    words against the across-source mean/sd, then Delta(a,b) = mean
+    |z_a − z_b|. Mirrored-feed and same-author-boilerplate sources sit
+    at tiny Delta; the pairwise matrix is the stylistic complement to
+    `source_jsd`'s topical drift. Per-word |z| differences round once
+    to micro-units so the 50-term pair sums are exact; the z-scores
+    themselves are one identical float expression from exact integer
+    counts (population sd across the fixed source set). The pair join
+    is over S·50 z-rows — never over documents."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w")).localCheckpoint(eager=True)
+    src_n = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    topw = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w").limit(_DELTA_TOP_W).select("w")
+    )
+    cnt = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    freq = (
+        src_n.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("n")).alias("f"),
+        )
+    )
+    mu = freq.groupBy("w").agg(
+        F.avg("f").alias("m"),
+        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias("sd"),
+    )
+    z = (
+        freq.join(F.broadcast(mu), "w")
+        .where(F.col("sd") > 0)
+        .select("source", "w", ((F.col("f") - F.col("m")) / F.col("sd")).alias("z"))
+    )
+    pairs = (
+        z.alias("a").join(z.alias("b"), "w")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(
+            F.sum(
+                F.round(F.lit(1e6) * F.abs(F.col("a.z") - F.col("b.z")), 0).cast("long")
+            ).alias("s_micro"),
+            F.count(F.lit(1)).cast("long").alias("nw"),
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b", F.col("nw").alias("n_words"),
+        F.round(F.col("s_micro") / 1e6 / F.col("nw"), 6).alias("delta"),
+    )
+
+
+_AR_MIN_SUPP = 20
+
+
+@query(
+    "assoc_rules",
+    f"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM b),
+       item AS (SELECT l_partkey, count(*)::BIGINT AS c1 FROM b GROUP BY 1),
+       co AS (
+         SELECT x.l_partkey AS a, y.l_partkey AS bpart, count(*)::BIGINT AS c2
+         FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                          AND x.l_partkey < y.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_SUPP}),
+       rules AS (
+         SELECT co.a AS antecedent, co.bpart AS consequent, co.c2,
+                ia.c1 AS c_ant, ic.c1 AS c_con, nb.n
+         FROM co JOIN item ia ON ia.l_partkey = co.a
+                 JOIN item ic ON ic.l_partkey = co.bpart
+                 CROSS JOIN nb
+         UNION ALL
+         SELECT co.bpart, co.a, co.c2, ic.c1, ia.c1, nb.n
+         FROM co JOIN item ia ON ia.l_partkey = co.a
+                 JOIN item ic ON ic.l_partkey = co.bpart
+                 CROSS JOIN nb)
+       SELECT antecedent, consequent, c2 AS pair_count,
+              round(c2::DOUBLE / n, 6) AS support,
+              round(c2::DOUBLE / c_ant, 6) AS confidence,
+              round(c2::DOUBLE * n / (c_ant::DOUBLE * c_con), 6) AS lift
+       FROM rules""",
+)
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over co-purchase baskets (Agrawal & Srikant,
+    VLDB 1994 — Apriori's 2-itemset tier): every frequent pair
+    (support ≥ 20 baskets) emits both directed rules a→b
+    with support, confidence c(ab)/c(a), and lift c(ab)·n/(c(a)·c(b)).
+    The pair census is the SAME bounded-basket self-join `item_cosine`
+    and `butterfly_count` share (support threshold = map-side partial
+    agg + HAVING, the Apriori anti-monotone prune); singleton counts
+    attach by two broadcast-size joins. All counts exact; the three
+    ratios are one division each. The recommender/basket workhorse on
+    which `rec_coverage`'s catalogs are built."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    nb = b.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    co = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("bpart"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .where(F.col("c2") >= _AR_MIN_SUPP)
+    )
+    base = (
+        co.join(item.selectExpr("l_partkey AS a", "c1 AS c_ant"), "a")
+        .join(item.selectExpr("l_partkey AS bpart", "c1 AS c_con"), "bpart")
+        .crossJoin(F.broadcast(nb))
+    )
+    fwd = base.select(
+        F.col("a").alias("antecedent"), F.col("bpart").alias("consequent"),
+        "c2", "c_ant", "c_con", "n",
+    )
+    rev = base.select(
+        F.col("bpart").alias("antecedent"), F.col("a").alias("consequent"),
+        "c2", F.col("c_con").alias("c_ant"), F.col("c_ant").alias("c_con"), "n",
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent", "consequent", F.col("c2").alias("pair_count"),
+        F.round(F.col("c2").cast("double") / F.col("n"), 6).alias("support"),
+        F.round(F.col("c2").cast("double") / F.col("c_ant"), 6).alias("confidence"),
+        F.round(
+            F.col("c2").cast("double") * F.col("n")
+            / (F.col("c_ant").cast("double") * F.col("c_con")), 6
+        ).alias("lift"),
+    )
