@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "benford_audit",
     "burrows_delta",
     "assoc_rules",
+    "wl_colors",
+    "hill_numbers",
+    "simpsons_paradox",
 ]
 
 

@@ -18665,3 +18665,231 @@ def q_assoc_rules(spark, sf_dir):
             / (F.col("c_ant").cast("double") * F.col("c_con")), 6
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 62: WL graph colors, Hill diversity numbers, Simpson's paradox audit
+
+_WL_ROUNDS = 3
+
+
+def _wl_sql(rounds: int = _WL_ROUNDS) -> str:
+    parts = [
+        """op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS MATERIALIZED (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       bb AS MATERIALIZED (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b2.l_partkey AS v
+         FROM bb a JOIN bb b2 ON a.l_orderkey = b2.l_orderkey
+                            AND a.l_partkey < b2.l_partkey),
+       sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       c0 AS MATERIALIZED (
+         SELECT u AS node, count(*)::BIGINT AS color FROM sym GROUP BY u)"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sig = (
+            f"concat(c.color::VARCHAR, '|', "
+            f"string_agg(cn.color::VARCHAR, ',' ORDER BY cn.color::VARCHAR))"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"         SELECT s.u AS node, "
+            f"{md5_int_sql(sig)}::BIGINT AS color\n"
+            f"         FROM sym s JOIN {prev} c ON c.node = s.u\n"
+            f"                    JOIN {prev} cn ON cn.node = s.v\n"
+            f"         GROUP BY s.u, c.color)"
+        )
+        prev = f"c{r}"
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f"\n       SELECT color, count(*)::BIGINT AS n_nodes "
+        f"FROM {prev} GROUP BY color"
+    )
+
+
+@query("wl_colors", _wl_sql())
+def q_wl_colors(spark, sf_dir):
+    """1-dimensional Weisfeiler-Lehman color refinement (Weisfeiler &
+    Lehman 1968; Shervashidze et al., JMLR 2011's WL graph kernel) on
+    the part co-purchase graph: start from degree colors, then each
+    round re-colors every node with a hash of (own color | sorted
+    multiset of neighbor colors), 3 rounds. The final color histogram
+    is the WL fingerprint — the structural-role census used for graph
+    kernels, isomorphism screening, and role-equivalent node dedup
+    (two parts with identical 3-hop neighborhood structure share a
+    color). Per round: ONE join of the edge list with the color frame
+    + one sorted string_agg groupBy — the same shuffle shape as a CC
+    round; colors are md5-hashed to 60-bit ints (pinned cross-engine
+    hash), and the neighbor-multiset string sorts LEXICOGRAPHICALLY on
+    both engines (multiset-preserving; numeric vs string sort was the
+    one cross-engine trap here). Oracle = the identical 3-round unroll (MATERIALIZED,
+    same discipline as `kcore_members`)."""
+    from pliers_spark.functions.hashing import md5_int as _mi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    colors = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("color")).withColumnRenamed("u", "node")
+    for _ in range(_WL_ROUNDS):
+        nb = sym.join(colors.withColumnRenamed("node", "u").withColumnRenamed("color", "c_own"), "u").join(
+            colors.withColumnRenamed("node", "v").withColumnRenamed("color", "c_nb"), "v"
+        )
+        sig = F.concat(
+            F.col("c_own").cast("string"), F.lit("|"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("c_nb").cast("string")))),
+        )
+        colors = (
+            nb.groupBy(F.col("u").alias("node"), "c_own")
+            .agg(_mi(sig).alias("color"))
+            .select("node", "color")
+            .localCheckpoint(eager=True)
+        )
+    return colors.groupBy("color").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query(
+    "hill_numbers",
+    """WITH cnt AS (
+         SELECT source, w, count(*)::BIGINT AS c FROM (
+           SELECT source, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents)
+         GROUP BY 1, 2),
+       st AS (
+         SELECT source, count(*)::BIGINT AS q0, sum(c)::BIGINT AS n,
+                sum(c::HUGEINT * (c - 1)::HUGEINT) AS c2
+         FROM cnt GROUP BY source),
+       ent AS (
+         SELECT cnt.source,
+                sum(round(-1e6 * (cnt.c::DOUBLE / st.n)
+                          * ln(cnt.c::DOUBLE / st.n))::BIGINT) AS h_micro
+         FROM cnt JOIN st USING (source) GROUP BY cnt.source)
+       SELECT st.source, st.q0 AS hill_q0,
+              round(ent.h_micro / 1e6, 6) AS shannon_h,
+              round(exp(ent.h_micro / 1e6), 6) AS hill_q1,
+              round((st.n::DOUBLE * (st.n - 1)) / c2::DOUBLE, 6) AS hill_q2
+       FROM st JOIN ent USING (source)""",
+)
+def q_hill_numbers(spark, sf_dir):
+    """Hill diversity numbers per source (Hill, Ecology 1973 — the
+    unified diversity family): q=0 species richness (distinct tokens,
+    exact), q=1 exp(Shannon H) with H from micro-unit −p·ln p terms
+    (exact integer sum; ln/exp parity pinned by `pmi_collocations` and
+    the existing exp users), q=2 inverse Simpson from the EXACT
+    unbiased concentration Σc(c−1)/(N(N−1)) — all integer sufficient
+    statistics, one float expression per output. The vocabulary-
+    diversity profile a mixture designer reads next to `missing_mass`
+    and `mattr_diversity`: q0 counts the tail, q2 weighs the head, q1
+    balances — sources whose q2 ≪ q1 are head-heavy boilerplate."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cnt = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("q0"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * (F.col("c") - 1).cast(dec)).cast(dec).alias("c2"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        cnt.join(F.broadcast(st.select("source", "n")), "source")
+        .select("source", F.round(F.lit(-1e6) * p * F.log(p), 0).cast("long").alias("t"))
+        .groupBy("source").agg(F.sum("t").cast("long").alias("h_micro"))
+    )
+    return st.join(ent, "source").select(
+        "source", F.col("q0").alias("hill_q0"),
+        F.round(F.col("h_micro") / 1e6, 6).alias("shannon_h"),
+        F.round(F.exp(F.col("h_micro") / 1e6), 6).alias("hill_q1"),
+        F.round(
+            (F.col("n").cast("double") * (F.col("n") - 1)) / F.col("c2").cast("double"), 6
+        ).alias("hill_q2"),
+    )
+
+
+@query(
+    "simpsons_paradox",
+    """WITH base AS (
+         SELECT source, len(string_split(trim(text), ' '))::BIGINT AS x,
+                n_chars::BIGINT AS y
+         FROM documents),
+       grp AS (
+         SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                sum(y)::BIGINT AS sy,
+                sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                sum(x::HUGEINT * x::HUGEINT) AS sxx
+         FROM base GROUP BY source),
+       pool AS (
+         SELECT sum(n)::BIGINT AS n, sum(sx)::BIGINT AS sx, sum(sy)::BIGINT AS sy,
+                sum(sxy) AS sxy, sum(sxx) AS sxx
+         FROM grp)
+       SELECT g.source, g.n AS n_docs,
+              round((g.n * g.sxy - g.sx::HUGEINT * g.sy)::DOUBLE
+                    / (g.n * g.sxx - g.sx::HUGEINT * g.sx)::DOUBLE, 6) AS slope,
+              round((p.n * p.sxy - p.sx::HUGEINT * p.sy)::DOUBLE
+                    / (p.n * p.sxx - p.sx::HUGEINT * p.sx)::DOUBLE, 6) AS pooled_slope,
+              (sign((g.n * g.sxy - g.sx::HUGEINT * g.sy)::DOUBLE)
+               <> sign((p.n * p.sxy - p.sx::HUGEINT * p.sy)::DOUBLE)) AS reversed
+       FROM grp g CROSS JOIN pool p
+       WHERE (g.n * g.sxx - g.sx::HUGEINT * g.sx) > 0""",
+)
+def q_simpsons_paradox(spark, sf_dir):
+    """Simpson's-paradox audit (Simpson, JRSS-B 1951): per-source OLS
+    slope of chars~tokens vs the pooled slope, flagging sources whose
+    within-group trend REVERSES the aggregate trend — the aggregation
+    bias that invalidates corpus-level regressions built on
+    `heteroscedasticity_bp`'s fit when group composition confounds.
+    Slope numerators/denominators are exact HUGEINT (n·Σxy − Σx·Σy),
+    so the reversal flag is the sign of an exact integer — no float
+    threshold anywhere; the reported slopes are one division each.
+    One census per grain, pooled stats from the group census (map-side
+    merge, no second scan)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    base = d.select(
+        "source",
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    grp = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+    ).localCheckpoint(eager=True)
+    pool = grp.agg(
+        F.sum("n").cast("long").alias("pn"), F.sum("sx").cast("long").alias("psx"),
+        F.sum("sy").cast("long").alias("psy"),
+        F.sum("sxy").cast(dec).alias("psxy"), F.sum("sxx").cast(dec).alias("psxx"),
+    )
+    j = grp.crossJoin(F.broadcast(pool))
+    gnum = (F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")).cast(dec)
+    gden = (F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")).cast(dec)
+    pnum = (F.col("pn") * F.col("psxy") - F.col("psx").cast(dec) * F.col("psy")).cast(dec)
+    pden = (F.col("pn") * F.col("psxx") - F.col("psx").cast(dec) * F.col("psx")).cast(dec)
+    return (
+        j.where(gden > 0)
+        .select(
+            "source", F.col("n").alias("n_docs"),
+            F.round(gnum.cast("double") / gden.cast("double"), 6).alias("slope"),
+            F.round(pnum.cast("double") / pden.cast("double"), 6).alias("pooled_slope"),
+            (F.signum(gnum.cast("double")) != F.signum(pnum.cast("double"))).alias("reversed"),
+        )
+    )
