@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "wl_colors",
     "hill_numbers",
     "simpsons_paradox",
+    "zorder_locality",
+    "gini_stump",
+    "cmh_odds",
 ]
 
 

@@ -18893,3 +18893,250 @@ def q_simpsons_paradox(spark, sf_dir):
             (F.signum(gnum.cast("double")) != F.signum(pnum.cast("double"))).alias("reversed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 63: Z-order locality audit, Gini decision stump, CMH pooled odds
+
+
+def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({xe} >> {j}) & 1) << {2 * j + 1})")
+        terms.append(f"((({ye} >> {j}) & 1) << {2 * j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "zorder_locality",
+    f"""WITH cell AS (
+         SELECT DISTINCT (user_id % 256)::BIGINT AS x,
+                date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS y
+         FROM events),
+       keyed AS (
+         SELECT x, y, {_morton_sql('x', 'y')}::BIGINT AS zkey,
+                (x * 64 + y)::BIGINT AS rowmajor
+         FROM cell),
+       z AS (
+         SELECT abs(x - lag(x) OVER (ORDER BY zkey, x, y))
+              + abs(y - lag(y) OVER (ORDER BY zkey, x, y)) AS d
+         FROM keyed),
+       r AS (
+         SELECT abs(x - lag(x) OVER (ORDER BY rowmajor))
+              + abs(y - lag(y) OVER (ORDER BY rowmajor)) AS d
+         FROM keyed)
+       SELECT 'zorder' AS ordering, count(d)::BIGINT AS n_steps,
+              sum(d)::BIGINT AS total_dist,
+              round(sum(d)::DOUBLE / count(d), 6) AS avg_manhattan
+       FROM z WHERE d IS NOT NULL
+       UNION ALL
+       SELECT 'rowmajor', count(d)::BIGINT, sum(d)::BIGINT,
+              round(sum(d)::DOUBLE / count(d), 6)
+       FROM r WHERE d IS NOT NULL""",
+)
+def q_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering locality audit (Morton 1966; the
+    multi-dimensional sort key behind Delta/Iceberg Z-ORDER table
+    clustering): interleave the bits of the (user-bucket, day) cell
+    coordinates into one key, then measure the average Manhattan step
+    between CONSECUTIVE cells under z-order vs row-major order. Low
+    z-order step distance is exactly why multi-dimensional min/max
+    file pruning works when queries filter on EITHER dimension — the
+    layout-design evidence behind `sources/layout.py`'s bucketing at
+    10^12-row scale. Interleave is pure bit arithmetic (16 shift/mask
+    terms, codegen, no UDF); step distances are exact integers, one
+    division per ordering."""
+    ev = _events(spark, sf_dir)
+    cell = ev.select(
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("y"),
+    ).distinct()
+    zkey = None
+    for j in range(8):
+        tx = F.shiftleft(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        ty = F.shiftleft(F.shiftright(F.col("y"), j).bitwiseAND(F.lit(1)), 2 * j)
+        zkey = tx.bitwiseOR(ty) if zkey is None else zkey.bitwiseOR(tx).bitwiseOR(ty)
+    keyed = cell.select(
+        "x", "y", zkey.cast("long").alias("zkey"),
+        (F.col("x") * 64 + F.col("y")).cast("long").alias("rowmajor"),
+    ).localCheckpoint(eager=True)
+
+    def steps(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        d = (
+            F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w))
+        )
+        return (
+            keyed.select(d.alias("d")).where(F.col("d").isNotNull())
+            .agg(
+                F.lit(name).alias("ordering"),
+                F.count("d").cast("long").alias("n_steps"),
+                F.sum("d").cast("long").alias("total_dist"),
+                F.round(F.sum("d").cast("double") / F.count("d"), 6).alias("avg_manhattan"),
+            )
+            .select("ordering", "n_steps", "total_dist", "avg_manhattan")
+        )
+
+    return steps(["zkey", "x", "y"], "zorder").unionByName(steps(["rowmajor"], "rowmajor"))
+
+
+@query(
+    "gini_stump",
+    """WITH base AS (
+         SELECT n_chars::BIGINT AS x,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y
+         FROM documents),
+       vals AS (
+         SELECT x, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+         FROM base GROUP BY x),
+       run AS (
+         SELECT x,
+                sum(n) OVER (ORDER BY x) AS nl,
+                sum(pos) OVER (ORDER BY x) AS pl,
+                sum(n) OVER () AS nt, sum(pos) OVER () AS pt
+         FROM vals),
+       gain AS (
+         SELECT x AS threshold, nl, pl, nt, pt,
+                round(1e9 * (
+                  (2.0 * pt / nt) * (1.0 - pt::DOUBLE / nt)
+                  - (nl::DOUBLE / nt) * (2.0 * pl / nl) * (1.0 - pl::DOUBLE / nl)
+                  - ((nt - nl)::DOUBLE / nt) * (2.0 * (pt - pl) / (nt - nl))
+                      * (1.0 - (pt - pl)::DOUBLE / (nt - nl))
+                ))::BIGINT AS gain_nano
+         FROM run WHERE nl < nt)
+       SELECT threshold, nl::BIGINT AS n_left, pl::BIGINT AS pos_left,
+              (nt - nl)::BIGINT AS n_right, (pt - pl)::BIGINT AS pos_right,
+              round(gain_nano / 1e9, 6) AS gini_gain
+       FROM gain
+       ORDER BY gain_nano DESC, threshold LIMIT 1""",
+)
+def q_gini_stump(spark, sf_dir):
+    """Optimal decision stump by Gini impurity gain (Breiman et al.,
+    CART 1984): the single best threshold on document length for
+    predicting lang='en' — parent Gini minus the size-weighted child
+    Ginis, maximized over every distinct split point. The CART split
+    search is THE inner loop of tree/GBM training; this is its
+    distributed shape: one value census, running class counts from ONE
+    sort window (every candidate's left/right 2×2 comes from the same
+    pass — no per-candidate scan), gain rounded to nano-units for a
+    deterministic argmax (ties → smallest threshold,
+    TakeOrderedAndProject). All counts exact integers."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    vals = base.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    wrun = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = vals.select(
+        "x",
+        F.sum("n").over(wrun).alias("nl"), F.sum("pos").over(wrun).alias("pl"),
+        F.sum("n").over(wall).alias("nt"), F.sum("pos").over(wall).alias("pt"),
+    ).where(F.col("nl") < F.col("nt"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    gain = (
+        (F.lit(2.0) * d_("pt") / d_("nt")) * (F.lit(1.0) - d_("pt") / d_("nt"))
+        - (d_("nl") / d_("nt")) * (F.lit(2.0) * d_("pl") / d_("nl"))
+          * (F.lit(1.0) - d_("pl") / d_("nl"))
+        - ((d_("nt") - d_("nl")) / d_("nt"))
+          * (F.lit(2.0) * (d_("pt") - d_("pl")) / (d_("nt") - d_("nl")))
+          * (F.lit(1.0) - (d_("pt") - d_("pl")) / (d_("nt") - d_("nl")))
+    )
+    g = run.select(
+        F.col("x").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        (F.col("pt") - F.col("pl")).cast("long").alias("pos_right"),
+        F.round(F.lit(1e9) * gain, 0).cast("long").alias("gain_nano"),
+    )
+    return (
+        g.orderBy(F.desc("gain_nano"), "threshold").limit(1)
+        .select(
+            "threshold", "n_left", "pos_left", "n_right", "pos_right",
+            F.round(F.col("gain_nano") / 1e9, 6).alias("gini_gain"),
+        )
+    )
+
+
+@query(
+    "cmh_odds",
+    """WITH med AS (
+         SELECT x AS m FROM (
+           SELECT n_chars AS x, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM documents)
+         WHERE rn = (n + 1) // 2),
+       cls AS (
+         SELECT source,
+                CASE WHEN n_chars > (SELECT m FROM med) THEN 1 ELSE 0 END AS exposed,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS outcome
+         FROM documents),
+       tab AS (
+         SELECT source,
+                sum(exposed * outcome)::BIGINT AS a,
+                sum(exposed * (1 - outcome))::BIGINT AS b,
+                sum((1 - exposed) * outcome)::BIGINT AS c,
+                sum((1 - exposed) * (1 - outcome))::BIGINT AS d,
+                count(*)::BIGINT AS n
+         FROM cls GROUP BY source),
+       terms AS (
+         SELECT source, a, b, c, d, n,
+                round(1e9 * (a::HUGEINT * d)::DOUBLE / n)::BIGINT AS ad_nano,
+                round(1e9 * (b::HUGEINT * c)::DOUBLE / n)::BIGINT AS bc_nano
+         FROM tab)
+       SELECT sum(ad_nano)::BIGINT AS sum_ad_nano,
+              sum(bc_nano)::BIGINT AS sum_bc_nano,
+              round(sum(ad_nano)::DOUBLE / sum(bc_nano), 6) AS cmh_odds_ratio,
+              count(*)::BIGINT AS n_strata
+       FROM terms""",
+)
+def q_cmh_odds(spark, sf_dir):
+    """Cochran-Mantel-Haenszel pooled odds ratio (Mantel & Haenszel,
+    JNCI 1959): the stratified association between "document is longer
+    than the corpus median" (exact nearest-rank median, doc_id tie
+    break) and "document is English", pooled ACROSS sources as
+    Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) — the estimator that survives exactly the
+    per-stratum composition flips `simpsons_paradox` detects, which is
+    why the two ship together. Every 2×2 cell is an exact integer from
+    one census; per-stratum cross-product terms round once to
+    NANO-units so both sums are exact; one final division."""
+    d = _docs(spark, sf_dir)
+    wmed = Window.orderBy("n_chars", "doc_id")
+    med = (
+        d.select("n_chars", F.row_number().over(wmed).alias("rn"),
+                 F.count(F.lit(1)).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("n_chars").alias("m"))
+    )
+    cls = d.crossJoin(F.broadcast(med)).select(
+        "source",
+        (F.col("n_chars") > F.col("m")).cast("long").alias("exposed"),
+        (F.col("lang") == "en").cast("long").alias("outcome"),
+    )
+    dec = "decimal(38,0)"
+    tab = cls.groupBy("source").agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("long").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("long").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    terms = tab.select(
+        F.round(
+            F.lit(1e9) * (F.col("a").cast(dec) * F.col("d").cast(dec)).cast("double") / F.col("n"), 0
+        ).cast("long").alias("ad_nano"),
+        F.round(
+            F.lit(1e9) * (F.col("b").cast(dec) * F.col("c").cast(dec)).cast("double") / F.col("n"), 0
+        ).cast("long").alias("bc_nano"),
+    )
+    return terms.agg(
+        F.sum("ad_nano").cast("long").alias("sum_ad_nano"),
+        F.sum("bc_nano").cast("long").alias("sum_bc_nano"),
+        F.round(F.sum("ad_nano").cast("double") / F.sum("bc_nano"), 6).alias("cmh_odds_ratio"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
