@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "zorder_locality",
     "gini_stump",
     "cmh_odds",
+    "histogram_quantile_audit",
+    "regression_influence",
+    "risk_coverage",
 ]
 
 

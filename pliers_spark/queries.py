@@ -19140,3 +19140,286 @@ def q_cmh_odds(spark, sf_dir):
         F.round(F.sum("ad_nano").cast("double") / F.sum("bc_nano"), 6).alias("cmh_odds_ratio"),
         F.count(F.lit(1)).cast("long").alias("n_strata"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 64: histogram quantile audit, regression influence, risk-coverage
+
+
+@query(
+    "histogram_quantile_audit",
+    """WITH x AS (SELECT doc_id, n_chars::BIGINT AS x FROM documents),
+       rng AS (SELECT min(x)::BIGINT AS mn, max(x)::BIGINT AS mx,
+                      count(*)::BIGINT AS n FROM x),
+       hist AS (
+         SELECT least(9, ((x.x - r.mn) * 10) // (r.mx - r.mn + 1))::BIGINT AS b,
+                count(*)::BIGINT AS c
+         FROM x CROSS JOIN rng r GROUP BY 1),
+       cum AS (
+         SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+                coalesce(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_prev
+         FROM hist),
+       qs AS (SELECT unnest([50, 90])::BIGINT AS q),
+       tgt AS (
+         SELECT qs.q, ((r.n * qs.q + 99) // 100)::BIGINT AS k, r.mn, r.mx, r.n
+         FROM qs CROSS JOIN rng r),
+       est AS (
+         SELECT t.q, t.k,
+                round(t.mn + (c.b + (t.k - c.cum_prev)::DOUBLE / c.c)
+                             * (t.mx - t.mn + 1) / 10.0, 6) AS hist_estimate
+         FROM tgt t JOIN cum c ON c.cum >= t.k AND c.cum_prev < t.k),
+       exact AS (
+         SELECT t.q, min(rx.x)::BIGINT AS exact_value
+         FROM tgt t JOIN (
+           SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rn FROM x) rx
+           ON rx.rn = t.k
+         GROUP BY t.q)
+       SELECT e.q AS percentile, ex.exact_value, e.hist_estimate,
+              round(abs(e.hist_estimate - ex.exact_value), 6) AS abs_error
+       FROM est e JOIN exact ex USING (q)""",
+)
+def q_histogram_quantile_audit(spark, sf_dir):
+    """Mergeable equi-width-histogram quantile estimation audited
+    against exact order statistics (the `kmv_rollup`/`ams_f2` audit
+    discipline applied to the quantile sketch every engine ships as
+    column stats): 10 integer-edged buckets over doc length, p50/p90
+    read off the cumulative histogram with within-bucket linear
+    interpolation, vs the exact nearest-rank values. Equi-width
+    histograms with shared edges merge LOSSLESSLY across partitions
+    (counts add — unlike quantiles themselves), which is why they are
+    the distributed-stats primitive; the audit quantifies the only
+    loss (within-bucket interpolation). Bucket assignment is exact
+    integer arithmetic; the interpolation is one identical float
+    expression per percentile."""
+    d = _docs(spark, sf_dir)
+    x = d.select("doc_id", F.col("n_chars").cast("long").alias("x"))
+    rng = x.agg(
+        F.min("x").cast("long").alias("mn"), F.max("x").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    xr = x.crossJoin(F.broadcast(rng))
+    hist = xr.groupBy(
+        F.least(F.lit(9), F.floor((F.col("x") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn") + 1))).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wb = Window.orderBy("b")
+    cum = hist.select(
+        "b", "c",
+        F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.coalesce(
+            F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame([(50,), (90,)], "q long")
+    tgt = qs.crossJoin(F.broadcast(rng)).select(
+        "q", F.floor((F.col("n") * F.col("q") + 99) / 100).cast("long").alias("k"), "mn", "mx", "n"
+    )
+    est = (
+        tgt.join(F.broadcast(cum), (F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+        .select(
+            "q", "k",
+            F.round(
+                F.col("mn")
+                + (F.col("b") + (F.col("k") - F.col("cum_prev")).cast("double") / F.col("c"))
+                * (F.col("mx") - F.col("mn") + 1) / 10.0,
+                6,
+            ).alias("hist_estimate"),
+        )
+    )
+    rx = x.select("x", F.row_number().over(Window.orderBy("x", "doc_id")).alias("rn"))
+    exact = (
+        tgt.join(rx, F.col("rn") == F.col("k"))
+        .groupBy("q").agg(F.min("x").cast("long").alias("exact_value"))
+    )
+    return est.join(exact, "q").select(
+        F.col("q").alias("percentile"), "exact_value", "hist_estimate",
+        F.round(F.abs(F.col("hist_estimate") - F.col("exact_value")), 6).alias("abs_error"),
+    )
+
+
+@query(
+    "regression_influence",
+    """WITH base AS (
+         SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS x,
+                n_chars::BIGINT AS y
+         FROM documents),
+       st AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                sum(y::HUGEINT * y::HUGEINT) AS syy
+         FROM base),
+       fit AS (
+         SELECT n, sx, sy,
+                (n * sxy - sx::HUGEINT * sy)::DOUBLE
+                  / (n * sxx - sx::HUGEINT * sx)::DOUBLE AS b,
+                (n * sxx - sx::HUGEINT * sx)::DOUBLE / n AS sxx_c,
+                ((n * syy - sy::HUGEINT * sy)::DOUBLE
+                 - ((n * sxy - sx::HUGEINT * sy)::DOUBLE
+                    * (n * sxy - sx::HUGEINT * sy)::DOUBLE)
+                   / (n * sxx - sx::HUGEINT * sx)::DOUBLE) / n / (n - 2) AS s2
+         FROM st),
+       infl AS (
+         SELECT b2.doc_id,
+                round(1e9 * (1.0 / f.n
+                     + (b2.x - f.sx::DOUBLE / f.n) * (b2.x - f.sx::DOUBLE / f.n)
+                       / f.sxx_c))::BIGINT AS lev_nano,
+                round(1e9 * (
+                  (b2.y - (f.sy::DOUBLE / f.n - f.b * f.sx / f.n) - f.b * b2.x)
+                * (b2.y - (f.sy::DOUBLE / f.n - f.b * f.sx / f.n) - f.b * b2.x)
+                * (1.0 / f.n + (b2.x - f.sx::DOUBLE / f.n) * (b2.x - f.sx::DOUBLE / f.n) / f.sxx_c)
+                / (2.0 * f.s2
+                   * (1.0 - (1.0 / f.n + (b2.x - f.sx::DOUBLE / f.n)
+                             * (b2.x - f.sx::DOUBLE / f.n) / f.sxx_c))
+                   * (1.0 - (1.0 / f.n + (b2.x - f.sx::DOUBLE / f.n)
+                             * (b2.x - f.sx::DOUBLE / f.n) / f.sxx_c)))
+                ))::BIGINT AS cook_nano
+         FROM base b2 CROSS JOIN fit f)
+       SELECT doc_id, round(lev_nano / 1e9, 6) AS leverage,
+              round(cook_nano / 1e9, 6) AS cooks_d
+       FROM infl
+       ORDER BY cook_nano DESC, doc_id LIMIT 20""",
+)
+def q_regression_influence(spark, sf_dir):
+    """OLS influence diagnostics for the chars~tokens fit: leverage
+    h_i = 1/n + (x_i−x̄)²/Sxx and Cook's distance D_i = r_i²·h_i /
+    (p·s²·(1−h_i)²) (Cook, Technometrics 1977), top-20 most influential
+    documents — the single-pass influence screen that says WHICH rows
+    `heteroscedasticity_bp` / `simpsons_paradox` anomalies come from
+    (a handful of giant boilerplate docs can steer the whole corpus
+    fit). Everything derives from ONE census of exact HUGEINT
+    sufficient statistics broadcast to a second narrow pass; per-row
+    leverage/Cook values are single identical float expressions
+    rounded to nano-units for a deterministic top-k
+    (TakeOrderedAndProject, ties → doc_id)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    base = d.select(
+        "doc_id",
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"), F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("syy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    num_b = (F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")).cast("double")
+    den_b = (F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")).cast("double")
+    num_y = (F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")).cast("double")
+    fit = st.select(
+        "n", "sx", "sy",
+        (num_b / den_b).alias("b"),
+        (den_b / F.col("n")).alias("sxx_c"),
+        ((num_y - num_b * num_b / den_b) / F.col("n") / (F.col("n") - 2)).alias("s2"),
+    )
+    j = base.crossJoin(F.broadcast(fit))
+    xbar = d_("sx") / d_("n")
+    lev = F.lit(1.0) / F.col("n") + (F.col("x") - xbar) * (F.col("x") - xbar) / F.col("sxx_c")
+    resid = (
+        F.col("y")
+        - (d_("sy") / d_("n") - F.col("b") * F.col("sx") / F.col("n"))
+        - F.col("b") * F.col("x")
+    )
+    cook = resid * resid * lev / (
+        F.lit(2.0) * F.col("s2") * (F.lit(1.0) - lev) * (F.lit(1.0) - lev)
+    )
+    infl = j.select(
+        "doc_id",
+        F.round(F.lit(1e9) * lev, 0).cast("long").alias("lev_nano"),
+        F.round(F.lit(1e9) * cook, 0).cast("long").alias("cook_nano"),
+    )
+    return (
+        infl.orderBy(F.desc("cook_nano"), "doc_id").limit(20)
+        .select(
+            "doc_id",
+            F.round(F.col("lev_nano") / 1e9, 6).alias("leverage"),
+            F.round(F.col("cook_nano") / 1e9, 6).alias("cooks_d"),
+        )
+    )
+
+
+@query(
+    "risk_coverage",
+    """WITH scored AS (
+         SELECT doc_id,
+                round(n_chars * 1e6 / (n_chars + 500))::BIGINT AS p_micro,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y
+         FROM documents),
+       pred AS (
+         SELECT doc_id,
+                abs(p_micro - 500000)::BIGINT AS conf,
+                CASE WHEN (CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END) <> y
+                     THEN 1 ELSE 0 END::BIGINT AS err
+         FROM scored),
+       ranked AS (
+         SELECT err, row_number() OVER (ORDER BY conf DESC, doc_id) AS rn,
+                count(*) OVER () AS n
+         FROM pred),
+       pfx AS (
+         SELECT rn, n, sum(err) OVER (ORDER BY rn) AS e
+         FROM ranked),
+       aurc AS (
+         SELECT sum(round(1e9 * e::DOUBLE / rn)::BIGINT) AS aurc_nano,
+                max(n) AS n
+         FROM pfx),
+       decile AS (
+         SELECT (rn * 10) // n AS dd, max(rn) AS k, max(e) AS errors
+         FROM pfx WHERE (rn * 10) % n = 0 OR rn = n
+         GROUP BY (rn * 10) // n)
+       SELECT round(d.k::DOUBLE / a.n, 6) AS coverage, d.k::BIGINT AS n_kept,
+              d.errors::BIGINT AS errors,
+              round(d.errors::DOUBLE / d.k, 6) AS risk,
+              round(a.aurc_nano::DOUBLE / a.n / 1e9, 6) AS aurc
+       FROM decile d CROSS JOIN aurc a""",
+)
+def q_risk_coverage(spark, sf_dir):
+    """Selective-prediction risk-coverage curve + AURC (Geifman &
+    El-Yaniv, NeurIPS 2017): rank documents by the length-based
+    English-classifier's confidence |p−½|, then report the error rate
+    among the top-k at each coverage decile and the area under the
+    full risk-coverage curve (mean prefix risk). THE abstention audit
+    for any classifier whose scores gate `quality_filter`-style keep
+    decisions: if risk does not drop as coverage shrinks, the
+    confidence is uninformative and thresholding it is theater. All
+    counts are exact prefix sums over one sorted window (conf ties →
+    doc_id); per-prefix risks round to nano before the AURC sum."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.round(F.col("n_chars") * 1e6 / (F.col("n_chars") + 500), 0).cast("long").alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    pred = scored.select(
+        "doc_id",
+        F.abs(F.col("p_micro") - 500000).cast("long").alias("conf"),
+        ((F.col("p_micro") > 500000).cast("long") != F.col("y")).cast("long").alias("err"),
+    )
+    wr = Window.orderBy(F.desc("conf"), "doc_id")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = pred.select(
+        "err", F.row_number().over(wr).alias("rn"), F.count(F.lit(1)).over(wall).alias("n")
+    )
+    pfx = ranked.select(
+        "rn", "n",
+        F.sum("err").over(Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("e"),
+    ).localCheckpoint(eager=True)
+    aurc = pfx.agg(
+        F.sum(F.round(F.lit(1e9) * F.col("e").cast("double") / F.col("rn"), 0).cast("long")).alias("aurc_nano"),
+        F.max("n").alias("n"),
+    )
+    decile = (
+        pfx.where(((F.col("rn") * 10) % F.col("n") == 0) | (F.col("rn") == F.col("n")))
+        .groupBy(F.floor(F.col("rn") * 10 / F.col("n")).alias("dd"))
+        .agg(F.max("rn").alias("k"), F.max("e").alias("errors"))
+    )
+    return decile.crossJoin(F.broadcast(aurc)).select(
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("coverage"),
+        F.col("k").cast("long").alias("n_kept"),
+        F.col("errors").cast("long").alias("errors"),
+        F.round(F.col("errors").cast("double") / F.col("k"), 6).alias("risk"),
+        F.round(F.col("aurc_nano").cast("double") / F.col("n") / 1e9, 6).alias("aurc"),
+    )
