@@ -17604,10 +17604,10 @@ def q_adamic_adar(spark, sf_dir):
        cell AS (SELECT qx, qy, count(*)::HUGEINT AS n FROM nq GROUP BY 1, 2),
        tot AS (SELECT sum(n) AS n FROM cell),
        conc AS (
-         SELECT sum(c1.n * c2.n) AS c
+         SELECT coalesce(sum(c1.n * c2.n), 0) AS c
          FROM cell c1 JOIN cell c2 ON c2.qx > c1.qx AND c2.qy > c1.qy),
        disc AS (
-         SELECT sum(c1.n * c2.n) AS d
+         SELECT coalesce(sum(c1.n * c2.n), 0) AS d
          FROM cell c1 JOIN cell c2 ON c2.qx > c1.qx AND c2.qy < c1.qy),
        tx AS (SELECT sum(s * (s - 1) / 2) AS t FROM
                 (SELECT sum(n) AS s FROM cell GROUP BY qx)),
@@ -17648,14 +17648,14 @@ def q_kendall_tau_binned(spark, sf_dir):
             cell.alias("c2"),
             (F.col("c2.qx") > F.col("c1.qx")) & (F.col("c2.qy") > F.col("c1.qy")),
         )
-        .agg(F.sum(F.col("c1.n") * F.col("c2.n")).cast(dec).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c1.n") * F.col("c2.n")), F.lit(0)).cast(dec).alias("c"))
     )
     disc = (
         cell.alias("c1").join(
             cell.alias("c2"),
             (F.col("c2.qx") > F.col("c1.qx")) & (F.col("c2.qy") < F.col("c1.qy")),
         )
-        .agg(F.sum(F.col("c1.n") * F.col("c2.n")).cast(dec).alias("d"))
+        .agg(F.coalesce(F.sum(F.col("c1.n") * F.col("c2.n")), F.lit(0)).cast(dec).alias("d"))
     )
     tx = (
         cell.groupBy("qx").agg(F.sum("n").alias("s"))
