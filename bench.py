@@ -290,6 +290,9 @@ BENCH_QUERIES = [
     "histogram_quantile_audit",
     "regression_influence",
     "risk_coverage",
+    "rolling_distinct_users",
+    "hill_tail_index",
+    "energy_distance",
 ]
 
 

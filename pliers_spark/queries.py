@@ -19423,3 +19423,227 @@ def q_risk_coverage(spark, sf_dir):
         F.round(F.col("errors").cast("double") / F.col("k"), 6).alias("risk"),
         F.round(F.col("aurc_nano").cast("double") / F.col("n") / 1e9, 6).alias("aurc"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 65: rolling distinct users, Hill tail index, energy distance
+
+_RDU_W = 7
+
+
+@query(
+    "rolling_distinct_users",
+    f"""WITH act AS (
+         SELECT DISTINCT user_id,
+                date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d
+         FROM events),
+       days AS (SELECT min(d)::BIGINT AS d0, max(d)::BIGINT AS d1 FROM act),
+       seg AS (
+         SELECT user_id, d AS lo,
+                least(d + {_RDU_W - 1},
+                      coalesce(lead(d) OVER (PARTITION BY user_id ORDER BY d) - 1,
+                               d + {_RDU_W - 1})) AS hi
+         FROM act),
+       delta AS (
+         SELECT lo AS d, 1::BIGINT AS v FROM seg
+         UNION ALL
+         SELECT hi + 1, -1::BIGINT FROM seg),
+       grid AS (
+         SELECT unnest(range(d0, d1 + 1))::BIGINT AS day FROM days),
+       summed AS (SELECT d, sum(v)::BIGINT AS v FROM delta GROUP BY d)
+       SELECT g.day,
+              sum(coalesce(s.v, 0)) OVER (ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS distinct_users_{_RDU_W}d
+       FROM grid g LEFT JOIN summed s ON s.d = g.day""",
+)
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the DAU/WAU-style
+    window-distinct that is NON-algebraic (distinct can't be merged
+    across window slides), recast EXACTLY as an interval sum: each
+    (user, active-day) covers the window-end days [d, min(d+6,
+    next_active−1)] during which it is that user's MOST RECENT
+    activity; a user is in the 7-day window of day D iff exactly one
+    of its activity days covers D. Emit +1/−1 at the interval bounds
+    (the diff-array trick) and one running sum over the day grid
+    reconstructs every window's exact distinct count — per-user lead()
+    plus one prefix sum, NO per-window distinct, no 7× data blowup.
+    This is the standard scale rewrite of sliding COUNT(DISTINCT) that
+    exact-dedup engines use for retention dashboards."""
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
+    ).distinct()
+    days = act.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    wlead = Window.partitionBy("user_id").orderBy("d")
+    seg = act.select(
+        F.col("d").alias("lo"),
+        F.least(
+            F.col("d") + (_RDU_W - 1),
+            F.coalesce(F.lead("d").over(wlead) - 1, F.col("d") + (_RDU_W - 1)),
+        ).alias("hi"),
+    )
+    delta = seg.select(F.col("lo").alias("d"), F.lit(1).cast("long").alias("v")).unionByName(
+        seg.select((F.col("hi") + 1).alias("d"), F.lit(-1).cast("long").alias("v"))
+    )
+    summed = delta.groupBy("d").agg(F.sum("v").cast("long").alias("v"))
+    grid = (
+        days.select(F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(summed.withColumnRenamed("d", "day"), "day", "left")
+        .select(
+            "day",
+            F.sum(F.coalesce("v", F.lit(0))).over(wrun).cast("long").alias(f"distinct_users_{_RDU_W}d"),
+        )
+    )
+
+
+_HILL_K = 100
+
+
+@query(
+    "hill_tail_index",
+    f"""WITH ranked AS (
+         SELECT n_chars::BIGINT AS x,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents),
+       xk AS (SELECT x AS x_k FROM ranked WHERE rn = {_HILL_K + 1}),
+       terms AS (
+         SELECT round(1e6 * ln(r.x::DOUBLE / k.x_k))::BIGINT AS t
+         FROM ranked r CROSS JOIN xk k WHERE r.rn <= {_HILL_K})
+       SELECT {_HILL_K}::BIGINT AS k,
+              (SELECT x_k FROM xk) AS threshold,
+              sum(t)::BIGINT AS sum_log_micro,
+              round({_HILL_K} * 1e6 / sum(t), 6) AS hill_alpha
+       FROM terms""",
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator (Hill, Ann. Stat. 1975) for the
+    document-length distribution: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    top-k order statistics — the peaks-over-threshold answer to "how
+    heavy is the long-document tail", which decides whether length
+    caps (`domain_cap`-style) are cosmetic or load-bearing at 10^12
+    docs (α ≤ 2 means the VARIANCE of shard sizes is infinite and
+    length-stratified packing is mandatory). `zipf_alpha` fits token
+    frequencies; this fits the doc-size tail. Top-k+1 selection is one
+    TakeOrderedAndProject-shaped window (ties → doc_id); log ratios
+    round once to micro-units so the sum is exact; one division."""
+    d = _docs(spark, sf_dir)
+    ranked = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")).alias("rn"),
+    ).where(F.col("rn") <= _HILL_K + 1).localCheckpoint(eager=True)
+    xk = ranked.where(F.col("rn") == _HILL_K + 1).select(F.col("x").alias("x_k"))
+    terms = (
+        ranked.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.round(F.lit(1e6) * F.log(F.col("x").cast("double") / F.col("x_k")), 0)
+            .cast("long").alias("t"),
+            "x_k",
+        )
+    )
+    return terms.groupBy("x_k").agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("x_k").alias("threshold"),
+        F.sum("t").cast("long").alias("sum_log_micro"),
+        F.round(F.lit(_HILL_K * 1e6) / F.sum("t"), 6).alias("hill_alpha"),
+    ).select("k", "threshold", "sum_log_micro", "hill_alpha")
+
+
+@query(
+    "energy_distance",
+    """WITH x AS (
+         SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS g, n_chars::BIGINT AS v,
+                doc_id
+         FROM documents),
+       cnt AS (SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS nx,
+                      sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS ny
+               FROM x),
+       pooled AS (
+         SELECT g, v,
+                row_number() OVER (ORDER BY v, doc_id) AS r_all,
+                row_number() OVER (PARTITION BY g ORDER BY v, doc_id) AS r_g,
+                count(*) OVER () AS n
+         FROM x),
+       pair AS (
+         -- sum of |z_i - z_j| over i<j within a sorted multiset:
+         -- sum z_i * (2*rank_i - n - 1); cross-group sum = pooled - within
+         SELECT
+           sum(v::HUGEINT * (2 * r_all - n - 1)) AS s_all,
+           sum(CASE WHEN g = 0 THEN v::HUGEINT
+                      * (2 * r_g - (SELECT nx FROM cnt) - 1) END) AS s_xx,
+           sum(CASE WHEN g = 1 THEN v::HUGEINT
+                      * (2 * r_g - (SELECT ny FROM cnt) - 1) END) AS s_yy
+         FROM pooled)
+       SELECT c.nx, c.ny,
+              round((p.s_all - p.s_xx - p.s_yy)::DOUBLE / (c.nx::HUGEINT * c.ny)::DOUBLE, 6)
+                AS mean_cross_dist,
+              round(p.s_xx::DOUBLE * 2 / (c.nx::HUGEINT * c.nx)::DOUBLE, 6)
+                AS mean_within_x,
+              round(p.s_yy::DOUBLE * 2 / (c.ny::HUGEINT * c.ny)::DOUBLE, 6)
+                AS mean_within_y,
+              round(2.0 * (p.s_all - p.s_xx - p.s_yy)::DOUBLE
+                        / (c.nx::HUGEINT * c.ny)::DOUBLE
+                    - p.s_xx::DOUBLE * 2 / (c.nx::HUGEINT * c.nx)::DOUBLE
+                    - p.s_yy::DOUBLE * 2 / (c.ny::HUGEINT * c.ny)::DOUBLE, 6)
+                AS energy_distance
+       FROM pair p CROSS JOIN cnt c""",
+)
+def q_energy_distance(spark, sf_dir):
+    """Energy distance between the English and non-English document-
+    length distributions (Székely & Rizzo 2004): E = 2·E|X−Y| −
+    E|X−X'| − E|Y−Y'| — zero iff the distributions are equal, the
+    metric two-sample test KS can't match in power against scale
+    alternatives. The O(n²) pairwise |·| sums collapse via the sorted
+    identity Σ_{i<j}|z_i−z_j| = Σ z_i(2·rank_i − n − 1) — within-group
+    sums from per-group ranks, the cross sum as pooled − within — so
+    the whole statistic is THREE exact HUGEINT sums over one sorted
+    scan (ties broken by doc_id make ranks deterministic; the identity
+    itself is tie-safe since equal values contribute zero either
+    way). Population V-statistic normalization (/n², /nx·ny)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = d.select(
+        F.when(F.col("lang") == "en", 0).otherwise(1).alias("g"),
+        F.col("n_chars").cast("long").alias("v"),
+        "doc_id",
+    )
+    cnt = x.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("nx"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("ny"),
+    )
+    wall = Window.orderBy("v", "doc_id")
+    wg = Window.partitionBy("g").orderBy("v", "doc_id")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pooled = x.select(
+        "g", "v",
+        F.row_number().over(wall).alias("r_all"),
+        F.row_number().over(wg).alias("r_g"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).crossJoin(F.broadcast(cnt))
+    pair = pooled.agg(
+        F.sum(F.col("v").cast(dec) * (2 * F.col("r_all") - F.col("n") - 1)).cast(dec).alias("s_all"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("v").cast(dec) * (2 * F.col("r_g") - F.col("nx") - 1))
+        ).cast(dec).alias("s_xx"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("v").cast(dec) * (2 * F.col("r_g") - F.col("ny") - 1))
+        ).cast(dec).alias("s_yy"),
+    )
+    j = pair.crossJoin(F.broadcast(cnt))
+    cross = (F.col("s_all") - F.col("s_xx") - F.col("s_yy")).cast("double") / (
+        F.col("nx").cast(dec) * F.col("ny").cast(dec)
+    ).cast("double")
+    wx = F.col("s_xx").cast("double") * 2 / (F.col("nx").cast(dec) * F.col("nx").cast(dec)).cast("double")
+    wy = F.col("s_yy").cast("double") * 2 / (F.col("ny").cast(dec) * F.col("ny").cast(dec)).cast("double")
+    return j.select(
+        "nx", "ny",
+        F.round(cross, 6).alias("mean_cross_dist"),
+        F.round(wx, 6).alias("mean_within_x"),
+        F.round(wy, 6).alias("mean_within_y"),
+        F.round(F.lit(2.0) * cross - wx - wy, 6).alias("energy_distance"),
+    )
