@@ -293,6 +293,9 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "hill_tail_index",
     "energy_distance",
+    "bradley_terry",
+    "mcnemar_test",
+    "chao_shen_entropy",
 ]
 
 

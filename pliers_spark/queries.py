@@ -19647,3 +19647,284 @@ def q_energy_distance(spark, sf_dir):
         F.round(wy, 6).alias("mean_within_y"),
         F.round(F.lit(2.0) * cross - wx - wy, 6).alias("energy_distance"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 66: Bradley-Terry ranking, McNemar test, Chao-Shen entropy
+
+_BT_ROUNDS = 3
+
+
+def _bt_base_sql() -> str:
+    return """cnt AS MATERIALIZED (
+         SELECT n_chars::BIGINT AS v, source AS s, count(*)::BIGINT AS c
+         FROM documents GROUP BY 1, 2),
+       vals AS MATERIALIZED (SELECT DISTINCT v FROM cnt),
+       srcs AS MATERIALIZED (SELECT DISTINCT s FROM cnt),
+       grid AS MATERIALIZED (
+         SELECT va.v, sr.s, coalesce(c.c, 0)::BIGINT AS c
+         FROM vals va CROSS JOIN srcs sr
+         LEFT JOIN cnt c ON c.v = va.v AND c.s = sr.s),
+       cum AS MATERIALIZED (
+         SELECT v, s,
+                coalesce(sum(c) OVER (PARTITION BY s ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                  AS cumprev
+         FROM grid),
+       wins AS MATERIALIZED (
+         SELECT a.s AS sa, b.s AS sb, sum(a.c * b.cumprev)::BIGINT AS w
+         FROM cnt a JOIN cum b ON a.v = b.v AND a.s <> b.s
+         GROUP BY 1, 2),
+       pairs AS MATERIALIZED (
+         SELECT w1.sa, w1.sb, w1.w AS w_ab,
+                (w1.w + coalesce(w2.w, 0))::BIGINT AS n_ab
+         FROM wins w1 LEFT JOIN wins w2 ON w2.sa = w1.sb AND w2.sb = w1.sa),
+       wtot AS MATERIALIZED (
+         SELECT sa AS s, sum(w_ab)::BIGINT AS w FROM pairs GROUP BY sa),
+       pi0 AS MATERIALIZED (SELECT s, 1000000::BIGINT AS pi FROM srcs)"""
+
+
+def _bt_round_sql(r: int) -> str:
+    prev = f"pi{r - 1}"
+    return f"""den{r} AS MATERIALIZED (
+         SELECT p.sa AS s,
+                sum(round(1e9 * p.n_ab * 1e6 / (pa.pi + pb.pi))::BIGINT) AS d_nano
+         FROM pairs p JOIN {prev} pa ON pa.s = p.sa JOIN {prev} pb ON pb.s = p.sb
+         GROUP BY p.sa),
+       raw{r} AS MATERIALIZED (
+         SELECT w.s, round(w.w::DOUBLE * 1e15 / d.d_nano)::BIGINT AS pi_raw
+         FROM wtot w JOIN den{r} d ON d.s = w.s),
+       pi{r} AS MATERIALIZED (
+         SELECT s, round(pi_raw::DOUBLE * (SELECT count(*) FROM srcs) * 1e6
+                         / (SELECT sum(pi_raw) FROM raw{r}))::BIGINT AS pi
+         FROM raw{r})"""
+
+
+def _bt_sql() -> str:
+    rounds = ",\n       ".join(_bt_round_sql(r) for r in range(1, _BT_ROUNDS + 1))
+    return (
+        "WITH " + _bt_base_sql() + ",\n       " + rounds
+        + f"""
+       SELECT p.s AS source, round(p.pi / 1e6, 6) AS bt_strength, w.w AS wins
+       FROM pi{_BT_ROUNDS} p JOIN wtot w ON w.s = p.s"""
+    )
+
+
+@query("bradley_terry", _bt_sql())
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength ranking of sources from pairwise "which
+    doc is longer" contests (Bradley & Terry 1952; Hunter's MM updates,
+    Ann. Stat. 2004 — the model behind LLM-arena Elo-style
+    leaderboards): wins_ab = #{(x∈a, y∈b) : x > y} for every source
+    pair, then 3 MM rounds π_a ← w_a / Σ_b n_ab/(π_a+π_b), normalized
+    to Σπ = S each round. The O(n²) pairwise contest census collapses
+    to one value-grid join: per-value source counts × per-source
+    strictly-below cumulatives (ties excluded on both sides by
+    construction — cumprev is strictly-less), so cost is V·S² grid
+    rows, never doc×doc. Every MM round rounds its per-pair terms to
+    NANO-units and renormalizes in integer micro-units, making the
+    fixed-round iterate bit-identical cross-engine (oracle = the same
+    3-round MATERIALIZED unroll)."""
+    d = _docs(spark, sf_dir)
+    cnt = d.groupBy(
+        F.col("n_chars").cast("long").alias("v"), F.col("source").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    vals = cnt.select("v").distinct()
+    srcs = cnt.select("s").distinct()
+    n_src = srcs.count()
+    grid = (
+        vals.crossJoin(srcs)
+        .join(cnt, ["v", "s"], "left")
+        .select("v", "s", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    wcum = Window.partitionBy("s").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "v", "s", F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("long").alias("cumprev")
+    )
+    wins = (
+        cnt.alias("a").join(cum.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.sum(F.col("a.c") * F.col("b.cumprev")).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        wins.alias("w1")
+        .join(
+            wins.alias("w2"),
+            (F.col("w2.sa") == F.col("w1.sb")) & (F.col("w2.sb") == F.col("w1.sa")),
+            "left",
+        )
+        .select(
+            F.col("w1.sa").alias("sa"), F.col("w1.sb").alias("sb"),
+            F.col("w1.w").alias("w_ab"),
+            (F.col("w1.w") + F.coalesce(F.col("w2.w"), F.lit(0))).cast("long").alias("n_ab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wtot = pairs.groupBy(F.col("sa").alias("s")).agg(F.sum("w_ab").cast("long").alias("w"))
+    pi = srcs.select("s", F.lit(1000000).cast("long").alias("pi"))
+    for _ in range(_BT_ROUNDS):
+        den = (
+            pairs.join(pi.selectExpr("s AS sa", "pi AS pa"), "sa")
+            .join(pi.selectExpr("s AS sb", "pi AS pb"), "sb")
+            .groupBy(F.col("sa").alias("s"))
+            .agg(
+                F.sum(
+                    F.round(F.lit(1e9) * F.col("n_ab") * 1e6 / (F.col("pa") + F.col("pb")), 0)
+                    .cast("long")
+                ).alias("d_nano")
+            )
+        )
+        raw = wtot.join(den, "s").select(
+            "s",
+            F.round(F.col("w").cast("double") * 1e15 / F.col("d_nano"), 0).cast("long").alias("pi_raw"),
+        )
+        tot_raw = raw.agg(F.sum("pi_raw").cast("long").alias("t"))
+        pi = (
+            raw.crossJoin(F.broadcast(tot_raw))
+            .select(
+                "s",
+                F.round(F.col("pi_raw").cast("double") * n_src * 1e6 / F.col("t"), 0)
+                .cast("long").alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.join(wtot, "s").select(
+        F.col("s").alias("source"),
+        F.round(F.col("pi") / 1e6, 6).alias("bt_strength"),
+        F.col("w").alias("wins"),
+    )
+
+
+@query(
+    "mcnemar_test",
+    """WITH preds AS (
+         SELECT CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS pa,
+                CASE WHEN contains(concat(' ', lower(text), ' '), ' the ')
+                     THEN 1 ELSE 0 END AS pb,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       cells AS (
+         SELECT sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS b,
+                sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS c,
+                sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS both_right,
+                sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS both_wrong
+         FROM preds)
+       SELECT b AS a_only_correct, c AS b_only_correct, both_right, both_wrong,
+              CASE WHEN b + c > 0
+                   THEN round((abs(b - c) - 1) * (abs(b - c) - 1)::DOUBLE / (b + c), 6)
+              END AS mcnemar_chi2
+       FROM cells""",
+)
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test with continuity correction (McNemar,
+    Psychometrika 1947) comparing two English classifiers on the SAME
+    documents — a length rule (n_chars > 500) vs a stopword rule
+    (contains ' the ') — via the discordant cells only: χ² =
+    (|b−c|−1)²/(b+c). THE paired-model comparison (accuracy deltas on
+    shared eval sets are paired, so the unpaired `chi2_independence`
+    over-counts shared variance); this is how quality-filter A/Bs
+    should be scored before swapping `quality_filter` rules. All four
+    cells are exact integers from one pass; one final expression."""
+    d = _docs(spark, sf_dir)
+    preds = d.select(
+        (F.col("n_chars") > 500).cast("long").alias("pa"),
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).contains(" the ").cast("long").alias("pb"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    cells = preds.agg(
+        F.sum(((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast("long")).cast("long").alias("b"),
+        F.sum(((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast("long")).cast("long").alias("c"),
+        F.sum(((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast("long")).cast("long").alias("both_right"),
+        F.sum(((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y"))).cast("long")).cast("long").alias("both_wrong"),
+    )
+    return cells.select(
+        F.col("b").alias("a_only_correct"), F.col("c").alias("b_only_correct"),
+        "both_right", "both_wrong",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.round(
+                (F.abs(F.col("b") - F.col("c")) - 1)
+                * (F.abs(F.col("b") - F.col("c")) - 1).cast("double")
+                / (F.col("b") + F.col("c")),
+                6,
+            ),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@query(
+    "chao_shen_entropy",
+    """WITH cnt AS (
+         SELECT w, count(*)::BIGINT AS c FROM (
+           SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+         GROUP BY w),
+       st AS (SELECT sum(c)::BIGINT AS n,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                     count(*)::BIGINT AS v
+              FROM cnt),
+       naive AS (
+         SELECT sum(round(-1e6 * (c::DOUBLE / n) * ln(c::DOUBLE / n))::BIGINT)
+                  AS h_naive_micro
+         FROM cnt CROSS JOIN st),
+       cs AS (
+         SELECT sum(round(-1e6
+                  * ((1.0 - f1::DOUBLE / n) * c / n)
+                  * ln((1.0 - f1::DOUBLE / n) * c / n)
+                  / (1.0 - pow(1.0 - (1.0 - f1::DOUBLE / n) * c / n, n::DOUBLE))
+                )::BIGINT) AS h_cs_micro
+         FROM cnt CROSS JOIN st)
+       SELECT st.v AS vocab, st.n AS tokens, st.f1 AS singletons,
+              round(1.0 - st.f1::DOUBLE / st.n, 6) AS coverage,
+              round(naive.h_naive_micro / 1e6, 6) AS h_naive,
+              round(cs.h_cs_micro / 1e6, 6) AS h_chao_shen
+       FROM st CROSS JOIN naive CROSS JOIN cs""",
+)
+def q_chao_shen_entropy(spark, sf_dir):
+    """Chao-Shen coverage-adjusted Shannon entropy (Chao & Shen, EEST
+    2003): shrink each plug-in probability by the Good-Turing coverage
+    Ĉ = 1 − f₁/N, then Horvitz-Thompson-weight every term by its
+    detection probability 1 − (1−Ĉp̂)^N — the bias correction that
+    makes corpus-entropy comparisons honest when vocabularies are
+    undersampled (the plug-in estimator is biased LOW by ~(V−1)/2N,
+    so bigger crawls look spuriously more diverse). Pairs with
+    `missing_mass` (same f₁ statistic) and `hill_numbers` (whose q=1
+    uses the naive H). Per-token terms round once to micro-units;
+    ln/pow parity is already pinned by existing queries."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = cnt.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    j = cnt.crossJoin(F.broadcast(st))
+    p = F.col("c").cast("double") / F.col("n")
+    naive = j.agg(
+        F.sum(F.round(F.lit(-1e6) * p * F.log(p), 0).cast("long")).alias("h_naive_micro")
+    )
+    cov = F.lit(1.0) - F.col("f1").cast("double") / F.col("n")
+    cp = cov * F.col("c") / F.col("n")
+    cs = j.agg(
+        F.sum(
+            F.round(
+                F.lit(-1e6) * cp * F.log(cp)
+                / (F.lit(1.0) - F.pow(F.lit(1.0) - cp, F.col("n").cast("double"))),
+                0,
+            ).cast("long")
+        ).alias("h_cs_micro")
+    )
+    return (
+        st.crossJoin(F.broadcast(naive)).crossJoin(F.broadcast(cs))
+        .select(
+            F.col("v").alias("vocab"), F.col("n").alias("tokens"),
+            F.col("f1").alias("singletons"),
+            F.round(F.lit(1.0) - F.col("f1").cast("double") / F.col("n"), 6).alias("coverage"),
+            F.round(F.col("h_naive_micro") / 1e6, 6).alias("h_naive"),
+            F.round(F.col("h_cs_micro") / 1e6, 6).alias("h_chao_shen"),
+        )
+    )
