@@ -296,6 +296,9 @@ BENCH_QUERIES = [
     "bradley_terry",
     "mcnemar_test",
     "chao_shen_entropy",
+    "borda_copeland",
+    "fisher_lda",
+    "jarque_bera",
 ]
 
 

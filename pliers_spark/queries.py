@@ -19928,3 +19928,263 @@ def q_chao_shen_entropy(spark, sf_dir):
             F.round(F.col("h_cs_micro") / 1e6, 6).alias("h_chao_shen"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 67: rank aggregation, Fisher LDA, Jarque-Bera
+
+
+@query(
+    "borda_copeland",
+    """WITH m AS (
+         SELECT source,
+                sum(n_chars)::BIGINT AS s_len,
+                count(*)::BIGINT AS n,
+                count(DISTINCT lang)::BIGINT AS n_lang
+         FROM documents GROUP BY source),
+       v AS (
+         SELECT m.source, m.n,
+                len(list_distinct(flatten(list(string_split(trim(d.text), ' ')))))::BIGINT
+                  AS vocab,
+                max(m.s_len) AS s_len, max(m.n_lang) AS n_lang
+         FROM m JOIN documents d USING (source)
+         GROUP BY m.source, m.n),
+       ranked AS (
+         SELECT source,
+                row_number() OVER (ORDER BY s_len * 1.0 / n DESC, source) AS r1,
+                row_number() OVER (ORDER BY vocab DESC, source) AS r2,
+                row_number() OVER (ORDER BY n_lang DESC, source) AS r3,
+                count(*) OVER () AS s
+         FROM v),
+       borda AS (
+         SELECT source, r1, r2, r3,
+                (3 * s - r1 - r2 - r3)::BIGINT AS borda_score, s
+         FROM ranked),
+       cop AS (
+         SELECT a.source,
+                sum(CASE WHEN (CASE WHEN a.r1 < b.r1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN a.r3 < b.r3 THEN 1 ELSE 0 END) >= 2
+                         THEN 1 ELSE 0 END)::BIGINT AS copeland_wins
+         FROM borda a JOIN borda b ON a.source <> b.source
+         GROUP BY a.source)
+       SELECT b.source, b.r1 AS rank_len, b.r2 AS rank_vocab, b.r3 AS rank_langs,
+              b.borda_score, c.copeland_wins
+       FROM borda b JOIN cop c USING (source)""",
+)
+def q_borda_copeland(spark, sf_dir):
+    """Rank aggregation across three per-source quality criteria (mean
+    doc length, vocabulary size, language breadth) by Borda count
+    (Borda 1781: points = Σ(S − rank)) and Copeland pairwise majority
+    (Copeland 1951: wins = #opponents beaten on ≥2 of 3 criteria) —
+    the social-choice machinery behind multi-metric source selection
+    when no single score is trusted (`max_coverage`/`dsir_weights`
+    pick by one objective; this reconciles several). All ranks are
+    deterministic row_numbers (ties → source) over S rows; the
+    Copeland join is S×S on the tiny rank table. Complements
+    `rbo_rankings`, which MEASURES ranking agreement — this RESOLVES
+    disagreement into one order."""
+    d = _docs(spark, sf_dir)
+    m = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("s_len"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("lang").cast("long").alias("n_lang"),
+    )
+    vocab = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("source").agg(F.count_distinct("w").cast("long").alias("vocab"))
+    )
+    v = m.join(vocab, "source").localCheckpoint(eager=True)
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = v.select(
+        "source",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.col("s_len") * 1.0 / F.col("n")), "source")
+        ).alias("r1"),
+        F.row_number().over(Window.orderBy(F.desc("vocab"), "source")).alias("r2"),
+        F.row_number().over(Window.orderBy(F.desc("n_lang"), "source")).alias("r3"),
+        F.count(F.lit(1)).over(wn).alias("s"),
+    )
+    borda = ranked.select(
+        "source", "r1", "r2", "r3",
+        (3 * F.col("s") - F.col("r1") - F.col("r2") - F.col("r3")).cast("long").alias("borda_score"),
+    ).localCheckpoint(eager=True)
+    cop = (
+        borda.alias("a").join(borda.alias("b"), F.col("a.source") != F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(
+            F.sum(
+                (
+                    (F.col("a.r1") < F.col("b.r1")).cast("int")
+                    + (F.col("a.r2") < F.col("b.r2")).cast("int")
+                    + (F.col("a.r3") < F.col("b.r3")).cast("int")
+                    >= 2
+                ).cast("long")
+            ).cast("long").alias("copeland_wins")
+        )
+    )
+    return borda.join(cop, "source").select(
+        "source",
+        F.col("r1").cast("long").alias("rank_len"),
+        F.col("r2").cast("long").alias("rank_vocab"),
+        F.col("r3").cast("long").alias("rank_langs"),
+        "borda_score", "copeland_wins",
+    )
+
+
+@query(
+    "fisher_lda",
+    """WITH base AS (
+         SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                len(string_split(trim(text), ' '))::BIGINT AS x1,
+                n_chars::BIGINT AS x2
+         FROM documents),
+       st AS (
+         SELECT y, count(*)::BIGINT AS n,
+                sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+                sum(x1::HUGEINT * x1::HUGEINT) AS s11,
+                sum(x1::HUGEINT * x2::HUGEINT) AS s12,
+                sum(x2::HUGEINT * x2::HUGEINT) AS s22
+         FROM base GROUP BY y),
+       pool AS (
+         SELECT
+           (SELECT (s11 - s1::HUGEINT * s1 / n)::DOUBLE FROM st WHERE y = 0)
+         + (SELECT (s11 - s1::HUGEINT * s1 / n)::DOUBLE FROM st WHERE y = 1) AS w11,
+           (SELECT (s12 - s1::HUGEINT * s2 / n)::DOUBLE FROM st WHERE y = 0)
+         + (SELECT (s12 - s1::HUGEINT * s2 / n)::DOUBLE FROM st WHERE y = 1) AS w12,
+           (SELECT (s22 - s2::HUGEINT * s2 / n)::DOUBLE FROM st WHERE y = 0)
+         + (SELECT (s22 - s2::HUGEINT * s2 / n)::DOUBLE FROM st WHERE y = 1) AS w22,
+           (SELECT s1::DOUBLE / n FROM st WHERE y = 1)
+         - (SELECT s1::DOUBLE / n FROM st WHERE y = 0) AS d1,
+           (SELECT s2::DOUBLE / n FROM st WHERE y = 1)
+         - (SELECT s2::DOUBLE / n FROM st WHERE y = 0) AS d2)
+       SELECT round((w22 * d1 - w12 * d2) / (w11 * w22 - w12 * w12), 6) AS w_tokens,
+              round((w11 * d2 - w12 * d1) / (w11 * w22 - w12 * w12), 6) AS w_chars,
+              round(((w22 * d1 - w12 * d2) * d1 + (w11 * d2 - w12 * d1) * d2)
+                    / (w11 * w22 - w12 * w12), 6) AS fisher_criterion
+       FROM pool""",
+)
+def q_fisher_lda(spark, sf_dir):
+    """Fisher linear discriminant (Fisher, Ann. Eugenics 1936) for
+    en/non-en on the 2-feature vector (token count, char count):
+    w = S_W⁻¹(μ₁−μ₀) with the within-class scatter inverted in CLOSED
+    FORM (2×2 adjugate — no iterative solver), plus the Fisher
+    criterion wᵀ(μ₁−μ₀), the separation the projection achieves. All
+    scatter entries come from ONE grouped census of exact HUGEINT
+    sufficient statistics; weights are single identical float
+    expressions. The supervised complement to `jl_projection`
+    (random) and `eigen_diagnostics` (unsupervised): which LINEAR view
+    of the features separates the label."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    base = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.size(T.tokenize(F.col("text"))).cast("long").alias("x1"),
+        F.col("n_chars").cast("long").alias("x2"),
+    )
+    st = base.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"), F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1").cast(dec) * F.col("x1").cast(dec)).cast(dec).alias("s11"),
+        F.sum(F.col("x1").cast(dec) * F.col("x2").cast(dec)).cast(dec).alias("s12"),
+        F.sum(F.col("x2").cast(dec) * F.col("x2").cast(dec)).cast(dec).alias("s22"),
+    ).localCheckpoint(eager=True)
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    g0 = st.where(F.col("y") == 0).select(
+        (F.col("s11") - F.col("s1").cast(dec) * F.col("s1") / F.col("n")).cast("double").alias("a11"),
+        (F.col("s12") - F.col("s1").cast(dec) * F.col("s2") / F.col("n")).cast("double").alias("a12"),
+        (F.col("s22") - F.col("s2").cast(dec) * F.col("s2") / F.col("n")).cast("double").alias("a22"),
+        (d_("s1") / d_("n")).alias("m1_0"), (d_("s2") / d_("n")).alias("m2_0"),
+    )
+    g1 = st.where(F.col("y") == 1).select(
+        (F.col("s11") - F.col("s1").cast(dec) * F.col("s1") / F.col("n")).cast("double").alias("b11"),
+        (F.col("s12") - F.col("s1").cast(dec) * F.col("s2") / F.col("n")).cast("double").alias("b12"),
+        (F.col("s22") - F.col("s2").cast(dec) * F.col("s2") / F.col("n")).cast("double").alias("b22"),
+        (d_("s1") / d_("n")).alias("m1_1"), (d_("s2") / d_("n")).alias("m2_1"),
+    )
+    p = g0.crossJoin(g1).select(
+        (F.col("a11") + F.col("b11")).alias("w11"),
+        (F.col("a12") + F.col("b12")).alias("w12"),
+        (F.col("a22") + F.col("b22")).alias("w22"),
+        (F.col("m1_1") - F.col("m1_0")).alias("d1"),
+        (F.col("m2_1") - F.col("m2_0")).alias("d2"),
+    )
+    det = F.col("w11") * F.col("w22") - F.col("w12") * F.col("w12")
+    wt = (F.col("w22") * F.col("d1") - F.col("w12") * F.col("d2")) / det
+    wc = (F.col("w11") * F.col("d2") - F.col("w12") * F.col("d1")) / det
+    return p.select(
+        F.round(wt, 6).alias("w_tokens"),
+        F.round(wc, 6).alias("w_chars"),
+        F.round(
+            (
+                (F.col("w22") * F.col("d1") - F.col("w12") * F.col("d2")) * F.col("d1")
+                + (F.col("w11") * F.col("d2") - F.col("w12") * F.col("d1")) * F.col("d2")
+            )
+            / det,
+            6,
+        ).alias("fisher_criterion"),
+    )
+
+
+@query(
+    "jarque_bera",
+    """WITH st AS (
+         SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+                sum(n_chars::HUGEINT * n_chars) AS s2,
+                sum(n_chars::HUGEINT * n_chars * n_chars) AS s3,
+                sum(n_chars::HUGEINT * n_chars * n_chars * n_chars) AS s4
+         FROM documents),
+       mo AS (
+         SELECT n,
+                s1::DOUBLE / n AS m,
+                s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m2,
+                s3::DOUBLE / n - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                  + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m3,
+                s4::DOUBLE / n - 4 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+                  + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                  - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                      * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m4
+         FROM st)
+       SELECT n,
+              round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+              round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+              round(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 6) AS jb_stat
+       FROM mo""",
+)
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test (Jarque & Bera, Econ. Lett. 1980):
+    JB = n/6·(S² + K²/4) from the skewness and excess kurtosis of the
+    doc-length distribution — the moment-based gate before any
+    analysis that assumes Gaussian lengths (z-score outlier fences,
+    `mde_power`'s variance plug-ins). Raw power sums up to x⁴ are
+    exact HUGEINT from one pass; central moments and the statistic are
+    one identical float expression (the same expand-the-binomial
+    discipline as `heteroscedasticity_bp`). Complements `ks_drift`
+    (distribution-free shape) with the parametric moments view."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = F.col("n_chars").cast(dec)
+    st = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(x * x).cast(dec).alias("s2"),
+        F.sum(x * x * x).cast(dec).alias("s3"),
+        F.sum(x * x * x * x).cast(dec).alias("s4"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = d_("s1") / d_("n")
+    m2 = d_("s2") / d_("n") - m * m
+    m3 = d_("s3") / d_("n") - 3 * m * (d_("s2") / d_("n")) + 2 * m * m * m
+    m4 = (
+        d_("s4") / d_("n") - 4 * m * (d_("s3") / d_("n"))
+        + 6 * m * m * (d_("s2") / d_("n")) - 3 * m * m * m * m
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3
+    return st.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4), 6).alias("jb_stat"),
+    )
