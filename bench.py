@@ -299,6 +299,9 @@ BENCH_QUERIES = [
     "borda_copeland",
     "fisher_lda",
     "jarque_bera",
+    "attribute_assortativity",
+    "word_burstiness",
+    "word_dispersion_dp",
 ]
 
 

@@ -20188,3 +20188,229 @@ def q_jarque_bera(spark, sf_dir):
         F.round(kurt, 6).alias("excess_kurtosis"),
         F.round(F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4), 6).alias("jb_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 68: attribute assortativity, word burstiness, dispersion DP
+
+
+@query(
+    "attribute_assortativity",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, bb.l_partkey AS v
+         FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                           AND a.l_partkey < bb.l_partkey),
+       lab AS (SELECT p_partkey, p_brand FROM part),
+       de AS (
+         SELECT la.p_brand AS ba, lb.p_brand AS bb2
+         FROM e JOIN lab la ON la.p_partkey = e.u
+                JOIN lab lb ON lb.p_partkey = e.v
+         UNION ALL
+         SELECT lb.p_brand, la.p_brand
+         FROM e JOIN lab la ON la.p_partkey = e.u
+                JOIN lab lb ON lb.p_partkey = e.v),
+       m AS (SELECT count(*)::BIGINT AS m2 FROM de),
+       eii AS (SELECT sum(CASE WHEN ba = bb2 THEN 1 ELSE 0 END)::BIGINT AS same
+               FROM de),
+       marg AS (
+         SELECT ba AS brand, count(*)::BIGINT AS d FROM de GROUP BY ba),
+       ab AS (SELECT sum(d::HUGEINT * d) AS sum_d2 FROM marg)
+       SELECT (SELECT same FROM eii) AS same_brand_ends,
+              (SELECT m2 FROM m) AS directed_edges,
+              round((SELECT same FROM eii)::DOUBLE / (SELECT m2 FROM m), 6) AS trace,
+              round((SELECT sum_d2 FROM ab)::DOUBLE
+                    / ((SELECT m2 FROM m)::HUGEINT * (SELECT m2 FROM m))::DOUBLE, 6)
+                AS expected_trace,
+              round(((SELECT same FROM eii)::DOUBLE / (SELECT m2 FROM m)
+                     - (SELECT sum_d2 FROM ab)::DOUBLE
+                       / ((SELECT m2 FROM m)::HUGEINT * (SELECT m2 FROM m))::DOUBLE)
+                    / (1.0 - (SELECT sum_d2 FROM ab)::DOUBLE
+                       / ((SELECT m2 FROM m)::HUGEINT * (SELECT m2 FROM m))::DOUBLE), 6)
+                AS assortativity_r""",
+)
+def q_attribute_assortativity(spark, sf_dir):
+    """Categorical (attribute) assortativity coefficient r (Newman,
+    PRE 2003 eq. 2) of the co-purchase graph by part BRAND: r =
+    (tr e − Σ aᵢbᵢ)/(1 − Σ aᵢbᵢ) over the brand mixing matrix — do
+    same-brand parts co-occur more than their degrees force? The
+    categorical complement to `degree_assortativity` (numeric) and the
+    modularity numerator `modularity_q` maximizes; r ≈ 0 says brand
+    is structurally irrelevant and brand-stratified negative sampling
+    is safe. The mixing matrix is one groupBy over directed edge ends
+    joined to the broadcast part-brand dim; trace and margins are
+    exact integers, three identical float expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    lab = F.broadcast(pt)
+    labeled = (
+        e.join(lab.selectExpr("p_partkey AS u", "p_brand AS ba"), "u")
+        .join(lab.selectExpr("p_partkey AS v", "p_brand AS bb2"), "v")
+        .select("ba", "bb2")
+    )
+    de = labeled.unionAll(labeled.select(F.col("bb2").alias("ba"), F.col("ba").alias("bb2"))).localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    m = de.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    eii = de.agg(F.sum((F.col("ba") == F.col("bb2")).cast("long")).cast("long").alias("same"))
+    ab = (
+        de.groupBy("ba").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .agg(F.sum(F.col("d").cast(dec) * F.col("d").cast(dec)).cast(dec).alias("sum_d2"))
+    )
+    j = eii.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(ab))
+    tr = F.col("same").cast("double") / F.col("m2")
+    exp_tr = F.col("sum_d2").cast("double") / (
+        F.col("m2").cast(dec) * F.col("m2").cast(dec)
+    ).cast("double")
+    return j.select(
+        F.col("same").alias("same_brand_ends"),
+        F.col("m2").alias("directed_edges"),
+        F.round(tr, 6).alias("trace"),
+        F.round(exp_tr, 6).alias("expected_trace"),
+        F.round((tr - exp_tr) / (F.lit(1.0) - exp_tr), 6).alias("assortativity_r"),
+    )
+
+
+_BURST_TOP = 50
+
+
+@query(
+    "word_burstiness",
+    f"""WITH dc AS (
+         SELECT doc_id, w, count(*)::BIGINT AS k FROM (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents)
+         GROUP BY 1, 2),
+       nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM documents),
+       ws AS (
+         SELECT w, sum(k)::BIGINT AS cf,
+                count(*)::BIGINT AS df,
+                sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::BIGINT AS df2
+         FROM dc GROUP BY w
+         ORDER BY sum(k) DESC, w LIMIT {_BURST_TOP})
+       SELECT ws.w AS word, ws.cf, ws.df, ws.df2,
+              round(ws.df2::DOUBLE / ws.df, 6) AS p_repeat,
+              round(1.0 - (1.0 + ws.cf::DOUBLE / nd.nd)
+                          * exp(-(ws.cf::DOUBLE / nd.nd))
+                    / (1.0 - exp(-(ws.cf::DOUBLE / nd.nd))), 6) AS poisson_p_repeat,
+              round(ws.df2::DOUBLE / ws.df
+                    - (1.0 - (1.0 + ws.cf::DOUBLE / nd.nd)
+                             * exp(-(ws.cf::DOUBLE / nd.nd))
+                       / (1.0 - exp(-(ws.cf::DOUBLE / nd.nd)))), 6) AS adaptation
+       FROM ws CROSS JOIN nd""",
+)
+def q_word_burstiness(spark, sf_dir):
+    """Word burstiness / adaptation (Church, EMNLP 2000 "Empirical
+    estimates of adaptation"): for the top-50 corpus words, the
+    probability a word REPEATS in a document that already contains it
+    — P(k≥2 | k≥1) = df₂/df — against the Poisson prediction
+    1 − (1+λ)e^{−λ}/(1−e^{−λ}) at λ = cf/N_docs. Content words adapt
+    (repeat far above Poisson); function words don't — the signal
+    separating topical terms from glue BEFORE any stopword list
+    exists, and the formal basis for `stopword_discovery`. All counts
+    exact from one (doc, word) census; the Poisson benchmark is one
+    identical float expression (exp parity pinned)."""
+    d = _docs(spark, sf_dir)
+    dc = (
+        d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    nd = d.agg(F.count_distinct("doc_id").cast("long").alias("nd"))
+    ws = (
+        dc.groupBy("w").agg(
+            F.sum("k").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum((F.col("k") >= 2).cast("long")).cast("long").alias("df2"),
+        )
+        .orderBy(F.desc("cf"), "w").limit(_BURST_TOP)
+    )
+    j = ws.crossJoin(F.broadcast(nd))
+    lam = F.col("cf").cast("double") / F.col("nd")
+    pois = F.lit(1.0) - (F.lit(1.0) + lam) * F.exp(-lam) / (F.lit(1.0) - F.exp(-lam))
+    prep = F.col("df2").cast("double") / F.col("df")
+    return j.select(
+        F.col("w").alias("word"), "cf", "df", "df2",
+        F.round(prep, 6).alias("p_repeat"),
+        F.round(pois, 6).alias("poisson_p_repeat"),
+        F.round(prep - pois, 6).alias("adaptation"),
+    )
+
+
+_DP_TOP = 50
+
+
+@query(
+    "word_dispersion_dp",
+    f"""WITH toks AS (
+         SELECT source, w, count(*)::BIGINT AS c FROM (
+           SELECT source, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents)
+         GROUP BY 1, 2),
+       part_sz AS (SELECT source, sum(c)::BIGINT AS sz FROM toks GROUP BY source),
+       tot AS (SELECT sum(sz)::BIGINT AS n FROM part_sz),
+       topw AS (
+         SELECT w, sum(c)::BIGINT AS cf FROM toks GROUP BY w
+         ORDER BY sum(c) DESC, w LIMIT {_DP_TOP}),
+       dense AS (
+         SELECT tw.w, tw.cf, ps.source, ps.sz, t.n,
+                coalesce(tk.c, 0)::BIGINT AS c
+         FROM topw tw CROSS JOIN part_sz ps CROSS JOIN tot t
+         LEFT JOIN toks tk ON tk.w = tw.w AND tk.source = ps.source)
+       SELECT w AS word, max(cf) AS cf,
+              round(sum(round(1e6 * abs(c::DOUBLE / cf - sz::DOUBLE / n))::BIGINT)
+                    / 2e6, 6) AS dp
+       FROM dense GROUP BY w""",
+)
+def q_word_dispersion_dp(spark, sf_dir):
+    """Gries' DP dispersion measure (Gries, IJCL 2008) for the top-50
+    words: DP = ½·Σ_parts |observed share in part − expected share| —
+    0 means the word spreads across sources exactly proportionally to
+    their sizes, →1 means it clumps in one source. The corpus-
+    linguistics complement to `word_burstiness` (WITHIN-doc clumping)
+    and `dispersion_index` (event-time clumping): DP is the
+    ACROSS-source clumping that flags source-specific boilerplate
+    masquerading as common vocabulary. One token census densified over
+    the S-source grid; per-part terms round to micro-units before the
+    exact sum, one halving division."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    part_sz = toks.groupBy("source").agg(F.sum("c").cast("long").alias("sz"))
+    tot = part_sz.agg(F.sum("sz").cast("long").alias("n"))
+    topw = (
+        toks.groupBy("w").agg(F.sum("c").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), "w").limit(_DP_TOP)
+    )
+    dense = (
+        topw.crossJoin(F.broadcast(part_sz)).crossJoin(F.broadcast(tot))
+        .join(toks, ["w", "source"], "left")
+        .select(
+            "w", "cf", "sz", "n", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    term = F.round(
+        F.lit(1e6)
+        * F.abs(F.col("c").cast("double") / F.col("cf") - F.col("sz").cast("double") / F.col("n")),
+        0,
+    ).cast("long")
+    return dense.groupBy("w").agg(
+        F.max("cf").alias("cf"),
+        F.round(F.sum(term) / 2e6, 6).alias("dp"),
+    ).select(F.col("w").alias("word"), "cf", "dp")
