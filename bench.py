@@ -302,6 +302,9 @@ BENCH_QUERIES = [
     "attribute_assortativity",
     "word_burstiness",
     "word_dispersion_dp",
+    "densest_subgraph",
+    "label_propagation",
+    "huber_location",
 ]
 
 

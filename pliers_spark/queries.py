@@ -20414,3 +20414,320 @@ def q_word_dispersion_dp(spark, sf_dir):
         F.max("cf").alias("cf"),
         F.round(F.sum(term) / 2e6, 6).alias("dp"),
     ).select(F.col("w").alias("word"), "cf", "dp")
+
+
+# --------------------------------------------------------------------------
+# batch 69: densest subgraph, label propagation, Huber location
+
+_DSG_ROUNDS = 30
+_DSG_NUM, _DSG_DEN = 3, 2  # (1+eps) = 3/2 -> O(log_{1.5} V) rounds, 3-approx
+
+
+def _dsg_graph_sql() -> str:
+    return """op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       sized AS MATERIALIZED (SELECT l_orderkey FROM op GROUP BY l_orderkey
+                 HAVING count(*) BETWEEN 2 AND 20),
+       bb AS MATERIALIZED (SELECT op.* FROM op JOIN sized USING (l_orderkey)),
+       e0 AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b2.l_partkey AS v
+         FROM bb a JOIN bb b2 ON a.l_orderkey = b2.l_orderkey
+                            AND a.l_partkey < b2.l_partkey)"""
+
+
+def _dsg_sql(rounds: int = _DSG_ROUNDS) -> str:
+    parts = [_dsg_graph_sql()]
+    stats = ["SELECT 0 AS r, (SELECT count(DISTINCT u) FROM (SELECT u FROM e0 UNION ALL SELECT v FROM e0)) AS nv, (SELECT count(*) FROM e0) AS ne"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+         SELECT u AS node, count(*)::BIGINT AS d FROM
+           (SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev})
+         GROUP BY u),
+       st{r} AS MATERIALIZED (
+         SELECT count(*)::BIGINT AS nv, (SELECT count(*) FROM {prev})::BIGINT AS ne
+         FROM d{r}),
+       keep{r} AS MATERIALIZED (
+         SELECT d.node FROM d{r} d CROSS JOIN st{r} s
+         WHERE {_DSG_DEN} * d.d * s.nv > 2 * {_DSG_NUM} * s.ne),
+       e{r} AS MATERIALIZED (
+         SELECT e.u, e.v FROM {prev} e
+         JOIN keep{r} ka ON ka.node = e.u JOIN keep{r} kb ON kb.node = e.v)"""
+        )
+        stats.append(
+            f"SELECT {r} AS r, (SELECT count(*) FROM keep{r}) AS nv, (SELECT count(*) FROM e{r}) AS ne"
+        )
+        prev = f"e{r}"
+    allst = " UNION ALL ".join(stats)
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f""",
+       allst AS ({allst})
+       SELECT r AS best_round, nv::BIGINT AS n_nodes, ne::BIGINT AS n_edges,
+              round(ne::DOUBLE / nv, 6) AS density
+       FROM allst WHERE nv > 0
+       ORDER BY round(1e9 * ne / nv) DESC, r LIMIT 1"""
+    )
+
+
+@query("densest_subgraph", _dsg_sql())
+def q_densest_subgraph(spark, sf_dir):
+    """Densest-subgraph 3-approximation by round-synchronous peeling
+    (Charikar 2000 greedy; Bahmani, Kumar & Vassilvitskii, VLDB 2012
+    MapReduce form): each round removes EVERY node whose degree ≤
+    2(1+ε)·E/V (ε=½ here), which provably terminates in O(log₁₊ε V)
+    rounds and leaves some round whose subgraph density is within
+    2(1+ε) of optimal — the distributed answer to "find the spam-farm
+    / boilerplate nucleus" that sequential min-degree peeling (one
+    node per step) cannot give at 10^12 edges. The removal test
+    den·d·V > 2·num·E is exact integer cross-multiplication; the best
+    round is a deterministic nano-unit argmax over the per-round
+    (V, E) log. Oracle = the same MATERIALIZED unroll; the Spark loop
+    stops at the empty graph with a loud 30-round guard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    log = []
+    nv = e.select(F.col("u").alias("n")).unionAll(e.select("v")).distinct().count()
+    ne = e.count()
+    log.append((0, nv, ne))
+    for r in range(1, _DSG_ROUNDS + 1):
+        if ne == 0 or nv == 0:
+            break
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        keep = deg.where(
+            F.lit(_DSG_DEN) * F.col("d") * F.lit(nv) > F.lit(2 * _DSG_NUM) * F.lit(ne)
+        ).select(F.col("u").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.selectExpr("node AS v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        nv = keep.count()
+        ne = e.count()
+        log.append((r, nv, ne))
+    else:
+        if ne > 0:
+            raise RuntimeError(f"densest-subgraph peel exceeded {_DSG_ROUNDS} rounds")
+    rows = [(r, v, ed) for r, v, ed in log if v > 0]
+    best = max(rows, key=lambda t: (round(1e9 * t[2] / t[1]), -t[0]))
+    return spark.createDataFrame(
+        [(best[0], best[1], best[2], round(best[2] / best[1], 6))],
+        "best_round long, n_nodes long, n_edges long, density double",
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        _dsg_graph_sql(),
+        """sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM sym)""",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+         SELECT s.u AS node, ln.lab, count(*)::BIGINT AS c
+         FROM sym s JOIN {prev} ln ON ln.node = s.v
+         GROUP BY 1, 2),
+       l{r} AS MATERIALIZED (
+         SELECT node, lab FROM (
+           SELECT node, lab,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           FROM v{r})
+         WHERE rn = 1)"""
+        )
+        prev = f"l{r}"
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f"""
+       SELECT lab AS community, count(*)::BIGINT AS n_members
+       FROM {prev} GROUP BY lab"""
+    )
+
+
+@query("label_propagation", _lpa_sql())
+def q_label_propagation(spark, sf_dir):
+    """Label-propagation community detection (Raghavan, Albert & Kumara,
+    PRE 2007), made DETERMINISTIC: 3 synchronous rounds where every
+    node adopts its neighbors' most frequent label, ties broken by the
+    smallest label — the classic near-linear community heuristic whose
+    usual run-to-run nondeterminism (random order, random ties) is
+    exactly what a reproducible pipeline cannot ship. Per round: one
+    edge-label join + count + a row_number argmax — the same shuffle
+    shape as a CC round, fixed round count (no oscillation risk to
+    converge through since the output is the round-3 label census).
+    Complements `modularity_q` (scores a GIVEN partition) and
+    `dup_clusters` (exact connectivity) with the density-based
+    middle ground."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        wv = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+_HUBER_ROUNDS = 3
+_HUBER_KN, _HUBER_KD = 1345, 1000  # k = 1.345 (95% Gaussian efficiency)
+
+
+def _huber_sql(rounds: int = _HUBER_ROUNDS) -> str:
+    parts = [
+        """x AS MATERIALIZED (SELECT doc_id, n_chars::BIGINT AS x FROM documents),
+       med AS MATERIALIZED (
+         SELECT x AS m FROM (
+           SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rn,
+                  count(*) OVER () AS n FROM x)
+         WHERE rn = (n + 1) // 2),
+       mad AS MATERIALIZED (
+         SELECT d AS s FROM (
+           SELECT abs(x.x - med.m) AS d,
+                  row_number() OVER (ORDER BY abs(x.x - med.m), x.doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM x CROSS JOIN med)
+         WHERE rn = (n + 1) // 2),
+       mu0 AS MATERIALIZED (SELECT m * 1000000::BIGINT AS mu FROM med)"""
+    ]
+    prev = "mu0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+         SELECT x.x,
+                CASE WHEN abs(x.x * 1000000 - p.mu) = 0 THEN 1000000000::BIGINT
+                     ELSE least(1000000000::BIGINT,
+                          round(1e9 * {_HUBER_KN} * mad.s * 1000000.0
+                                / ({_HUBER_KD} * abs(x.x * 1000000 - p.mu)))::BIGINT)
+                END AS w_nano
+         FROM x CROSS JOIN {prev} p CROSS JOIN mad),
+       mu{r} AS MATERIALIZED (
+         SELECT round(sum(w_nano::HUGEINT * x)::DOUBLE * 1e6
+                      / sum(w_nano)::DOUBLE)::BIGINT AS mu
+         FROM w{r})"""
+        )
+        prev = f"mu{r}"
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f"""
+       SELECT round((SELECT mu FROM {prev}) / 1e6, 6) AS huber_mu,
+              (SELECT m FROM med)::BIGINT AS median,
+              (SELECT s FROM mad)::BIGINT AS mad,
+              (SELECT round(avg(x), 6) FROM x) AS mean,
+              (SELECT sum(CASE WHEN w_nano < 1000000000 THEN 1 ELSE 0 END)::BIGINT
+               FROM w{_HUBER_ROUNDS}) AS n_downweighted"""
+    )
+
+
+@query("huber_location", _huber_sql())
+def q_huber_location(spark, sf_dir):
+    """Huber M-estimate of location (Huber, Ann. Math. Stat. 1964) for
+    document length via 3 IRLS rounds at k=1.345·MAD (95% Gaussian
+    efficiency): weights w = min(1, k·s/|x−μ|) re-estimated from the
+    exact nearest-rank median and MAD — the robust mean that a few
+    giant boilerplate pages cannot drag, where the plain mean (also
+    reported) visibly moves. Pairs with `mad_scale` (robust scale) and
+    `regression_influence` (which rows did the dragging). Every round
+    rounds its weights once to NANO-units and the iterate to integer
+    micro-units, so the fixed-round result is bit-identical
+    cross-engine (unrolled MATERIALIZED oracle, the `bradley_terry`
+    discipline)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = d.select("doc_id", F.col("n_chars").cast("long").alias("x")).localCheckpoint(eager=True)
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        x.select("x", F.row_number().over(Window.orderBy("x", "doc_id")).alias("rn"),
+                 F.count(F.lit(1)).over(wn).alias("n"))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("x").alias("m"))
+    )
+    mad = (
+        x.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(F.col("x") - F.col("m")).alias("d"), "doc_id",
+        )
+        .select("d", F.row_number().over(Window.orderBy("d", "doc_id")).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("d").alias("s"))
+    )
+    consts = med.crossJoin(mad).localCheckpoint(eager=True)  # (m, s)
+    mu = consts.select((F.col("m") * 1000000).cast("long").alias("mu"))
+    w = None
+    for _ in range(_HUBER_ROUNDS):
+        j = x.crossJoin(F.broadcast(mu)).crossJoin(F.broadcast(consts.select("s")))
+        dev = F.abs(F.col("x") * 1000000 - F.col("mu"))
+        w_nano = F.when(dev == 0, F.lit(1000000000).cast("long")).otherwise(
+            F.least(
+                F.lit(1000000000).cast("long"),
+                F.round(
+                    F.lit(1e9) * _HUBER_KN * F.col("s") * 1000000.0
+                    / (_HUBER_KD * dev),
+                    0,
+                ).cast("long"),
+            )
+        )
+        w = j.select("x", w_nano.alias("w_nano"))
+        mu = w.agg(
+            F.round(
+                F.sum(F.col("w_nano").cast(dec) * F.col("x")).cast("double") * 1e6
+                / F.sum("w_nano").cast("double"),
+                0,
+            ).cast("long").alias("mu")
+        )
+    stats = x.agg(F.round(F.avg("x"), 6).alias("mean"))
+    ndw = w.agg(
+        F.sum((F.col("w_nano") < 1000000000).cast("long")).cast("long").alias("n_downweighted")
+    )
+    return (
+        mu.crossJoin(F.broadcast(consts)).crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(ndw))
+        .select(
+            F.round(F.col("mu") / 1e6, 6).alias("huber_mu"),
+            F.col("m").cast("long").alias("median"),
+            F.col("s").cast("long").alias("mad"),
+            "mean", "n_downweighted",
+        )
+    )
