@@ -305,6 +305,9 @@ BENCH_QUERIES = [
     "densest_subgraph",
     "label_propagation",
     "huber_location",
+    "luhn_summary",
+    "soundex_blocking",
+    "gini_over_time",
 ]
 
 

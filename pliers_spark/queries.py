@@ -20731,3 +20731,229 @@ def q_huber_location(spark, sf_dir):
             "mean", "n_downweighted",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 70: Luhn significance scoring, Soundex blocking, Gini over time
+
+_LUHN_W = 10  # passage width in tokens (the passage_bm25 convention)
+
+
+@query(
+    "luhn_summary",
+    f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       wc AS (
+         SELECT doc_id, token, count(*)::BIGINT AS k
+         FROM toks GROUP BY 1, 2),
+       sig AS (
+         SELECT t.doc_id, t.pos // {_LUHN_W} AS blk,
+                CASE WHEN wc.k >= 2 AND length(t.token) >= 4 THEN 1 ELSE 0 END AS s
+         FROM toks t JOIN wc ON wc.doc_id = t.doc_id AND wc.token = t.token),
+       blocks AS (
+         SELECT doc_id, blk::BIGINT AS blk, sum(s)::BIGINT AS n_sig,
+                count(*)::BIGINT AS blk_len
+         FROM sig GROUP BY 1, 2),
+       best AS (
+         SELECT doc_id, blk, n_sig, blk_len,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_sig * n_sig * 1000000 // blk_len DESC,
+                                            blk) AS rn
+         FROM blocks)
+       SELECT doc_id, blk AS best_block, n_sig, blk_len,
+              (n_sig * n_sig * 1000000 // blk_len)::BIGINT AS luhn_score_micro
+       FROM best WHERE rn = 1""",
+)
+def q_luhn_summary(spark, sf_dir):
+    """Luhn extractive-summarization significance scoring (Luhn, IBM
+    J. 1958 — the first automatic abstract algorithm): a token is
+    significant if it repeats within its document (k ≥ 2, len ≥ 4 —
+    exactly the within-doc adaptation signal `word_burstiness`
+    measures corpus-wide); each {_LUHN_W}-token passage scores
+    significant² / length, and the best passage per document is the
+    extract. Scores are exact integer micro-units (s²·10⁶ ÷ len by
+    integer division), the per-doc argmax is a deterministic
+    row_number (ties → earliest block). One token census joined back
+    to positions — the same two-pass shape as `tfidf`; no floats
+    anywhere."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+    wc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    sig = toks.join(wc, ["doc_id", "token"]).select(
+        "doc_id",
+        F.floor(F.col("pos") / _LUHN_W).cast("long").alias("blk"),
+        ((F.col("k") >= 2) & (F.length("token") >= 4)).cast("long").alias("s"),
+    )
+    blocks = sig.groupBy("doc_id", "blk").agg(
+        F.sum("s").cast("long").alias("n_sig"), F.count(F.lit(1)).cast("long").alias("blk_len")
+    )
+    score = F.floor(F.col("n_sig") * F.col("n_sig") * 1000000 / F.col("blk_len")).cast("long")
+    wb = Window.partitionBy("doc_id").orderBy(F.desc(score), "blk")
+    return (
+        blocks.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("blk").alias("best_block"), "n_sig", "blk_len",
+            score.alias("luhn_score_micro"),
+        )
+    )
+
+
+def _soundex_sql(col: str) -> str:
+    # RE2-safe (no backreferences): digit runs collapse via fixed per-digit
+    # patterns; h/w removed BEFORE run-collapse per the standard algorithm.
+    e = f"lower({col})"
+    first = f"upper(substr({e}, 1, 1))"
+    mapped = (
+        f"translate(substr({e}, 2), 'bfpvcgjkqsxzdtlmnraeiouyhw', "
+        f"'111122222222334556000000..')"
+    )
+    first_digit = (
+        f"translate(substr({e}, 1, 1), 'bfpvcgjkqsxzdtlmnraeiouyhw', "
+        f"'111122222222334556000000..')"
+    )
+    run = mapped
+    for dd in "123456":
+        run = f"regexp_replace({run}, '{dd}+', '{dd}', 'g')"
+    # drop separators ('.') AFTER collapsing so h/w do not split runs;
+    # then drop vowels ('0'), then drop a leading digit equal to the
+    # first letter's code
+    body = f"replace({run}, '.', '')"
+    for dd in "123456":
+        body = f"regexp_replace({body}, '{dd}+', '{dd}', 'g')"
+    body = f"replace({body}, '0', '')"
+    body = (
+        f"CASE WHEN substr({body}, 1, 1) = {first_digit} "
+        f"THEN substr({body}, 2) ELSE {body} END"
+    )
+    return f"substr(concat({first}, {body}, '000'), 1, 4)"
+
+
+@query(
+    "soundex_blocking",
+    f"""WITH toks AS (
+         SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS tok
+         FROM documents),
+       sel AS (SELECT tok FROM toks
+               WHERE length(tok) >= 4 AND regexp_full_match(tok, '[a-z]+')),
+       coded AS (SELECT tok, {_soundex_sql('tok')} AS sdx FROM sel),
+       grp AS (
+         SELECT sdx, count(*)::BIGINT AS n_tokens,
+                min(tok) AS representative
+         FROM coded GROUP BY sdx)
+       SELECT sdx AS soundex, n_tokens, representative
+       FROM grp WHERE n_tokens >= 2""",
+)
+def q_soundex_blocking(spark, sf_dir):
+    """Soundex phonetic blocking (Russell 1918; the Census/record-
+    linkage standard): every alphabetic token ≥4 chars maps to its
+    4-char phonetic code (first letter + collapsed consonant-class
+    digits, h/w transparent to run-collapse, vowels as separators,
+    leading digit deduped against the first letter's class), and codes
+    shared by ≥2 distinct tokens become candidate blocks — the
+    CHEAPEST blocking key in the linkage stack, upstream of
+    `jaro_winkler_dups`' scorer (block by Soundex, verify by JW is the
+    textbook pipeline). Implemented in pure string expressions —
+    translate + 6 fixed run-collapse regexes, RE2-safe (NO
+    backreferences, which DuckDB's regex engine lacks) — identical
+    text on both engines, zero UDF."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+        .where((F.length("tok") >= 4) & F.col("tok").rlike("^[a-z]+$"))
+    )
+    e = F.lower(F.col("tok"))
+    first = F.upper(F.substring(e, 1, 1))
+    src = "bfpvcgjkqsxzdtlmnraeiouyhw"
+    dst = "111122222222334556000000.."
+    mapped = F.translate(F.expr("substr(lower(tok), 2)"), src, dst)
+    first_digit = F.translate(F.substring(e, 1, 1), src, dst)
+    run = mapped
+    for dd in "123456":
+        run = F.regexp_replace(run, f"{dd}+", dd)
+    body = F.regexp_replace(run, r"\.", "")
+    for dd in "123456":
+        body = F.regexp_replace(body, f"{dd}+", dd)
+    coded = (
+        toks.withColumn("_first", first)
+        .withColumn("_fd", first_digit)
+        .withColumn("_body0", F.regexp_replace(run, r"\.", ""))
+    )
+    b = F.col("_body0")
+    for dd in "123456":
+        b = F.regexp_replace(b, f"{dd}+", dd)
+    b = F.regexp_replace(b, "0", "")
+    coded = coded.withColumn("_body1", b).withColumn(
+        "_body",
+        F.when(
+            F.substring(F.col("_body1"), 1, 1) == F.col("_fd"),
+            F.expr("substring(_body1, 2)"),
+        ).otherwise(F.col("_body1")),
+    )
+    coded = coded.select(
+        "tok",
+        F.substring(F.concat(F.col("_first"), F.col("_body"), F.lit("000")), 1, 4).alias("sdx"),
+    )
+    return (
+        coded.groupBy("sdx").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.min("tok").alias("representative"),
+        )
+        .where(F.col("n_tokens") >= 2)
+        .select(F.col("sdx").alias("soundex"), "n_tokens", "representative")
+    )
+
+
+@query(
+    "gini_over_time",
+    """WITH daily AS (
+         SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+                user_id, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT day, c,
+                row_number() OVER (PARTITION BY day ORDER BY c, user_id) AS rk,
+                count(*) OVER (PARTITION BY day) AS n,
+                sum(c) OVER (PARTITION BY day) AS s
+         FROM daily)
+       SELECT day, max(n)::BIGINT AS n_users, max(s)::BIGINT AS n_events,
+              round(sum((2 * rk - n - 1) * c::HUGEINT)::DOUBLE
+                    / (max(n)::HUGEINT * max(s))::DOUBLE, 6) AS gini
+       FROM ranked GROUP BY day""",
+)
+def q_gini_over_time(spark, sf_dir):
+    """Daily Gini coefficient of per-user activity concentration —
+    inequality as a TIME SERIES (the drift monitor on top of the
+    static `pareto_8020`/`gini_tokens` snapshots: a rising activity
+    Gini means a shrinking heavy-hitter set is taking over the
+    stream, the early warning for the skew defenses in
+    operators/skew.py). Per day, Gini = Σ(2·rank−n−1)·cᵢ / (n·Σc) via
+    the sorted rank identity — the same O(n log n) collapse
+    `energy_distance` uses, exact HUGEINT numerator, one division per
+    day; ranks tie-break by user_id identically on both engines."""
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wday = Window.partitionBy("day")
+    ranked = daily.select(
+        "day", "c",
+        F.row_number().over(wday.orderBy("c", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(wday).alias("n"),
+        F.sum("c").over(wday).alias("s"),
+    )
+    return ranked.groupBy("day").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("s").cast("long").alias("n_events"),
+        F.round(
+            F.sum((2 * F.col("rk") - F.col("n") - 1) * F.col("c").cast(dec)).cast("double")
+            / (F.max("n").cast(dec) * F.max("s").cast(dec)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
