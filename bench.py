@@ -308,6 +308,9 @@ BENCH_QUERIES = [
     "luhn_summary",
     "soundex_blocking",
     "gini_over_time",
+    "log_loss",
+    "eigenvector_centrality",
+    "kish_weights",
 ]
 
 

@@ -20957,3 +20957,195 @@ def q_gini_over_time(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 71: log loss, eigenvector centrality, post-stratification / Kish
+
+
+@query(
+    "log_loss",
+    """WITH scored AS (
+         SELECT source,
+                round(n_chars * 1e6 / (n_chars + 500))::BIGINT AS p_micro,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       terms AS (
+         SELECT source,
+                round(-1e6 * CASE WHEN y = 1 THEN ln(p_micro / 1e6)
+                                  ELSE ln(1.0 - p_micro / 1e6) END)::BIGINT AS t
+         FROM scored)
+       SELECT source, count(*)::BIGINT AS n,
+              round(sum(t) / 1e6 / count(*), 6) AS log_loss
+       FROM terms GROUP BY source""",
+)
+def q_log_loss(spark, sf_dir):
+    """Per-source cross-entropy (log loss) of the length-based English
+    probability — the PROPER scoring rule companion to
+    `brier_calibration` (Brier is quadratic, log loss is the one a
+    max-likelihood classifier optimizes) and the per-source breakdown
+    `risk_coverage` aggregates away: a source whose log loss spikes is
+    where the probability model is confidently wrong, the first place
+    a langid/quality scorer needs per-domain recalibration. Per-row
+    −ln-likelihood terms round once to micro-units (ln parity pinned);
+    exact sums, one division per source. The integer-ratio forecast
+    p = n/(n+500) never reaches 0/1, so terms are finite by
+    construction."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "source",
+        F.round(F.col("n_chars") * 1e6 / (F.col("n_chars") + 500), 0).cast("long").alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    t = F.round(
+        F.lit(-1e6)
+        * F.when(F.col("y") == 1, F.log(F.col("p_micro") / 1e6)).otherwise(
+            F.log(F.lit(1.0) - F.col("p_micro") / 1e6)
+        ),
+        0,
+    ).cast("long")
+    return (
+        scored.select("source", t.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("t") / 1e6 / F.count(F.lit(1)), 6).alias("log_loss"),
+        )
+    )
+
+
+_EVC_ROUNDS = 5
+
+
+def _evc_sql(rounds: int = _EVC_ROUNDS) -> str:
+    parts = [
+        _dsg_graph_sql(),
+        """sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       x0 AS MATERIALIZED (SELECT DISTINCT u AS node, 1000000::BIGINT AS x FROM sym)""",
+    ]
+    prev = "x0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""y{r} AS MATERIALIZED (
+         SELECT s.u AS node, sum(xp.x)::BIGINT AS y
+         FROM sym s JOIN {prev} xp ON xp.node = s.v
+         GROUP BY s.u),
+       x{r} AS MATERIALIZED (
+         SELECT node, round(y::DOUBLE * 1e6 / (SELECT max(y) FROM y{r}))::BIGINT AS x
+         FROM y{r})"""
+        )
+        prev = f"x{r}"
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f"""
+       SELECT node, round(x / 1e6, 6) AS centrality
+       FROM {prev}
+       ORDER BY x DESC, node LIMIT 25"""
+    )
+
+
+@query("eigenvector_centrality", _evc_sql())
+def q_eigenvector_centrality(spark, sf_dir):
+    """Eigenvector centrality by fixed-round power iteration (Bonacich
+    1972): x ← A·x normalized by the max entry each round, 5 rounds
+    from the uniform vector, top-25 parts — prestige that counts
+    WELL-CONNECTED neighbors, where PageRank (`host_pagerank`)
+    dilutes by out-degree and degree counts all neighbors equally;
+    the three disagree exactly on hub-adjacent nodes, which is the
+    point of shipping all three. Each round is one edge-join +
+    groupBy-sum (the CC/WL shuffle shape) with the iterate re-rounded
+    to integer MICRO-units after L∞ normalization, so the fixed-round
+    vector is bit-identical cross-engine (unrolled MATERIALIZED
+    oracle). Deterministic top-k (ties → node id)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
+    )
+    b = op.join(sized, "l_orderkey")
+    e = (
+        b.alias("x").join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    x = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "x", F.lit(1000000).cast("long")
+    )
+    for _ in range(_EVC_ROUNDS):
+        y = (
+            sym.join(x.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("x").cast("long").alias("y"))
+        )
+        mx = y.agg(F.max("y").alias("mx"))
+        x = (
+            y.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.round(F.col("y").cast("double") * 1e6 / F.col("mx"), 0).cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        x.orderBy(F.desc("x"), "node").limit(25)
+        .select("node", F.round(F.col("x") / 1e6, 6).alias("centrality"))
+    )
+
+
+@query(
+    "kish_weights",
+    """WITH obs AS (
+         SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+       tot AS (SELECT sum(n)::BIGINT AS nt, count(*)::BIGINT AS k FROM obs),
+       w AS (
+         SELECT o.lang, o.n,
+                -- target: uniform share 1/k per language
+                round(1e6 * t.nt::DOUBLE / (t.k * o.n))::BIGINT AS w_micro
+         FROM obs o CROSS JOIN tot t),
+       agg AS (
+         SELECT sum(n * w_micro)::BIGINT AS sw,
+                sum(n::HUGEINT * w_micro::HUGEINT * w_micro) AS sw2
+         FROM w)
+       SELECT w.lang, w.n AS n_docs, round(w.w_micro / 1e6, 6) AS weight,
+              round((a.sw::DOUBLE * a.sw) / a.sw2::DOUBLE, 6) AS kish_ess,
+              round((a.sw::DOUBLE * a.sw) / a.sw2::DOUBLE
+                    / (SELECT nt FROM tot), 6) AS ess_ratio
+       FROM w CROSS JOIN agg a""",
+)
+def q_kish_weights(spark, sf_dir):
+    """Post-stratification weights to a uniform language mix with
+    Kish's effective sample size (Kish 1965: ESS = (Σw)²/Σw²) — the
+    reweighting every mixture designer applies when the crawl's
+    language shares miss the target, and the diagnostic that says what
+    the reweighting COSTS: ess_ratio ≪ 1 means the weights are so
+    spread that the reweighted corpus behaves like a tiny one, and
+    actual resampling (`mixture_sample`) beats weighting. Weights are
+    integer micro-units from exact counts; the ESS quadratic sums are
+    exact HUGEINT; two divisions total. Complements `doremi_step`
+    (learned mixture) with the classical design-based fix."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    obs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("nt"), F.count(F.lit(1)).cast("long").alias("k"))
+    w = obs.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", "nt",
+        F.round(
+            F.lit(1e6) * F.col("nt").cast("double") / (F.col("k") * F.col("n")), 0
+        ).cast("long").alias("w_micro"),
+    )
+    agg = w.agg(
+        F.sum(F.col("n") * F.col("w_micro")).cast("long").alias("sw"),
+        F.sum(F.col("n").cast(dec) * F.col("w_micro").cast(dec) * F.col("w_micro").cast(dec)).cast(dec).alias("sw2"),
+    )
+    ess = (F.col("sw").cast("double") * F.col("sw")) / F.col("sw2").cast("double")
+    return w.crossJoin(F.broadcast(agg)).select(
+        "lang", F.col("n").alias("n_docs"),
+        F.round(F.col("w_micro") / 1e6, 6).alias("weight"),
+        F.round(ess, 6).alias("kish_ess"),
+        F.round(ess / F.col("nt"), 6).alias("ess_ratio"),
+    )
