@@ -20058,10 +20058,16 @@ def q_borda_copeland(spark, sf_dir):
          - (SELECT s1::DOUBLE / n FROM st WHERE y = 0) AS d1,
            (SELECT s2::DOUBLE / n FROM st WHERE y = 1)
          - (SELECT s2::DOUBLE / n FROM st WHERE y = 0) AS d2)
-       SELECT round((w22 * d1 - w12 * d2) / (w11 * w22 - w12 * w12), 6) AS w_tokens,
-              round((w11 * d2 - w12 * d1) / (w11 * w22 - w12 * w12), 6) AS w_chars,
-              round(((w22 * d1 - w12 * d2) * d1 + (w11 * d2 - w12 * d1) * d2)
-                    / (w11 * w22 - w12 * w12), 6) AS fisher_criterion
+       SELECT CASE WHEN w11 * w22 - w12 * w12 <> 0
+                   THEN round((w22 * d1 - w12 * d2) / (w11 * w22 - w12 * w12), 6)
+              END AS w_tokens,
+              CASE WHEN w11 * w22 - w12 * w12 <> 0
+                   THEN round((w11 * d2 - w12 * d1) / (w11 * w22 - w12 * w12), 6)
+              END AS w_chars,
+              CASE WHEN w11 * w22 - w12 * w12 <> 0
+                   THEN round(((w22 * d1 - w12 * d2) * d1 + (w11 * d2 - w12 * d1) * d2)
+                              / (w11 * w22 - w12 * w12), 6)
+              END AS fisher_criterion
        FROM pool""",
 )
 def q_fisher_lda(spark, sf_dir):
@@ -20110,18 +20116,22 @@ def q_fisher_lda(spark, sf_dir):
         (F.col("m2_1") - F.col("m2_0")).alias("d2"),
     )
     det = F.col("w11") * F.col("w22") - F.col("w12") * F.col("w12")
+    ok = det != 0  # singular within-class scatter (a constant feature) -> NULL
     wt = (F.col("w22") * F.col("d1") - F.col("w12") * F.col("d2")) / det
     wc = (F.col("w11") * F.col("d2") - F.col("w12") * F.col("d1")) / det
     return p.select(
-        F.round(wt, 6).alias("w_tokens"),
-        F.round(wc, 6).alias("w_chars"),
-        F.round(
-            (
-                (F.col("w22") * F.col("d1") - F.col("w12") * F.col("d2")) * F.col("d1")
-                + (F.col("w11") * F.col("d2") - F.col("w12") * F.col("d1")) * F.col("d2")
-            )
-            / det,
-            6,
+        F.when(ok, F.round(wt, 6)).alias("w_tokens"),
+        F.when(ok, F.round(wc, 6)).alias("w_chars"),
+        F.when(
+            ok,
+            F.round(
+                (
+                    (F.col("w22") * F.col("d1") - F.col("w12") * F.col("d2")) * F.col("d1")
+                    + (F.col("w11") * F.col("d2") - F.col("w12") * F.col("d1")) * F.col("d2")
+                )
+                / det,
+                6,
+            ),
         ).alias("fisher_criterion"),
     )
 
