@@ -17766,7 +17766,7 @@ def q_chi2_independence(spark, sf_dir):
 
 # Poisson(1) inverse-CDF thresholds scaled to the md5_int 60-bit hash
 # range: multiplicity k iff hash < floor(P(X<=k)*2^60); tail capped at 6.
-_BOOT_THRESH = (
+_HBOOT_THRESH = (
     424136118829305344,
     848272237658610688,
     1060340297073263360,
@@ -17774,12 +17774,12 @@ _BOOT_THRESH = (
     1148701988496035328,
     1152236456152946176,
 )
-_BOOT_B = 200
+_HBOOT_B = 200
 
 
 def _boot_case_sql(hv: str) -> str:
     branches = "".join(
-        f" WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+        f" WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_HBOOT_THRESH)
     )
     return f"CASE{branches} ELSE 6 END"
 
@@ -17788,7 +17788,7 @@ def _boot_case_sql(hv: str) -> str:
     "hash_bootstrap_ci",
     f"""WITH d AS (SELECT doc_id, n_chars FROM documents),
        bs AS (SELECT b, doc_id, n_chars
-              FROM d CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1}))::BIGINT AS b)),
+              FROM d CROSS JOIN (SELECT unnest(range(1, {_HBOOT_B + 1}))::BIGINT AS b)),
        h AS (SELECT b, n_chars,
                     {md5_int_sql("concat(doc_id::VARCHAR, ':', b::VARCHAR)")} AS hv
              FROM bs),
@@ -17803,7 +17803,7 @@ def _boot_case_sql(hv: str) -> str:
               FROM d)
        SELECT fl.n_docs, fl.mean_full,
               round((SELECT mb FROM means WHERE rn = 5), 6) AS ci_lo,
-              round((SELECT mb FROM means WHERE rn = {_BOOT_B - 4}), 6) AS ci_hi,
+              round((SELECT mb FROM means WHERE rn = {_HBOOT_B - 4}), 6) AS ci_hi,
               (SELECT count(*) FROM means)::BIGINT AS n_resamples
        FROM fl""",
 )
@@ -17823,12 +17823,12 @@ def q_hash_bootstrap_ci(spark, sf_dir):
     the map-side-combine form of the one-pass bootstrap."""
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
     bs = d.select(
-        "doc_id", "n_chars", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+        "doc_id", "n_chars", F.explode(F.sequence(F.lit(1), F.lit(_HBOOT_B))).alias("b")
     )
     hv = md5_int(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")))
     k = F.lit(6)
-    for kk in range(len(_BOOT_THRESH) - 1, -1, -1):
-        k = F.when(hv < _BOOT_THRESH[kk], F.lit(kk)).otherwise(k)
+    for kk in range(len(_HBOOT_THRESH) - 1, -1, -1):
+        k = F.when(hv < _HBOOT_THRESH[kk], F.lit(kk)).otherwise(k)
     m = (
         bs.select("b", "n_chars", k.alias("k"))
         .groupBy("b")
@@ -17846,7 +17846,7 @@ def q_hash_bootstrap_ci(spark, sf_dir):
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("mean_full"),
     )
     lo = means.where(F.col("rn") == 5).select(F.round("mb", 6).alias("ci_lo"))
-    hi = means.where(F.col("rn") == _BOOT_B - 4).select(F.round("mb", 6).alias("ci_hi"))
+    hi = means.where(F.col("rn") == _HBOOT_B - 4).select(F.round("mb", 6).alias("ci_hi"))
     nb = means.agg(F.count(F.lit(1)).cast("long").alias("n_resamples"))
     return (
         fl.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)).crossJoin(F.broadcast(nb))
@@ -19501,7 +19501,7 @@ def q_rolling_distinct_users(spark, sf_dir):
     )
 
 
-_HILL_K = 100
+_HILL_TAIL_K = 100
 
 
 @query(
@@ -19510,14 +19510,14 @@ _HILL_K = 100
          SELECT n_chars::BIGINT AS x,
                 row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
          FROM documents),
-       xk AS (SELECT x AS x_k FROM ranked WHERE rn = {_HILL_K + 1}),
+       xk AS (SELECT x AS x_k FROM ranked WHERE rn = {_HILL_TAIL_K + 1}),
        terms AS (
          SELECT round(1e6 * ln(r.x::DOUBLE / k.x_k))::BIGINT AS t
-         FROM ranked r CROSS JOIN xk k WHERE r.rn <= {_HILL_K})
-       SELECT {_HILL_K}::BIGINT AS k,
+         FROM ranked r CROSS JOIN xk k WHERE r.rn <= {_HILL_TAIL_K})
+       SELECT {_HILL_TAIL_K}::BIGINT AS k,
               (SELECT x_k FROM xk) AS threshold,
               sum(t)::BIGINT AS sum_log_micro,
-              round({_HILL_K} * 1e6 / sum(t), 6) AS hill_alpha
+              round({_HILL_TAIL_K} * 1e6 / sum(t), 6) AS hill_alpha
        FROM terms""",
 )
 def q_hill_tail_index(spark, sf_dir):
@@ -19535,10 +19535,10 @@ def q_hill_tail_index(spark, sf_dir):
     ranked = d.select(
         F.col("n_chars").cast("long").alias("x"),
         F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")).alias("rn"),
-    ).where(F.col("rn") <= _HILL_K + 1).localCheckpoint(eager=True)
-    xk = ranked.where(F.col("rn") == _HILL_K + 1).select(F.col("x").alias("x_k"))
+    ).where(F.col("rn") <= _HILL_TAIL_K + 1).localCheckpoint(eager=True)
+    xk = ranked.where(F.col("rn") == _HILL_TAIL_K + 1).select(F.col("x").alias("x_k"))
     terms = (
-        ranked.where(F.col("rn") <= _HILL_K)
+        ranked.where(F.col("rn") <= _HILL_TAIL_K)
         .crossJoin(F.broadcast(xk))
         .select(
             F.round(F.lit(1e6) * F.log(F.col("x").cast("double") / F.col("x_k")), 0)
@@ -19547,10 +19547,10 @@ def q_hill_tail_index(spark, sf_dir):
         )
     )
     return terms.groupBy("x_k").agg(
-        F.lit(_HILL_K).cast("long").alias("k"),
+        F.lit(_HILL_TAIL_K).cast("long").alias("k"),
         F.col("x_k").alias("threshold"),
         F.sum("t").cast("long").alias("sum_log_micro"),
-        F.round(F.lit(_HILL_K * 1e6) / F.sum("t"), 6).alias("hill_alpha"),
+        F.round(F.lit(_HILL_TAIL_K * 1e6) / F.sum("t"), 6).alias("hill_alpha"),
     ).select("k", "threshold", "sum_log_micro", "hill_alpha")
 
 
