@@ -311,6 +311,8 @@ BENCH_QUERIES = [
     "log_loss",
     "eigenvector_centrality",
     "kish_weights",
+    "triplet_eval",
+    "cka_alignment",
 ]
 
 

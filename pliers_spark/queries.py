@@ -21159,3 +21159,196 @@ def q_kish_weights(spark, sf_dir):
         F.round(ess, 6).alias("kish_ess"),
         F.round(ess / F.col("nt"), 6).alias("ess_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 72: embedding triplet eval, linear CKA view alignment
+
+
+@query(
+    "triplet_eval",
+    f"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       trip AS (
+         SELECT e.vec_id AS a_id, e.label,
+                lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS p_id,
+                CASE
+                  WHEN lead(label, 1) OVER w <> label THEN lead(vec_id, 1) OVER w
+                  WHEN lead(label, 2) OVER w <> label THEN lead(vec_id, 2) OVER w
+                  WHEN lead(label, 3) OVER w <> label THEN lead(vec_id, 3) OVER w
+                END AS n_id
+         FROM e WINDOW w AS (ORDER BY vec_id)),
+       ok AS (SELECT * FROM trip WHERE p_id IS NOT NULL AND n_id IS NOT NULL),
+       scored AS (
+         SELECT ok.label,
+                round({_DOT_SQL.replace('q.embedding', 'p.embedding')}
+                      / ({_NORM_A} * {_NORM_Q.replace('q.embedding', 'p.embedding')}), 6)
+                  AS cos_ap,
+                round({_DOT_SQL.replace('q.embedding', 'n.embedding')}
+                      / ({_NORM_A} * {_NORM_Q.replace('q.embedding', 'n.embedding')}), 6)
+                  AS cos_an
+         FROM ok JOIN e a ON a.vec_id = ok.a_id
+                 JOIN e p ON p.vec_id = ok.p_id
+                 JOIN e n ON n.vec_id = ok.n_id)
+       SELECT label, count(*)::BIGINT AS n_triplets,
+              sum(CASE WHEN cos_ap > cos_an THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+              round(sum(CASE WHEN cos_ap > cos_an THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS triplet_accuracy
+       FROM scored GROUP BY label""",
+)
+def q_triplet_eval(spark, sf_dir):
+    """Triplet evaluation of embedding quality (the FaceNet/sentence-
+    embedding eval, Schroff et al. 2015): for each anchor, a
+    deterministic positive (next vec of the SAME label) and negative
+    (nearest following vec of a DIFFERENT label within 3 steps — pure
+    window leads, no RNG, no all-pairs), score cos(a,p) > cos(a,n).
+    Per-label accuracy is the class-conditioned answer to "does the
+    embedding respect its labels", upstream of trusting `semantic_dedup`
+    / `ann_ivf_topk` bucket routing. Cosines follow the engine-pinned
+    sequential-fold dot product rounded at 6dp; three vec joins per
+    triplet, all window-driven."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    wg = Window.orderBy("vec_id")
+    n_id = F.when(F.lead("label", 1).over(wg) != F.col("label"), F.lead("vec_id", 1).over(wg))
+    for j in (2, 3):
+        n_id = n_id.when(
+            F.lead("label", j).over(wg) != F.col("label"), F.lead("vec_id", j).over(wg)
+        )
+    trip = emb.select(
+        F.col("vec_id").alias("a_id"), "label",
+        F.lead("vec_id").over(wl).alias("p_id"),
+        n_id.alias("n_id"),
+    ).where(F.col("p_id").isNotNull() & F.col("n_id").isNotNull())
+    e = emb.select("vec_id", "embedding")
+    j = (
+        trip.join(e.selectExpr("vec_id AS a_id", "embedding AS va"), "a_id")
+        .join(e.selectExpr("vec_id AS p_id", "embedding AS vp"), "p_id")
+        .join(e.selectExpr("vec_id AS n_id", "embedding AS vn"), "n_id")
+    )
+    from pliers_spark.operators.similarity import _dot, _norm
+
+    cos_ap = F.round(_dot(F.col("va"), F.col("vp")) / (_norm(F.col("va")) * _norm(F.col("vp"))), 6)
+    cos_an = F.round(_dot(F.col("va"), F.col("vn")) / (_norm(F.col("va")) * _norm(F.col("vn"))), 6)
+    scored = j.select("label", cos_ap.alias("cos_ap"), cos_an.alias("cos_an"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        F.sum((F.col("cos_ap") > F.col("cos_an")).cast("long")).cast("long").alias("n_correct"),
+        F.round(
+            F.sum((F.col("cos_ap") > F.col("cos_an")).cast("long")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("triplet_accuracy"),
+    )
+
+
+_CKA_D = 32  # view split: dims 1..32 vs 33..64
+
+
+@query(
+    "cka_alignment",
+    f"""WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding[1:{_CKA_D}],
+                               x -> round(x * 1000)::BIGINT) AS xv,
+                list_transform(embedding[{_CKA_D + 1}:{2 * _CKA_D}],
+                               x -> round(x * 1000)::BIGINT) AS yv
+         FROM embeddings),
+       pairs AS (
+         SELECT i.i, j.j,
+                sum(q.xv[i.i] * q.yv[j.j])::BIGINT AS sxy,
+                sum(q.xv[i.i] * q.xv[j.j])::BIGINT AS sxx,
+                sum(q.yv[i.i] * q.yv[j.j])::BIGINT AS syy
+         FROM q, generate_series(1, {_CKA_D}) i(i), generate_series(1, {_CKA_D}) j(j)
+         GROUP BY 1, 2),
+       marg AS (
+         SELECT i.i, sum(q.xv[i.i])::BIGINT AS sx, sum(q.yv[i.i])::BIGINT AS sy
+         FROM q, generate_series(1, {_CKA_D}) i(i) GROUP BY 1),
+       nn AS (SELECT count(*)::BIGINT AS n FROM q),
+       cov AS (
+         SELECT p.i, p.j,
+                round((nn.n * p.sxy - mi.sx::HUGEINT * mj.sy)::DOUBLE
+                      / nn.n / nn.n * 1e6)::BIGINT AS cxy,
+                round((nn.n * p.sxx - mi.sx::HUGEINT * mj.sx)::DOUBLE
+                      / nn.n / nn.n * 1e6)::BIGINT AS cxx,
+                round((nn.n * p.syy - mi.sy::HUGEINT * mj.sy)::DOUBLE
+                      / nn.n / nn.n * 1e6)::BIGINT AS cyy
+         FROM pairs p JOIN marg mi ON mi.i = p.i JOIN marg mj ON mj.i = p.j
+         CROSS JOIN nn),
+       f2 AS (
+         SELECT sum(cxy::HUGEINT * cxy) AS f_xy,
+                sum(cxx::HUGEINT * cxx) AS f_xx,
+                sum(cyy::HUGEINT * cyy) AS f_yy
+         FROM cov)
+       SELECT round(f_xy::DOUBLE / sqrt(f_xx::DOUBLE * f_yy::DOUBLE), 6) AS linear_cka,
+              (SELECT n FROM nn) AS n_vectors, {_CKA_D}::BIGINT AS view_dims
+       FROM f2""",
+)
+def q_cka_alignment(spark, sf_dir):
+    """Linear CKA (centered kernel alignment) between the two HALVES of
+    the embedding space (Kornblith et al., ICML 2019):
+    ‖Cov(X,Y)‖²_F / (‖Cov(X,X)‖_F·‖Cov(Y,Y)‖_F) over milli-quantized
+    coordinates — the representation-similarity score used to compare
+    layers/models, here answering "do the two coordinate blocks encode
+    the same geometry" (CKA→1 means half the dimensions are redundant
+    and `jl_projection`-style compression is nearly free). All feature
+    sums and cross-products are exact int64 from one pass over the
+    D²-cell grid; covariance entries round once to micro-units, the
+    three Frobenius sums are exact HUGEINT, and the final ratio
+    converts each exact integer to double once (identical nearest-even
+    on both engines). The Spark plan mirrors the relational grid (the
+    mapInPandas partial-Gram is the documented production variant for
+    D ≫ 32)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    q = emb.select(
+        F.transform(
+            F.slice("embedding", 1, _CKA_D), lambda x: F.round(x * 1000, 0).cast("long")
+        ).alias("xv"),
+        F.transform(
+            F.slice("embedding", _CKA_D + 1, _CKA_D), lambda x: F.round(x * 1000, 0).cast("long")
+        ).alias("yv"),
+    ).localCheckpoint(eager=True)
+    ii = spark.range(1, _CKA_D + 1).select(F.col("id").cast("int").alias("i"))
+    jj = spark.range(1, _CKA_D + 1).select(F.col("id").cast("int").alias("j"))
+    g = q.crossJoin(F.broadcast(ii)).crossJoin(F.broadcast(jj))
+    pairs = g.groupBy("i", "j").agg(
+        F.sum(F.element_at("xv", F.col("i")) * F.element_at("yv", F.col("j"))).cast("long").alias("sxy"),
+        F.sum(F.element_at("xv", F.col("i")) * F.element_at("xv", F.col("j"))).cast("long").alias("sxx"),
+        F.sum(F.element_at("yv", F.col("i")) * F.element_at("yv", F.col("j"))).cast("long").alias("syy"),
+    )
+    marg = q.crossJoin(F.broadcast(ii)).groupBy("i").agg(
+        F.sum(F.element_at("xv", F.col("i"))).cast("long").alias("sx"),
+        F.sum(F.element_at("yv", F.col("i"))).cast("long").alias("sy"),
+    )
+    nn = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cov = (
+        pairs.join(F.broadcast(marg.selectExpr("i", "sx AS sx_i", "sy AS sy_i")), "i")
+        .join(F.broadcast(marg.selectExpr("i AS j", "sx AS sx_j", "sy AS sy_j")), "j")
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def c_micro(splus, ma, mb):
+        return F.round(
+            (F.col("n") * F.col(splus) - F.col(ma).cast(dec) * F.col(mb)).cast("double")
+            / F.col("n") / F.col("n") * 1e6,
+            0,
+        ).cast("long")
+
+    covm = cov.select(
+        c_micro("sxy", "sx_i", "sy_j").alias("cxy"),
+        c_micro("sxx", "sx_i", "sx_j").alias("cxx"),
+        c_micro("syy", "sy_i", "sy_j").alias("cyy"),
+    )
+    f2 = covm.agg(
+        F.sum(F.col("cxy").cast(dec) * F.col("cxy").cast(dec)).cast(dec).alias("f_xy"),
+        F.sum(F.col("cxx").cast(dec) * F.col("cxx").cast(dec)).cast(dec).alias("f_xx"),
+        F.sum(F.col("cyy").cast(dec) * F.col("cyy").cast(dec)).cast(dec).alias("f_yy"),
+    )
+    return f2.crossJoin(F.broadcast(nn)).select(
+        F.round(
+            F.col("f_xy").cast("double")
+            / F.sqrt(F.col("f_xx").cast("double") * F.col("f_yy").cast("double")),
+            6,
+        ).alias("linear_cka"),
+        F.col("n").alias("n_vectors"),
+        F.lit(_CKA_D).cast("long").alias("view_dims"),
+    )
