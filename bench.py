@@ -313,6 +313,9 @@ BENCH_QUERIES = [
     "kish_weights",
     "triplet_eval",
     "cka_alignment",
+    "mmr_select",
+    "auc_delong_ci",
+    "cochran_q",
 ]
 
 

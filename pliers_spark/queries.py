@@ -21352,3 +21352,303 @@ def q_cka_alignment(spark, sf_dir):
         F.col("n").alias("n_vectors"),
         F.lit(_CKA_D).cast("long").alias("view_dims"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 73: MMR selection, DeLong AUC CI, Cochran's Q
+
+_MMR_K = 5
+_MMR_CAND = 20
+_MMR_LAMBDA_MICRO = 700000  # lambda = 0.7
+_MMR_QID = 0
+
+
+def _mmr_base_sql() -> str:
+    dot_aq = _DOT_SQL
+    return f"""q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = {_MMR_QID}),
+       cand AS MATERIALIZED (
+         SELECT a.vec_id,
+                a.embedding,
+                round({dot_aq} / ({_NORM_A} * {_NORM_Q}), 6) AS rel
+         FROM embeddings a CROSS JOIN q
+         WHERE a.vec_id <> {_MMR_QID}
+         ORDER BY round({dot_aq} / ({_NORM_A} * {_NORM_Q}), 6) DESC, a.vec_id
+         LIMIT {_MMR_CAND}),
+       sim AS MATERIALIZED (
+         SELECT a.vec_id AS ca, q.vec_id AS cb,
+                round(list_sum(list_transform(range(1, len(a.embedding)+1),
+                        i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+                      / ({_NORM_A}
+                         * sqrt(list_sum(list_transform(q.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))), 6) AS s
+         FROM cand a JOIN cand q ON a.vec_id <> q.vec_id)"""
+
+
+def _mmr_sql() -> str:
+    # NOTE: sel{r} must append THE argmax of score{r}; express it as
+    # prev UNION (top-1 of score{r})
+    rounds = []
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            rounds.append(
+                f"""sel1 AS MATERIALIZED (
+         SELECT vec_id, rel, 1::BIGINT AS pick_order FROM cand
+         ORDER BY round(1e6 * rel)::BIGINT DESC, vec_id LIMIT 1)"""
+            )
+        else:
+            prev = f"sel{r - 1}"
+            rounds.append(
+                f"""score{r} AS MATERIALIZED (
+         SELECT c.vec_id, c.rel,
+                {_MMR_LAMBDA_MICRO} * round(1e6 * c.rel)::BIGINT
+              - {1000000 - _MMR_LAMBDA_MICRO}
+                * (SELECT max(round(1e6 * s.s)::BIGINT) FROM sim s
+                   JOIN {prev} p ON p.vec_id = s.cb WHERE s.ca = c.vec_id) AS sc
+         FROM cand c ANTI JOIN {prev} p2 ON p2.vec_id = c.vec_id),
+       top{r} AS MATERIALIZED (
+         SELECT vec_id, rel, {r}::BIGINT AS pick_order FROM score{r}
+         ORDER BY sc DESC, vec_id LIMIT 1),
+       sel{r} AS MATERIALIZED (
+         SELECT * FROM {prev} UNION ALL SELECT * FROM top{r})"""
+            )
+    return (
+        "WITH " + _mmr_base_sql() + ",\n       " + ",\n       ".join(rounds)
+        + f"""
+       SELECT vec_id, pick_order, rel FROM sel{_MMR_K}"""
+    )
+
+
+@query("mmr_select", _mmr_sql())
+def q_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998 — the diversity re-ranker in every RAG/retrieval stack):
+    greedily pick 5 of the top-20 candidates for query vec 0,
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ=0.7). Candidate gating (top-20 by query cosine) bounds the
+    pairwise sim matrix at 20² regardless of corpus size — the
+    standard two-stage retrieve-then-rerank shape. Cosines use the
+    engine-pinned fold and round at 6dp ONCE; every greedy round then
+    compares exact integer micro-scores with vec_id ties, so the pick
+    sequence is deterministic cross-engine (unrolled MATERIALIZED
+    oracle, the `bradley_terry` discipline)."""
+    from pliers_spark.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == _MMR_QID).select(F.col("embedding").alias("qe"))
+    cand = (
+        emb.where(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "embedding",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc(F.round(F.col("rel") * 1e6, 0).cast("long")), "vec_id")
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    a, b2 = cand.alias("a"), cand.alias("b")
+    sim = (
+        a.join(b2, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ca"), F.col("b.vec_id").alias("cb"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))), 6,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = [
+        (int(r.vec_id), float(r.rel))
+        for r in cand.select("vec_id", "rel").collect()  # <=20 rows by construction
+    ]
+    sims = {
+        (int(r.ca), int(r.cb)): float(r.s)
+        for r in sim.collect()  # <=20*19 rows
+    }
+    selected = []
+    remaining = dict(rows)
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            pick = max(remaining, key=lambda v: (round(1e6 * remaining[v]), -v))
+        else:
+            def score(v):
+                mx = max(round(1e6 * sims[(v, s)]) for s, _, _ in selected)
+                return _MMR_LAMBDA_MICRO * round(1e6 * remaining[v]) - (1000000 - _MMR_LAMBDA_MICRO) * mx
+            pick = max(remaining, key=lambda v: (score(v), -v))
+        selected.append((pick, r, remaining.pop(pick)))
+    return spark.createDataFrame(
+        [(v, o, round(rel, 6)) for v, o, rel in selected],
+        "vec_id long, pick_order long, rel double",
+    )
+
+
+@query(
+    "auc_delong_ci",
+    """WITH scored AS (
+         SELECT round(n_chars * 1e6 / (n_chars + 500))::BIGINT AS p,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       census AS (
+         SELECT p, sum(y)::BIGINT AS pos_eq, sum(1 - y)::BIGINT AS neg_eq
+         FROM scored GROUP BY p),
+       cum AS (
+         SELECT p, pos_eq, neg_eq,
+                coalesce(sum(pos_eq) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_lt,
+                coalesce(sum(neg_eq) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt
+         FROM census),
+       cnt AS (SELECT sum(pos_eq)::BIGINT AS m, sum(neg_eq)::BIGINT AS n FROM census),
+       v10 AS (
+         -- per-positive component in HALF-units: 2*neg_below + neg_ties
+         SELECT sum(pos_eq * (2 * neg_lt + neg_eq))::BIGINT AS s1,
+                sum(pos_eq::HUGEINT * (2 * neg_lt + neg_eq)::HUGEINT
+                               * (2 * neg_lt + neg_eq)::HUGEINT) AS s2
+         FROM cum),
+       v01 AS (
+         SELECT sum(neg_eq * (2 * (c.m - pos_lt - pos_eq) + pos_eq))::BIGINT AS s1,
+                sum(neg_eq::HUGEINT
+                    * (2 * (c.m - pos_lt - pos_eq) + pos_eq)::HUGEINT
+                    * (2 * (c.m - pos_lt - pos_eq) + pos_eq)::HUGEINT) AS s2
+         FROM cum CROSS JOIN cnt c)
+       SELECT round(v10.s1::DOUBLE / (2.0 * c.m * c.n), 6) AS auc,
+              round((
+                (c.m * v10.s2 - v10.s1::HUGEINT * v10.s1)::DOUBLE
+                  / c.m / (c.m - 1) / (4.0 * c.n * c.n) / c.m
+              + (c.n * v01.s2 - v01.s1::HUGEINT * v01.s1)::DOUBLE
+                  / c.n / (c.n - 1) / (4.0 * c.m * c.m) / c.n), 6) AS var_auc,
+              round(v10.s1::DOUBLE / (2.0 * c.m * c.n)
+                    - 1.96 * sqrt(
+                (c.m * v10.s2 - v10.s1::HUGEINT * v10.s1)::DOUBLE
+                  / c.m / (c.m - 1) / (4.0 * c.n * c.n) / c.m
+              + (c.n * v01.s2 - v01.s1::HUGEINT * v01.s1)::DOUBLE
+                  / c.n / (c.n - 1) / (4.0 * c.m * c.m) / c.n), 6) AS ci_lo,
+              round(v10.s1::DOUBLE / (2.0 * c.m * c.n)
+                    + 1.96 * sqrt(
+                (c.m * v10.s2 - v10.s1::HUGEINT * v10.s1)::DOUBLE
+                  / c.m / (c.m - 1) / (4.0 * c.n * c.n) / c.m
+              + (c.n * v01.s2 - v01.s1::HUGEINT * v01.s1)::DOUBLE
+                  / c.n / (c.n - 1) / (4.0 * c.m * c.m) / c.n), 6) AS ci_hi
+       FROM v10 CROSS JOIN v01 CROSS JOIN cnt c""",
+)
+def q_auc_delong_ci(spark, sf_dir):
+    """AUC with DeLong's nonparametric confidence interval (DeLong,
+    DeLong & Clarke-Pearson, Biometrics 1988): Var(AUC) = S₁₀/m +
+    S₀₁/n from the per-positive/per-negative placement components —
+    the CI that `roc_auc` alone cannot give, and the statistically
+    correct way to say whether two quality filters' AUCs actually
+    differ. Components live in integer HALF-units (2·below + ties) via
+    one score-value census with class-conditional cumulatives — no
+    per-pair work, ties handled exactly; sums and squared sums are
+    exact HUGEINT; AUC, variance and the ±1.96σ bounds are single
+    identical float expressions."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    scored = d.select(
+        F.round(F.col("n_chars") * 1e6 / (F.col("n_chars") + 500), 0).cast("long").alias("p"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    census = scored.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos_eq"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg_eq"),
+    )
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = census.select(
+        "p", "pos_eq", "neg_eq",
+        F.coalesce(F.sum("pos_eq").over(wcum), F.lit(0)).alias("pos_lt"),
+        F.coalesce(F.sum("neg_eq").over(wcum), F.lit(0)).alias("neg_lt"),
+    ).localCheckpoint(eager=True)
+    cnt = cum.agg(
+        F.sum("pos_eq").cast("long").alias("m"), F.sum("neg_eq").cast("long").alias("n")
+    )
+    h10 = (2 * F.col("neg_lt") + F.col("neg_eq")).cast(dec)
+    v10 = cum.agg(
+        F.sum(F.col("pos_eq") * h10).cast("long").alias("s1_10"),
+        F.sum(F.col("pos_eq").cast(dec) * h10 * h10).cast(dec).alias("s2_10"),
+    )
+    jc = cum.crossJoin(F.broadcast(cnt))
+    h01 = (2 * (F.col("m") - F.col("pos_lt") - F.col("pos_eq")) + F.col("pos_eq")).cast(dec)
+    v01 = jc.agg(
+        F.sum(F.col("neg_eq") * h01).cast("long").alias("s1_01"),
+        F.sum(F.col("neg_eq").cast(dec) * h01 * h01).cast(dec).alias("s2_01"),
+    )
+    j = v10.crossJoin(F.broadcast(v01)).crossJoin(F.broadcast(cnt))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    auc = d_("s1_10") / (F.lit(2.0) * F.col("m") * F.col("n"))
+    var = (
+        (F.col("m") * F.col("s2_10") - F.col("s1_10").cast(dec) * F.col("s1_10")).cast("double")
+        / F.col("m") / (F.col("m") - 1) / (F.lit(4.0) * F.col("n") * F.col("n")) / F.col("m")
+        + (F.col("n") * F.col("s2_01") - F.col("s1_01").cast(dec) * F.col("s1_01")).cast("double")
+        / F.col("n") / (F.col("n") - 1) / (F.lit(4.0) * F.col("m") * F.col("m")) / F.col("n")
+    )
+    return j.select(
+        F.round(auc, 6).alias("auc"),
+        F.round(var, 6).alias("var_auc"),
+        F.round(auc - F.lit(1.96) * F.sqrt(var), 6).alias("ci_lo"),
+        F.round(auc + F.lit(1.96) * F.sqrt(var), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "cochran_q",
+    """WITH preds AS (
+         SELECT CASE WHEN (n_chars > 500) = (lang = 'en') THEN 1 ELSE 0 END AS xa,
+                CASE WHEN contains(concat(' ', lower(text), ' '), ' the ')
+                          = (lang = 'en') THEN 1 ELSE 0 END AS xb,
+                CASE WHEN contains(concat(' ', lower(text), ' '), ' and ')
+                          = (lang = 'en') THEN 1 ELSE 0 END AS xc
+         FROM documents),
+       st AS (
+         SELECT sum(xa)::BIGINT AS ga, sum(xb)::BIGINT AS gb, sum(xc)::BIGINT AS gc,
+                sum(xa + xb + xc)::BIGINT AS sl,
+                sum((xa + xb + xc)::HUGEINT * (xa + xb + xc)) AS sl2
+         FROM preds)
+       SELECT ga AS correct_a, gb AS correct_b, gc AS correct_c,
+              CASE WHEN 3 * sl - sl2 > 0
+                   THEN round(3 * 2 * ((ga::HUGEINT*ga + gb::HUGEINT*gb + gc::HUGEINT*gc)
+                              - sl::HUGEINT * sl / 3.0)::DOUBLE
+                              / (3 * sl - sl2)::DOUBLE, 6)
+              END AS cochran_q
+       FROM st""",
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q test (Cochran, Biometrika 1950) across THREE matched
+    binary classifiers on the same documents — length>500, contains
+    'the', contains 'and' — the k-classifier generalization of
+    `mcnemar_test` (Q reduces to McNemar at k=2): are the three
+    accuracy rates jointly distinguishable, before any pairwise
+    comparison is licensed? Q = k(k−1)·(ΣG_j² − (ΣG)²/k)/(k·ΣL −
+    ΣL²) from exact integer column sums G and row sums L in ONE pass;
+    NULL when every document has the same number of correct rules
+    (degenerate denominator)."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    en = F.col("lang") == "en"
+    xa = ((F.col("n_chars") > 500) == en).cast("long")
+    xb = (F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).contains(" the ") == en).cast("long")
+    xc = (F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).contains(" and ") == en).cast("long")
+    rows_l = (xa + xb + xc).cast("long")
+    st = d.select(xa.alias("xa"), xb.alias("xb"), xc.alias("xc"), rows_l.alias("l")).agg(
+        F.sum("xa").cast("long").alias("ga"), F.sum("xb").cast("long").alias("gb"),
+        F.sum("xc").cast("long").alias("gc"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum(F.col("l").cast(dec) * F.col("l").cast(dec)).cast(dec).alias("sl2"),
+    )
+    g2 = (
+        F.col("ga").cast(dec) * F.col("ga") + F.col("gb").cast(dec) * F.col("gb")
+        + F.col("gc").cast(dec) * F.col("gc")
+    )
+    q = (
+        F.lit(6.0)
+        * (g2.cast("double") - F.col("sl").cast(dec).cast("double") * F.col("sl") / 3.0)
+        / (3 * F.col("sl") - F.col("sl2")).cast("double")
+    )
+    return st.select(
+        F.col("ga").alias("correct_a"), F.col("gb").alias("correct_b"),
+        F.col("gc").alias("correct_c"),
+        F.when((3 * F.col("sl") - F.col("sl2")).cast("double") > 0, F.round(q, 6)).alias("cochran_q"),
+    )
