@@ -316,6 +316,9 @@ BENCH_QUERIES = [
     "mmr_select",
     "auc_delong_ci",
     "cochran_q",
+    "prequential_logloss",
+    "shuffle_quality",
+    "dup_cross_source_matrix",
 ]
 
 

@@ -21652,3 +21652,190 @@ def q_cochran_q(spark, sf_dir):
         F.col("gc").alias("correct_c"),
         F.when((3 * F.col("sl") - F.col("sl2")).cast("double") > 0, F.round(q, 6)).alias("cochran_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 74: prequential log loss, shuffle-quality audit, cross-source dups
+
+
+@query(
+    "prequential_logloss",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       vv AS (SELECT count(DISTINCT token)::BIGINT AS v FROM toks),
+       seq AS (
+         SELECT token,
+                row_number() OVER (ORDER BY doc_id, pos) AS t,
+                row_number() OVER (PARTITION BY token ORDER BY doc_id, pos) AS k
+         FROM toks),
+       terms AS (
+         SELECT round(-1e6 * ln(((k - 1) + 0.5)
+                                / ((t - 1) + vv.v / 2.0)))::BIGINT AS b
+         FROM seq CROSS JOIN vv)
+       SELECT count(*)::BIGINT AS n_tokens,
+              (SELECT v FROM vv) AS vocab,
+              round(sum(b) / 1e6, 6) AS total_nats,
+              round(sum(b) / 1e6 / count(*), 6) AS nats_per_token
+       FROM terms""",
+)
+def q_prequential_logloss(spark, sf_dir):
+    """Prequential (online) log loss of the Krichevsky-Trofimov add-½
+    estimator over the token stream in corpus order (KT 1981; the
+    minimax sequential code): token t's loss is −ln((k_before+½)/
+    (N_before+V/2)) with k its prior occurrences — the COMPRESSION
+    cost of the corpus under an adaptive unigram code, the honest
+    single-number answer to "how much information does this corpus
+    actually carry" (static entropy `chao_shen_entropy` ignores
+    adaptation; `word_burstiness` shows adaptation exists). Prior
+    counts come from TWO row_number windows sharing the (doc_id, pos)
+    order — no per-prefix rescans; per-token terms round once to
+    micro-units."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+    vv = toks.agg(F.count_distinct("token").cast("long").alias("v"))
+    seq = toks.select(
+        "token",
+        F.row_number().over(Window.orderBy("doc_id", "pos")).alias("t"),
+        F.row_number().over(Window.partitionBy("token").orderBy("doc_id", "pos")).alias("k"),
+    )
+    terms = seq.crossJoin(F.broadcast(vv)).select(
+        F.round(
+            F.lit(-1e6)
+            * F.log(
+                ((F.col("k") - 1) + 0.5) / ((F.col("t") - 1) + F.col("v") / 2.0)
+            ),
+            0,
+        ).cast("long").alias("b")
+    )
+    return terms.crossJoin(F.broadcast(vv)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.max("v").alias("vocab"),
+        F.round(F.sum("b") / 1e6, 6).alias("total_nats"),
+        F.round(F.sum("b") / 1e6 / F.count(F.lit(1)), 6).alias("nats_per_token"),
+    )
+
+
+@query(
+    "shuffle_quality",
+    f"""WITH ordered AS (
+         SELECT source,
+                row_number() OVER (
+                  ORDER BY {md5_int_sql("concat('sh:', doc_id::VARCHAR)")}, doc_id)
+                  AS rn
+         FROM documents),
+       adj AS (
+         SELECT CASE WHEN lag(source) OVER (ORDER BY rn) IS NULL THEN NULL
+                     WHEN source = lag(source) OVER (ORDER BY rn)
+                     THEN 1 ELSE 0 END AS same
+         FROM ordered),
+       obs AS (SELECT sum(same)::BIGINT AS same_cnt,
+                      count(same)::BIGINT AS n_adj
+               FROM adj WHERE same IS NOT NULL),
+       census AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
+       tot AS (SELECT sum(c)::BIGINT AS n,
+                      sum(c::HUGEINT * (c - 1)::HUGEINT) AS c2 FROM census)
+       SELECT obs.same_cnt, obs.n_adj,
+              round(obs.same_cnt::DOUBLE / obs.n_adj, 6) AS p_same_adjacent,
+              round(tot.c2::DOUBLE / (tot.n::HUGEINT * (tot.n - 1))::DOUBLE, 6)
+                AS p_same_expected,
+              round(obs.same_cnt::DOUBLE / obs.n_adj
+                    - tot.c2::DOUBLE / (tot.n::HUGEINT * (tot.n - 1))::DOUBLE, 6)
+                AS clumping_excess
+       FROM obs CROSS JOIN tot""",
+)
+def q_shuffle_quality(spark, sf_dir):
+    """Training-shuffle quality audit: order the corpus by the
+    deterministic shuffle key md5('sh:'||doc_id) (the reproducible
+    shuffle `hash_split`/`hash_sample` build on), then compare the
+    ADJACENT-pair same-source rate against the exchangeability
+    expectation Σc(c−1)/(N(N−1)). A sound hash shuffle lands at the
+    expectation; clumping_excess ≫ 0 means consecutive training
+    batches over-sample one source — the sequence-level bias that
+    per-batch mixture audits (`mixture_epochs`) cannot see. One sort
+    by the hash key + one lag window; expectation from the source
+    census, all exact integers until two divisions."""
+    d = _docs(spark, sf_dir)
+    dec = "decimal(38,0)"
+    key = md5_int(F.concat(F.lit("sh:"), F.col("doc_id").cast("string")))
+    ordered = d.select(
+        "source", F.row_number().over(Window.orderBy(key, "doc_id")).alias("rn")
+    )
+    adj = ordered.select(
+        (F.col("source") == F.lag("source").over(Window.orderBy("rn"))).cast("long").alias("same")
+    ).where(F.col("same").isNotNull())
+    obs = adj.agg(
+        F.sum("same").cast("long").alias("same_cnt"),
+        F.count("same").cast("long").alias("n_adj"),
+    )
+    census = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = census.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(dec) * (F.col("c") - 1).cast(dec)).cast(dec).alias("c2"),
+    )
+    j = obs.crossJoin(F.broadcast(tot))
+    p_obs = F.col("same_cnt").cast("double") / F.col("n_adj")
+    p_exp = F.col("c2").cast("double") / (
+        F.col("n").cast(dec) * (F.col("n") - 1).cast(dec)
+    ).cast("double")
+    return j.select(
+        "same_cnt", "n_adj",
+        F.round(p_obs, 6).alias("p_same_adjacent"),
+        F.round(p_exp, 6).alias("p_same_expected"),
+        F.round(p_obs - p_exp, 6).alias("clumping_excess"),
+    )
+
+
+def _dup_cross_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_simhash_pairs_cte()},\n"
+        """       lab AS (SELECT doc_id, source FROM documents),
+       m AS (
+         SELECT least(la.source, lb.source) AS src_a,
+                greatest(la.source, lb.source) AS src_b,
+                count(*)::BIGINT AS n_dup_pairs,
+                sum(CASE WHEN p.hamming = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exactish
+         FROM nd_pairs p JOIN lab la ON la.doc_id = p.id_a
+                         JOIN lab lb ON lb.doc_id = p.id_b
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, n_dup_pairs, n_exactish,
+              (src_a <> src_b) AS cross_source
+       FROM m"""
+    )
+
+
+@query("dup_cross_source_matrix", _dup_cross_sql())
+def q_dup_cross_source_matrix(spark, sf_dir):
+    """Cross-source near-duplicate matrix: the SimHash near-dup pair
+    list (banded once, the `linkage_profile` gate) aggregated by
+    unordered source pair — the mirror-site detector. A heavy
+    OFF-diagonal cell means two sources republish the same content
+    (syndication/mirrors): dedup should then canonicalize BY CLUSTER
+    across sources, and `loo_source_value`-style marginal source
+    valuations are double-counting. Diagonal cells are within-source
+    boilerplate (`word_dispersion_dp`'s culprits). One broadcast-dim
+    join from pair ids to sources, one groupBy over unordered pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    lab = F.broadcast(docs.select("doc_id", "source"))
+    j = (
+        pairs.join(lab.selectExpr("doc_id AS id_a", "source AS sa"), "id_a")
+        .join(lab.selectExpr("doc_id AS id_b", "source AS sb"), "id_b")
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.sum((F.col("hamming") == 0).cast("long")).cast("long").alias("n_exactish"),
+        )
+        .select(
+            "src_a", "src_b", "n_dup_pairs", "n_exactish",
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+        )
+    )
