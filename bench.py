@@ -319,6 +319,9 @@ BENCH_QUERIES = [
     "prequential_logloss",
     "shuffle_quality",
     "dup_cross_source_matrix",
+    "seasonal_kendall",
+    "runs_test",
+    "friedman_test",
 ]
 
 

@@ -21839,3 +21839,255 @@ def q_dup_cross_source_matrix(spark, sf_dir):
             (F.col("src_a") != F.col("src_b")).alias("cross_source"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 75: seasonal Mann-Kendall, runs test, Friedman test
+
+
+@query(
+    "seasonal_kendall",
+    """WITH cell AS (
+         SELECT extract(hour FROM ts)::BIGINT AS h,
+                date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       s_h AS (
+         SELECT a.h,
+                sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s,
+                count(DISTINCT a.d)::BIGINT AS n
+         FROM cell a JOIN cell b ON a.h = b.h AND b.d > a.d
+         GROUP BY a.h),
+       ties AS (
+         SELECT h, sum(t::HUGEINT * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+         FROM (SELECT h, x, count(*)::BIGINT AS t FROM cell GROUP BY h, x)
+         GROUP BY h),
+       agg AS (
+         SELECT sum(s.s)::BIGINT AS s_tot,
+                sum(s.n::HUGEINT * (s.n - 1) * (2 * s.n + 5)
+                    - coalesce(t.tie_term, 0))::BIGINT AS var18
+         FROM s_h s LEFT JOIN ties t ON t.h = s.h)
+       SELECT s_tot, round(var18 / 18.0, 6) AS var_s,
+              round((s_tot - CASE WHEN s_tot > 0 THEN 1
+                                  WHEN s_tot < 0 THEN -1 ELSE 0 END)
+                    / sqrt(var18 / 18.0), 6) AS z
+       FROM agg""",
+)
+def q_seasonal_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack, WRR 1984): the
+    Mann-Kendall S statistic computed WITHIN each hour-of-day slice of
+    the daily event counts and summed — so the diurnal cycle
+    (`seasonal_profile`) cannot masquerade as trend, the failure mode
+    of the plain `mann_kendall_sen` on periodic data. Per-slice S is
+    an exact integer pair census over the tiny day×hour grid (30 days
+    per slice — the quadratic stays inside the slice); the variance
+    uses the exact tie correction Σt(t−1)(2t+5); one continuity-
+    corrected z at the end."""
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cell = ev.groupBy(
+        F.hour("ts").cast("long").alias("h"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint(eager=True)
+    a, b = cell.alias("a"), cell.alias("b")
+    s_h = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("b.d") > F.col("a.d")))
+        .groupBy(F.col("a.h").alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s"),
+            F.count_distinct(F.col("a.d")).cast("long").alias("n"),
+        )
+    )
+    ties = (
+        cell.groupBy("h", "x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("h")
+        .agg(
+            F.sum(F.col("t").cast(dec) * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long").alias("tie_term")
+        )
+    )
+    agg = (
+        s_h.join(ties, "h", "left")
+        .agg(
+            F.sum("s").cast("long").alias("s_tot"),
+            F.sum(
+                F.col("n").cast(dec) * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).cast("long").alias("var18"),
+        )
+    )
+    cont = F.when(F.col("s_tot") > 0, 1).when(F.col("s_tot") < 0, -1).otherwise(0)
+    return agg.select(
+        "s_tot",
+        F.round(F.col("var18") / 18.0, 6).alias("var_s"),
+        F.round((F.col("s_tot") - cont) / F.sqrt(F.col("var18") / 18.0), 6).alias("z"),
+    )
+
+
+@query(
+    "runs_test",
+    """WITH daily AS (
+         SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY 1),
+       med AS (
+         SELECT x AS m FROM (
+           SELECT x, row_number() OVER (ORDER BY x, d) AS rn, count(*) OVER () AS n
+           FROM daily)
+         WHERE rn = (n + 1) // 2),
+       signs AS (
+         SELECT d, CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+         FROM daily WHERE x <> (SELECT m FROM med)),
+       flips AS (
+         SELECT s,
+                coalesce(CASE WHEN s <> lag(s) OVER (ORDER BY d)
+                              THEN 1 ELSE 0 END, 0) AS flip
+         FROM signs),
+       runs AS (
+         SELECT sum(flip)::BIGINT + 1 AS r,
+                sum(s)::BIGINT AS n1,
+                sum(1 - s)::BIGINT AS n2
+         FROM flips)
+       SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+              round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+              round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                           / ((n1 + n2) * (n1 + n2)::DOUBLE * (n1 + n2 - 1))), 6) AS z
+       FROM runs""",
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (Ann. Math. Stat. 1940) on the daily
+    event-count series dichotomized at its exact median (median-equal
+    days dropped, the standard convention): too FEW runs of
+    above/below means level shifts or trend (`cusum_changepoint`'s
+    territory), too MANY means oscillation/negative autocorrelation —
+    the distribution-free randomness gate to run before trusting
+    i.i.d.-assuming monitors. Runs and margins are exact integers from
+    one lag window; E[R] and Var[R] are the closed forms in one
+    identical float expression."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        daily.select("x", F.row_number().over(Window.orderBy("x", "d")).alias("rn"),
+                     F.count(F.lit(1)).over(wn).alias("n"))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("x").alias("m"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("m"))
+        .select("d", (F.col("x") > F.col("m")).cast("long").alias("s"))
+    )
+    flips = signs.select(
+        "s",
+        F.coalesce(
+            (F.col("s") != F.lag("s").over(Window.orderBy("d"))).cast("long"), F.lit(0)
+        ).alias("flip"),
+    )
+    runs = flips.agg(
+        (F.sum("flip") + 1).cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    er = 2.0 * d_("n1") * d_("n2") / (F.col("n1") + F.col("n2")) + 1
+    vr = (
+        2.0 * d_("n1") * d_("n2") * (2.0 * d_("n1") * d_("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2")).cast("double")
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return runs.select(
+        F.col("r").alias("n_runs"), F.col("n1").alias("n_above"), F.col("n2").alias("n_below"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((F.col("r") - er) / F.sqrt(vr), 6).alias("z"),
+    )
+
+
+@query(
+    "friedman_test",
+    """WITH days AS (SELECT DISTINCT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d
+                     FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       cnt AS (
+         SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d,
+                event_type, count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       dense AS (
+         SELECT days.d, types.event_type, coalesce(cnt.x, 0)::BIGINT AS x
+         FROM days CROSS JOIN types
+         LEFT JOIN cnt ON cnt.d = days.d AND cnt.event_type = types.event_type),
+       ranked AS (
+         -- mid-ranks in HALF-units: 2*rank_lo + (ties - 1), exact integers
+         SELECT d, event_type,
+                2 * rank() OVER (PARTITION BY d ORDER BY x)
+                  + count(*) OVER (PARTITION BY d, x) - 1 AS r2
+         FROM dense),
+       rj AS (
+         SELECT event_type, sum(r2)::BIGINT AS r2_sum
+         FROM ranked GROUP BY event_type),
+       st AS (
+         SELECT count(*)::BIGINT AS k,
+                sum(r2_sum::HUGEINT * r2_sum) AS sum_r2_sq,
+                (SELECT count(*) FROM days)::BIGINT AS n
+         FROM rj)
+       SELECT rj.event_type, round(rj.r2_sum / 2.0 / st.n, 6) AS mean_rank,
+              round(12.0 / (st.n * st.k * (st.k + 1)) * st.sum_r2_sq::DOUBLE / 4.0
+                    - 3.0 * st.n * (st.k + 1), 6) AS friedman_chi2
+       FROM rj CROSS JOIN st""",
+)
+def q_friedman_test(spark, sf_dir):
+    """Friedman rank test (JASA 1937) for "do the event types keep the
+    same daily ordering?": within each day (block), rank the types by
+    count with exact HALF-UNIT mid-ranks (2·rank + ties − 1 — integer
+    tie handling, no float averaging), then χ²_F = 12/(nk(k+1))·ΣR_j²
+    − 3n(k+1). The repeated-measures complement to `kruskal_wallis`
+    (independent groups): days are blocks, so day-level volume shifts
+    cancel and only the within-day ORDERING is tested — the right
+    null for "did the event mix change" when traffic itself is
+    nonstationary. Zero-densified over the day×type grid; exact
+    integer rank sums; the uncorrected statistic (no tie-variance
+    denominator) is reported, ties being already exact in the ranks."""
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    cnt = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    days = cnt.select("d").distinct()
+    types = cnt.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(cnt, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    wd = Window.partitionBy("d").orderBy("x")
+    wt = Window.partitionBy("d", "x")
+    ranked = dense.select(
+        "d", "event_type",
+        (2 * F.rank().over(wd) + F.count(F.lit(1)).over(wt) - 1).cast("long").alias("r2"),
+    )
+    rj = ranked.groupBy("event_type").agg(F.sum("r2").cast("long").alias("r2_sum"))
+    st = rj.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r2_sum").cast(dec) * F.col("r2_sum").cast(dec)).cast(dec).alias("sum_r2_sq"),
+    ).crossJoin(F.broadcast(days.agg(F.count(F.lit(1)).cast("long").alias("n"))))
+    return rj.crossJoin(F.broadcast(st)).select(
+        "event_type",
+        F.round(F.col("r2_sum") / 2.0 / F.col("n"), 6).alias("mean_rank"),
+        F.round(
+            12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            * F.col("sum_r2_sq").cast("double") / 4.0
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+            6,
+        ).alias("friedman_chi2"),
+    )
