@@ -278,15 +278,12 @@ BENCH_QUERIES = [
     "brier_calibration",
     "bh_fdr",
     "theil_index",
-    "benford_audit",
-    "burrows_delta",
     "assoc_rules",
     "wl_colors",
     "hill_numbers",
     "simpsons_paradox",
     "zorder_locality",
     "gini_stump",
-    "cmh_odds",
     "histogram_quantile_audit",
     "regression_influence",
     "risk_coverage",

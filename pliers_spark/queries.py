@@ -18425,161 +18425,7 @@ def q_theil_index(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# batch 61: Benford audit, Burrows' Delta stylometry, association rules
-
-
-@query(
-    "benford_audit",
-    """WITH cents AS (
-         SELECT round(value * 100)::BIGINT AS c FROM events
-         WHERE value IS NOT NULL AND round(value * 100) >= 1),
-       digits AS (
-         SELECT (c // power(10, floor(log10(c::DOUBLE)))::BIGINT)::BIGINT AS d
-         FROM cents),
-       obs AS (SELECT d, count(*)::BIGINT AS o FROM digits GROUP BY d),
-       tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
-       dense AS (
-         SELECT g.d, coalesce(obs.o, 0)::BIGINT AS o, t.n
-         FROM generate_series(1, 9) g(d) CROSS JOIN tot t
-         LEFT JOIN obs ON obs.d = g.d)
-       SELECT d::BIGINT AS digit, o AS observed,
-              round(log10(1.0 + 1.0 / d), 6) AS benford_p,
-              round(o::DOUBLE / n, 6) AS observed_p,
-              round(1e9 * (o::DOUBLE / n - log10(1.0 + 1.0 / d))
-                        * (o::DOUBLE / n - log10(1.0 + 1.0 / d))
-                        / log10(1.0 + 1.0 / d))::BIGINT AS chi2_term_nano
-       FROM dense ORDER BY d""",
-)
-def q_benford_audit(spark, sf_dir):
-    """Benford's-law first-digit audit (Benford 1938; Nigrini's fraud-
-    detection standard) of the event value column: observed leading-
-    digit shares vs log10(1+1/d), with per-digit χ²-style divergence
-    terms in NANO-units (exact integer counts; the only floats are one
-    identical expression per digit — log10 parity mirrors the pinned
-    ln parity). Fabricated, unit-mixed, or truncation-corrupted value
-    streams fail this audit long before distribution tests notice —
-    the classic first-look DQ check next to `dq_checks`/`fd_binning`.
-    The leading digit is extracted arithmetically (c / 10^⌊log10 c⌋ on
-    exact cent units), never via string casts."""
-    ev = _events(spark, sf_dir)
-    cents = ev.where(F.col("value").isNotNull()).select(
-        F.round(F.col("value") * 100, 0).cast("long").alias("c")
-    ).where(F.col("c") >= 1)
-    digits = cents.select(
-        (F.col("c") / F.pow(F.lit(10.0), F.floor(F.log10(F.col("c").cast("double"))))).cast("long").alias("d")
-    )
-    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("o"))
-    tot = obs.agg(F.sum("o").cast("long").alias("n"))
-    grid = spark.range(1, 10).select(F.col("id").alias("d"))
-    dense = (
-        grid.crossJoin(F.broadcast(tot))
-        .join(obs, "d", "left")
-        .select("d", F.coalesce("o", F.lit(0)).cast("long").alias("o"), "n")
-    )
-    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
-    op_ = F.col("o").cast("double") / F.col("n")
-    return dense.select(
-        F.col("d").cast("long").alias("digit"),
-        F.col("o").alias("observed"),
-        F.round(bp, 6).alias("benford_p"),
-        F.round(op_, 6).alias("observed_p"),
-        F.round(F.lit(1e9) * (op_ - bp) * (op_ - bp) / bp, 0).cast("long").alias("chi2_term_nano"),
-    ).orderBy("digit")
-
-
-_DELTA_TOP_W = 50
-
-
-@query(
-    "burrows_delta",
-    f"""WITH toks AS (
-         SELECT source, unnest(string_split(trim(text), ' ')) AS w
-         FROM documents),
-       src_n AS (SELECT source, count(*)::BIGINT AS n FROM toks GROUP BY source),
-       topw AS (
-         SELECT w FROM toks GROUP BY w
-         ORDER BY count(*) DESC, w LIMIT {_DELTA_TOP_W}),
-       cnt AS (
-         SELECT t.source, t.w, count(*)::BIGINT AS c
-         FROM toks t JOIN topw USING (w) GROUP BY 1, 2),
-       freq AS (
-         SELECT sn.source, tw.w,
-                coalesce(c.c, 0)::DOUBLE / sn.n AS f
-         FROM src_n sn CROSS JOIN topw tw
-         LEFT JOIN cnt c ON c.source = sn.source AND c.w = tw.w),
-       mu AS (
-         SELECT w, avg(f) AS m,
-                sqrt(avg(f * f) - avg(f) * avg(f)) AS sd,
-                count(*)::BIGINT AS ns
-         FROM freq GROUP BY w),
-       z AS (
-         SELECT f.source, f.w, (f.f - m.m) / m.sd AS z
-         FROM freq f JOIN mu m USING (w) WHERE m.sd > 0),
-       pairs AS (
-         SELECT a.source AS src_a, b.source AS src_b,
-                sum(round(1e6 * abs(a.z - b.z))::BIGINT) AS s_micro,
-                count(*)::BIGINT AS nw
-         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
-         GROUP BY 1, 2)
-       SELECT src_a, src_b, nw AS n_words,
-              round(s_micro / 1e6 / nw, 6) AS delta
-       FROM pairs""",
-)
-def q_burrows_delta(spark, sf_dir):
-    """Burrows' Delta stylometric distance between sources (Burrows,
-    LLC 2002 — the standard authorship-attribution measure): z-score
-    each source's relative frequency of the top-50 corpus
-    words against the across-source mean/sd, then Delta(a,b) = mean
-    |z_a − z_b|. Mirrored-feed and same-author-boilerplate sources sit
-    at tiny Delta; the pairwise matrix is the stylistic complement to
-    `source_jsd`'s topical drift. Per-word |z| differences round once
-    to micro-units so the 50-term pair sums are exact; the z-scores
-    themselves are one identical float expression from exact integer
-    counts (population sd across the fixed source set). The pair join
-    is over S·50 z-rows — never over documents."""
-    d = _docs(spark, sf_dir)
-    toks = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w")).localCheckpoint(eager=True)
-    src_n = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    topw = (
-        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "w").limit(_DELTA_TOP_W).select("w")
-    )
-    cnt = (
-        toks.join(F.broadcast(topw), "w")
-        .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    freq = (
-        src_n.crossJoin(F.broadcast(topw))
-        .join(cnt, ["source", "w"], "left")
-        .select(
-            "source", "w",
-            (F.coalesce("c", F.lit(0)).cast("double") / F.col("n")).alias("f"),
-        )
-    )
-    mu = freq.groupBy("w").agg(
-        F.avg("f").alias("m"),
-        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias("sd"),
-    )
-    z = (
-        freq.join(F.broadcast(mu), "w")
-        .where(F.col("sd") > 0)
-        .select("source", "w", ((F.col("f") - F.col("m")) / F.col("sd")).alias("z"))
-    )
-    pairs = (
-        z.alias("a").join(z.alias("b"), "w")
-        .where(F.col("a.source") < F.col("b.source"))
-        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
-        .agg(
-            F.sum(
-                F.round(F.lit(1e6) * F.abs(F.col("a.z") - F.col("b.z")), 0).cast("long")
-            ).alias("s_micro"),
-            F.count(F.lit(1)).cast("long").alias("nw"),
-        )
-    )
-    return pairs.select(
-        "src_a", "src_b", F.col("nw").alias("n_words"),
-        F.round(F.col("s_micro") / 1e6 / F.col("nw"), 6).alias("delta"),
-    )
+# batch 61: association rules (support/confidence/lift)
 
 
 _AR_MIN_SUPP = 20
@@ -19060,85 +18906,6 @@ def q_gini_stump(spark, sf_dir):
             "threshold", "n_left", "pos_left", "n_right", "pos_right",
             F.round(F.col("gain_nano") / 1e9, 6).alias("gini_gain"),
         )
-    )
-
-
-@query(
-    "cmh_odds",
-    """WITH med AS (
-         SELECT x AS m FROM (
-           SELECT n_chars AS x, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
-                  count(*) OVER () AS n
-           FROM documents)
-         WHERE rn = (n + 1) // 2),
-       cls AS (
-         SELECT source,
-                CASE WHEN n_chars > (SELECT m FROM med) THEN 1 ELSE 0 END AS exposed,
-                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS outcome
-         FROM documents),
-       tab AS (
-         SELECT source,
-                sum(exposed * outcome)::BIGINT AS a,
-                sum(exposed * (1 - outcome))::BIGINT AS b,
-                sum((1 - exposed) * outcome)::BIGINT AS c,
-                sum((1 - exposed) * (1 - outcome))::BIGINT AS d,
-                count(*)::BIGINT AS n
-         FROM cls GROUP BY source),
-       terms AS (
-         SELECT source, a, b, c, d, n,
-                round(1e9 * (a::HUGEINT * d)::DOUBLE / n)::BIGINT AS ad_nano,
-                round(1e9 * (b::HUGEINT * c)::DOUBLE / n)::BIGINT AS bc_nano
-         FROM tab)
-       SELECT sum(ad_nano)::BIGINT AS sum_ad_nano,
-              sum(bc_nano)::BIGINT AS sum_bc_nano,
-              round(sum(ad_nano)::DOUBLE / sum(bc_nano), 6) AS cmh_odds_ratio,
-              count(*)::BIGINT AS n_strata
-       FROM terms""",
-)
-def q_cmh_odds(spark, sf_dir):
-    """Cochran-Mantel-Haenszel pooled odds ratio (Mantel & Haenszel,
-    JNCI 1959): the stratified association between "document is longer
-    than the corpus median" (exact nearest-rank median, doc_id tie
-    break) and "document is English", pooled ACROSS sources as
-    Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) — the estimator that survives exactly the
-    per-stratum composition flips `simpsons_paradox` detects, which is
-    why the two ship together. Every 2×2 cell is an exact integer from
-    one census; per-stratum cross-product terms round once to
-    NANO-units so both sums are exact; one final division."""
-    d = _docs(spark, sf_dir)
-    wmed = Window.orderBy("n_chars", "doc_id")
-    med = (
-        d.select("n_chars", F.row_number().over(wmed).alias("rn"),
-                 F.count(F.lit(1)).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"))
-        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select(F.col("n_chars").alias("m"))
-    )
-    cls = d.crossJoin(F.broadcast(med)).select(
-        "source",
-        (F.col("n_chars") > F.col("m")).cast("long").alias("exposed"),
-        (F.col("lang") == "en").cast("long").alias("outcome"),
-    )
-    dec = "decimal(38,0)"
-    tab = cls.groupBy("source").agg(
-        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
-        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("long").alias("b"),
-        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("long").alias("c"),
-        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    terms = tab.select(
-        F.round(
-            F.lit(1e9) * (F.col("a").cast(dec) * F.col("d").cast(dec)).cast("double") / F.col("n"), 0
-        ).cast("long").alias("ad_nano"),
-        F.round(
-            F.lit(1e9) * (F.col("b").cast(dec) * F.col("c").cast(dec)).cast("double") / F.col("n"), 0
-        ).cast("long").alias("bc_nano"),
-    )
-    return terms.agg(
-        F.sum("ad_nano").cast("long").alias("sum_ad_nano"),
-        F.sum("bc_nano").cast("long").alias("sum_bc_nano"),
-        F.round(F.sum("ad_nano").cast("double") / F.sum("bc_nano"), 6).alias("cmh_odds_ratio"),
-        F.count(F.lit(1)).cast("long").alias("n_strata"),
     )
 
 

@@ -188,35 +188,6 @@ def test_theil_equal_lengths_zero(spark, tmp_path):
     assert r.theil_total == 0.0 and r.theil_between == 0.0 and r.theil_within == 0.0
 
 
-def test_benford_digit_extraction(spark, tmp_path):
-    """Values 1..9 cents -> digits 1..9 once each, observed_p = 1/9."""
-    from pliers_spark.queries import QUERIES
-
-    rows = [
-        (i, datetime(2024, 1, 1), 1, "t", (i + 1) / 100.0, "") for i in range(9)
-    ]
-    sf = _write(spark, tmp_path, "events", rows, EVENTS)
-    out = QUERIES["benford_audit"](spark, sf).collect()
-    assert [r.digit for r in out] == list(range(1, 10))
-    assert all(r.observed == 1 and r.observed_p == 0.111111 for r in out)
-
-
-def test_burrows_delta_identical_sources(spark, tmp_path):
-    """Two sources with identical token frequencies sit at Delta 0;
-    a divergent third source is strictly farther."""
-    from pliers_spark.queries import QUERIES
-
-    rows = [
-        (1, "alpha beta gamma alpha", "en", "a", 20),
-        (2, "alpha beta gamma alpha", "en", "b", 20),
-        (3, "delta delta delta epsilon", "en", "c", 20),
-    ]
-    sf = _write(spark, tmp_path, "documents", rows, DOCS)
-    out = {(r.src_a, r.src_b): r.delta for r in QUERIES["burrows_delta"](spark, sf).collect()}
-    assert out[("a", "b")] == 0.0
-    assert out[("a", "c")] > 0.0 and out[("b", "c")] > 0.0
-
-
 def test_assoc_rules_confidence_and_lift(spark, tmp_path):
     """30 baskets: 20x{A,B}, 10x{A,C}. Rule A->B: conf 20/30, lift
     (20*30)/(30*20) = 1; rule B->A: conf 1."""
@@ -291,22 +262,6 @@ def test_gini_stump_separable(spark, tmp_path):
     assert r.threshold == 19  # largest 'en' length: left side pure
     assert r.pos_left == 10 and r.pos_right == 0
     assert r.gini_gain == 0.5
-
-
-def test_cmh_no_association_is_one(spark, tmp_path):
-    """Balanced 2x2 in every stratum (a*d == b*c) -> pooled OR = 1."""
-    from pliers_spark.queries import QUERIES
-
-    rows = []
-    i = 0
-    for src in ("a", "b"):
-        for lang in ("en", "fr"):
-            for ln in (1, 100):
-                rows.append((i, "t", lang, src, ln))
-                i += 1
-    sf = _write(spark, tmp_path, "documents", rows, DOCS)
-    r = QUERIES["cmh_odds"](spark, sf).collect()[0]
-    assert r.cmh_odds_ratio == 1.0 and r.n_strata == 2
 
 
 def test_histogram_quantile_error_bounded_by_bucket(spark):
