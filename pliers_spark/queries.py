@@ -37,6 +37,10 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a later registration would silently shadow the earlier query
+            # (dict assignment) — fail at import time instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
