@@ -21862,3 +21862,399 @@ def q_friedman_test(spark, sf_dir):
             6,
         ).alias("friedman_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 76: Fellegi-Sunter linkage, DP histogram release, k-center coreset,
+# Cramér-von Mises drift, Wilcoxon signed-rank
+
+_FS_M = 0.9  # P(field agrees | true match) prior — no labels available
+
+
+def _fs_sql() -> str:
+    fields = ["g_lang", "g_source", "g_t1", "g_t2"]
+    u_cols = ", ".join(f"avg({g}) AS u_{g}" for g in fields)
+    clamp = ", ".join(
+        f"least(greatest(u_{g}, 0.5 / n_pairs), 1 - 0.5 / n_pairs) AS u_{g}"
+        for g in fields
+    )
+    score = " + ".join(
+        f"(CASE WHEN p.{g} = 1 THEN log2({_FS_M} / u.u_{g}) "
+        f"ELSE log2({1 - _FS_M} / (1 - u.u_{g})) END)"
+        for g in fields
+    )
+    n_agree = " + ".join(f"p.{g}" for g in fields)
+    return f"""WITH recs AS (
+         SELECT doc_id, lang, source, n_chars // 50 AS blk,
+                string_split(trim(text), ' ')[1] AS t1,
+                string_split(trim(text), ' ')[-1] AS t2
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                (a.lang = b.lang)::BIGINT AS g_lang,
+                (a.source = b.source)::BIGINT AS g_source,
+                (a.t1 = b.t1)::BIGINT AS g_t1,
+                (a.t2 = b.t2)::BIGINT AS g_t2
+         FROM recs a JOIN recs b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+       u_raw AS (SELECT count(*)::DOUBLE AS n_pairs, {u_cols} FROM pairs),
+       u AS (SELECT {clamp} FROM u_raw)
+       SELECT p.id_a, p.id_b, ({n_agree})::BIGINT AS n_agree,
+              round({score}, 6) AS fs_score
+       FROM pairs p CROSS JOIN u
+       WHERE {score} > 0"""
+
+
+@query("fellegi_sunter", _fs_sql())
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    canonical entity-resolution scoring rule; reference analogue: the
+    dedup/merge semantics of `merge_results`' key alignment, pliers
+    extractors/base.py:283+, generalized to fuzzy identity). Records are
+    blocked on a length bucket (the standard O(n·B) candidate-generation
+    join — never all-pairs), compared on 4 fields (lang, source,
+    first/last token); u-probabilities (P(agree | non-match)) are
+    ESTIMATED from the candidate pairs themselves (clamped away from
+    0/1), m fixed at 0.9, and each pair scores Σ log2(m/u) over agreeing
+    fields + Σ log2((1−m)/(1−u)) over disagreeing ones. Pairs with
+    positive total weight are emitted as match candidates. Scale shape:
+    the blocked self-join shuffles on blk; the u-estimate is one
+    map-side-partial aggregate broadcast back — no second shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    recs = docs.select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("blk"),
+        F.element_at(toks, 1).alias("t1"),
+        F.element_at(toks, -1).alias("t2"),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    g = lambda f: (F.col(f"a.{f}") == F.col(f"b.{f}")).cast("long").alias(f"g_{f}")  # noqa: E731
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+        g("lang"), g("source"), g("t1"), g("t2"),
+    )
+    fields = ["g_lang", "g_source", "g_t1", "g_t2"]
+    u_raw = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_pairs"),
+        *[F.avg(f).alias(f"u_{f}") for f in fields],
+    )
+    u = u_raw.select(
+        *[
+            F.least(
+                F.greatest(F.col(f"u_{f}"), 0.5 / F.col("n_pairs")),
+                1 - 0.5 / F.col("n_pairs"),
+            ).alias(f"u_{f}")
+            for f in fields
+        ]
+    )
+    scored = pairs.crossJoin(F.broadcast(u))
+    score = None
+    for f in fields:
+        term = F.when(
+            F.col(f) == 1, F.log2(F.lit(_FS_M) / F.col(f"u_{f}"))
+        ).otherwise(F.log2(F.lit(1 - _FS_M) / (1 - F.col(f"u_{f}"))))
+        score = term if score is None else score + term
+    n_agree = sum(F.col(f) for f in fields).cast("long")
+    return scored.where(score > 0).select(
+        "id_a", "id_b", n_agree.alias("n_agree"), F.round(score, 6).alias("fs_score")
+    )
+
+
+_DP_EPS = 1.0
+_DP_TAU = 10
+_DP_SEED = 77
+
+
+def _dp_hist_sql() -> str:
+    h = md5_int_sql("tok", seed=_DP_SEED)
+    u = f"(({h} % 1000000) + 0.5) / 1e6"
+    lap = f"(-1.0 / {_DP_EPS}) * sign({u} - 0.5) * ln(1 - 2 * abs({u} - 0.5))"
+    return f"""WITH toks AS (
+         SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+       cnt AS (SELECT tok, count(*)::BIGINT AS c FROM toks WHERE tok <> '' GROUP BY tok)
+       SELECT tok, (c + round({lap})::BIGINT) AS noisy_count
+       FROM cnt
+       WHERE c + round({lap})::BIGINT >= {_DP_TAU}"""
+
+
+@query("dp_token_hist", _dp_hist_sql())
+def q_dp_token_hist(spark, sf_dir):
+    """ε-differentially-private vocabulary release (Laplace mechanism +
+    thresholding — Dwork et al. 2006; the Google/Apple "private
+    histogram" pattern for releasing token statistics from a private
+    corpus). Exact token counts get integer Laplace(1/ε) noise (ε=1)
+    and only tokens whose NOISY count clears τ=10 are released — the
+    thresholding is what protects the long tail of rare (potentially
+    identifying) tokens. Sandbox determinism: the noise draw's uniform
+    comes from a seeded md5 of the token (identical in both engines) —
+    a production run swaps in a secret per-release seed; everything
+    else is unchanged. Scale shape: one map-side-partial token count;
+    the noise is a scalar expression on the grouped result (no second
+    pass, no driver state)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    u = ((md5_int(F.col("tok"), seed=_DP_SEED) % 1000000) + 0.5) / 1e6
+    lap = (-1.0 / _DP_EPS) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    noisy = (F.col("c") + F.round(lap, 0).cast("long")).alias("noisy_count")
+    return cnt.select("tok", noisy).where(F.col("noisy_count") >= _DP_TAU)
+
+
+_KC_K = 5
+_KC_SEED_ID = 0
+
+
+def _kcenter_d2_sql(emb_a: str, emb_q: str) -> str:
+    return (
+        f"round(1e6 * list_sum(list_transform(range(1, len({emb_a}) + 1), "
+        f"i -> ({emb_a}[i]::DOUBLE - {emb_q}[i]::DOUBLE) "
+        f"* ({emb_a}[i]::DOUBLE - {emb_q}[i]::DOUBLE))))::BIGINT"
+    )
+
+
+def _kcenter_sql() -> str:
+    d2 = _kcenter_d2_sql("a.embedding", "q.embedding")
+    ctes = [
+        f"""sel1 AS MATERIALIZED (
+         SELECT vec_id, 1::BIGINT AS pick_order, 0::BIGINT AS dist_micro
+         FROM embeddings WHERE vec_id = {_KC_SEED_ID})""",
+        f"""m1 AS MATERIALIZED (
+         SELECT a.vec_id, {d2} AS md
+         FROM embeddings a
+         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_KC_SEED_ID}) q)""",
+    ]
+    for r in range(2, _KC_K + 1):
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+         SELECT m.vec_id, {r}::BIGINT AS pick_order, m.md AS dist_micro
+         FROM m{r - 1} m ANTI JOIN sel{r - 1} s ON s.vec_id = m.vec_id
+         ORDER BY m.md DESC, m.vec_id LIMIT 1),
+       sel{r} AS MATERIALIZED (
+         SELECT * FROM sel{r - 1}
+         UNION ALL SELECT vec_id, pick_order, dist_micro FROM pick{r})"""
+        )
+        if r < _KC_K:
+            ctes.append(
+                f"""m{r} AS MATERIALIZED (
+         SELECT m.vec_id, least(m.md, {d2}) AS md
+         FROM m{r - 1} m JOIN embeddings a ON a.vec_id = m.vec_id
+         CROSS JOIN (SELECT e.embedding FROM embeddings e
+                     JOIN pick{r} p ON p.vec_id = e.vec_id) q)"""
+            )
+    return (
+        "WITH "
+        + ",\n       ".join(ctes)
+        + f"""
+       SELECT vec_id, pick_order, dist_micro FROM sel{_KC_K}"""
+    )
+
+
+@query("kcenter_coreset", _kcenter_sql())
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez,
+    TCS 1985 — the 2-approximation behind diversity-maximizing training
+    -data selection and SemDeDup-style pruning seeds): starting from
+    vec 0, each of K=5 rounds picks the point FARTHEST from its nearest
+    already-chosen center (squared-L2 in integer micro-units, ties by
+    vec_id). Each round is one full scan computing min-distance against
+    ≤K broadcast literal centers + a TakeOrderedAndProject(1) — K scans
+    total, never a K×N×N matrix; the only driver state is the K picked
+    vectors (the same K-bounded collect `kmeans_fit` uses per Lloyd
+    round). `dist_micro` is the selection-time distance = the coverage
+    radius guarantee r_K of the chosen coreset."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def d2_lit(center: list[float]):
+        carr = F.array(*[F.lit(float(v)) for v in center])
+        diff = F.zip_with(F.col("embedding"), carr, lambda x, y: (x - y) * (x - y))
+        s = F.aggregate(diff, F.lit(0.0), lambda acc, z: acc + z)
+        return F.round(s * 1e6, 0).cast("long")
+
+    seed = emb.where(F.col("vec_id") == _KC_SEED_ID).collect()[0]
+    centers = [(int(seed["vec_id"]), list(seed["embedding"]))]
+    rows = [(int(seed["vec_id"]), 1, 0)]
+    for r in range(2, _KC_K + 1):
+        picked_ids = [c[0] for c in centers]
+        mind = F.least(*[d2_lit(c[1]) for c in centers]) if len(centers) > 1 else d2_lit(centers[0][1])
+        top = (
+            emb.where(~F.col("vec_id").isin(picked_ids))
+            .select("vec_id", mind.alias("md"), "embedding")
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(top["vec_id"]), list(top["embedding"])))
+        rows.append((int(top["vec_id"]), r, int(top["md"])))
+    return spark.createDataFrame(
+        rows, "vec_id long, pick_order long, dist_micro long"
+    )
+
+
+@query(
+    "cvm_drift",
+    """WITH s AS (
+         SELECT value, event_id,
+                (event_type = 'click')::BIGINT AS is_x
+         FROM events WHERE event_type IN ('click', 'view')),
+       ranked AS (
+         SELECT is_x,
+                row_number() OVER (ORDER BY value, event_id) AS r,
+                row_number() OVER (PARTITION BY is_x ORDER BY value, event_id) AS i
+         FROM s),
+       nn AS (
+         SELECT sum(is_x)::BIGINT AS n, (count(*) - sum(is_x))::BIGINT AS m
+         FROM ranked),
+       u AS (
+         SELECT sum(CASE WHEN is_x = 1
+                         THEN nn.n::HUGEINT * (r - i) * (r - i) END) AS ux,
+                sum(CASE WHEN is_x = 0
+                         THEN nn.m::HUGEINT * (r - i) * (r - i) END) AS uy
+         FROM ranked CROSS JOIN nn)
+       SELECT nn.n AS n_x, nn.m AS n_y,
+              round((u.ux + u.uy)::DOUBLE / (nn.n::DOUBLE * nn.m * (nn.n + nn.m))
+                    - (4.0 * nn.n * nn.m - 1) / (6.0 * (nn.n + nn.m)), 6) AS cvm_t
+       FROM u CROSS JOIN nn""",
+)
+def q_cvm_drift(spark, sf_dir):
+    """Two-sample Cramér-von Mises drift statistic (Anderson, AMS 1962
+    rank formula) between the 'click' and 'view' value distributions —
+    the integrated-squared-ECDF-gap complement to `ks_drift`'s
+    supremum: CvM sees diffuse distribution shifts a single-point KS
+    gap misses. U = N·Σ(r_i−i)² + M·Σ(s_j−j)² over combined ranks
+    (deterministic total order: value then event_id — ties get a fixed
+    arbitration identically in both engines), T = U/(NM(N+M)) −
+    (4NM−1)/(6(N+M)). Rank sums stay in exact integers (decimal/HUGEINT)
+    — the only float op is the final normalization. Scale shape: one
+    global sort (the same shape as any ranked statistic) + one
+    map-side-partial aggregate; no joins."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("click", "view"))
+    dec = "decimal(38,0)"
+    s = ev.select(
+        "value", "event_id", (F.col("event_type") == "click").cast("long").alias("is_x")
+    )
+    ranked = s.select(
+        "is_x",
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("is_x").orderBy("value", "event_id"))
+        .alias("i"),
+    )
+    nn = ranked.agg(
+        F.sum("is_x").cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.sum("is_x")).cast("long").alias("m"),
+    )
+    d = (F.col("r") - F.col("i")).cast(dec)
+    u = ranked.crossJoin(F.broadcast(nn)).agg(
+        F.sum(F.when(F.col("is_x") == 1, F.col("n").cast(dec) * d * d)).cast(dec).alias("ux"),
+        F.sum(F.when(F.col("is_x") == 0, F.col("m").cast(dec) * d * d)).cast(dec).alias("uy"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+    )
+    return u.select(
+        F.col("n").alias("n_x"),
+        F.col("m").alias("n_y"),
+        F.round(
+            (F.col("ux") + F.col("uy")).cast("double")
+            / (F.col("n").cast("double") * F.col("m") * (F.col("n") + F.col("m")))
+            - (4.0 * F.col("n") * F.col("m") - 1) / (6.0 * (F.col("n") + F.col("m"))),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+@query(
+    "wilcoxon_signed",
+    """WITH ordered AS (
+         SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM events),
+       halves AS (
+         SELECT user_id,
+                sum(CASE WHEN rn <= n // 2 THEN round(1e6 * value)::BIGINT END) AS s1,
+                count(CASE WHEN rn <= n // 2 THEN 1 END)::BIGINT AS c1,
+                sum(CASE WHEN rn > n // 2 THEN round(1e6 * value)::BIGINT END) AS s2,
+                count(CASE WHEN rn > n // 2 THEN 1 END)::BIGINT AS c2
+         FROM ordered GROUP BY user_id),
+       diffs AS (
+         SELECT user_id,
+                round(s2::DOUBLE / c2 - s1::DOUBLE / c1)::BIGINT AS d
+         FROM halves WHERE c1 >= 1),
+       nz AS (SELECT user_id, d FROM diffs WHERE d <> 0),
+       ranked AS (
+         -- mid-ranks of |d| in HALF-units: 2*rank_lo + (ties - 1)
+         SELECT d,
+                2 * rank() OVER (ORDER BY abs(d))
+                  + count(*) OVER (PARTITION BY abs(d)) - 1 AS r2
+         FROM nz),
+       st AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT AS w2
+         FROM ranked)
+       SELECT n AS n_pairs,
+              round(w2 / 2.0, 6) AS w_plus,
+              round((w2 / 2.0 - n * (n + 1) / 4.0)
+                    / sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0), 6) AS z
+       FROM st""",
+)
+def q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank test (Biometrics 1945) for "did per-user
+    engagement shift within the window?": each user's event stream is
+    split at its midpoint (by ts), the paired difference is
+    second-half-mean − first-half-mean in integer micro-units (sums of
+    micro-ints, so both engines derive bit-identical diffs), zero
+    diffs drop per the classical procedure, |d| gets exact HALF-UNIT
+    mid-ranks (2·rank + ties − 1 — same integer tie handling as
+    `friedman_test`), and z normalizes W⁺ by its null mean/variance.
+    The PAIRED complement to `cvm_drift`/`ks_drift`: user identity is
+    blocked out, so population-mix shifts don't masquerade as drift.
+    Scale shape: one shuffle on user_id for the halves, one global
+    rank over the (users-sized, not events-sized) diff set."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+        F.row_number().over(wu).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    halves = (
+        ordered.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.floor(F.col("n") / 2), F.col("vm"))).alias("s1"),
+            F.count(F.when(F.col("rn") <= F.floor(F.col("n") / 2), F.lit(1))).cast("long").alias("c1"),
+            F.sum(F.when(F.col("rn") > F.floor(F.col("n") / 2), F.col("vm"))).alias("s2"),
+            F.count(F.when(F.col("rn") > F.floor(F.col("n") / 2), F.lit(1))).cast("long").alias("c2"),
+        )
+        .where(F.col("c1") >= 1)
+    )
+    diffs = halves.select(
+        F.round(F.col("s2").cast("double") / F.col("c2") - F.col("s1").cast("double") / F.col("c1"), 0)
+        .cast("long")
+        .alias("d")
+    ).where(F.col("d") != 0)
+    wr = Window.orderBy(F.abs(F.col("d")))
+    wt = Window.partitionBy(F.abs(F.col("d")))
+    ranked = diffs.select(
+        "d", (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).cast("long").alias("r2")
+    )
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(F.lit(0))).cast("long").alias("w2"),
+    )
+    return st.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("w2") / 2.0, 6).alias("w_plus"),
+        F.round(
+            (F.col("w2") / 2.0 - F.col("n") * (F.col("n") + 1) / 4.0)
+            / F.sqrt(F.col("n") * (F.col("n") + 1) * (2.0 * F.col("n") + 1) / 24.0),
+            6,
+        ).alias("z"),
+    )
