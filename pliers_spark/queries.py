@@ -22258,3 +22258,229 @@ def q_wilcoxon_signed(spark, sf_dir):
             6,
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# batch 77: Harmonic-k compaction planning, LOO kNN label probe,
+# hash-randomization permutation test
+
+_CB_CAP = 1024
+_CB_K = 8
+
+
+@query(
+    "compaction_bins",
+    f"""WITH items AS (
+         SELECT doc_id, n_chars,
+                least(greatest({_CB_CAP} // n_chars, 1), {_CB_K}) AS cls
+         FROM documents WHERE n_chars >= 1),
+       placed AS (
+         SELECT cls, n_chars,
+                (row_number() OVER (PARTITION BY cls
+                                    ORDER BY n_chars DESC, doc_id) - 1) // cls AS bin_seq
+         FROM items)
+       SELECT cls AS size_class, bin_seq,
+              count(*)::BIGINT AS n_items,
+              sum(n_chars)::BIGINT AS fill_chars,
+              round(sum(n_chars) / {_CB_CAP}.0, 6) AS fill_ratio
+       FROM placed GROUP BY cls, bin_seq""",
+)
+def q_compaction_bins(spark, sf_dir):
+    """Small-file compaction planning via HARMONIC-k bin packing (Lee &
+    Lee, JACM 1985 — competitive ratio 1.691): each item (doc, size
+    n_chars, bin capacity {_CB_CAP}) goes to size class k =
+    clamp(floor(cap/size), 1, {_CB_K}); class k bins take EXACTLY k
+    items, so items of class k (size ≤ cap/k) always fit and every
+    closed bin of an unclamped class (k < {_CB_K}) is > k/(k+1) full
+    (the clamped last class pools everything ≤ cap/{_CB_K}, so only
+    the fits-in-cap invariant holds there). Unlike first-fit-decreasing — whose
+    sequential bin state serializes the planner — class assignment and
+    within-class placement are pure window arithmetic: one hash
+    partition by class, one rank, zero iterative state, so planning a
+    100 TB table's compaction is a single shuffle. The per-bin manifest
+    (class, seq, items, fill) is what a rewrite job consumes."""
+    d = _docs(spark, sf_dir).where(F.col("n_chars") >= 1)
+    items = d.select(
+        "doc_id", "n_chars",
+        F.least(
+            F.greatest(F.floor(_CB_CAP / F.col("n_chars")).cast("long"), F.lit(1)),
+            F.lit(_CB_K),
+        ).alias("cls"),
+    )
+    w = Window.partitionBy("cls").orderBy(F.desc("n_chars"), "doc_id")
+    placed = items.select(
+        "cls", "n_chars",
+        F.floor((F.row_number().over(w) - 1) / F.col("cls")).cast("long").alias("bin_seq"),
+    )
+    return placed.groupBy(
+        F.col("cls").alias("size_class"), "bin_seq"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_chars").cast("long").alias("fill_chars"),
+        F.round(F.sum("n_chars") / float(_CB_CAP), 6).alias("fill_ratio"),
+    )
+
+
+_KNN_K = 5
+
+
+def _knn_probe_sql() -> str:
+    dot = "list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    nq = "sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""WITH scored AS (
+         SELECT q.vec_id AS qid, q.label AS true_label, a.label AS nb_label,
+                round(1e6 * {dot} / ({na} * {nq}))::BIGINT AS cm,
+                a.vec_id AS nid
+         FROM embeddings q JOIN embeddings a ON a.vec_id <> q.vec_id),
+       topk AS (
+         SELECT qid, true_label, nb_label,
+                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, nid) AS rk
+         FROM scored),
+       votes AS (
+         SELECT qid, true_label, nb_label, count(*)::BIGINT AS v
+         FROM topk WHERE rk <= {_KNN_K} GROUP BY 1, 2, 3),
+       pred AS (
+         SELECT qid, true_label, nb_label AS pred_label,
+                row_number() OVER (PARTITION BY qid ORDER BY v DESC, nb_label) AS pr
+         FROM votes)
+       SELECT true_label AS label, count(*)::BIGINT AS n,
+              sum((pred_label = true_label)::BIGINT)::BIGINT AS correct,
+              round(sum((pred_label = true_label)::BIGINT)::DOUBLE / count(*), 6) AS acc
+       FROM pred WHERE pr = 1 GROUP BY true_label"""
+
+
+@query("knn_probe", _knn_probe_sql())
+def q_knn_probe(spark, sf_dir):
+    """Leave-one-out kNN label probe (the standard zero-training
+    embedding-quality eval — e.g. the kNN accuracy protocol of Wu et
+    al., CVPR 2018): every vector is classified by the majority label
+    of its {_KNN_K} nearest neighbors (cosine, self excluded; vote
+    ties break to the smaller label, distance ties to the smaller id)
+    and per-class accuracy is reported. Cosines round once to integer
+    micro-units so both engines rank identically. This eval runs
+    brute-force exact on an EVAL SAMPLE by design (the probe is a
+    diagnostic, not a serving path); the production-scale ANN variants
+    are `ann_ivf_topk`/`ivf_multiprobe` with `pq_recall` auditing the
+    approximation."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    from pliers_spark.operators.similarity import _dot, _norm
+
+    q, a = emb.alias("q"), emb.alias("a")
+    scored = q.join(a, F.col("a.vec_id") != F.col("q.vec_id")).select(
+        F.col("q.vec_id").alias("qid"),
+        F.col("q.label").alias("true_label"),
+        F.col("a.label").alias("nb_label"),
+        F.round(
+            1e6 * _dot(F.col("a.embedding"), F.col("q.embedding"))
+            / (_norm(F.col("a.embedding")) * _norm(F.col("q.embedding"))),
+            0,
+        ).cast("long").alias("cm"),
+        F.col("a.vec_id").alias("nid"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cm"), "nid")
+    topk = scored.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= _KNN_K)
+    votes = topk.groupBy("qid", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("v"), "nb_label")
+    pred = votes.withColumn("pr", F.row_number().over(wp)).where(F.col("pr") == 1)
+    hit = (F.col("nb_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(hit).cast("long").alias("correct"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias("acc"),
+    )
+
+
+_PERM_N = 20
+_PERM_SRC = ("src0", "src1")
+
+
+def _perm_test_sql() -> str:
+    h = md5_int_sql("concat(p::VARCHAR, ':', doc_id::VARCHAR)")
+    return f"""WITH base AS (
+         SELECT doc_id, n_chars, source FROM documents
+         WHERE source IN ('{_PERM_SRC[0]}', '{_PERM_SRC[1]}')),
+       sizes AS (
+         SELECT sum((source = '{_PERM_SRC[0]}')::BIGINT)::BIGINT AS n_a,
+                sum((source = '{_PERM_SRC[1]}')::BIGINT)::BIGINT AS n_b,
+                sum(CASE WHEN source = '{_PERM_SRC[0]}' THEN n_chars END)::BIGINT AS s_a,
+                sum(CASE WHEN source = '{_PERM_SRC[1]}' THEN n_chars END)::BIGINT AS s_b
+         FROM base),
+       obs AS (
+         SELECT n_a, n_b, s_a::DOUBLE / n_a - s_b::DOUBLE / n_b AS d_obs FROM sizes),
+       perms AS (
+         SELECT t.p, b.n_chars,
+                row_number() OVER (PARTITION BY t.p ORDER BY {h}, doc_id) AS rn
+         FROM base b CROSS JOIN (SELECT unnest(range({_PERM_N})) AS p) t),
+       pd AS (
+         SELECT p,
+                sum(CASE WHEN rn <= o.n_a THEN n_chars END)::DOUBLE / o.n_a
+              - sum(CASE WHEN rn > o.n_a THEN n_chars END)::DOUBLE / o.n_b AS d
+         FROM perms CROSS JOIN obs o GROUP BY p, o.n_a, o.n_b)
+       SELECT o.n_a, o.n_b, round(o.d_obs, 6) AS obs_diff,
+              {_PERM_N}::BIGINT AS n_perms,
+              round((1 + sum((abs(pd.d) >= abs(o.d_obs))::BIGINT)) / ({_PERM_N} + 1.0), 6)
+                AS p_value
+       FROM pd CROSS JOIN obs o GROUP BY o.n_a, o.n_b, o.d_obs"""
+
+
+@query("permutation_test", _perm_test_sql())
+def q_permutation_test(spark, sf_dir):
+    """Randomization/permutation test (Fisher 1935) for the mean-length
+    gap between two sources, with DETERMINISTIC permutations: draw p ∈
+    [0, {_PERM_N}), re-rank the pooled rows by md5(p:doc_id), and give
+    the first n_a ranks to group A — an exact size-preserving relabel
+    both engines reproduce bit-for-bit (the same seeded-hash trick as
+    `hash_bootstrap_ci`, which resamples WITH replacement; this one
+    permutes). p = (1 + #{{|d_perm| ≥ |d_obs|}}) / (K+1), the
+    add-one-smoothed Monte-Carlo estimate. Distribution-free where the
+    t-test assumes normality. Scale shape: the K-fold row expansion is
+    a flat map (no joins); each permutation's diff is one partial agg
+    over integer char sums."""
+    d = _docs(spark, sf_dir).where(F.col("source").isin(*_PERM_SRC))
+    base = d.select("doc_id", "n_chars", "source")
+    sizes = base.agg(
+        F.sum((F.col("source") == _PERM_SRC[0]).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("source") == _PERM_SRC[1]).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("source") == _PERM_SRC[0], F.col("n_chars"))).cast("long").alias("s_a"),
+        F.sum(F.when(F.col("source") == _PERM_SRC[1], F.col("n_chars"))).cast("long").alias("s_b"),
+    )
+    obs = sizes.select(
+        "n_a", "n_b",
+        (F.col("s_a").cast("double") / F.col("n_a")
+         - F.col("s_b").cast("double") / F.col("n_b")).alias("d_obs"),
+    )
+    h = md5_int(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+    perms = base.select(
+        "doc_id", "n_chars", F.explode(F.sequence(F.lit(0), F.lit(_PERM_N - 1))).alias("p")
+    ).select("p", "n_chars", h.alias("h"), "doc_id")
+    wp = Window.partitionBy("p").orderBy("h", "doc_id")
+    ranked = perms.select("p", "n_chars", F.row_number().over(wp).alias("rn"))
+    pd_ = (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("p", "n_a", "n_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("rn") <= F.col("n_a"), F.col("n_chars"))).cast("double")
+                / F.first("n_a")
+                - F.sum(F.when(F.col("rn") > F.col("n_a"), F.col("n_chars"))).cast("double")
+                / F.first("n_b")
+            ).alias("d")
+        )
+    )
+    return (
+        pd_.crossJoin(F.broadcast(obs.select("d_obs")))
+        .groupBy("n_a", "n_b", "d_obs")
+        .agg(
+            F.sum((F.abs(F.col("d")) >= F.abs(F.col("d_obs"))).cast("long")).alias("ge")
+        )
+        .select(
+            "n_a", "n_b", F.round("d_obs", 6).alias("obs_diff"),
+            F.lit(_PERM_N).cast("long").alias("n_perms"),
+            F.round((1 + F.col("ge")) / (_PERM_N + 1.0), 6).alias("p_value"),
+        )
+    )

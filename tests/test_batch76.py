@@ -107,3 +107,48 @@ def test_wilcoxon_all_positive_shifts(spark, tmp_path):
     out = QUERIES["wilcoxon_signed"](spark, sf).collect()[0]
     assert out.n_pairs == 10 and out.w_plus == 55.0
     assert abs(out.z - 27.5 / math.sqrt(96.25)) < 1e-6
+
+
+def test_compaction_bins_capacity_invariant(spark, tmp_path):
+    """Every closed (full) HARMONIC bin fits the 1024 cap, and class-1
+    items sit one per bin."""
+    from pliers_spark.queries import QUERIES
+
+    rows = [(i, "t", "en", "s", sz) for i, sz in enumerate(
+        [900, 800, 700, 400, 400, 300, 120, 110, 100, 90, 80, 70, 60, 50])]
+    sf = _write(spark, tmp_path, "documents", rows, DOCS)
+    out = QUERIES["compaction_bins"](spark, sf).collect()
+    assert all(r.fill_chars <= 1024 for r in out)
+    ones = [r for r in out if r.size_class == 1]
+    assert all(r.n_items == 1 for r in ones) and len(ones) == 3
+    full = [r for r in out if r.n_items == r.size_class and r.size_class < 8]
+    assert all(r.fill_ratio > r.size_class / (r.size_class + 1.0) - 1e-9 for r in full)
+
+
+def test_knn_probe_separable_clusters(spark, tmp_path):
+    """Two well-separated label clusters -> 100% LOO accuracy."""
+    from pliers_spark.queries import QUERIES
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + i * 0.1, 0.0, 0.0, 1.0], 0))
+    for i in range(6):
+        rows.append((10 + i, [0.0, 10.0 + i * 0.1, 0.0, 1.0], 1))
+    sf = _write(spark, tmp_path, "embeddings", rows, EMB)
+    out = {r.label: r for r in QUERIES["knn_probe"](spark, sf).collect()}
+    assert out[0].n == 6 and out[0].acc == 1.0
+    assert out[1].n == 6 and out[1].acc == 1.0
+
+
+def test_permutation_test_huge_gap_min_p(spark, tmp_path):
+    """src0 docs 10x longer than src1 -> observed diff beats every
+    permutation: p = 1/(K+1)."""
+    from pliers_spark.queries import QUERIES
+
+    rows = [(i, "t", "en", "src0", 5000) for i in range(15)]
+    rows += [(100 + i, "t", "en", "src1", 50) for i in range(15)]
+    sf = _write(spark, tmp_path, "documents", rows, DOCS)
+    out = QUERIES["permutation_test"](spark, sf).collect()[0]
+    assert out.n_a == 15 and out.n_b == 15
+    assert out.obs_diff == 4950.0
+    assert abs(out.p_value - 1 / 21.0) < 1e-6
