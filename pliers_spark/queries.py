@@ -22484,3 +22484,241 @@ def q_permutation_test(spark, sf_dir):
             F.round((1 + F.col("ge")) / (_PERM_N + 1.0), 6).alias("p_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# batch 78: off-policy evaluation, simplified silhouette, anchor-text index
+
+_OPE_TARGET = ("click", "purchase")  # target policy: uniform over these
+
+
+def _ope_sql() -> str:
+    tset = ", ".join(f"'{a}'" for a in _OPE_TARGET)
+    return f"""WITH base AS (
+         SELECT event_type AS a, round(1e6 * value)::BIGINT AS rm FROM events),
+       prop AS (
+         SELECT a, count(*)::BIGINT AS na, sum(rm)::BIGINT AS sa,
+                (SELECT count(*) FROM base)::BIGINT AS n
+         FROM base GROUP BY a),
+       qpi AS (
+         SELECT sum(CASE WHEN a IN ({tset})
+                         THEN 0.5 * (sa::DOUBLE / na) END) AS q_pi
+         FROM prop),
+       w AS (
+         SELECT b.rm::DOUBLE / 1e6 AS r,
+                CASE WHEN b.a IN ({tset})
+                     THEN 0.5 * p.n / p.na ELSE 0.0 END AS w,
+                p.sa::DOUBLE / p.na / 1e6 AS q_a
+         FROM base b JOIN prop p USING (a)),
+       agg AS (
+         SELECT count(*)::BIGINT AS n, sum(w) AS sw, sum(w * w) AS sww,
+                sum(w * r) AS swr, sum(w * (r - q_a)) AS sdr
+         FROM w)
+       SELECT n,
+              round(swr / n, 6) AS ips,
+              round(swr / sw, 6) AS snips,
+              round((SELECT q_pi FROM qpi) / 1e6 + sdr / n, 6) AS dr,
+              round(sw * sw / sww / n, 6) AS ess_frac
+       FROM agg"""
+
+
+@query("offpolicy_eval", _ope_sql())
+def q_offpolicy_eval(spark, sf_dir):
+    """Off-policy evaluation of a target policy (uniform over
+    {{click, purchase}}) from logged interactions: IPS (Horvitz-Thompson
+    1952), self-normalized SNIPS (Swaminathan & Joachims, NeurIPS 2015),
+    and doubly-robust DR (Dudík et al., ICML 2011) with the per-action
+    mean-reward model q̂ — the standard counterfactual-eval triple for
+    recsys/routing policies, plus the weight ESS fraction ((Σw)²/(nΣw²),
+    the diagnostic that says whether the estimate is usable at all).
+    Logging propensities are ESTIMATED as empirical action frequencies
+    (the common logs-without-propensities practice). Rewards enter as
+    integer micro-units so every sum is order-exact cross-engine; the
+    importance weight is a ratio of exact counts. Scale shape: one
+    action-frequency census (broadcast back), one flat scan — no joins
+    beyond the K-row propensity table."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.col("event_type").alias("a"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("rm"),
+    )
+    prop = base.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("na"),
+        F.sum("rm").cast("long").alias("sa"),
+    )
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prop = prop.crossJoin(F.broadcast(n_tot))
+    in_t = F.col("a").isin(*_OPE_TARGET)
+    qpi = prop.agg(
+        F.sum(F.when(in_t, 0.5 * (F.col("sa").cast("double") / F.col("na")))).alias("q_pi")
+    )
+    w = base.join(F.broadcast(prop), "a").select(
+        (F.col("rm").cast("double") / 1e6).alias("r"),
+        F.when(in_t, 0.5 * F.col("n") / F.col("na")).otherwise(F.lit(0.0)).alias("w"),
+        (F.col("sa").cast("double") / F.col("na") / 1e6).alias("q_a"),
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("w") * F.col("r")).alias("swr"),
+        F.sum(F.col("w") * (F.col("r") - F.col("q_a"))).alias("sdr"),
+    )
+    return agg.crossJoin(F.broadcast(qpi)).select(
+        "n",
+        F.round(F.col("swr") / F.col("n"), 6).alias("ips"),
+        F.round(F.col("swr") / F.col("sw"), 6).alias("snips"),
+        F.round(F.col("q_pi") / 1e6 + F.col("sdr") / F.col("n"), 6).alias("dr"),
+        F.round(F.col("sw") * F.col("sw") / F.col("sww") / F.col("n"), 6).alias("ess_frac"),
+    )
+
+
+def _silhouette_sql() -> str:
+    comp = "round(1e6 * x)::BIGINT"
+    return f"""WITH comps AS (
+         SELECT vec_id, label,
+                unnest(list_transform(embedding, x -> {comp})) AS cm,
+                unnest(range(len(embedding))) AS i
+         FROM embeddings),
+       cent AS (
+         SELECT label, i, sum(cm)::BIGINT AS s, count(*)::BIGINT AS n
+         FROM comps GROUP BY label, i),
+       dists AS (
+         SELECT c.vec_id, c.label AS own, ct.label AS other,
+                sqrt(sum((c.cm / 1e6 - ct.s::DOUBLE / ct.n / 1e6)
+                       * (c.cm / 1e6 - ct.s::DOUBLE / ct.n / 1e6))) AS d
+         FROM comps c JOIN cent ct ON ct.i = c.i
+         GROUP BY c.vec_id, c.label, ct.label),
+       ab AS (
+         SELECT vec_id, own,
+                max(CASE WHEN other = own THEN d END) AS a,
+                min(CASE WHEN other <> own THEN d END) AS b
+         FROM dists GROUP BY vec_id, own),
+       s AS (
+         SELECT own, round(1e6 * (b - a) / greatest(a, b))::BIGINT AS sm
+         FROM ab)
+       SELECT own AS label, count(*)::BIGINT AS n,
+              round(sum(sm) / count(*) / 1e6, 6) AS silhouette
+       FROM s GROUP BY own"""
+
+
+@query("silhouette_simplified", _silhouette_sql())
+def q_silhouette_simplified(spark, sf_dir):
+    """Simplified silhouette coefficient (Hruschka et al. 2004 — the
+    O(n·k) centroid form of Rousseeuw 1987) per label cluster:
+    a(i) = distance to OWN centroid, b(i) = distance to the nearest
+    OTHER centroid, s(i) = (b−a)/max(a,b), averaged per cluster. The
+    full silhouette's O(n²) pairwise pass is replaced by n·k
+    point-to-centroid distances — the form that survives a 10^9-vector
+    table. Centroids come from exact integer micro-component sums (one
+    map-side partial agg), every distance is derived bit-identically
+    in both engines, and per-point scores round to micro-ints before
+    the cluster mean so the final average is order-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1e6, 0).cast("long"),
+            )
+        ).alias("i", "cm"),
+    )
+    cent = comps.groupBy("label", "i").agg(
+        F.sum("cm").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    d2 = (F.col("cm") / 1e6 - F.col("s").cast("double") / F.col("n") / 1e6)
+    dists = (
+        comps.alias("c")
+        .join(F.broadcast(cent.alias("ct")), F.col("ct.i") == F.col("c.i"))
+        .groupBy(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.label").alias("own"),
+            F.col("ct.label").alias("other"),
+        )
+        .agg(F.sqrt(F.sum(d2 * d2)).alias("d"))
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("other") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("other") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "own",
+        F.round(1e6 * (F.col("b") - F.col("a")) / F.greatest("a", "b"), 0)
+        .cast("long")
+        .alias("sm"),
+    )
+    return s.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("sm") / F.count(F.lit(1)) / 1e6, 6).alias("silhouette"),
+    )
+
+
+_ANCHOR_HOSTS = 50
+_ANCHOR_LINKS = 3
+
+
+def _anchor_sql() -> str:
+    def dst(j: int) -> str:
+        h = md5_int_sql(f"concat(doc_id::VARCHAR, ':{j}')")
+        return f"({h} % {_ANCHOR_HOSTS})::BIGINT"
+
+    link_union = " UNION ALL ".join(
+        f"SELECT (doc_id % {_ANCHOR_HOSTS})::BIGINT AS src, {dst(j)} AS dst, "
+        f"string_split(trim(text), ' ')[1] AS anchor FROM documents"
+        for j in range(_ANCHOR_LINKS)
+    )
+    return f"""WITH links AS ({link_union}),
+       ext AS (SELECT * FROM links WHERE src <> dst),
+       per AS (
+         SELECT dst, anchor, count(*)::BIGINT AS c
+         FROM ext GROUP BY dst, anchor),
+       top AS (
+         SELECT dst, anchor AS top_anchor,
+                row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rn
+         FROM per)
+       SELECT p.dst AS host, sum(p.c)::BIGINT AS in_degree,
+              count(*)::BIGINT AS n_unique_anchors,
+              max(t.top_anchor) AS top_anchor
+       FROM per p JOIN top t ON t.dst = p.dst AND t.rn = 1
+       GROUP BY p.dst"""
+
+
+@query("anchor_text_index", _anchor_sql())
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index over the host link graph (the signal web search
+    ranks with since Brin & Page 1998 §2.2: a page is described by the
+    text of links POINTING AT it): for every destination host of the
+    deterministic doc→host link graph (same graph as `host_pagerank`),
+    aggregate external in-links carrying the linking doc's lead token
+    as anchor — in-degree, distinct anchor vocabulary, and the modal
+    anchor (ties lexicographic). Scale shape: the (dst, anchor) census
+    is one map-side-partial agg over the exploded link list; the modal
+    pick is a per-host window over the census (host-grain, not
+    link-grain)."""
+    docs = _docs(spark, sf_dir)
+    anchor = F.element_at(F.split(F.trim(F.col("text")), " "), 1)
+    links = None
+    for j in range(_ANCHOR_LINKS):
+        part = docs.select(
+            (F.col("doc_id") % _ANCHOR_HOSTS).cast("long").alias("src"),
+            (md5_int(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}")))
+             % _ANCHOR_HOSTS).cast("long").alias("dst"),
+            anchor.alias("anchor"),
+        )
+        links = part if links is None else links.unionAll(part)
+    ext = links.where(F.col("src") != F.col("dst"))
+    per = ext.groupBy("dst", "anchor").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wt = Window.partitionBy("dst").orderBy(F.desc("c"), "anchor")
+    top = per.select("dst", "anchor", F.row_number().over(wt).alias("rn")).where(
+        F.col("rn") == 1
+    )
+    return (
+        per.join(top.select("dst", F.col("anchor").alias("top_anchor")), "dst")
+        .groupBy(F.col("dst").alias("host"))
+        .agg(
+            F.sum("c").cast("long").alias("in_degree"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_anchors"),
+            F.max("top_anchor").alias("top_anchor"),
+        )
+    )

@@ -152,3 +152,47 @@ def test_permutation_test_huge_gap_min_p(spark, tmp_path):
     assert out.n_a == 15 and out.n_b == 15
     assert out.obs_diff == 4950.0
     assert abs(out.p_value - 1 / 21.0) < 1e-6
+
+
+def test_offpolicy_uniform_logs_identity(spark, tmp_path):
+    """Logged policy == target support with equal counts and constant
+    rewards: IPS = SNIPS = DR = reward of target actions; full ESS on
+    target rows."""
+    from pliers_spark.queries import QUERIES
+
+    rows, eid = [], 0
+    for a, r in (("click", 2.0), ("purchase", 2.0), ("view", 9.0), ("error", 9.0)):
+        for _ in range(5):
+            rows.append((eid, datetime(2024, 1, 1), 1, a, r, "")); eid += 1
+    sf = _write(spark, tmp_path, "events", rows, EVENTS)
+    out = QUERIES["offpolicy_eval"](spark, sf).collect()[0]
+    # target = uniform over {click, purchase}, both reward 2.0
+    assert out.snips == 2.0 and out.dr == 2.0
+    assert abs(out.ips - 2.0) < 1e-6
+    assert out.n == 20
+
+
+def test_silhouette_tight_separated_clusters(spark, tmp_path):
+    """Two tight, far-apart clusters -> silhouette near 1 for both."""
+    from pliers_spark.queries import QUERIES
+
+    rows = []
+    for i in range(5):
+        rows.append((i, [0.0 + 0.01 * i, 0.0, 0.0, 0.0], 0))
+        rows.append((10 + i, [100.0 + 0.01 * i, 0.0, 0.0, 0.0], 1))
+    sf = _write(spark, tmp_path, "embeddings", rows, EMB)
+    out = {r.label: r.silhouette for r in QUERIES["silhouette_simplified"](spark, sf).collect()}
+    assert out[0] > 0.99 and out[1] > 0.99
+
+
+def test_anchor_text_index_modal_anchor(spark, tmp_path):
+    """All docs share a lead token -> every host's top_anchor is it and
+    anchor vocabulary is 1."""
+    from pliers_spark.queries import QUERIES
+
+    rows = [(i, "promo deal page", "en", "s", 20) for i in range(30)]
+    sf = _write(spark, tmp_path, "documents", rows, DOCS)
+    out = QUERIES["anchor_text_index"](spark, sf).collect()
+    assert len(out) > 0
+    assert all(r.top_anchor == "promo" and r.n_unique_anchors == 1 for r in out)
+    assert sum(r.in_degree for r in out) <= 30 * 3  # self-links excluded
