@@ -22722,3 +22722,286 @@ def q_anchor_text_index(spark, sf_dir):
             F.max("top_anchor").alias("top_anchor"),
         )
     )
+
+
+@query(
+    "mann_whitney_u",
+    """WITH v AS (
+         SELECT (event_type = 'click') AS g1,
+                CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events WHERE event_type IN ('click', 'view')),
+       dist AS (SELECT v_fp, count(*)::BIGINT AS eq FROM v GROUP BY v_fp),
+       rk AS (
+         SELECT v_fp, eq,
+                2 * (sum(eq) OVER (ORDER BY v_fp) - eq) + eq + 1 AS r2
+         FROM dist),
+       agg AS (
+         SELECT sum(CASE WHEN v.g1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                sum(CASE WHEN v.g1 THEN 0 ELSE 1 END)::BIGINT AS n2,
+                sum(CASE WHEN v.g1 THEN rk.r2 ELSE 0 END)::BIGINT AS r1_2,
+                (SELECT sum(eq * eq * eq - eq) FROM dist)::BIGINT AS tie3
+         FROM v JOIN rk USING (v_fp)),
+       u AS (
+         SELECT n1, n2, n1 + n2 AS n, tie3,
+                r1_2 - n1 * (n1 + 1) AS u1_2
+         FROM agg)
+       SELECT n1, n2, round(u1_2 / 2.0, 6) AS u1,
+              round((u1_2 / 2.0 - n1::DOUBLE * n2::DOUBLE / 2.0)
+                    / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+                           * ((n + 1)::DOUBLE
+                              - tie3::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE))), 6) AS z
+       FROM u""",
+)
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) comparing
+    `value` between click and view events — the two-sample special
+    case of `kruskal_wallis`, sharing its exact-integer rank machinery:
+    the DOUBLED average rank of a value is 2·|{<v}| + |{=v}| + 1 from
+    the value census, so the group-1 rank sum R₁ and U₁ = R₁ −
+    n₁(n₁+1)/2 are exact int64 (carried doubled until the final emit).
+    z uses the tie-corrected variance n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1)))
+    with no continuity correction — one identical double expression on
+    both engines. Plan: value census (one shuffle), value-grain running
+    window, join back, single global agg."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("click", "view"))
+    v = ev.select(
+        (F.col("event_type") == "click").alias("g1"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
+    )
+    dist = v.groupBy("v_fp").agg(F.count(F.lit(1)).cast("long").alias("eq"))
+    wv = Window.orderBy("v_fp").rowsBetween(Window.unboundedPreceding, 0)
+    rk = dist.select(
+        "v_fp",
+        (2 * (F.sum("eq").over(wv) - F.col("eq")) + F.col("eq") + 1).alias("r2"),
+    )
+    agg = (
+        v.join(rk, "v_fp")
+        .agg(
+            F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("n2"),
+            F.sum(F.when(F.col("g1"), F.col("r2")).otherwise(0)).cast("long").alias("r1_2"),
+        )
+        .crossJoin(
+            dist.agg(
+                F.sum(F.col("eq") * F.col("eq") * F.col("eq") - F.col("eq"))
+                .cast("long")
+                .alias("tie3")
+            )
+        )
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    u = agg.select(
+        "n1", "n2", "tie3",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2"),
+    )
+    sigma = F.sqrt(
+        d_("n1") * d_("n2") / F.lit(12.0)
+        * ((F.col("n") + 1).cast("double") - d_("tie3") / (d_("n") * (F.col("n") - 1).cast("double")))
+    )
+    return u.select(
+        "n1", "n2",
+        F.round(F.col("u1_2") / F.lit(2.0), 6).alias("u1"),
+        F.round(
+            (F.col("u1_2") / F.lit(2.0) - d_("n1") * d_("n2") / F.lit(2.0)) / sigma, 6
+        ).alias("z"),
+    )
+
+
+@query(
+    "levene_bf",
+    """WITH v AS (
+         SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v_fp
+         FROM events),
+       cen AS (
+         SELECT event_type, v_fp, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, v_fp, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY v_fp) AS cc,
+                sum(c) OVER (PARTITION BY event_type) AS ni
+         FROM cen),
+       med AS (
+         SELECT event_type, min(v_fp) AS med_fp
+         FROM cum WHERE cc >= (ni + 1) // 2 GROUP BY event_type),
+       z AS (
+         SELECT v.event_type, abs(v.v_fp - med.med_fp)::BIGINT AS z_fp
+         FROM v JOIN med USING (event_type)),
+       g AS (
+         SELECT event_type, count(*)::BIGINT AS ni,
+                sum(z_fp)::BIGINT AS s,
+                sum((z_fp / 1000000.0) * (z_fp / 1000000.0)) AS q
+         FROM z GROUP BY event_type),
+       terms AS (
+         SELECT event_type, ni, s,
+                CAST(round(1000000.0 * (s / 1000000.0) * (s / 1000000.0) / ni) AS BIGINT) AS num_fp,
+                CAST(round(1000000.0 * (q - (s / 1000000.0) * (s / 1000000.0) / ni)) AS BIGINT) AS den_fp
+         FROM g),
+       tot AS (
+         SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS n, sum(s)::BIGINT AS st,
+                sum(num_fp)::BIGINT AS numf, sum(den_fp)::BIGINT AS denf
+         FROM terms)
+       SELECT k, n,
+              round((n - k)::DOUBLE / (k - 1)::DOUBLE
+                    * (numf / 1000000.0
+                       - (st / 1000000.0) * (st / 1000000.0) / n::DOUBLE)
+                    / (denf / 1000000.0), 6) AS w_bf
+       FROM tot""",
+)
+def q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe test for homogeneity of variance across event
+    types (Brown & Forsythe, JASA 1974 — Levene's test with the
+    median center, the robust form): W = ((N−k)/(k−1)) · Σnᵢ(z̄ᵢ−z̄)² /
+    ΣΣ(zᵢⱼ−z̄ᵢ)² where zᵢⱼ = |xᵢⱼ − medᵢ|. The group median is the
+    LOWER median (k-th smallest, k=(nᵢ+1)//2) read off an exact integer
+    census + running-count window — no percentile_approx — so every zᵢⱼ
+    is an exact int64; per-group cross terms are micro-int-rounded
+    BEFORE the cross-group sum so the group-order-dependent float adds
+    never happen. Plan: per-group value census (one shuffle), windowed
+    median pick, join back, group-grain math."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp")
+    )
+    cen = v.groupBy("event_type", "v_fp").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("v_fp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cen.select(
+        "event_type", "v_fp",
+        F.sum("c").over(wcum).alias("cc"), F.sum("c").over(wall).alias("ni"),
+    )
+    med = (
+        cum.where(F.col("cc") >= F.floor((F.col("ni") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.min("v_fp").alias("med_fp"))
+    )
+    z = v.join(med, "event_type").select(
+        "event_type", F.abs(F.col("v_fp") - F.col("med_fp")).cast("long").alias("z_fp")
+    )
+    zd = F.col("z_fp") / F.lit(1e6)
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("z_fp").cast("long").alias("s"),
+        F.sum(zd * zd).alias("q"),
+    )
+    sd = F.col("s") / F.lit(1e6)
+    terms = g.select(
+        "ni", "s",
+        F.round(F.lit(1e6) * sd * sd / F.col("ni"), 0).cast("long").alias("num_fp"),
+        F.round(F.lit(1e6) * (F.col("q") - sd * sd / F.col("ni")), 0).cast("long").alias("den_fp"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("num_fp").cast("long").alias("numf"),
+        F.sum("den_fp").cast("long").alias("denf"),
+    )
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    std = F.col("st") / F.lit(1e6)
+    return tot.select(
+        "k", "n",
+        F.round(
+            (F.col("n") - F.col("k")).cast("double") / (F.col("k") - 1).cast("double")
+            * (F.col("numf") / F.lit(1e6) - std * std / d_("n"))
+            / (F.col("denf") / F.lit(1e6)),
+            6,
+        ).alias("w_bf"),
+    )
+
+
+@query(
+    "fleiss_kappa",
+    """WITH r AS (
+         SELECT doc_id,
+                CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS cat
+         FROM documents
+         UNION ALL
+         SELECT doc_id,
+                CASE WHEN len(string_split(trim(text), ' ')) < 40 THEN 0
+                     WHEN len(string_split(trim(text), ' ')) < 80 THEN 1 ELSE 2 END
+         FROM documents
+         UNION ALL
+         SELECT doc_id,
+                CASE WHEN n_chars < 180 THEN 0 WHEN n_chars < 420 THEN 1 ELSE 2 END
+         FROM documents),
+       nij AS (SELECT doc_id, cat, count(*)::BIGINT AS nij FROM r GROUP BY 1, 2),
+       per_item AS (
+         SELECT doc_id, sum(nij * nij)::BIGINT AS ss FROM nij GROUP BY doc_id),
+       items AS (
+         SELECT count(*)::BIGINT AS n_items, sum(ss)::BIGINT AS ss_tot
+         FROM per_item),
+       cats AS (SELECT cat, sum(nij)::BIGINT AS cj FROM nij GROUP BY cat),
+       pe AS (
+         SELECT sum(CAST(round(1000000000000.0 * cj * cj
+                          / ((SELECT n_items FROM items) * 3.0)
+                          / ((SELECT n_items FROM items) * 3.0)) AS BIGINT))::BIGINT AS pe_fp
+         FROM cats)
+       SELECT items.n_items, 3::BIGINT AS m,
+              round((ss_tot - items.n_items * 3)::DOUBLE
+                    / (items.n_items * 3 * 2)::DOUBLE, 6) AS p_bar,
+              round(pe_fp / 1000000000000.0, 6) AS p_e,
+              round(((ss_tot - items.n_items * 3)::DOUBLE
+                     / (items.n_items * 3 * 2)::DOUBLE
+                     - pe_fp / 1000000000000.0)
+                    / (1.0 - pe_fp / 1000000000000.0), 6) AS kappa
+       FROM items, pe""",
+)
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (Fleiss, Psych. Bulletin 1971) — chance-corrected
+    agreement among m=3 deterministic 'raters' each assigning every
+    document one of 3 size categories (char-count terciles at two
+    threshold settings + a token-count rater, so agreement is high but
+    imperfect — exactly the multi-annotator QA shape used to audit
+    labeling pipelines). P̄ = Σᵢ(Σⱼnᵢⱼ² − m)/(Nm(m−1)) and Pₑ = Σⱼpⱼ²
+    come from exact int64 census counts; the per-category pⱼ² terms are
+    pico-int-rounded before the cross-category sum so float add order
+    never matters. Plan: 3 projections unioned (no shuffle), one
+    (doc,cat) census, item-grain and category-grain aggs."""
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(F.split(F.trim(F.col("text")), " "))
+    raters = [
+        F.when(F.col("n_chars") < 200, 0).when(F.col("n_chars") < 400, 1).otherwise(2),
+        F.when(ntok < 40, 0).when(ntok < 80, 1).otherwise(2),
+        F.when(F.col("n_chars") < 180, 0).when(F.col("n_chars") < 420, 1).otherwise(2),
+    ]
+    r = None
+    for expr in raters:
+        part = docs.select("doc_id", expr.alias("cat"))
+        r = part if r is None else r.unionAll(part)
+    nij = r.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    per_item = nij.groupBy("doc_id").agg(
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("ss")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("ss").cast("long").alias("ss_tot"),
+    )
+    cats = nij.groupBy("cat").agg(F.sum("nij").cast("long").alias("cj"))
+    pe = (
+        cats.crossJoin(items.select("n_items"))
+        .select(
+            F.round(
+                F.lit(1e12) * F.col("cj") * F.col("cj")
+                / (F.col("n_items") * F.lit(3.0))
+                / (F.col("n_items") * F.lit(3.0)),
+                0,
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("pe_fp"))
+    )
+    j = items.crossJoin(pe)
+    p_bar = (F.col("ss_tot") - F.col("n_items") * 3).cast("double") / (
+        F.col("n_items") * 3 * 2
+    ).cast("double")
+    p_e = F.col("pe_fp") / F.lit(1e12)
+    return j.select(
+        "n_items",
+        F.lit(3).cast("long").alias("m"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+    )
