@@ -184,3 +184,43 @@ def personalized_pagerank(
         "rank_fp",
         F.round(F.col("rank_fp") / F.lit(PR_SCALE), 6).alias("rank"),
     )
+
+
+def minplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """All-pairs shortest hop counts by min-plus DOUBLING: after k
+    rounds the frame holds exact shortest distances for every pair
+    within 2^k hops, so O(log diameter) shuffle rounds close any
+    graph (Valiant-style path doubling — the standard PRAM/BSP
+    formulation). Each round is one self-join on the node key + a
+    min-reduce; lineage is cut per round.
+
+    Scale note: the output is O(reachable pairs) — fine for the
+    host-grain graphs this engine materializes (hosts ≪ pages), and
+    for billion-NODE graphs the per-pair closure is replaced by the
+    label-propagation operators (``dedup.connected_components``,
+    ``queries.label_propagation``) which keep per-node state only.
+
+    Returns (src, dst, dist BIGINT), dist ≥ 1, self-pairs only when
+    the graph has a cycle through the node.
+    """
+    r = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        a = r.alias("a")
+        b = r.alias("b")
+        two_hop = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        r = (
+            r.unionAll(two_hop)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return r
