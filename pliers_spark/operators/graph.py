@@ -224,3 +224,34 @@ def minplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return r
+
+
+def maxplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """All-pairs LONGEST-path hop counts by max-plus doubling — the
+    dual of :func:`minplus_closure`, well-defined only on DAGs (on a
+    cyclic graph the 'longest walk' diverges; feed it the SCC
+    condensation). Same O(log depth) shuffle structure.
+
+    Returns (src, dst, dist BIGINT) with dist = longest path length.
+    """
+    r = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        a = r.alias("a")
+        b = r.alias("b")
+        two_hop = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        r = (
+            r.unionAll(two_hop)
+            .groupBy("src", "dst")
+            .agg(F.max("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return r
