@@ -20,6 +20,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "mann_whitney_u",
+    "levene_bf",
+    "fleiss_kappa",
+    "lin_ccc",
+    "ljung_box",
+    "l_diversity",
+    "personalized_pagerank",
+    "qld_topk",
+    "good_turing",
+    "page_hinkley",
+    "periodogram_peak",
+    "minmax_skipping",
+    "holm_bonferroni",
+    "t_closeness",
+    "effect_sizes",
+    "yuen_trimmed",
+    "kaplan_meier",
+    "aalen_johansen",
+    "markov_entropy_rate",
+    "seq_pattern_support",
+    "hits_scores",
+    "propensity_match",
+    "gamma_poisson_eb",
+    "scc_components",
+    "bowtie_structure",
+    "fightin_words",
+    "phrase_search",
+    "bayes_ab_beta",
+    "amoc_changepoint",
+    "kde_grid",
+    "mmd_rff",
+    "nelson_aalen",
+    "rarefaction_curve",
+    "decile_lift",
+    "isotonic_fit",
+    "cronbach_alpha",
+    "sinkhorn_ot",
+    "pca_project",
+    "symspell_correct",
+    "ecod_scores",
+    "watermark_audit",
+    "tolerance_interval",
+    "control_chart",
+    "np_chunks",
+    "gmm_em_1d",
+    "logistic_irls",
+    "svm_batch_subgradient",
+    "adaboost_stumps",
+    "fk_discovery",
+    "fd_violations",
+    "body_extraction_span",
+    "warc_roundtrip",
+    "holt_linear",
+    "kleinberg_bursts",
+    "median_polish",
+    "hashring_migration",
+    "ktruss_edges",
+    "clarity_score",
+    "absorbing_chain_steps",
+    "gumbel_maxima",
     # name → must exist in pliers_spark.queries.QUERIES
     "text_length",
     "tokenize",
