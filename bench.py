@@ -4,9 +4,20 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect). The headline throughput figure is pages(docs)/sec for
-the flagship extraction + as-of join path, reported as extra JSON keys.
+the flagship extraction + as-of join path, reported as extra JSON keys,
+and the flagship runs FIRST so the headline number exists even if the
+harness is killed mid-sweep. A wall-clock budget (--budget-s, default
+600 s) guarantees the JSON line prints inside any reasonable driver
+window: queries not reached in time are listed under "skipped", and a
+query that raises is recorded under "errors" instead of killing the run.
 
-Usage: python bench.py [--cpus N] [--sf-dir DIR] [--repeat K]
+The default sweep is the compact HEADLINE set (north-rule core: flagship,
+as-of joins, windowed features, sessionize, dedup, similarity, text
+extractors, curation). --full runs the entire 350+-query catalogue
+(several minutes; use for local regression sweeps, not the driver).
+
+Usage: python bench.py [--cpus N] [--sf-dir DIR] [--repeat K] [--full]
+                       [--budget-s SECONDS]
 """
 
 from __future__ import annotations
@@ -19,7 +30,59 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
+# Compact default sweep: one representative per operator family on the
+# north-rule path. Kept small enough that startup + flagship + sweep
+# lands well under the driver's bench window at sf0.1 on local[32].
+HEADLINE_QUERIES = [
+    # text extractor core (pliers parity surface)
+    "text_length",
+    "tokenize",
+    "word_counter",
+    "dictionary_lookup",
+    "tfidf",
+    "quality_score",
+    "langid",
+    "sentiment_lexicon",
+    "porter_stem",
+    "vader_sentiment",
+    "spacy_attrs",
+    # point-in-time / windowed feature engineering (north rule)
+    "asof_join",
+    "asof_join_cogroup",
+    "asof_join_nearest",
+    "sessionize",
+    "rolling_window",
+    "resample_ffill",
+    "snapshot_asof",
+    "training_matrix",
+    "target_encode_pit",
+    "scd2_build",
+    "rolling_multi",
+    # dedup / similarity (training-data pipeline)
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "semantic_dedup",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "chunk_dedup",
+    "bm25_topk",
+    # curation / quality
+    "quality_filter",
+    "gopher_rules",
+    "curation_pipeline",
+    "sequence_pack",
+    "decontaminate",
+    # relational / multimodal sanity
+    "tpch_q1",
+    "tpch_q3",
+    "events_pivot",
+    "stft_power",
+    "mel_mfcc",
+    "image_decode_stats",
+]
+
+FULL_QUERIES = [
     "mann_whitney_u",
     "levene_bf",
     "fleiss_kappa",
@@ -386,14 +449,37 @@ def materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
+def _scaling_evidence() -> dict:
+    """Fold the two-parallelism-level scaling evidence (north rule) into
+    the bench JSON line, if tools/scaling_bench.py has been run."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_results", "scaling.json")
+    try:
+        with open(path) as f:
+            s = json.load(f)
+        return {
+            "scaling_efficiency": s["scaling_efficiency"],
+            "scaling_low": {"cpus": s["low"]["cpus"],
+                            "pages_per_sec": s["low"]["pages_per_sec"]},
+            "scaling_high": {"cpus": s["high"]["cpus"],
+                             "pages_per_sec": s["high"]["pages_per_sec"]},
+            "scaling_valid": s.get("valid", True),
+        }
+    except Exception:
+        return {}
+
+
+def run_bench(sf_dir: str, cpus: int, repeat: int = 1, full: bool = False,
+              budget_s: float = 600.0) -> dict:
     from pliers_spark.flagship import flagship_features
     from pliers_spark.queries import QUERIES
     from pliers_spark.session import get_spark, load_table
 
+    t_start = time.time()
+    bench_queries = FULL_QUERIES if full else HEADLINE_QUERIES
     spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
     # warm the JVM + parquet footers once
-    load_table(spark, sf_dir, "documents").count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
     load_table(spark, sf_dir, "events").count()
     # warm the Python UDF workers once (steady-state measurement: spawning
     # `cpus` interpreters + importing pandas/pyarrow is a per-executor
@@ -404,14 +490,30 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
+
+    # headline FIRST: flagship extraction over documents + as-of join over
+    # events — the one number the driver must always get.
+    t0 = time.time()
+    materialize(flagship_features(spark, sf_dir))
+    flagship_s = time.time() - t0
+    times["flagship"] = round(flagship_s, 3)
+
+    for name in bench_queries:
+        if time.time() - t_start > budget_s:
+            skipped.append(name)
+            continue
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(repeat):
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(repeat):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # isolate: one bad query must not kill the line
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         # Release the previous query's localCheckpoint blocks: the JVM
         # ContextCleaner only unpersists them once the Python-side
         # DataFrame refs are collected — without this, checkpointed
@@ -423,13 +525,6 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         gc.collect()
         spark.catalog.clearCache()
 
-    # headline: flagship extraction over documents + as-of join over events
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    t0 = time.time()
-    materialize(flagship_features(spark, sf_dir))
-    flagship_s = time.time() - t0
-    times["flagship"] = round(flagship_s, 3)
-
     total = round(sum(times.values()), 3)
     out = {
         "metric": "bench_total_seconds",
@@ -440,7 +535,14 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         "cpus": cpus,
         "docs": n_docs,
         "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
+        "n_queries_run": len(times),
+        "n_queries_registered": len(QUERIES),
     }
+    if errors:
+        out["errors"] = errors
+    if skipped:
+        out["skipped"] = len(skipped)
+    out.update(_scaling_evidence())
     spark.stop()
     return out
 
@@ -450,5 +552,11 @@ if __name__ == "__main__":
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--full", action="store_true",
+                    help="run the entire query catalogue instead of the headline set")
+    ap.add_argument("--budget-s", type=float, default=600.0,
+                    help="wall-clock budget; queries not reached are skipped")
     args = ap.parse_args()
-    print(json.dumps(run_bench(args.sf_dir, args.cpus, args.repeat)))
+    result = run_bench(args.sf_dir, args.cpus, args.repeat, full=args.full,
+                       budget_s=args.budget_s)
+    print(json.dumps(result), flush=True)
