@@ -442,6 +442,51 @@ FULL_QUERIES = [
     "seasonal_kendall",
     "runs_test",
     "friedman_test",
+    "iv_2sls",
+    "panel_fe",
+    "page_trend",
+    "hyperloglog_users",
+    "matrix_profile_daily",
+    "err_at_k",
+    "croston_sba",
+    "anderson_darling",
+    "theta_forecast",
+    "allan_variance",
+    "sample_entropy",
+    "witten_bell_ppl",
+    "ccf_peak_lag",
+    "transfer_entropy",
+    "dfa_alpha",
+    "yule_k",
+    "mahalanobis_outliers",
+    "ipf_raking",
+    "yake_keywords",
+    "char_trigram_entropy",
+    "sentence_moments",
+    "katz_centrality",
+    "psi_drift",
+    "ts_cv_folds",
+    "rocchio_classify",
+    "silhouette_centroid",
+    "knn_loo_accuracy",
+    "bartlett_test",
+    "dagostino_k2",
+    "cliffs_delta",
+    "theil_u",
+    "bhattacharyya_hellinger",
+    "dtw_weekday",
+    "price_elasticity",
+    "part_top_supplier",
+    "late_sole_supplier",
+    "idle_rich_customers",
+    "uplift_split",
+    "seasonal_esd",
+    "holt_winters",
+    "calendar_features",
+    "gain_ratio",
+    "hll_union_merge",
+    "harmonic_centrality",
+    "median_ci",
 ]
 
 
