@@ -1,0 +1,772 @@
+"""Split from the former pliers_spark/queries.py (same registry)."""
+from __future__ import annotations
+
+from ._registry import D, DI, F, T, TP, _docs, _events, load_table, md5_int_sql, query
+from .core_parity import _LEXICON_ROWS, _LEXICON_SQL, _VALENCE_ROWS, _VALENCE_SQL
+from .relational import _tok_sql
+from .dedup_sim import _SIMHASH_BITS, _STOPWORD_SQL_LIST
+
+
+
+@query(
+    "remove_stopwords",
+    f"""SELECT doc_id,
+              array_to_string(list_filter(string_split(trim(text), ' '),
+                              t -> NOT list_contains([{_STOPWORD_SQL_LIST}], lower(t))), ' ')
+                AS filtered_text
+       FROM documents""",
+)
+def q_remove_stopwords(spark, sf_dir):
+    """TokenRemovalFilter — drop stopwords, preserve order & duplicates,
+    re-join with ' ' (pliers/filters/text.py:148-183)."""
+    lowered_match = F.filter(
+        T.tokenize(F.col("text")), lambda t: ~F.lower(t).isin(*T.ENGLISH_STOPWORDS)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(lowered_match, " ").alias("filtered_text")
+    )
+
+
+
+def _porter_sql() -> str:
+    # full Porter 1980 rule cascade as DuckDB SQL, generated from the same
+    # step tables as the Python engine (functions/stemming.porter_sql_ctes;
+    # differentially tested on random words in tests/test_stemming.py) —
+    # stems computed once per DISTINCT token, then joined back.
+    from pliers_spark.functions.stemming import porter_sql_ctes
+
+    body, out_col = porter_sql_ctes()
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(trim(text), ' '))))::BIGINT AS pos,
+                unnest(string_split(trim(text), ' ')) AS token
+         FROM documents),
+       pstem_in AS (SELECT DISTINCT token, lower(token) AS w0 FROM toks),
+       {body}
+       SELECT t.doc_id, t.pos, t.token, p.{out_col} AS stem
+       FROM toks t JOIN pstem_out p USING (token)"""
+
+
+
+@query("porter_stem", _porter_sql())
+def q_porter_stem(spark, sf_dir):
+    """WordStemmingFilter(porter) — clean-room Porter stemmer as a
+    vectorized pandas UDF (pliers/filters/text.py:24-110). Oracle: the
+    same published rule cascade rendered as DuckDB SQL from one shared
+    step table (functions/stemming.porter_sql_ctes)."""
+    from pliers_spark.functions.stemming import porter_stem_col
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return toks.withColumn("stem", porter_stem_col(F.col("token")))
+
+
+
+def _tag_case_sql() -> str:
+    """The suffix/lexicon tagger of functions/pos.py as a DuckDB CASE over
+    columns ``w`` (lowered token) and ``prev_w`` (lowered lag(token))."""
+    from pliers_spark.functions.pos import (
+        CONJUNCTIONS, DETERMINERS, PREPOSITIONS, PRONOUNS, VERBS,
+    )
+
+    fmt = lambda s: ", ".join(f"'{w}'" for w in sorted(s))
+    return f"""CASE
+                WHEN regexp_full_match(replace(replace(w, '.', ''), ',', ''), '[0-9]+') THEN 'CD'
+                WHEN list_contains([{fmt(DETERMINERS)}], w) THEN 'DT'
+                WHEN prev_w IS NOT NULL AND list_contains([{fmt(DETERMINERS)}], prev_w) THEN 'NN'
+                WHEN list_contains([{fmt(PREPOSITIONS)}], w) THEN 'IN'
+                WHEN list_contains([{fmt(CONJUNCTIONS)}], w) THEN 'CC'
+                WHEN list_contains([{fmt(PRONOUNS)}], w) THEN 'PRP'
+                WHEN list_contains([{fmt(VERBS)}], w) THEN 'VB'
+                WHEN w LIKE '%ing' THEN 'VBG'
+                WHEN w LIKE '%ed' THEN 'VBD'
+                WHEN w LIKE '%ly' THEN 'RB'
+                WHEN w LIKE '%ous' OR w LIKE '%ful' OR w LIKE '%ive'
+                     OR w LIKE '%able' OR w LIKE '%al' THEN 'JJ'
+                ELSE 'NN'
+              END"""
+
+
+
+def _pos_sql() -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ctx AS (
+         SELECT doc_id, pos, token, lower(token) AS w,
+                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
+         FROM toks)
+       SELECT doc_id, pos, token, {_tag_case_sql()} AS tag
+       FROM ctx"""
+
+
+
+@query("pos_tags", _pos_sql())
+def q_pos_tags(spark, sf_dir):
+    """PartOfSpeechExtractor — sequence-contextual tagging per document
+    via applyInPandas (the tagger sees the whole doc, like the
+    reference's batch nltk.pos_tag, pliers/extractors/text.py:204-229)."""
+    from pliers_spark.functions.pos import pos_tag_docs
+
+    return pos_tag_docs(_docs(spark, sf_dir)).withColumn("pos", F.col("pos").cast("long"))
+
+
+
+_EMB_DIM = 4
+
+
+
+def _word_emb_sql() -> str:
+    # exact integer-ppm sums + one final division: bit-deterministic
+    # across engines (see functions/embeddings.hash_embedding_dim_ppm)
+    from pliers_spark.functions.embeddings import hash_embedding_dim_ppm_sql
+
+    dims = ", ".join(
+        f"round(sum({hash_embedding_dim_ppm_sql('token', d)})"
+        f" / (count(*) * 1000000.0), 6) AS emb_{d}"
+        for d in range(_EMB_DIM)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       SELECT doc_id, {dims} FROM toks GROUP BY doc_id"""
+
+
+
+@query("word_embeddings", _word_emb_sql())
+def q_word_embeddings(spark, sf_dir):
+    """WordEmbeddingExtractor + mean pooling — token → deterministic
+    md5-derived pseudo-vector, per-dimension avg (real models plug in via
+    embeddings.embedding_lookup broadcast join;
+    pliers/extractors/text.py:232-279)."""
+    from pliers_spark.functions.embeddings import doc_mean_embedding
+
+    return doc_mean_embedding(_docs(spark, sf_dir), "doc_id", "text", dim=_EMB_DIM)
+
+
+
+@query(
+    "metric_extractor",
+    """SELECT user_id,
+              round(avg(value), 6) AS value_mean,
+              round(min(value), 6) AS value_min,
+              round(max(value), 6) AS value_max,
+              round(stddev_samp(value), 6) AS value_std,
+              count(value)::BIGINT AS value_count
+       FROM events GROUP BY user_id""",
+)
+def q_metric_extractor(spark, sf_dir):
+    """MetricExtractor — N scalar reductions per series
+    (pliers/extractors/misc.py:13-74); named aggregates stay JVM-side."""
+    from pliers_spark.operators.metrics import metric_extract
+
+    out = metric_extract(
+        _events(spark, sf_dir), ["user_id"], "value", ["mean", "min", "max", "std", "count"]
+    )
+    return out.select(
+        "user_id",
+        F.round("value_mean", 6).alias("value_mean"),
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_std", 6).alias("value_std"),
+        F.col("value_count").cast("long").alias("value_count"),
+    )
+
+
+
+@query(
+    "categorical_entropy",
+    """WITH counts AS (
+         SELECT user_id, event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1, 2)
+       SELECT user_id,
+              round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+       FROM counts GROUP BY user_id""",
+)
+def q_categorical_entropy(spark, sf_dir):
+    """Shannon entropy of the per-user event-type distribution
+    (MetricExtractor with scipy.stats.entropy — the reference's example
+    custom metric, pliers/tests/extractors/test_misc_extractors.py)."""
+    from pliers_spark.operators.metrics import categorical_entropy
+
+    return categorical_entropy(_events(spark, sf_dir), ["user_id"], "event_type")
+
+
+
+@query(
+    "feature_correlations",
+    """WITH f AS (
+         SELECT length(trim(text))::DOUBLE AS text_length,
+                len(string_split(trim(text), ' '))::DOUBLE AS n_tokens,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS n_unique
+         FROM documents)
+       SELECT round(corr(text_length, n_tokens), 6) AS corr_len_tokens,
+              round(corr(text_length, n_unique), 6) AS corr_len_unique,
+              round(corr(n_tokens, n_unique), 6) AS corr_tokens_unique
+       FROM f""",
+)
+def q_feature_correlations(spark, sf_dir):
+    """Diagnostics: correlation matrix over the merged feature table
+    (pliers/diagnostics/base.py:12-214 correlation_matrix) — pairwise
+    corr aggregates, one pass."""
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    return f.agg(
+        F.round(F.corr("text_length", "n_tokens"), 6).alias("corr_len_tokens"),
+        F.round(F.corr("text_length", "n_unique"), 6).alias("corr_len_unique"),
+        F.round(F.corr("n_tokens", "n_unique"), 6).alias("corr_tokens_unique"),
+    )
+
+
+
+def _vader_oracle_sql() -> str:
+    from pliers_spark.functions.vader import vader_sql
+
+    return vader_sql()
+
+
+
+@query("vader_sentiment", _vader_oracle_sql())
+def q_vader_sentiment(spark, sf_dir):
+    """VADERSentimentExtractor — clean-room VADER rule engine (golden
+    values pinned in tests/test_vader.py; nltk used when importable for
+    exact reference parity; pliers/extractors/text.py:318-336). Oracle:
+    the full rule engine rendered as DuckDB SQL from the same lexicon
+    and constants (functions/vader.vader_sql), differentially tested on
+    randomized texts exercising every rule."""
+    from pliers_spark.functions.vader import with_vader
+
+    return with_vader(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+
+@query(
+    "resample_interpolate",
+    """WITH bounds AS (
+         SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id),
+       grid AS (
+         SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS t FROM bounds),
+       prev AS (
+         SELECT g.user_id, g.t, e.ts AS pts, e.value AS pv
+         FROM grid g ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t >= e.ts),
+       nxt AS (
+         SELECT g.user_id, g.t, e.ts AS nts, e.value AS nv
+         FROM grid g ASOF LEFT JOIN events e ON g.user_id = e.user_id AND g.t <= e.ts)
+       SELECT p.user_id, p.t,
+              round(CASE
+                WHEN p.pts IS NULL OR n.nts IS NULL THEN NULL
+                WHEN epoch(p.pts) = epoch(n.nts) THEN p.pv
+                ELSE p.pv + (n.nv - p.pv) * (epoch(p.t) - epoch(p.pts))
+                            / (epoch(n.nts) - epoch(p.pts))
+              END, 6) AS value_interp
+       FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.t = n.t""",
+)
+def q_resample_interpolate(spark, sf_dir):
+    """Linear interpolation onto a regular grid — the reference
+    resample()'s interp1d step generalized (pliers/utils/base.py:235-239);
+    future-reading upper bracket flagged (offline/label use)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    grid = TP.resample_grid(ev, ["user_id"], "ts", 6 * 3600).withColumnRenamed("ts", "t")
+    return TP.interpolate_linear(ev, grid, ["user_id"], "ts", "t", "value")
+
+
+
+# --------------------------------------------------------------------------
+# batch 5: framed aggregation, simhash near-dups, diagnostics, n-grams,
+# vector norms, tumbling windows
+
+
+@query(
+    "framed_agg",
+    """WITH e AS (
+         SELECT user_id, epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00') AS off, value
+         FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'),
+       f AS (
+         SELECT user_id, value,
+                unnest(range(greatest(floor((off - 7200.0) / 3600.0)::BIGINT + 1, 0),
+                             floor(off / 3600.0)::BIGINT + 1)) AS frame_id
+         FROM e)
+       SELECT user_id, frame_id, count(value)::BIGINT AS n_events,
+              round(sum(value), 6) AS value_sum
+       FROM f GROUP BY 1, 2""",
+)
+def q_framed_agg(spark, sf_dir):
+    """STFT-style overlapping frame/hop aggregation (frame=2h, hop=1h):
+    the framing pattern of the reference's audio extractors
+    (pliers/extractors/audio.py:64-113) as a bounded explode + single
+    hash agg — no range join, no per-entity sort."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.framed_agg(
+        ev, ["user_id"], "ts", "value", 7200, 3600,
+        origin="2024-01-01 00:00:00",
+        aggs={"n_events": "count", "value_sum": "sum"},
+    )
+    return out.select(
+        "user_id", "frame_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+
+def _simhash_sims_cte() -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)`` — the fingerprint
+    computation shared by the pair oracles and the keep-rule oracle."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recomb = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""toks AS (
+         SELECT doc_id, unnest({_tok_sql()}) AS token FROM documents),
+       hashed AS (
+         SELECT doc_id, {md5_int_sql('token')} AS h FROM toks),
+       votes AS (
+         SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+       sims AS (
+         SELECT doc_id, ({recomb})::BIGINT AS simhash FROM votes)"""
+
+
+
+def _simhash_pairs_cte(bands: int = 4, max_hamming: int = 3) -> str:
+    """CTE chain ending in ``nd_pairs(id_a, id_b, hamming)`` — shared by
+    the near-dup-pairs oracle and the dup-clusters recursive oracle.
+    ``bands`` exact slices of the 16-bit fingerprint (pigeonhole needs
+    max_hamming < bands for zero false negatives)."""
+    assert _SIMHASH_BITS % bands == 0 and max_hamming < bands
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""{_simhash_sims_cte()},
+       banded AS (
+         SELECT doc_id, simhash, unnest([{band_ids}]) AS band_id FROM sims),
+       b2 AS (
+         SELECT doc_id, simhash, band_id, (simhash >> (band_id * {width})) & {mask} AS band_val
+         FROM banded),
+       nd_pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM b2 a JOIN b2 b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming})"""
+
+
+
+def _simhash_near_dups_sql() -> str:
+    return f"WITH {_simhash_pairs_cte()} SELECT id_a, id_b, hamming FROM nd_pairs"
+
+
+
+@query("simhash_near_dups", _simhash_near_dups_sql())
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 over 16 bits) via exact banded
+    search: pigeonhole guarantees any ≤3-distance pair shares one of 4
+    exact 4-bit bands — an equi-join on (band, value), never all-pairs."""
+    out = D.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+
+_F3_SQL = """SELECT length(trim(text))::DOUBLE AS text_length,
+                len(string_split(trim(text), ' '))::DOUBLE AS n_tokens,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS n_unique
+         FROM documents"""
+
+
+_VIF_DET = "(1 + 2*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23)"
+
+
+
+@query(
+    "vif_diagnostics",
+    f"""WITH f AS ({_F3_SQL}),
+       s AS (SELECT corr(text_length, n_tokens) AS r12,
+                    corr(text_length, n_unique) AS r13,
+                    corr(n_tokens, n_unique) AS r23 FROM f)
+       SELECT round((1 - r23*r23) / {_VIF_DET}, 4) AS vif_text_length,
+              round((1 - r13*r13) / {_VIF_DET}, 4) AS vif_n_tokens,
+              round((1 - r12*r12) / {_VIF_DET}, 4) AS vif_n_unique
+       FROM s""",
+)
+def q_vif_diagnostics(spark, sf_dir):
+    """Variance inflation factors (pliers/diagnostics/base.py
+    variance_inflation_factors) — closed-form R⁻¹ diagonal from pairwise
+    corr aggregates; rounded to 4 (quotient of near-collinear corrs)."""
+    from pliers_spark.operators.diagnostics import vif3
+
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    out = vif3(f, "text_length", "n_tokens", "n_unique")
+    return out.select(
+        *[F.round(F.col(c), 4).alias(c) for c in ("vif_text_length", "vif_n_tokens", "vif_n_unique")]
+    )
+
+
+
+@query(
+    "mahalanobis",
+    """WITH f AS (
+         SELECT doc_id, length(trim(text))::DOUBLE AS a,
+                len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS b
+         FROM documents),
+       s AS (SELECT avg(a) AS m1, stddev_samp(a) AS s1,
+                    avg(b) AS m2, stddev_samp(b) AS s2, corr(a, b) AS r FROM f)
+       SELECT doc_id,
+              round(sqrt((((a - m1)/s1)*((a - m1)/s1)
+                    - 2*r*((a - m1)/s1)*((b - m2)/s2)
+                    + ((b - m2)/s2)*((b - m2)/s2)) / (1 - r*r)), 3) AS mahalanobis
+       FROM f, s""",
+)
+def q_mahalanobis(spark, sf_dir):
+    """Per-row Mahalanobis distance over (text_length, n_unique)
+    (pliers/diagnostics/base.py mahalanobis_distances): one stats pass +
+    broadcast 1-row join + JVM quadratic form — rows never move."""
+    from pliers_spark.operators.diagnostics import mahalanobis2
+
+    f = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.text_length("text").cast("double").alias("a"),
+        T.num_unique_words("text").cast("double").alias("b"),
+    )
+    out = mahalanobis2(f, ["doc_id"], "a", "b")
+    return out.select("doc_id", F.round("mahalanobis", 3).alias("mahalanobis"))
+
+
+
+@query(
+    "eigen_diagnostics",
+    f"""WITH f AS ({_F3_SQL}),
+       s AS (SELECT corr(text_length, n_tokens) AS r12,
+                    corr(text_length, n_unique) AS r13,
+                    corr(n_tokens, n_unique) AS r23 FROM f),
+       m AS (SELECT sqrt((r12*r12 + r13*r13 + r23*r23) / 3.0) AS p,
+                    r12 * r13 * r23 AS prod FROM s),
+       t AS (SELECT p, acos(greatest(least(prod / (p*p*p), 1.0), -1.0)) / 3.0 AS phi
+             FROM m),
+       e AS (SELECT 1.0 + 2.0*p*cos(phi) AS e1,
+                    1.0 + 2.0*p*cos(phi + 2.0*pi()/3.0) AS e3 FROM t),
+       ee AS (SELECT e1, 3.0 - e1 - e3 AS e2, e3 FROM e)
+       SELECT 1::BIGINT AS rank, round(e1, 6) AS eigenvalue,
+              1.0 AS condition_index FROM ee
+       UNION ALL
+       SELECT 2::BIGINT, round(e2, 6), round(sqrt(e1/e2), 6) FROM ee
+       UNION ALL
+       SELECT 3::BIGINT, round(e3, 6), round(sqrt(e1/e3), 6) FROM ee""",
+)
+def q_eigen_diagnostics(spark, sf_dir):
+    """Eigenvalues + condition indices of the feature correlation matrix
+    (pliers/diagnostics/base.py:25-46): K²-scalar streaming corr pass,
+    driver-side K×K eigvalsh. Oracle: exact trigonometric closed form for
+    a symmetric 3×3 with unit diagonal (zero-diagonal deviatoric det =
+    2·b12·b13·b23)."""
+    from pliers_spark.operators.diagnostics import eigen_diagnostics
+
+    f = _docs(spark, sf_dir).select(
+        T.text_length("text").cast("double").alias("text_length"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.num_unique_words("text").cast("double").alias("n_unique"),
+    )
+    return eigen_diagnostics(spark, f, ["text_length", "n_tokens", "n_unique"])
+
+
+
+@query(
+    "bigrams",
+    """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+       SELECT doc_id, unnest(range(len(toks) - 1))::BIGINT AS pos,
+              unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       FROM base""",
+)
+def q_bigrams(spark, sf_dir):
+    """Word-bigram extraction (shingle generator of the dedup family as a
+    first-class n-gram operator; zip_with-based, zero shuffle)."""
+    from pliers_spark.functions.hashing import shingles
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(shingles(T.tokenize(F.col("text")), 2)).alias("pos", "bigram"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+
+@query(
+    "embedding_norms",
+    """SELECT vec_id, len(embedding)::BIGINT AS dim,
+              round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+       FROM embeddings""",
+)
+def q_embedding_norms(spark, sf_dir):
+    """Vector L2 norms over the embedding column — JVM aggregate over the
+    array (SeriesStim / MetricExtractor vector-reduction analog)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+    )
+
+
+
+@query(
+    "jl_projection",
+    f"""WITH pos AS (
+         SELECT vec_id, unnest(range(len(embedding)))::BIGINT AS i, embedding
+         FROM embeddings),
+       q AS (
+         SELECT vec_id, i,
+                floor(embedding[i+1]::DOUBLE * 1000000 + 0.5)::BIGINT AS q
+         FROM pos),
+       s AS (
+         SELECT u.i, t.j AS dim,
+                1 - 2 * CAST({md5_int_sql("concat(t.j::VARCHAR, ':', u.i::VARCHAR)")} % 2 AS BIGINT) AS s
+         FROM (SELECT unnest(range(16))::BIGINT AS j) t,
+              (SELECT DISTINCT i FROM q) u)
+       SELECT q.vec_id, s.dim, sum(s.s * q.q)::BIGINT AS y
+       FROM q JOIN s USING (i) GROUP BY 1, 2""",
+)
+def q_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection (Achlioptas 2003) of the
+    64-d embeddings to 16 integer components: micro-unit quantization +
+    md5-derived sign matrix + integer dot products — bit-identical on
+    both engines, long-format output for downstream bucketing."""
+    from ..operators.similarity import jl_project
+
+    return jl_project(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 16)
+
+
+
+@query(
+    "tumbling_daily",
+    """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+              count(value)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling_daily(spark, sf_dir):
+    """Tumbling 1-day window aggregation — the batch twin of the
+    Structured Streaming windowed count (streaming/sessions.py
+    streaming_windowed_counts); F.window keeps event-time semantics
+    identical across batch and stream."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(F.count("value").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("_w.start").alias("day"), "event_type", "n_events", "sum_value")
+    )
+
+
+
+def _wordnet_sql() -> str:
+    from pliers_spark.functions.stemming import TAG_TO_WORDNET, morphy_sql
+
+    wn_whens = " ".join(f"WHEN tag = '{t}' THEN '{p}'" for t, p in TAG_TO_WORDNET.items())
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len(string_split(text, ' '))))::BIGINT AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       ctx AS (
+         SELECT doc_id, pos, lower(token) AS w,
+                lower(lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS prev_w
+         FROM toks),
+       tagged AS (
+         SELECT doc_id, pos, w, {_tag_case_sql()} AS tag FROM ctx),
+       wn AS (
+         SELECT doc_id, pos, w,
+                CASE {wn_whens} ELSE 'n' END AS wn_pos0
+         FROM tagged),
+       resolved AS (
+         SELECT doc_id, pos, w,
+                arg_max(wn_pos0, pos) OVER (PARTITION BY doc_id, w) AS wn_pos
+         FROM wn)
+       SELECT doc_id,
+              string_agg({morphy_sql('w', 'wn_pos')}, ' ' ORDER BY pos) AS lemmatized
+       FROM resolved GROUP BY doc_id"""
+
+
+
+@query("wordnet_lemmas", _wordnet_sql())
+def q_wordnet_lemmas(spark, sf_dir):
+    """WordStemmingFilter(stemmer='wordnet') — POS-aware morphy-lite
+    lemmatization (pliers/filters/text.py:73-108), entirely Spark
+    built-ins: posexplode → lag window for the contextual tag → max_by
+    window for the reference's last-occurrence-wins tag dict → CASE-chain
+    lemma → ordered re-assembly. Both shuffles hash on doc_id, so the
+    plan stays one exchange wide at any scale."""
+    from pliers_spark.functions.stemming import wordnet_lemmatize_docs
+
+    return wordnet_lemmatize_docs(_docs(spark, sf_dir))
+
+
+
+@query(
+    "sample_every_nth",
+    """WITH rn AS (
+         SELECT user_id, ts, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+         FROM events)
+       SELECT user_id, ts, value FROM rn WHERE rn % 3 = 0""",
+)
+def q_sample_every_nth(spark, sf_dir):
+    """FrameSamplingFilter(every=n) — keep every n-th snapshot per entity
+    (pliers/filters/video.py:42-44); one shuffle, map-side modulo."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return TP.sample_every_nth(ev, ["user_id"], "ts", 3)
+
+
+
+@query(
+    "sample_hourly",
+    """WITH rn AS (
+         SELECT user_id, ts, value,
+                row_number() OVER (
+                  PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts) AS rn
+         FROM events)
+       SELECT user_id, ts, value FROM rn WHERE rn = 1""",
+)
+def q_sample_hourly(spark, sf_dir):
+    """FrameSamplingFilter(hertz=h) recast for event time — earliest
+    snapshot per (entity, hour bucket) (pliers/filters/video.py:46-53)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return TP.sample_per_period(ev, ["user_id"], "ts", "hour")
+
+
+
+@query(
+    "temporal_trim",
+    """SELECT user_id, ts, value,
+              round((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-10 00:00:00')) / 1000000.0, 6)
+                AS rel_s
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+)
+def q_temporal_trim(spark, sf_dir):
+    """TemporalTrimmingFilter — subclip [start,end) on the event-time axis
+    with re-onset-to-0 rebase (pliers/filters/base.py:27-68). The range
+    predicate reaches the parquet scan as a pushed filter."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = TP.temporal_trim(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00", rebase=True)
+    return out.withColumn("rel_s", F.round("rel_s", 6))
+
+
+
+_MERGED_DICT_SQL = (
+    "d1(word, frequency) AS (" + _LEXICON_SQL.replace("VALUES", "SELECT word, frequency FROM (VALUES")
+    + ") t(word, length, frequency, syllables)), d2(word, valence) AS (" + _VALENCE_SQL + ")"
+)
+
+
+
+@query(
+    "dictionary_merge",
+    f"""WITH {_MERGED_DICT_SQL},
+       dict AS (
+         SELECT coalesce(d1.word, d2.word) AS word,
+                d1.frequency::DOUBLE AS frequency, d2.valence::DOUBLE AS valence
+         FROM d1 FULL JOIN d2 ON d1.word = d2.word),
+       toks AS (
+         SELECT doc_id, lower(unnest(string_split(trim(text), ' '))) AS token FROM documents)
+       SELECT t.doc_id,
+              round(coalesce(sum(d.frequency), 0.0), 6) + 0.0 AS freq_sum,
+              round(coalesce(sum(d.valence), 0.0), 6) + 0.0 AS valence_sum,
+              count(d.word)::BIGINT AS n_matched
+       FROM toks t LEFT JOIN dict d ON t.token = d.word
+       GROUP BY t.doc_id""",
+)
+def q_dictionary_merge(spark, sf_dir):
+    """PredefinedDictionaryExtractor — outer-concat of several
+    dictionaries on the word key (pliers/extractors/text.py:142-156) then
+    broadcast lookup + per-doc reduction; the fact table never shuffles
+    for the join, only for the final doc aggregate."""
+    d1 = spark.createDataFrame(
+        _LEXICON_ROWS, "word string, length long, frequency double, syllables long"
+    ).select("word", "frequency")
+    d2 = spark.createDataFrame(_VALENCE_ROWS, "word string, valence double")
+    dim = DI.combine_dictionaries([d1, d2], "word")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+    )
+    out = DI.dictionary_lookup(toks, dim, "token", "word", case_sensitive=False)
+    return out.groupBy("doc_id").agg(
+        # `+ 0.0` normalizes IEEE signed zero: a per-doc valence sum that
+        # cancels to -0.0 on one engine and +0.0 on the other would
+        # hash-mismatch under the driver's raw-float-bit compare
+        (F.round(F.coalesce(F.sum("frequency"), F.lit(0.0)), 6) + F.lit(0.0)).alias("freq_sum"),
+        (F.round(F.coalesce(F.sum("valence"), F.lit(0.0)), 6) + F.lit(0.0)).alias("valence_sum"),
+        # the lookup drops the dict key; every merged-dict row carries at
+        # least one non-null variable, so this counts join hits exactly
+        F.count(F.coalesce(F.col("frequency"), F.col("valence"))).alias("n_matched"),
+    )
+
+
+
+def _snowball_sql() -> str:
+    from pliers_spark.functions.snowball import snowball_golden_sql
+
+    return snowball_golden_sql()
+
+
+
+@query("snowball_stem", _snowball_sql())
+def q_snowball_stem(spark, sf_dir):
+    """WordStemmingFilter(stemmer='snowball') — clean-room English
+    Snowball (Porter2) stemmer as a vectorized pandas UDF
+    (pliers/filters/text.py:24-110 wraps nltk SnowballStemmer). Oracle:
+    golden (word, stem) VALUES table generated from the SAME clean-room
+    function over the full corpus vocabulary
+    (functions/snowball.snowball_golden_sql); the cascade itself is
+    golden-tested in tests/test_stemming.py."""
+    from pliers_spark.functions.snowball import snowball_stem_col
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return toks.withColumn("stem", snowball_stem_col(F.lower(F.col("token"))))
+
+
+
+# --------------------------------------------------------------------------
+# batch 6: sentence tokenization, spectral framing, low-pass resample,
+# max-pool encoding, diagnostics flags
+
+
+@query(
+    "sentence_split",
+    r"""WITH marked AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(trim(text), '\bthe\b', 'the.', 'g'),
+                               '([.!?])\s+', '\1' || chr(10), 'g') AS m
+         FROM documents)
+       SELECT doc_id, trim(s) AS sentence, length(trim(s))::BIGINT AS sent_len
+       FROM marked, unnest(string_split(m, chr(10))) AS u(s)
+       WHERE trim(s) <> ''""",
+)
+def q_sentence_split(spark, sf_dir):
+    """ComplexTextStim(unit='sentence') sentence tokenization
+    (pliers/stimuli/text.py:230-244). The synthetic corpus carries no
+    punctuation, so the query first derives boundaries deterministically
+    (a '.' after every 'the') — identically on both engines — then
+    exercises the real operator: split_sentences as pure Column algebra
+    (regexp mark → split → trim → drop empties), one narrow map stage."""
+    marked = F.regexp_replace(F.col("text"), r"\bthe\b", "the.")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(T.split_sentences(marked)).alias("sentence"))
+        .withColumn("sent_len", F.length("sentence").cast("long"))
+    )

@@ -1,0 +1,2408 @@
+"""Split from the former pliers_spark/queries.py (same registry)."""
+from __future__ import annotations
+
+from ._registry import F, T, Window, _docs, _events, load_table, query
+from .stats_15 import _LL_GAP_S
+
+
+
+@query(
+    "weibull_menon",
+    f"""WITH e AS (
+         SELECT user_id, ts, epoch_us(ts)::BIGINT AS us,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > {_LL_GAP_S} * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       sess AS (
+         SELECT user_id,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid, us
+         FROM e),
+       dur AS (
+         SELECT round(1e6 * ln((max(us) - min(us)) / 1e6), 0)::BIGINT AS ld_fp
+         FROM sess GROUP BY user_id, sid
+         HAVING max(us) > min(us)),
+       mo AS (
+         SELECT count(*)::BIGINT AS n, sum(ld_fp)::BIGINT AS s1,
+                sum(round(ld_fp::DOUBLE * ld_fp / 1e6, 0)::BIGINT)::BIGINT AS s2
+         FROM dur),
+       st AS (
+         SELECT n, s1::DOUBLE / (n * 1e6) AS mu,
+                sqrt((s2 / 1e6 - s1::DOUBLE * s1 / (n * 1e12)) / (n - 1)) AS sd
+         FROM mo)
+       SELECT n AS n_sessions,
+              round(mu, 6) AS mean_ln_dur,
+              round(sd, 6) AS sd_ln_dur,
+              round(3.141592653589793 / (sd * sqrt(6.0)), 6) AS k_shape,
+              round(exp(mu + 0.5772156649015329
+                        / (3.141592653589793 / (sd * sqrt(6.0)))), 6) AS lambda_scale
+       FROM st""",
+)
+def q_weibull_menon(spark, sf_dir):
+    """Weibull fit of session durations by Menon's log-moment method
+    (Menon, Technometrics 1963): ln X is Gumbel-distributed when X is
+    Weibull, so k = π/(σ_lnX·√6) and λ = exp(μ_lnX + γ/k) with only
+    elementary functions — no gamma-function evaluation, hence exactly
+    reproducible. k<1 diagnoses heavy-tailed 'abandonment' sessions,
+    k≈1 exponential memorylessness (the `interarrival_burstiness`
+    cross-check), k>1 wear-out. Sessions reuse the 30-min-gap scan of
+    `littles_law_audit`; each duration's log is re-quantized to 1e-6
+    and the square again (the `price_elasticity` double-quantization),
+    so both moments are exact int64 sums. Euler-Mascheroni and π enter
+    as shared literals."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("long")
+    e = ev.select(
+        "user_id", "ts", us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(wu) > _LL_GAP_S * 1000000) | F.lag("ts").over(wu).isNull(), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = e.select(
+        "user_id", "us",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    dur = (
+        sess.groupBy("user_id", "sid")
+        .agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
+        .where(F.col("t1") > F.col("t0"))
+        .select(
+            F.round(F.lit(1e6) * F.log((F.col("t1") - F.col("t0")) / F.lit(1e6)), 0).cast("long").alias("ld_fp")
+        )
+    )
+    mo = dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ld_fp").cast("long").alias("s1"),
+        F.sum(F.round(F.col("ld_fp").cast("double") * F.col("ld_fp") / F.lit(1e6), 0).cast("long")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / (F.col("n") * F.lit(1e6))
+    sd = F.sqrt((F.col("s2") / F.lit(1e6) - F.col("s1").cast("double") * F.col("s1") / (F.col("n") * F.lit(1e12))) / (F.col("n") - 1))
+    k = F.lit(3.141592653589793) / (sd * F.sqrt(F.lit(6.0)))
+    return mo.select(
+        F.col("n").alias("n_sessions"),
+        F.round(mu, 6).alias("mean_ln_dur"),
+        F.round(sd, 6).alias("sd_ln_dur"),
+        F.round(k, 6).alias("k_shape"),
+        F.round(F.exp(mu + F.lit(0.5772156649015329) / k), 6).alias("lambda_scale"),
+    )
+
+
+
+@query(
+    "rqa_measures",
+    """WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       idx AS (SELECT row_number() OVER (ORDER BY dd)::BIGINT AS i, x FROM daily),
+       mo AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+         FROM idx),
+       r AS (SELECT 0.2 * sqrt((sxx - sx::DOUBLE * sx / n) / (n - 1)) AS r, n FROM mo),
+       rp AS (
+         SELECT a.i AS i, b.i AS j
+         FROM idx a JOIN idx b ON b.i > a.i, r
+         WHERE abs(a.x - b.x) <= r.r),
+       det_pts AS (
+         SELECT p.i, p.j
+         FROM rp p
+         WHERE EXISTS (SELECT 1 FROM rp q WHERE q.i = p.i - 1 AND q.j = p.j - 1)
+            OR EXISTS (SELECT 1 FROM rp q WHERE q.i = p.i + 1 AND q.j = p.j + 1))
+       SELECT (SELECT n FROM r) AS n_days,
+              (SELECT count(*) FROM rp)::BIGINT AS n_recurrent,
+              round((SELECT count(*) FROM rp)
+                    / ((SELECT n FROM r)::DOUBLE * ((SELECT n FROM r) - 1) / 2), 6) AS recurrence_rate,
+              round((SELECT count(*) FROM det_pts)
+                    / (SELECT count(*) FROM rp)::DOUBLE, 6) AS determinism""",
+)
+def q_rqa_measures(spark, sf_dir):
+    """Recurrence quantification of the daily series (Webber & Zbilut,
+    J. Appl. Physiol. 1994): recurrence rate (share of day pairs whose
+    counts fall within r = 0.2σ — the `sample_entropy` tolerance) and
+    determinism (share of recurrent points lying on diagonal line
+    structures, i.e. whose predecessor or successor pair also recurs)
+    — DET near RR means isolated coincidences, DET ≫ RR means
+    repeated multi-day motifs, the same signal `matrix_profile_daily`
+    finds as explicit nearest neighbors. The recurrence set is an
+    integer half-matrix against one shared float tolerance; diagonal
+    membership is two positional EXISTS probes (anti-join-able), all
+    on the days² grain after one census."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("i"), "x")
+    mo = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    rdf = mo.select(
+        "n",
+        (F.lit(0.2) * F.sqrt((F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (F.col("n") - 1))).alias("r"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    rp = (
+        a.join(b, F.col("b.i") > F.col("a.i"))
+        .crossJoin(F.broadcast(rdf))
+        .where(F.abs(F.col("a.x") - F.col("b.x")) <= F.col("r"))
+        .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .localCheckpoint(eager=True)
+    )
+    succ = rp.select((F.col("i") + 1).alias("i"), (F.col("j") + 1).alias("j"))
+    pred = rp.select((F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"))
+    det_pts = rp.join(succ.unionAll(pred).distinct(), ["i", "j"], "leftsemi")
+    n_rec = rp.count()
+    n_det = det_pts.count()
+    return rdf.select(
+        F.col("n").alias("n_days"),
+        F.lit(n_rec).cast("long").alias("n_recurrent"),
+        F.round(F.lit(n_rec) / (F.col("n").cast("double") * (F.col("n") - 1) / 2), 6).alias("recurrence_rate"),
+        F.round(F.lit(n_det) / F.lit(float(n_rec)), 6).alias("determinism"),
+    )
+
+
+
+@query(
+    "poincare_sd",
+    """WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       d AS (
+         SELECT x, x - lag(x) OVER (ORDER BY dd) AS dx FROM daily),
+       mo AS (
+         SELECT count(x)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+                count(dx)::BIGINT AS nd, sum(dx)::BIGINT AS sd, sum(dx * dx)::BIGINT AS sdd
+         FROM d),
+       v AS (
+         SELECT n, nd,
+                (sxx - sx::DOUBLE * sx / n) / (n - 1) AS var_x,
+                (sdd - sd::DOUBLE * sd / nd) / (nd - 1) AS var_d
+         FROM mo)
+       SELECT n AS n_days,
+              round(sqrt(var_d / 2), 6) AS sd1,
+              round(sqrt(2 * var_x - var_d / 2), 6) AS sd2,
+              round(sqrt(var_d / 2) / sqrt(2 * var_x - var_d / 2), 6) AS sd1_sd2_ratio
+       FROM v""",
+)
+def q_poincare_sd(spark, sf_dir):
+    """Poincaré-plot descriptors SD1/SD2 of the daily series (Brennan
+    et al., IEEE TBME 2001): SD1 = √(Var(Δx)/2) is the short-term
+    (beat-to-beat) scatter perpendicular to the identity line, SD2 =
+    √(2Var(x) − SD1²) the long-term scatter along it — together the
+    geometric twin of `autocorr_lag1` (SD1²/SD2² = (1−r₁)/(1+r₁)),
+    shipped because dashboards plot the ellipse, not the coefficient.
+    Both variances come from exact BIGINT moments of the values and
+    their lag-1 differences in one pass; ratios are single closed
+    forms. Day census, then constant work."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    d = daily.select("x", (F.col("x") - F.lag("x").over(Window.orderBy("dd"))).alias("dx"))
+    mo = d.agg(
+        F.count("x").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count("dx").cast("long").alias("nd"),
+        F.sum("dx").cast("long").alias("sd"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sdd"),
+    )
+    var_x = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_d = (F.col("sdd") - F.col("sd").cast("double") * F.col("sd") / F.col("nd")) / (F.col("nd") - 1)
+    sd1 = F.sqrt(var_d / 2)
+    sd2 = F.sqrt(2 * var_x - var_d / 2)
+    return mo.select(
+        F.col("n").alias("n_days"),
+        F.round(sd1, 6).alias("sd1"),
+        F.round(sd2, 6).alias("sd2"),
+        F.round(sd1 / sd2, 6).alias("sd1_sd2_ratio"),
+    )
+
+
+
+def _bom_sql() -> str:
+    return """WITH parts AS (SELECT DISTINCT p_partkey AS p FROM part),
+       rec AS (
+         WITH RECURSIVE walk(p, node, depth, cum_qty) AS (
+           SELECT p, p, 0::BIGINT, 1::BIGINT FROM parts
+           UNION ALL
+           SELECT w.p, w.node // 2, w.depth + 1,
+                  w.cum_qty * ((w.node % 3) + 1)
+           FROM walk w WHERE w.node > 1)
+         SELECT p, min(node)::BIGINT AS root,
+                max(depth)::BIGINT AS depth,
+                max(CASE WHEN node = 1 THEN cum_qty END)::BIGINT AS cum_qty
+         FROM walk GROUP BY p)
+       SELECT depth, count(*)::BIGINT AS n_parts,
+              sum(cum_qty)::BIGINT AS total_qty,
+              min(p)::BIGINT AS min_part, max(p)::BIGINT AS max_part
+       FROM rec GROUP BY depth ORDER BY depth"""
+
+
+
+@query("bom_explosion", _bom_sql())
+def q_bom_explosion(spark, sf_dir):
+    """Bill-of-materials explosion over the implicit binary containment
+    hierarchy parent(p) = p//2 with per-edge quantity (p mod 3)+1 —
+    the classic recursive-traversal workload (TPC-style BOM / org
+    chart) that plain joins can't express: each part walks to the
+    root accumulating the quantity PRODUCT, then depth-level rollups.
+    Spark runs the walk as an iterative self-join loop with
+    localCheckpoint per round — log₂(maxkey) ≈ 11 rounds, each a
+    broadcast-sized frontier — the standard Spark answer to recursive
+    CTEs (which the oracle uses natively). All quantities are exact
+    int64 products; the hierarchy is derived, so the query is
+    self-contained on any part table."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("p")).distinct()
+    walk = p.select("p", F.col("p").alias("node"), F.lit(0).cast("long").alias("depth"),
+                    F.lit(1).cast("long").alias("cum_qty"))
+    frontier = walk
+    acc = [walk]
+    while True:
+        frontier = frontier.where(F.col("node") > 1).select(
+            "p", F.floor(F.col("node") / 2).cast("long").alias("node"),
+            (F.col("depth") + 1).alias("depth"),
+            (F.col("cum_qty") * ((F.col("node") % 3) + 1)).cast("long").alias("cum_qty"),
+        ).localCheckpoint(eager=True)
+        if frontier.count() == 0:
+            break
+        acc.append(frontier)
+    allw = acc[0]
+    for fdf in acc[1:]:
+        allw = allw.unionAll(fdf)
+    rec = allw.groupBy("p").agg(
+        F.min("node").cast("long").alias("root"),
+        F.max("depth").cast("long").alias("depth"),
+        F.max(F.when(F.col("node") == 1, F.col("cum_qty"))).cast("long").alias("cum_qty"),
+    )
+    return rec.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cum_qty").cast("long").alias("total_qty"),
+        F.min("p").cast("long").alias("min_part"),
+        F.max("p").cast("long").alias("max_part"),
+    ).orderBy("depth")
+
+
+
+def _aic_sql() -> str:
+    return """WITH u AS (
+         SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id),
+       mo AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2,
+                max(x)::BIGINT AS mx
+         FROM u),
+       lf AS (
+         SELECT k,
+                sum(ln(j::DOUBLE)) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lnfact
+         FROM (SELECT unnest(range(1, (SELECT mx FROM mo) + 1)) AS k,
+                      unnest(range(1, (SELECT mx FROM mo) + 1)) AS j)),
+       lnf AS (SELECT 0::BIGINT AS x, 0.0 AS lnfact
+               UNION ALL SELECT k::BIGINT, lnfact FROM lf),
+       hx AS (SELECT x, count(*)::BIGINT AS c FROM u GROUP BY x),
+       sfact AS (
+         SELECT sum(round(1e6 * h.c * l.lnfact, 0)::BIGINT)::BIGINT AS slf_fp
+         FROM hx h JOIN lnf l USING (x)),
+       pois AS (
+         SELECT round((m.s1 * ln(m.s1::DOUBLE / m.n) - m.s1
+                       - (SELECT slf_fp FROM sfact) / 1e6), 6) AS ll
+         FROM mo m),
+       geom AS (
+         SELECT round((m.n * ln(m.n::DOUBLE / (m.s1 + m.n))
+                       + m.s1 * ln(m.s1::DOUBLE / (m.s1 + m.n))), 6) AS ll
+         FROM mo m)
+       SELECT * FROM (
+         SELECT 'poisson' AS model, 1::BIGINT AS k_params, ll,
+                round(2 * 1 - 2 * ll, 6) AS aic
+         FROM pois
+         UNION ALL
+         SELECT 'geometric', 1::BIGINT, ll, round(2 * 1 - 2 * ll, 6)
+         FROM geom)
+       ORDER BY aic, model"""
+
+
+
+@query("count_model_aic", _aic_sql())
+def q_count_model_aic(spark, sf_dir):
+    """AIC model comparison for per-user event counts: Poisson(λ̂=x̄) vs
+    Geometric(p̂=n/(Σx+n)), both at their MLE so the log-likelihoods
+    are closed forms of the moment sums (Akaike 1973) — the formal
+    referee for what `dispersion_index` hints at: overdispersion makes
+    the geometric's heavier tail win despite identical parameter
+    count. The Poisson LL needs Σln(x!): built EXACTLY as a running
+    sum over an integer spine 1..max(x) joined to the count histogram,
+    each count-weighted term re-quantized to 1e-6 — no lgamma
+    dependency anywhere. Census → histogram → two closed forms."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mo = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.max("x").cast("long").alias("mx"),
+    ).collect()[0]
+    n, s1, mx = mo.n, mo.s1, mo.mx
+    spine = spark.range(1, mx + 1).select(F.col("id").alias("k"))
+    lf = spine.select(
+        F.col("k").alias("x"),
+        F.sum(F.log(F.col("k").cast("double"))).over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("lnfact"),
+    )
+    lnf = spark.createDataFrame([(0, 0.0)], "x long, lnfact double").unionByName(lf)
+    hx = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    slf_fp = (
+        hx.join(lnf, "x")
+        .agg(F.sum(F.round(F.lit(1e6) * F.col("c") * F.col("lnfact"), 0).cast("long")).cast("long").alias("s"))
+        .collect()[0][0]
+    )
+    import math as _m
+
+    ll_pois = round(s1 * _m.log(s1 / n) - s1 - slf_fp / 1e6, 6)
+    ll_geom = round(n * _m.log(n / (s1 + n)) + s1 * _m.log(s1 / (s1 + n)), 6)
+    rows = [
+        ("poisson", 1, ll_pois, round(2 * 1 - 2 * ll_pois, 6)),
+        ("geometric", 1, ll_geom, round(2 * 1 - 2 * ll_geom, 6)),
+    ]
+    rows.sort(key=lambda r: (r[3], r[0]))
+    return spark.createDataFrame(rows, "model string, k_params long, ll double, aic double")
+
+
+
+_CB_TOPM = 100
+
+
+
+def _canberra_sql(top_m: int = _CB_TOPM) -> str:
+    return f"""WITH toks AS (
+         SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       st AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       topm AS (
+         SELECT token FROM (SELECT token, sum(c) AS tc FROM st GROUP BY token)
+         ORDER BY tc DESC, token LIMIT {top_m}),
+       cells AS (
+         SELECT s.source, t.token, coalesce(st.c, 0)::BIGINT AS c
+         FROM (SELECT DISTINCT source FROM st) s
+         CROSS JOIN topm t
+         LEFT JOIN st ON st.source = s.source AND st.token = t.token),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                sum(CASE WHEN a.c + b.c > 0
+                         THEN round(1e9 * abs(a.c - b.c)::DOUBLE / (a.c + b.c), 0)::BIGINT
+                         ELSE 0 END)::BIGINT AS canb_fp,
+                sum(abs(a.c - b.c))::BIGINT AS num_bc,
+                sum(a.c + b.c)::BIGINT AS den_bc,
+                count(*)::BIGINT AS m
+         FROM cells a JOIN cells b
+           ON a.token = b.token AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b,
+              round(canb_fp / 1e9, 6) AS canberra,
+              round(num_bc::DOUBLE / den_bc, 6) AS bray_curtis
+       FROM pairs ORDER BY src_a, src_b"""
+
+
+
+@query("canberra_braycurtis", _canberra_sql())
+def q_canberra_braycurtis(spark, sf_dir):
+    """Canberra and Bray-Curtis distances between source vocabularies
+    on the shared top-100 token grid (Lance & Williams, Comput. J.
+    1966/1967 — both from the same paper series): Canberra's per-term
+    normalization |a−b|/(a+b) weights RARE-term disagreement up, while
+    Bray-Curtis Σ|a−b|/Σ(a+b) is mass-dominated — reading them against
+    `burrows_delta` (z-scored) and `source_jsd` (information) shows
+    WHERE two sources differ, not just how much. The term grid reuses
+    the Burrows census shape; Canberra terms are 1e-9-quantized
+    rationals of exact counts, Bray-Curtis is a pure integer ratio.
+    One (source,token) census, top-m gate, pairwise on S² rows."""
+    d = _docs(spark, sf_dir)
+    st = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token")).groupBy(
+        "source", "token"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topm = (
+        st.groupBy("token").agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "token").limit(_CB_TOPM).select("token")
+    )
+    sources = st.select("source").distinct()
+    cells = (
+        sources.crossJoin(F.broadcast(topm))
+        .join(st, ["source", "token"], "left")
+        .select("source", "token", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.c") + F.col("b.c") > 0,
+                    F.round(
+                        F.lit(1e9) * F.abs(F.col("a.c") - F.col("b.c")).cast("double")
+                        / (F.col("a.c") + F.col("b.c")),
+                        0,
+                    ).cast("long"),
+                ).otherwise(0)
+            ).cast("long").alias("canb_fp"),
+            F.sum(F.abs(F.col("a.c") - F.col("b.c"))).cast("long").alias("num_bc"),
+            F.sum(F.col("a.c") + F.col("b.c")).cast("long").alias("den_bc"),
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b",
+        F.round(F.col("canb_fp") / F.lit(1e9), 6).alias("canberra"),
+        F.round(F.col("num_bc").cast("double") / F.col("den_bc"), 6).alias("bray_curtis"),
+    ).orderBy("src_a", "src_b")
+
+
+
+def _hilbert_sql() -> str:
+    # unrolled canonical xy2d: per level s, quadrant from the s-bit of the
+    # CURRENT x,y, then the rot() flip with the full grid constant 255
+    parts = ["""cell AS (
+         SELECT DISTINCT (user_id % 256)::BIGINT AS x,
+                date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS y
+         FROM events),
+       h0 AS (SELECT x, y, x AS hx, y AS hy, 0::BIGINT AS d FROM cell)"""]
+    prev = "h0"
+    s = 128
+    k = 1
+    while s >= 1:
+        parts.append(f"""h{k} AS (
+         SELECT x, y,
+                CASE WHEN ((hy // {s}) % 2) = 0
+                     THEN (CASE WHEN ((hx // {s}) % 2) = 1 THEN 255 - hy ELSE hy END)
+                     ELSE hx END AS hx,
+                CASE WHEN ((hy // {s}) % 2) = 0
+                     THEN (CASE WHEN ((hx // {s}) % 2) = 1 THEN 255 - hx ELSE hx END)
+                     ELSE hy END AS hy,
+                d + {s * s} * (CASE WHEN ((hx // {s}) % 2) = 0 AND ((hy // {s}) % 2) = 0 THEN 0
+                                    WHEN ((hx // {s}) % 2) = 0 AND ((hy // {s}) % 2) = 1 THEN 1
+                                    WHEN ((hx // {s}) % 2) = 1 AND ((hy // {s}) % 2) = 1 THEN 2
+                                    ELSE 3 END) AS d
+         FROM {prev})""")
+        prev = f"h{k}"
+        s //= 2
+        k += 1
+    return parts, prev
+
+
+
+def _hilbert_locality_sql() -> str:
+    parts, prev = _hilbert_sql()
+    body = ",\n       ".join(parts)
+    return f"""WITH {body},
+       keyed AS (
+         SELECT x, y, d AS hkey, (x * 64 + y)::BIGINT AS rowmajor FROM {prev}),
+       h AS (
+         SELECT abs(x - lag(x) OVER (ORDER BY hkey, x, y))
+              + abs(y - lag(y) OVER (ORDER BY hkey, x, y)) AS d
+         FROM keyed),
+       r AS (
+         SELECT abs(x - lag(x) OVER (ORDER BY rowmajor))
+              + abs(y - lag(y) OVER (ORDER BY rowmajor)) AS d
+         FROM keyed)
+       SELECT 'hilbert' AS ordering, count(d)::BIGINT AS n_steps,
+              sum(d)::BIGINT AS total_dist,
+              round(sum(d)::DOUBLE / count(d), 6) AS avg_manhattan
+       FROM h WHERE d IS NOT NULL
+       UNION ALL
+       SELECT 'rowmajor', count(d)::BIGINT, sum(d)::BIGINT,
+              round(sum(d)::DOUBLE / count(d), 6)
+       FROM r WHERE d IS NOT NULL"""
+
+
+
+@query("hilbert_locality", _hilbert_locality_sql())
+def q_hilbert_locality(spark, sf_dir):
+    """Hilbert-curve clustering locality audit — the companion of
+    `zorder_locality` with the SAME cells and metric, because the
+    Hilbert curve's guarantee (every consecutive pair is Manhattan
+    distance EXACTLY 1 on a full grid) beats Morton's occasional
+    long jumps, which is why Databricks liquid clustering and many
+    spatial stores moved past Z-order. The xy2d map runs the standard
+    quadrant/rotate recurrence UNROLLED to 8 rounds of pure integer
+    CASE arithmetic — no bit intrinsics, so both engines compute the
+    identical key (the quadrant code avoids XOR via a 4-way CASE).
+    Distinct-cell census, two windowed step scans."""
+    ev = _events(spark, sf_dir)
+    cell = ev.select(
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("y"),
+    ).distinct()
+    # project each round into named columns — chaining the expressions
+    # symbolically triples the tree per round (3^8 subexpressions by the
+    # last one) and stalls analysis/codegen
+    cur = cell.select("x", "y", F.col("x").alias("hx"), F.col("y").alias("hy"),
+                      F.lit(0).cast("long").alias("d"))
+    s = 128
+    while s >= 1:
+        rx = F.floor(F.col("hx") / s) % 2
+        ry = F.floor(F.col("hy") / s) % 2
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        cur = cur.select(
+            "x", "y",
+            F.when(ry == 0, F.when(rx == 1, F.lit(255) - F.col("hy")).otherwise(F.col("hy")))
+            .otherwise(F.col("hx")).alias("hx"),
+            F.when(ry == 0, F.when(rx == 1, F.lit(255) - F.col("hx")).otherwise(F.col("hx")))
+            .otherwise(F.col("hy")).alias("hy"),
+            (F.col("d") + F.lit(s * s) * quad).cast("long").alias("d"),
+        )
+        s //= 2
+    keyed = cur.select(
+        "x", "y", F.col("d").alias("hkey"),
+        (F.col("x") * 64 + F.col("y")).cast("long").alias("rowmajor"),
+    ).localCheckpoint(eager=True)
+
+    def steps(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        dd = (
+            F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w))
+        )
+        return (
+            keyed.select(dd.alias("d")).where(F.col("d").isNotNull())
+            .agg(
+                F.lit(name).alias("ordering"),
+                F.count("d").cast("long").alias("n_steps"),
+                F.sum("d").cast("long").alias("total_dist"),
+                F.round(F.sum("d").cast("double") / F.count("d"), 6).alias("avg_manhattan"),
+            )
+            .select("ordering", "n_steps", "total_dist", "avg_manhattan")
+        )
+
+    return steps(["hkey", "x", "y"], "hilbert").unionByName(steps(["rowmajor"], "rowmajor"))
+
+
+
+@query(
+    "xgb_split",
+    """WITH base AS (
+         SELECT n_chars::BIGINT AS x,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y
+         FROM documents),
+       tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s1 FROM base),
+       vals AS (
+         SELECT x, count(*)::BIGINT AS c, sum(y)::BIGINT AS pos FROM base GROUP BY x),
+       run AS (
+         SELECT x,
+                sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS nl,
+                sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS pl
+         FROM vals),
+       cand AS (
+         SELECT r.x AS threshold, r.nl, r.pl, t.n, t.s1,
+                (r.nl * t.s1 - t.n * r.pl)::BIGINT AS gl,
+                ((t.n - r.nl) * t.s1 - t.n * (t.s1 - r.pl))::BIGINT AS gr,
+                (r.nl * t.s1 * (t.n - t.s1))::BIGINT AS hl,
+                ((t.n - r.nl) * t.s1 * (t.n - t.s1))::BIGINT AS hr
+         FROM run r, tot t
+         WHERE r.nl > 0 AND r.nl < t.n),
+       scored AS (
+         SELECT threshold, nl AS n_left, n - nl AS n_right,
+                round(pl::DOUBLE / nl, 6) AS rate_left,
+                round((s1 - pl)::DOUBLE / (n - nl), 6) AS rate_right,
+                round(gl::DOUBLE * gl / (hl + n::DOUBLE * n)
+                      + gr::DOUBLE * gr / (hr + n::DOUBLE * n)
+                      - (gl + gr)::DOUBLE * (gl + gr)
+                        / (hl + hr + n::DOUBLE * n), 6) AS gain
+         FROM cand)
+       SELECT threshold, n_left, n_right, rate_left, rate_right, gain
+       FROM scored ORDER BY gain DESC, threshold LIMIT 1""",
+)
+def q_xgb_split(spark, sf_dir):
+    """Second-order (XGBoost) best split on doc length for the
+    lang='en' target (Chen & Guestrin, KDD 2016 eq. 7): gain =
+    G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ) with logloss gradients
+    from the root prediction p̂ — the gradient/hessian criterion that
+    replaces `gini_stump`'s impurity on the SAME feature/target, so
+    the two thresholds are directly comparable. The trick that keeps
+    it exact: n·g_i = s1 − n·y_i and n²·h_i = s1(n−s1) are INTEGERS,
+    so all prefix G/H sums are int64 (gain is invariant to the common
+    n² scaling, with λ=1 entering as n²); evaluation is ONE prefix-sum
+    window over the value census, the `uplift_split`/`adaboost`
+    threshold-search shape. Once-rounded gain, threshold tiebreak."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("s1"))
+    vals = base.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"), F.sum("y").cast("long").alias("pos")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    run = vals.select(
+        "x",
+        F.sum("c").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("pl"),
+    )
+    cand = run.crossJoin(F.broadcast(tot)).where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    gl = (F.col("nl") * F.col("s1") - F.col("n") * F.col("pl")).cast("long")
+    gr = ((F.col("n") - F.col("nl")) * F.col("s1") - F.col("n") * (F.col("s1") - F.col("pl"))).cast("long")
+    hl = (F.col("nl") * F.col("s1") * (F.col("n") - F.col("s1"))).cast("long")
+    hr = ((F.col("n") - F.col("nl")) * F.col("s1") * (F.col("n") - F.col("s1"))).cast("long")
+    lam = F.col("n").cast("double") * F.col("n")
+    gain = (
+        gl.cast("double") * gl / (hl + lam)
+        + gr.cast("double") * gr / (hr + lam)
+        - (gl + gr).cast("double") * (gl + gr) / (hl + hr + lam)
+    )
+    scored = cand.select(
+        F.col("x").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.round(F.col("pl").cast("double") / F.col("nl"), 6).alias("rate_left"),
+        F.round((F.col("s1") - F.col("pl")).cast("double") / (F.col("n") - F.col("nl")), 6).alias("rate_right"),
+        F.round(gain, 6).alias("gain"),
+    )
+    return scored.orderBy(F.col("gain").desc(), "threshold").limit(1)
+
+
+
+_FS_FILES = 64
+
+_FS_PROBES = 10
+
+
+
+def _fskip_sql() -> str:
+    probes = ", ".join(str((17 * k) % 256) for k in range(1, _FS_PROBES + 1))
+    return f"""WITH rows_t AS (
+         SELECT event_id, (user_id % 256)::BIGINT AS x, ts, user_id
+         FROM events),
+       layouts AS (
+         SELECT 'ts_sorted' AS layout, x,
+                ntile({_FS_FILES}) OVER (ORDER BY ts, event_id) AS f
+         FROM rows_t
+         UNION ALL
+         SELECT 'user_sorted', x, ntile({_FS_FILES}) OVER (ORDER BY user_id, ts, event_id)
+         FROM rows_t),
+       files AS (
+         SELECT layout, f, min(x)::BIGINT AS lo, max(x)::BIGINT AS hi
+         FROM layouts GROUP BY 1, 2),
+       probes AS (SELECT unnest([{probes}])::BIGINT AS x0),
+       touched AS (
+         SELECT fi.layout, p.x0,
+                sum((p.x0 BETWEEN fi.lo AND fi.hi)::INT)::BIGINT AS n_touched
+         FROM files fi CROSS JOIN probes p
+         GROUP BY 1, 2)
+       SELECT layout, count(*)::BIGINT AS n_probes,
+              {_FS_FILES}::BIGINT AS n_files,
+              round(avg(n_touched), 6) AS avg_files_touched,
+              max(n_touched)::BIGINT AS worst_case
+       FROM touched GROUP BY layout ORDER BY layout"""
+
+
+
+@query("file_skipping_sim", _fskip_sql())
+def q_file_skipping_sim(spark, sf_dir):
+    """Zone-map file-skipping simulation — the quantified version of
+    the min/max-pruning story `tpch_q6`'s plan relies on: split the
+    event stream into 64 equal files under two physical layouts
+    (ingest-time-sorted vs user-sorted) and count, for 10 point
+    probes on the user-bucket column, how many files' [min,max]
+    ranges a scan must open. Time-sorted files each span nearly the
+    whole bucket domain (touch ≈ all 64); user-sorted files confine
+    each bucket to ~1 file — the measured gap IS the argument for
+    sort/cluster keys matching the filter column at 10^12 rows.
+    ntile file assignment, min/max per file, broadcast probe join —
+    all exact integers."""
+    ev = _events(spark, sf_dir)
+    rows_t = ev.select(
+        "event_id", (F.col("user_id") % 256).cast("long").alias("x"), "ts", "user_id"
+    )
+    lay_ts = rows_t.select(
+        F.lit("ts_sorted").alias("layout"), "x",
+        F.ntile(_FS_FILES).over(Window.orderBy("ts", "event_id")).alias("f"),
+    )
+    lay_u = rows_t.select(
+        F.lit("user_sorted").alias("layout"), "x",
+        F.ntile(_FS_FILES).over(Window.orderBy("user_id", "ts", "event_id")).alias("f"),
+    )
+    files = lay_ts.unionAll(lay_u).groupBy("layout", "f").agg(
+        F.min("x").cast("long").alias("lo"), F.max("x").cast("long").alias("hi")
+    )
+    probes = spark.createDataFrame(
+        [((17 * k) % 256,) for k in range(1, _FS_PROBES + 1)], "x0 long"
+    )
+    touched = files.crossJoin(F.broadcast(probes)).groupBy("layout", "x0").agg(
+        F.sum(((F.col("x0") >= F.col("lo")) & (F.col("x0") <= F.col("hi"))).cast("int")).cast("long").alias("n_touched")
+    )
+    return touched.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.lit(_FS_FILES).cast("long").alias("n_files"),
+        F.round(F.avg("n_touched"), 6).alias("avg_files_touched"),
+        F.max("n_touched").cast("long").alias("worst_case"),
+    ).orderBy("layout")
+
+
+
+_USEG_MAXLEN = 12   # words longer than this are excluded from the DP
+
+_USEG_MAXPIECE = 4  # candidate piece length cap
+
+_USEG_MINCOUNT = 5  # multi-char piece admission threshold
+
+
+
+def _useg_sql() -> str:
+    L, P, MC = _USEG_MAXLEN, _USEG_MAXPIECE, _USEG_MINCOUNT
+    parts = [f"""words AS MATERIALIZED (
+         SELECT token AS w, count(*)::BIGINT AS c,
+                length(token)::BIGINT AS len
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+         WHERE length(token) BETWEEN 1 AND {L}
+         GROUP BY token),
+       occ AS MATERIALIZED (
+         SELECT substr(w, i, l) AS piece, sum(c)::BIGINT AS pc, max(l) AS plen
+         FROM words,
+              unnest(range(1, len::INT + 1)) AS u(i),
+              unnest(range(1, {P} + 1)) AS v(l)
+         WHERE i + l - 1 <= len
+         GROUP BY substr(w, i, l)),
+       vocab AS MATERIALIZED (
+         SELECT piece, pc FROM occ
+         WHERE plen = 1 OR pc >= {MC}),
+       vt AS (SELECT sum(pc)::BIGINT AS tot FROM vocab),
+       cost AS MATERIALIZED (
+         SELECT piece,
+                CAST(round(-1e6 * ln(pc::DOUBLE / (SELECT tot FROM vt))) AS BIGINT) AS cf
+         FROM vocab),
+       s0 AS MATERIALIZED (
+         SELECT w, len, c, 0::BIGINT AS pos, 0::BIGINT AS cost, 0::BIGINT AS np
+         FROM words)"""]
+    for t in range(1, L + 1):
+        cands = []
+        for l in range(1, min(P, t) + 1):
+            cands.append(f"""SELECT s.w, s.len, s.c, {t}::BIGINT AS pos,
+                s.cost + k.cf AS cost, s.np + 1 AS np
+         FROM s{t - l} s JOIN cost k ON k.piece = substr(s.w, {t - l + 1}, {l})
+         WHERE s.len >= {t}""")
+        parts.append(f"""s{t} AS MATERIALIZED (
+         SELECT w, len, c, pos, cost, np FROM (
+           SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost * 16 + np) AS rn
+           FROM ({" UNION ALL ".join(cands)}))
+         WHERE rn = 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT w, len, c, cost, np FROM s{t} WHERE len = {t}" for t in range(1, L + 1)
+    )
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f""",
+       fin AS ({finals})
+       SELECT len AS word_len, count(*)::BIGINT AS n_words,
+              sum(c)::BIGINT AS token_mass,
+              sum(c * np)::BIGINT AS total_pieces,
+              round(sum(c * np)::DOUBLE / sum(c), 6) AS avg_pieces,
+              round(sum(c * cost)::DOUBLE / (sum(c) * 1e6), 6) AS avg_nll
+       FROM fin GROUP BY len ORDER BY len"""
+    )
+
+
+
+@query("unigram_viterbi_segment", _useg_sql())
+def q_unigram_viterbi_segment(spark, sf_dir):
+    """Unigram-LM subword segmentation by Viterbi DP (Kudo, ACL 2018 —
+    the SentencePiece unigram model's E-step): candidate pieces are
+    all substrings up to length 4 (single chars always admitted, so
+    every word segments), piece costs are −ln of corpus-mass unigram
+    probabilities in fixed-point micro-nats, and each distinct word's
+    minimal-cost segmentation comes from a position DP UNROLLED to 12
+    rounds — round t takes the min over the ≤4 predecessor states
+    joined to the piece table, ties broken toward fewer pieces via
+    the packed key cost·16+np. Reports per-word-length fertility
+    (pieces/word) and negative log-likelihood — the numbers a
+    tokenizer-design loop reads, next to `bpe_learn`'s merge-based
+    answer and `token_fertility`'s fixed-vocab audit. The corpus is
+    touched once (word census + occurrence census); the DP runs on
+    the distinct-WORD grain, which is Heaps-sublinear in corpus size."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .where(F.length("w").between(1, _USEG_MAXLEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("w", "c", F.length("w").cast("long").alias("len"))
+        .localCheckpoint(eager=True)
+    )
+    pos_l = [
+        (i, l)
+        for i in range(1, _USEG_MAXLEN + 1)
+        for l in range(1, _USEG_MAXPIECE + 1)
+    ]
+    pl = spark.createDataFrame(pos_l, "i long, l long")
+    occ = (
+        words.crossJoin(F.broadcast(pl))
+        .where(F.col("i") + F.col("l") - 1 <= F.col("len"))
+        .groupBy(F.expr("substr(w, cast(i as int), cast(l as int))").alias("piece"))
+        .agg(F.sum("c").cast("long").alias("pc"), F.max("l").alias("plen"))
+    )
+    vocab = occ.where((F.col("plen") == 1) | (F.col("pc") >= _USEG_MINCOUNT))
+    tot = vocab.agg(F.sum("pc").cast("long").alias("tot"))
+    cost = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(F.lit(-1e6) * F.log(F.col("pc").cast("double") / F.col("tot")), 0).cast("long").alias("cf"),
+    ).localCheckpoint(eager=True)
+    states = {
+        0: words.select("w", "len", "c", F.lit(0).cast("long").alias("cost"), F.lit(0).cast("long").alias("np"))
+    }
+    for t in range(1, _USEG_MAXLEN + 1):
+        cands = None
+        for l in range(1, min(_USEG_MAXPIECE, t) + 1):
+            s_prev = states[t - l]
+            cand = (
+                s_prev.where(F.col("len") >= t)
+                .join(
+                    F.broadcast(cost),
+                    F.col("piece") == F.expr(f"substr(w, {t - l + 1}, {l})"),
+                )
+                .select(
+                    "w", "len", "c",
+                    (F.col("cost") + F.col("cf")).cast("long").alias("cost"),
+                    (F.col("np") + 1).cast("long").alias("np"),
+                )
+            )
+            cands = cand if cands is None else cands.unionAll(cand)
+        wmin = Window.partitionBy("w").orderBy(F.col("cost") * 16 + F.col("np"))
+        states[t] = (
+            cands.select("w", "len", "c", "cost", "np", F.row_number().over(wmin).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    fin = None
+    for t in range(1, _USEG_MAXLEN + 1):
+        part = states[t].where(F.col("len") == t)
+        fin = part if fin is None else fin.unionAll(part)
+    return fin.groupBy(F.col("len").alias("word_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("c").cast("long").alias("token_mass"),
+        F.sum(F.col("c") * F.col("np")).cast("long").alias("total_pieces"),
+        F.round(F.sum(F.col("c") * F.col("np")).cast("double") / F.sum("c"), 6).alias("avg_pieces"),
+        F.round(F.sum(F.col("c") * F.col("cost")).cast("double") / (F.sum("c") * F.lit(1e6)), 6).alias("avg_nll"),
+    ).orderBy("word_len")
+
+
+
+@query(
+    "ratio_metric_delta_ci",
+    """WITH u AS (
+         SELECT user_id,
+                sum((event_type = 'purchase')::INT)::BIGINT AS x,
+                sum((event_type = 'click')::INT)::BIGINT AS y
+         FROM events GROUP BY user_id),
+       mo AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                sum(x * y)::BIGINT AS sxy
+         FROM u),
+       st AS (
+         SELECT n, sx::DOUBLE / sy AS r,
+                (sxx - sx::DOUBLE * sx / n) / (n - 1) AS vx,
+                (syy - sy::DOUBLE * sy / n) / (n - 1) AS vy,
+                (sxy - sx::DOUBLE * sy / n) / (n - 1) AS vxy,
+                sy::DOUBLE / n AS ybar
+         FROM mo),
+       se AS (
+         SELECT n, r,
+                sqrt((vx + r * r * vy - 2 * r * vxy) / (n * ybar * ybar)) AS se
+         FROM st)
+       SELECT n AS n_users, round(r, 6) AS ratio,
+              round(se, 6) AS se,
+              round(r - 1.96 * se, 6) AS ci_lo,
+              round(r + 1.96 * se, 6) AS ci_hi
+       FROM se""",
+)
+def q_ratio_metric_delta_ci(spark, sf_dir):
+    """Delta-method confidence interval for the ratio-of-sums metric
+    purchases-per-click (Fieller/Taylor linearization; the standard
+    correction for A/B ratio metrics where the analysis unit (user)
+    differs from the metric denominator (clicks) — van den Bos et
+    al. / Deng et al.'s 'ratio metrics' problem): R̂ = Σx/Σy with
+    se² = (s_x² + R²s_y² − 2Rs_xy)/(n·ȳ²), which the naive binomial
+    CI gets wrong because click counts are random too. All five
+    moments are exact BIGINT sums from one user census; the interval
+    is a closed form with shared 1.96. The honest-uncertainty twin
+    of `cuped_adjustment` on the same census."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("y"),
+    )
+    mo = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    vxy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    ybar = F.col("sy").cast("double") / F.col("n")
+    se = F.sqrt((vx + r * r * vy - 2 * r * vxy) / (F.col("n") * ybar * ybar))
+    return mo.select(
+        F.col("n").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+
+_KSEG_K = 4
+
+
+
+def _kseg_sql() -> str:
+    K = _KSEG_K
+    parts = ["""daily AS MATERIALIZED (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       idx AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY dd)::BIGINT AS t, x,
+                sum(x) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING)::BIGINT AS p1,
+                sum(x * x) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING)::BIGINT AS p2,
+                count(*) OVER ()::BIGINT AS n
+         FROM daily),
+       pref AS MATERIALIZED (
+         SELECT t, p1, p2 FROM idx
+         UNION ALL SELECT 0, 0, 0),
+       seg AS MATERIALIZED (
+         SELECT a.t + 1 AS i, b.t AS j,
+                round(1e6 * ((b.p2 - a.p2)
+                      - (b.p1 - a.p1)::DOUBLE * (b.p1 - a.p1) / (b.t - a.t)), 0)::BIGINT AS cfp
+         FROM pref a JOIN pref b ON b.t > a.t),
+       e1 AS MATERIALIZED (
+         SELECT j, cfp AS e, 0::BIGINT AS cut FROM seg WHERE i = 1)"""]
+    prev = "e1"
+    for k in range(2, K + 1):
+        parts.append(f"""e{k} AS MATERIALIZED (
+         SELECT j, e, cut FROM (
+           SELECT s.j, p.e + s.cfp AS e, s.i - 1 AS cut,
+                  row_number() OVER (PARTITION BY s.j
+                                     ORDER BY p.e + s.cfp, s.i) AS rn
+           FROM seg s JOIN {prev} p ON p.j = s.i - 1)
+         WHERE rn = 1)""")
+        prev = f"e{k}"
+    # backtrack the boundaries for j = n
+    bt = ["""bt%d AS MATERIALIZED (
+         SELECT e%d.cut AS c%d FROM e%d, idx WHERE e%d.j = idx.n LIMIT 1)""" % (K, K, K, K, K)]
+    prevcut = f"c{K}"
+    for k in range(K - 1, 1, -1):
+        bt.append(f"""bt{k} AS MATERIALIZED (
+         SELECT e{k}.cut AS c{k} FROM e{k}, bt{k + 1} WHERE e{k}.j = bt{k + 1}.c{k + 1} LIMIT 1)""")
+    parts.extend(bt)
+    cuts = ", ".join(f"(SELECT c{k} FROM bt{k})" for k in range(2, K + 1))
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f""",
+       bounds AS (
+         SELECT unnest([0, {cuts}, (SELECT max(n) FROM idx)]) AS b),
+       segs AS (
+         SELECT row_number() OVER (ORDER BY b) AS k, b AS lo,
+                lead(b) OVER (ORDER BY b) AS hi
+         FROM bounds),
+       out AS (
+         SELECT s.k, s.lo + 1 AS start_t, s.hi AS end_t,
+                (SELECT p1 FROM pref WHERE t = s.hi)
+                  - (SELECT p1 FROM pref WHERE t = s.lo) AS mass,
+                s.hi - s.lo AS len
+         FROM segs s WHERE s.hi IS NOT NULL)
+       SELECT k::BIGINT AS segment, start_t, end_t, len AS n_days,
+              round(mass::DOUBLE / len, 6) AS seg_mean
+       FROM out ORDER BY segment"""
+    )
+
+
+
+@query("ksegments_dp", _kseg_sql())
+def q_ksegments_dp(spark, sf_dir):
+    """Optimal 4-segment piecewise-constant fit of the daily series by
+    Bellman's segmentation DP (Bellman, CACM 1961; the exact solver
+    that `amoc_changepoint` is the k=2 special case of and that
+    heuristic binary splitting only approximates): E_k(j) =
+    min_i E_{k-1}(i) + SSE(i+1,j), all segment SSEs from two prefix
+    sums in one closed form, re-quantized to 1e-6 so the DP's argmin
+    is an exact int64 comparison with deterministic ties. The k
+    rounds unroll as chained CTEs; backtracking re-reads the stored
+    argmin cuts. Day census → O(n²) segment table (n = days, constant
+    vs corpus) → 4 DP rounds; reports each segment's span and mean."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wo = Window.orderBy("dd")
+    idx = daily.select(
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
+        F.sum(F.col("x") * F.col("x")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    n = idx.agg(F.max("n")).collect()[0][0]
+    pref = idx.select("t", "p1", "p2").unionAll(
+        spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    seg = (
+        a.join(b, F.col("b.t") > F.col("a.t"))
+        .select(
+            (F.col("a.t") + 1).alias("i"), F.col("b.t").alias("j"),
+            F.round(
+                F.lit(1e6)
+                * (
+                    (F.col("b.p2") - F.col("a.p2"))
+                    - (F.col("b.p1") - F.col("a.p1")).cast("double") * (F.col("b.p1") - F.col("a.p1"))
+                    / (F.col("b.t") - F.col("a.t"))
+                ),
+                0,
+            ).cast("long").alias("cfp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut"))
+    tables = {1: e.localCheckpoint(eager=True)}
+    for k in range(2, _KSEG_K + 1):
+        p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
+        wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
+        tables[k] = (
+            seg.join(p, F.col("pj") == F.col("i") - 1)
+            .select("j", "i", (F.col("pe") + F.col("cfp")).cast("long").alias("e"))
+            .select("j", "e", (F.col("i") - 1).cast("long").alias("cut"),
+                    F.row_number().over(wmin).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    cuts = []
+    j = n
+    for k in range(_KSEG_K, 1, -1):
+        j = tables[k].where(F.col("j") == j).collect()[0].cut
+        cuts.append(j)
+    bounds = sorted([0] + cuts + [n])
+    pref_rows = {r.t: r.p1 for r in pref.collect()}
+    rows = []
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        mass = pref_rows[hi] - pref_rows[lo]
+        rows.append((k + 1, lo + 1, hi, hi - lo, round(mass / (hi - lo), 6)))
+    return spark.createDataFrame(
+        rows, "segment long, start_t long, end_t long, n_days long, seg_mean double"
+    ).orderBy("segment")
+
+
+
+@query(
+    "process_capability",
+    """WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       bounds AS (SELECT (min(dd) + max(dd) + 1) // 2 AS mid FROM daily),
+       ref AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2
+         FROM daily, bounds WHERE dd < mid),
+       cur AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2
+         FROM daily, bounds WHERE dd >= mid),
+       lim AS (
+         SELECT r.s1::DOUBLE / r.n
+                  - 3 * sqrt((r.s2 - r.s1::DOUBLE * r.s1 / r.n) / (r.n - 1)) AS lsl,
+                r.s1::DOUBLE / r.n
+                  + 3 * sqrt((r.s2 - r.s1::DOUBLE * r.s1 / r.n) / (r.n - 1)) AS usl,
+                c.s1::DOUBLE / c.n AS mu,
+                sqrt((c.s2 - c.s1::DOUBLE * c.s1 / c.n) / (c.n - 1)) AS sigma,
+                c.n AS n_cur
+         FROM ref r, cur c)
+       SELECT n_cur AS n_days_current,
+              round(lsl, 6) AS lsl, round(usl, 6) AS usl,
+              round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+              round((usl - lsl) / (6 * sigma), 6) AS cp,
+              round(least(usl - mu, mu - lsl) / (3 * sigma), 6) AS cpk
+       FROM lim""",
+)
+def q_process_capability(spark, sf_dir):
+    """Process capability indices Cp/Cpk of current daily volume
+    against specification limits derived from the FIRST half's ±3σ
+    envelope (the Six Sigma capability pair; Kane, J. Qual. Tech.
+    1986): Cp compares spread to spec width, Cpk additionally
+    penalizes CENTERING drift — together the capability view of what
+    `control_chart` monitors point-by-point and `psi_drift` measures
+    distributionally. Both halves reduce to exact BIGINT moments from
+    the one day census; the indices are closed forms with shared
+    literals."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = daily.agg(F.floor((F.min("dd") + F.max("dd") + 1) / 2).cast("long").alias("mid"))
+    dj = daily.crossJoin(F.broadcast(bounds))
+
+    def mom(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        )
+
+    ref = mom(dj.where(F.col("dd") < F.col("mid")))
+    cur = mom(dj.where(F.col("dd") >= F.col("mid")))
+    r = ref.select(
+        (F.col("s1").cast("double") / F.col("n")).alias("rmu"),
+        F.sqrt((F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("rsd"),
+    )
+    c = cur.select(
+        F.col("n").alias("n_cur"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("sigma"),
+    )
+    lim = r.crossJoin(c).select(
+        "n_cur", "mu", "sigma",
+        (F.col("rmu") - 3 * F.col("rsd")).alias("lsl"),
+        (F.col("rmu") + 3 * F.col("rsd")).alias("usl"),
+    )
+    return lim.select(
+        F.col("n_cur").alias("n_days_current"),
+        F.round("lsl", 6).alias("lsl"), F.round("usl", 6).alias("usl"),
+        F.round("mu", 6).alias("mu"), F.round("sigma", 6).alias("sigma"),
+        F.round((F.col("usl") - F.col("lsl")) / (6 * F.col("sigma")), 6).alias("cp"),
+        F.round(F.least(F.col("usl") - F.col("mu"), F.col("mu") - F.col("lsl")) / (3 * F.col("sigma")), 6).alias("cpk"),
+    )
+
+
+
+_ACF_MAXLAG = 10
+
+
+
+@query(
+    "acf_bartlett",
+    f"""WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       idx AS (SELECT row_number() OVER (ORDER BY dd)::BIGINT AS t, x FROM daily),
+       mo AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2
+         FROM idx),
+       lags AS (SELECT unnest(range(1, {_ACF_MAXLAG + 1}))::BIGINT AS k),
+       num AS (
+         SELECT l.k,
+                sum((a.x * m.n - m.s1) * (b.x * m.n - m.s1))::BIGINT AS sxy
+         FROM lags l
+         JOIN idx a ON true
+         JOIN idx b ON b.t = a.t + l.k, mo m
+         GROUP BY l.k),
+       r AS (
+         SELECT k,
+                round(sxy::DOUBLE / ((SELECT (s2 * n - s1 * s1) FROM mo)), 6) AS acf
+         FROM num),
+       bart AS (
+         SELECT k, acf,
+                sum(round(1e9 * acf * acf, 0)::BIGINT)
+                  OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_fp
+         FROM r)
+       SELECT k AS lag, acf,
+              round(sqrt((1.0 + 2.0 * coalesce(cum_fp, 0) / 1e9)
+                         / (SELECT n FROM mo)), 6) AS bartlett_se,
+              (abs(acf) > 1.96 * sqrt((1.0 + 2.0 * coalesce(cum_fp, 0) / 1e9)
+                                      / (SELECT n FROM mo))) AS significant
+       FROM bart ORDER BY lag""",
+)
+def q_acf_bartlett(spark, sf_dir):
+    """Autocorrelation function at lags 1-10 with Bartlett's
+    growing standard-error bands (Bartlett, JRSS-B 1946: SE(r_k) =
+    √((1+2Σ_{i<k}r_i²)/n), the band correlogram plots use instead of
+    the naive 1/√n once ANY lower lag is nonzero) — the full
+    correlogram behind `autocorr_lag1`/`pacf_lag2`/`ljung_box`,
+    with a per-lag significance verdict. The numerator uses the
+    n-scaled centering trick (x·n − Σx is integer, so each lag's
+    cross-product sum is exact int64 over the common denominator
+    n·(nΣx²−(Σx)²)); the Bartlett cumulative r² rides a window over
+    the once-rounded acf values quantized to 1e-9. Day census, 10-row
+    lag spine."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").localCheckpoint(eager=True)
+    mo = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    lags = spark.range(1, _ACF_MAXLAG + 1).select(F.col("id").cast("long").alias("k"))
+    a, b = idx.alias("a"), idx.alias("b")
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .crossJoin(F.broadcast(mo))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("a.x") * F.col("n") - F.col("s1")) * (F.col("b.x") * F.col("n") - F.col("s1"))
+            ).cast("long").alias("sxy"),
+            F.max("n").alias("n"),
+            F.max("s1").alias("s1"),
+            F.max("s2").alias("s2"),
+        )
+    )
+    r = num.select(
+        "k", "n",
+        F.round(F.col("sxy").cast("double") / (F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")), 6).alias("acf"),
+    )
+    wc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    bart = r.select(
+        "k", "n", "acf",
+        F.sum(F.round(F.lit(1e9) * F.col("acf") * F.col("acf"), 0).cast("long")).over(wc).alias("cum_fp"),
+    )
+    se = F.sqrt((F.lit(1.0) + F.lit(2.0) * F.coalesce(F.col("cum_fp"), F.lit(0)) / F.lit(1e9)) / F.col("n"))
+    return bart.select(
+        F.col("k").alias("lag"), "acf",
+        F.round(se, 6).alias("bartlett_se"),
+        (F.abs(F.col("acf")) > F.lit(1.96) * se).alias("significant"),
+    ).orderBy("lag")
+
+
+
+_RIPLEY_WS = (3600, 21600, 86400)  # 1h, 6h, 24h in seconds
+
+
+
+def _ripley_sql() -> str:
+    ws = ", ".join(str(w) for w in _RIPLEY_WS)
+    return f"""WITH e AS (
+         SELECT epoch_us(ts)::BIGINT // 1000000 AS s FROM events),
+       span AS (SELECT (max(s) - min(s))::BIGINT AS t, count(*)::BIGINT AS n FROM e),
+       ws AS (SELECT unnest([{ws}])::BIGINT AS w),
+       b AS (
+         SELECT ws.w, e.s, e.s // ws.w AS bk FROM e, ws),
+       pairs AS (
+         SELECT a.w, count(*)::BIGINT AS p
+         FROM b a JOIN b b2
+           ON a.w = b2.w AND b2.bk BETWEEN a.bk - 1 AND a.bk + 1
+          AND b2.s > a.s AND b2.s - a.s <= a.w
+         GROUP BY a.w),
+       k AS (
+         SELECT p.w, p.p, sp.n, sp.t,
+                sp.t::DOUBLE * 2 * p.p / (sp.n::DOUBLE * (sp.n - 1)) AS k_hat
+         FROM pairs p, span sp)
+       SELECT w AS window_s, p AS n_pairs,
+              round(k_hat, 6) AS k_hat,
+              round(2.0 * w, 6)::DOUBLE AS k_csr,
+              round(k_hat / (2.0 * w), 6) AS clustering_ratio
+       FROM k ORDER BY w"""
+
+
+
+@query("ripleys_k", _ripley_sql())
+def q_ripleys_k(spark, sf_dir):
+    """Ripley's K function for 1-D temporal clustering of events
+    (Ripley, J. Appl. Prob. 1976): K̂(w) = T·2P_w/(n(n−1)) with P_w =
+    pairs closer than w, against the CSR expectation K = 2w — the
+    SCALE-RESOLVED clustering gauge (1h/6h/24h) where
+    `interarrival_burstiness` compresses everything into one ratio
+    and `self_excitation` tests only short-lag triggering; ratio > 1
+    at a scale means clustering AT that scale. The pair census is a
+    BAND self-join on w-width time buckets (each event meets only
+    ±1 bucket — the LSH-banding shape, never n²); counts and the
+    time span are exact integers, K is two divisions."""
+    ev = _events(spark, sf_dir)
+    s = (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000000).cast("long")
+    e = ev.select(s.alias("s")).localCheckpoint(eager=True)
+    span = e.agg(
+        (F.max("s") - F.min("s")).cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ws = spark.createDataFrame([(w,) for w in _RIPLEY_WS], "w long")
+    b = e.crossJoin(F.broadcast(ws)).select("w", "s", F.floor(F.col("s") / F.col("w")).alias("bk"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.w") == F.col("b2.w"))
+            & (F.col("b2.bk") >= F.col("a.bk") - 1)
+            & (F.col("b2.bk") <= F.col("a.bk") + 1)
+            & (F.col("b2.s") > F.col("a.s"))
+            & (F.col("b2.s") - F.col("a.s") <= F.col("a.w")),
+        )
+        .groupBy(F.col("a.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("p"))
+    )
+    k = pairs.crossJoin(F.broadcast(span)).select(
+        "w", "p",
+        (F.col("t").cast("double") * 2 * F.col("p") / (F.col("n").cast("double") * (F.col("n") - 1))).alias("k_hat"),
+    )
+    return k.select(
+        F.col("w").alias("window_s"), F.col("p").alias("n_pairs"),
+        F.round("k_hat", 6).alias("k_hat"),
+        F.round(F.lit(2.0) * F.col("w"), 6).alias("k_csr"),
+        F.round(F.col("k_hat") / (F.lit(2.0) * F.col("w")), 6).alias("clustering_ratio"),
+    ).orderBy("window_s")
+
+
+
+@query(
+    "ltv_curve",
+    """WITH u0 AS (
+         SELECT user_id,
+                min(datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) // 7)::BIGINT AS cohort
+         FROM events GROUP BY user_id),
+       pw AS (
+         SELECT e.user_id, u0.cohort,
+                (datediff('day', DATE '2024-01-01', date_trunc('day', e.ts)::DATE) // 7)::BIGINT
+                  - u0.cohort AS age,
+                sum((e.event_type = 'purchase')::INT)::BIGINT AS p
+         FROM events e JOIN u0 ON u0.user_id = e.user_id
+         GROUP BY 1, 2, 3),
+       sizes AS (SELECT cohort, count(DISTINCT user_id)::BIGINT AS n_users FROM pw GROUP BY cohort),
+       cum AS (
+         SELECT cohort, age,
+                sum(sum(p)) OVER (PARTITION BY cohort ORDER BY age
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_p
+         FROM pw GROUP BY cohort, age)
+       SELECT c.cohort, c.age, s.n_users, c.cum_p,
+              round(c.cum_p::DOUBLE / s.n_users, 6) AS ltv
+       FROM cum c JOIN sizes s USING (cohort)
+       WHERE c.cohort <= 4 AND c.age <= 6
+       ORDER BY c.cohort, c.age""",
+)
+def q_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    cumulative purchases per cohort member as a function of cohort AGE
+    in weeks — the LTV triangle whose flattening point sets payback
+    windows, the VALUE-weighted sequel to `retention_cohorts`'
+    presence counts (a cohort can retain but stop buying; these
+    curves disagree exactly then). Cohort assignment is one min-census;
+    per-(cohort, age) purchase mass is exact, the running total a
+    cohort-partitioned window; division by fixed cohort size happens
+    once per row. Clipped to the first 5 cohorts × 7 ages so the
+    checked surface is the stable upper-left triangle at any sf."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    wk = F.floor(F.datediff(day, F.lit("2024-01-01").cast("date")) / 7).cast("long")
+    u0 = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    pw = (
+        ev.join(u0, "user_id")
+        .groupBy("user_id", "cohort", (wk - F.col("cohort")).alias("age"))
+        .agg(F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("p"))
+    )
+    sizes = pw.groupBy("cohort").agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    cum = pw.groupBy("cohort", "age").agg(F.sum("p").cast("long").alias("wp")).select(
+        "cohort", "age",
+        F.sum("wp").over(
+            Window.partitionBy("cohort").orderBy("age").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_p"),
+    )
+    return (
+        cum.join(sizes, "cohort")
+        .where((F.col("cohort") <= 4) & (F.col("age") <= 6))
+        .select(
+            "cohort", "age", "n_users", "cum_p",
+            F.round(F.col("cum_p").cast("double") / F.col("n_users"), 6).alias("ltv"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+
+@query(
+    "adstock_transform",
+    """WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                sum((event_type = 'click')::INT)::BIGINT AS x
+         FROM events GROUP BY dd),
+       idx AS (SELECT row_number() OVER (ORDER BY dd)::BIGINT AS t, dd, x FROM daily),
+       conv AS (
+         SELECT a.t, a.dd, a.x,
+                sum(round(1e6 * b.x * pow(0.5, a.t - b.t), 0)::BIGINT)::BIGINT AS ad_fp
+         FROM idx a JOIN idx b ON b.t <= a.t
+         GROUP BY a.t, a.dd, a.x)
+       SELECT dd, x AS clicks,
+              round(ad_fp / 1e6, 6) AS adstock,
+              round(ad_fp / 1e6 - x, 6) AS carryover
+       FROM conv ORDER BY dd""",
+)
+def q_adstock_transform(spark, sf_dir):
+    """Geometric adstock transform of daily click volume (Broadbent,
+    J. Mkt. Res. Soc. 1979; the carryover feature every media-mix
+    model feeds instead of raw spend): y_t = Σ_{j≤t} λ^{t−j} x_j at
+    λ=0.5, so every decay weight is an exact dyadic double and each
+    term re-quantizes to 1e-6 before the integer sum — the recursion
+    y_t = x_t + λy_{t−1} unrolled to its convolution closed form
+    (the associativity-safe formulation; the recursion itself is
+    order-fragile). Runs as a triangular self-join on the day grain —
+    O(days²) constant work after the census — and reports the
+    carryover component separately, which is the feature
+    `training_matrix` would ingest."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x")
+    )
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "dd", "x").localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    conv = (
+        a.join(b, F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"), F.col("a.dd").alias("dd"), F.col("a.x").alias("x"))
+        .agg(
+            F.sum(
+                F.round(F.lit(1e6) * F.col("b.x") * F.pow(F.lit(0.5), F.col("a.t") - F.col("b.t")), 0).cast("long")
+            ).cast("long").alias("ad_fp")
+        )
+    )
+    return conv.select(
+        "dd", F.col("x").alias("clicks"),
+        F.round(F.col("ad_fp") / F.lit(1e6), 6).alias("adstock"),
+        F.round(F.col("ad_fp") / F.lit(1e6) - F.col("x"), 6).alias("carryover"),
+    ).orderBy("dd")
+
+
+
+_K1D_K = 3
+
+
+
+def _k1d_sql() -> str:
+    K = _K1D_K
+    parts = ["""u AS MATERIALIZED (
+         SELECT user_id, count(*)::BIGINT AS a FROM events GROUP BY user_id),
+       srt AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY a, user_id)::BIGINT AS t, a,
+                sum(a) OVER (ORDER BY a, user_id ROWS UNBOUNDED PRECEDING)::BIGINT AS p1,
+                sum(a * a) OVER (ORDER BY a, user_id ROWS UNBOUNDED PRECEDING)::BIGINT AS p2,
+                count(*) OVER ()::BIGINT AS n
+         FROM u),
+       pref AS MATERIALIZED (
+         SELECT t, p1, p2 FROM srt UNION ALL SELECT 0, 0, 0),
+       seg AS MATERIALIZED (
+         SELECT a.t + 1 AS i, b.t AS j,
+                round(1e6 * ((b.p2 - a.p2)
+                      - (b.p1 - a.p1)::DOUBLE * (b.p1 - a.p1) / (b.t - a.t)), 0)::BIGINT AS cfp
+         FROM pref a JOIN pref b ON b.t > a.t),
+       e1 AS MATERIALIZED (
+         SELECT j, cfp AS e, 0::BIGINT AS cut FROM seg WHERE i = 1)"""]
+    prev = "e1"
+    for k in range(2, K + 1):
+        parts.append(f"""e{k} AS MATERIALIZED (
+         SELECT j, e, cut FROM (
+           SELECT s.j, p.e + s.cfp AS e, s.i - 1 AS cut,
+                  row_number() OVER (PARTITION BY s.j
+                                     ORDER BY p.e + s.cfp, s.i) AS rn
+           FROM seg s JOIN {prev} p ON p.j = s.i - 1)
+         WHERE rn = 1)""")
+        prev = f"e{k}"
+    bt = [f"""bt{K} AS MATERIALIZED (
+         SELECT e{K}.cut AS c{K} FROM e{K}, srt WHERE e{K}.j = srt.n LIMIT 1)"""]
+    for k in range(K - 1, 1, -1):
+        bt.append(f"""bt{k} AS MATERIALIZED (
+         SELECT e{k}.cut AS c{k} FROM e{k}, bt{k + 1} WHERE e{k}.j = bt{k + 1}.c{k + 1} LIMIT 1)""")
+    parts.extend(bt)
+    cuts = ", ".join(f"(SELECT c{k} FROM bt{k})" for k in range(2, K + 1))
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f""",
+       bounds AS (
+         SELECT unnest([0, {cuts}, (SELECT max(n) FROM srt)]) AS b),
+       segs AS (
+         SELECT row_number() OVER (ORDER BY b) AS k, b AS lo,
+                lead(b) OVER (ORDER BY b) AS hi
+         FROM bounds),
+       out AS (
+         SELECT s.k, s.hi - s.lo AS sz,
+                (SELECT p1 FROM pref WHERE t = s.hi)
+                  - (SELECT p1 FROM pref WHERE t = s.lo) AS mass,
+                (SELECT a FROM srt WHERE t = s.lo + 1) AS lo_val,
+                (SELECT a FROM srt WHERE t = s.hi) AS hi_val
+         FROM segs s WHERE s.hi IS NOT NULL)
+       SELECT k::BIGINT AS cluster, sz AS n_users, lo_val, hi_val,
+              round(mass::DOUBLE / sz, 6) AS centroid
+       FROM out ORDER BY cluster"""
+    )
+
+
+
+@query("kmeans_1d_optimal", _k1d_sql())
+def q_kmeans_1d_optimal(spark, sf_dir):
+    """GLOBALLY optimal 1-D 3-means of per-user activity (Wang & Song,
+    R Journal 2011 'Ckmeans.1d.dp'; Fisher 1958): in one dimension
+    optimal clusters are contiguous runs of the SORTED values, so
+    exact k-means reduces to the same Bellman segmentation DP as
+    `ksegments_dp` applied to the activity order statistic — the
+    certified-optimum contrast to Lloyd's `kmeans_fit`, whose local
+    optima this query exposes. Prefix-sum SSE closed form, 1e-6
+    integer argmin with deterministic ties, stored-cut backtracking.
+    One census + rank window; the DP grain is O(n²) in USERS but the
+    sorted-contiguity theorem means production use bins first — the
+    binned variant is this same query on the histogram."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    wo = Window.orderBy("a", "user_id")
+    srt = u.select(
+        F.row_number().over(wo).cast("long").alias("t"),
+        "a",
+        F.sum("a").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
+        F.sum(F.col("a") * F.col("a")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    n = srt.agg(F.max("n")).collect()[0][0]
+    pref = srt.select("t", "p1", "p2").unionAll(
+        spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    seg = (
+        a.join(b, F.col("b.t") > F.col("a.t"))
+        .select(
+            (F.col("a.t") + 1).alias("i"), F.col("b.t").alias("j"),
+            F.round(
+                F.lit(1e6)
+                * (
+                    (F.col("b.p2") - F.col("a.p2"))
+                    - (F.col("b.p1") - F.col("a.p1")).cast("double") * (F.col("b.p1") - F.col("a.p1"))
+                    / (F.col("b.t") - F.col("a.t"))
+                ),
+                0,
+            ).cast("long").alias("cfp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tables = {1: seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut")).localCheckpoint(eager=True)}
+    for k in range(2, _K1D_K + 1):
+        p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
+        wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
+        tables[k] = (
+            seg.join(p, F.col("pj") == F.col("i") - 1)
+            .select("j", "i", (F.col("pe") + F.col("cfp")).cast("long").alias("e"))
+            .select("j", "e", (F.col("i") - 1).cast("long").alias("cut"),
+                    F.row_number().over(wmin).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    cuts = []
+    j = n
+    for k in range(_K1D_K, 1, -1):
+        j = tables[k].where(F.col("j") == j).collect()[0].cut
+        cuts.append(j)
+    bounds = sorted([0] + cuts + [n])
+    pr = {r.t: (r.p1, r.a) for r in srt.select("t", "p1", "a").collect()}
+    pr[0] = (0, None)
+    rows = []
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        mass = pr[hi][0] - pr[lo][0]
+        rows.append((k + 1, hi - lo, pr[lo + 1][1], pr[hi][1], round(mass / (hi - lo), 6)))
+    return spark.createDataFrame(
+        rows, "cluster long, n_users long, lo_val long, hi_val long, centroid double"
+    ).orderBy("cluster")
+
+
+
+@query(
+    "gpd_pot_fit",
+    """WITH u AS (
+         SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id),
+       thr AS (
+         SELECT x AS u0 FROM (
+           SELECT x, row_number() OVER (ORDER BY x, user_id) AS rn,
+                  count(*) OVER () AS n
+           FROM u) WHERE rn = (9 * n + 9) // 10),
+       exc AS (
+         SELECT (x - (SELECT u0 FROM thr))::BIGINT AS y
+         FROM u WHERE x > (SELECT u0 FROM thr)),
+       mo AS (
+         SELECT count(*)::BIGINT AS k, sum(y)::BIGINT AS s1, sum(y * y)::BIGINT AS s2
+         FROM exc),
+       st AS (
+         SELECT k, s1::DOUBLE / k AS m,
+                (s2 - s1::DOUBLE * s1 / k) / (k - 1) AS v
+         FROM mo)
+       SELECT (SELECT u0 FROM thr) AS threshold, k AS n_exceedances,
+              round(m, 6) AS mean_excess,
+              round(0.5 * (1.0 - m * m / v), 6) AS xi,
+              round(0.5 * m * (m * m / v + 1.0), 6) AS beta
+       FROM st WHERE k >= 2""",
+)
+def q_gpd_pot_fit(spark, sf_dir):
+    """Generalized Pareto peaks-over-threshold fit of per-user activity
+    exceedances (Pickands 1975; method-of-moments estimators ξ =
+    ½(1−m²/v), β = ½m(m²/v+1) from Hosking & Wallis, Technometrics
+    1987): the EVT tail model that `hill_tail_index` assumes ξ>0 for
+    and `gumbel_maxima` approaches via block maxima — POT uses every
+    exceedance, not one per block, so it dominates at equal data. The
+    threshold is the exact P90 lower order statistic (deterministic
+    tie keys); exceedance moments are exact BIGINT; both parameters
+    are closed forms. ξ's sign is the headline: >0 heavy tail, <0
+    bounded."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wr = Window.orderBy("x", "user_id")
+    thr = (
+        u.select("x", F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+        .where(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10))
+        .select(F.col("x").alias("u0"))
+    )
+    exc = u.crossJoin(F.broadcast(thr)).where(F.col("x") > F.col("u0")).select(
+        (F.col("x") - F.col("u0")).cast("long").alias("y"), "u0"
+    )
+    mo = exc.groupBy("u0").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("k")
+    v = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("k")) / (F.col("k") - 1)
+    return mo.where(F.col("k") >= 2).select(
+        F.col("u0").alias("threshold"),
+        F.col("k").alias("n_exceedances"),
+        F.round(m, 6).alias("mean_excess"),
+        F.round(F.lit(0.5) * (F.lit(1.0) - m * m / v), 6).alias("xi"),
+        F.round(F.lit(0.5) * m * (m * m / v + F.lit(1.0)), 6).alias("beta"),
+    )
+
+
+
+_VGRAM_MAXLAG = 5
+
+
+
+@query(
+    "semivariogram",
+    f"""WITH daily AS (
+         SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE)::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY dd),
+       idx AS (SELECT row_number() OVER (ORDER BY dd)::BIGINT AS t, x FROM daily),
+       lags AS (SELECT unnest(range(1, {_VGRAM_MAXLAG + 1}))::BIGINT AS h),
+       pairs AS (
+         SELECT l.h, count(*)::BIGINT AS np,
+                sum((a.x - b.x) * (a.x - b.x))::BIGINT AS sd2,
+                sum(abs(a.x - b.x))::BIGINT AS sad
+         FROM lags l JOIN idx a ON true JOIN idx b ON b.t = a.t + l.h
+         GROUP BY l.h)
+       SELECT h AS lag, np AS n_pairs,
+              round(sd2::DOUBLE / (2 * np), 6) AS semivariance,
+              round(sad::DOUBLE / (2 * np), 6) AS madogram
+       FROM pairs ORDER BY lag""",
+)
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram and madogram of daily volume at lags
+    1-5 (Matheron 1963; madogram: Cooley et al. 2006): γ(h) =
+    ½·mean(x_{t+h}−x_t)² — the geostatistical face of the same
+    second-order structure `acf_bartlett` shows (γ(h) = σ²(1−ρ_h) for
+    stationary series), but defined WITHOUT a mean estimate, so it
+    stays valid under the drifts that break the ACF; the madogram is
+    its L1 robust twin. Squared/absolute differences are exact BIGINT
+    sums per lag over the lag-spine join; one division each. Day
+    census, 5-row spine."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").localCheckpoint(eager=True)
+    lags = spark.range(1, _VGRAM_MAXLAG + 1).select(F.col("id").cast("long").alias("h"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("h"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))).cast("long").alias("sd2"),
+            F.sum(F.abs(F.col("a.x") - F.col("b.x"))).cast("long").alias("sad"),
+        )
+    )
+    return pairs.select(
+        F.col("h").alias("lag"), F.col("np").alias("n_pairs"),
+        F.round(F.col("sd2").cast("double") / (2 * F.col("np")), 6).alias("semivariance"),
+        F.round(F.col("sad").cast("double") / (2 * F.col("np")), 6).alias("madogram"),
+    ).orderBy("lag")
+
+
+
+@query(
+    "quade_test",
+    """WITH grid AS (
+         SELECT (datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) % 7)::BIGINT AS wd,
+                (datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) // 7)::BIGINT AS wi,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY wd, wi),
+       full_w AS (SELECT wi FROM grid GROUP BY wi HAVING count(*) = 7),
+       ranked AS (
+         SELECT g.wd, g.wi,
+                2 * rank() OVER (PARTITION BY g.wi ORDER BY g.x)
+                  + count(*) OVER (PARTITION BY g.wi, g.x) - 1 AS ar2,
+                max(g.x) OVER (PARTITION BY g.wi) - min(g.x) OVER (PARTITION BY g.wi) AS rng
+         FROM grid g JOIN full_w USING (wi)),
+       wkr AS (SELECT DISTINCT wi, rng FROM ranked),
+       qr AS (
+         SELECT wi,
+                2 * rank() OVER (ORDER BY rng)
+                  + count(*) OVER (PARTITION BY rng) - 1 AS q2
+         FROM wkr),
+       qrank AS (
+         SELECT ranked.wd, ranked.wi, ranked.ar2, qr.q2
+         FROM ranked JOIN qr USING (wi)),
+       s AS (
+         SELECT wd, sum(q2 * (ar2 - 8))::BIGINT AS s4
+         FROM qrank GROUP BY wd),
+       ab AS (
+         SELECT (SELECT sum(q2 * (ar2 - 8) * q2 * (ar2 - 8)) FROM qrank)::BIGINT AS a16,
+                (SELECT sum(s4 * s4) FROM s)::BIGINT AS b16,
+                (SELECT count(*) FROM full_w)::BIGINT AS m)
+       SELECT m AS n_weeks,
+              round(b16 / (16.0 * m), 6) AS b_stat,
+              round((m - 1) * (b16::DOUBLE / m) / (a16 - b16::DOUBLE / m), 6) AS f_stat
+       FROM ab""",
+)
+def q_quade_test(spark, sf_dir):
+    """Quade test for weekday differences across week blocks (Quade,
+    JASA 1979): within-week ranks are WEIGHTED by the rank of each
+    week's RANGE, so high-signal weeks count more — the power
+    refinement of `friedman_test` for small k that completes the
+    blocked-rank family (Friedman unweighted, Page ordered, Kendall W
+    agreement). Both rank layers use the doubled-midrank integers
+    (within-week ar2, week-range q2), so S_j = ΣQ_i·(R_ij−(k+1)/2)
+    arrives ×4-scaled as exact int64 (centering: ar2−8 = 2(R−4)), and
+    F = (m−1)B/(A−B) is one closed form. Day census, week windows,
+    7-row tail."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    grid = ev.groupBy((dd % 7).alias("wd"), F.floor(dd / 7).cast("long").alias("wi")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    full_w = grid.groupBy("wi").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") == 7).select("wi")
+    wrk = Window.partitionBy("wi").orderBy("x")
+    wties = Window.partitionBy("wi", "x")
+    wwk = Window.partitionBy("wi")
+    ranked = grid.join(F.broadcast(full_w), "wi").select(
+        "wd", "wi",
+        (F.lit(2) * F.rank().over(wrk) + F.count(F.lit(1)).over(wties) - 1).alias("ar2"),
+        (F.max("x").over(wwk) - F.min("x").over(wwk)).alias("rng"),
+    ).localCheckpoint(eager=True)
+    wk_rng = ranked.select("wi", "rng").distinct()
+    wq = Window.orderBy("rng")
+    wqt = Window.partitionBy("rng")
+    qr = wk_rng.select(
+        "wi",
+        (F.lit(2) * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("q2"),
+    )
+    qrank = ranked.join(qr, "wi").select("wd", (F.col("q2") * (F.col("ar2") - 8)).alias("t"))
+    s = qrank.groupBy("wd").agg(F.sum("t").cast("long").alias("s4"))
+    a16 = qrank.agg(F.sum(F.col("t") * F.col("t")).cast("long").alias("a16"))
+    b16 = s.agg(F.sum(F.col("s4") * F.col("s4")).cast("long").alias("b16"))
+    m = full_w.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ab = a16.crossJoin(b16).crossJoin(F.broadcast(m))
+    return ab.select(
+        F.col("m").alias("n_weeks"),
+        F.round(F.col("b16") / (F.lit(16.0) * F.col("m")), 6).alias("b_stat"),
+        F.round(
+            (F.col("m") - 1) * (F.col("b16").cast("double") / F.col("m"))
+            / (F.col("a16") - F.col("b16").cast("double") / F.col("m")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+
+@query(
+    "jonckheere_trend",
+    """WITH cells AS (
+         SELECT (datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) % 7)::BIGINT AS wd,
+                (datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE))::BIGINT AS dd,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT sum((b.x > a.x)::INT)::BIGINT AS gt,
+                sum((b.x = a.x)::INT)::BIGINT AS eq,
+                count(*)::BIGINT AS np
+         FROM cells a JOIN cells b ON b.wd > a.wd),
+       sizes AS (SELECT wd, count(*)::BIGINT AS n FROM cells GROUP BY wd),
+       mom AS (
+         SELECT (SELECT sum(n) FROM sizes)::BIGINT AS nt,
+                (SELECT sum(n * n) FROM sizes)::BIGINT AS sn2,
+                (SELECT sum(n * n * (2 * n + 3)) FROM sizes)::BIGINT AS sn23)
+       SELECT p.np AS n_pairs,
+              round(p.gt + 0.5e0 * p.eq, 6) AS j_stat,
+              round((m.nt::DOUBLE * m.nt - m.sn2) / 4.0, 6) AS e_j,
+              round((p.gt + 0.5e0 * p.eq - (m.nt::DOUBLE * m.nt - m.sn2) / 4.0)
+                    / sqrt((m.nt::DOUBLE * m.nt * (2 * m.nt + 3) - m.sn23) / 72.0), 6) AS z
+       FROM pairs p, mom m""",
+)
+def q_jonckheere_trend(spark, sf_dir):
+    """Jonckheere-Terpstra test for an ORDERED weekday trend in daily
+    counts (Jonckheere, Biometrika 1954): J = Σ over ordered group
+    pairs of Mann-Whitney exceedance counts — more powerful than
+    `kruskal_wallis` when the alternative is monotone-by-group, and
+    the group-level twin of `page_trend` (which demands per-BLOCK
+    rankings; JT pools all cross-group pairs). Exceedance/tie counts
+    are one exact integer half-join census over the (weekday, day)
+    cells; E[J] = (N²−Σn_i²)/4 and the no-ties variance
+    (N²(2N+3)−Σn_i²(2n_i+3))/72 come from group sizes. Day census →
+    21 group-pair comparisons, all int64 until the final z."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
+    cells = ev.groupBy((dd % 7).alias("wd"), dd.alias("dd")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("b.wd") > F.col("a.wd")).agg(
+        F.sum((F.col("b.x") > F.col("a.x")).cast("int")).cast("long").alias("gt"),
+        F.sum((F.col("b.x") == F.col("a.x")).cast("int")).cast("long").alias("eq"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    sizes = cells.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom = sizes.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(F.col("n") * F.col("n") * (2 * F.col("n") + 3)).cast("long").alias("sn23"),
+    )
+    j = F.col("gt") + F.lit(0.5) * F.col("eq")
+    e_j = (F.col("nt").cast("double") * F.col("nt") - F.col("sn2")) / F.lit(4.0)
+    v_j = (F.col("nt").cast("double") * F.col("nt") * (2 * F.col("nt") + 3) - F.col("sn23")) / F.lit(72.0)
+    return pairs.crossJoin(F.broadcast(mom)).select(
+        F.col("np").alias("n_pairs"),
+        F.round(j, 6).alias("j_stat"),
+        F.round(e_j, 6).alias("e_j"),
+        F.round((j - e_j) / F.sqrt(v_j), 6).alias("z"),
+    )
+
+
+
+@query(
+    "moods_median",
+    """WITH u AS (
+         SELECT event_type, user_id, count(*)::BIGINT AS a
+         FROM events GROUP BY 1, 2),
+       med AS (
+         SELECT a AS m FROM (
+           SELECT a, row_number() OVER (ORDER BY a, event_type, user_id) AS rn,
+                  count(*) OVER () AS ng
+           FROM u) WHERE rn = (ng + 1) // 2),
+       cells AS (
+         SELECT event_type,
+                sum((a > (SELECT m FROM med))::INT)::BIGINT AS above,
+                sum((a <= (SELECT m FROM med))::INT)::BIGINT AS below
+         FROM u GROUP BY event_type),
+       tots AS (
+         SELECT sum(above)::BIGINT AS ta, sum(below)::BIGINT AS tb,
+                sum(above + below)::BIGINT AS n
+         FROM cells),
+       chi AS (
+         SELECT sum(round(1e9
+                    * (above - (above + below) * t.ta::DOUBLE / t.n)
+                    * (above - (above + below) * t.ta::DOUBLE / t.n)
+                    / ((above + below) * t.ta::DOUBLE / t.n), 0)::BIGINT
+                  + round(1e9
+                    * (below - (above + below) * t.tb::DOUBLE / t.n)
+                    * (below - (above + below) * t.tb::DOUBLE / t.n)
+                    / ((above + below) * t.tb::DOUBLE / t.n), 0)::BIGINT)::BIGINT AS chi_fp,
+                count(*)::BIGINT AS k
+         FROM cells, tots t)
+       SELECT k AS n_groups, (k - 1)::BIGINT AS df,
+              round(chi_fp / 1e9, 6) AS chi2
+       FROM chi""",
+)
+def q_moods_median(spark, sf_dir):
+    """Mood's median test across event types (Mood, 'Introduction to
+    the Theory of Statistics' 1950 §16.4): dichotomize every
+    (type, user) activity count at the POOLED median and chi-square
+    the resulting k×2 above/below table — the bluntest but most
+    assumption-free of the k-group location tests (only medians, no
+    rank moments), completing the ladder `kruskal_wallis` (ranks) and
+    `anova_effect_sizes` (means) sit on; its disagreement with KW
+    flags shape differences. The pooled median is the deterministic
+    lower order statistic; cell chi-square terms are 1e-9-quantized
+    against exact margin-derived expectations. One census, k-row
+    tail."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    wr = Window.orderBy("a", "event_type", "user_id")
+    med = (
+        u.select("a", F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(Window.partitionBy()).alias("ng"))
+        .where(F.col("rn") == F.floor((F.col("ng") + 1) / 2))
+        .select(F.col("a").alias("m"))
+    )
+    cells = u.crossJoin(F.broadcast(med)).groupBy("event_type").agg(
+        F.sum((F.col("a") > F.col("m")).cast("int")).cast("long").alias("above"),
+        F.sum((F.col("a") <= F.col("m")).cast("int")).cast("long").alias("below"),
+    )
+    tots = cells.agg(
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("below").cast("long").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).cast("long").alias("n"),
+    )
+    cj = cells.crossJoin(F.broadcast(tots))
+    ea = (F.col("above") + F.col("below")) * F.col("ta").cast("double") / F.col("n")
+    eb = (F.col("above") + F.col("below")) * F.col("tb").cast("double") / F.col("n")
+    chi = cj.agg(
+        F.sum(
+            F.round(F.lit(1e9) * (F.col("above") - ea) * (F.col("above") - ea) / ea, 0).cast("long")
+            + F.round(F.lit(1e9) * (F.col("below") - eb) * (F.col("below") - eb) / eb, 0).cast("long")
+        ).cast("long").alias("chi_fp"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return chi.select(
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(F.col("chi_fp") / F.lit(1e9), 6).alias("chi2"),
+    )
+
+
+
+@query(
+    "dunn_posthoc",
+    """WITH u AS (
+         SELECT event_type, user_id, count(*)::BIGINT AS a
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT event_type,
+                2 * rank() OVER (ORDER BY a) + count(*) OVER (PARTITION BY a) - 1 AS ar2
+         FROM u),
+       g AS (
+         SELECT event_type, count(*)::BIGINT AS n, sum(ar2)::BIGINT AS sr2
+         FROM r GROUP BY event_type),
+       nt AS (SELECT sum(n)::BIGINT AS n FROM g),
+       ties AS (
+         SELECT coalesce(sum(t * t * t - t), 0)::BIGINT AS tc FROM (
+           SELECT count(*)::BIGINT AS t FROM u GROUP BY a HAVING count(*) > 1)),
+       vv AS (
+         SELECT (nt.n * (nt.n + 1) / 12.0
+                 - (SELECT tc FROM ties) / (12.0 * (nt.n - 1))) AS v, nt.n
+         FROM nt),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                (a.sr2::DOUBLE / (2 * a.n)) - (b.sr2::DOUBLE / (2 * b.n)) AS dmean,
+                a.n AS na, b.n AS nb
+         FROM g a JOIN g b ON a.event_type < b.event_type)
+       SELECT p.type_a, p.type_b,
+              round(p.dmean / sqrt(v.v * (1.0 / p.na + 1.0 / p.nb)), 6) AS z,
+              (abs(p.dmean / sqrt(v.v * (1.0 / p.na + 1.0 / p.nb))) > 2.807034) AS significant
+       FROM pairs p, vv v
+       ORDER BY p.type_a, p.type_b""",
+)
+def q_dunn_posthoc(spark, sf_dir):
+    """Dunn's post-hoc pairwise comparisons after Kruskal-Wallis
+    (Dunn, Technometrics 1964) across event types on per-user
+    activity: z_ij = (R̄_i−R̄_j)/√(V(1/n_i+1/n_j)) with the tie-
+    corrected V = N(N+1)/12 − Σ(t³−t)/(12(N−1)) — the step
+    `kruskal_wallis` needs next (WHICH groups differ), on the SAME
+    pooled doubled-midrank integers so mean-rank differences are
+    exact rationals. Significance uses the Bonferroni critical value
+    2.807 for the 10 comparisons at α=0.05, a shared literal. One
+    census, one global rank window, 10-pair tail."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    wr = Window.orderBy("a")
+    wt = Window.partitionBy("a")
+    r = u.select(
+        "event_type",
+        (F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("ar2"),
+        "a",
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("ar2").cast("long").alias("sr2")
+    )
+    nt = g.agg(F.sum("n").cast("long").alias("nt"))
+    ties = (
+        u.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)).cast("long").alias("tc"))
+    )
+    vv = nt.crossJoin(ties).select(
+        (
+            F.col("nt") * (F.col("nt") + 1) / F.lit(12.0)
+            - F.col("tc") / (F.lit(12.0) * (F.col("nt") - 1))
+        ).alias("v")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b"),
+        (
+            F.col("a.sr2").cast("double") / (2 * F.col("a.n"))
+            - F.col("b.sr2").cast("double") / (2 * F.col("b.n"))
+        ).alias("dmean"),
+        F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+    )
+    z = F.col("dmean") / F.sqrt(F.col("v") * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")))
+    return pairs.crossJoin(F.broadcast(vv)).select(
+        "type_a", "type_b",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(2.807034)).alias("significant"),
+    ).orderBy("type_a", "type_b")
+
+
+
+@query(
+    "gini_decomposition",
+    """WITH v AS (SELECT source, n_chars::BIGINT AS x, doc_id FROM documents),
+       tot AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+                sum(rn * x)::BIGINT AS srx
+         FROM (SELECT x, row_number() OVER (ORDER BY x, doc_id)::BIGINT AS rn FROM v)),
+       g_tot AS (
+         SELECT round((2.0 * srx - (n + 1.0) * s) / (n::DOUBLE * s), 6) AS g FROM tot),
+       grp AS (
+         SELECT source, count(*)::BIGINT AS nk, sum(x)::BIGINT AS sk,
+                sum(rn * x)::BIGINT AS srxk
+         FROM (SELECT source, x,
+                      row_number() OVER (PARTITION BY source ORDER BY x, doc_id)::BIGINT AS rn
+               FROM v)
+         GROUP BY source),
+       g_within AS (
+         SELECT sum(round(1e9 * ((2.0 * srxk - (nk + 1.0) * sk) / (nk::DOUBLE * sk))
+                          * (nk::DOUBLE / t.n) * (sk::DOUBLE / t.s), 0)::BIGINT)::BIGINT AS w_fp
+         FROM grp, tot t),
+       g_between AS (
+         SELECT sum(round(1e9 * a.nk::DOUBLE * b.nk
+                          * abs(a.sk::DOUBLE / a.nk - b.sk::DOUBLE / b.nk)
+                          / (2.0 * t.n::DOUBLE * t.n * (t.s::DOUBLE / t.n)), 0)::BIGINT)::BIGINT AS b_fp
+         FROM grp a JOIN grp b ON a.source != b.source, tot t)
+       SELECT (SELECT g FROM g_tot) AS g_total,
+              round((SELECT b_fp FROM g_between) / 1e9, 6) AS g_between,
+              round((SELECT w_fp FROM g_within) / 1e9, 6) AS g_within,
+              round((SELECT g FROM g_tot)
+                    - (SELECT b_fp FROM g_between) / 1e9
+                    - (SELECT w_fp FROM g_within) / 1e9, 6) AS overlap""",
+)
+def q_gini_decomposition(spark, sf_dir):
+    """Gini decomposition of document-length inequality by source
+    (Pyatt, Econ. J. 1976; Lambert & Aronson 1993): G = G_between
+    (inequality of source means) + Σ w_k·G_k (population×income-share
+    weighted within terms) + the OVERLAP residual that is zero only
+    when source length ranges don't interleave — the term Theil's
+    entropy decomposition (`theil_index`) doesn't have, which is why
+    both ship. Every Gini uses the exact sorted-prefix identity
+    (2Σi·x_i −(n+1)Σx)/(nΣx) with deterministic ties; between-term
+    mean gaps and the weighted within terms are 1e-9-quantized before
+    their sums. One rank window global + one per source."""
+    d = _docs(spark, sf_dir)
+    v = d.select("source", F.col("n_chars").cast("long").alias("x"), "doc_id")
+    wg = Window.orderBy("x", "doc_id")
+    tot = v.select("x", F.row_number().over(wg).cast("long").alias("rn")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("rn") * F.col("x")).cast("long").alias("srx"),
+    )
+    ws = Window.partitionBy("source").orderBy("x", "doc_id")
+    grp = v.select("source", "x", F.row_number().over(ws).cast("long").alias("rn")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("x").cast("long").alias("sk"),
+        F.sum(F.col("rn") * F.col("x")).cast("long").alias("srxk"),
+    ).localCheckpoint(eager=True)
+    g_tot = tot.select(
+        "n", "s",
+        F.round((F.lit(2.0) * F.col("srx") - (F.col("n") + F.lit(1.0)) * F.col("s")) / (F.col("n").cast("double") * F.col("s")), 6).alias("g"),
+    )
+    gw = grp.crossJoin(F.broadcast(g_tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * ((F.lit(2.0) * F.col("srxk") - (F.col("nk") + F.lit(1.0)) * F.col("sk")) / (F.col("nk").cast("double") * F.col("sk")))
+                * (F.col("nk").cast("double") / F.col("n"))
+                * (F.col("sk").cast("double") / F.col("s")),
+                0,
+            ).cast("long")
+        ).cast("long").alias("w_fp")
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    gb = (
+        a.join(b, F.col("a.source") != F.col("b.source"))
+        .crossJoin(F.broadcast(g_tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1e9) * F.col("a.nk").cast("double") * F.col("b.nk")
+                    * F.abs(F.col("a.sk").cast("double") / F.col("a.nk") - F.col("b.sk").cast("double") / F.col("b.nk"))
+                    / (F.lit(2.0) * F.col("n").cast("double") * F.col("n") * (F.col("s").cast("double") / F.col("n"))),
+                    0,
+                ).cast("long")
+            ).cast("long").alias("b_fp")
+        )
+    )
+    return (
+        g_tot.select("g").crossJoin(gb).crossJoin(gw)
+        .select(
+            F.col("g").alias("g_total"),
+            F.round(F.col("b_fp") / F.lit(1e9), 6).alias("g_between"),
+            F.round(F.col("w_fp") / F.lit(1e9), 6).alias("g_within"),
+            F.round(F.col("g") - F.col("b_fp") / F.lit(1e9) - F.col("w_fp") / F.lit(1e9), 6).alias("overlap"),
+        )
+    )
+
+
+
+@query(
+    "blomqvist_beta",
+    """WITH u AS (
+         SELECT user_id,
+                sum((event_type = 'click')::INT)::BIGINT AS x,
+                sum((event_type = 'purchase')::INT)::BIGINT AS y
+         FROM events GROUP BY user_id),
+       mx AS (
+         SELECT x AS m FROM (
+           SELECT x, row_number() OVER (ORDER BY x, user_id) AS rn, count(*) OVER () AS n
+           FROM u) WHERE rn = (n + 1) // 2),
+       my AS (
+         SELECT y AS m FROM (
+           SELECT y, row_number() OVER (ORDER BY y, user_id) AS rn, count(*) OVER () AS n
+           FROM u) WHERE rn = (n + 1) // 2),
+       q AS (
+         SELECT sum(((x > (SELECT m FROM mx)) = (y > (SELECT m FROM my)))::INT)::BIGINT AS conc,
+                count(*)::BIGINT AS n
+         FROM u)
+       SELECT n AS n_users, conc AS n_concordant,
+              round(2.0 * conc / n - 1.0, 6) AS blomqvist_beta
+       FROM q""",
+)
+def q_blomqvist_beta(spark, sf_dir):
+    """Blomqvist's β (medial correlation; Blomqvist, AMS 1950) between
+    per-user clicks and purchases: 2·P(both above / both below their
+    medians) − 1 — the quadrant-count dependence coefficient that
+    needs only two order statistics, making it the cheapest and most
+    outlier-proof member of the association family (`spearman_rho`
+    needs full ranks, `kendall_tau_binned` all pairs); it is also the
+    copula value at (½,½) rescaled, hence a one-number copula summary.
+    Medians are deterministic lower order statistics; the quadrant
+    census is one exact integer pass."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def med(col):
+        w = Window.orderBy(col, "user_id")
+        return (
+            u.select(col, F.row_number().over(w).alias("rn"),
+                     F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select(F.col(col).alias(f"m{col}"))
+        )
+
+    q = (
+        u.crossJoin(F.broadcast(med("x")))
+        .crossJoin(F.broadcast(med("y")))
+        .agg(
+            F.sum(((F.col("x") > F.col("mx")) == (F.col("y") > F.col("my"))).cast("int")).cast("long").alias("conc"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return q.select(
+        F.col("n").alias("n_users"),
+        F.col("conc").alias("n_concordant"),
+        F.round(F.lit(2.0) * F.col("conc") / F.col("n") - F.lit(1.0), 6).alias("blomqvist_beta"),
+    )
+
+
+
+def _lnfact_spine_sql(upto_expr: str) -> str:
+    """CTE fragment: lnfact(x) for x = 0..{upto}; running ln-sum over an
+    integer spine (shared by fisher_exact / sign_test / count_model_aic)."""
+    return f"""lf0 AS (
+         SELECT k,
+                sum(ln(k::DOUBLE)) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lnf
+         FROM (SELECT unnest(range(1, ({upto_expr}) + 1)) AS k)),
+       lnf AS (SELECT 0::BIGINT AS x, 0.0 AS lnf
+               UNION ALL SELECT k::BIGINT, lnf FROM lf0)"""
+
+
+
+def _fisher_sql() -> str:
+    return f"""WITH u AS (
+         SELECT (user_id % 2)::INT AS g,
+                (sum((event_type = 'purchase')::INT)
+                 > sum((event_type = 'click')::INT))::INT AS y
+         FROM events GROUP BY user_id),
+       tab AS (
+         SELECT sum((g = 0 AND y = 1)::INT)::BIGINT AS a,
+                sum((g = 0 AND y = 0)::INT)::BIGINT AS b,
+                sum((g = 1 AND y = 1)::INT)::BIGINT AS c,
+                sum((g = 1 AND y = 0)::INT)::BIGINT AS d
+         FROM u),
+       m AS (
+         SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+                a + b + c + d AS n
+         FROM tab),
+       {_lnfact_spine_sql("(SELECT n FROM m)")},
+       ks AS (
+         SELECT k FROM (SELECT unnest(range(0, (SELECT n FROM m) + 1)) AS k), m
+         WHERE k >= greatest(0, m.c1 - m.r2) AND k <= least(m.c1, m.r1)),
+       pmf AS (
+         SELECT ks.k,
+                round(1e12 * exp(
+                  (SELECT lnf FROM lnf WHERE x = m.r1)
+                  + (SELECT lnf FROM lnf WHERE x = m.r2)
+                  + (SELECT lnf FROM lnf WHERE x = m.c1)
+                  + (SELECT lnf FROM lnf WHERE x = m.c2)
+                  - (SELECT lnf FROM lnf WHERE x = m.n)
+                  - (SELECT lnf FROM lnf WHERE x = ks.k)
+                  - (SELECT lnf FROM lnf WHERE x = m.r1 - ks.k)
+                  - (SELECT lnf FROM lnf WHERE x = m.c1 - ks.k)
+                  - (SELECT lnf FROM lnf WHERE x = m.r2 - m.c1 + ks.k)), 0)::BIGINT AS p_fp
+         FROM ks, m),
+       pa AS (SELECT p_fp AS pa_fp FROM pmf, m WHERE pmf.k = m.a),
+       tail AS (
+         SELECT sum(p_fp)::BIGINT AS psum FROM pmf, pa
+         WHERE p_fp <= pa.pa_fp)
+       SELECT m.a, m.b, m.c, m.d,
+              round((m.a::DOUBLE * m.d) / (m.b::DOUBLE * m.c), 6) AS odds_ratio,
+              round((SELECT psum FROM tail) / 1e12, 6) AS p_two_sided
+       FROM m"""
+
+
+
+@query("fisher_exact", _fisher_sql())
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact test on the parity × purchase-dominance 2×2
+    table (Fisher 1935): two-sided p = Σ of hypergeometric pmf over
+    all tables whose probability ≤ the observed table's — the exact
+    small-cell companion to `chi2_independence` and the
+    unconditional-approximation-free sibling of `two_proportion_ci`.
+    The pmf is evaluated in log space from the SAME ln-factorial
+    spine as `count_model_aic` (running ln-sum over integers 0..n —
+    no lgamma), each pmf value quantized to 1e-12 so the ≤-observed
+    tail selection and its sum are exact int64 decisions. The support
+    is ≤ min(margins) rows; everything heavier is the one user
+    census."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            > F.sum((F.col("event_type") == "click").cast("int"))
+        ).cast("int").alias("y")
+    ).select((F.col("user_id") % 2).cast("int").alias("g"), "y")
+    tab = u.agg(
+        F.sum(((F.col("g") == 0) & (F.col("y") == 1)).cast("int")).cast("long").alias("a"),
+        F.sum(((F.col("g") == 0) & (F.col("y") == 0)).cast("int")).cast("long").alias("b"),
+        F.sum(((F.col("g") == 1) & (F.col("y") == 1)).cast("int")).cast("long").alias("c"),
+        F.sum(((F.col("g") == 1) & (F.col("y") == 0)).cast("int")).cast("long").alias("d"),
+    ).collect()[0]
+    a, b, c, d = tab.a, tab.b, tab.c, tab.d
+    r1, r2, c1, c2, n = a + b, c + d, a + c, b + d, a + b + c + d
+    spine = spark.range(1, n + 1).select(F.col("id").alias("k"))
+    lnf_df = spine.select(
+        F.col("k").alias("x"),
+        F.sum(F.log(F.col("k").cast("double"))).over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("lnf"),
+    )
+    lnf = {0: 0.0}
+    for row in lnf_df.collect():
+        lnf[row.x] = row.lnf
+    import math as _m
+
+    def rnd(v):
+        return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
+
+    const = lnf[r1] + lnf[r2] + lnf[c1] + lnf[c2] - lnf[n]
+    pmf = {}
+    for k in range(max(0, c1 - r2), min(c1, r1) + 1):
+        pmf[k] = rnd(1e12 * _m.exp(const - lnf[k] - lnf[r1 - k] - lnf[c1 - k] - lnf[r2 - c1 + k]))
+    pa = pmf[a]
+    psum = sum(p for p in pmf.values() if p <= pa)
+    return spark.createDataFrame(
+        [(a, b, c, d, round((a * d) / (b * c), 6), round(psum / 1e12, 6))],
+        "a long, b long, c long, d long, odds_ratio double, p_two_sided double",
+    )
+
+
+
+@query(
+    "bowker_symmetry",
+    """WITH tr AS (
+         SELECT event_type AS s,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+         FROM events),
+       cnt AS (
+         SELECT s, t, count(*)::BIGINT AS c FROM tr WHERE t IS NOT NULL GROUP BY s, t),
+       pairs AS (
+         SELECT a.s AS i, a.t AS j, a.c AS nij, coalesce(b.c, 0)::BIGINT AS nji
+         FROM cnt a LEFT JOIN cnt b ON b.s = a.t AND b.t = a.s
+         WHERE a.s < a.t),
+       chi AS (
+         SELECT count(*)::BIGINT AS df,
+                sum(round(1e9 * (nij - nji)::DOUBLE * (nij - nji) / (nij + nji), 0)::BIGINT)::BIGINT AS chi_fp
+         FROM pairs WHERE nij + nji > 0)
+       SELECT df, round(chi_fp / 1e9, 6) AS bowker_chi2
+       FROM chi""",
+)
+def q_bowker_symmetry(spark, sf_dir):
+    """Bowker's symmetry test on the event-type transition matrix
+    (Bowker, JASA 1948 — McNemar's k×k generalization): χ² =
+    Σ_{i<j} (n_ij−n_ji)²/(n_ij+n_ji) tests whether A→B flows equal
+    B→A flows — the detailed-balance diagnostic for the chain that
+    `transition_matrix` estimates and `markov_entropy_rate` summarizes
+    (an asymmetric pair like view→purchase ≫ purchase→view is the
+    funnel direction itself made testable). Transition counts come
+    from the same user-ordered bigram census as `absorption_probs`;
+    each off-diagonal pair contributes one 1e-9-quantized term. df =
+    number of unordered pairs with traffic."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(F.col("event_type").alias("s"), F.lead("event_type").over(wu).alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    cnt = tr.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    b = cnt.select(F.col("s").alias("bs"), F.col("t").alias("bt"), F.col("c").alias("bc"))
+    pairs = (
+        cnt.where(F.col("s") < F.col("t"))
+        .join(b, (F.col("bs") == F.col("t")) & (F.col("bt") == F.col("s")), "left")
+        .select("s", "t", F.col("c").alias("nij"), F.coalesce(F.col("bc"), F.lit(0)).cast("long").alias("nji"))
+    )
+    chi = pairs.where(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(
+            F.round(
+                F.lit(1e9) * (F.col("nij") - F.col("nji")).cast("double") * (F.col("nij") - F.col("nji"))
+                / (F.col("nij") + F.col("nji")),
+                0,
+            ).cast("long")
+        ).cast("long").alias("chi_fp"),
+    )
+    return chi.select("df", F.round(F.col("chi_fp") / F.lit(1e9), 6).alias("bowker_chi2"))
+
+
+
+def _sign_sql() -> str:
+    return f"""WITH wk AS (
+         SELECT (datediff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) // 7)::BIGINT AS wi,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY wi),
+       d AS (
+         SELECT x - lag(x) OVER (ORDER BY wi) AS dx FROM wk),
+       s AS (
+         SELECT sum((dx > 0)::INT)::BIGINT AS pos,
+                sum((dx != 0)::INT)::BIGINT AS n
+         FROM d WHERE dx IS NOT NULL),
+       {_lnfact_spine_sql("(SELECT n FROM s)")},
+       pmf AS (
+         SELECT k, round(1e12 * exp(
+                  (SELECT lnf FROM lnf WHERE x = s.n)
+                  - (SELECT lnf FROM lnf WHERE x = k)
+                  - (SELECT lnf FROM lnf WHERE x = s.n - k)
+                  - s.n * ln(2.0)), 0)::BIGINT AS p_fp
+         FROM (SELECT unnest(range(0, (SELECT n FROM s) + 1)) AS k), s),
+       pa AS (SELECT p_fp AS pa_fp FROM pmf, s WHERE pmf.k = s.pos),
+       tail AS (SELECT sum(p_fp)::BIGINT AS psum FROM pmf, pa WHERE p_fp <= pa.pa_fp)
+       SELECT s.n AS n_nonzero, s.pos AS n_positive,
+              round((SELECT psum FROM tail) / 1e12, 6) AS p_two_sided
+       FROM s"""
