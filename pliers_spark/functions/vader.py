@@ -12,9 +12,18 @@ and the alpha=15 normalization. When the real ``nltk`` +
 reference parity (gate mirrors pliers' ``requires_nltk_corpus``,
 ``pliers/support/decorators.py:8-20``).
 
-The embedded lexicon is a small subset sufficient for tests (golden
-values reproduced in tests/test_vader.py) — at deployment the full
-public lexicon file is shipped with ``spark-submit --py-files``.
+The embedded lexicon is a ~30-word SUBSET of the public ~7,500-entry
+``vader_lexicon.txt`` (the full file is not present in this offline
+container and its empirical valence means cannot be reproduced from
+first principles, so shipping it verbatim is environment-blocked).
+What IS shipped is the full loading mechanism: :func:`load_lexicon_file`
+parses the published nltk/vaderSentiment TSV format
+(``word<TAB>mean<TAB>stddev<TAB>[ratings]``), and setting
+``PLIERS_SPARK_VADER_LEXICON=/path/to/vader_lexicon.txt`` (or calling
+:func:`set_lexicon`) swaps the full lexicon in for BOTH the engine and
+the generated DuckDB oracle (``vader_sql`` renders from the active
+lexicon), so deployment with the real file needs zero code change —
+ship it with ``spark-submit --py-files``/``--files``.
 
 This is the engine's canonical *pandas-UDF extractor* example: batch
 iterator over Arrow record batches, analyzer constructed once per
@@ -64,6 +73,56 @@ ALPHA = 15.0
 
 _WORD_RE = re.compile(r"[\w']+")
 
+# ------------------------------------------------------------------
+# full-lexicon loading (nltk/vaderSentiment vader_lexicon.txt format)
+
+_ACTIVE_LEXICON: dict[str, float] | None = None
+
+
+def load_lexicon_file(path: str) -> dict[str, float]:
+    """Parse the published ``vader_lexicon.txt`` TSV format: one entry per
+    line, ``token<TAB>mean_valence<TAB>stddev<TAB>[raw ratings...]``
+    (nltk ``sentiment/vader_lexicon.zip`` and cjhutto/vaderSentiment ship
+    the identical file). Later duplicate tokens win, matching nltk's
+    ``make_lex_dict`` dict-comprehension semantics."""
+    lex: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            try:
+                lex[parts[0]] = float(parts[1])
+            except ValueError:
+                continue
+    return lex
+
+
+def set_lexicon(lex: dict[str, float] | None) -> None:
+    """Override the embedded subset for this process (None resets).
+    Affects :func:`polarity_scores`, :func:`vader_scores` AND the SQL
+    rendered by :func:`vader_sql`, keeping engine and oracle in sync."""
+    global _ACTIVE_LEXICON
+    _ACTIVE_LEXICON = dict(lex) if lex is not None else None
+
+
+def active_lexicon() -> dict[str, float]:
+    """The lexicon in effect: explicit :func:`set_lexicon` override, else
+    the file named by ``PLIERS_SPARK_VADER_LEXICON``, else the embedded
+    subset. The env path is read once per process (executors inherit the
+    env through spark-submit ``--conf spark.executorEnv...``)."""
+    global _ACTIVE_LEXICON
+    if _ACTIVE_LEXICON is None:
+        import os
+
+        p = os.environ.get("PLIERS_SPARK_VADER_LEXICON")
+        if p and os.path.exists(p):
+            _ACTIVE_LEXICON = load_lexicon_file(p)
+    return _ACTIVE_LEXICON if _ACTIVE_LEXICON is not None else LEXICON
+
 
 def _normalize(score: float) -> float:
     n = score / math.sqrt(score * score + ALPHA)
@@ -77,7 +136,7 @@ def _allcap_differential(words: list[str]) -> bool:
 
 def polarity_scores(text: str, lexicon: dict[str, float] | None = None) -> dict[str, float]:
     """VADER-style polarity scores for one text."""
-    lex = lexicon or LEXICON
+    lex = lexicon or active_lexicon()
     raw_words = text.split()
     words = [w.strip(string.punctuation) for w in raw_words]
     words = [w for w in words if w]
@@ -164,8 +223,10 @@ def vader_sql(
     Differentially tested on randomized rich texts (tests/test_vader.py).
     """
     punct = string.punctuation.replace("'", "''")
+    lex = active_lexicon()
     lex_case = "CASE " + " ".join(
-        f"WHEN lw = '{w}' THEN {v!r}" for w, v in LEXICON.items()
+        "WHEN lw = '{}' THEN {!r}".format(w.replace("'", "''"), v)
+        for w, v in lex.items()
     ) + " END"
     neg_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(NEGATIONS))
     boosters = sorted(BOOSTERS)
@@ -300,13 +361,19 @@ def vader_scores(col: Column) -> Column:
     """Struct column (pos, neg, neu, compound) — Arrow-batched pandas UDF;
     the analyzer is built once per executor process."""
 
+    # capture the active lexicon at plan-build time on the driver so a
+    # set_lexicon()/env override ships to python workers inside the
+    # serialized closure (workers are separate processes; a driver-side
+    # module global would not reach them otherwise)
+    lex = active_lexicon()
+
     @pandas_udf("pos double, neg double, neu double, compound double")
     def _udf(texts: pd.Series) -> pd.DataFrame:
         analyzer = _nltk_analyzer()
         if analyzer is not None:
             rows = [analyzer.polarity_scores(t or "") for t in texts]
         else:
-            rows = [polarity_scores(t or "") for t in texts]
+            rows = [polarity_scores(t or "", lex) for t in texts]
         return pd.DataFrame(rows, columns=["pos", "neg", "neu", "compound"])
 
     return _udf(col)

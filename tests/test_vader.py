@@ -91,3 +91,73 @@ def test_vader_sql_oracle_matches_python_bitwise():
         want = polarity_scores(t)
         w = (want["pos"], want["neg"], want["neu"], want["compound"])
         assert tuple(map(bits, w)) == tuple(map(bits, got[i])), (t, w, got[i])
+
+
+def test_vader_lexicon_file_parses_published_format(tmp_path):
+    """load_lexicon_file parses the exact nltk/vaderSentiment
+    vader_lexicon.txt TSV: token<TAB>mean<TAB>stddev<TAB>[ratings];
+    later duplicates win (nltk make_lex_dict semantics)."""
+    from pliers_spark.functions.vader import load_lexicon_file
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "$:\t-1.5\t0.80623\t[-1, -1, -1, -1, -3, -1, -3, -1, -2, -1]\n"
+        "splendid\t2.8\t0.6\t[3, 3, 2, 3, 3, 3, 2, 3, 3, 2]\n"
+        "can't stand\t-2.0\t0.5\t[-2, -2, -2, -2, -2, -2, -2, -2, -2, -2]\n"
+        "\n"
+        "splendid\t3.0\t0.6\t[3, 3, 3, 3, 3, 3, 3, 3, 3, 3]\n"
+        "badline_no_tab\n",
+        encoding="utf-8",
+    )
+    lex = load_lexicon_file(str(p))
+    assert lex["$:"] == -1.5
+    assert lex["splendid"] == 3.0  # later duplicate wins
+    assert lex["can't stand"] == -2.0
+    assert "badline_no_tab" not in lex
+
+
+def test_vader_swapped_lexicon_engine_and_oracle_stay_in_sync(tmp_path, monkeypatch):
+    """Dropping a full lexicon in (set_lexicon or the
+    PLIERS_SPARK_VADER_LEXICON env path) must swap BOTH the Python engine
+    and the rendered DuckDB oracle, bit-for-bit — the zero-code-change
+    deployment path for the real ~7,500-entry public file."""
+    import struct
+
+    import duckdb
+
+    import pliers_spark.functions.vader as V
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "splendid\t2.8\t0.6\t[3, 3, 2, 3, 3, 3, 2, 3, 3, 2]\n"
+        "dreadful\t-2.9\t0.7\t[-3, -3, -3, -3, -3, -2, -3, -3, -3, -3]\n"
+        "o'clock\t0.4\t0.2\t[0, 0, 1, 0, 1, 0, 1, 0, 1, 0]\n"
+        "good\t1.9\t0.9\t[2, 2, 2, 2, 2, 2, 2, 2, 2, 1]\n",
+        encoding="utf-8",
+    )
+    # env-path route: reset the override, point the env at the file
+    V.set_lexicon(None)
+    monkeypatch.setenv("PLIERS_SPARK_VADER_LEXICON", str(p))
+    try:
+        assert V.active_lexicon()["splendid"] == 2.8
+        # word outside the old 30-word embedded subset now scores
+        assert V.polarity_scores("splendid")["compound"] > 0
+        assert V.polarity_scores("dreadful")["compound"] < 0
+        # and a subset-only word NOT in the file no longer scores
+        assert V.polarity_scores("awesome")["compound"] == 0.0
+
+        texts = ["splendid", "not splendid", "VERY splendid day!",
+                 "dreadful but splendid", "it's five o'clock somewhere", ""]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+        got = {r[0]: r[1:] for r in con.sql(V.vader_sql()).fetchall()}
+        bits = lambda x: struct.pack("<d", x).hex()
+        for i, t in enumerate(texts):
+            want = V.polarity_scores(t)
+            w = (want["pos"], want["neg"], want["neu"], want["compound"])
+            assert tuple(map(bits, w)) == tuple(map(bits, got[i])), (t, w, got[i])
+    finally:
+        V.set_lexicon(None)
+        monkeypatch.delenv("PLIERS_SPARK_VADER_LEXICON")
+        V.set_lexicon(None)
