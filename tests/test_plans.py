@@ -582,3 +582,22 @@ def test_dbscan_grid_probe_is_equijoin(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_harrells_c_census_grain_no_nested_loop(spark):
+    """Round-3 rewrite gate (VERDICT r2 item 4): Harrell's C must come
+    from the (day, score, ev) census contraction + single bounded
+    Fenwick sweep — the former O(U^2) non-equi pair self-join
+    (BroadcastNestedLoopJoin over all user pairs) must never return."""
+    from pliers_spark.queries import QUERIES
+
+    df = QUERIES["harrells_c"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # census agg (partial_count) before the single-group pandas sweep
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan
+    row = df.collect()[0]
+    assert row.n_usable_pairs > 0
+    assert row.n_concordant + row.n_tied <= row.n_usable_pairs
+    assert 0.0 <= row.harrells_c <= 1.0
