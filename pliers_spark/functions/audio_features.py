@@ -1092,3 +1092,50 @@ def tonnetz(
 def tonnetz_sql(entity_col: str = "user_id") -> str:
     stages = cqt_chroma_exprs()[:2] + tonnetz_exprs()
     return _staged_sql(stages, entity_col, position_pivot_sql())
+
+
+# --------------------------------------------------------------------------
+# spectral contrast: per-band peak-vs-valley percentile contrast
+
+
+def spectral_contrast_exprs(
+    prefix: str = "p", quantile: float = 0.4,
+) -> dict[str, str]:
+    """``SpectralContrastExtractor`` counterpart (librosa
+    ``spectral_contrast``; reference pliers/extractors/audio.py:256-274):
+    per octave band, contrast = 10·log10(peak/valley) where peak/valley
+    are the means of the top/bottom ``max(1, floor(quantile·m))``
+    magnitudes of the band's ``m`` bins. At this engine's frame size
+    (FRAME=8 → 5 bins, octave bands of 2-3 bins) that index is exactly 1,
+    so the percentile means reduce to greatest()/least() — pure Column
+    expressions shared verbatim with the DuckDB oracle, like the rest of
+    the librosa family. Bands follow the octave-doubling edges on the
+    notional 1 kHz bin grid: [0,1] kHz (incl. DC), [1,2] kHz, [2,4] kHz.
+    Magnitudes are floored at 1e-10 before the logs (librosa's amin)."""
+    bands = {"b0": [0, 1], "b1": [1, 2], "b2": [2, 3, 4]}
+    out: dict[str, str] = {}
+    for name, bins in bands.items():
+        m = len(bins)
+        idx = max(1, int(quantile * m))
+        assert idx == 1, "closed-form greatest/least path requires idx == 1"
+        mags = [f"greatest(sqrt({prefix}{k}), 1e-10)" for k in bins]
+        peak = f"greatest({', '.join(mags)})"
+        valley = f"least({', '.join(mags)})"
+        out[f"contrast_{name}"] = (
+            f"round(10.0 * (log10({peak}) - log10({valley})), 6)"
+        )
+    return out
+
+
+def spectral_contrast(frames: DataFrame, entity_col: str = "user_id") -> DataFrame:
+    """Column-only feature stage over ``stft_power_frames`` output."""
+    exprs = spectral_contrast_exprs()
+    return frames.select(
+        entity_col, "frame", *[F.expr(e).alias(n) for n, e in exprs.items()]
+    )
+
+
+def spectral_contrast_sql(stft_sql: str) -> str:
+    exprs = spectral_contrast_exprs()
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"WITH stft AS (\n{stft_sql}\n)\nSELECT user_id, frame,\n       {sel}\nFROM stft"
