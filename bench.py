@@ -8,13 +8,15 @@ the flagship extraction + as-of join path, reported as extra JSON keys,
 and the flagship runs FIRST so the headline number exists even if the
 harness is killed mid-sweep. A wall-clock budget (--budget-s, default
 600 s) guarantees the JSON line prints inside any reasonable driver
-window: queries not reached in time are listed under "skipped", and a
-query that raises is recorded under "errors" instead of killing the run.
+window: queries not reached in time are listed by name under
+"skipped_queries" (with a "skipped" count), and a query that raises is
+recorded under "errors" instead of killing the run.
 
 The default sweep is the compact HEADLINE set (north-rule core: flagship,
 as-of joins, windowed features, sessionize, dedup, similarity, text
-extractors, curation). --full runs the entire 350+-query catalogue
-(several minutes; use for local regression sweeps, not the driver).
+extractors, curation). --full runs the ENTIRE registered catalogue —
+FULL_QUERIES is derived from the registry at import time, never a hand
+list (several minutes; use for local regression sweeps, not the driver).
 
 Usage: python bench.py [--cpus N] [--sf-dir DIR] [--repeat K] [--full]
                        [--budget-s SECONDS]
@@ -82,412 +84,14 @@ HEADLINE_QUERIES = [
     "image_decode_stats",
 ]
 
-FULL_QUERIES = [
-    "mann_whitney_u",
-    "levene_bf",
-    "fleiss_kappa",
-    "lin_ccc",
-    "ljung_box",
-    "l_diversity",
-    "personalized_pagerank",
-    "qld_topk",
-    "good_turing",
-    "page_hinkley",
-    "periodogram_peak",
-    "minmax_skipping",
-    "holm_bonferroni",
-    "t_closeness",
-    "effect_sizes",
-    "yuen_trimmed",
-    "kaplan_meier",
-    "aalen_johansen",
-    "markov_entropy_rate",
-    "seq_pattern_support",
-    "hits_scores",
-    "propensity_match",
-    "gamma_poisson_eb",
-    "scc_components",
-    "bowtie_structure",
-    "fightin_words",
-    "phrase_search",
-    "bayes_ab_beta",
-    "amoc_changepoint",
-    "kde_grid",
-    "mmd_rff",
-    "nelson_aalen",
-    "rarefaction_curve",
-    "decile_lift",
-    "isotonic_fit",
-    "cronbach_alpha",
-    "sinkhorn_ot",
-    "pca_project",
-    "symspell_correct",
-    "ecod_scores",
-    "watermark_audit",
-    "tolerance_interval",
-    "control_chart",
-    "np_chunks",
-    "gmm_em_1d",
-    "logistic_irls",
-    "svm_batch_subgradient",
-    "adaboost_stumps",
-    "fk_discovery",
-    "fd_violations",
-    "body_extraction_span",
-    "warc_roundtrip",
-    "holt_linear",
-    "kleinberg_bursts",
-    "median_polish",
-    "hashring_migration",
-    "ktruss_edges",
-    "clarity_score",
-    "absorbing_chain_steps",
-    "gumbel_maxima",
-    # name → must exist in pliers_spark.queries.QUERIES
-    "text_length",
-    "tokenize",
-    "word_counter",
-    "dictionary_lookup",
-    "tfidf",
-    "quality_score",
-    "langid",
-    "sentiment_lexicon",
-    "asof_join",
-    "asof_join_cogroup",
-    "asof_join_nearest",
-    "sessionize",
-    "rolling_window",
-    "resample_ffill",
-    "dedup_exact",
-    "minhash_lsh",
-    "simhash",
-    "embedding_topk",
-    "ann_ivf_topk",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "events_pivot",
-    "stft_power",
-    "spectral_shape",
-    "rms_zcr",
-    "mel_mfcc",
-    "yin_f0",
-    "repetition_signals",
-    "curation_pipeline",
-    "novelty_jaccard",
-    "quality_filter",
-    "hash_sample",
-    "latest_value_per_user",
-    "seq_encoding",
-    "decontaminate",
-    "quality_weighted_sample",
-    "lm_score",
-    "chunk_dedup",
-    "source_kl",
-    "kmeans_fit",
-    "bpe_learn",
-    # round-2 families
-    "porter_stem",
-    "vader_sentiment",
-    "spacy_attrs",
-    "pii_scrub",
-    "text_normalize",
-    "domain_cap",
-    "sequence_pack",
-    "mixture_sample",
-    "temperature_sample",
-    "ivf_multiprobe",
-    "image_decode_stats",
-    "wav_frame_stats",
-    "chroma_cqt",
-    "beat_track",
-    "image_dhash_dups",
-    "audio_fp_dups",
-    "shot_boundaries",
-    "gopher_rules",
-    "png_decode_stats",
-    "semantic_dedup",
-    "dsir_weights",
-    "url_canonical_dups",
-    "token_fertility",
-    "edu_classifier",
-    "video_motion",
-    "bloom_dedup",
-    "winnowing",
-    "edit_distance_dups",
-    "char_entropy",
-    "feature_histogram",
-    "cluster_representatives",
-    "countmin_tokens",
-    "decontaminate_fuzzy",
-    # prefix_filter_jaccard is correctness-gated (sf0.01) but NOT benched:
-    # on the synthetic corpus at t=0.6 the TRUE result is 7.1M pairs —
-    # 57% of all doc pairs — so wall time measures output materialization,
-    # not the operator (see tests/test_plans.py for its plan gates).
-    "exact_substr_spans",
-    "host_pagerank",
-    "lsh_recall",
-    "exact_substr_cut",
-    "jl_projection",
-    "doc_authority",
-    "hash_split",
-    "stratified_sample",
-    "bm25_topk",
-    "bm25_rerank",
-    "pmi_collocations",
-    "readability",
-    "rollup_multires",
-    "pq_codes",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "pq_recall",
-    # round-2 feature-engineering / evaluation families
-    "training_matrix",
-    "rolling_multi",
-    "target_encode_pit",
-    "decay_tiers",
-    "label_horizon",
-    "session_position",
-    "funnel_steps",
-    "scd2_build",
-    "rolling_anomaly",
-    "token_label_mi",
-    "ks_drift",
-    "roc_auc",
-    "dq_checks",
-    "winsorize",
-    "heaps_law",
-    "robots_prefix_match",
-    "ecdf_normalize",
-    "transition_matrix",
-    "cusum_drawdown",
-    "rake_keywords",
-    "attribution",
-    "autocorr_lag1",
-    "retention_cohorts",
-    "seasonal_profile",
-    "stickiness",
-    "cube_events",
-    "basket_lift",
-    "session_paths",
-    "group_quantiles",
-    "transition_entropy",
-    "hazard_table",
-    "key_skew_report",
-    "khop_reach",
-    "mad_scale",
-    "time_weighted_avg",
-    "spearman_rho",
-    "benford_audit",
-    "naive_bayes_lang",
-    "skipgram_counts",
-    "quantile_normalize",
-    "revenue_hierarchy",
-    "rrf_fusion",
-    "containment_dedup",
-    "tpch_q18",
-    "dedup_incremental",
-    "ngram_novelty",
-    "event_bursts",
-    "sif_embedding",
-    "ctfidf_terms",
-    "sax_symbols",
-    "ndcg_at_k",
-    "dunning_keyness",
-    "woe_iv",
-    "kn_perplexity",
-    "burrows_delta",
-    "item_cosine",
-    "cdc_chunks",
-    "ucb_arms",
-    "dbscan_clusters",
-    "ari_nmi",
-    "triangle_coeffs",
-    "covariate_balance",
-    "wasserstein_1d",
-    "texttiling_gaps",
-    "degree_assortativity",
-    "mann_kendall_sen",
-    "kruskal_wallis",
-    "cmh_odds",
-    "doremi_step",
-    "ann_hubness",
-    "padding_waste",
-    "kwic_concordance",
-    "zipf_alpha",
-    "dup_size_histogram",
-    "kmv_distinct",
-    "kmv_overlap",
-    "bloom_fpr_audit",
-    "priority_sample",
-    "rendezvous_shards",
-    "neyman_allocation",
-    "kmv_rollup",
-    "diff_in_diff",
-    "markov_accuracy",
-    "mde_power",
-    "cuped_adjustment",
-    "sprt_crossing",
-    "source_jsd",
-    "conformal_coverage",
-    "budget_select",
-    "lsh_band_sweep",
-    "rec_coverage",
-    "missing_mass",
-    "snapshot_asof",
-    "classifier_kappa",
-    "posting_compression",
-    "k_anonymity",
-    "mutual_knn",
-    "stopword_discovery",
-    "rfm_scores",
-    "passage_bm25",
-    "linkage_profile",
-    "deleted_interpolation",
-    "rmst",
-    "pr_auc",
-    "qini_curve",
-    "filter_tradeoff",
-    "mrr_recall",
-    "capture_recapture",
-    "jsd_contributors",
-    "dispersion_index",
-    "price_index",
-    "self_excitation",
-    "triangle_nullmodel",
-    "butterfly_count",
-    "weighted_jaccard",
-    "logrank_test",
-    "mase_backtest",
-    "fk_orphans",
-    "novelty_decay",
-    "max_coverage",
-    "rich_club",
-    "srm_check",
-    "skyline_2d",
-    "youden_threshold",
-    "debounce_events",
-    "peak_concurrency",
-    "interarrival_burstiness",
-    "pareto_8020",
-    "modularity_q",
-    "demand_classes",
-    "rbo_rankings",
-    "hurst_exponent",
-    "shapley_attribution",
-    "hub_resilience",
-    "split_leakage_audit",
-    "heteroscedasticity_bp",
-    "loo_source_value",
-    "embedding_isotropy",
-    "mattr_diversity",
-    "moore_lewis",
-    "oov_rate",
-    "haar_energy",
-    "fd_binning",
-    "pacf_lag2",
-    "ams_f2",
-    "negbin_fit",
-    "transitivity_global",
-    "adamic_adar",
-    "kendall_tau_binned",
-    "chi2_independence",
-    "hash_bootstrap_ci",
-    "kcore_members",
-    "jaro_winkler_dups",
-    "image_phash",
-    "ewma_smooth",
-    "cusum_changepoint",
-    "brier_calibration",
-    "bh_fdr",
-    "theil_index",
-    "assoc_rules",
-    "wl_colors",
-    "hill_numbers",
-    "simpsons_paradox",
-    "zorder_locality",
-    "gini_stump",
-    "histogram_quantile_audit",
-    "regression_influence",
-    "risk_coverage",
-    "rolling_distinct_users",
-    "hill_tail_index",
-    "energy_distance",
-    "bradley_terry",
-    "mcnemar_test",
-    "chao_shen_entropy",
-    "borda_copeland",
-    "fisher_lda",
-    "jarque_bera",
-    "attribute_assortativity",
-    "word_burstiness",
-    "word_dispersion_dp",
-    "densest_subgraph",
-    "label_propagation",
-    "huber_location",
-    "luhn_summary",
-    "soundex_blocking",
-    "gini_over_time",
-    "log_loss",
-    "eigenvector_centrality",
-    "kish_weights",
-    "triplet_eval",
-    "cka_alignment",
-    "mmr_select",
-    "auc_delong_ci",
-    "cochran_q",
-    "prequential_logloss",
-    "shuffle_quality",
-    "dup_cross_source_matrix",
-    "seasonal_kendall",
-    "runs_test",
-    "friedman_test",
-    "iv_2sls",
-    "panel_fe",
-    "page_trend",
-    "hyperloglog_users",
-    "matrix_profile_daily",
-    "err_at_k",
-    "croston_sba",
-    "anderson_darling",
-    "theta_forecast",
-    "allan_variance",
-    "sample_entropy",
-    "witten_bell_ppl",
-    "ccf_peak_lag",
-    "transfer_entropy",
-    "dfa_alpha",
-    "yule_k",
-    "mahalanobis_outliers",
-    "ipf_raking",
-    "yake_keywords",
-    "char_trigram_entropy",
-    "sentence_moments",
-    "katz_centrality",
-    "psi_drift",
-    "ts_cv_folds",
-    "rocchio_classify",
-    "silhouette_centroid",
-    "knn_loo_accuracy",
-    "bartlett_test",
-    "dagostino_k2",
-    "cliffs_delta",
-    "theil_u",
-    "bhattacharyya_hellinger",
-    "dtw_weekday",
-    "price_elasticity",
-    "part_top_supplier",
-    "late_sole_supplier",
-    "idle_rich_customers",
-    "uplift_split",
-    "seasonal_esd",
-    "holt_winters",
-    "calendar_features",
-    "gain_ratio",
-    "hll_union_merge",
-    "harmonic_centrality",
-    "median_ci",
-]
+# --full sweep: the ENTIRE registered catalogue, derived from the registry
+# so it can never drift from QUERIES (ADVICE r2). Headline names keep
+# their curated order up front; the remainder follows sorted.
+def _full_queries() -> list[str]:
+    from pliers_spark.queries import QUERIES
+
+    rest = sorted(set(QUERIES) - set(HEADLINE_QUERIES))
+    return [n for n in HEADLINE_QUERIES if n in QUERIES] + rest
 
 
 def materialize(df):
@@ -509,6 +113,10 @@ def _scaling_evidence() -> dict:
             "scaling_high": {"cpus": s["high"]["cpus"],
                              "pages_per_sec": s["high"]["pages_per_sec"]},
             "scaling_valid": s.get("valid", True),
+            # staleness markers: when these differ from the bench HEAD the
+            # scaling numbers were measured at another commit (ADVICE r2)
+            "scaling_run_commit": s.get("run_commit", "unrecorded(pre-r3)"),
+            "scaling_run_date": s.get("run_date", "unrecorded(pre-r3)"),
         }
     except Exception:
         return {}
@@ -521,7 +129,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1, full: bool = False,
     from pliers_spark.session import get_spark, load_table
 
     t_start = time.time()
-    bench_queries = FULL_QUERIES if full else HEADLINE_QUERIES
+    bench_queries = _full_queries() if full else HEADLINE_QUERIES
     spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
     # warm the JVM + parquet footers once
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -555,9 +163,11 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1, full: bool = False,
         if time.time() - t_start > budget_s:
             skipped.append(name)
             continue
-        fn = QUERIES[name]
         best = float("inf")
         try:
+            # lookup inside the try: a stale name in HEADLINE_QUERIES must
+            # be recorded under errors, not kill the whole line (ADVICE r2)
+            fn = QUERIES[name]
             for _ in range(repeat):
                 t0 = time.time()
                 materialize(fn(spark, sf_dir))
@@ -593,6 +203,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1, full: bool = False,
         out["errors"] = errors
     if skipped:
         out["skipped"] = len(skipped)
+        out["skipped_queries"] = skipped
     out.update(_scaling_evidence())
     spark.stop()
     return out

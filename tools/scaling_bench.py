@@ -105,6 +105,17 @@ class Child:
             self.proc.kill()
 
 
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-urls", type=int, default=800_000)
@@ -232,6 +243,11 @@ def main():
         "single_proc_units_per_s": round(single_rate, 1),
         "valid": valid,
         "all_pairs": pairs,
+        # staleness markers: bench.py folds this file into every bench
+        # JSON line; the commit/date make it visible when the scaling
+        # numbers were measured at a different HEAD (ADVICE r2)
+        "run_commit": _git_head(),
+        "run_date": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     if not valid:
         print(
