@@ -574,3 +574,81 @@ def image_phash(
             yield pd.DataFrame({"id": ids, "phash": hashes, "n_above": nab})
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_PHASH_SCHEMA)
+
+
+def image_saliency_stats(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """SaliencyExtractor counterpart (pliers/extractors/image.py:72-103:
+    Itti-Koch via pySaliencyMap, summary stats max_saliency / max_y /
+    max_x / frac_high_saliency with Otsu binarization).
+
+    Clean-room simplification, documented like the pos_tags heuristic:
+    the multi-scale Itti-Koch pyramid is reduced to one center-surround
+    stage — intensity = channel sum (0..765), center = zero-padded 3x3
+    box sum, surround = global mean — with the saliency map kept in
+    EXACT integer units sal = |cs*N - 9*S| (common denominator 9N
+    factored out), so both engines agree bit-for-bit:
+
+    - max_saliency = round(smax / (9*255*N), 6)  (the normalized map max)
+    - (max_y, max_x) = first row-major argmax (reference: np.where[0])
+    - binarization: q = round_half_up(255*sal/smax) in 0..255, then an
+      EXACT-integer Otsu (between-class variance A^2/B with A,B ints;
+      A^2 < 2^53 so the IEEE division is identical on both engines;
+      ties -> smallest threshold); frac_high_saliency = #(q > T)/N.
+
+    mapInPandas over Arrow batches on the real decode path (PNG/BMP/PPM
+    via pliers_spark.codecs)."""
+
+    def one(img: "np.ndarray") -> dict:
+        inten = img.astype(np.int64).sum(axis=2)
+        h, w = inten.shape
+        n = h * w
+        s = int(inten.sum())
+        pad = np.pad(inten, 1)
+        cs = sum(
+            pad[dr : dr + h, dc : dc + w] for dr in range(3) for dc in range(3)
+        )
+        sal = np.abs(cs * n - 9 * s)
+        smax = int(sal.max())
+        idx = int(sal.argmax())  # first max, row-major == np.where(...)[0]
+        out = {
+            "max_saliency": round(smax / (2295.0 * n), 6),
+            "max_y": idx // w,
+            "max_x": idx % w,
+        }
+        if smax == 0:
+            out["frac_high_saliency"] = 0.0
+            return out
+        q = (510 * sal + smax) // (2 * smax)
+        vals, cnts = np.unique(q, return_counts=True)
+        tot_s = int((vals * cnts).sum())
+        w0 = s0 = 0
+        best_q, best_score = None, -1.0
+        for v, cn in zip(vals.tolist()[:-1], cnts.tolist()[:-1]):
+            w0 += cn
+            s0 += v * cn
+            w1 = n - w0
+            a = s0 * w1 - (tot_s - s0) * w0
+            score = float(a * a) / float(w0 * w1)
+            if score > best_score:  # strict: ties keep the smaller threshold
+                best_score, best_q = score, v
+        t = int(vals[-1]) if best_q is None else best_q
+        out["frac_high_saliency"] = round(int((q > t).sum()) / n, 6)
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                rows.append({"id": int(i), **one(img)})
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "max_saliency", "max_y", "max_x", "frac_high_saliency"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn,
+        schema="id long, max_saliency double, max_y int, max_x int, frac_high_saliency double",
+    )

@@ -1904,3 +1904,97 @@ def q_woe_iv(spark, sf_dir):
         "bin", "n", "goods", "bads", "woe_fp",
         F.round(F.col("diff") * F.col("woe_fp").cast("double") / (F.col("gb") * F.lit(1e6)), 6).alias("iv_part"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 3: SaliencyExtractor counterpart (VERDICT r2 item 6) — Itti-Koch
+# summary stats over the real PNG decode path
+
+
+_SAL_PX = "(d.doc_id*149 + r.r*23 + c.c*11 + {ch})"
+
+
+@query(
+    "image_saliency",
+    f"""WITH px AS (
+         SELECT d.doc_id, r.r, c.c,
+                ({_SAL_PX.format(ch=0)} % 256
+                 + {_SAL_PX.format(ch=37)} % 256
+                 + {_SAL_PX.format(ch=74)} % 256)::BIGINT AS i
+         FROM documents d, generate_series(0,7) r(r), generate_series(0,7) c(c)),
+       tot AS (SELECT doc_id, sum(i)::BIGINT AS s FROM px GROUP BY doc_id),
+       nb AS (
+         SELECT p.doc_id, p.r, p.c, sum(p2.i)::BIGINT AS cs
+         FROM px p JOIN px p2 ON p2.doc_id = p.doc_id
+          AND p2.r BETWEEN p.r - 1 AND p.r + 1
+          AND p2.c BETWEEN p.c - 1 AND p.c + 1
+         GROUP BY p.doc_id, p.r, p.c),
+       sal AS (
+         SELECT n.doc_id, n.r, n.c, abs(n.cs*64 - 9*t.s)::BIGINT AS sal
+         FROM nb n JOIN tot t USING (doc_id)),
+       mx AS (SELECT doc_id, max(sal) AS smax FROM sal GROUP BY doc_id),
+       pos AS (
+         SELECT s.doc_id, min(s.r*8 + s.c) AS idx
+         FROM sal s JOIN mx m USING (doc_id) WHERE s.sal = m.smax
+         GROUP BY s.doc_id),
+       qt AS (
+         SELECT s.doc_id,
+                CASE WHEN m.smax = 0 THEN 0
+                     ELSE (510*s.sal + m.smax) // (2*m.smax) END AS q
+         FROM sal s JOIN mx m USING (doc_id)),
+       hist AS (SELECT doc_id, q, count(*)::BIGINT AS cnt FROM qt GROUP BY doc_id, q),
+       cum AS (
+         SELECT doc_id, q, cnt,
+                sum(cnt) OVER win AS w0, sum(q*cnt) OVER win AS s0,
+                sum(q*cnt) OVER (PARTITION BY doc_id) AS stot,
+                count(*) OVER (PARTITION BY doc_id) AS ndist,
+                row_number() OVER (PARTITION BY doc_id ORDER BY q) AS rn,
+                max(q) OVER (PARTITION BY doc_id) AS qmax
+         FROM hist
+         WINDOW win AS (PARTITION BY doc_id ORDER BY q ROWS UNBOUNDED PRECEDING)),
+       cand AS (
+         SELECT doc_id, q, qmax,
+                (s0*(64 - w0) - (stot - s0)*w0) AS a, w0*(64 - w0) AS b
+         FROM cum WHERE rn < ndist),
+       pick AS (
+         SELECT doc_id, q AS t,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY (a*a)::DOUBLE / b DESC, q ASC) AS pr
+         FROM cand),
+       thr AS (
+         SELECT c.doc_id, coalesce(p.t, c.qmax) AS t
+         FROM (SELECT DISTINCT doc_id, qmax FROM cum) c
+         LEFT JOIN (SELECT doc_id, t FROM pick WHERE pr = 1) p USING (doc_id)),
+       high AS (
+         SELECT q.doc_id, sum((q.q > t.t)::INT)::BIGINT AS nh
+         FROM qt q JOIN thr t USING (doc_id) GROUP BY q.doc_id)
+       SELECT m.doc_id,
+              round_even(m.smax / 146880.0, 6) AS max_saliency,
+              (p.idx // 8)::INT AS max_y,
+              (p.idx % 8)::INT AS max_x,
+              round(h.nh / 64.0, 6) AS frac_high_saliency
+       FROM mx m JOIN pos p USING (doc_id) JOIN high h USING (doc_id)""",
+)
+def q_image_saliency(spark, sf_dir):
+    """SaliencyExtractor summary stats (pliers/extractors/image.py:72-103:
+    Itti-Koch max_saliency / max_y / max_x / frac_high_saliency with Otsu
+    binarization) over a REAL PNG encode→decode round trip: 8x8 formula
+    images → stdlib-zlib PNG → production image_saliency_stats stage
+    (multimodal.py). The center-surround map is kept in exact integer
+    units and the Otsu threshold maximizes the exact-integer between-class
+    variance, so the relational oracle recomputes the identical pixels,
+    map, threshold, and fractions — any codec or formula bug breaks the
+    row hash."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((did * 149 + r * 23 + c * 11 + ch * 37) % 256).astype(np.uint8)
+        return codecs.encode_png(img)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_saliency_stats(payloads).withColumnRenamed("id", "doc_id")

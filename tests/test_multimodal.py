@@ -407,3 +407,41 @@ def test_video_motion_recovers_known_shift(spark):
     # frame k's motion relative to k-1 is the shift delta, SAD exactly 0
     assert (out[1]["dy"], out[1]["dx"], out[1]["sad"]) == (1, -2, 0)
     assert (out[2]["dy"], out[2]["dx"], out[2]["sad"]) == (-2, 2, 0)
+
+
+def test_image_saliency_hand_computed(spark):
+    """Hand-computed pins for the round-3 SaliencyExtractor counterpart.
+
+    Uniform image (all 100s, intensity 300, S=19200, N=64): interior
+    cs=2700 -> sal=0; corners cs=1200 -> sal=|1200*64-9*19200|=96000
+    (the zero padding makes borders salient); edges cs=1800 -> 57600.
+    max at the first corner (0,0); q = {corners:255, edges:153,
+    interior:0}; Otsu splits 36 zeros from the 28 border pixels.
+
+    Single bright pixel at (2,3) (intensity 765, S=765): every pixel of
+    the 3x3 block around the spot has cs=765 -> sal=765*55=42075; the
+    rest cs=0 -> sal=9*765=6885. First row-major max is the block's
+    top-left corner (1,2); q={block:255, rest:42}; Otsu isolates the 9
+    block pixels."""
+    from pliers_spark import codecs
+    from pliers_spark.multimodal import image_saliency_stats
+
+    flat = np.full((8, 8, 3), 100, dtype=np.uint8)
+    spot = np.zeros((8, 8, 3), dtype=np.uint8)
+    spot[2, 3] = 255
+    df = spark.createDataFrame(
+        [(0, bytearray(codecs.encode_png(flat))),
+         (1, bytearray(codecs.encode_png(spot)))],
+        "id long, payload binary",
+    )
+    out = {r["id"]: r for r in image_saliency_stats(df).collect()}
+
+    r0 = out[0]
+    assert (r0.max_y, r0.max_x) == (0, 0)
+    assert r0.max_saliency == round(96000 / (2295.0 * 64), 6)  # 0.653595
+    assert r0.frac_high_saliency == round(28 / 64, 6)  # 0.4375
+
+    r1 = out[1]
+    assert (r1.max_y, r1.max_x) == (1, 2)
+    assert r1.max_saliency == round(42075 / (2295.0 * 64), 6)  # 0.286458
+    assert r1.frac_high_saliency == round(9 / 64, 6)
