@@ -25,6 +25,7 @@ they run at full JVM speed on a 100 TB scan.
 
 from __future__ import annotations
 
+import re
 import string
 
 from pyspark.sql import Column
@@ -230,3 +231,92 @@ def split_sentences(col: Column | str) -> Column:
     return F.filter(
         F.transform(F.split(marked, r"\n"), F.trim), lambda s: s != F.lit("")
     )
+
+
+# --------------------------------------------------------------------------
+# Punkt-lite / Treebank-style word tokenizer (round 3, VERDICT r2 item 7)
+
+# Ordered regex cascade following the published Penn-Treebank word
+# tokenizer rules that nltk's word_tokenize applies after Punkt sentence
+# splitting (nltk.tokenize.treebank; reference pliers uses it via
+# pliers/filters/text.py:139 and pliers/extractors/text.py:192). This is
+# the opt-in tokenizer closing the top visible gaps of the default
+# whitespace tokenizer: contraction splitting ("don't" -> do | n't),
+# trailing-punctuation separation, quote conversion to ``/''.
+# Replacements use \1 backreference syntax; each renderer converts.
+# ASCII scope (the published rules are ASCII); RE2-safe: no lookaround,
+# no comment groups, so the SAME pattern text runs on Java regex
+# (Spark), RE2 (DuckDB), and Python re.
+TREEBANK_RULES: list[tuple[str, str]] = [
+    # starting quotes
+    ('^"', "`` "),
+    ("(``)", " \\1 "),
+    ("([ \\(\\[{<])(\"|'{2})", "\\1 `` "),
+    # punctuation
+    ("([:,])([^\\d])", " \\1 \\2"),
+    ("([:,])$", " \\1 "),
+    ("\\.\\.\\.", " ... "),
+    ("([;@#$%&])", " \\1 "),
+    ("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$", "\\1 \\2\\3 "),
+    ("([?!])", " \\1 "),
+    ("([^'])' ", "\\1 ' "),
+    # parens / brackets / dashes
+    ("([\\]\\[\\(\\)\\{\\}<>])", " \\1 "),
+    ("--", " -- "),
+    # (padding with one space each side happens between these stages)
+    ("^", " "),
+    ("$", " "),
+    # ending quotes
+    ('"', " '' "),
+    ("(\\S)('')", "\\1 \\2 "),
+    ("([^' ])('[sS]|'[mM]|'[dD]|') ", "\\1 \\2 "),
+    ("([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", "\\1 \\2 "),
+    # contractions
+    ("(?i)\\b(can)(not)\\b", " \\1 \\2 "),
+    ("(?i)\\b(d)('ye)\\b", " \\1 \\2 "),
+    ("(?i)\\b(gim)(me)\\b", " \\1 \\2 "),
+    ("(?i)\\b(gon)(na)\\b", " \\1 \\2 "),
+    ("(?i)\\b(got)(ta)\\b", " \\1 \\2 "),
+    ("(?i)\\b(lem)(me)\\b", " \\1 \\2 "),
+    ("(?i)\\b(mor)('n)\\b", " \\1 \\2 "),
+    ("(?i)\\b(wan)(na) ", " \\1 \\2 "),
+    ("(?i) ('t)(is)\\b", " \\1 \\2 "),
+    ("(?i) ('t)(was)\\b", " \\1 \\2 "),
+]
+
+
+def treebank_pretokenize(col: Column | str) -> Column:
+    """The rule cascade as chained JVM-side regexp_replace (whole-stage
+    codegen; no Python in the hot path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in TREEBANK_RULES:
+        c = F.regexp_replace(c, pat, re.sub(r"\\(\d)", r"$\1", repl))
+    return c
+
+
+def treebank_tokenize(col: Column | str) -> Column:
+    """Array of Treebank tokens (order preserved, empties dropped)."""
+    return F.filter(
+        F.split(F.trim(treebank_pretokenize(col)), TOKEN_SPLIT_RE),
+        lambda t: t != F.lit(""),
+    )
+
+
+def treebank_pretokenize_sql(expr: str) -> str:
+    """The identical cascade rendered as nested DuckDB regexp_replace
+    (single source of truth: TREEBANK_RULES)."""
+    out = expr
+    for pat, repl in TREEBANK_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def treebank_tokenize_py(text: str) -> list[str]:
+    """Pure-Python rendering of the same cascade — the differential
+    anchor against real ``nltk.word_tokenize`` when nltk is importable
+    (absent in this container; tests gate on the import)."""
+    for pat, repl in TREEBANK_RULES:
+        text = re.sub(pat, repl, text)
+    return [t for t in text.split() if t]
