@@ -331,6 +331,8 @@ def sniff_image(data: bytes) -> str | None:
         return "bmp"
     if data[:8] == PNG_SIG:
         return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -338,3 +340,349 @@ def sniff_audio(data: bytes) -> str | None:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, grayscale, stdlib+numpy only (round 3)
+# (reference loads JPEG via imageio; this closes the last import-gated
+# binary-format gap with a real ITU T.81 baseline codec: markers, DQT,
+# SOF0, standard Annex-K-style Huffman tables, byte stuffing, zigzag,
+# quality-scaled quantization, float DCT/IDCT. Scope: single-component
+# (grayscale) encode AND decode — enough for real round trips; color /
+# subsampled external files raise ValueError and fall to the import
+# gate in multimodal._decode_image.)
+
+_JPEG_QBASE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# canonical Huffman specs (BITS, HUFFVAL) — standard luminance DC table
+# and an Annex-K-shaped AC table. Encoder and decoder derive codes from
+# the SAME spec written into DHT, so round trips are exact by
+# construction even where this AC ordering deviates from the official
+# K.5 listing.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+
+
+def _jpeg_qtable(quality: int) -> np.ndarray:
+    """IJG quality scaling of the base luminance table."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (_JPEG_QBASE * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return 0.5 * c * np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        # pad the final partial byte with 1-bits (T.81 F.1.2.3)
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, value bits) per T.81 F.1.2.1 / F.1.2.2."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
+    """Baseline JFIF encode of a grayscale image (HxW or HxWx1 uint8;
+    an HxWx3 input is converted with the integer Rec.601 luma used by
+    the tests). Edge-replicated padding to 8x8 blocks."""
+    a = np.asarray(img)
+    if a.ndim == 3 and a.shape[2] == 3:
+        a = ((299 * a[:, :, 0].astype(np.int64)
+              + 587 * a[:, :, 1].astype(np.int64)
+              + 114 * a[:, :, 2].astype(np.int64) + 500) // 1000).astype(np.uint8)
+    elif a.ndim == 3:
+        a = a[:, :, 0]
+    h, w = a.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    a = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    q = _jpeg_qtable(quality)
+    c = _dct_matrix()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    hb, wb = a.shape[0] // 8, a.shape[1] // 8
+    for by in range(hb):
+        for bx in range(wb):
+            blk = a[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            # snap the float DCT to the 1e-6 grid first: mathematically
+            # integer coefficients (e.g. the DC of a constant block,
+            # 8*(v-128)) otherwise carry ~1e-13 residue that flips the
+            # .5-boundary of the quantizer rounding nondeterministically
+            # across BLAS builds; after the snap the boundary rounds
+            # half-even, reproducibly
+            coef = np.round(np.round(c @ blk @ c.T, 6) / q).astype(np.int64)
+            zz = coef.flatten()[_ZIGZAG]
+            s, vb = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            code, ln = dc_codes[s]
+            bw.put(code, ln)
+            bw.put(vb, s)
+            run = 0
+            last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s, vb = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(vb, s)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zzq = q.flatten()[_ZIGZAG]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in zzq))
+    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF decode (single-component, no restart markers) to
+    HxWx1 uint8. Multi-component or progressive files raise ValueError
+    (handled by the import gate in multimodal._decode_image)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    h = w = 0
+    tq = 0
+    dc_id = ac_id = 0
+    scan: bytes | None = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + ln]
+        if m == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq_id = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit qtable unsupported")
+                z = np.frombuffer(body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = z
+                qtables[tq_id] = t.reshape(8, 8)
+                o += 65
+        elif m == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit baseline")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ValueError("only single-component JPEG supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            tq = body[8]
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0")
+        elif m == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17:o + 17 + nv])
+                htables[(tc, th)] = (bits, vals)
+                o += 17 + nv
+        elif m == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan = data[pos + 2 + ln:]
+            break
+        pos += 2 + ln
+    if scan is None or not h:
+        raise ValueError("truncated JPEG")
+
+    def decode_tree(spec: tuple[list[int], list[int]]):
+        codes = _huff_codes(*spec)
+        return {(ln, code): val for val, (code, ln) in codes.items()}
+
+    dct = decode_tree(htables[(0, dc_id)])
+    act = decode_tree(htables[(1, ac_id)])
+    br = _BitReader(scan)
+
+    def read_sym(tbl) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            v = tbl.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("bad Huffman code")
+
+    q = qtables[tq]
+    c = _dct_matrix()
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((hb * 8, wb * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(hb):
+        for bx in range(wb):
+            zz = np.zeros(64, dtype=np.int64)
+            s = read_sym(dct)
+            prev_dc += _extend(br.bits(s), s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_sym(act)
+                r, s = rs >> 4, rs & 0xF
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += r
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_ZIGZAG] = zz
+            blk = c.T @ (coef.reshape(8, 8) * q) @ c
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+    # same 1e-6 snap as the encoder: IDCT output that is mathematically
+    # integer must round reproducibly
+    pix = np.clip(np.round(np.round(out, 6) + 128.0), 0, 255).astype(np.uint8)
+    return pix[:h, :w][:, :, None]

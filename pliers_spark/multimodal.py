@@ -33,13 +33,14 @@ AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms dou
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG decode for
-    REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via stdlib
-    zlib). Gray PNG is replicated to 3 channels and RGBA drops alpha so
-    every downstream formula sees the same HxWx3 contract. Formats whose
-    entropy coding has no stdlib path (JPEG) need imageio/PIL (absent
-    here) → deterministic fake derived from the payload bytes so tests
-    are stable."""
+    """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG/baseline-JPEG
+    decode for REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via
+    stdlib zlib, grayscale JPEG via the round-3 T.81 baseline decoder).
+    Gray images are replicated to 3 channels and RGBA drops alpha so
+    every downstream formula sees the same HxWx3 contract. Variants the
+    stdlib codecs don't cover (color/progressive JPEG) need imageio/PIL
+    (absent here) → deterministic fake derived from the payload bytes so
+    tests are stable."""
     from pliers_spark import codecs
 
     kind = codecs.sniff_image(payload)
@@ -52,6 +53,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
         if img.shape[2] == 1:
             return np.repeat(img, 3, axis=2)
         return img[:, :, :3]
+    if kind == "jpeg":
+        try:
+            return np.repeat(codecs.decode_jpeg(payload), 3, axis=2)
+        except ValueError:
+            pass  # color/progressive variants -> imageio gate below
     try:
         import imageio.v3 as iio  # pragma: no cover
 

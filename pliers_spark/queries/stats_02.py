@@ -1998,3 +1998,51 @@ def q_image_saliency(spark, sf_dir):
 
     payloads = _synth_payloads(spark, sf_dir, build)
     return multimodal.image_saliency_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# round 3 (stretch, VERDICT r2 item 10): baseline-JPEG round trip
+
+
+@query(
+    "jpeg_decode_stats",
+    """WITH blk AS (
+         SELECT d.doc_id,
+                ((d.doc_id*37 + i.i*101 + j.j*53) % 256)::BIGINT AS v
+         FROM documents d, generate_series(0,1) i(i), generate_series(0,1) j(j)),
+       dec AS (
+         SELECT doc_id,
+                greatest(0.0, least(255.0,
+                    2*round_even((v - 128) / 2.0, 0) + 128)) AS dv
+         FROM blk),
+       s AS (SELECT doc_id, sum(dv) AS sd FROM dec GROUP BY doc_id)
+       SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              ((sd * 64) / 256.0) / 255.0 AS mean_brightness
+       FROM s""",
+)
+def q_jpeg_decode_stats(spark, sf_dir):
+    """BrightnessExtractor over a REAL baseline-JPEG encode→decode round
+    trip (pliers loads JPEG via imageio; here the engine's own stdlib
+    T.81 codec — markers, DQT, SOF0, Huffman scan, byte stuffing, DCT):
+    16x16 images of four constant 8x8 blocks → quality-50 JPEG →
+    production image_stats stage. Constant blocks make the lossy
+    round trip CLOSED-FORM: only the DC survives, quantized at Q0=16,
+    so decoded(v) = clip(2*round_half_even((v-128)/2) + 128) exactly
+    (the codec snaps mathematically-integer DCT values to the 1e-6
+    grid, making the .5 boundary reproducibly half-even). The oracle
+    recomputes that form relationally — any Huffman/marker/DCT bug
+    changes the pixels and breaks the hash."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        i = np.arange(2)[:, None]
+        j = np.arange(2)[None, :]
+        blocks = ((did * 37 + i * 101 + j * 53) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        return codecs.encode_jpeg(img, quality=50)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")

@@ -445,3 +445,84 @@ def test_image_saliency_hand_computed(spark):
     assert (r1.max_y, r1.max_x) == (1, 2)
     assert r1.max_saliency == round(42075 / (2295.0 * 64), 6)  # 0.286458
     assert r1.frac_high_saliency == round(9 / 64, 6)
+
+
+class TestJpegCodec:
+    """Round-3 baseline-JPEG codec (ITU T.81 sequential DCT, grayscale)."""
+
+    def test_roundtrip_error_bounded_and_shrinks_with_quality(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 256, (24, 17), dtype=np.uint8)  # non-multiple of 8
+        prev = None
+        for q in (30, 50, 75, 90):
+            data = codecs.encode_jpeg(x, quality=q)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            y = codecs.decode_jpeg(data)
+            assert y.shape == (24, 17, 1)
+            err = float(np.abs(x.astype(int) - y[:, :, 0].astype(int)).mean())
+            if prev is not None:
+                assert err <= prev + 1e-9  # quality up -> error down
+            prev = err
+        assert err < 8.0  # q90 mean error on worst-case noise
+
+    def test_smooth_image_high_quality_near_lossless(self):
+        from pliers_spark import codecs
+
+        r = np.arange(32)[:, None]
+        c = np.arange(32)[None, :]
+        x = ((r * 3 + c * 2) % 200 + 20).astype(np.uint8)
+        y = codecs.decode_jpeg(codecs.encode_jpeg(x, quality=95))[:, :, 0]
+        assert int(np.abs(x.astype(int) - y.astype(int)).max()) <= 4
+
+    def test_constant_block_closed_form_all_values(self):
+        """The DC-only round trip at quality 50 (Q0=16) must equal
+        clip(2*round_half_even((v-128)/2)+128) for every v — the exact
+        contract the jpeg_decode_stats oracle recomputes relationally."""
+        import decimal
+
+        from pliers_spark import codecs
+
+        for v in range(256):
+            flat = np.full((8, 8), v, dtype=np.uint8)
+            y = codecs.decode_jpeg(codecs.encode_jpeg(flat, 50))[:, :, 0]
+            q = int(
+                (decimal.Decimal(v - 128) / 2).quantize(
+                    0, rounding=decimal.ROUND_HALF_EVEN
+                )
+            )
+            exp = min(255, max(0, 2 * q + 128))
+            assert (y == exp).all(), (v, int(y[0, 0]), exp)
+
+    def test_rgb_input_uses_rec601_luma(self):
+        from pliers_spark import codecs
+
+        x = np.zeros((8, 8, 3), dtype=np.uint8)
+        x[:, :, 1] = 200  # pure green: luma = (587*200+500)//1000 = 117
+        y = codecs.decode_jpeg(codecs.encode_jpeg(x, 50))[:, :, 0]
+        # closed form: 117 -> v'=-11 -> 2*round_even(-5.5)+128 = 116
+        assert (y == 116).all()
+
+    def test_sniff_and_decode_image_path(self):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import _decode_image
+
+        x = np.full((9, 5), 64, dtype=np.uint8)
+        data = codecs.encode_jpeg(x, 50)
+        assert codecs.sniff_image(data) == "jpeg"
+        img = _decode_image(data)
+        assert img.shape == (9, 5, 3)
+        assert (img == 64).all()  # 64 even -> exact
+
+    def test_rejects_non_baseline(self):
+        from pliers_spark import codecs
+
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(b"\x89PNG")
+        # progressive SOF2 marker must be refused, not mis-decoded
+        bad = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = bad.find(b"\xff\xc0")
+        bad[i + 1] = 0xC2
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bytes(bad))
