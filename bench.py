@@ -82,6 +82,11 @@ HEADLINE_QUERIES = [
     "stft_power",
     "mel_mfcc",
     "image_decode_stats",
+    # round-3 additions
+    "treebank_tokenize",
+    "spectral_contrast",
+    "image_saliency",
+    "jpeg_decode_stats",
 ]
 
 # --full sweep: the ENTIRE registered catalogue, derived from the registry
