@@ -658,3 +658,68 @@ def image_saliency_stats(
         fn,
         schema="id long, max_saliency double, max_y int, max_x int, frac_high_saliency double",
     )
+
+
+def resize_bilinear(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Standard separable bilinear resample (half-pixel centers, edge
+    clamp — the align_corners=False convention PIL/cv2 use), computed in
+    EXACT integer numerators so the relational oracle reproduces it
+    bit-for-bit: source coord sy=( (2i+1)*H - th )/(2*th) is kept as an
+    integer numerator, the 4-tap weights are ints summing to (2*th)(2*tw),
+    and the final division + round-half-even is the single float step.
+    Documented simplification vs PIL: PIL's downscale applies an
+    antialias box filter (support scales with ratio); this is the pure
+    4-tap bilinear kernel. (reference ImageResizingFilter,
+    pliers/filters/image.py:46-76)."""
+    h, w, c = img.shape
+    dh, dw = 2 * target_h, 2 * target_w
+
+    def taps(size: int, target: int, dbl: int):
+        i = np.arange(target, dtype=np.int64)
+        num = np.clip((2 * i + 1) * size - target, 0, (size - 1) * dbl)
+        lo = num // dbl
+        r = num - lo * dbl
+        hi = np.minimum(lo + 1, size - 1)
+        return lo, hi, r
+
+    y0, y1, ry = taps(h, target_h, dh)
+    x0, x1, rx = taps(w, target_w, dw)
+    p = img.astype(np.int64)
+    num = (
+        (dh - ry)[:, None, None] * ((dw - rx)[None, :, None] * p[y0][:, x0]
+                                    + rx[None, :, None] * p[y0][:, x1])
+        + ry[:, None, None] * ((dw - rx)[None, :, None] * p[y1][:, x0]
+                               + rx[None, :, None] * p[y1][:, x1])
+    )
+    return np.round(num / float(dh * dw)).astype(np.uint8)
+
+
+def image_resize_bilinear_stats(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ImageResizingFilter with REAL interpolation (round 3): decode →
+    exact-integer bilinear resample → stats. Same schema/batch shape as
+    the nearest-neighbor stage."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload) if payload is not None else b"")
+                res = resize_bilinear(img, target_h, target_w)
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": res.shape[1],
+                        "height": res.shape[0],
+                        "channels": res.shape[2],
+                        "mean_brightness": float(res.max(axis=2).mean() / 255.0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_RESIZE_SCHEMA)

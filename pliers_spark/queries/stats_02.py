@@ -2046,3 +2046,65 @@ def q_jpeg_decode_stats(spark, sf_dir):
 
     payloads = _synth_payloads(spark, sf_dir, build)
     return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
+
+# --------------------------------------------------------------------------
+# round 3: ImageResizingFilter with REAL bilinear interpolation
+
+
+def _bilinear_sql() -> str:
+    # source pixel P(y, x, ch) of the 8x8 formula image; tap indices and
+    # weights are exact integers (denominator 2*th * 2*tw = 60) with one
+    # float division + round_even at the end — mirrors
+    # multimodal.resize_bilinear bit-for-bit
+    def p(y: str, x: str, ch: int) -> str:
+        return f"((doc_id*157 + {y}*29 + {x}*13 + {ch}) % 256)"
+
+    def chan(ch: int) -> str:
+        return (
+            f"round_even(((6 - ry)*((10 - rx)*{p('y0','x0',ch)} + rx*{p('y0','x1',ch)})"
+            f" + ry*((10 - rx)*{p('y1','x0',ch)} + rx*{p('y1','x1',ch)})) / 60.0, 0)"
+        )
+
+    return f"""WITH grid AS (
+         SELECT d.doc_id, i.i, j.j,
+                least(greatest((2*i.i + 1)*8 - 3, 0), 42) AS numy,
+                least(greatest((2*j.j + 1)*8 - 5, 0), 70) AS numx
+         FROM documents d, generate_series(0,2) i(i), generate_series(0,4) j(j)),
+       taps AS (
+         SELECT doc_id,
+                numy // 6 AS y0, least(numy // 6 + 1, 7) AS y1, numy % 6 AS ry,
+                numx // 10 AS x0, least(numx // 10 + 1, 7) AS x1, numx % 10 AS rx
+         FROM grid),
+       px AS (
+         SELECT doc_id, greatest({chan(0)}, {chan(41)}, {chan(82)}) AS mx
+         FROM taps)
+       SELECT doc_id, CAST(5 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              (sum(mx) / 15.0) / 255.0 AS mean_brightness
+       FROM px GROUP BY doc_id"""
+
+
+@query("image_resize_bilinear", _bilinear_sql())
+def q_image_resize_bilinear(spark, sf_dir):
+    """ImageResizingFilter (pliers/filters/image.py:46-76) with REAL
+    bilinear interpolation (round 3; the nearest-neighbor `image_resize`
+    row was the last 'partial' with an actionable gap): 8x8 formula
+    images → real PNG round trip → exact-integer 4-tap bilinear resample
+    to 5x3 (half-pixel centers, edge clamp, round-half-even) → stats.
+    The oracle recomputes taps, weights, per-channel rounding, channel
+    max, and the mean relationally — bit-identical by construction."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((did * 157 + r * 29 + c * 13 + ch * 41) % 256).astype(np.uint8)
+        return codecs.encode_png(img)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_resize_bilinear_stats(
+        payloads, target_w=5, target_h=3
+    ).withColumnRenamed("id", "doc_id")

@@ -526,3 +526,46 @@ class TestJpegCodec:
         bad[i + 1] = 0xC2
         with pytest.raises(ValueError):
             codecs.decode_jpeg(bytes(bad))
+
+
+class TestBilinearResize:
+    """Round-3 real-interpolation path for ImageResizingFilter."""
+
+    def test_identity_and_constant(self):
+        from pliers_spark.multimodal import resize_bilinear
+
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(resize_bilinear(img, 8, 8), img)
+        flat = np.full((6, 9, 3), 77, np.uint8)
+        assert (resize_bilinear(flat, 2, 4) == 77).all()
+
+    def test_matches_independent_float_bilinear(self):
+        """Hand formulation with plain float arithmetic (half-pixel
+        centers, edge clamp), independent of the integer-numerator
+        implementation."""
+        from pliers_spark.multimodal import resize_bilinear
+
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        th, tw = 3, 5
+        got = resize_bilinear(img, th, tw)
+        for i in range(th):
+            for j in range(tw):
+                sy = min(max((i + 0.5) * 8 / th - 0.5, 0.0), 7.0)
+                sx = min(max((j + 0.5) * 8 / tw - 0.5, 0.0), 7.0)
+                y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+                y1, x1 = min(y0 + 1, 7), min(x0 + 1, 7)
+                fy, fx = sy - y0, sx - x0
+                for ch in range(3):
+                    v = ((1 - fy) * ((1 - fx) * img[y0, x0, ch] + fx * img[y0, x1, ch])
+                         + fy * ((1 - fx) * img[y1, x0, ch] + fx * img[y1, x1, ch]))
+                    assert abs(float(got[i, j, ch]) - v) <= 0.5 + 1e-9
+
+    def test_upscale_interpolates_between_pixels(self):
+        from pliers_spark.multimodal import resize_bilinear
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[:, 1] = 100
+        up = resize_bilinear(img, 2, 4)
+        # centers at sx = -0.25, 0.25, 0.75, 1.25 -> clamp, 0.25, 0.75, clamp
+        assert list(up[0, :, 0]) == [0, 25, 75, 100]
