@@ -281,3 +281,26 @@ def test_image_features_match_actual_pliers(spark, pliers_image_mods):
         ref_v = VibranceExtractor().transform(stim).to_df()["vibrance"][0]
         assert got[i]["brightness"] == pytest.approx(float(ref_b), rel=1e-12)
         assert got[i]["vibrance"] == pytest.approx(float(ref_v), rel=1e-12)
+
+
+def test_lower_case_unicode_parity_jvm_vs_python(spark):
+    """SURVEY §2.7 flagged that Python str.lower() can diverge from
+    Spark's JVM lower() on some codepoints (suggesting a pandas-UDF
+    fallback for byte parity). Verified here on the canonical hard
+    cases — Turkish dotted capital I (U+0130, expands to 2 codepoints),
+    capital sharp S (U+1E9E), Greek all-caps sigma (simple mapping,
+    both engines skip the contextual final-sigma rule), Latin
+    glottal-A (U+023A), and Cherokee (lowercase added in Unicode 8) —
+    the JVM-17 and CPython-3.11 tables agree byte-for-byte, so the
+    codegen'd F.lower() IS the byte-parity path in this environment
+    and no UDF fallback is needed. If a future JVM/Python pair
+    diverges, this test localizes it."""
+    from pyspark.sql import functions as F
+
+    cases = ["İstanbul", "ẞHARP", "ΣΙΓΜΑΣ", "Ⱥx", "ᏣᎳᎩ", "ǅungla", "ⅯⅭⅯ"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, t string"
+    )
+    got = {r.id: r.l for r in df.select("id", F.lower("t").alias("l")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == c.lower(), (c, c.lower(), got[i])
