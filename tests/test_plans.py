@@ -601,3 +601,27 @@ def test_harrells_c_census_grain_no_nested_loop(spark):
     assert row.n_usable_pairs > 0
     assert row.n_concordant + row.n_tied <= row.n_usable_pairs
     assert 0.0 <= row.harrells_c <= 1.0
+
+
+def test_round3_queries_plan_shapes(spark):
+    """Round-3 additions keep the engine's plan discipline: the Treebank
+    cascade is pure JVM expression work (no Python evaluator, no extra
+    shuffle beyond the doc spread), and the multimodal round-trip
+    queries are single mapInPandas stages over the synthesized payload
+    scan — no joins, no nested loops, no surprise Exchanges."""
+    from pliers_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = plan_of(QUERIES["treebank_tokenize"](spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+    for name in ("image_saliency", "jpeg_decode_stats", "image_resize_bilinear"):
+        plan = plan_of(QUERIES[name](spark, sf))
+        assert "Join" not in plan, (name, plan)
+        assert plan.count("Exchange") <= 1, (name, plan)
+        assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan, (name, plan)
+
+    plan = plan_of(QUERIES["spectral_contrast"](spark, sf))
+    assert "BroadcastNestedLoop" not in plan, plan
