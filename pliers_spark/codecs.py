@@ -403,14 +403,6 @@ _AC_VALS = (
 )
 
 
-def _jpeg_qtable(quality: int) -> np.ndarray:
-    """IJG quality scaling of the base luminance table."""
-    q = min(max(int(quality), 1), 100)
-    scale = 5000 // q if q < 50 else 200 - 2 * q
-    t = (_JPEG_QBASE * scale + 50) // 100
-    return np.clip(t, 1, 255).astype(np.int64)
-
-
 def _dct_matrix() -> np.ndarray:
     x = np.arange(8)
     u = np.arange(8)[:, None]
@@ -501,93 +493,177 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
-    """Baseline JFIF encode of a grayscale image (HxW or HxWx1 uint8;
-    an HxWx3 input is converted with the integer Rec.601 luma used by
-    the tests). Edge-replicated padding to 8x8 blocks."""
+
+_JPEG_QBASE_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def _jpeg_qtable_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> list[np.ndarray]:
+    """JFIF full-range color transform, each plane rounded to uint8
+    before the DCT (the standard encoder pipeline)."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.stack(
+        [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (r, g, b)], axis=2
+    )
+
+
+def _pad_plane(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge"
+    ).astype(np.float64) - 128.0
+
+
+def _encode_block(bw, blk, q, c, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Huffman-encode one 8x8 block; returns the new DC predictor.
+
+    The float DCT is snapped to the 1e-6 grid first: mathematically
+    integer coefficients (e.g. the DC of a constant block, 8*(v-128))
+    otherwise carry ~1e-13 residue that flips the .5-boundary of the
+    quantizer rounding nondeterministically across BLAS builds; after
+    the snap the boundary rounds half-even, reproducibly."""
+    coef = np.round(np.round(c @ blk @ c.T, 6) / q).astype(np.int64)
+    zz = coef.flatten()[_ZIGZAG]
+    s, vb = _magnitude(int(zz[0]) - prev_dc)
+    new_dc = int(zz[0])
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    bw.put(vb, s)
+    run = 0
+    last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s, vb = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(vb, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return new_dc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes:
+    """Baseline JFIF encode. mode="gray" (default): single-component
+    luma (HxW / HxWx1 direct; HxWx3 converted with the integer Rec.601
+    luma used by the tests). mode="color": 3-component YCbCr at 4:4:4
+    (no chroma subsampling), standard luma + chroma quant tables, the
+    same Annex-K-shaped Huffman specs written for both table classes.
+    Edge-replicated padding to 8x8 blocks in every plane."""
     a = np.asarray(img)
-    if a.ndim == 3 and a.shape[2] == 3:
-        a = ((299 * a[:, :, 0].astype(np.int64)
-              + 587 * a[:, :, 1].astype(np.int64)
-              + 114 * a[:, :, 2].astype(np.int64) + 500) // 1000).astype(np.uint8)
-    elif a.ndim == 3:
-        a = a[:, :, 0]
-    h, w = a.shape
-    ph, pw = (-h) % 8, (-w) % 8
-    a = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
-    q = _jpeg_qtable(quality)
+    if mode == "color":
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("mode='color' needs an HxWx3 image")
+        h, w = a.shape[:2]
+        planes = [_pad_plane(p) for p in _rgb_to_ycbcr(a)]
+        qy = _jpeg_qtable_scaled(_JPEG_QBASE, quality)
+        qc = _jpeg_qtable_scaled(_JPEG_QBASE_CHROMA, quality)
+        qs = [qy, qc, qc]
+    else:
+        if a.ndim == 3 and a.shape[2] == 3:
+            a = ((299 * a[:, :, 0].astype(np.int64)
+                  + 587 * a[:, :, 1].astype(np.int64)
+                  + 114 * a[:, :, 2].astype(np.int64) + 500) // 1000).astype(np.uint8)
+        elif a.ndim == 3:
+            a = a[:, :, 0]
+        h, w = a.shape
+        planes = [_pad_plane(a)]
+        qs = [_jpeg_qtable_scaled(_JPEG_QBASE, quality)]
+
     c = _dct_matrix()
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    prev_dc = 0
-    hb, wb = a.shape[0] // 8, a.shape[1] // 8
+    prev = [0] * len(planes)
+    hb, wb = planes[0].shape[0] // 8, planes[0].shape[1] // 8
     for by in range(hb):
         for bx in range(wb):
-            blk = a[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            # snap the float DCT to the 1e-6 grid first: mathematically
-            # integer coefficients (e.g. the DC of a constant block,
-            # 8*(v-128)) otherwise carry ~1e-13 residue that flips the
-            # .5-boundary of the quantizer rounding nondeterministically
-            # across BLAS builds; after the snap the boundary rounds
-            # half-even, reproducibly
-            coef = np.round(np.round(c @ blk @ c.T, 6) / q).astype(np.int64)
-            zz = coef.flatten()[_ZIGZAG]
-            s, vb = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, ln = dc_codes[s]
-            bw.put(code, ln)
-            bw.put(vb, s)
-            run = 0
-            last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                s, vb = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(vb, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                prev[ci] = _encode_block(bw, blk, qs[ci], c, dc_codes, ac_codes, prev[ci])
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
-    zzq = q.flatten()[_ZIGZAG]
+    n = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in zzq))
-    out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-               + bytes([1, 1, 0x11, 0]))
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, bytes([0]) + bytes(int(x) for x in qs[0].flatten()[_ZIGZAG]))
+    if n == 3:
+        out += _jpeg_seg(0xDB, bytes([1]) + bytes(int(x) for x in qs[1].flatten()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _jpeg_seg(0xC0, sof)
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if n == 3:
+        out += _jpeg_seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _jpeg_seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([n])
+    for ci in range(n):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF decode (single-component, no restart markers) to
-    HxWx1 uint8. Multi-component or progressive files raise ValueError
-    (handled by the import gate in multimodal._decode_image)."""
+    """Baseline JFIF decode (1-component grayscale or 3-component
+    YCbCr 4:4:4, no restart markers) to HxWx1 / HxWx3 uint8.
+    Subsampled, progressive, or otherwise out-of-scope files raise
+    ValueError (handled by the import gate in
+    multimodal._decode_image)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = 0
-    tq = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (dc table, ac table)
+    scan_order: list[int] = []
     scan: bytes | None = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -613,11 +689,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit baseline")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
-                raise ValueError("only single-component JPEG supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            tq = body[8]
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            for i in range(ncomp):
+                cid, samp, tq_id = body[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported")
+                comps.append((cid, tq_id))
         elif m in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0")
         elif m == 0xC4:
@@ -630,19 +709,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = (bits, vals)
                 o += 17 + nv
         elif m == 0xDA:
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tt = body[2 + 2 * i]
+                scan_map[cid] = (tt >> 4, tt & 0xF)
+                scan_order.append(cid)
             scan = data[pos + 2 + ln:]
             break
         pos += 2 + ln
-    if scan is None or not h:
+    if scan is None or not h or not comps:
         raise ValueError("truncated JPEG")
+    if scan_order != [cid for cid, _ in comps]:
+        raise ValueError("non-interleaved scan unsupported")
 
     def decode_tree(spec: tuple[list[int], list[int]]):
         codes = _huff_codes(*spec)
         return {(ln, code): val for val, (code, ln) in codes.items()}
 
-    dct = decode_tree(htables[(0, dc_id)])
-    act = decode_tree(htables[(1, ac_id)])
+    trees = {}
+    for cid, _ in comps:
+        dc_id, ac_id = scan_map[cid]
+        trees[cid] = (decode_tree(htables[(0, dc_id)]), decode_tree(htables[(1, ac_id)]))
     br = _BitReader(scan)
 
     def read_sym(tbl) -> int:
@@ -655,34 +743,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return v
         raise ValueError("bad Huffman code")
 
-    q = qtables[tq]
     c = _dct_matrix()
     hb, wb = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((hb * 8, wb * 8), dtype=np.float64)
-    prev_dc = 0
+    planes = [np.zeros((hb * 8, wb * 8), dtype=np.float64) for _ in comps]
+    prev = [0] * len(comps)
     for by in range(hb):
         for bx in range(wb):
-            zz = np.zeros(64, dtype=np.int64)
-            s = read_sym(dct)
-            prev_dc += _extend(br.bits(s), s)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_sym(act)
-                r, s = rs >> 4, rs & 0xF
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += r
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[_ZIGZAG] = zz
-            blk = c.T @ (coef.reshape(8, 8) * q) @ c
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+            for ci, (cid, tq_id) in enumerate(comps):
+                dct, act = trees[cid]
+                zz = np.zeros(64, dtype=np.int64)
+                s = read_sym(dct)
+                prev[ci] += _extend(br.bits(s), s)
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    rs = read_sym(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += r
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_ZIGZAG] = zz
+                blk = c.T @ (coef.reshape(8, 8) * qtables[tq_id]) @ c
+                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
     # same 1e-6 snap as the encoder: IDCT output that is mathematically
     # integer must round reproducibly
-    pix = np.clip(np.round(np.round(out, 6) + 128.0), 0, 255).astype(np.uint8)
-    return pix[:h, :w][:, :, None]
+    pix = [
+        np.clip(np.round(np.round(p, 6) + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+        for p in planes
+    ]
+    if len(pix) == 1:
+        return pix[0][:, :, None]
+    return _ycbcr_to_rgb(pix[0], pix[1], pix[2])

@@ -55,9 +55,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return img[:, :, :3]
     if kind == "jpeg":
         try:
-            return np.repeat(codecs.decode_jpeg(payload), 3, axis=2)
+            img = codecs.decode_jpeg(payload)
+            if img.shape[2] == 1:
+                return np.repeat(img, 3, axis=2)
+            return img
         except ValueError:
-            pass  # color/progressive variants -> imageio gate below
+            pass  # subsampled/progressive variants -> imageio gate below
     try:
         import imageio.v3 as iio  # pragma: no cover
 

@@ -569,3 +569,59 @@ class TestBilinearResize:
         up = resize_bilinear(img, 2, 4)
         # centers at sx = -0.25, 0.25, 0.75, 1.25 -> clamp, 0.25, 0.75, clamp
         assert list(up[0, :, 0]) == [0, 25, 75, 100]
+
+
+class TestJpegColor:
+    """Round-3 continuation: 3-component YCbCr 4:4:4 baseline JPEG."""
+
+    def test_color_roundtrip_smooth_image(self):
+        from pliers_spark import codecs
+
+        r = np.arange(24)[:, None]
+        c = np.arange(19)[None, :]
+        img = np.stack(
+            [(r * 3 + c * 2) % 200 + 20, (r * 2 + c * 5) % 180 + 30,
+             (r + c) % 150 + 40], axis=2,
+        ).astype(np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, 95, mode="color"))
+        assert out.shape == (24, 19, 3)
+        assert int(np.abs(img.astype(int) - out.astype(int)).max()) <= 6
+
+    def test_color_constant_image_near_exact(self):
+        from pliers_spark import codecs
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:] = (200, 50, 100)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, mode="color"))
+        # constant blocks: only DC survives in each plane; the double
+        # color transform costs at most a couple of counts per channel
+        assert (np.abs(out.astype(int) - img.astype(int)) <= 3).all()
+        assert len(np.unique(out.reshape(-1, 3), axis=0)) == 1
+
+    def test_decode_image_contract_color(self):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import _decode_image
+
+        img = np.stack(
+            [np.full((9, 5), 200, np.uint8), np.full((9, 5), 50, np.uint8),
+             np.full((9, 5), 100, np.uint8)], axis=2,
+        )
+        d = _decode_image(codecs.encode_jpeg(img, 90, mode="color"))
+        assert d.shape == (9, 5, 3)  # never HxWx9 (repeat only for gray)
+        assert (np.abs(d.astype(int) - img.astype(int)) <= 3).all()
+
+    def test_color_needs_three_channels(self):
+        from pliers_spark import codecs
+
+        with pytest.raises(ValueError):
+            codecs.encode_jpeg(np.zeros((8, 8), np.uint8), mode="color")
+
+    def test_ycbcr_transform_inverts(self):
+        from pliers_spark.codecs import _rgb_to_ycbcr, _ycbcr_to_rgb
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        y, cb, cr = _rgb_to_ycbcr(img)
+        back = _ycbcr_to_rgb(y, cb, cr)
+        # one quantization round trip: off by at most 2 counts
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 2
