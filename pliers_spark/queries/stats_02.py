@@ -2108,3 +2108,74 @@ def q_image_resize_bilinear(spark, sf_dir):
     return multimodal.image_resize_bilinear_stats(
         payloads, target_w=5, target_h=3
     ).withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# round 3: COLOR (YCbCr 4:4:4) baseline-JPEG round trip
+
+
+def _jpeg_color_sql() -> str:
+    # constant-color 8x8 images make the lossy color round trip a scalar
+    # closed form per doc: JFIF transform (rounded/clipped per plane) ->
+    # per-plane DC-only quantize/dequant (luma Q0=16, chroma Q0=17 at
+    # quality 50) -> inverse transform. Every step mirrors the numpy
+    # pipeline's float ops left-associatively with round_even, so the
+    # doubles agree bit-for-bit (validated over 400 random colors in
+    # tests/test_multimodal.py).
+    def clip(e: str) -> str:
+        return f"least(255.0, greatest(0.0, {e}))"
+
+    def dec_plane(v: str, q: str) -> str:
+        quant = f"round_even((8.0*({v} - 128)) / {q}, 0)"
+        return clip(f"round_even(round_even(({quant})*{q}/8.0, 6) + 128.0, 0)")
+
+    y = clip("round_even(0.299*r + 0.587*g + 0.114*b, 0)")
+    cb = clip("round_even(-0.168736*r - 0.331264*g + 0.5*b + 128.0, 0)")
+    cr = clip("round_even(0.5*r - 0.418688*g - 0.081312*b + 128.0, 0)")
+    rr = clip("round_even(y2 + 1.402*(cr2 - 128.0), 0)")
+    gg = clip("round_even(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0), 0)")
+    bb = clip("round_even(y2 + 1.772*(cb2 - 128.0), 0)")
+    return f"""WITH rgb AS (
+         SELECT doc_id,
+                ((doc_id*31) % 256)::DOUBLE AS r,
+                ((doc_id*57 + 11) % 256)::DOUBLE AS g,
+                ((doc_id*93 + 5) % 256)::DOUBLE AS b
+         FROM documents),
+       ycc AS (
+         SELECT doc_id, {y} AS y, {cb} AS cb, {cr} AS cr FROM rgb),
+       dec AS (
+         SELECT doc_id,
+                {dec_plane('y', '16.0')} AS y2,
+                {dec_plane('cb', '17.0')} AS cb2,
+                {dec_plane('cr', '17.0')} AS cr2
+         FROM ycc),
+       back AS (
+         SELECT doc_id, {rr} AS rr, {gg} AS gg, {bb} AS bb FROM dec)
+       SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              greatest(rr, gg, bb) / 255.0 AS mean_brightness
+       FROM back"""
+
+
+@query("jpeg_color_decode_stats", _jpeg_color_sql())
+def q_jpeg_color_decode_stats(spark, sf_dir):
+    """BrightnessExtractor over a REAL color baseline-JPEG round trip
+    (3-component YCbCr 4:4:4; pliers loads color JPEG via imageio —
+    here the engine's stdlib T.81 codec end-to-end): 8x8 constant-color
+    images -> quality-50 color encode -> decode (markers, 2 quant
+    tables, 4 Huffman tables, MCU-interleaved scan, inverse color
+    transform) -> production image_stats stage. Constant planes leave
+    only each component's DC, so the whole lossy pipeline collapses to
+    a scalar closed form per doc that the oracle mirrors float-op by
+    float-op (round_even everywhere, left-associative expressions)."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:] = ((did * 31) % 256, (did * 57 + 11) % 256, (did * 93 + 5) % 256)
+        return codecs.encode_jpeg(img, quality=50, mode="color")
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.image_stats(payloads).withColumnRenamed("id", "doc_id")
