@@ -584,23 +584,36 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy x fx box-mean downsample (edge-replicated to whole boxes,
+    round-half-even) — the chroma decimation for 4:2:0."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge").astype(np.int64)
+    hh, ww = p.shape[0] // fy, p.shape[1] // fx
+    s = p.reshape(hh, fy, ww, fx).sum(axis=(1, 3))
+    return np.round(s / float(fy * fx)).astype(np.uint8)
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes:
     """Baseline JFIF encode. mode="gray" (default): single-component
     luma (HxW / HxWx1 direct; HxWx3 converted with the integer Rec.601
-    luma used by the tests). mode="color": 3-component YCbCr at 4:4:4
-    (no chroma subsampling), standard luma + chroma quant tables, the
-    same Annex-K-shaped Huffman specs written for both table classes.
-    Edge-replicated padding to 8x8 blocks in every plane."""
+    luma used by the tests). mode="color": 3-component YCbCr 4:4:4.
+    mode="color420": 3-component YCbCr with 2x2 chroma subsampling
+    (box-mean decimation) — the layout virtually all real-world JPEGs
+    use. Standard luma + chroma quant tables; the same Annex-K-shaped
+    Huffman specs are written for both table classes. Edge-replicated
+    padding aligns every plane to the MCU grid."""
     a = np.asarray(img)
-    if mode == "color":
+    if mode in ("color", "color420"):
         if a.ndim != 3 or a.shape[2] != 3:
-            raise ValueError("mode='color' needs an HxWx3 image")
+            raise ValueError(f"mode={mode!r} needs an HxWx3 image")
         h, w = a.shape[:2]
-        planes = [_pad_plane(p) for p in _rgb_to_ycbcr(a)]
+        raw = _rgb_to_ycbcr(a)
+        samp = [(2, 2), (1, 1), (1, 1)] if mode == "color420" else [(1, 1)] * 3
         qy = _jpeg_qtable_scaled(_JPEG_QBASE, quality)
         qc = _jpeg_qtable_scaled(_JPEG_QBASE_CHROMA, quality)
         qs = [qy, qc, qc]
-    else:
+    elif mode == "gray":
         if a.ndim == 3 and a.shape[2] == 3:
             a = ((299 * a[:, :, 0].astype(np.int64)
                   + 587 * a[:, :, 1].astype(np.int64)
@@ -608,20 +621,41 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
         elif a.ndim == 3:
             a = a[:, :, 0]
         h, w = a.shape
-        planes = [_pad_plane(a)]
+        raw = [a]
+        samp = [(1, 1)]
         qs = [_jpeg_qtable_scaled(_JPEG_QBASE, quality)]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    planes = []
+    for (sh, sv), p in zip(samp, raw):
+        if (sh, sv) != (hmax, vmax):
+            p = _box_downsample(p, vmax // sv, hmax // sh)
+        ph = mcy * 8 * sv - p.shape[0]
+        pw = mcx * 8 * sh - p.shape[1]
+        planes.append(
+            np.pad(p, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+        )
 
     c = _dct_matrix()
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev = [0] * len(planes)
-    hb, wb = planes[0].shape[0] // 8, planes[0].shape[1] // 8
-    for by in range(hb):
-        for bx in range(wb):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                prev[ci] = _encode_block(bw, blk, qs[ci], c, dc_codes, ac_codes, prev[ci])
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, ((sh, sv), plane) in enumerate(zip(samp, planes)):
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        by, bx = my * sv + byy, mx * sh + bxx
+                        blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                        prev[ci] = _encode_block(
+                            bw, blk, qs[ci], c, dc_codes, ac_codes, prev[ci]
+                        )
     bw.flush()
 
     n = len(planes)
@@ -632,7 +666,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
         out += _jpeg_seg(0xDB, bytes([1]) + bytes(int(x) for x in qs[1].flatten()[_ZIGZAG]))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
     for ci in range(n):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
     out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -650,10 +684,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF decode (1-component grayscale or 3-component
-    YCbCr 4:4:4, no restart markers) to HxWx1 / HxWx3 uint8.
-    Subsampled, progressive, or otherwise out-of-scope files raise
-    ValueError (handled by the import gate in
+    """Baseline JFIF decode (no restart markers) to HxWx1 / HxWx3
+    uint8: 1-component grayscale, 3-component YCbCr 4:4:4, or 4:2:0
+    (2x2-subsampled chroma upsampled by pixel replication — libjpeg's
+    default "fancy" triangular upsampling is intentionally not imitated;
+    round trips with this encoder are self-consistent). Progressive or
+    other layouts raise ValueError (handled by the import gate in
     multimodal._decode_image)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -661,7 +697,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (id, sh, sv, quant id)
     scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (dc table, ac table)
     scan_order: list[int] = []
     scan: bytes | None = None
@@ -693,10 +729,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component JPEG supported")
             for i in range(ncomp):
-                cid, samp, tq_id = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comps.append((cid, tq_id))
+                cid, sampb, tq_id = body[6 + 3 * i:9 + 3 * i]
+                sh, sv = sampb >> 4, sampb & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise ValueError("sampling factors beyond 2 unsupported")
+                comps.append((cid, sh, sv, tq_id))
         elif m in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0")
         elif m == 0xC4:
@@ -720,15 +757,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if scan is None or not h or not comps:
         raise ValueError("truncated JPEG")
-    if scan_order != [cid for cid, _ in comps]:
+    if scan_order != [cc[0] for cc in comps]:
         raise ValueError("non-interleaved scan unsupported")
+    hmax = max(cc[1] for cc in comps)
+    vmax = max(cc[2] for cc in comps)
+    for _, sh, sv, _ in comps:
+        if hmax % sh or vmax % sv:
+            raise ValueError("non-dividing sampling factors unsupported")
 
     def decode_tree(spec: tuple[list[int], list[int]]):
         codes = _huff_codes(*spec)
         return {(ln, code): val for val, (code, ln) in codes.items()}
 
     trees = {}
-    for cid, _ in comps:
+    for cid, _, _, _ in comps:
         dc_id, ac_id = scan_map[cid]
         trees[cid] = (decode_tree(htables[(0, dc_id)]), decode_tree(htables[(1, ac_id)]))
     br = _BitReader(scan)
@@ -744,39 +786,48 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("bad Huffman code")
 
     c = _dct_matrix()
-    hb, wb = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((hb * 8, wb * 8), dtype=np.float64) for _ in comps]
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcy * 8 * sv, mcx * 8 * sh), dtype=np.float64)
+        for _, sh, sv, _ in comps
+    ]
     prev = [0] * len(comps)
-    for by in range(hb):
-        for bx in range(wb):
-            for ci, (cid, tq_id) in enumerate(comps):
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (cid, sh, sv, tq_id) in enumerate(comps):
                 dct, act = trees[cid]
-                zz = np.zeros(64, dtype=np.int64)
-                s = read_sym(dct)
-                prev[ci] += _extend(br.bits(s), s)
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    rs = read_sym(act)
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += r
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[_ZIGZAG] = zz
-                blk = c.T @ (coef.reshape(8, 8) * qtables[tq_id]) @ c
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = read_sym(dct)
+                        prev[ci] += _extend(br.bits(s), s)
+                        zz[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_sym(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[_ZIGZAG] = zz
+                        blk = c.T @ (coef.reshape(8, 8) * qtables[tq_id]) @ c
+                        by, bx = my * sv + byy, mx * sh + bxx
+                        planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
     # same 1e-6 snap as the encoder: IDCT output that is mathematically
     # integer must round reproducibly
-    pix = [
-        np.clip(np.round(np.round(p, 6) + 128.0), 0, 255).astype(np.uint8)[:h, :w]
-        for p in planes
-    ]
+    pix = []
+    for (cid, sh, sv, _), p in zip(comps, planes):
+        u = np.clip(np.round(np.round(p, 6) + 128.0), 0, 255).astype(np.uint8)
+        if (sh, sv) != (hmax, vmax):
+            u = np.repeat(np.repeat(u, vmax // sv, axis=0), hmax // sh, axis=1)
+        pix.append(u[:h, :w])
     if len(pix) == 1:
         return pix[0][:, :, None]
     return _ycbcr_to_rgb(pix[0], pix[1], pix[2])

@@ -625,3 +625,55 @@ class TestJpegColor:
         back = _ycbcr_to_rgb(y, cb, cr)
         # one quantization round trip: off by at most 2 counts
         assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 2
+
+
+class TestJpeg420:
+    """4:2:0 chroma subsampling — the layout real-world JPEGs use."""
+
+    def test_roundtrip_odd_dims(self):
+        from pliers_spark import codecs
+
+        r = np.arange(24)[:, None]
+        c = np.arange(19)[None, :]
+        img = np.stack(
+            [(r * 3 + c * 2) % 200 + 20, (r * 2 + c * 5) % 180 + 30,
+             (r + c) % 150 + 40], axis=2,
+        ).astype(np.uint8)  # 24x19: exercises MCU padding and chroma crop
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, 95, mode="color420"))
+        assert out.shape == (24, 19, 3)
+        assert int(np.abs(img.astype(int) - out.astype(int)).max()) <= 12
+
+    def test_constant_color_near_exact(self):
+        from pliers_spark import codecs
+
+        img = np.zeros((20, 13, 3), np.uint8)
+        img[:] = (180, 60, 90)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, mode="color420"))
+        assert (np.abs(out.astype(int) - img.astype(int)) <= 2).all()
+
+    def test_smaller_than_444(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        b444 = codecs.encode_jpeg(img, 75, mode="color")
+        b420 = codecs.encode_jpeg(img, 75, mode="color420")
+        assert len(b420) < len(b444)  # half the chroma blocks
+
+    def test_box_downsample_hand_values(self):
+        from pliers_spark.codecs import _box_downsample
+
+        p = np.array([[0, 2, 4], [6, 8, 10]], dtype=np.uint8)
+        d = _box_downsample(p, 2, 2)
+        # boxes: [[0,2],[6,8]] mean 4; [[4,4],[10,10]] (edge-replicated col) mean 7
+        assert d.tolist() == [[4, 7]]
+
+    def test_decode_image_handles_420(self):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import _decode_image
+
+        img = np.zeros((9, 5, 3), np.uint8)
+        img[:] = (200, 50, 100)
+        d = _decode_image(codecs.encode_jpeg(img, 90, mode="color420"))
+        assert d.shape == (9, 5, 3)
+        assert (np.abs(d.astype(int) - img.astype(int)) <= 3).all()
