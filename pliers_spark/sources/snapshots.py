@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -144,6 +145,10 @@ class SnapshotTable:
             "files": files,
             "added_files": added_files,
             "schema": schema_json,
+            # wall-clock commit time enables FOR SYSTEM_TIME AS OF reads
+            # (read(as_of_timestamp=...)); pre-r3 manifests lack it and
+            # are treated as 'unknown time' (never matched by timestamp)
+            "committed_at": time.time(),
         }
         if removed_files is not None:
             manifest["removed_files"] = removed_files
@@ -235,12 +240,97 @@ class SnapshotTable:
             m["schema"], removed_files=m["files"],
         )
 
+    def rollback_to(self, snapshot_id: str) -> str:
+        """Restore the table state of an ancestor snapshot as a NEW
+        commit (≡ Iceberg ``rollback_to_snapshot``): the new snapshot
+        references the ancestor's exact file list, history is preserved
+        (nothing is deleted), and incremental readers crossing it raise
+        like they do for deletes — rows may have disappeared."""
+        parent_id = self.current_snapshot_id()
+        if parent_id is None:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        if snapshot_id not in {m["snapshot_id"] for m in self.snapshots()}:
+            raise ValueError(f"{snapshot_id!r} is not an ancestor of the current snapshot")
+        target = self._load_manifest(snapshot_id)
+        new_id = uuid.uuid4().hex[:16]
+        return self._commit_manifest(
+            new_id, parent_id, "rollback", target["files"], [], target["schema"],
+        )
+
+    def expire_snapshots(self, retain_last: int = 1) -> dict:
+        """Metadata + data maintenance (≡ Iceberg ``expire_snapshots``):
+        keep only the newest ``retain_last`` snapshots of the current
+        chain, physically deleting data files referenced ONLY by expired
+        snapshots and their manifests. Time travel to an expired
+        snapshot subsequently fails; the retained chain is re-rooted
+        (oldest retained manifest gets ``parent_id: null``). Runs under
+        the commit lock so a concurrent committer cannot race the
+        deletes."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        chain = self.snapshots()  # oldest -> newest
+        if len(chain) <= retain_last:
+            return {"expired": 0, "deleted_files": 0}
+        lock = os.path.join(self._snap_dir, "_commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"another commit holds {lock}; retry after it completes"
+            ) from None
+        try:
+            os.close(fd)
+            chain = self.snapshots()
+            expired, retained = chain[:-retain_last], chain[-retain_last:]
+            keep_files = {f for m in retained for f in m["files"]}
+            drop_files = {
+                f for m in expired for f in m["files"] + m.get("added_files", [])
+            } - keep_files
+            for f in drop_files:
+                try:
+                    os.unlink(f)
+                except FileNotFoundError:
+                    pass
+            # re-root the retained chain, then drop expired manifests
+            root_m = dict(retained[0])
+            root_m["parent_id"] = None
+            with open(self._manifest_path(root_m["snapshot_id"]), "w") as f:
+                json.dump(root_m, f)
+            for m in expired:
+                try:
+                    os.unlink(self._manifest_path(m["snapshot_id"]))
+                except FileNotFoundError:
+                    pass
+        finally:
+            os.unlink(lock)
+        return {"expired": len(expired), "deleted_files": len(drop_files)}
+
     # -- read paths ----------------------------------------------------------
 
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
-        """Read the table as of ``snapshot_id`` (default: current).
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        as_of_timestamp: float | None = None,
+    ) -> DataFrame:
+        """Read the table as of ``snapshot_id`` (default: current) or,
+        with ``as_of_timestamp``, the newest snapshot committed at or
+        before that wall-clock time (≡ SQL ``FOR SYSTEM_TIME AS OF``).
         Hands Spark the explicit immutable file list — later commits
         cannot change what this scan sees (snapshot isolation)."""
+        if as_of_timestamp is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
+            eligible = [
+                m for m in self.snapshots()
+                if m.get("committed_at") is not None
+                and m["committed_at"] <= as_of_timestamp
+            ]
+            if not eligible:
+                raise FileNotFoundError(
+                    f"no snapshot at or before timestamp {as_of_timestamp} in {self.root}"
+                )
+            snapshot_id = eligible[-1]["snapshot_id"]
         sid = snapshot_id or self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"no snapshots at {self.root}")
@@ -266,11 +356,11 @@ class SnapshotTable:
             m = self._load_manifest(sid)
             if accumulating:
                 op = m["operation"]
-                if op == "delete":
+                if op in ("delete", "rollback"):
                     # rows disappeared; an add-only delta can't express
                     # that (Iceberg's incremental scan refuses too)
                     raise ValueError(
-                        f"incremental read crosses delete snapshot "
+                        f"incremental read crosses {op} snapshot "
                         f"{m['snapshot_id']!r}; re-read the full table from it"
                     )
                 if op == "compact":

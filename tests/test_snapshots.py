@@ -193,3 +193,73 @@ def test_compact_rewrites_layout_not_rows(spark, table):
     s3 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
     delta = table.read_incremental(spark, from_id=s1, to_id=s3)
     assert _rows(delta) == [("b", 2), ("c", 3)]
+
+
+def test_read_as_of_timestamp(spark, table):
+    """FOR SYSTEM_TIME AS OF semantics: the newest snapshot committed at
+    or before the given wall-clock time."""
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    s2 = table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    t1 = table._load_manifest(s1)["committed_at"]
+    t2 = table._load_manifest(s2)["committed_at"]
+    assert _rows(table.read(spark, as_of_timestamp=t1)) == [("a", 1)]
+    assert _rows(table.read(spark, as_of_timestamp=t2 + 1)) == [("a", 1), ("b", 2)]
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, as_of_timestamp=t1 - 1)
+    with pytest.raises(ValueError):
+        table.read(spark, snapshot_id=s1, as_of_timestamp=t1)
+
+
+def test_rollback_restores_state_as_new_commit(spark, table):
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))
+    s3 = table.rollback_to(s1)
+    assert table.current_snapshot_id() == s3
+    assert _rows(table.read(spark)) == [("a", 1)]
+    # history preserved: the rolled-back-over snapshot is still readable
+    assert [m["operation"] for m in table.snapshots()][-1] == "rollback"
+    # incremental across a rollback refuses (rows disappeared)
+    with pytest.raises(ValueError):
+        table.read_incremental(spark, from_id=s1)
+    with pytest.raises(ValueError):
+        table.rollback_to("feedfacedeadbeef")
+
+
+def test_expire_snapshots_deletes_unreferenced_files(spark, table):
+    import os
+
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.commit(
+        spark.createDataFrame([("b", 2)], "url string, v int"), operation="overwrite"
+    )
+    s3 = table.commit(spark.createDataFrame([("c", 3)], "url string, v int"))
+    s1_files = table._load_manifest(s1)["files"]
+    assert all(os.path.exists(f) for f in s1_files)
+
+    stats = table.expire_snapshots(retain_last=2)
+    assert stats["expired"] == 1
+    assert stats["deleted_files"] >= 1
+    # s1's files were referenced only by the expired snapshot -> gone
+    assert not any(os.path.exists(f) for f in s1_files)
+    # current reads unchanged; expired snapshot no longer time-travelable
+    assert _rows(table.read(spark)) == [("b", 2), ("c", 3)]
+    with pytest.raises(FileNotFoundError):
+        table.read(spark, s1)
+    # retained chain re-rooted and still walkable
+    hist = table.snapshots()
+    assert hist[0]["parent_id"] is None
+    assert hist[-1]["snapshot_id"] == s3
+    # expiring below the chain length is a no-op
+    assert table.expire_snapshots(retain_last=5)["expired"] == 0
+
+
+def test_expire_keeps_files_shared_with_retained(spark, table):
+    import os
+
+    s1 = table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.commit(spark.createDataFrame([("b", 2)], "url string, v int"))  # append: shares s1 files
+    s1_files = table._load_manifest(s1)["files"]
+    table.expire_snapshots(retain_last=1)
+    # s1's files are still referenced by the retained append snapshot
+    assert s1_files and all(os.path.exists(f) for f in s1_files)
+    assert _rows(table.read(spark)) == [("a", 1), ("b", 2)]
