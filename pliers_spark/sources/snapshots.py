@@ -312,12 +312,16 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: str | None = None,
         as_of_timestamp: float | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Read the table as of ``snapshot_id`` (default: current) or,
         with ``as_of_timestamp``, the newest snapshot committed at or
         before that wall-clock time (≡ SQL ``FOR SYSTEM_TIME AS OF``).
         Hands Spark the explicit immutable file list — later commits
-        cannot change what this scan sees (snapshot isolation)."""
+        cannot change what this scan sees (snapshot isolation).
+        ``merge_schema=True`` unions the file schemas (Iceberg-style
+        add-column evolution: appends may widen the schema; rows from
+        pre-evolution files read the new columns as null)."""
         if as_of_timestamp is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
@@ -340,6 +344,8 @@ class SnapshotTable:
 
             schema = StructType.fromJson(json.loads(self._load_manifest(sid)["schema"]))
             return spark.createDataFrame([], schema)
+        if merge_schema:
+            return spark.read.option("mergeSchema", "true").parquet(*files)
         return spark.read.parquet(*files)
 
     def read_incremental(

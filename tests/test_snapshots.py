@@ -263,3 +263,17 @@ def test_expire_keeps_files_shared_with_retained(spark, table):
     # s1's files are still referenced by the retained append snapshot
     assert s1_files and all(os.path.exists(f) for f in s1_files)
     assert _rows(table.read(spark)) == [("a", 1), ("b", 2)]
+
+
+def test_schema_evolution_merge_on_read(spark, table):
+    """Iceberg-style add-column evolution: a later append may carry a
+    wider schema; merge_schema=True unions them and pre-evolution rows
+    read the new column as null."""
+    table.commit(spark.createDataFrame([("a", 1)], "url string, v int"))
+    table.commit(
+        spark.createDataFrame([("b", 2, "en")], "url string, v int, lang string")
+    )
+    wide = table.read(spark, merge_schema=True)
+    assert set(wide.columns) == {"url", "v", "lang"}
+    rows = {r.url: r.lang for r in wide.collect()}
+    assert rows == {"a": None, "b": "en"}
