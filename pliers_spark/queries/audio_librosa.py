@@ -1,4 +1,11 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: spectral_shape, spectral_flux, rms_zcr, mel_mfcc,
+    merge_wide_first, poly_features, onset_detect, tempo, hpss_energy,
+    repetition_signals, char_entropy, feature_histogram, winnowing,
+    edit_distance_dups, bloom_dedup, gopher_rules, spectral_contrast
+"""
 from __future__ import annotations
 
 from ._registry import F, R, T, _docs, _events, load_table, query

@@ -1,4 +1,11 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: text_length, text_prep, tokenize, num_unique_words, word_counter,
+    dictionary_lookup, count_vectorizer, tfidf, sentiment_lexicon,
+    quality_score, token_stats, langid, features_long, merge_wide,
+    treebank_tokenize
+"""
 from __future__ import annotations
 
 from ._registry import DI, F, R, T, TP, V, _PUNCT_SQL_CLASS, _docs, _isin_lambda, query

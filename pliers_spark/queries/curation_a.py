@@ -1,4 +1,10 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: token_count_bpe, token_fertility, edu_classifier, pii_scrub,
+    boilerplate_removal, yin_f0, chroma_stft, curation_pipeline,
+    mfcc_energy, tempogram
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, md5_int, md5_int_sql, query

@@ -1,4 +1,19 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: decontaminate, quality_weighted_sample, dsir_weights,
+    sequence_pack, temperature_sample, bm25_topk, pmi_collocations,
+    readability, bm25_rerank, pq_codes, pq_adc_topk, ivfpq_topk,
+    pq_recall, tpch_q6, rolling_multi, interarrival_stats, quantile_bins,
+    training_matrix, target_encode_pit, feature_psi, decay_tiers,
+    session_position, label_horizon, token_label_mi, hashed_cross,
+    scd2_build, funnel_steps, retention_cohorts, cdc_merge,
+    walk_forward_cv, rolling_anomaly, winsorize, bootstrap_ci, dq_checks,
+    table_profile, seasonal_profile, transition_matrix, autocorr_lag1,
+    cusum_drawdown, gini_tokens, ab_test_stats, roc_auc, ks_drift,
+    calibration_bins, heaps_law, trend_slope, activity_halflife,
+    robots_prefix_match, ecdf_normalize
+"""
 from __future__ import annotations
 
 from ._registry import A, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

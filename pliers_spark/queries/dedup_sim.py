@@ -1,4 +1,11 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: dedup_exact, minhash_signatures, minhash_lsh, lsh_recall,
+    simhash, ngram_jaccard, prefix_filter_jaccard, host_pagerank,
+    doc_authority, exact_substr_spans, exact_substr_cut, doc_fingerprint,
+    embedding_topk, ann_ivf_topk, embedding_near_dups, semantic_dedup
+"""
 from __future__ import annotations
 
 from ._registry import D, F, S, T, _docs, load_table, md5_int_sql, query

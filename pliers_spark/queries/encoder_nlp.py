@@ -1,4 +1,8 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: lm_topk, encoder_sentiment, spacy_attrs
+"""
 from __future__ import annotations
 
 from ._registry import T, _docs, query

@@ -1,4 +1,14 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: remove_stopwords, porter_stem, pos_tags, word_embeddings,
+    metric_extractor, categorical_entropy, feature_correlations,
+    vader_sentiment, resample_interpolate, framed_agg, simhash_near_dups,
+    vif_diagnostics, mahalanobis, eigen_diagnostics, bigrams,
+    embedding_norms, jl_projection, tumbling_daily, wordnet_lemmas,
+    sample_every_nth, sample_hourly, temporal_trim, dictionary_merge,
+    snowball_stem, sentence_split
+"""
 from __future__ import annotations
 
 from ._registry import D, DI, F, T, TP, _docs, _events, load_table, md5_int_sql, query

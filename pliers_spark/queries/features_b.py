@@ -1,4 +1,15 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: stft_power, resample_lowpass, doc_embedding_maxpool, diag_flags,
+    word_counter_log, compound_slots, seq_encoding, metric_percentiles,
+    hierarchical_tokens, corpus_stats, token_top100, decontaminate_fuzzy,
+    countmin_tokens, salted_unique_tokens, dup_clusters,
+    cluster_representatives, novelty_jaccard, top_tokens_per_doc,
+    props_extract, hash_sample, split_assign, feature_zscore,
+    latest_value_per_user, quality_filter, regexp_stem, ann_lsh_topk,
+    lag_split, sessionize_split, ffill_split, rolling_split
+"""
 from __future__ import annotations
 
 from ._registry import (

@@ -1,4 +1,8 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: tpch_q3, tpch_q5, top_customers
+"""
 from __future__ import annotations
 
 from ._registry import F, load_table, query

@@ -1,4 +1,17 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: negative_sample, rake_keywords, circadian_entropy,
+    semi_join_returns, custdist_hist, state_churn, attribution,
+    stickiness, lead_lag_corr, cube_events, source_vocab_overlap,
+    shrunk_means, share_shift, transition_entropy, group_quantiles,
+    basket_lift, longest_streak, spearman_rho, benford_audit,
+    session_paths, hazard_table, key_skew_report, khop_reach, mad_scale,
+    time_weighted_avg, dense_counts, naive_bayes_lang, skipgram_counts,
+    quantile_normalize, seasonality_strength, revenue_hierarchy,
+    median_impute, rollup_multires, hash_split, rate_sample,
+    stratified_sample, mixture_sample
+"""
 from __future__ import annotations
 
 from ._registry import (

@@ -1,4 +1,18 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: lm_score, ccnet_buckets, chunk_dedup, source_kl, kmeans_assign,
+    text_normalize, kmeans_fit, bpe_learn, bpe_encode, ivf_multiprobe,
+    domain_cap, lang_confusion, image_decode_stats, png_decode_stats,
+    video_motion, wav_frame_stats, video_frame_sample, image_resize,
+    image_autocrop, image_dhash_dups, shot_boundaries, audio_fp_dups,
+    chroma_cqt, chroma_cens, tonnetz, beat_track, url_features,
+    url_canonical_dups, blocklist_filter, chunk_windows, mixture_epochs,
+    rrf_fusion, containment_dedup, tpch_q18, dedup_incremental,
+    ngram_novelty, event_bursts, sif_embedding, ctfidf_terms, sax_symbols,
+    ndcg_at_k, dunning_keyness, woe_iv, image_saliency, jpeg_decode_stats,
+    image_resize_bilinear, jpeg_color_decode_stats
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

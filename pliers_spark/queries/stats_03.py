@@ -1,4 +1,12 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: kn_perplexity, burrows_delta, item_cosine, cdc_chunks, ucb_arms,
+    dbscan_clusters, ari_nmi, triangle_coeffs, covariate_balance,
+    wasserstein_1d, texttiling_gaps, degree_assortativity,
+    mann_kendall_sen, kruskal_wallis, cmh_odds, doremi_step, ann_hubness,
+    padding_waste, kwic_concordance, zipf_alpha, dup_size_histogram
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,13 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: kmv_distinct, kmv_overlap, bloom_fpr_audit, priority_sample,
+    rendezvous_shards, neyman_allocation, kmv_rollup, diff_in_diff,
+    markov_accuracy, mde_power, cuped_adjustment, sprt_crossing,
+    source_jsd, conformal_coverage, budget_select, lsh_band_sweep,
+    rec_coverage, missing_mass, snapshot_asof, classifier_kappa,
+    posting_compression
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,12 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: k_anonymity, mutual_knn, stopword_discovery, rfm_scores,
+    passage_bm25, linkage_profile, deleted_interpolation, rmst, pr_auc,
+    qini_curve, filter_tradeoff, mrr_recall, capture_recapture,
+    jsd_contributors, dispersion_index, price_index, self_excitation,
+    triangle_nullmodel, butterfly_count, weighted_jaccard, logrank_test
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, query

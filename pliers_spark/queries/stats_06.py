@@ -1,4 +1,13 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: mase_backtest, fk_orphans, novelty_decay, max_coverage,
+    rich_club, srm_check, skyline_2d, youden_threshold, debounce_events,
+    peak_concurrency, interarrival_burstiness, pareto_8020, modularity_q,
+    demand_classes, rbo_rankings, hurst_exponent, shapley_attribution,
+    hub_resilience, split_leakage_audit, heteroscedasticity_bp,
+    loo_source_value, embedding_isotropy, mattr_diversity
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

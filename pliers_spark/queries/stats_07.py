@@ -1,4 +1,13 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: moore_lewis, oov_rate, haar_energy, fd_binning, pacf_lag2,
+    ams_f2, negbin_fit, transitivity_global, adamic_adar,
+    kendall_tau_binned, chi2_independence, hash_bootstrap_ci,
+    kcore_members, jaro_winkler_dups, image_phash, ewma_smooth,
+    cusum_changepoint, brier_calibration, bh_fdr, theil_index,
+    assoc_rules
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,13 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: wl_colors, hill_numbers, simpsons_paradox, zorder_locality,
+    gini_stump, histogram_quantile_audit, regression_influence,
+    risk_coverage, rolling_distinct_users, hill_tail_index,
+    energy_distance, bradley_terry, mcnemar_test, chao_shen_entropy,
+    borda_copeland, fisher_lda, jarque_bera, attribute_assortativity,
+    word_burstiness, word_dispersion_dp
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int_sql, query

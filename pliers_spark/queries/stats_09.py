@@ -1,4 +1,13 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: densest_subgraph, label_propagation, huber_location,
+    luhn_summary, soundex_blocking, gini_over_time, log_loss,
+    eigenvector_centrality, kish_weights, triplet_eval, cka_alignment,
+    mmr_select, auc_delong_ci, cochran_q, prequential_logloss,
+    shuffle_quality, dup_cross_source_matrix, seasonal_kendall, runs_test,
+    friedman_test
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

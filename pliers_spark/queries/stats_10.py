@@ -1,4 +1,15 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: fellegi_sunter, dp_token_hist, kcenter_coreset, cvm_drift,
+    wilcoxon_signed, compaction_bins, knn_probe, permutation_test,
+    offpolicy_eval, silhouette_simplified, anchor_text_index,
+    mann_whitney_u, levene_bf, fleiss_kappa, lin_ccc, ljung_box,
+    l_diversity, personalized_pagerank, qld_topk, good_turing,
+    page_hinkley, periodogram_peak, grubbs_outlier, minmax_skipping,
+    rocchio_expand, holm_bonferroni, t_closeness, krippendorff_alpha,
+    effect_sizes, yuen_trimmed
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,15 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: stupid_backoff_loo, kaplan_meier, aalen_johansen,
+    markov_entropy_rate, seq_pattern_support, hits_scores,
+    propensity_match, gamma_poisson_eb, scc_components, bowtie_structure,
+    eccentricity, textrank_keywords, fightin_words, phrase_search,
+    bayes_ab_beta, amoc_changepoint, kde_grid, props_schema_drift,
+    mmd_rff, cochran_armitage, nelson_aalen, rarefaction_curve,
+    decile_lift, isotonic_fit, von_neumann_ratio, cronbach_alpha,
+    condensation_layers
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,14 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: sinkhorn_ot, partial_correlation, granger_lag1, davies_bouldin,
+    classical_decompose, ransac_line, shorth_mode, pca_project,
+    lof_scores, symspell_correct, percolation_audit, ecod_scores,
+    watermark_audit, vocab_retention, collocation_measures,
+    tolerance_interval, control_chart, np_chunks, calinski_harabasz,
+    gmm_em_1d, logistic_irls, svm_batch_subgradient, adaboost_stumps,
+    fk_discovery, fd_violations
+"""
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

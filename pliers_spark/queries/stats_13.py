@@ -1,4 +1,16 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: body_extraction_span, warc_roundtrip, holt_linear,
+    bass_diffusion, kleinberg_bursts, spearman_footrule, herfindahl_index,
+    weekly_user_overlap, median_polish, hashring_migration, zip_moments,
+    casefold_collisions, ktruss_edges, clarity_score,
+    absorbing_chain_steps, gumbel_maxima, record_highs, turning_points,
+    qte_deciles, mcc_confusion, lexical_density, icc_design_effect,
+    batch_means_ci, graph_reciprocity, dalenius_hodges, hotelling_t2,
+    prefix_branching, cox_regression, anova_effect_sizes,
+    effective_sample_size, poisson_irls
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,14 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: two_proportion_ci, dup_token_inflation, iv_2sls, panel_fe,
+    page_trend, hyperloglog_users, matrix_profile_daily, err_at_k,
+    croston_sba, anderson_darling, theta_forecast, allan_variance,
+    sample_entropy, witten_bell_ppl, ccf_peak_lag, transfer_entropy,
+    dfa_alpha, yule_k, mahalanobis_outliers, ipf_raking, yake_keywords,
+    char_trigram_entropy, sentence_moments, katz_centrality, psi_drift,
+    ts_cv_folds, rocchio_classify, silhouette_centroid
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, query

@@ -1,4 +1,15 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: knn_loo_accuracy, bartlett_test, dagostino_k2, cliffs_delta,
+    theil_u, bhattacharyya_hellinger, dtw_weekday, price_elasticity,
+    part_top_supplier, late_sole_supplier, idle_rich_customers,
+    uplift_split, seasonal_esd, holt_winters, calendar_features,
+    gain_ratio, hll_union_merge, harmonic_centrality, median_ci,
+    meta_analysis_dl, xyz_classes, littles_law_audit, absorption_probs,
+    stable_sample_audit, ledoit_wolf, bocpd_runlength, kendalls_w,
+    lorenz_deciles
+"""
 from __future__ import annotations
 
 from ._registry import F, R, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query

@@ -1,4 +1,14 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: weibull_menon, rqa_measures, poincare_sd, bom_explosion,
+    count_model_aic, canberra_braycurtis, hilbert_locality, xgb_split,
+    file_skipping_sim, unigram_viterbi_segment, ratio_metric_delta_ci,
+    ksegments_dp, process_capability, acf_bartlett, ripleys_k, ltv_curve,
+    adstock_transform, kmeans_1d_optimal, gpd_pot_fit, semivariogram,
+    quade_test, jonckheere_trend, moods_median, dunn_posthoc,
+    gini_decomposition, blomqvist_beta, fisher_exact, bowker_symmetry
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, query

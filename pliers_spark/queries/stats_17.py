@@ -1,4 +1,12 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: sign_test, ancova_adjusted, readability_panel, pacf_levinson,
+    tail_dependence, rolling_regression, kalman_local_level, morans_i,
+    dirichlet_mom, umass_coherence, shift_share, erlang_c,
+    degroot_consensus, rbp_at_k, wig_qpp, map_at_k, rdd_sharp,
+    event_study, poisson_mixture_em, harrells_c, ks_separation
+"""
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, query

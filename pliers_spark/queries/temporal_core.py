@@ -1,4 +1,11 @@
-"""Split from the former pliers_spark/queries.py (same registry)."""
+"""Registry module (split from the former queries.py monolith; same
+@query/ORACLES contract as every sibling).
+
+Queries: asof_join, asof_join_forward, asof_join_nearest,
+    asof_join_cogroup, asof_join_split, lag_lead, ffill, bfill,
+    sessionize, rolling_window, resample_ffill, interval_join, object_id,
+    top_n_by_change, events_pivot, tpch_q1
+"""
 from __future__ import annotations
 
 from ._registry import A, F, TP, _events, load_table, query
