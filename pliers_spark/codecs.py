@@ -7,9 +7,11 @@ those are in this container, so the engine ships real decoders for the
 simplest public container formats — enough to exercise the
 Brightness/Vibrance/Sharpness and framed-audio formula paths on REAL
 bytes end-to-end instead of a stand-in. PNG needs only DEFLATE, which
-ships in the Python stdlib (`zlib`), so it gets a full real codec too;
-formats whose entropy coding has no stdlib support (JPEG/MP3) stay
-behind the import-gated imageio path.
+ships in the Python stdlib (`zlib`), so it gets a full real codec too.
+JPEG gets a from-scratch ITU T.81 implementation (baseline sequential
+gray/4:4:4/4:2:0 plus spectral-selection progressive); only
+successive-approximation progressive and MP3 remain behind the
+import-gated imageio path.
 
 All are published byte layouts:
 - PPM P6: netpbm format spec (ASCII header, raw RGB rows).
@@ -604,6 +606,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
     Huffman specs are written for both table classes. Edge-replicated
     padding aligns every plane to the MCU grid."""
     a = np.asarray(img)
+    if mode in ("progressive", "progressive_color"):
+        return _encode_jpeg_progressive(a, quality, color=mode == "progressive_color")
     if mode in ("color", "color420"):
         if a.ndim != 3 or a.shape[2] != 3:
             raise ValueError(f"mode={mode!r} needs an HxWx3 image")
@@ -683,13 +687,28 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
     return bytes(out)
 
 
+def _scan_end(data: bytes, start: int) -> int:
+    """Index of the marker byte pair terminating entropy-coded data that
+    begins at ``start`` (0xFF00 stuffing is data; restart markers are
+    refused upstream via the DRI check)."""
+    i = start
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF decode (no restart markers) to HxWx1 / HxWx3
-    uint8: 1-component grayscale, 3-component YCbCr 4:4:4, or 4:2:0
-    (2x2-subsampled chroma upsampled by pixel replication — libjpeg's
-    default "fancy" triangular upsampling is intentionally not imitated;
-    round trips with this encoder are self-consistent). Progressive or
-    other layouts raise ValueError (handled by the import gate in
+    """JFIF decode to HxWx1 / HxWx3 uint8.
+
+    Supported: baseline sequential (SOF0) and spectral-selection
+    progressive (SOF2 with Ah=Al=0 scans — DC scan + per-component AC
+    band scans with EOB-run codes); 1-component grayscale, 3-component
+    YCbCr 4:4:4, and (sequential only) 4:2:0 with replicated-pixel
+    chroma upsampling. Successive-approximation progressive scans and
+    restart intervals raise ValueError (handled by the import gate in
     multimodal._decode_image)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -697,10 +716,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = 0
+    progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (id, sh, sv, quant id)
-    scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (dc table, ac table)
-    scan_order: list[int] = []
-    scan: bytes | None = None
+    scans: list[tuple[bytes, bytes]] = []  # (SOS body, entropy bytes)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -720,9 +738,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 t[_ZIGZAG] = z
                 qtables[tq_id] = t.reshape(8, 8)
                 o += 65
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC2):
+            progressive = m == 0xC2
             if body[0] != 8:
-                raise ValueError("only 8-bit baseline")
+                raise ValueError("only 8-bit precision")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -734,8 +753,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError("sampling factors beyond 2 unsupported")
                 comps.append((cid, sh, sv, tq_id))
-        elif m in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline SOF0")
+            if progressive and any(c[1:3] != (1, 1) for c in comps):
+                raise ValueError("progressive with subsampling unsupported")
+        elif m in (0xC1, 0xC3):
+            raise ValueError("only baseline SOF0 / progressive SOF2")
+        elif m == 0xDD:
+            raise ValueError("restart intervals unsupported")
         elif m == 0xC4:
             o = 0
             while o < len(body):
@@ -746,36 +769,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = (bits, vals)
                 o += 17 + nv
         elif m == 0xDA:
-            ns = body[0]
-            for i in range(ns):
-                cid = body[1 + 2 * i]
-                tt = body[2 + 2 * i]
-                scan_map[cid] = (tt >> 4, tt & 0xF)
-                scan_order.append(cid)
-            scan = data[pos + 2 + ln:]
-            break
+            ent_start = pos + 2 + ln
+            ent_end = _scan_end(data, ent_start)
+            scans.append((body, data[ent_start:ent_end]))
+            pos = ent_end
+            continue
         pos += 2 + ln
-    if scan is None or not h or not comps:
+    if not scans or not h or not comps:
         raise ValueError("truncated JPEG")
-    if scan_order != [cc[0] for cc in comps]:
-        raise ValueError("non-interleaved scan unsupported")
-    hmax = max(cc[1] for cc in comps)
-    vmax = max(cc[2] for cc in comps)
-    for _, sh, sv, _ in comps:
-        if hmax % sh or vmax % sv:
-            raise ValueError("non-dividing sampling factors unsupported")
 
     def decode_tree(spec: tuple[list[int], list[int]]):
         codes = _huff_codes(*spec)
         return {(ln, code): val for val, (code, ln) in codes.items()}
 
-    trees = {}
-    for cid, _, _, _ in comps:
-        dc_id, ac_id = scan_map[cid]
-        trees[cid] = (decode_tree(htables[(0, dc_id)]), decode_tree(htables[(1, ac_id)]))
-    br = _BitReader(scan)
-
-    def read_sym(tbl) -> int:
+    def read_sym(br, tbl) -> int:
         code, ln = 0, 0
         while ln < 16:
             code = (code << 1) | br.bit()
@@ -785,49 +792,256 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return v
         raise ValueError("bad Huffman code")
 
-    c = _dct_matrix()
+    hmax = max(cc[1] for cc in comps)
+    vmax = max(cc[2] for cc in comps)
+    for _, sh, sv, _ in comps:
+        if hmax % sh or vmax % sv:
+            raise ValueError("non-dividing sampling factors unsupported")
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcy * 8 * sv, mcx * 8 * sh), dtype=np.float64)
-        for _, sh, sv, _ in comps
+    # per-component quantized-coefficient store: (blocks_y, blocks_x, 64)
+    coefs = [
+        np.zeros((mcy * sv, mcx * sh, 64), dtype=np.int64) for _, sh, sv, _ in comps
     ]
-    prev = [0] * len(comps)
-    for my in range(mcy):
-        for mx in range(mcx):
-            for ci, (cid, sh, sv, tq_id) in enumerate(comps):
-                dct, act = trees[cid]
-                for byy in range(sv):
-                    for bxx in range(sh):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = read_sym(dct)
-                        prev[ci] += _extend(br.bits(s), s)
-                        zz[0] = prev[ci]
-                        k = 1
-                        while k < 64:
-                            rs = read_sym(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
+    idx_of = {cc[0]: i for i, cc in enumerate(comps)}
+
+    for sos, ent in scans:
+        ns = sos[0]
+        in_scan = []
+        for i in range(ns):
+            cid = sos[1 + 2 * i]
+            tt = sos[2 + 2 * i]
+            in_scan.append((idx_of[cid], tt >> 4, tt & 0xF))
+        ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0xF
+        if progressive and (ah != 0 or al != 0):
+            raise ValueError("successive-approximation scans unsupported")
+        if progressive and ss == 0 and se != 0:
+            raise ValueError("invalid progressive scan: DC scan must have Se=0")
+        if not progressive and (ss != 0 or se != 63):
+            raise ValueError("invalid sequential scan: spectral band must be 0..63")
+        br = _BitReader(ent)
+        if not progressive or ss == 0:
+            # sequential full scan, or progressive DC scan: interleaved
+            # MCU order over the scan's components
+            prev = [0] * len(in_scan)
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for si, (ci, dc_id, ac_id) in enumerate(in_scan):
+                        _, sh, sv, _ = comps[ci]
+                        dct = decode_tree(htables[(0, dc_id)])
+                        act = decode_tree(htables[(1, ac_id)]) if not progressive else None
+                        for byy in range(sv):
+                            for bxx in range(sh):
+                                by, bx = my * sv + byy, mx * sh + bxx
+                                zz = coefs[ci][by, bx]
+                                s = read_sym(br, dct)
+                                prev[si] += _extend(br.bits(s), s)
+                                zz[0] = prev[si]
+                                if progressive:
+                                    continue
+                                k = 1
+                                while k < 64:
+                                    rs = read_sym(br, act)
+                                    r, s = rs >> 4, rs & 0xF
+                                    if rs == 0x00:
+                                        break
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += r
+                                    zz[k] = _extend(br.bits(s), s)
+                                    k += 1
+        else:
+            # progressive AC band scan: exactly one component,
+            # non-interleaved raster order over ITS block grid, EOB runs
+            if len(in_scan) != 1:
+                raise ValueError("AC scans must be single-component")
+            ci, _, ac_id = in_scan[0]
+            act = decode_tree(htables[(1, ac_id)])
+            bh, bw_ = coefs[ci].shape[:2]
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    zz = coefs[ci][by, bx]
+                    k = ss
+                    while k <= se:
+                        rs = read_sym(br, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
                                 k += 16
                                 continue
-                            k += r
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[_ZIGZAG] = zz
-                        blk = c.T @ (coef.reshape(8, 8) * qtables[tq_id]) @ c
-                        by, bx = my * sv + byy, mx * sh + bxx
-                        planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
-    # same 1e-6 snap as the encoder: IDCT output that is mathematically
-    # integer must round reproducibly
+                            eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                            break
+                        k += r
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+
+    c = _dct_matrix()
     pix = []
-    for (cid, sh, sv, _), p in zip(comps, planes):
-        u = np.clip(np.round(np.round(p, 6) + 128.0), 0, 255).astype(np.uint8)
+    for (cid, sh, sv, tq_id), cf in zip(comps, coefs):
+        bh, bw_ = cf.shape[:2]
+        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        q = qtables[tq_id]
+        for by in range(bh):
+            for bx in range(bw_):
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_ZIGZAG] = cf[by, bx]
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    c.T @ (coef.reshape(8, 8) * q) @ c
+                )
+        # same 1e-6 snap as the encoder: IDCT output that is
+        # mathematically integer must round reproducibly
+        u = np.clip(np.round(np.round(plane, 6) + 128.0), 0, 255).astype(np.uint8)
         if (sh, sv) != (hmax, vmax):
             u = np.repeat(np.repeat(u, vmax // sv, axis=0), hmax // sh, axis=1)
         pix.append(u[:h, :w])
     if len(pix) == 1:
         return pix[0][:, :, None]
     return _ycbcr_to_rgb(pix[0], pix[1], pix[2])
+
+
+def _encode_jpeg_progressive(a: np.ndarray, quality: int, color: bool) -> bytes:
+    """Spectral-selection progressive JFIF encode (SOF2, Ah=Al=0):
+    one interleaved DC scan, then one full-band (1..63) AC scan per
+    component — the simplest spec-conformant progressive scan script.
+    Empty blocks emit plain EOB codes (the decoder additionally accepts
+    real EOBn run symbols from external encoders). Grayscale or YCbCr
+    4:4:4 (progressive + subsampling is out of scope, as in the
+    decoder)."""
+    if color:
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("mode='progressive_color' needs an HxWx3 image")
+        h, w = a.shape[:2]
+        raw = _rgb_to_ycbcr(a)
+        qy = _jpeg_qtable_scaled(_JPEG_QBASE, quality)
+        qc = _jpeg_qtable_scaled(_JPEG_QBASE_CHROMA, quality)
+        qs = [qy, qc, qc]
+    else:
+        if a.ndim == 3 and a.shape[2] == 3:
+            a = ((299 * a[:, :, 0].astype(np.int64)
+                  + 587 * a[:, :, 1].astype(np.int64)
+                  + 114 * a[:, :, 2].astype(np.int64) + 500) // 1000).astype(np.uint8)
+        elif a.ndim == 3:
+            a = a[:, :, 0]
+        h, w = a.shape
+        raw = [a]
+        qs = [_jpeg_qtable_scaled(_JPEG_QBASE, quality)]
+
+    c = _dct_matrix()
+    n = len(raw)
+    # quantized zigzag coefficients per component: (by, bx, 64)
+    coefs = []
+    for p, q in zip(raw, qs):
+        plane = _pad_plane(p)
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        cf = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = np.round(np.round(c @ blk @ c.T, 6) / q).astype(np.int64)
+                cf[by, bx] = coef.flatten()[_ZIGZAG]
+        coefs.append(cf)
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    # scan 1: interleaved DC (all components, 1x1 sampling -> MCU = block)
+    bw = _BitWriter()
+    prev = [0] * n
+    bh, bw_ = coefs[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(n):
+                s, vb = _magnitude(int(coefs[ci][by, bx, 0]) - prev[ci])
+                prev[ci] = int(coefs[ci][by, bx, 0])
+                code, ln = dc_codes[s]
+                bw.put(code, ln)
+                bw.put(vb, s)
+    bw.flush()
+    dc_scan = bytes(bw.buf)
+
+    # per-component AC band scans with EOB runs
+    ac_scans = []
+    for ci in range(n):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            # the shared Annex-K-shaped AC table defines only the plain
+            # EOB symbol (0x00, an EOB-run of 1) — longer EOBn symbols
+            # (0x10..0xE0) would need a progressive-specific Huffman
+            # table, so a run of k empty blocks is emitted as k plain
+            # EOBs: spec-conformant (any decoder reads it), just without
+            # the run-length compression
+            nonlocal eobrun
+            while eobrun:
+                code, ln = ac_codes[0x00]
+                bw.put(code, ln)
+                eobrun -= 1
+
+        for by in range(coefs[ci].shape[0]):
+            for bx in range(coefs[ci].shape[1]):
+                zz = coefs[ci][by, bx]
+                nz = np.nonzero(zz[1:64])[0]
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                last = int(nz[-1]) + 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, vb = _magnitude(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(vb, s)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        ac_scans.append(bytes(bw.buf))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, bytes([0]) + bytes(int(x) for x in qs[0].flatten()[_ZIGZAG]))
+    if n == 3:
+        out += _jpeg_seg(0xDB, bytes([1]) + bytes(int(x) for x in qs[1].flatten()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _jpeg_seg(0xC2, sof)  # SOF2: progressive
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if n == 3:
+        out += _jpeg_seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _jpeg_seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([n])
+    for ci in range(n):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x10])
+    sos += bytes([0, 0, 0x00])  # Ss=0 Se=0 Ah=Al=0 (DC scan)
+    out += _jpeg_seg(0xDA, sos)
+    out += dc_scan
+    for ci in range(n):
+        sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([1, 63, 0x00])  # full AC band, no approximation
+        out += _jpeg_seg(0xDA, sos)
+        out += ac_scans[ci]
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

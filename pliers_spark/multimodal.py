@@ -3,13 +3,13 @@
 The reference's non-text stimuli (``ImageStim``/``AudioStim``/``VideoStim``,
 SURVEY.md §1.1) map to rows with a ``binary`` payload column and typed
 metadata; extractors become ``mapInPandas`` stages that decode inside an
-Arrow batch. PPM/BMP images and PCM WAV audio decode for REAL via the
-pure-numpy codecs in ``pliers_spark.codecs``, so the Brightness/
+Arrow batch. PPM/BMP/PNG/JPEG images and PCM WAV audio decode for REAL
+via the pure-numpy codecs in ``pliers_spark.codecs``, so the Brightness/
 Vibrance/Sharpness and framed-RMS formula paths run end-to-end on real
-bytes. Entropy-coded formats (JPEG/PNG/MP3) need imageio/librosa (not
-in this container) and fall back to an import-gated deterministic fake
-— the Spark-side plumbing (schemas, batch iteration, partitioning, UDF
-signatures) is identical either way.
+bytes. The remaining gaps (successive-approximation progressive JPEG,
+MP3) need imageio/librosa (not in this container) and fall back to an
+import-gated deterministic fake — the Spark-side plumbing (schemas,
+batch iteration, partitioning, UDF signatures) is identical either way.
 
 Scale notes: binary payloads make rows wide — ``spark.sql.files.
 maxPartitionBytes`` should shrink (or the table store payloads out of
@@ -33,14 +33,15 @@ AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms dou
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG/baseline-JPEG
-    decode for REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via
-    stdlib zlib, grayscale JPEG via the round-3 T.81 baseline decoder).
+    """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG/JPEG decode
+    for REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via stdlib
+    zlib; JPEG via the round-3 T.81 codec — baseline sequential
+    gray/4:4:4/4:2:0 and spectral-selection progressive).
     Gray images are replicated to 3 channels and RGBA drops alpha so
     every downstream formula sees the same HxWx3 contract. Variants the
-    stdlib codecs don't cover (color/progressive JPEG) need imageio/PIL
-    (absent here) → deterministic fake derived from the payload bytes so
-    tests are stable."""
+    stdlib codecs don't cover (successive-approximation progressive
+    JPEG, MP3) need imageio/PIL (absent here) → deterministic fake
+    derived from the payload bytes so tests are stable."""
     from pliers_spark import codecs
 
     kind = codecs.sniff_image(payload)
@@ -60,7 +61,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
                 return np.repeat(img, 3, axis=2)
             return img
         except ValueError:
-            pass  # subsampled/progressive variants -> imageio gate below
+            pass  # successive-approximation variants -> imageio gate below
     try:
         import imageio.v3 as iio  # pragma: no cover
 

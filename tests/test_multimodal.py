@@ -520,7 +520,8 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             codecs.decode_jpeg(b"\x89PNG")
-        # progressive SOF2 marker must be refused, not mis-decoded
+        # flipping SOF0->SOF2 on a sequential stream yields an invalid
+        # progressive scan header (DC scan with Se=63) -> refused
         bad = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
         i = bad.find(b"\xff\xc0")
         bad[i + 1] = 0xC2
@@ -675,5 +676,66 @@ class TestJpeg420:
         img = np.zeros((9, 5, 3), np.uint8)
         img[:] = (200, 50, 100)
         d = _decode_image(codecs.encode_jpeg(img, 90, mode="color420"))
+        assert d.shape == (9, 5, 3)
+        assert (np.abs(d.astype(int) - img.astype(int)) <= 3).all()
+
+
+class TestJpegProgressive:
+    """Spectral-selection progressive JPEG (SOF2, DC scan + per-component
+    AC band scans with EOB-run codes)."""
+
+    def test_gray_progressive_decodes_identical_to_sequential(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+        seq = codecs.decode_jpeg(codecs.encode_jpeg(x, 80))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg(x, 80, mode="progressive"))
+        # same quantized coefficients, different scan order -> same pixels
+        assert np.array_equal(seq, prog)
+
+    def test_color_progressive_decodes_identical_to_sequential(self):
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (16, 11, 3), dtype=np.uint8)
+        seq = codecs.decode_jpeg(codecs.encode_jpeg(img, 85, mode="color"))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, 85, mode="progressive_color")
+        )
+        assert np.array_equal(seq, prog)
+
+    def test_eobrun_exercised_by_sparse_image(self):
+        from pliers_spark import codecs
+
+        # mostly-flat image: nearly every block is DC-only, so the AC
+        # scans compress to EOB runs spanning many blocks
+        x = np.full((64, 64), 90, dtype=np.uint8)
+        x[5, 7] = 200  # one busy block
+        data = codecs.encode_jpeg(x, 75, mode="progressive")
+        y = codecs.decode_jpeg(data)
+        seq = codecs.decode_jpeg(codecs.encode_jpeg(x, 75))
+        assert np.array_equal(y, seq)
+        # the run-coded AC scan must be much smaller than per-block EOBs
+        assert len(data) < len(codecs.encode_jpeg(x, 75)) + 200
+
+    def test_successive_approximation_refused(self):
+        from pliers_spark import codecs
+
+        data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8), mode="progressive"))
+        # patch the DC scan header's Ah/Al byte (last byte of first SOS body)
+        i = data.find(b"\xff\xda")
+        ln = int.from_bytes(data[i + 2:i + 4], "big")
+        data[i + 2 + ln - 1] = 0x11  # Ah=1, Al=1
+        with pytest.raises(ValueError, match="successive"):
+            codecs.decode_jpeg(bytes(data))
+
+    def test_decode_image_contract_progressive(self):
+        from pliers_spark import codecs
+        from pliers_spark.multimodal import _decode_image
+
+        img = np.zeros((9, 5, 3), np.uint8)
+        img[:] = (200, 50, 100)
+        d = _decode_image(codecs.encode_jpeg(img, 90, mode="progressive_color"))
         assert d.shape == (9, 5, 3)
         assert (np.abs(d.astype(int) - img.astype(int)) <= 3).all()
