@@ -8,10 +8,10 @@ simplest public container formats — enough to exercise the
 Brightness/Vibrance/Sharpness and framed-audio formula paths on REAL
 bytes end-to-end instead of a stand-in. PNG needs only DEFLATE, which
 ships in the Python stdlib (`zlib`), so it gets a full real codec too.
-JPEG gets a from-scratch ITU T.81 implementation (baseline sequential
-gray/4:4:4/4:2:0 plus spectral-selection progressive); only
-successive-approximation progressive and MP3 remain behind the
-import-gated imageio path.
+JPEG gets a from-scratch ITU T.81 implementation: baseline sequential
+(gray / 4:4:4 / 4:2:0) AND full progressive — spectral selection plus
+successive approximation (DC/AC first + refinement scans). Only MP3
+remains behind the import-gated path.
 
 All are published byte layouts:
 - PPM P6: netpbm format spec (ASCII header, raw RGB rows).
@@ -608,6 +608,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 50, mode: str = "gray") -> bytes
     a = np.asarray(img)
     if mode in ("progressive", "progressive_color"):
         return _encode_jpeg_progressive(a, quality, color=mode == "progressive_color")
+    if mode in ("progressive_sa", "progressive_sa_color"):
+        return _encode_jpeg_progressive_sa(
+            a, quality, color=mode == "progressive_sa_color"
+        )
     if mode in ("color", "color420"):
         if a.ndim != 3 or a.shape[2] != 3:
             raise ValueError(f"mode={mode!r} needs an HxWx3 image")
@@ -814,32 +818,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             in_scan.append((idx_of[cid], tt >> 4, tt & 0xF))
         ss, se, ahal = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
         ah, al = ahal >> 4, ahal & 0xF
-        if progressive and (ah != 0 or al != 0):
-            raise ValueError("successive-approximation scans unsupported")
         if progressive and ss == 0 and se != 0:
             raise ValueError("invalid progressive scan: DC scan must have Se=0")
         if not progressive and (ss != 0 or se != 63):
             raise ValueError("invalid sequential scan: spectral band must be 0..63")
+        if progressive and ah != 0 and ah != al + 1:
+            raise ValueError("invalid successive approximation: Ah must equal Al+1")
         br = _BitReader(ent)
         if not progressive or ss == 0:
-            # sequential full scan, or progressive DC scan: interleaved
-            # MCU order over the scan's components
+            # sequential full scan, or progressive DC scan (first or
+            # refinement): interleaved MCU order over the scan's comps
             prev = [0] * len(in_scan)
             for my in range(mcy):
                 for mx in range(mcx):
                     for si, (ci, dc_id, ac_id) in enumerate(in_scan):
                         _, sh, sv, _ = comps[ci]
-                        dct = decode_tree(htables[(0, dc_id)])
-                        act = decode_tree(htables[(1, ac_id)]) if not progressive else None
                         for byy in range(sv):
                             for bxx in range(sh):
                                 by, bx = my * sv + byy, mx * sh + bxx
                                 zz = coefs[ci][by, bx]
+                                if progressive and ah != 0:
+                                    # DC refinement: one raw bit (T.81 G.1.2.1)
+                                    if br.bit():
+                                        zz[0] |= 1 << al
+                                    continue
+                                dct = decode_tree(htables[(0, dc_id)])
                                 s = read_sym(br, dct)
                                 prev[si] += _extend(br.bits(s), s)
-                                zz[0] = prev[si]
+                                zz[0] = prev[si] << al  # al=0 when sequential
                                 if progressive:
                                     continue
+                                act = decode_tree(htables[(1, ac_id)])
                                 k = 1
                                 while k < 64:
                                     rs = read_sym(br, act)
@@ -861,25 +870,75 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             act = decode_tree(htables[(1, ac_id)])
             bh, bw_ = coefs[ci].shape[:2]
             eobrun = 0
-            for by in range(bh):
-                for bx in range(bw_):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    zz = coefs[ci][by, bx]
-                    k = ss
-                    while k <= se:
-                        rs = read_sym(br, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
-                            break
-                        k += r
-                        zz[k] = _extend(br.bits(s), s)
-                        k += 1
+            if ah == 0:
+                # first scan of this band: values arrive at precision Al
+                for by in range(bh):
+                    for bx in range(bw_):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        zz = coefs[ci][by, bx]
+                        k = ss
+                        while k <= se:
+                            rs = read_sym(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                                break
+                            k += r
+                            zz[k] = _extend(br.bits(s), s) << al
+                            k += 1
+            else:
+                # refinement scan (T.81 G.1.2.3, the libjpeg
+                # decode_mcu_AC_refine flow): every nonzero-history
+                # coefficient passed consumes a correction bit; runs
+                # count only zero-history zeros; EOBn covers the
+                # remainder of the current block too
+                p1 = np.int64(1) << al
+                m1 = -(np.int64(1) << al)
+                for by in range(bh):
+                    for bx in range(bw_):
+                        zz = coefs[ci][by, bx]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = read_sym(br, act)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                        break
+                                    newval = np.int64(0)  # ZRL: skip 16
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement scan symbol with size > 1"
+                                        )
+                                    newval = p1 if br.bit() else m1
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if br.bit() and (zz[k] & p1) == 0:
+                                            zz[k] += p1 if zz[k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    zz[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            # EOB region: correction bits for the rest
+                            # of this block's nonzero-history coefs
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.bit() and (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
 
     c = _dct_matrix()
     pix = []
@@ -1044,4 +1103,182 @@ def _encode_jpeg_progressive(a: np.ndarray, quality: int, color: bool) -> bytes:
         out += _jpeg_seg(0xDA, sos)
         out += ac_scans[ci]
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_progressive_sa(a: np.ndarray, quality: int, color: bool) -> bytes:
+    """Successive-approximation progressive JFIF encode (SOF2) with the
+    libjpeg-style two-stage script: DC first at Al=1 + DC refinement,
+    then per component an AC first scan at Al=1 and an AC refinement
+    scan (T.81 G.1.2.2/G.1.2.3). The refinement encoder is a
+    bit-emitting twin of the decoder walk: sign bit after the symbol,
+    correction bits for every nonzero-history coefficient passed, runs
+    counting only zero-history zeros, plain EOB covering the block
+    remainder. Grayscale or YCbCr 4:4:4."""
+    if color:
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("mode='progressive_sa_color' needs an HxWx3 image")
+        h, w = a.shape[:2]
+        raw = _rgb_to_ycbcr(a)
+        qy = _jpeg_qtable_scaled(_JPEG_QBASE, quality)
+        qc = _jpeg_qtable_scaled(_JPEG_QBASE_CHROMA, quality)
+        qs = [qy, qc, qc]
+    else:
+        if a.ndim == 3 and a.shape[2] == 3:
+            a = ((299 * a[:, :, 0].astype(np.int64)
+                  + 587 * a[:, :, 1].astype(np.int64)
+                  + 114 * a[:, :, 2].astype(np.int64) + 500) // 1000).astype(np.uint8)
+        elif a.ndim == 3:
+            a = a[:, :, 0]
+        h, w = a.shape
+        raw = [a]
+        qs = [_jpeg_qtable_scaled(_JPEG_QBASE, quality)]
+
+    c = _dct_matrix()
+    n = len(raw)
+    coefs = []
+    for p, q in zip(raw, qs):
+        plane = _pad_plane(p)
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        cf = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = np.round(np.round(c @ blk @ c.T, 6) / q).astype(np.int64)
+                cf[by, bx] = coef.flatten()[_ZIGZAG]
+        coefs.append(cf)
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bh, bw_ = coefs[0].shape[:2]
+
+    # scan 1: DC first at Al=1 (DPCM over the shifted values)
+    bw = _BitWriter()
+    prev = [0] * n
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(n):
+                shifted = int(coefs[ci][by, bx, 0]) >> 1
+                s, vb = _magnitude(shifted - prev[ci])
+                prev[ci] = shifted
+                code, ln = dc_codes[s]
+                bw.put(code, ln)
+                bw.put(vb, s)
+    bw.flush()
+    dc_first = bytes(bw.buf)
+
+    # scan 2: DC refinement — one raw bit (bit 0 of the DC) per block
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(n):
+                bw.put(int(coefs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    dc_refine = bytes(bw.buf)
+
+    # per-component AC first (Al=1) and AC refinement scans
+    ac_first, ac_refine = [], []
+    for ci in range(n):
+        # first: magnitudes shifted toward zero by 1 bit
+        bw = _BitWriter()
+        for by in range(coefs[ci].shape[0]):
+            for bx in range(coefs[ci].shape[1]):
+                zz = coefs[ci][by, bx]
+                run = 0
+                emitted_any = False
+                last_nz = 0
+                for k in range(1, 64):
+                    if abs(int(zz[k])) >> 1:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> 1) * (1 if v > 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, vb = _magnitude(t)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(vb, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB (run of 1)
+                    bw.put(code, ln)
+        bw.flush()
+        ac_first.append(bytes(bw.buf))
+
+        # refinement: bit-emitting twin of the decoder walk
+        bw = _BitWriter()
+        for by in range(coefs[ci].shape[0]):
+            for bx in range(coefs[ci].shape[1]):
+                zz = coefs[ci][by, bx]
+                absv = [abs(int(zz[k])) for k in range(64)]
+                targets = [j for j in range(1, 64) if absv[j] == 1]
+                k = 1
+                for j in targets:
+                    while True:
+                        zcount = sum(1 for p in range(k, j) if absv[p] == 0)
+                        if zcount < 16:
+                            break
+                        # ZRL segment: symbol, then corrections passed
+                        # before the 16th zero-history zero
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        seen = 0
+                        p = k
+                        while True:
+                            if absv[p] == 0:
+                                seen += 1
+                                if seen == 16:
+                                    break
+                            elif absv[p] >= 2:
+                                bw.put(absv[p] & 1, 1)
+                            p += 1
+                        k = p + 1
+                    code, ln = ac_codes[(zcount << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if int(zz[j]) > 0 else 0, 1)
+                    for p in range(k, j):
+                        if absv[p] >= 2:
+                            bw.put(absv[p] & 1, 1)
+                    k = j + 1
+                if k <= 63:
+                    code, ln = ac_codes[0x00]  # EOB covering the rest
+                    bw.put(code, ln)
+                    for p in range(k, 64):
+                        if absv[p] >= 2:
+                            bw.put(absv[p] & 1, 1)
+        bw.flush()
+        ac_refine.append(bytes(bw.buf))
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, bytes([0]) + bytes(int(x) for x in qs[0].flatten()[_ZIGZAG]))
+    if n == 3:
+        out += _jpeg_seg(0xDB, bytes([1]) + bytes(int(x) for x in qs[1].flatten()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _jpeg_seg(0xC2, sof)
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if n == 3:
+        out += _jpeg_seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _jpeg_seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def sos_seg(comp_specs: bytes, ncomp: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xDA, bytes([ncomp]) + comp_specs + bytes([ss, se, (ah << 4) | al]))
+
+    all_dc = b"".join(bytes([ci + 1, 0x00 if ci == 0 else 0x10]) for ci in range(n))
+    out += sos_seg(all_dc, n, 0, 0, 0, 1) + dc_first
+    out += sos_seg(all_dc, n, 0, 0, 1, 0) + dc_refine
+    for ci in range(n):
+        spec = bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        out += sos_seg(spec, 1, 1, 63, 0, 1) + ac_first[ci]
+        out += sos_seg(spec, 1, 1, 63, 1, 0) + ac_refine[ci]
+    out += b"\xff\xd9"
     return bytes(out)

@@ -6,8 +6,8 @@ metadata; extractors become ``mapInPandas`` stages that decode inside an
 Arrow batch. PPM/BMP/PNG/JPEG images and PCM WAV audio decode for REAL
 via the pure-numpy codecs in ``pliers_spark.codecs``, so the Brightness/
 Vibrance/Sharpness and framed-RMS formula paths run end-to-end on real
-bytes. The remaining gaps (successive-approximation progressive JPEG,
-MP3) need imageio/librosa (not in this container) and fall back to an
+bytes. The one remaining gap (MP3)
+needs librosa (not in this container) and falls back to an
 import-gated deterministic fake — the Spark-side plumbing (schemas,
 batch iteration, partitioning, UDF signatures) is identical either way.
 
@@ -36,11 +36,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8. PPM/BMP/PNG/JPEG decode
     for REAL (pure-numpy codecs, ``pliers_spark.codecs``; PNG via stdlib
     zlib; JPEG via the round-3 T.81 codec — baseline sequential
-    gray/4:4:4/4:2:0 and spectral-selection progressive).
+    gray/4:4:4/4:2:0 and full progressive incl. successive
+    approximation).
     Gray images are replicated to 3 channels and RGBA drops alpha so
-    every downstream formula sees the same HxWx3 contract. Variants the
-    stdlib codecs don't cover (successive-approximation progressive
-    JPEG, MP3) need imageio/PIL (absent here) → deterministic fake
+    every downstream formula sees the same HxWx3 contract. Payloads the
+    stdlib codecs don't cover (malformed files, exotic layouts) fall to
+    imageio/PIL (absent here) → deterministic fake
     derived from the payload bytes so tests are stable."""
     from pliers_spark import codecs
 
@@ -61,7 +62,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
                 return np.repeat(img, 3, axis=2)
             return img
         except ValueError:
-            pass  # successive-approximation variants -> imageio gate below
+            pass  # out-of-scope layouts -> imageio gate below
     try:
         import imageio.v3 as iio  # pragma: no cover
 

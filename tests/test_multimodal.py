@@ -739,3 +739,69 @@ class TestJpegProgressive:
         d = _decode_image(codecs.encode_jpeg(img, 90, mode="progressive_color"))
         assert d.shape == (9, 5, 3)
         assert (np.abs(d.astype(int) - img.astype(int)) <= 3).all()
+
+
+class TestJpegSuccessiveApproximation:
+    """Successive-approximation progressive JPEG (libjpeg-style script:
+    DC first at Al=1, DC refinement, per-component AC first at Al=1 and
+    AC refinement with interleaved correction bits)."""
+
+    def test_sa_decodes_identical_to_sequential_stress(self):
+        """The two-stage approximation must reconstruct the exact
+        quantized coefficients, so decoding equals the sequential
+        encoding bit-for-bit — stressed over random images, qualities
+        spanning sparse (low q: EOB-region corrections) to dense
+        (high q: long refinement runs, ZRL segments), and both modes."""
+        from pliers_spark import codecs
+
+        rng = np.random.RandomState(17)
+        for trial in range(12):
+            q = [20, 50, 80, 95][trial % 4]
+            if trial % 2:
+                img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+                seq = codecs.decode_jpeg(codecs.encode_jpeg(img, q, mode="color"))
+                sa = codecs.decode_jpeg(
+                    codecs.encode_jpeg(img, q, mode="progressive_sa_color")
+                )
+            else:
+                img = rng.randint(0, 256, (23, 17), dtype=np.uint8)
+                seq = codecs.decode_jpeg(codecs.encode_jpeg(img, q))
+                sa = codecs.decode_jpeg(codecs.encode_jpeg(img, q, mode="progressive_sa"))
+            assert np.array_equal(seq, sa), (trial, q)
+
+    def test_sa_smooth_gradient_and_sparse(self):
+        from pliers_spark import codecs
+
+        r = np.arange(40)[:, None]
+        c = np.arange(33)[None, :]
+        grad = ((r * 5 + c * 3) % 256).astype(np.uint8)
+        assert np.array_equal(
+            codecs.decode_jpeg(codecs.encode_jpeg(grad, 70)),
+            codecs.decode_jpeg(codecs.encode_jpeg(grad, 70, mode="progressive_sa")),
+        )
+        flat = np.full((64, 64), 90, np.uint8)
+        flat[5, 7] = 200
+        assert np.array_equal(
+            codecs.decode_jpeg(codecs.encode_jpeg(flat, 75)),
+            codecs.decode_jpeg(codecs.encode_jpeg(flat, 75, mode="progressive_sa")),
+        )
+
+    def test_sa_file_advertises_approximation_scans(self):
+        from pliers_spark import codecs
+
+        data = codecs.encode_jpeg(np.zeros((8, 8), np.uint8), mode="progressive_sa")
+        # SOF2 + four SOS scans (DC first/refine, AC first/refine)
+        assert b"\xff\xc2" in data
+        assert data.count(b"\xff\xda") == 4
+
+    def test_invalid_approximation_sequence_refused(self):
+        from pliers_spark import codecs
+
+        data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8), mode="progressive_sa"))
+        # corrupt the DC refinement scan header: Ah=2 with Al=0 (Ah must be Al+1)
+        i = data.find(b"\xff\xda")
+        i = data.find(b"\xff\xda", i + 2)  # second SOS = DC refine
+        ln = int.from_bytes(data[i + 2:i + 4], "big")
+        data[i + 2 + ln - 1] = 0x20
+        with pytest.raises(ValueError, match="Ah must equal Al"):
+            codecs.decode_jpeg(bytes(data))
