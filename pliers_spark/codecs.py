@@ -1,5 +1,5 @@
 """Pure-numpy binary codecs: PPM (P6), BMP (24-bit BI_RGB), WAV (PCM),
-PNG (8-bit gray/RGB/RGBA, non-interlaced).
+PNG (8-bit gray/RGB/RGBA, interlaced and non-interlaced).
 
 The reference decodes stimuli with imageio/PIL/librosa
 (pliers/stimuli/image.py:15, pliers/stimuli/audio.py:9-84); none of
@@ -209,6 +209,40 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
+# Adam7 pass grids (PNG spec §8.2): (x origin, y origin, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png_interlaced(img: np.ndarray, level: int = 6) -> bytes:
+    """Adam7-interlaced PNG encode (filter 0 rows in every pass) — the
+    round-trip partner for the interlaced decode path; real-world
+    interlaced files come from any standard encoder."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype_by_ch = {1: 0, 3: 2, 4: 6}
+    if ch not in ctype_by_ch:
+        raise ValueError(f"encode_png_interlaced expects 1/3/4 channels, got {ch}")
+    lines = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub.reshape(sub.shape[0], sub.shape[1] * ch):
+            lines += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_by_ch[ch], 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:
     """HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes.
 
@@ -291,14 +325,16 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → HxWxC uint8 (C per color type: 1 gray, 3 RGB, 4 RGBA).
-    Supports bit depth 8, color types 0/2/6, no interlace — the layouts
-    `encode_png` emits plus what formula-generated corpora need; other
-    layouts raise so the imageio fallback (when present) can take over."""
+    Supports bit depth 8, color types 0/2/6, both interlace methods
+    (none and Adam7) — the layouts `encode_png` emits plus what
+    formula-generated corpora and real-world files need; other layouts
+    raise so the imageio fallback (when present) can take over."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
     ctype = None
+    interlaced = False
     idat = bytearray()
     while pos + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, pos)
@@ -308,8 +344,11 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
             if depth != 8 or ctype not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("unsupported PNG compression/filter/interlace")
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            interlaced = interlace == 1
         elif cid == b"IDAT":
             idat += body
         elif cid == b"IEND":
@@ -319,7 +358,22 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT chunk")
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if not interlaced:
+        return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    # Adam7: seven sub-images, each independently filtered, scattered
+    # onto the (x0 + i*dx, y0 + j*dy) grids of the PNG spec
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes at all
+        nbytes = ph * (pw * ch + 1)
+        sub = _png_unfilter(raw[off:off + nbytes], ph, pw, ch).reshape(ph, pw, ch)
+        out[y0::dy, x0::dx] = sub
+        off += nbytes
+    return out
 
 
 # --------------------------------------------------------------------------
