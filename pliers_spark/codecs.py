@@ -879,6 +879,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if progressive and ah != 0 and ah != al + 1:
             raise ValueError("invalid successive approximation: Ah must equal Al+1")
         br = _BitReader(ent)
+        # Huffman decode-trees are per-scan constants (DHT cannot appear
+        # mid-scan): memoize per (class, id) so the MCU loop never
+        # rebuilds a tree per block.  Lazy because DC-refinement scans
+        # read no Huffman symbols at all (their table ids may be absent).
+        trees: dict[tuple[int, int], dict] = {}
+
+        def scan_tree(tc: int, th: int):
+            key = (tc, th)
+            t = trees.get(key)
+            if t is None:
+                t = trees[key] = decode_tree(htables[key])
+            return t
+
         if not progressive or ss == 0:
             # sequential full scan, or progressive DC scan (first or
             # refinement): interleaved MCU order over the scan's comps
@@ -896,13 +909,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     if br.bit():
                                         zz[0] |= 1 << al
                                     continue
-                                dct = decode_tree(htables[(0, dc_id)])
+                                dct = scan_tree(0, dc_id)
                                 s = read_sym(br, dct)
                                 prev[si] += _extend(br.bits(s), s)
                                 zz[0] = prev[si] << al  # al=0 when sequential
                                 if progressive:
                                     continue
-                                act = decode_tree(htables[(1, ac_id)])
+                                act = scan_tree(1, ac_id)
                                 k = 1
                                 while k < 64:
                                     rs = read_sym(br, act)
@@ -921,7 +934,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(in_scan) != 1:
                 raise ValueError("AC scans must be single-component")
             ci, _, ac_id = in_scan[0]
-            act = decode_tree(htables[(1, ac_id)])
+            act = scan_tree(1, ac_id)
             bh, bw_ = coefs[ci].shape[:2]
             eobrun = 0
             if ah == 0:

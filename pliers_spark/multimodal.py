@@ -28,6 +28,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# Exceptions a malformed payload can raise inside the stdlib codecs:
+# ValueError for recognized-but-invalid structures, IndexError for
+# truncated entropy data, KeyError for missing Huffman/quant table ids,
+# struct.error for short headers.  Anything in this set degrades to the
+# imageio/deterministic-fake gate instead of failing the whole
+# mapInPandas stage (one corrupt file must never kill a 100 TB job).
+import struct as _struct
+
+_DECODE_ERRORS = (ValueError, IndexError, KeyError, _struct.error)
+
 IMAGE_META_SCHEMA = "id long, width int, height int, channels int, mean_brightness double"
 AUDIO_FRAME_SCHEMA = "id long, frame int, onset double, duration double, rms double"
 
@@ -46,23 +56,23 @@ def _decode_image(payload: bytes) -> np.ndarray:
     from pliers_spark import codecs
 
     kind = codecs.sniff_image(payload)
-    if kind == "ppm":
-        return codecs.decode_ppm(payload)
-    if kind == "bmp":
-        return codecs.decode_bmp(payload)
-    if kind == "png":
-        img = codecs.decode_png(payload)
-        if img.shape[2] == 1:
-            return np.repeat(img, 3, axis=2)
-        return img[:, :, :3]
-    if kind == "jpeg":
-        try:
+    try:
+        if kind == "ppm":
+            return codecs.decode_ppm(payload)
+        if kind == "bmp":
+            return codecs.decode_bmp(payload)
+        if kind == "png":
+            img = codecs.decode_png(payload)
+            if img.shape[2] == 1:
+                return np.repeat(img, 3, axis=2)
+            return img[:, :, :3]
+        if kind == "jpeg":
             img = codecs.decode_jpeg(payload)
             if img.shape[2] == 1:
                 return np.repeat(img, 3, axis=2)
             return img
-        except ValueError:
-            pass  # out-of-scope layouts -> imageio gate below
+    except _DECODE_ERRORS:
+        pass  # malformed / out-of-scope layouts -> imageio gate below
     try:
         import imageio.v3 as iio  # pragma: no cover
 

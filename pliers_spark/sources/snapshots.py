@@ -291,11 +291,19 @@ class SnapshotTable:
                     os.unlink(f)
                 except FileNotFoundError:
                     pass
-            # re-root the retained chain, then drop expired manifests
+            # re-root the retained chain, then drop expired manifests.
+            # Write-temp + os.replace so a crash mid-write can never
+            # leave truncated JSON at the root of the live chain (same
+            # atomic pointer-flip pattern as the ``_current`` commit).
             root_m = dict(retained[0])
             root_m["parent_id"] = None
-            with open(self._manifest_path(root_m["snapshot_id"]), "w") as f:
+            root_path = self._manifest_path(root_m["snapshot_id"])
+            tmp_path = root_path + ".tmp"
+            with open(tmp_path, "w") as f:
                 json.dump(root_m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp_path, root_path)
             for m in expired:
                 try:
                     os.unlink(self._manifest_path(m["snapshot_id"]))

@@ -19,6 +19,31 @@ def test_image_stats_plumbing(spark):
     assert r1a == r1b  # deterministic stub
 
 
+def test_malformed_payloads_degrade_to_gate(spark):
+    """A corrupt image payload must fall to the deterministic-fake gate,
+    never crash the mapInPandas stage (ADVICE r3: truncated JPEG entropy
+    data raises IndexError, corrupt headers raise KeyError/struct.error —
+    all must be absorbed, not just ValueError)."""
+    from pliers_spark import codecs
+
+    good = codecs.encode_jpeg(np.full((16, 16), 128, dtype=np.uint8))
+    rows = [
+        (1, good[: len(good) // 2]),          # truncated mid-entropy JPEG
+        (2, good[:20] + b"\x00" * 40),        # corrupt tables/header
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 12),  # truncated PNG
+        (4, b"BM" + b"\x01" * 10),            # truncated BMP header
+        (5, b"P6 trash"),                     # malformed PPM header
+        (6, good),                            # control: valid JPEG
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in image_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[6].width == 16 and out[6].height == 16
+    # degraded rows are deterministic (fake is a pure function of bytes)
+    again = {r.id: r for r in image_stats(df).collect()}
+    assert out == again
+
+
 def test_audio_frames_framing(spark):
     n = 4096
     df = spark.createDataFrame([(7, bytes(range(256)) * (n // 256))], "id long, payload binary")
