@@ -29,3 +29,7 @@ behavioral parity anchors.
 """
 
 __version__ = "0.1.0"
+
+# Install DataFrame.stableCheckpoint (local/reliable/disk durability
+# switch, plans/reliable.py) for every consumer of the package.
+from pliers_spark.plans import reliable as _reliable  # noqa: E402,F401

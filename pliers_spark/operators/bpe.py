@@ -21,7 +21,7 @@ exactly the right distributed decomposition:
 
 The round loop is driver-coordinated like :func:`~pliers_spark.
 operators.similarity.kmeans_fit` (collect = 1 row per round: the best
-pair); the symbol relation is localCheckpoint-truncated per round.
+pair); the symbol relation is stableCheckpoint-truncated per round.
 Everything is integer counts and string symbols — no floats anywhere —
 so the DuckDB oracle (the full fit unrolled, :func:`bpe_learn_sql`)
 matches exactly.
@@ -101,7 +101,7 @@ def bpe_learn(
     pair_count, new_sym)`` — the trained model, one row per round.
     """
     spark = docs.sparkSession
-    syms = _char_symbols(docs, text_col).localCheckpoint(eager=True)
+    syms = _char_symbols(docs, text_col).stableCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int, str]] = []
     for r in range(1, n_merges + 1):
         w = Window.partitionBy("word").orderBy("pos")
@@ -116,7 +116,7 @@ def bpe_learn(
             break
         a, b, cnt = best[0]["sym"], best[0]["s2"], int(best[0]["cnt"])
         merges.append((r, a, b, cnt, a + b))
-        syms = _apply_merge(syms, a, b).localCheckpoint(eager=True)
+        syms = _apply_merge(syms, a, b).stableCheckpoint(eager=True)
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, pair_count long, new_sym string",
@@ -207,7 +207,7 @@ def bpe_encode_counts(
 
     Returns ``(id, n_words, n_subwords)``.
     """
-    syms = _char_symbols(docs, text_col).localCheckpoint(eager=True)
+    syms = _char_symbols(docs, text_col).stableCheckpoint(eager=True)
     for _ in range(n_merges):
         w = Window.partitionBy("word").orderBy("pos")
         pairs = (
@@ -219,7 +219,7 @@ def bpe_encode_counts(
         best = pairs.orderBy(F.desc("cnt"), "sym", "s2").limit(1).collect()
         if not best:
             break
-        syms = _apply_merge(syms, best[0]["sym"], best[0]["s2"]).localCheckpoint(eager=True)
+        syms = _apply_merge(syms, best[0]["sym"], best[0]["s2"]).stableCheckpoint(eager=True)
     word_len = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
     toks = docs.select(id_col, F.explode(T.tokenize(F.col(text_col))).alias("word"))
     return (

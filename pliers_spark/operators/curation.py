@@ -318,7 +318,7 @@ def source_kl(
         docs.select(group_col, F.explode(T.tokenize(F.col(text_col))).alias("w"))
         .groupBy(group_col, "w")
         .agg(F.count(F.lit(1)).alias("c_sw"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     ns = csw.groupBy(group_col).agg(F.sum("c_sw").alias("n_s"))
@@ -498,11 +498,11 @@ def dsir_weights(
     # exploded grams — and bucket_dim is <= n_buckets rows.
     per_doc_b = feats.groupBy(id_col, "_t", "b").agg(
         F.count(F.lit(1)).alias("k")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     bucket_dim = per_doc_b.groupBy("b").agg(
         F.sum(F.when(~F.col("_t"), F.col("k")).otherwise(0)).alias("r_cnt"),
         F.sum(F.when(F.col("_t"), F.col("k")).otherwise(0)).alias("t_cnt"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     totals = bucket_dim.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
     )

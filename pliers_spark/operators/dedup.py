@@ -130,7 +130,7 @@ def minhash_lsh_candidates(
         # census-only checkpoint = 2 full signature scans; persisting
         # the banded rows = columnar-cache build cost + broken
         # whole-stage pipelines; both bench slower.)
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.stableCheckpoint(eager=True)
     sig_cols = [F.col(f"mh_{k}") for k in range(num_hashes)]
     banded = sigs.select(
         F.col(id_col),
@@ -149,7 +149,7 @@ def minhash_lsh_candidates(
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket)
             .select("band_key")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         n_dropped = dropped.count()  # cheap: counts the checkpointed rows
         if n_dropped:
@@ -645,7 +645,7 @@ def connected_components(
     Scale notes (100 TB design): each iteration is one equi-join of the
     label frame with the edge list plus one min-groupBy — both shuffle on
     node id, so AQE coalesces/splits partitions per round. Lineage is
-    truncated with ``localCheckpoint`` every round (otherwise the plan
+    truncated with ``stableCheckpoint`` (durability modes: plans/reliable.py) every round (otherwise the plan
     doubles per iteration and the driver OOMs long before the data
     does). Converges in <= graph-diameter rounds; near-dup clusters are
     dense (quasi-cliques), so 2-3 rounds is typical. The per-round
@@ -659,12 +659,12 @@ def connected_components(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = edges.distinct().stableCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     changed = -1
     for _ in range(max_iter):
@@ -689,7 +689,7 @@ def connected_components(
         new_labels = (
             hop.join(lut, "label", "left")
             .select("node", F.coalesce("label2", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1154,7 +1154,7 @@ def edit_distance_dups(
     # fps feeds the df census AND the gated index — checkpoint the
     # (doc, fp) cut (one row per selected fingerprint) so the winnowing
     # scan (explode + hash + window) runs once, not twice.
-    fps = winnowing_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
+    fps = winnowing_fingerprints(df, text_col, id_col).stableCheckpoint(eager=True)
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).where(
         F.col("_df") <= max_fp_df
     )
@@ -1477,7 +1477,7 @@ def jaro_winkler_blocked(
         .where(F.length("tok") >= min_len)
         .distinct()
         .select("tok", F.substring("tok", 1, block_chars).alias("blk"), F.length("tok").alias("ln"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     a, b = toks.alias("a"), toks.alias("b")
     pairs = (

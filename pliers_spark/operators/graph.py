@@ -19,7 +19,7 @@ Scale notes (100 TB design): edges are joined with the rank frame on
 node id, so the edge partitioning is reused across all K rounds once
 AQE fixes the layout. The rank frame is one row per HOST (orders of
 magnitude smaller than the page table); lineage is cut per round with
-``localCheckpoint`` exactly like ``dedup.connected_components``. The
+``stableCheckpoint`` (durability modes: plans/reliable.py) exactly like ``dedup.connected_components``. The
 only driver-side values are scalar counts (N hosts), never rows.
 """
 
@@ -58,10 +58,10 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ew = e.join(outdeg, "src").stableCheckpoint(eager=True)
     n = nodes.count()
     base = (3 * PR_SCALE) // (DAMP_DEN * n)
     ranks = nodes.withColumn("rank_fp", F.lit(PR_SCALE // n).cast("long"))
@@ -81,7 +81,7 @@ def pagerank(
                     + F.expr(f"({DAMP_NUM} * coalesce(_in, 0L)) div {DAMP_DEN}")
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return ranks.select(
         "node",
@@ -150,10 +150,10 @@ def personalized_pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ew = e.join(outdeg, "src").stableCheckpoint(eager=True)
     n_seeds = len(seeds)
     seed_col = F.col("node").isin(list(seeds))
     base = (3 * PR_SCALE) // (DAMP_DEN * n_seeds)
@@ -177,7 +177,7 @@ def personalized_pagerank(
                     + F.expr(f"({DAMP_NUM} * coalesce(_in, 0L)) div {DAMP_DEN}")
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return ranks.select(
         "node",
@@ -207,7 +207,7 @@ def minplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
         edges.select("src", "dst")
         .distinct()
         .withColumn("dist", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     for _ in range(rounds):
         a = r.alias("a")
@@ -221,7 +221,7 @@ def minplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
             r.unionAll(two_hop)
             .groupBy("src", "dst")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return r
 
@@ -238,7 +238,7 @@ def maxplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
         edges.select("src", "dst")
         .distinct()
         .withColumn("dist", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     for _ in range(rounds):
         a = r.alias("a")
@@ -252,6 +252,6 @@ def maxplus_closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
             r.unionAll(two_hop)
             .groupBy("src", "dst")
             .agg(F.max("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return r

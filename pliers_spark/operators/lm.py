@@ -110,7 +110,7 @@ def bigram_lm_score(
         tok_census.orderBy(F.desc("c"), F.asc("w"))
         .limit(vocab_size)
         .select("w")
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     n_vocab = vocab.count()  # free after the checkpoint
 
@@ -122,7 +122,7 @@ def bigram_lm_score(
         _mapped_bigrams(docs, vocab, text_col, id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     model = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
     ctx = model.groupBy("w1").agg(F.sum("cb").alias("cw"))
@@ -316,7 +316,7 @@ def chunk_dedup(
             ).alias("s"),
         )
         .select(id_col, "n_chunks", F.col("s.chunk_idx"), F.col("s.chunk"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
 
     census = (
@@ -433,13 +433,13 @@ def kneser_ney_score(
         tok_census.orderBy(F.desc("c"), F.asc("w"))
         .limit(vocab_size)
         .select("w")
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     bg = (
         _mapped_bigrams(docs, vocab, text_col, id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     model = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
     ctx = model.groupBy("w1").agg(

@@ -16,7 +16,7 @@ from raw) proves on every run. Averages are derived at read time from
 (sum, count), never stored.
 
 The shared DAG is cut at the hour level with an eager
-``localCheckpoint`` so the union of the three levels references the
+``stableCheckpoint`` (durability modes: plans/reliable.py) so the union of the three levels references the
 materialized hour partials instead of replaying the raw scan per
 branch (same device as dedup.connected_components /
 curation.source_kl). The checkpointed dataset is #hours × O(1) rows —
@@ -61,7 +61,7 @@ def multires_rollup(
 
     ``levels`` must be ordered finest → coarsest; each level is built by
     re-aggregating the previous one. ``cut=False`` skips the
-    localCheckpoint (used by the plan tests to inspect the raw DAG).
+    stableCheckpoint (used by the plan tests to inspect the raw DAG).
     """
     fine = (
         events.select(
@@ -76,7 +76,7 @@ def multires_rollup(
     )
     if cut:
         # one raw scan total: day/week re-aggregate these partials
-        fine = fine.localCheckpoint(eager=True)
+        fine = fine.stableCheckpoint(eager=True)
     tiers = [fine.select(F.lit(levels[0]).alias("resolution"), "*")]
     prev = fine
     for lv in levels[1:]:

@@ -61,7 +61,7 @@ def count_vectorize(df: DataFrame, id_col: str, text_col: str, vocab_size: int =
     + explode + (doc, term) shuffle executes twice, which at corpus
     scale doubles the dominant cost (r3 bench: tfidf 2.55s -> ~1.6s at
     sf0.1)."""
-    dtc = doc_term_counts(df, id_col, text_col).localCheckpoint(eager=True)
+    dtc = doc_term_counts(df, id_col, text_col).stableCheckpoint(eager=True)
     vocab = build_vocabulary(df, id_col, text_col, vocab_size, dtc=dtc).select("term")
     return dtc.join(F.broadcast(vocab), "term").select(id_col, "term", "tf")
 
@@ -72,7 +72,7 @@ def tfidf_vectorize(df: DataFrame, id_col: str, text_col: str, vocab_size: int =
     comes from the raw frame (a doc with zero tokens still counts in
     sklearn's N)."""
     n_docs = df.select(F.countDistinct(id_col)).first()[0]
-    dtc = doc_term_counts(df, id_col, text_col).localCheckpoint(eager=True)
+    dtc = doc_term_counts(df, id_col, text_col).stableCheckpoint(eager=True)
     vocab = build_vocabulary(df, id_col, text_col, vocab_size, dtc=dtc)
     joined = dtc.join(F.broadcast(vocab.select("term", "df")), "term")
     idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)

@@ -481,7 +481,7 @@ def _dup_clusters_sql() -> str:
 def q_dup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: connected components over the
     SimHash near-dup pair list via iterative min-label propagation
-    (driver loop, localCheckpoint-truncated lineage — the idiomatic
+    (driver loop, stableCheckpoint-truncated lineage — the idiomatic
     Spark shape for iterative graph algorithms). Dedup keeps one
     representative per *cluster*, not per pair: A~B, B~C must retire
     both B and C even when A~C was never emitted."""

@@ -1443,7 +1443,7 @@ def q_khop_reach(spark, sf_dir):
             .join(reached.select("node"), "node", "left_anti")
             .select("node", F.lit(k).cast("long").alias("dist"))
         )
-        nxt = nxt.localCheckpoint()
+        nxt = nxt.stableCheckpoint()
         reached = reached.unionAll(nxt)
         frontier = nxt.select("node")
     return reached.select("node", "dist")

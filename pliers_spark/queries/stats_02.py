@@ -1713,8 +1713,8 @@ def q_ndcg_at_k(spark, sf_dir):
     # both frames are tiny (queries×k rows) but feed MULTIPLE branches
     # (relevance grading, ideal re-rank, final join) — checkpoint so the
     # BM25 postings pass and the seed scan run ONCE, not per branch
-    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
-    qt = seeds.distinct().localCheckpoint(eager=True)
+    cand = bm25_topk(docs, seeds, k=5).stableCheckpoint(eager=True)
+    qt = seeds.distinct().stableCheckpoint(eager=True)
     cand_docs = cand.select("doc_id").distinct()
     # distinct (doc, term) postings of candidate docs only — broadcast-gated
     doc_terms = (

@@ -111,7 +111,7 @@ def q_burrows_delta(spark, sf_dir):
             .cast("long")
             .alias("f_ppb"),
         )
-        .localCheckpoint(eager=True)  # feeds stats AND both pair sides
+        .stableCheckpoint(eager=True)  # feeds stats AND both pair sides
     )
     stats = cells.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("s"),
@@ -195,7 +195,7 @@ def q_item_cosine(spark, sf_dir):
         .where((F.col("bs") >= 2) & (F.col("bs") <= 20))
         .select("l_orderkey")
     )
-    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    b = op.join(sized, "l_orderkey").stableCheckpoint(eager=True)
     ci = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
     a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
     a2 = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
@@ -482,7 +482,7 @@ def q_dbscan_clusters(spark, sf_dir):
         )
         .withColumn("cx", F.floor(F.col("x") / eps))
         .withColumn("cy", F.floor(F.col("y") / eps))
-        .localCheckpoint(eager=True)  # feeds probe side, build side, final join
+        .stableCheckpoint(eager=True)  # feeds probe side, build side, final join
     )
     offs = F.explode(
         F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -507,7 +507,7 @@ def q_dbscan_clusters(spark, sf_dir):
         probe.join(build, ["pcx", "pcy"])
         .where((F.col("ia") < F.col("ib")) & (dist2 <= eps * eps))
         .select("ia", "ib")
-        .localCheckpoint(eager=True)  # feeds degree census, CC edges, border join
+        .stableCheckpoint(eager=True)  # feeds degree census, CC edges, border join
     )
     sym = pairs.unionAll(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
     deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("nb"))
@@ -607,7 +607,7 @@ def q_ari_nmi(spark, sf_dir):
         assign.join(emb.select("vec_id", F.col("label").cast("long").alias("lj")), "vec_id")
         .groupBy(F.col("cluster_id").alias("ci"), "lj")
         .agg(F.count(F.lit(1)).cast("long").alias("nij"))
-        .localCheckpoint(eager=True)  # feeds row sums, col sums, MI
+        .stableCheckpoint(eager=True)  # feeds row sums, col sums, MI
     )
     ra = ct.groupBy("ci").agg(F.sum("nij").cast("long").alias("ai"))
     rb = ct.groupBy("lj").agg(F.sum("nij").cast("long").alias("bj"))
@@ -724,7 +724,7 @@ def q_triangle_coeffs(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds degree census + orientation
+        .stableCheckpoint(eager=True)  # feeds degree census + orientation
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
@@ -736,7 +736,7 @@ def q_triangle_coeffs(spark, sf_dir):
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
-        .localCheckpoint(eager=True)  # feeds wedge join twice + closing probe
+        .stableCheckpoint(eager=True)  # feeds wedge join twice + closing probe
     )
     # enumerate each wedge ONCE in orientation order: the closing edge
     # v->w exists only with (deg_v, v) < (deg_w, w), so generating the
@@ -910,7 +910,7 @@ def q_wasserstein_1d(spark, sf_dir):
     d = _docs(spark, sf_dir)
     c = d.groupBy("source", F.col("n_chars").cast("long").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    ).localCheckpoint(eager=True)  # feeds per-source totals + both grid sides
+    ).stableCheckpoint(eager=True)  # feeds per-source totals + both grid sides
     ns = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
     a = ns.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     b = ns.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
@@ -1011,7 +1011,7 @@ def q_texttiling_gaps(spark, sf_dir):
         "doc_id",
         F.floor(F.col("pos") / _TILE_W).cast("long").alias("blk"),
         "token",
-    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     nrm = tf.groupBy("doc_id", "blk").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
     )
@@ -1098,7 +1098,7 @@ def q_degree_assortativity(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
@@ -1193,7 +1193,7 @@ def q_mann_kendall_sen(spark, sf_dir):
         F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
         F.count(F.lit(1)).over(wu).alias("n"),
     )
-    g = v.where((F.col("n") >= _MK_MIN_N) & (F.col("n") <= _MK_CAP)).localCheckpoint(
+    g = v.where((F.col("n") >= _MK_MIN_N) & (F.col("n") <= _MK_CAP)).stableCheckpoint(
         eager=True
     )
     a = g.select("user_id", "n", F.col("rn").alias("ra"), F.col("t_us").alias("ta"), F.col("v_fp").alias("va"))
@@ -1216,7 +1216,7 @@ def q_mann_kendall_sen(spark, sf_dir):
                 ).cast("long"),
             ).alias("slope_fp"),
         )
-        .localCheckpoint(eager=True)  # feeds S agg and the slope median
+        .stableCheckpoint(eager=True)  # feeds S agg and the slope median
     )
     s = p.groupBy("user_id").agg(
         F.first("n").cast("long").alias("n"), F.sum("sgn").cast("long").alias("mk_s")
@@ -1710,7 +1710,7 @@ def q_zipf_alpha(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    topk = census.orderBy(F.desc("c"), "token").limit(_HILL_K).localCheckpoint(eager=True)
+    topk = census.orderBy(F.desc("c"), "token").limit(_HILL_K).stableCheckpoint(eager=True)
     fk = topk.agg(F.min("c").alias("f_k"))
     s = topk.crossJoin(F.broadcast(fk)).agg(
         F.count(F.lit(1)).cast("long").alias("k"),

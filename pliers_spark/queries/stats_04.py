@@ -158,7 +158,7 @@ def q_kmv_overlap(spark, sf_dir):
         d.select("source", F.explode(T.tokenize(F.col("text"))).alias("tok"))
         .select("source", md5_int(F.col("tok")).alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     srcs = th.select("source").distinct()
     pairs = (
@@ -174,7 +174,7 @@ def q_kmv_overlap(spark, sf_dir):
             F.max((F.col("source") == F.col("src_a")).cast("int")).alias("ina"),
             F.max((F.col("source") == F.col("src_b")).cast("int")).alias("inb"),
         )
-        .localCheckpoint(eager=True)  # feeds sketch ranking AND exact truth
+        .stableCheckpoint(eager=True)  # feeds sketch ranking AND exact truth
     )
     wp = Window.partitionBy("src_a", "src_b")
     ranked = tagged.select(
@@ -254,14 +254,14 @@ def q_bloom_fpr_audit(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     hist = (
-        d.where(F.col("doc_id") % 2 == 0).select("text").distinct().localCheckpoint(eager=True)
+        d.where(F.col("doc_id") % 2 == 0).select("text").distinct().stableCheckpoint(eager=True)
     )
     probe = (
         d.where(F.col("doc_id") % 2 == 1)
         .select("text")
         .distinct()
         .join(hist, "text", "left_anti")
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     pos = lambda s: F.pmod(md5_int(F.col("text"), seed=s), F.lit(_BLOOM_M))  # noqa: E731
     hp = hist.select(
@@ -339,12 +339,12 @@ def q_priority_sample(spark, sf_dir):
         "doc_id", "source",
         F.size(T.tokenize(F.col("text"))).cast("long").alias("wt"),
         (md5_int(F.col("doc_id").cast("string")) + 1).alias("hu"),
-    ).localCheckpoint(eager=True)  # feeds sample AND exact census
+    ).stableCheckpoint(eager=True)  # feeds sample AND exact census
     prio = F.col("wt").cast("double") * F.lit(float(_H60)) / F.col("hu").cast("double")
     q = w.select("*", prio.alias("prio"), F.row_number().over(
         Window.orderBy(F.desc(prio), "doc_id")
     ).alias("rnk"))
-    topk1 = q.where(F.col("rnk") <= _PRIO_K + 1).localCheckpoint(eager=True)
+    topk1 = q.where(F.col("rnk") <= _PRIO_K + 1).stableCheckpoint(eager=True)
     tau = topk1.where(F.col("rnk") == _PRIO_K + 1).select(F.col("prio").alias("t"))
     est = (
         topk1.where(F.col("rnk") <= _PRIO_K)
@@ -572,7 +572,7 @@ def q_kmv_rollup(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.date_trunc("week", F.col("ts")).alias("week"),
         md5_int(F.col("user_id").cast("string")).alias("h"),
-    ).distinct().localCheckpoint(eager=True)  # feeds sketches AND exact truth
+    ).distinct().stableCheckpoint(eager=True)  # feeds sketches AND exact truth
     wd = Window.partitionBy("day").orderBy("h")
     dsk = uh.select("day", "week", "h", F.row_number().over(wd).alias("rnk")).where(
         F.col("rnk") <= _KMVR_K
@@ -726,12 +726,12 @@ def q_markov_accuracy(spark, sf_dir):
     (co-partitioned), two tiny censuses, broadcast model join."""
     ev = _events(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    r = ev.select("user_id", "event_type", F.row_number().over(wu).alias("rn")).localCheckpoint(eager=True)
+    r = ev.select("user_id", "event_type", F.row_number().over(wu).alias("rn")).stableCheckpoint(eager=True)
     a = r.select("user_id", F.col("event_type").alias("prev"), F.col("rn").alias("ra"))
     b = r.select("user_id", F.col("event_type").alias("nxt"), F.col("rn").alias("nrn"))
     tr = a.join(b, "user_id").where(F.col("nrn") == F.col("ra") + 1).select(
         "prev", "nxt", "nrn"
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     train = tr.where(F.col("nrn") % 2 == 0).select("prev", "nxt")
     test = tr.where(F.col("nrn") % 2 == 1).select("prev", "nxt")
     tc = train.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
@@ -981,7 +981,7 @@ def q_sprt_crossing(spark, sf_dir):
     v = ev.select(
         "event_id", epoch_micros(ev, "ts").cast("long").alias("t_us"),
         F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
-    ).localCheckpoint(eager=True)  # feeds median rank AND the ordered scan
+    ).stableCheckpoint(eager=True)  # feeds median rank AND the ordered scan
     n_all = v.count()
     wv = Window.orderBy("v_fp", "event_id")
     med = (
@@ -1000,7 +1000,7 @@ def q_sprt_crossing(spark, sf_dir):
             .alias("step"),
         )
         .select("rn", F.sum("step").over(wc).cast("long").alias("cum"))
-        .localCheckpoint(eager=True)  # feeds first-hit scan AND final row
+        .stableCheckpoint(eager=True)  # feeds first-hit scan AND final row
     )
     hit = F.when(F.col("cum") >= _SPRT_BOUND, F.lit("h1")).when(
         F.col("cum") <= -_SPRT_BOUND, F.lit("h0")
@@ -1104,7 +1104,7 @@ def q_source_jsd(spark, sf_dir):
         )
         .groupBy("source", "tok")
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # feeds totals, vocab dim, and both cell sides
+        .stableCheckpoint(eager=True)  # feeds totals, vocab dim, and both cell sides
     )
     ns = mapped.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     pr = (
@@ -1196,7 +1196,7 @@ def q_conformal_coverage(spark, sf_dir):
         "event_id", "event_type",
         F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v_fp"),
         (F.col("event_id") % 3).alias("fold"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     model = (
         v.where(F.col("fold") == 0)
         .groupBy("event_type")
@@ -1272,7 +1272,7 @@ def q_budget_select(spark, sf_dir):
     w = d.select(
         "doc_id", n_t.alias("toks"),
         F.round(T.quality_score("text") * F.lit(1e6), 0).cast("long").alias("q_fp"),
-    ).where(F.col("toks") > 0).localCheckpoint(eager=True)
+    ).where(F.col("toks") > 0).stableCheckpoint(eager=True)
     budget = w.agg((F.floor(F.sum("toks") / 5)).cast("long").alias("budget"))
     ranked = w.select(
         "*", F.round(F.lit(1e9) * F.col("q_fp") / F.col("toks"), 0).cast("long").alias("ratio_fp")
@@ -1353,7 +1353,7 @@ def q_lsh_band_sweep(spark, sf_dir):
     values are Python-computed shared literals."""
     sigs = D.minhash_signatures(
         _docs(spark, sf_dir), "text", "doc_id", _MH_K, _MH_SHINGLE
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     rows_out = []
     for i, (nb, rows) in enumerate(_SWEEP_CFGS):
         keys = F.array(
@@ -1438,8 +1438,8 @@ def q_rec_coverage(spark, sf_dir):
         op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
         .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
     )
-    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
-    ci = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    b = op.join(sized, "l_orderkey").stableCheckpoint(eager=True)
+    ci = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
     a2 = b.select("l_orderkey", F.col("l_partkey").alias("p2"))
     co = (

@@ -116,7 +116,7 @@ def q_mutual_knn(spark, sf_dir):
         F.max(F.when(F.col("rank") == 1, F.col("cos_fp"))).cast("long").alias("cos1_fp"),
         F.sum("cos_fp").cast("long").alias("sum_fp"),
         F.count(F.lit(1)).cast("long").alias("kk"),
-    ).localCheckpoint(eager=True)  # both sides of the mutual self-join
+    ).stableCheckpoint(eager=True)  # both sides of the mutual self-join
     a = agg
     b = agg.select(
         F.col("q_id").alias("b_q"), F.col("top1").alias("b_top1"),
@@ -244,7 +244,7 @@ def q_rfm_scores(spark, sf_dir):
         F.max(epoch_micros(o, "o_orderdate")).cast("long").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.round(F.sum("o_totalprice") * 100.0, 0).cast("long").alias("mon_fp"),
-    ).localCheckpoint(eager=True)  # three rank windows + final projection
+    ).stableCheckpoint(eager=True)  # three rank windows + final projection
     n = per_c.count()
     rr = F.row_number().over(Window.orderBy("last_us", "o_custkey"))
     rf = F.row_number().over(Window.orderBy("freq", "o_custkey"))
@@ -381,7 +381,7 @@ def q_linkage_profile(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = D.simhash_near_dup_pairs(
         docs, "text", "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=3
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     big = F.lit(1 << 42)
     aug = None
     for t in (1, 2, 3):
@@ -466,7 +466,7 @@ def q_deleted_interpolation(spark, sf_dir):
             )
         ).alias("p")
     ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("cw1"))
     u = c2.groupBy("w2").agg(F.sum("c").cast("long").alias("cw2"))
     nn = c2.agg(F.sum("c").cast("long").alias("n"))
@@ -560,7 +560,7 @@ def q_rmst(spark, sf_dir):
             F.floor((F.col("p_u") - F.col("v_u")) / 86_400_000_000),
         ).alias("conv_day"),
         F.floor((F.col("last_u") - F.col("v_u")) / 86_400_000_000).alias("censor_day"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n_entities = spans.count()
     days = spark.range(30).select(F.col("id").alias("day"))
     tbl = (
@@ -768,7 +768,7 @@ def q_filter_tradeoff(spark, sf_dir):
     d = _docs(spark, sf_dir)
     j = d.select(
         T.quality_score("text").alias("quality"), "lang"
-    ).localCheckpoint(eager=True)  # one quality pass, three thresholds
+    ).stableCheckpoint(eager=True)  # one quality pass, three thresholds
     outs = []
     for t in (0.4, 0.5, 0.6):
         kept = (F.col("quality") >= t).cast("int")
@@ -849,8 +849,8 @@ def q_mrr_recall(spark, sf_dir):
             F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
         )
     )
-    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
-    qt = seeds.distinct().localCheckpoint(eager=True)
+    cand = bm25_topk(docs, seeds, k=5).stableCheckpoint(eager=True)
+    qt = seeds.distinct().stableCheckpoint(eager=True)
     tf = (
         docs.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("term"))
         .distinct()
@@ -861,7 +861,7 @@ def q_mrr_recall(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("rel"))
         .where(F.col("rel") >= 3)
         .select("q_id", "doc_id")
-        .localCheckpoint(eager=True)  # feeds totals AND the top-k join
+        .stableCheckpoint(eager=True)  # feeds totals AND the top-k join
     )
     hits = cand.join(
         rel.withColumn("is_rel", F.lit(1)), ["q_id", "doc_id"], "left"
@@ -916,8 +916,8 @@ def q_capture_recapture(spark, sf_dir):
     passes, audited here against the known distinct count. All counts
     are exact censuses on the content-hash key; one rounded estimate."""
     d = _docs(spark, sf_dir)
-    a = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
-    b = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=True)
+    a = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct().stableCheckpoint(eager=True)
+    b = d.where(F.col("doc_id") % 2 == 1).select(F.md5("text").alias("h")).distinct().stableCheckpoint(eager=True)
     n1 = a.count()
     n2 = b.count()
     m = a.join(b, "h").count()
@@ -998,7 +998,7 @@ def q_jsd_contributors(spark, sf_dir):
         )
         .groupBy("source", "tok")
         .agg(F.sum("c").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     ns = mapped.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     pr = (
@@ -1159,7 +1159,7 @@ def q_price_index(spark, sf_dir):
     p = m.select(
         "month", "l_partkey", "q",
         F.round(F.lit(1e4) * F.col("v_fp") / F.col("q"), 0).cast("long").alias("p_fp"),
-    ).localCheckpoint(eager=True)  # feeds base dim + fact side
+    ).stableCheckpoint(eager=True)  # feeds base dim + fact side
     min_month = p.agg(F.min("month").alias("mm"))
     base = p.join(F.broadcast(min_month), p.month == F.col("mm")).select(
         "l_partkey", F.col("q").alias("q0"), F.col("p_fp").alias("p0")
@@ -1234,7 +1234,7 @@ def q_self_excitation(spark, sf_dir):
         "event_type", t_us.alias("t_us"),
         F.lead("event_type").over(wu).alias("nxt"),
         F.lead(t_us).over(wu).alias("nxt_us"),
-    ).where(F.col("nxt").isNotNull()).localCheckpoint(eager=True)
+    ).where(F.col("nxt").isNotNull()).stableCheckpoint(eager=True)
     marg = r.groupBy(F.col("nxt").alias("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("as_next")
     )
@@ -1315,10 +1315,10 @@ def q_triangle_nullmodel(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").stableCheckpoint(eager=True)
     o = (
         sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
@@ -1327,7 +1327,7 @@ def q_triangle_nullmodel(spark, sf_dir):
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     # orientation-ordered wedges only (see triangle_coeffs note)
     e1 = o.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv_"))
@@ -1400,7 +1400,7 @@ def q_butterfly_count(spark, sf_dir):
         op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
         .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
     )
-    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    b = op.join(sized, "l_orderkey").stableCheckpoint(eager=True)
     do_ = b.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("d_o"))
     dp = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("d_p"))
     a1 = b.select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -1468,7 +1468,7 @@ def q_weighted_jaccard(spark, sf_dir):
         d.select("source", F.explode(T.tokenize(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     srcs = cnt.select("source").distinct()
     pairs = (

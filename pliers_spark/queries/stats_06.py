@@ -241,7 +241,7 @@ def q_max_coverage(spark, sf_dir):
     d = _docs(spark, sf_dir)
     sh = d.select(
         "doc_id", F.explode(shingles(T.tokenize(F.col("text")), 2)).alias("s")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().stableCheckpoint(eager=True)
     covered = None
     out = []
     for rnd in range(1, _MAXCOV_K + 1):
@@ -256,7 +256,7 @@ def q_max_coverage(spark, sf_dir):
         new_cov = sh.where(F.col("doc_id") == pick.doc_id).select("s")
         covered = (
             new_cov if covered is None else covered.unionAll(new_cov).distinct()
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct().stableCheckpoint(eager=True)
         out.append((rnd, pick.doc_id, pick.gain, covered.count()))
     return spark.createDataFrame(
         out, "round long, doc_id long, gain long, covered_total long"
@@ -319,10 +319,10 @@ def q_rich_club(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").stableCheckpoint(eager=True)
     rows = []
     for k in (2, 4, 8):
         rich = deg.where(F.col("d") > k).select("node")
@@ -794,7 +794,7 @@ def q_modularity_q(spark, sf_dir):
         e.join(F.broadcast(pt.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))), "u")
         .join(F.broadcast(pt.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))), "v")
         .select("bu", "bv")
-        .localCheckpoint(eager=True)  # feeds edge census + degree sums
+        .stableCheckpoint(eager=True)  # feeds edge census + degree sums
     )
     m = pe.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
@@ -1071,7 +1071,7 @@ def q_hurst_exponent(spark, sf_dir):
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .select("*", F.row_number().over(Window.orderBy("day")).alias("rn"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     n_days = daily.count()
     pts = []
@@ -1233,7 +1233,7 @@ def q_shapley_attribution(spark, sf_dir):
         F.size("chans").cast("long").alias("sz"),
         "chans",
         F.round(F.lit(1e6) * F.col("n_conv") / F.col("n_paths"), 0).cast("long").alias("v_fp"),
-    ).localCheckpoint(eager=True)  # both sides of the coalition lookup
+    ).stableCheckpoint(eager=True)  # both sides of the coalition lookup
     k = (
         ev.where(F.col("event_type") != "purchase")
         .select("event_type").distinct().count()
@@ -1335,16 +1335,16 @@ def q_hub_resilience(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node")
-    hubs = deg.orderBy(F.desc("d"), "node").limit(10).select("node").localCheckpoint(eager=True)
+    hubs = deg.orderBy(F.desc("d"), "node").limit(10).select("node").stableCheckpoint(eager=True)
     e2 = (
         e.join(hubs.withColumnRenamed("node", "u"), "u", "left_anti")
         .join(hubs.withColumnRenamed("node", "v"), "v", "left_anti")
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     def giant(edges_df):
         if edges_df.limit(1).count() == 0:
@@ -1421,13 +1421,13 @@ def q_split_leakage_audit(spark, sf_dir):
         return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     assign = docs.select(
         "doc_id", split(bc).alias("sc"), split(bi).alias("si")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     j = (
         pairs.join(assign.select(F.col("doc_id").alias("id_a"),
                                  F.col("sc").alias("ca"), F.col("si").alias("ia")), "id_a")
         .join(assign.select(F.col("doc_id").alias("id_b"),
                             F.col("sc").alias("cb"), F.col("si").alias("ib")), "id_b")
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     def row(scheme, a, bcol):
         return j.agg(
@@ -1501,7 +1501,7 @@ def q_heteroscedasticity_bp(spark, sf_dir):
     f = d.select(
         F.size(T.tokenize(F.col("text"))).cast("long").alias("x"),
         F.col("n_chars").cast("long").alias("y"),
-    ).localCheckpoint(eager=True)  # two passes
+    ).stableCheckpoint(eager=True)  # two passes
     s1 = f.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
@@ -1724,7 +1724,7 @@ def q_mattr_diversity(spark, sf_dir):
         "doc_id", "token", F.col("pos").cast("long").alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
     )
-    eligible = toks.where(F.col("n") >= _MATTR_W).localCheckpoint(eager=True)
+    eligible = toks.where(F.col("n") >= _MATTR_W).stableCheckpoint(eager=True)
     doc_n = eligible.groupBy("doc_id").agg(F.max("n").cast("long").alias("n"))
     starts = doc_n.select(
         "doc_id",

@@ -82,13 +82,13 @@ def q_moore_lewis(spark, sf_dir):
     )
     vocab = (
         tok_census.orderBy(F.desc("c"), F.asc("w")).limit(1000)
-        .select("w").localCheckpoint(eager=True)
+        .select("w").stableCheckpoint(eager=True)
     )
     n_vocab = vocab.count()
     bg = (
         _mapped_bigrams(d, vocab, "text", "doc_id")
         .join(d.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint(eager=True)  # feeds both models AND scoring
+        .stableCheckpoint(eager=True)  # feeds both models AND scoring
     )
     gen = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("g_cb"))
     genc = gen.groupBy("w1").agg(F.sum("g_cb").cast("long").alias("g_cw"))
@@ -215,12 +215,12 @@ def q_haar_energy(spark, sf_dir):
     l1 = daily.groupBy(F.floor((F.col("rn") - 1) / 2).cast("long").alias("blk")).agg(
         F.sum(F.when(F.col("rn") % 2 == 1, F.col("c")).otherwise(-F.col("c"))).cast("long").alias("d"),
         F.sum("c").cast("long").alias("s"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     def up(prev):
         return prev.groupBy(F.floor(F.col("blk") / 2).cast("long").alias("blk")).agg(
             F.sum(F.when(F.col("blk") % 2 == 0, F.col("s")).otherwise(-F.col("s"))).cast("long").alias("d"),
             F.sum("s").cast("long").alias("s"),
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
     l2 = up(l1)
     l3 = up(l2)
     def row(lv, df):
@@ -348,7 +348,7 @@ def q_pacf_lag2(spark, sf_dir):
     w = Window.orderBy("rn")
     lagged = daily.select(
         "c", F.lag("c", 1).over(w).alias("c1"), F.lag("c", 2).over(w).alias("c2")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     dec = "decimal(38,0)"
     def rho(col):
         sub = lagged.where(F.col(col).isNotNull())
@@ -451,7 +451,7 @@ def q_ams_f2(spark, sf_dir):
     cnt = (
         d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     dec = "decimal(38,0)"
     f2_exact = cnt.agg(
@@ -595,10 +595,10 @@ def q_transitivity_global(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed("u", "node").stableCheckpoint(eager=True)
     o = (
         sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
@@ -607,7 +607,7 @@ def q_transitivity_global(spark, sf_dir):
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select(F.col("u").alias("src"), F.col("v").alias("dst"), F.col("dv").alias("dd"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     e1 = o.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv_"))
     e2 = o.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw_"))
@@ -694,7 +694,7 @@ def q_adamic_adar(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sym = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
@@ -778,7 +778,7 @@ def q_kendall_tau_binned(spark, sf_dir):
         F.ntile(5).over(Window.orderBy("n_toks", "doc_id")).alias("qy"),
     )
     dec = "decimal(38,0)"
-    cell = nq.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast(dec).alias("n")).localCheckpoint(eager=True)
+    cell = nq.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast(dec).alias("n")).stableCheckpoint(eager=True)
     tot = cell.agg(F.sum("n").cast(dec).alias("n"))
     conc = (
         cell.alias("c1").join(
@@ -860,7 +860,7 @@ def q_chi2_independence(spark, sf_dir):
     expected cell). One groupBy census + two broadcast margins; V =
     sqrt(χ²/(n·min(R−1,C−1)))."""
     d = _docs(spark, sf_dir)
-    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint(eager=True)
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("o")).stableCheckpoint(eager=True)
     r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     c = o.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
     n = o.agg(F.sum("o").cast("long").alias("n"))
@@ -1065,7 +1065,7 @@ def q_kcore_members(spark, sf_dir):
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     prev_n = -1
     for _ in range(_KCORE_ROUNDS + 1):
         keep = (
@@ -1079,7 +1079,7 @@ def q_kcore_members(spark, sf_dir):
             sym.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.selectExpr("node AS v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         prev_n = n_now
     else:
@@ -1374,7 +1374,7 @@ def q_brier_calibration(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum("p_micro").cast("long").alias("sp"),
         F.sum("y").cast("long").alias("sy"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     bdiff = (F.col("p_micro") - 1000000 * F.col("y")).cast(dec)
     brier_num = binned.agg(F.sum(bdiff * bdiff).cast(dec).alias("brier_num"))
     tot = (
@@ -1474,7 +1474,7 @@ def q_bh_fdr(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("n_chars").cast("long").alias("s"),
         F.sum(F.col("n_chars").cast(dec) * F.col("n_chars").cast(dec)).cast(dec).alias("q"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     tot = st.agg(
         F.sum("n").cast("long").alias("tn"), F.sum("s").cast("long").alias("ts"),
         F.sum("q").cast(dec).alias("tq"), F.count(F.lit(1)).cast("long").alias("m"),
@@ -1640,7 +1640,7 @@ def q_assoc_rules(spark, sf_dir):
         op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bs"))
         .where((F.col("bs") >= 2) & (F.col("bs") <= 20)).select("l_orderkey")
     )
-    b = op.join(sized, "l_orderkey").localCheckpoint(eager=True)
+    b = op.join(sized, "l_orderkey").stableCheckpoint(eager=True)
     nb = b.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     co = (

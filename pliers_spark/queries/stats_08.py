@@ -92,7 +92,7 @@ def q_wl_colors(spark, sf_dir):
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     colors = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("color")).withColumnRenamed("u", "node")
     for _ in range(_WL_ROUNDS):
         nb = sym.join(colors.withColumnRenamed("node", "u").withColumnRenamed("color", "c_own"), "u").join(
@@ -106,7 +106,7 @@ def q_wl_colors(spark, sf_dir):
             nb.groupBy(F.col("u").alias("node"), "c_own")
             .agg(_mi(sig).alias("color"))
             .select("node", "color")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return colors.groupBy("color").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 
@@ -150,7 +150,7 @@ def q_hill_numbers(spark, sf_dir):
     cnt = (
         d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
         .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     st = cnt.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("q0"),
@@ -224,7 +224,7 @@ def q_simpsons_paradox(spark, sf_dir):
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
         F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     pool = grp.agg(
         F.sum("n").cast("long").alias("pn"), F.sum("sx").cast("long").alias("psx"),
         F.sum("sy").cast("long").alias("psy"),
@@ -312,7 +312,7 @@ def q_zorder_locality(spark, sf_dir):
     keyed = cell.select(
         "x", "y", zkey.cast("long").alias("zkey"),
         (F.col("x") * 64 + F.col("y")).cast("long").alias("rowmajor"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def steps(order_cols, name):
         w = Window.orderBy(*order_cols)
@@ -684,7 +684,7 @@ def q_risk_coverage(spark, sf_dir):
     pfx = ranked.select(
         "rn", "n",
         F.sum("err").over(Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("e"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     aurc = pfx.agg(
         F.sum(F.round(F.lit(1e9) * F.col("e").cast("double") / F.col("rn"), 0).cast("long")).alias("aurc_nano"),
         F.max("n").alias("n"),
@@ -817,7 +817,7 @@ def q_hill_tail_index(spark, sf_dir):
     ranked = d.select(
         F.col("n_chars").cast("long").alias("x"),
         F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")).alias("rn"),
-    ).where(F.col("rn") <= _HILL_TAIL_K + 1).localCheckpoint(eager=True)
+    ).where(F.col("rn") <= _HILL_TAIL_K + 1).stableCheckpoint(eager=True)
     xk = ranked.where(F.col("rn") == _HILL_TAIL_K + 1).select(F.col("x").alias("x_k"))
     terms = (
         ranked.where(F.col("rn") <= _HILL_TAIL_K)
@@ -1016,7 +1016,7 @@ def q_bradley_terry(spark, sf_dir):
     d = _docs(spark, sf_dir)
     cnt = d.groupBy(
         F.col("n_chars").cast("long").alias("v"), F.col("source").alias("s")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     vals = cnt.select("v").distinct()
     srcs = cnt.select("s").distinct()
     n_src = srcs.count()
@@ -1033,7 +1033,7 @@ def q_bradley_terry(spark, sf_dir):
         cnt.alias("a").join(cum.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.s") != F.col("b.s")))
         .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .agg(F.sum(F.col("a.c") * F.col("b.cumprev")).cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     pairs = (
         wins.alias("w1")
@@ -1047,7 +1047,7 @@ def q_bradley_terry(spark, sf_dir):
             F.col("w1.w").alias("w_ab"),
             (F.col("w1.w") + F.coalesce(F.col("w2.w"), F.lit(0))).cast("long").alias("n_ab"),
         )
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     wtot = pairs.groupBy(F.col("sa").alias("s")).agg(F.sum("w_ab").cast("long").alias("w"))
     pi = srcs.select("s", F.lit(1000000).cast("long").alias("pi"))
@@ -1075,7 +1075,7 @@ def q_bradley_terry(spark, sf_dir):
                 F.round(F.col("pi_raw").cast("double") * n_src * 1e6 / F.col("t"), 0)
                 .cast("long").alias("pi"),
             )
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return pi.join(wtot, "s").select(
         F.col("s").alias("source"),
@@ -1185,7 +1185,7 @@ def q_chao_shen_entropy(spark, sf_dir):
     cnt = (
         d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     st = cnt.agg(
         F.sum("c").cast("long").alias("n"),
@@ -1285,7 +1285,7 @@ def q_borda_copeland(spark, sf_dir):
         d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
         .groupBy("source").agg(F.count_distinct("w").cast("long").alias("vocab"))
     )
-    v = m.join(vocab, "source").localCheckpoint(eager=True)
+    v = m.join(vocab, "source").stableCheckpoint(eager=True)
     wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = v.select(
         "source",
@@ -1299,7 +1299,7 @@ def q_borda_copeland(spark, sf_dir):
     borda = ranked.select(
         "source", "r1", "r2", "r3",
         (3 * F.col("s") - F.col("r1") - F.col("r2") - F.col("r3")).cast("long").alias("borda_score"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     cop = (
         borda.alias("a").join(borda.alias("b"), F.col("a.source") != F.col("b.source"))
         .groupBy(F.col("a.source").alias("source"))
@@ -1386,7 +1386,7 @@ def q_fisher_lda(spark, sf_dir):
         F.sum(F.col("x1").cast(dec) * F.col("x1").cast(dec)).cast(dec).alias("s11"),
         F.sum(F.col("x1").cast(dec) * F.col("x2").cast(dec)).cast(dec).alias("s12"),
         F.sum(F.col("x2").cast(dec) * F.col("x2").cast(dec)).cast(dec).alias("s22"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     d_ = lambda c: F.col(c).cast("double")  # noqa: E731
     g0 = st.where(F.col("y") == 0).select(
         (F.col("s11") - F.col("s1").cast(dec) * F.col("s1") / F.col("n")).cast("double").alias("a11"),
@@ -1567,7 +1567,7 @@ def q_attribute_assortativity(spark, sf_dir):
         .join(lab.selectExpr("p_partkey AS v", "p_brand AS bb2"), "v")
         .select("ba", "bb2")
     )
-    de = labeled.unionAll(labeled.select(F.col("bb2").alias("ba"), F.col("ba").alias("bb2"))).localCheckpoint(eager=True)
+    de = labeled.unionAll(labeled.select(F.col("bb2").alias("ba"), F.col("ba").alias("bb2"))).stableCheckpoint(eager=True)
     dec = "decimal(38,0)"
     m = de.agg(F.count(F.lit(1)).cast("long").alias("m2"))
     eii = de.agg(F.sum((F.col("ba") == F.col("bb2")).cast("long")).cast("long").alias("same"))
@@ -1698,7 +1698,7 @@ def q_word_dispersion_dp(spark, sf_dir):
     toks = (
         d.select("source", F.explode(T.tokenize(F.col("text"))).alias("w"))
         .groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     part_sz = toks.groupBy("source").agg(F.sum("c").cast("long").alias("sz"))
     tot = part_sz.agg(F.sum("sz").cast("long").alias("n"))

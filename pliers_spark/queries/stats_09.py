@@ -100,7 +100,7 @@ def q_densest_subgraph(spark, sf_dir):
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     log = []
     nv = e.select(F.col("u").alias("n")).unionAll(e.select("v")).distinct().count()
@@ -118,7 +118,7 @@ def q_densest_subgraph(spark, sf_dir):
             e.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.selectExpr("node AS v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         nv = keep.count()
         ne = e.count()
@@ -198,7 +198,7 @@ def q_label_propagation(spark, sf_dir):
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     for _ in range(_LPA_ROUNDS):
         votes = (
@@ -211,7 +211,7 @@ def q_label_propagation(spark, sf_dir):
             votes.withColumn("rn", F.row_number().over(wv))
             .where(F.col("rn") == 1)
             .select("node", "lab")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
@@ -287,7 +287,7 @@ def q_huber_location(spark, sf_dir):
     discipline)."""
     d = _docs(spark, sf_dir)
     dec = "decimal(38,0)"
-    x = d.select("doc_id", F.col("n_chars").cast("long").alias("x")).localCheckpoint(eager=True)
+    x = d.select("doc_id", F.col("n_chars").cast("long").alias("x")).stableCheckpoint(eager=True)
     wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     med = (
         x.select("x", F.row_number().over(Window.orderBy("x", "doc_id")).alias("rn"),
@@ -305,7 +305,7 @@ def q_huber_location(spark, sf_dir):
         .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
         .select(F.col("d").alias("s"))
     )
-    consts = med.crossJoin(mad).localCheckpoint(eager=True)  # (m, s)
+    consts = med.crossJoin(mad).stableCheckpoint(eager=True)  # (m, s)
     mu = consts.select((F.col("m") * 1000000).cast("long").alias("mu"))
     w = None
     for _ in range(_HUBER_ROUNDS):
@@ -692,7 +692,7 @@ def q_eigenvector_centrality(spark, sf_dir):
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     x = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "x", F.lit(1000000).cast("long")
     )
@@ -709,7 +709,7 @@ def q_eigenvector_centrality(spark, sf_dir):
                 "node",
                 F.round(F.col("y").cast("double") * 1e6 / F.col("mx"), 0).cast("long").alias("x"),
             )
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return (
         x.orderBy(F.desc("x"), "node").limit(25)
@@ -920,7 +920,7 @@ def q_cka_alignment(spark, sf_dir):
         F.transform(
             F.slice("embedding", _CKA_D + 1, _CKA_D), lambda x: F.round(x * 1000, 0).cast("long")
         ).alias("yv"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     ii = spark.range(1, _CKA_D + 1).select(F.col("id").cast("int").alias("i"))
     jj = spark.range(1, _CKA_D + 1).select(F.col("id").cast("int").alias("j"))
     g = q.crossJoin(F.broadcast(ii)).crossJoin(F.broadcast(jj))
@@ -1068,7 +1068,7 @@ def q_mmr_select(spark, sf_dir):
         )
         .orderBy(F.desc(F.round(F.col("rel") * 1e6, 0).cast("long")), "vec_id")
         .limit(_MMR_CAND)
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     a, b2 = cand.alias("a"), cand.alias("b")
     sim = (
@@ -1080,7 +1080,7 @@ def q_mmr_select(spark, sf_dir):
                 / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))), 6,
             ).alias("s"),
         )
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     rows = [
         (int(r.vec_id), float(r.rel))
@@ -1183,7 +1183,7 @@ def q_auc_delong_ci(spark, sf_dir):
         "p", "pos_eq", "neg_eq",
         F.coalesce(F.sum("pos_eq").over(wcum), F.lit(0)).alias("pos_lt"),
         F.coalesce(F.sum("neg_eq").over(wcum), F.lit(0)).alias("neg_lt"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     cnt = cum.agg(
         F.sum("pos_eq").cast("long").alias("m"), F.sum("neg_eq").cast("long").alias("n")
     )
@@ -1516,7 +1516,7 @@ def q_seasonal_kendall(spark, sf_dir):
     cell = ev.groupBy(
         F.hour("ts").cast("long").alias("h"),
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint(eager=True)
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).stableCheckpoint(eager=True)
     a, b = cell.alias("a"), cell.alias("b")
     s_h = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("b.d") > F.col("a.d")))

@@ -619,9 +619,9 @@ def q_hits_scores(spark, sf_dir):
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
-    ew = e.localCheckpoint(eager=True)
+    ew = e.stableCheckpoint(eager=True)
     h = nodes.withColumn("h", F.lit(1_000_000).cast("long"))
     a = None
     for _ in range(8):
@@ -636,7 +636,7 @@ def q_hits_scores(spark, sf_dir):
         amax = ar.agg(F.max("a").alias("mx"))
         a = ar.crossJoin(F.broadcast(amax)).select(
             "node", F.expr("(a * 1000000) div mx").cast("long").alias("a")
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
         hr = (
             nodes.join(
                 ew.join(a.select(F.col("node").alias("an"), "a"), F.col("dst") == F.col("an"))
@@ -648,7 +648,7 @@ def q_hits_scores(spark, sf_dir):
         hmax = hr.agg(F.max("h").alias("mx"))
         h = hr.crossJoin(F.broadcast(hmax)).select(
             "node", F.expr("(h * 1000000) div mx").cast("long").alias("h")
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
     return h.join(a, "node").select(
         "node", F.col("h").cast("long").alias("hub_fp"), F.col("a").cast("long").alias("auth_fp")
     )
@@ -936,7 +936,7 @@ def q_bowtie_structure(spark, sf_dir):
     from ..operators.graph import host_link_edges, minplus_closure
 
     e = host_link_edges(_docs(spark, sf_dir))
-    r = minplus_closure(e).localCheckpoint(eager=True)
+    r = minplus_closure(e).stableCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -2364,7 +2364,7 @@ def q_condensation_layers(spark, sf_dir):
     from ..operators.graph import host_link_edges, maxplus_closure, minplus_closure
 
     e = host_link_edges(_docs(spark, sf_dir))
-    r = minplus_closure(e).localCheckpoint(eager=True)
+    r = minplus_closure(e).stableCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -1010,7 +1010,7 @@ def q_percolation_audit(spark, sf_dir):
             F.greatest(F.col("src"), F.col("dst")).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     nodes = (
         e0.select(F.col("u").alias("n")).union(e0.select(F.col("v").alias("n"))).distinct()
@@ -1399,7 +1399,7 @@ def q_tolerance_interval(spark, sf_dir):
     wall = Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = cen.select(
         "v_fp", "c", F.sum("c").over(wcum).alias("cc"), F.sum("c").over(wall).alias("n")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n = cum.agg(F.max("n")).collect()[0][0]
     js = spark.range(0, n + 1).select(F.col("id").alias("j"))
     lp = (
@@ -1769,7 +1769,7 @@ def q_gmm_em_1d(spark, sf_dir):
     ev = _events(spark, sf_dir)
     cen = ev.select(
         F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("v")
-    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     dec = "decimal(38,0)"
     mom = cen.agg(
         F.sum("c").cast("long").alias("n"),
@@ -1910,7 +1910,7 @@ def q_logistic_irls(spark, sf_dir):
     cen = docs.select(
         F.col("n_chars").cast("long").alias("x"),
         (F.col("lang") == "en").cast("int").alias("y"),
-    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     dec = "decimal(38,0)"
 
     def rnd(x):
@@ -2064,7 +2064,7 @@ def q_svm_batch_subgradient(spark, sf_dir):
         (F.col("r1") - F.lit(mu.m1)).cast("long").alias("x1"),
         (F.col("r2") - F.lit(mu.m2)).cast("long").alias("x2"),
         "y", "c",
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n = pts.agg(F.sum("c")).collect()[0][0]
     dec = "decimal(38,0)"
 
@@ -2215,13 +2215,13 @@ def q_adaboost_stumps(spark, sf_dir):
     cen = docs.select(
         F.col("n_chars").cast("long").alias("x"),
         F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     dec = "decimal(38,0)"
 
     def rnd(v):
         return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
 
-    w = cen.withColumn("wt", F.lit(1_000_000).cast("long")).localCheckpoint(eager=True)
+    w = cen.withColumn("wt", F.lit(1_000_000).cast("long")).stableCheckpoint(eager=True)
     out_rows = []
     for t in range(_ADA_ROUNDS):
         tots = w.agg(
@@ -2289,7 +2289,7 @@ def q_adaboost_stumps(spark, sf_dir):
         w = wr.select(
             "x", "y", "c",
             F.round(F.lit(1e6) * F.col("wt") / F.lit(mean_wt), 0).cast("long").alias("wt"),
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
     return spark.createDataFrame(
         out_rows, "round long, threshold long, polarity int, alpha double, eps double"
     )

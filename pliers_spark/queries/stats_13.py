@@ -1029,7 +1029,7 @@ def q_ktruss_edges(spark, sf_dir):
             F.greatest(F.col("src"), F.col("dst")).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     sup_last = None
     for _ in range(_TRUSS_ROUNDS):
@@ -1053,8 +1053,8 @@ def q_ktruss_edges(spark, sf_dir):
         sup = e.join(edge_sup, ["u", "v"], "left").select(
             "u", "v", F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
         )
-        sup_last = sup.localCheckpoint(eager=True)
-        e = sup_last.where(F.col("sup") >= _TRUSS_K - 2).select("u", "v").localCheckpoint(eager=True)
+        sup_last = sup.stableCheckpoint(eager=True)
+        e = sup_last.where(F.col("sup") >= _TRUSS_K - 2).select("u", "v").stableCheckpoint(eager=True)
     return sup_last.join(e, ["u", "v"]).select(
         "u", "v", F.col("sup").cast("long").alias("support")
     )
@@ -1189,7 +1189,7 @@ def q_absorbing_chain_steps(spark, sf_dir):
     q = (
         cnt.join(rowt, "a")
         .where((F.col("a") != "purchase") & (F.col("b") != "purchase"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     e = trans.select(F.col("a").alias("s"), F.lit(0).cast("long").alias("ev"))
     for _ in range(_ABS_ITERS):
@@ -1207,7 +1207,7 @@ def q_absorbing_chain_steps(spark, sf_dir):
                 ).alias("ev")
             )
             .select(F.col("a").alias("s"), "ev")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return e.select(F.col("s").alias("state"), F.round(F.col("ev") / F.lit(1e6), 6).alias("expected_steps"))
 
@@ -1795,7 +1795,7 @@ def q_graph_reciprocity(spark, sf_dir):
     integers, two final ratios."""
     from ..operators.graph import host_link_edges
 
-    e = host_link_edges(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    e = host_link_edges(_docs(spark, sf_dir)).stableCheckpoint(eager=True)
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
         "has_rev", F.lit(1)
     )
@@ -2145,7 +2145,7 @@ def q_cox_regression(spark, sf_dir):
         F.when(conv, F.floor((F.col("p_u") - F.col("v_u")) / 86400000000))
         .otherwise(F.floor((F.col("last_u") - F.col("v_u")) / 86400000000)).alias("t"),
         conv.cast("int").alias("ev"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n_subjects = spans.count()
     n_events = spans.agg(F.sum("ev")).collect()[0][0]
 
@@ -2418,7 +2418,7 @@ def q_poisson_irls(spark, sf_dir):
         ).cast("long").alias("x_fp"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
     )
-    pts = cen.groupBy("x_fp", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    pts = cen.groupBy("x_fp", "y").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     n = pts.agg(F.sum("c")).collect()[0][0]
 
     def rnd(v):

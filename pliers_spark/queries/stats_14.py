@@ -491,7 +491,7 @@ def q_matrix_profile_daily(spark, sf_dir):
     idx = daily.select(F.row_number().over(widx).cast("long").alias("i"), "x")
     wi = Window.orderBy("i")
     win_cols = [F.lead("x", k).over(wi).alias(f"x{k}") for k in range(_MP_M)]
-    w = idx.select("i", *win_cols).where(F.col(f"x{_MP_M - 1}").isNotNull()).localCheckpoint(eager=True)
+    w = idx.select("i", *win_cols).where(F.col(f"x{_MP_M - 1}").isNotNull()).stableCheckpoint(eager=True)
     a, b = w.alias("a"), w.alias("b")
     dist2 = sum(
         (F.col(f"a.x{k}") - F.col(f"b.x{k}")) * (F.col(f"a.x{k}") - F.col(f"b.x{k}"))
@@ -578,8 +578,8 @@ def q_err_at_k(spark, sf_dir):
             F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"),
         )
     )
-    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
-    qt = seeds.distinct().localCheckpoint(eager=True)
+    cand = bm25_topk(docs, seeds, k=5).stableCheckpoint(eager=True)
+    qt = seeds.distinct().stableCheckpoint(eager=True)
     cand_docs = cand.select("doc_id").distinct()
     doc_terms = (
         docs.join(F.broadcast(cand_docs), "doc_id")
@@ -801,7 +801,7 @@ def q_anderson_darling(spark, sf_dir):
         "i", "n",
         F.log(F.greatest(phi, F.lit(1e-300))).alias("lf"),
         F.log(F.greatest(F.lit(1.0) - phi, F.lit(1e-300))).alias("lcf"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     a, b = lp.alias("a"), lp.alias("b")
     terms = a.join(b, F.col("b.i") == F.col("a.n") + 1 - F.col("a.i")).select(
         F.col("a.n").alias("n"),
@@ -1033,7 +1033,7 @@ def q_sample_entropy(spark, sf_dir):
         "i", F.col("x").alias("x0"),
         F.lead("x", 1).over(wi).alias("x1"),
         F.lead("x", 2).over(wi).alias("x2"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     a, b = w.alias("a"), w.alias("b")
     dm = F.greatest(
         F.abs(F.col("a.x0") - F.col("b.x0")), F.abs(F.col("a.x1") - F.col("b.x1"))
@@ -1213,7 +1213,7 @@ def q_ccf_peak_lag(spark, sf_dir):
     daily = ev.groupBy(dd.alias("dd")).agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     lags = spark.range(-_CCF_MAXLAG, _CCF_MAXLAG + 1).select(F.col("id").cast("long").alias("lag"))
     a = daily.alias("a")
     b = daily.alias("b")
@@ -1316,7 +1316,7 @@ def q_transfer_entropy(spark, sf_dir):
     daily = ev.groupBy(dd.alias("dd")).agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("c"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("p"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def med(df, col):
         w = Window.orderBy(col, "dd")
@@ -1340,7 +1340,7 @@ def q_transfer_entropy(spark, sf_dir):
     tr = a.join(b, F.col("b.t") == F.col("a.t") + 1).select(
         F.col("a.cs").alias("x"), F.col("a.ps").alias("y"), F.col("b.ps").alias("y1"),
         F.col("b.cs").alias("x1"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def te(df, y1c, yc, xc):
         cells = df.groupBy(y1c, yc, xc).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -1473,7 +1473,7 @@ def q_dfa_alpha(spark, sf_dir):
     fs = fl.select(
         "s", "n_boxes",
         F.sqrt(F.col("rs_fp").cast("double") / (F.col("n").cast("double") * F.col("n") * F.col("s") * F.col("n_boxes"))).alias("f"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     ls = F.log(F.col("s").cast("double"))
     al = fs.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
@@ -1686,7 +1686,7 @@ def q_ipf_raking(spark, sf_dir):
     convergence (within ppm) is bit-reproducible; margins and targets
     derive from one exact census. The grid is (7 × #types) — after the
     single input-sized aggregation the whole fit is constant-size, and
-    the Spark loop localCheckpoints nothing because the lineage is 16
+    the Spark loop stableCheckpoints nothing because the lineage is 16
     window ops over ≤70 rows."""
     ev = _events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts")).cast("date")
@@ -1816,7 +1816,7 @@ def q_yake_keywords(spark, sf_dir):
         ).cast("long").alias("sidx"),
         F.lag("tok").over(wd).alias("ltok"),
         F.lead("tok").over(wd).alias("rtok"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     term = st.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.countDistinct("ltok").cast("long").alias("dl"),
@@ -2100,7 +2100,7 @@ def q_katz_centrality(spark, sf_dir):
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     x = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "x", F.lit(1000000).cast("long")
     )
@@ -2109,7 +2109,7 @@ def q_katz_centrality(spark, sf_dir):
             sym.join(x.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"))
             .agg((F.lit(1000000) + F.round(F.lit(_KATZ_ALPHA) * F.sum("x"), 0)).cast("long").alias("x"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     return (
         x.orderBy(F.col("x").desc(), "node")
@@ -2182,7 +2182,7 @@ def q_psi_drift(spark, sf_dir):
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("user_id", (dd >= F.col("mid")).cast("int").alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     ref = ua.where(F.col("half") == 0).select(
         "a",
         F.row_number().over(Window.orderBy("a", "user_id")).alias("rn"),

@@ -552,7 +552,7 @@ def q_dtw_weekday(spark, sf_dir):
     cells = x.crossJoin(y).select(
         F.col("x.wd").alias("i"), F.col("y.wd").alias("j"),
         F.abs(F.col("x.a") - F.col("y.b")).cast("long").alias("cost"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     done = cells.where((F.col("i") == 0) & (F.col("j") == 0)).select(
         "i", "j", F.col("cost").alias("d")
     )
@@ -577,7 +577,7 @@ def q_dtw_weekday(spark, sf_dir):
                 ).cast("long").alias("d"),
             )
         )
-        done = done.unionAll(wave).localCheckpoint(eager=True)
+        done = done.unionAll(wave).stableCheckpoint(eager=True)
     return done.select("i", "j", F.col("d").alias("cum_cost")).orderBy("i", "j")
 
 
@@ -728,7 +728,7 @@ def q_late_sole_supplier(spark, sf_dir):
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     multi = (
         li.select("l_orderkey", "l_suppkey").distinct()
@@ -977,7 +977,7 @@ def q_seasonal_esd(spark, sf_dir):
             - F.col("nw") * F.sum("x").over(Window.partitionBy("wi"))
             + F.sum("x").over(Window.partitionBy())
         ).cast("long").alias("r"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     cur = res
     outs = []
     for k in range(1, _ESD_ROUNDS + 1):
@@ -993,7 +993,7 @@ def q_seasonal_esd(spark, sf_dir):
             cur.crossJoin(F.broadcast(m))
             .select("wd", "wi", "r", "n", "s", "s2", F.row_number().over(wpick).alias("rn"))
             .where(F.col("rn") == 1)
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         outs.append(
             pick.select(
@@ -1009,7 +1009,7 @@ def q_seasonal_esd(spark, sf_dir):
                 ).alias("esd_stat"),
             )
         )
-        cur = cur.join(pick.select("wd", "wi"), ["wd", "wi"], "leftanti").localCheckpoint(eager=True)
+        cur = cur.join(pick.select("wd", "wi"), ["wd", "wi"], "leftanti").stableCheckpoint(eager=True)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
@@ -1223,7 +1223,7 @@ def q_gain_ratio(spark, sf_dir):
     ).select(
         "y", (F.col("user_id") % 2).cast("long").alias("parity"), "first_dow",
         F.least(F.col("clicks"), F.lit(10)).cast("long").alias("clicks_capped"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     tot = u.count()
 
     def ent_fp(df, *cols):
@@ -1309,7 +1309,7 @@ def q_hll_union_merge(spark, sf_dir):
     d = _docs(spark, sf_dir)
     th = d.select("source", F.explode(T.tokenize(F.col("text"))).alias("t")).select(
         "source", F.md5(F.col("t")).alias("hx")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().stableCheckpoint(eager=True)
     st = F.expr("trim(LEADING '0' FROM substr(hx, 3, 13))")
     blmap = F.create_map(*[F.lit(x) for kv in _HEX_BITLEN.items() for x in kv])
     rho = th.select(
@@ -1444,7 +1444,7 @@ def q_median_ci(spark, sf_dir):
     r = u.select(
         "a", F.row_number().over(wr).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nn"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     ranks = r.select(F.col("nn").alias("n")).distinct().select(
         "n",
         F.greatest(F.lit(1), F.floor((F.col("n") - F.lit(1.96) * F.sqrt(F.col("n").cast("double"))) / 2).cast("long")).alias("lo_rank"),
@@ -1573,13 +1573,13 @@ def q_meta_analysis_dl(spark, sf_dir):
         "s",
         (p1 - p2).alias("d"),
         (p1 * (1 - p1) / F.col("n1") + p2 * (1 - p2) / F.col("n2")).alias("v"),
-    ).where(F.col("v") > 0).localCheckpoint(eager=True)
+    ).where(F.col("v") > 0).stableCheckpoint(eager=True)
     fp = eff.select(
         "d", "v",
         F.round(F.lit(1e9) / F.col("v"), 0).cast("long").alias("w_fp"),
         F.round(F.lit(1e9) * F.col("d") / F.col("v"), 0).cast("long").alias("wd_fp"),
         F.round(F.lit(1e9) / (F.col("v") * F.col("v")), 0).cast("long").alias("w2_fp"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     agg = fp.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("w_fp").cast("long").alias("sw"),
@@ -1772,7 +1772,7 @@ def q_littles_law_audit(spark, sf_dir):
     )
     spans = sess.groupBy("user_id", "sid").agg(
         F.min("us").cast("long").alias("t0"), F.max("us").cast("long").alias("t1")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     obs = spans.agg(F.min("t0").alias("lo"), F.max("t1").alias("hi"))
     marks = spans.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
         spans.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
@@ -1877,8 +1877,8 @@ def q_absorption_probs(spark, sf_dir):
     ).where(F.col("t").isNotNull())
     trans = pairs.where(F.col("s").isin(*_ABS_TRANSIENT)).groupBy("s", "t").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=True)
-    outd = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n")).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
+    outd = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n")).stableCheckpoint(eager=True)
     results = {}
     for tgt in _ABS_TARGETS:
         b = outd.select("s", F.lit(0).cast("long").alias("b"))
@@ -1887,7 +1887,7 @@ def q_absorption_probs(spark, sf_dir):
                 trans.where(F.col("t") == tgt).select("s", F.col("c").alias("rc")), "s", "left"
             )
             .select("s", "n", F.coalesce(F.col("rc"), F.lit(0)).alias("rc"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
         for _ in range(_ABS_ROUNDS):
             qb = (
@@ -1908,7 +1908,7 @@ def q_absorption_probs(spark, sf_dir):
                         0,
                     ).cast("long").alias("b"),
                 )
-                .localCheckpoint(eager=True)
+                .stableCheckpoint(eager=True)
             )
         results[tgt] = b
     out = (
@@ -1992,7 +1992,7 @@ def q_stable_sample_audit(spark, sf_dir):
         .groupBy("user_id", "mid")
         .agg(F.min("ts").alias("t0"), F.min(dd).alias("d0"))
         .select("user_id", "t0", (F.col("d0") < F.col("mid")).alias("early"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     gate = (md5_int(F.col("user_id").cast("string")) % 100 < 20).cast("int")
     hash_m = u.agg(
@@ -2106,7 +2106,7 @@ def q_ledoit_wolf(spark, sf_dir):
     ).select(
         "vec_id", "dim",
         F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("vu"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n = ve.select("vec_id").distinct().count()
     cells = (
         ve.alias("a")
@@ -2124,7 +2124,7 @@ def q_ledoit_wolf(spark, sf_dir):
             (F.col("sxy").cast("double") / n - (F.col("sxi").cast("double") / n) * (F.col("sxj").cast("double") / n))
             / F.lit(1e12)
         ).alias("sij"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     mtr = s.agg((F.sum(F.when(F.col("i") == F.col("j"), F.col("sij")).otherwise(0.0)) / _LW_D).alias("m"))
     d2 = s.crossJoin(F.broadcast(mtr)).agg(
         F.sum(

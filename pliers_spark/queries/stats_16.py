@@ -160,7 +160,7 @@ def q_rqa_measures(spark, sf_dir):
         .crossJoin(F.broadcast(rdf))
         .where(F.abs(F.col("a.x") - F.col("b.x")) <= F.col("r"))
         .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     succ = rp.select((F.col("i") + 1).alias("i"), (F.col("j") + 1).alias("j"))
     pred = rp.select((F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"))
@@ -263,7 +263,7 @@ def q_bom_explosion(spark, sf_dir):
     chart) that plain joins can't express: each part walks to the
     root accumulating the quantity PRODUCT, then depth-level rollups.
     Spark runs the walk as an iterative self-join loop with
-    localCheckpoint per round — log₂(maxkey) ≈ 11 rounds, each a
+    stableCheckpoint per round — log₂(maxkey) ≈ 11 rounds, each a
     broadcast-sized frontier — the standard Spark answer to recursive
     CTEs (which the oracle uses natively). All quantities are exact
     int64 products; the hierarchy is derived, so the query is
@@ -278,7 +278,7 @@ def q_bom_explosion(spark, sf_dir):
             "p", F.floor(F.col("node") / 2).cast("long").alias("node"),
             (F.col("depth") + 1).alias("depth"),
             (F.col("cum_qty") * ((F.col("node") % 3) + 1)).cast("long").alias("cum_qty"),
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
         if frontier.count() == 0:
             break
         acc.append(frontier)
@@ -441,7 +441,7 @@ def q_canberra_braycurtis(spark, sf_dir):
         sources.crossJoin(F.broadcast(topm))
         .join(st, ["source", "token"], "left")
         .select("source", "token", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (
@@ -571,7 +571,7 @@ def q_hilbert_locality(spark, sf_dir):
     keyed = cur.select(
         "x", "y", F.col("d").alias("hkey"),
         (F.col("x") * 64 + F.col("y")).cast("long").alias("rowmajor"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def steps(order_cols, name):
         w = Window.orderBy(*order_cols)
@@ -842,7 +842,7 @@ def q_unigram_viterbi_segment(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .select("w", "c", F.length("w").cast("long").alias("len"))
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     pos_l = [
         (i, l)
@@ -861,7 +861,7 @@ def q_unigram_viterbi_segment(spark, sf_dir):
     cost = vocab.crossJoin(F.broadcast(tot)).select(
         "piece",
         F.round(F.lit(-1e6) * F.log(F.col("pc").cast("double") / F.col("tot")), 0).cast("long").alias("cf"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     states = {
         0: words.select("w", "len", "c", F.lit(0).cast("long").alias("cost"), F.lit(0).cast("long").alias("np"))
     }
@@ -887,7 +887,7 @@ def q_unigram_viterbi_segment(spark, sf_dir):
             cands.select("w", "len", "c", "cost", "np", F.row_number().over(wmin).alias("rn"))
             .where(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     fin = None
     for t in range(1, _USEG_MAXLEN + 1):
@@ -1061,7 +1061,7 @@ def q_ksegments_dp(spark, sf_dir):
         F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
         F.sum(F.col("x") * F.col("x")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n = idx.agg(F.max("n")).collect()[0][0]
     pref = idx.select("t", "p1", "p2").unionAll(
         spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
@@ -1081,10 +1081,10 @@ def q_ksegments_dp(spark, sf_dir):
                 0,
             ).cast("long").alias("cfp"),
         )
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
     e = seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut"))
-    tables = {1: e.localCheckpoint(eager=True)}
+    tables = {1: e.stableCheckpoint(eager=True)}
     for k in range(2, _KSEG_K + 1):
         p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
         wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
@@ -1095,7 +1095,7 @@ def q_ksegments_dp(spark, sf_dir):
                     F.row_number().over(wmin).alias("rn"))
             .where(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     cuts = []
     j = n
@@ -1248,7 +1248,7 @@ def q_acf_bartlett(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").localCheckpoint(eager=True)
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").stableCheckpoint(eager=True)
     mo = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
@@ -1332,7 +1332,7 @@ def q_ripleys_k(spark, sf_dir):
     time span are exact integers, K is two divisions."""
     ev = _events(spark, sf_dir)
     s = (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000000).cast("long")
-    e = ev.select(s.alias("s")).localCheckpoint(eager=True)
+    e = ev.select(s.alias("s")).stableCheckpoint(eager=True)
     span = e.agg(
         (F.max("s") - F.min("s")).cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1464,7 +1464,7 @@ def q_adstock_transform(spark, sf_dir):
     daily = ev.groupBy(dd.alias("dd")).agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x")
     )
-    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "dd", "x").localCheckpoint(eager=True)
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "dd", "x").stableCheckpoint(eager=True)
     a, b = idx.alias("a"), idx.alias("b")
     conv = (
         a.join(b, F.col("b.t") <= F.col("a.t"))
@@ -1568,7 +1568,7 @@ def q_kmeans_1d_optimal(spark, sf_dir):
         F.sum("a").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
         F.sum(F.col("a") * F.col("a")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     n = srt.agg(F.max("n")).collect()[0][0]
     pref = srt.select("t", "p1", "p2").unionAll(
         spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
@@ -1588,9 +1588,9 @@ def q_kmeans_1d_optimal(spark, sf_dir):
                 0,
             ).cast("long").alias("cfp"),
         )
-        .localCheckpoint(eager=True)
+        .stableCheckpoint(eager=True)
     )
-    tables = {1: seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut")).localCheckpoint(eager=True)}
+    tables = {1: seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut")).stableCheckpoint(eager=True)}
     for k in range(2, _K1D_K + 1):
         p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
         wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
@@ -1601,7 +1601,7 @@ def q_kmeans_1d_optimal(spark, sf_dir):
                     F.row_number().over(wmin).alias("rn"))
             .where(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     cuts = []
     j = n
@@ -1724,7 +1724,7 @@ def q_semivariogram(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").localCheckpoint(eager=True)
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").stableCheckpoint(eager=True)
     lags = spark.range(1, _VGRAM_MAXLAG + 1).select(F.col("id").cast("long").alias("h"))
     a, b = idx.alias("a"), idx.alias("b")
     pairs = (
@@ -1805,7 +1805,7 @@ def q_quade_test(spark, sf_dir):
         "wd", "wi",
         (F.lit(2) * F.rank().over(wrk) + F.count(F.lit(1)).over(wties) - 1).alias("ar2"),
         (F.max("x").over(wwk) - F.min("x").over(wwk)).alias("rng"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     wk_rng = ranked.select("wi", "rng").distinct()
     wq = Window.orderBy("rng")
     wqt = Window.partitionBy("rng")
@@ -1871,7 +1871,7 @@ def q_jonckheere_trend(spark, sf_dir):
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     cells = ev.groupBy((dd % 7).alias("wd"), dd.alias("dd")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     a, b = cells.alias("a"), cells.alias("b")
     pairs = a.join(b, F.col("b.wd") > F.col("a.wd")).agg(
         F.sum((F.col("b.x") > F.col("a.x")).cast("int")).cast("long").alias("gt"),
@@ -2117,7 +2117,7 @@ def q_gini_decomposition(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum("x").cast("long").alias("sk"),
         F.sum(F.col("rn") * F.col("x")).cast("long").alias("srxk"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     g_tot = tot.select(
         "n", "s",
         F.round((F.lit(2.0) * F.col("srx") - (F.col("n") + F.lit(1.0)) * F.col("s")) / (F.col("n").cast("double") * F.col("s")), 6).alias("g"),
@@ -2197,7 +2197,7 @@ def q_blomqvist_beta(spark, sf_dir):
     u = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def med(col):
         w = Window.orderBy(col, "user_id")
@@ -2371,7 +2371,7 @@ def q_bowker_symmetry(spark, sf_dir):
     tr = ev.select(F.col("event_type").alias("s"), F.lead("event_type").over(wu).alias("t")).where(
         F.col("t").isNotNull()
     )
-    cnt = tr.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    cnt = tr.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     b = cnt.select(F.col("s").alias("bs"), F.col("t").alias("bt"), F.col("c").alias("bc"))
     pairs = (
         cnt.where(F.col("s") < F.col("t"))

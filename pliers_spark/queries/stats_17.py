@@ -132,7 +132,7 @@ def q_ancova_adjusted(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     w = gm.agg(
         F.sum(F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("wxx"),
         F.sum(F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("wxy"),
@@ -312,7 +312,7 @@ def q_pacf_levinson(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").localCheckpoint(eager=True)
+    idx = daily.select(F.row_number().over(Window.orderBy("dd")).cast("long").alias("t"), "x").stableCheckpoint(eager=True)
     mo = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
@@ -383,7 +383,7 @@ def q_tail_dependence(spark, sf_dir):
     u = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
 
     def q90(col):
         w = Window.orderBy(col, "user_id")
@@ -606,7 +606,7 @@ def q_morans_i(spark, sf_dir):
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     grid = ev.groupBy((dd % 7).alias("wd"), F.floor(dd / 7).cast("long").alias("wi")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     mo = grid.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
@@ -697,7 +697,7 @@ def q_dirichlet_mom(spark, sf_dir):
             (F.col("sp2_fp").cast("double") / F.lit(1e9) - (F.col("sp_fp").cast("double") / F.lit(1e9)) * F.col("sp_fp") / (F.col("n") * F.lit(1e9)))
             / (F.col("n") - 1)
         ).alias("v"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     a0 = m.where(F.col("v") > 0).agg(
         F.sum(F.round(F.lit(1e9) * (F.col("p") * (1 - F.col("p")) / F.col("v") - 1), 0).cast("long")).cast("long").alias("sa_fp"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -761,7 +761,7 @@ def q_umass_coherence(spark, sf_dir):
     Pair counting joins the 10-term lists against the incidence list
     — the corpus is scanned once."""
     d = _docs(spark, sf_dir)
-    dt = d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")).distinct().localCheckpoint(eager=True)
+    dt = d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")).distinct().stableCheckpoint(eager=True)
     df_ = dt.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("d"))
     st = dt.join(d.select("doc_id", "source"), "doc_id").groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -769,7 +769,7 @@ def q_umass_coherence(spark, sf_dir):
     wtop = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
     topn = st.select("source", "token", F.row_number().over(wtop).alias("rn")).where(
         F.col("rn") <= _UMASS_TOPN
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     a = topn.select("source", F.col("token").alias("wi"), F.col("rn").alias("ri"))
     b = topn.select(F.col("source").alias("sb"), F.col("token").alias("wj"), F.col("rn").alias("rj"))
     pairs = a.join(b, (F.col("source") == F.col("sb")) & (F.col("ri") < F.col("rj"))).select(
@@ -1019,8 +1019,8 @@ def q_degroot_consensus(spark, sf_dir):
         .select(F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
         .distinct()
     )
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(eager=True)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).localCheckpoint(eager=True)
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).stableCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).stableCheckpoint(eager=True)
     x0 = deg.select(F.col("u").alias("node"), ((F.col("u") % 1000) * 1000).cast("long").alias("x"))
     x = x0
     for _ in range(_DEGROOT_ROUNDS):
@@ -1030,7 +1030,7 @@ def q_degroot_consensus(spark, sf_dir):
             .agg(F.sum("x").cast("long").alias("sx"))
             .join(deg.withColumnRenamed("u", "node"), "node")
             .select("node", F.round(F.col("sx").cast("double") / F.col("d"), 0).cast("long").alias("x"))
-            .localCheckpoint(eager=True)
+            .stableCheckpoint(eager=True)
         )
     spread = x.agg(((F.max("x") - F.min("x")) / F.lit(1e3)).alias("spr"))
     return (
@@ -1100,8 +1100,8 @@ def q_rbp_at_k(spark, sf_dir):
         .select(F.col("doc_id").alias("q_id"),
                 F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"))
     )
-    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
-    qt = seeds.distinct().localCheckpoint(eager=True)
+    cand = bm25_topk(docs, seeds, k=5).stableCheckpoint(eager=True)
+    qt = seeds.distinct().stableCheckpoint(eager=True)
     cand_docs = cand.select("doc_id").distinct()
     doc_terms = (
         docs.join(F.broadcast(cand_docs), "doc_id")
@@ -1169,7 +1169,7 @@ def q_wig_qpp(spark, sf_dir):
                 F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"))
     )
     # k unbounded → the full scored candidate set (per_q grain), ranked
-    scored = bm25_topk(docs, seeds, k=1 << 60).localCheckpoint(eager=True)
+    scored = bm25_topk(docs, seeds, k=1 << 60).stableCheckpoint(eager=True)
     mu = scored.groupBy("q_id").agg(F.avg("score_fp").alias("mu_fp"))
     agg = scored.where(F.col("rank") <= 5).groupBy("q_id").agg(
         F.count(F.lit(1)).cast("long").alias("k"), F.avg("score_fp").alias("mt_fp")
@@ -1237,8 +1237,8 @@ def q_map_at_k(spark, sf_dir):
         .select(F.col("doc_id").alias("q_id"),
                 F.explode(F.slice(T.tokenize(F.col("text")), 1, 6)).alias("term"))
     )
-    cand = bm25_topk(docs, seeds, k=5).localCheckpoint(eager=True)
-    qt = seeds.distinct().localCheckpoint(eager=True)
+    cand = bm25_topk(docs, seeds, k=5).stableCheckpoint(eager=True)
+    qt = seeds.distinct().stableCheckpoint(eager=True)
     cand_docs = cand.select("doc_id").distinct()
     doc_terms = (
         docs.join(F.broadcast(cand_docs), "doc_id")
@@ -1333,7 +1333,7 @@ def q_rdd_sharp(spark, sf_dir):
     u = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
         F.max((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
-    ).localCheckpoint(eager=True)
+    ).stableCheckpoint(eager=True)
     wr = Window.orderBy("x", "user_id")
     cut = (
         u.select("x", F.row_number().over(wr).alias("rn"),
@@ -1496,7 +1496,7 @@ def q_poisson_mixture_em(spark, sf_dir):
     input-sized work is one census."""
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
-    h = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
+    h = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c")).stableCheckpoint(eager=True)
     wq = Window.orderBy("x")
     ranked = u.select("x", F.row_number().over(wq).alias("rn"),
                       F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
@@ -1506,7 +1506,7 @@ def q_poisson_mixture_em(spark, sf_dir):
     qh = ranked.where(F.col("rn") == F.floor((3 * F.col("n") + 3) / 4)).select(
         F.col("x").cast("double").alias("l2")
     )
-    p = ql.crossJoin(qh).select("l1", "l2", F.lit(0.5).alias("pi")).localCheckpoint(eager=True)
+    p = ql.crossJoin(qh).select("l1", "l2", F.lit(0.5).alias("pi")).stableCheckpoint(eager=True)
     for _ in range(_PMIX_ROUNDS):
         e = h.crossJoin(F.broadcast(p)).select(
             "x", "c",
@@ -1527,7 +1527,7 @@ def q_poisson_mixture_em(spark, sf_dir):
                 / F.sum(F.col("c") * (F.lit(1000000000) - F.col("g_fp")))
             ).alias("l2"),
             (F.sum(F.col("c") * F.col("g_fp")).cast("double") / (F.sum("c") * F.lit(1e9))).alias("pi"),
-        ).localCheckpoint(eager=True)
+        ).stableCheckpoint(eager=True)
     return p.select(
         F.round("l1", 6).alias("lambda_low"),
         F.round("l2", 6).alias("lambda_high"),
