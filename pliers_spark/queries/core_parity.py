@@ -4,7 +4,8 @@
 Queries: text_length, text_prep, tokenize, num_unique_words, word_counter,
     dictionary_lookup, count_vectorizer, tfidf, sentiment_lexicon,
     quality_score, token_stats, langid, features_long, merge_wide,
-    treebank_tokenize
+    treebank_tokenize, sentence_split_punkt, num_unique_words_tb,
+    remove_stopwords_tb, word_counter_tb
 """
 from __future__ import annotations
 
@@ -404,3 +405,166 @@ def q_treebank_tokenize(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(treebank_tokenize(F.col("text"))).alias("pos", "token")
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# round 4: Punkt-lite sentence segmenter (VERDICT r3 item 3)
+
+# The synthetic corpus carries no punctuation, so the query first
+# derives it deterministically — identically on both engines — in a way
+# that exercises every protection rule: 'the'→'the.' (true boundary),
+# 'of'→'Dr.' (abbreviation), 'and'→'p.m.' (multi-period abbreviation),
+# 'to'→'to!' (exclamation boundary), 'a'→'J.' (single initial).
+_PUNKT_DERIVE: list[tuple[str, str]] = [
+    (r"\bthe\b", "the."),
+    (r"\bof\b", "Dr."),
+    (r"\band\b", "p.m."),
+    (r"\bto\b", "to!"),
+    (r"\ba\b", "J."),
+]
+
+
+def _punkt_sql() -> str:
+    from ..functions.text import punkt_mark_sql
+
+    marked = "text"
+    for pat, repl in _PUNKT_DERIVE:
+        marked = f"regexp_replace({marked}, '{pat}', '{repl}', 'g')"
+    cascade = punkt_mark_sql(marked)
+    return f"""WITH pre AS (
+         SELECT doc_id,
+                list_filter(list_transform(string_split({cascade}, chr(10)),
+                                           x -> trim(x)),
+                            x -> x <> '') AS sents
+         FROM documents)
+       SELECT doc_id, unnest(range(len(sents)))::BIGINT AS pos,
+              unnest(sents) AS sentence,
+              length(unnest(sents))::BIGINT AS sent_len
+       FROM pre"""
+
+
+@query("sentence_split_punkt", _punkt_sql())
+def q_sentence_split_punkt(spark, sf_dir):
+    """Punkt-lite abbreviation-aware sentence segmentation (reference:
+    pliers/stimuli/text.py:230-244, unit='sentence' via nltk
+    sent_tokenize's pre-trained English Punkt model). The rule cascade
+    (functions/text.py PUNKT_RULES) protects abbreviation periods
+    (Mr./Dr./U.S./e.g.), single-letter initials and decimal points
+    behind a sentinel, marks the remaining [.!?]-run boundaries, then
+    splits — pure chained JVM regexp_replace (whole-stage codegen, no
+    UDF); the DuckDB oracle renders the identical cascade from the same
+    PUNKT_RULES list, and tests/test_punkt.py pins goldens plus a
+    differential run vs real nltk gated on import."""
+    from ..functions.text import punkt_split_sentences
+
+    marked = F.col("text")
+    for pat, repl in _PUNKT_DERIVE:
+        marked = F.regexp_replace(marked, pat, repl)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(punkt_split_sentences(marked)).alias("pos", "sentence"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("sent_len", F.length("sentence").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# round 4: Treebank-mode twins of the token-level parity queries
+# (VERDICT r3 item 4) — the closest-to-nltk tokenization path gets the
+# same end-to-end oracle pins as the default whitespace path, reusing
+# functions/text.py:288-320 (TREEBANK_RULES) on both engines.
+
+
+def _tb_toks_sql() -> str:
+    from ..functions.text import treebank_pretokenize_sql
+
+    cascade = treebank_pretokenize_sql("text")
+    return (
+        f"list_filter(string_split_regex(trim({cascade}), '\\s+'), x -> x <> '')"
+    )
+
+
+def _tb_num_unique_sql() -> str:
+    return (
+        f"SELECT doc_id, len(list_distinct({_tb_toks_sql()}))::BIGINT AS n_unique"
+        " FROM documents"
+    )
+
+
+@query("num_unique_words_tb", _tb_num_unique_sql())
+def q_num_unique_words_tb(spark, sf_dir):
+    """NumUniqueWordsExtractor over Treebank tokens (reference composes
+    nltk word_tokenize into the extractor via tokenizer arg,
+    pliers/extractors/text.py:173-201 + 192): contraction splitting
+    changes the distinct count ("don't" contributes do + n't)."""
+    from ..functions.text import treebank_tokenize
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.array_distinct(treebank_tokenize(F.col("text"))))
+        .cast("long")
+        .alias("n_unique"),
+    )
+
+
+def _tb_remove_stopwords_sql() -> str:
+    from .dedup_sim import _STOPWORD_SQL_LIST
+
+    return f"""SELECT doc_id,
+              array_to_string(list_filter({_tb_toks_sql()},
+                              t -> NOT list_contains([{_STOPWORD_SQL_LIST}], lower(t))), ' ')
+                AS filtered_text
+       FROM documents"""
+
+
+@query("remove_stopwords_tb", _tb_remove_stopwords_sql())
+def q_remove_stopwords_tb(spark, sf_dir):
+    """TokenRemovalFilter over Treebank tokens
+    (pliers/filters/text.py:148-183; the reference's default token
+    stream IS nltk word_tokenize, so this twin is the parity-faithful
+    form of remove_stopwords)."""
+    from ..functions.text import treebank_tokenize
+
+    kept = F.filter(
+        treebank_tokenize(F.col("text")),
+        lambda t: ~F.lower(t).isin(*T.ENGLISH_STOPWORDS),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(kept, " ").alias("filtered_text")
+    )
+
+
+def _tb_word_counter_sql() -> str:
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(range(len({_tb_toks_sql()})))::BIGINT AS pos,
+                lower(unnest({_tb_toks_sql()})) AS token
+         FROM documents)
+       SELECT doc_id, pos, token,
+              count(*) OVER (PARTITION BY doc_id, token ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS word_count
+       FROM toks"""
+
+
+@query("word_counter_tb", _tb_word_counter_sql())
+def q_word_counter_tb(spark, sf_dir):
+    """WordCounterExtractor over Treebank tokens, case-folded running
+    count (pliers/extractors/text.py:834-862): punctuation split into
+    its own tokens now accumulates counts ("," seen k times)."""
+    from ..functions.text import treebank_tokenize
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(treebank_tokenize(F.col("text"))).alias("pos", "token"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("token", F.lower(F.col("token")))
+    )
+    return TP.running_count(
+        toks, ["doc_id"], "token", "pos", out_col="word_count"
+    ).withColumn("word_count", F.col("word_count").cast("long"))

@@ -2052,26 +2052,28 @@ def q_roc_auc(spark, sf_dir):
     """EXACT ROC AUC via the Mann-Whitney rank identity — no threshold
     sweep, no trapezoids, and ties handled exactly: 2×(average tie
     rank) = 2·min_rank + tie_count − 1 stays integer, so the positive
-    rank-sum is int64 and AUC is one rational rounded once. The global
-    sort is over the EVAL set (the one table a global window is honest
-    for — docstring contract: this is an evaluation operator, not a
-    corpus pass; at corpus scale use sampled eval slices). Score:
+    rank-sum is int64 and AUC is one rational rounded once. CENSUS
+    GRAIN (r4): rows contract to per-score cells (one map-side-combined
+    shuffle, bounded by distinct scores); the doubled avg-rank comes
+    from a census-frame window (operators/census.py) and the positive
+    rank-sum weights each cell by its positive count — identical
+    integer arithmetic, no unpartitioned window over raw rows. Score:
     does `value` predict an error event."""
+    from pliers_spark.operators.census import with_census_ranks
+
     ev = _events(spark, sf_dir)
     base = ev.select(
         F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
     )
-    wr = Window.orderBy("score")
-    wt = Window.partitionBy("score")
-    ranked = base.select(
-        "label",
-        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("avg_rank2"),
+    cells = base.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos_cnt")
     )
-    n_pos = F.sum("label")
-    n_all = F.count(F.lit(1))
-    pos_rank2 = F.sum(F.when(F.col("label") == 1, F.col("avg_rank2")))
-    return ranked.agg(
+    cells = with_census_ranks(cells, "score", r2="avg_rank2")
+    n_pos = F.sum("pos_cnt")
+    n_all = F.sum("cnt")
+    pos_rank2 = F.sum(F.col("pos_cnt") * F.col("avg_rank2"))
+    return cells.agg(
         n_pos.cast("long").alias("n_pos"),
         (n_all - n_pos).cast("long").alias("n_neg"),
         F.round(

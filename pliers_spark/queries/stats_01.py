@@ -1079,30 +1079,38 @@ def q_spearman_rho(spark, sf_dir):
     the doubled ranks runs on exact int64 sufficient statistics with
     separate sqrt terms and ONE final rounding. The robust dependence
     measure feature selection uses when the relationship is monotone
-    but not linear. Global rank windows = eval-table concession (same
-    contract as roc_auc)."""
+    but not linear. CENSUS GRAIN (r4): raw rows contract to (a,b)
+    cells in one map-side-combined shuffle; the doubled avg-rank of
+    each distinct value comes from a census-frame window
+    (operators/census.py) and joins back by broadcast, so no
+    unpartitioned window ever sees raw rows — sums weight each cell by
+    its count, identical arithmetic to the per-row form."""
+    from pliers_spark.operators.census import with_census_ranks
+
     d = _docs(spark, sf_dir)
     f = d.select(
         T.text_length("text").cast("long").alias("a"),
         F.size(T.tokenize(F.col("text"))).cast("long").alias("b"),
     )
-    ra2 = (
-        2 * F.rank().over(Window.orderBy("a"))
-        + F.count(F.lit(1)).over(Window.partitionBy("a"))
-        - 1
+    cells = f.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ca = with_census_ranks(
+        cells.groupBy("a").agg(F.sum("n_ab").alias("cnt")), "a", r2="ra2"
     )
-    rb2 = (
-        2 * F.rank().over(Window.orderBy("b"))
-        + F.count(F.lit(1)).over(Window.partitionBy("b"))
-        - 1
+    cb = with_census_ranks(
+        cells.groupBy("b").agg(F.sum("n_ab").alias("cnt")), "b", r2="rb2"
     )
-    ranked = f.select(ra2.alias("ra2"), rb2.alias("rb2"))
-    n = F.count(F.lit(1))
-    sa, sb = F.sum("ra2"), F.sum("rb2")
-    sab = F.sum(F.col("ra2") * F.col("rb2"))
-    saa = F.sum(F.col("ra2") * F.col("ra2"))
-    sbb = F.sum(F.col("rb2") * F.col("rb2"))
-    return ranked.agg(
+    j = (
+        cells.join(F.broadcast(ca.select("a", "ra2")), "a")
+        .join(F.broadcast(cb.select("b", "rb2")), "b")
+    )
+    w = F.col("n_ab")
+    n = F.sum(w)
+    sa = F.sum(w * F.col("ra2"))
+    sb = F.sum(w * F.col("rb2"))
+    sab = F.sum(w * F.col("ra2") * F.col("rb2"))
+    saa = F.sum(w * F.col("ra2") * F.col("ra2"))
+    sbb = F.sum(w * F.col("rb2") * F.col("rb2"))
+    return j.agg(
         n.cast("long").alias("n"),
         F.round(
             (n * sab - sa * sb).cast("double")
@@ -1806,23 +1814,50 @@ def q_quantile_normalize(spark, sf_dir):
     that makes per-source feature distributions directly comparable
     before mixing corpora: all integer rank arithmetic (the winsorize
     discipline), two rank passes plus an equi-join on the target rank
-    — no interpolation, no float quantiles. The pooled rank table is
-    value-grain; the global sort is the eval-table concession shared
-    with ecdf/roc_auc."""
+    — no interpolation, no float quantiles. CENSUS GRAIN (r4): the
+    only cross-value cumulatives run on (lang,ql) / ql census frames
+    (operators/census.py), broadcast back; per-row ranks are recovered
+    as census cum_lt + a PARTITIONED row_number within the (ql) or
+    (lang,ql) cell — no unpartitioned window ever sees raw rows."""
+    from pliers_spark.operators.census import with_census_ranks
+
     d = _docs(spark, sf_dir)
     f = d.select("doc_id", "lang", T.text_length("text").cast("long").alias("ql"))
-    wg = Window.partitionBy("lang").orderBy("ql", "doc_id")
-    wng = Window.partitionBy("lang")
-    grp = f.select(
-        "doc_id", "lang", "ql",
-        F.row_number().over(wg).alias("rn"),
-        F.count(F.lit(1)).over(wng).alias("n"),
+
+    # per-(lang, ql) census; lang-partitioned cumulative below each value
+    lc = f.groupBy("lang", "ql").agg(F.count(F.lit(1)).alias("cnt"))
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy("ql")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wp = Window.orderBy("ql", "doc_id")
-    pooled = f.select(
-        F.col("ql").alias("pooled_ql"), F.row_number().over(wp).alias("pr")
+    lc = lc.withColumn("cum_lt", F.coalesce(F.sum("cnt").over(wlang), F.lit(0)))
+    wn = Window.partitionBy("lang")
+    lc = lc.withColumn("n", F.sum("cnt").over(wn))
+
+    # pooled ql census: global cumulative over the (bounded) value census
+    pc = with_census_ranks(
+        f.groupBy("ql").agg(F.count(F.lit(1)).alias("pcnt")),
+        "ql",
+        cnt_col="pcnt",
+        lt="pcum_lt",
     )
     ptot = f.agg(F.count(F.lit(1)).alias("pn"))
+
+    # per-row ranks: census cum_lt + partitioned row_number inside the cell
+    w_cell = Window.partitionBy("lang", "ql").orderBy("doc_id")
+    grp = (
+        f.join(F.broadcast(lc.select("lang", "ql", "cum_lt", "n")), ["lang", "ql"])
+        .withColumn("rn", F.col("cum_lt") + F.row_number().over(w_cell))
+    )
+    w_pcell = Window.partitionBy("ql").orderBy("doc_id")
+    pooled = (
+        f.join(F.broadcast(pc.select("ql", "pcum_lt")), "ql")
+        .select(
+            F.col("ql").alias("pooled_ql"),
+            (F.col("pcum_lt") + F.row_number().over(w_pcell)).alias("pr"),
+        )
+    )
     target = grp.crossJoin(F.broadcast(ptot)).select(
         "doc_id", "lang", "ql",
         F.greatest(
@@ -1962,16 +1997,23 @@ def q_revenue_hierarchy(spark, sf_dir):
             "cents",
         )
     )
-    wr = Window.partitionBy("region")
-    wall = Window.partitionBy()
-    return nat.select(
+    # CENSUS GRAIN (r4): region totals + the grand total come from a
+    # region-level aggregate (its one global window sits above that
+    # aggregate, never above the dimension-joined fact rows) and
+    # broadcast back — same integer arithmetic, no unpartitioned window
+    # over a frame whose size the planner can't bound.
+    reg = nat.groupBy("region").agg(F.sum("cents").alias("region_cents"))
+    reg = reg.withColumn(
+        "total_cents", F.sum("region_cents").over(Window.partitionBy())
+    )
+    return nat.join(F.broadcast(reg), "region").select(
         "region", "nation",
         F.col("cents").cast("long").alias("revenue_cents"),
         F.round(
-            F.col("cents").cast("double") * F.lit(1e6) / F.sum("cents").over(wr), 0
+            F.col("cents").cast("double") * F.lit(1e6) / F.col("region_cents"), 0
         ).cast("long").alias("share_of_region_fp"),
         F.round(
-            F.sum("cents").over(wr) * F.lit(1e6) / F.sum("cents").over(wall), 0
+            F.col("region_cents") * F.lit(1e6) / F.col("total_cents"), 0
         ).cast("long").alias("region_share_fp"),
     )
 

@@ -631,19 +631,35 @@ def q_pr_auc(spark, sf_dir):
     positive's precision rounds once to integer nano-units so the sum
     is exact and tie handling is reproducible, not library-dependent.
     Same score/label framing as roc_auc (does `value` predict an
-    error event). The global rank window is an EVAL-set pass, per the
-    roc_auc docstring contract."""
+    error event). CENSUS GRAIN (r4): the only global windows run on
+    the per-score census (aggregate output, bounded by score
+    resolution); per-row rank i and cumulative positives are the
+    census prefix + a PARTITIONED window inside each score cell —
+    identical total order (score desc, event_id), no unpartitioned
+    window over raw rows."""
     ev = _events(spark, sf_dir)
     base = ev.select(
         "event_id",
         F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("score"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
     )
-    wr = Window.orderBy(F.desc("score"), "event_id")
-    ranked = base.select(
+    cells = base.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos_cnt")
+    )
+    wc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, -1)
+    cells = cells.select(
+        "score",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("n_before"),
+        F.coalesce(F.sum("pos_cnt").over(wc), F.lit(0)).alias("pos_before"),
+    )
+    w_cell = Window.partitionBy("score").orderBy("event_id")
+    ranked = base.join(F.broadcast(cells), "score").select(
         "label",
-        F.row_number().over(wr).alias("i"),
-        F.sum("label").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pos"),
+        (F.col("n_before") + F.row_number().over(w_cell)).alias("i"),
+        (
+            F.col("pos_before")
+            + F.sum("label").over(w_cell.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum_pos"),
     )
     t_fp = F.when(
         F.col("label") == 1,

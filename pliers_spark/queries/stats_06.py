@@ -160,13 +160,17 @@ def q_novelty_decay(spark, sf_dir):
     d = _docs(spark, sf_dir)
     from pliers_spark.functions.hashing import shingles
 
+    from pliers_spark.operators.census import scalable_row_number
+
     n = d.count()
     dd = d.select(
         "doc_id",
         F.explode(shingles(T.tokenize(F.col("text")), 2)).alias("shingle"),
     )
-    rn = F.row_number().over(Window.orderBy("doc_id"))
-    ranked_docs = d.select("doc_id").select("doc_id", rn.alias("rn"))
+    # CENSUS GRAIN (r4): global doc rank via range-bucketed prefix +
+    # partitioned within-bucket row_number (operators/census.py) — no
+    # unpartitioned window over the raw doc table
+    ranked_docs = scalable_row_number(d.select("doc_id"), "doc_id", out="rn")
     firsts = dd.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         dd.join(firsts, "shingle")
@@ -418,13 +422,16 @@ def q_skyline_2d(spark, sf_dir):
         F.round(F.col("p_retailprice") * 100.0, 0).cast("long").alias("price_fp"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_lt = Window.orderBy("price_fp").rangeBetween(Window.unboundedPreceding, -1)
-    w_eq = Window.partitionBy("price_fp")
-    w = p.select(
-        "*",
-        F.max("size").over(w_lt).alias("max_size_cheaper"),
-        F.max("size").over(w_eq).alias("max_size_same"),
+    # CENSUS GRAIN (r4): per-price max first (map-side combine, bounded
+    # by distinct prices), running max over the price census, broadcast
+    # back — the sweep-line semantics unchanged, but the unpartitioned
+    # window sees census cells, never raw parts.
+    cells = p.groupBy("price_fp").agg(F.max("size").alias("max_size_same"))
+    w_lt = Window.orderBy("price_fp").rowsBetween(Window.unboundedPreceding, -1)
+    cells = cells.withColumn(
+        "max_size_cheaper", F.max("max_size_same").over(w_lt)
     )
+    w = p.join(F.broadcast(cells), "price_fp")
     return w.where(
         (F.col("max_size_cheaper").isNull() | (F.col("max_size_cheaper") < F.col("size")))
         & (F.col("max_size_same") <= F.col("size"))
@@ -605,10 +612,13 @@ def q_peak_concurrency(spark, sf_dir):
     number (max concurrent sessions/connections) every ops dashboard
     needs and naive per-minute bucketing under-counts. Half-open
     interval semantics: an end at instant t sorts BEFORE a start at t
-    (delta asc in the order), so touching intervals don't overlap. One
-    global ordered window (two-pass range partitioning at scale, per
-    the sequence_pack note); all integers."""
+    (delta asc in the order), so touching intervals don't overlap.
+    CENSUS GRAIN (r4): the prefix scan is the two-pass range-partition
+    form for real (operators/census.py scalable_running_sum) — bucket
+    delta sums + a census prefix window + partitioned within-bucket
+    running sums; all integers."""
     from pliers_spark.operators._util import epoch_micros
+    from pliers_spark.operators.census import scalable_running_sum
 
     ev = _events(spark, sf_dir)
     t_us = epoch_micros(ev, "ts").cast("long")
@@ -617,8 +627,9 @@ def q_peak_concurrency(spark, sf_dir):
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id").unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
     )
-    w = Window.orderBy("t", "delta", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    sweep = pts.select("t", F.sum("delta").over(w).alias("conc"))
+    sweep = scalable_running_sum(
+        pts, "delta", "t", out="conc", tiebreak=("delta", "event_id")
+    ).select("t", "conc")
     best = sweep.orderBy(F.desc("conc"), "t").limit(1)
     return best.select(
         F.lit(n_iv).cast("long").alias("n_intervals"),

@@ -502,7 +502,11 @@ def q_histogram_quantile_audit(spark, sf_dir):
             ).alias("hist_estimate"),
         )
     )
-    rx = x.select("x", F.row_number().over(Window.orderBy("x", "doc_id")).alias("rn"))
+    # CENSUS GRAIN (r4): exact order statistic via range-bucketed
+    # global row_number (operators/census.py), not a single-task sort
+    from pliers_spark.operators.census import scalable_row_number
+
+    rx = scalable_row_number(x, "x", out="rn", tiebreak=("doc_id",)).select("x", "rn")
     exact = (
         tgt.join(rx, F.col("rn") == F.col("k"))
         .groupBy("q").agg(F.min("x").cast("long").alias("exact_value"))
@@ -885,9 +889,14 @@ def q_energy_distance(spark, sf_dir):
     identity Σ_{i<j}|z_i−z_j| = Σ z_i(2·rank_i − n − 1) — within-group
     sums from per-group ranks, the cross sum as pooled − within — so
     the whole statistic is THREE exact HUGEINT sums over one sorted
-    scan (ties broken by doc_id make ranks deterministic; the identity
-    itself is tie-safe since equal values contribute zero either
-    way). Population V-statistic normalization (/n², /nx·ny)."""
+    scan (the identity is tie-safe since equal values contribute zero
+    either way — which is also why the CENSUS GRAIN form below is
+    exact). Population V-statistic normalization (/n², /nx·ny).
+    CENSUS GRAIN (r4): Σ_i v_i(2·rank_i − n − 1) collapses per distinct
+    value to v·cnt·(2·cum_lt + cnt − n) — all rank machinery runs on
+    value censuses (operators/census.py), never raw rows."""
+    from pliers_spark.operators.census import with_census_ranks
+
     d = _docs(spark, sf_dir)
     dec = "decimal(38,0)"
     x = d.select(
@@ -899,24 +908,35 @@ def q_energy_distance(spark, sf_dir):
         F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("nx"),
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("ny"),
     )
-    wall = Window.orderBy("v", "doc_id")
-    wg = Window.partitionBy("g").orderBy("v", "doc_id")
-    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    pooled = x.select(
-        "g", "v",
-        F.row_number().over(wall).alias("r_all"),
-        F.row_number().over(wg).alias("r_g"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # pooled value census with cumulative-below counts
+    ca = with_census_ranks(
+        x.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")), "v", lt="cum_lt"
     ).crossJoin(F.broadcast(cnt))
-    pair = pooled.agg(
-        F.sum(F.col("v").cast(dec) * (2 * F.col("r_all") - F.col("n") - 1)).cast(dec).alias("s_all"),
-        F.sum(
-            F.when(F.col("g") == 0, F.col("v").cast(dec) * (2 * F.col("r_g") - F.col("nx") - 1))
-        ).cast(dec).alias("s_xx"),
-        F.sum(
-            F.when(F.col("g") == 1, F.col("v").cast(dec) * (2 * F.col("r_g") - F.col("ny") - 1))
-        ).cast(dec).alias("s_yy"),
+    s_all_term = (
+        F.col("v").cast(dec)
+        * F.col("cnt").cast(dec)
+        * (2 * F.col("cum_lt") + F.col("cnt") - (F.col("nx") + F.col("ny"))).cast(dec)
     )
+    s_all = ca.agg(F.sum(s_all_term).cast(dec).alias("s_all"))
+    # per-group value censuses (the census window partitions by g —
+    # two bounded census partitions, not raw rows)
+    cg = x.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cntg"))
+    wgc = (
+        Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cg = cg.withColumn(
+        "cum_lt_g", F.coalesce(F.sum("cntg").over(wgc), F.lit(0))
+    ).crossJoin(F.broadcast(cnt))
+    term_g = lambda n_col: (
+        F.col("v").cast(dec)
+        * F.col("cntg").cast(dec)
+        * (2 * F.col("cum_lt_g") + F.col("cntg") - F.col(n_col)).cast(dec)
+    )
+    s_g = cg.agg(
+        F.sum(F.when(F.col("g") == 0, term_g("nx"))).cast(dec).alias("s_xx"),
+        F.sum(F.when(F.col("g") == 1, term_g("ny"))).cast(dec).alias("s_yy"),
+    )
+    pair = s_all.crossJoin(F.broadcast(s_g))
     j = pair.crossJoin(F.broadcast(cnt))
     cross = (F.col("s_all") - F.col("s_xx") - F.col("s_yy")).cast("double") / (
         F.col("nx").cast(dec) * F.col("ny").cast(dec)
