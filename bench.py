@@ -87,6 +87,8 @@ HEADLINE_QUERIES = [
     "spectral_contrast",
     "image_saliency",
     "jpeg_decode_stats",
+    # round-4 additions
+    "sentence_split_punkt",
 ]
 
 # --full sweep: the ENTIRE registered catalogue, derived from the registry

@@ -121,6 +121,37 @@ def scalable_row_number(
     )
 
 
+def _scalable_running(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    out: str,
+    num_buckets: int,
+    tiebreak: tuple[str, ...],
+    agg,
+    combine,
+) -> DataFrame:
+    mn, mx = f"_mn_{out}", f"_mx_{out}"
+    stats = df.agg(F.min(order_col).alias(mn), F.max(order_col).alias(mx))
+    span = F.col(mx) - F.col(mn) + F.lit(1)
+    pos = (F.col(order_col) - F.col(mn)).cast("double") * num_buckets / span
+    bkt = F.least(F.floor(pos).cast("long"), F.lit(num_buckets - 1))
+    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop(mn, mx)
+    per = b.groupBy("_bkt").agg(agg(F.col(val_col)).alias("_bagg"))
+    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    per = per.select("_bkt", agg(F.col("_bagg")).over(w).alias("_prefix"))
+    w_cell = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(per), "_bkt")
+        .withColumn(out, combine(F.col("_prefix"), agg(F.col(val_col)).over(w_cell)))
+        .drop("_bkt", "_prefix")
+    )
+
+
 def scalable_running_sum(
     df: DataFrame,
     val_col: str,
@@ -133,24 +164,27 @@ def scalable_running_sum(
     UNBOUNDED PRECEDING)`` as bucket-prefix + partitioned within-bucket
     running sum — the two-pass range-partitioned prefix scan, with the
     cross-bucket pass on the ≤ ``num_buckets`` census only."""
-    mn, mx = f"_mn_{out}", f"_mx_{out}"
-    stats = df.agg(F.min(order_col).alias(mn), F.max(order_col).alias(mx))
-    span = F.col(mx) - F.col(mn) + F.lit(1)
-    pos = (F.col(order_col) - F.col(mn)).cast("double") * num_buckets / span
-    bkt = F.least(F.floor(pos).cast("long"), F.lit(num_buckets - 1))
-    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop(mn, mx)
-    sums = b.groupBy("_bkt").agg(F.sum(val_col).alias("_bsum"))
-    w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    sums = sums.select(
-        "_bkt", F.coalesce(F.sum("_bsum").over(w), F.lit(0)).alias("_prefix")
+    return _scalable_running(
+        df, val_col, order_col, out, num_buckets, tiebreak,
+        agg=F.sum,
+        combine=lambda pfx, local: F.coalesce(pfx, F.lit(0)) + local,
     )
-    w_cell = (
-        Window.partitionBy("_bkt")
-        .orderBy(order_col, *tiebreak)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        b.join(F.broadcast(sums), "_bkt")
-        .withColumn(out, F.col("_prefix") + F.sum(val_col).over(w_cell))
-        .drop("_bkt", "_prefix")
+
+
+def scalable_running_max(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    out: str = "run_max",
+    num_buckets: int = 4096,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Global ``max(val) OVER (ORDER BY order_col [, tiebreak...] ROWS
+    UNBOUNDED PRECEDING)`` in the same two-pass bucket-prefix shape."""
+    return _scalable_running(
+        df, val_col, order_col, out, num_buckets, tiebreak,
+        agg=F.max,
+        combine=lambda pfx, local: F.greatest(
+            F.coalesce(pfx, local), local
+        ),
     )

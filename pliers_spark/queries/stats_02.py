@@ -1878,19 +1878,21 @@ def q_woe_iv(spark, sf_dir):
     to integer micro-nats from a single double ratio of exact int64
     counts, and the IV contribution (gᵢ/G − bᵢ/B)·WOE evaluated in the
     identical double-expression shape on both engines. Plan: global
-    rank is ONE total-order sort (the same exact-quantile discipline as
-    group_quantiles — at corpus scale swap in the two-pass rank
-    histogram); everything after is bin-grain (10 rows) with the class
-    totals broadcast."""
+    rank is the two-pass rank histogram for real (CENSUS GRAIN r4:
+    range-bucketed row_number, operators/census.py); everything after
+    is bin-grain (10 rows) with the class totals broadcast."""
+    from pliers_spark.operators.census import scalable_row_number
+
     o = load_table(spark, sf_dir, "orders")
     v = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v_fp"),
         (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
     )
-    wr = Window.orderBy("v_fp", "o_orderkey")
     n = v.count()
-    r = v.select("v_fp", "bad", F.row_number().over(wr).alias("rn"))
+    r = scalable_row_number(v, "v_fp", out="rn", tiebreak=("o_orderkey",)).select(
+        "v_fp", "bad", "rn"
+    )
     b = r.groupBy(
         F.floor((F.col("rn") - 1) * 10 / F.lit(n)).cast("long").alias("bin")
     ).agg(

@@ -1205,13 +1205,23 @@ def q_conformal_coverage(spark, sf_dir):
     cal = v.where(F.col("fold") == 1).join(F.broadcast(model), "event_type").select(
         F.abs(F.col("v_fp") - F.col("pred")).cast("long").alias("r")
     )
-    wr = Window.orderBy("r")
-    ranked = cal.select(
-        "r", F.row_number().over(wr).alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n")
+    # CENSUS GRAIN (r4): the ⌈0.9(n+1)⌉-th smallest residual is the
+    # least census value whose cumulative count reaches that rank
+    # (operators/census.py) — no global rank window over residual rows.
+    from pliers_spark.operators.census import with_census_ranks
+
+    cells = with_census_ranks(
+        cal.groupBy("r").agg(F.count(F.lit(1)).alias("cnt")), "r", le="cum_le"
     )
-    qh = ranked.where(
-        F.col("rn") <= F.ceil(F.lit(0.9) * (F.col("n") + 1)).cast("long")
-    ).agg(F.max("r").cast("long").alias("q_hat"), F.max("n").cast("long").alias("n_cal"))
+    ncal = cal.agg(F.count(F.lit(1)).alias("n"))
+    k_eff = F.least(
+        F.ceil(F.lit(0.9) * (F.col("n") + 1)).cast("long"), F.col("n")
+    )
+    qh = (
+        cells.crossJoin(F.broadcast(ncal))
+        .where(F.col("cum_le") >= k_eff)
+        .agg(F.min("r").cast("long").alias("q_hat"), F.max("n").cast("long").alias("n_cal"))
+    )
     test = v.where(F.col("fold") == 2).join(F.broadcast(model), "event_type").select(
         F.abs(F.col("v_fp") - F.col("pred")).cast("long").alias("r")
     )
@@ -1277,8 +1287,15 @@ def q_budget_select(spark, sf_dir):
     ranked = w.select(
         "*", F.round(F.lit(1e9) * F.col("q_fp") / F.col("toks"), 0).cast("long").alias("ratio_fp")
     )
-    wo = Window.orderBy(F.desc("ratio_fp"), "doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = ranked.select("*", F.sum("toks").over(wo).alias("cum_toks"))
+    # CENSUS GRAIN (r4): the running token total is the two-pass
+    # range-partitioned prefix scan for real (operators/census.py;
+    # descending ratio order via negation), not one global window.
+    from pliers_spark.operators.census import scalable_running_sum
+
+    cum = scalable_running_sum(
+        ranked.withColumn("_negr", -F.col("ratio_fp")),
+        "toks", "_negr", out="cum_toks", tiebreak=("doc_id",),
+    ).drop("_negr")
     flagged = cum.crossJoin(F.broadcast(budget)).select(
         "*", (F.col("cum_toks") <= F.col("budget")).alias("kept")
     )
@@ -1470,21 +1487,39 @@ def q_rec_coverage(spark, sf_dir):
               ci.l_partkey == F.col("neighbor_id"), "left")
         .select("l_partkey", F.coalesce("nrec", F.lit(0)).cast("long").alias("nrec"))
     )
+    # CENSUS GRAIN (r4): Σ i·nrec via the tie-cell identity
+    # x·(cnt·cum_lt + cnt(cnt+1)/2) on the nrec value census
+    # (operators/census.py) — the global rank window over the
+    # item-grain table is gone (item grain is catalog-sized, not
+    # bounded).
+    from pliers_spark.operators.census import with_census_ranks
+
     dec = "decimal(38,0)"
-    wl = Window.orderBy("nrec", "l_partkey")
-    lorenz = rc.select(
-        "nrec", F.row_number().over(wl).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("nrec").over(Window.partitionBy()).alias("tot"),
+    cells = with_census_ranks(
+        rc.groupBy("nrec").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "nrec",
+        lt="cum_lt",
     )
-    return lorenz.agg(
-        F.max("n").cast("long").alias("catalog"),
+    six_cell = F.col("nrec").cast(dec) * (
+        F.col("cnt").cast(dec) * F.col("cum_lt").cast(dec)
+        + F.shiftright(F.col("cnt") * (F.col("cnt") + 1), 1).cast(dec)
+    )
+    six = cells.agg(F.sum(six_cell).cast(dec).alias("six"))
+    base = rc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nrec").cast("long").alias("tot"),
         F.sum((F.col("nrec") > 0).cast("int")).cast("long").alias("recommended"),
-        F.round(F.sum((F.col("nrec") > 0).cast("int")).cast("double") / F.max("n"), 6).alias("coverage"),
+    )
+    return base.crossJoin(F.broadcast(six)).select(
+        F.col("n").alias("catalog"),
+        "recommended",
+        F.round(F.col("recommended").cast("double") / F.col("n"), 6).alias("coverage"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("i").cast(dec) * F.col("nrec").cast(dec)).cast("double")
-            / (F.max("n").cast("double") * F.max("tot").cast("double"))
-            - (F.max("n") + 1).cast("double") / F.max("n").cast("double"),
+            F.lit(2.0) * F.col("six").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
             6,
         ).alias("gini"),
     )

@@ -244,14 +244,26 @@ def q_rfm_scores(spark, sf_dir):
         F.max(epoch_micros(o, "o_orderdate")).cast("long").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.round(F.sum("o_totalprice") * 100.0, 0).cast("long").alias("mon_fp"),
-    ).stableCheckpoint(eager=True)  # three rank windows + final projection
+    ).stableCheckpoint(eager=True)  # three rank passes + final projection
+    # CENSUS GRAIN (r4): customer grain is NOT bounded at web scale, so
+    # each quintile rank uses the range-bucketed row_number
+    # (operators/census.py) instead of a global window over customers.
+    from pliers_spark.operators.census import scalable_row_number
+
     n = per_c.count()
-    rr = F.row_number().over(Window.orderBy("last_us", "o_custkey"))
-    rf = F.row_number().over(Window.orderBy("freq", "o_custkey"))
-    rm = F.row_number().over(Window.orderBy("mon_fp", "o_custkey"))
-    ranked = per_c.select(
-        "o_custkey", rr.alias("rr"), rf.alias("rf"), rm.alias("rm")
-    )
+    rr = scalable_row_number(
+        per_c.select("o_custkey", "last_us"), "last_us", out="rr",
+        tiebreak=("o_custkey",),
+    ).select("o_custkey", "rr")
+    rf = scalable_row_number(
+        per_c.select("o_custkey", "freq"), "freq", out="rf",
+        tiebreak=("o_custkey",),
+    ).select("o_custkey", "rf")
+    rm = scalable_row_number(
+        per_c.select("o_custkey", "mon_fp"), "mon_fp", out="rm",
+        tiebreak=("o_custkey",),
+    ).select("o_custkey", "rm")
+    ranked = rr.join(rf, "o_custkey").join(rm, "o_custkey")
     sc = lambda c: (F.floor((F.col(c) - 1) * 5 / F.lit(n)) + 1).cast("long")  # noqa: E731
     return ranked.select(
         "o_custkey",

@@ -265,9 +265,12 @@ def q_fd_binning(spark, sf_dir):
     v = o.select(
         F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("x"), "o_orderkey"
     )
+    # CENSUS GRAIN (r4): exact quartile ranks via the range-bucketed
+    # row_number (operators/census.py), not a single-task global sort
+    from pliers_spark.operators.census import scalable_row_number
+
     n = v.count()
-    wr = Window.orderBy("x", "o_orderkey")
-    r = v.select("x", F.row_number().over(wr).alias("rn"))
+    r = scalable_row_number(v, "x", out="rn", tiebreak=("o_orderkey",)).select("x", "rn")
     import math as _m
 
     k1 = _m.ceil(0.25 * n)

@@ -820,17 +820,32 @@ def q_triplet_eval(spark, sf_dir):
     triplet, all window-driven."""
     emb = load_table(spark, sf_dir, "embeddings")
     wl = Window.partitionBy("label").orderBy("vec_id")
-    wg = Window.orderBy("vec_id")
-    n_id = F.when(F.lead("label", 1).over(wg) != F.col("label"), F.lead("vec_id", 1).over(wg))
-    for j in (2, 3):
-        n_id = n_id.when(
-            F.lead("label", j).over(wg) != F.col("label"), F.lead("vec_id", j).over(wg)
+    # CENSUS GRAIN (r4): the global lead(1..3) becomes a range-bucketed
+    # global row_number (operators/census.py) + three uniform equi-joins
+    # on rank arithmetic — no unpartitioned window over raw rows.
+    from pliers_spark.operators.census import scalable_row_number
+
+    m = scalable_row_number(emb.select("vec_id", "label"), "vec_id", out="rn")
+    nbrs = m
+    for j in (1, 2, 3):
+        nb = m.select(
+            (F.col("rn") - j).alias("rn"),
+            F.col("label").alias(f"l{j}"),
+            F.col("vec_id").alias(f"v{j}"),
         )
-    trip = emb.select(
-        F.col("vec_id").alias("a_id"), "label",
-        F.lead("vec_id").over(wl).alias("p_id"),
-        n_id.alias("n_id"),
-    ).where(F.col("p_id").isNotNull() & F.col("n_id").isNotNull())
+        nbrs = nbrs.join(nb, "rn", "left")
+    n_id = F.when(F.col("l1") != F.col("label"), F.col("v1"))
+    for j in (2, 3):
+        n_id = n_id.when(F.col(f"l{j}") != F.col("label"), F.col(f"v{j}"))
+    neg = nbrs.select(F.col("vec_id").alias("a_id"), n_id.alias("n_id"))
+    trip = (
+        emb.select(
+            F.col("vec_id").alias("a_id"), "label",
+            F.lead("vec_id").over(wl).alias("p_id"),
+        )
+        .join(neg, "a_id")
+        .where(F.col("p_id").isNotNull() & F.col("n_id").isNotNull())
+    )
     e = emb.select("vec_id", "embedding")
     j = (
         trip.join(e.selectExpr("vec_id AS a_id", "embedding AS va"), "a_id")
@@ -1316,13 +1331,17 @@ def q_prequential_logloss(spark, sf_dir):
     adaptation; `word_burstiness` shows adaptation exists). Prior
     counts come from TWO row_number windows sharing the (doc_id, pos)
     order — no per-prefix rescans; per-token terms round once to
-    micro-units."""
+    micro-units. CENSUS GRAIN (r4): the global stream position t uses
+    the range-bucketed row_number (operators/census.py, bucketing on
+    doc_id, tie-break pos); k stays a token-partitioned window."""
+    from pliers_spark.operators.census import scalable_row_number
+
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
     vv = toks.agg(F.count_distinct("token").cast("long").alias("v"))
-    seq = toks.select(
+    seq = scalable_row_number(toks, "doc_id", out="t", tiebreak=("pos",)).select(
         "token",
-        F.row_number().over(Window.orderBy("doc_id", "pos")).alias("t"),
+        "t",
         F.row_number().over(Window.partitionBy("token").orderBy("doc_id", "pos")).alias("k"),
     )
     terms = seq.crossJoin(F.broadcast(vv)).select(
@@ -1381,16 +1400,25 @@ def q_shuffle_quality(spark, sf_dir):
     batches over-sample one source — the sequence-level bias that
     per-batch mixture audits (`mixture_epochs`) cannot see. One sort
     by the hash key + one lag window; expectation from the source
-    census, all exact integers until two divisions."""
+    census, all exact integers until two divisions. CENSUS GRAIN (r4):
+    the shuffle-order rank is the range-bucketed global row_number
+    (operators/census.py) and adjacency is a uniform self-join on the
+    dense rank (rn ↔ rn−1) — no unpartitioned window over raw rows."""
+    from pliers_spark.operators.census import scalable_row_number
+
     d = _docs(spark, sf_dir)
     dec = "decimal(38,0)"
     key = md5_int(F.concat(F.lit("sh:"), F.col("doc_id").cast("string")))
-    ordered = d.select(
-        "source", F.row_number().over(Window.orderBy(key, "doc_id")).alias("rn")
+    ordered = scalable_row_number(
+        d.select("source", key.alias("_k"), "doc_id"), "_k", out="rn",
+        tiebreak=("doc_id",),
+    ).select("source", "rn")
+    prev = ordered.select((F.col("rn") + 1).alias("rn"), F.col("source").alias("prev_source"))
+    adj = (
+        ordered.join(prev, "rn")
+        .select((F.col("source") == F.col("prev_source")).cast("long").alias("same"))
+        .where(F.col("same").isNotNull())
     )
-    adj = ordered.select(
-        (F.col("source") == F.lag("source").over(Window.orderBy("rn"))).cast("long").alias("same")
-    ).where(F.col("same").isNotNull())
     obs = adj.agg(
         F.sum("same").cast("long").alias("same_cnt"),
         F.count("same").cast("long").alias("n_adj"),

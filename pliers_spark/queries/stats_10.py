@@ -296,20 +296,44 @@ def q_cvm_drift(spark, sf_dir):
     (deterministic total order: value then event_id — ties get a fixed
     arbitration identically in both engines), T = U/(NM(N+M)) −
     (4NM−1)/(6(N+M)). Rank sums stay in exact integers (decimal/HUGEINT)
-    — the only float op is the final normalization. Scale shape: one
-    global sort (the same shape as any ranked statistic) + one
-    map-side-partial aggregate; no joins."""
+    — the only float op is the final normalization. CENSUS GRAIN (r4):
+    both rank streams come from ONE range-bucketing of value — global
+    prefix counts (total and per-group) live on the bucket census, the
+    per-row remainders are PARTITIONED within-bucket row_numbers — so
+    no unpartitioned (or 2-partition) window ever sees raw rows."""
     ev = _events(spark, sf_dir).where(F.col("event_type").isin("click", "view"))
     dec = "decimal(38,0)"
     s = ev.select(
         "value", "event_id", (F.col("event_type") == "click").cast("long").alias("is_x")
     )
-    ranked = s.select(
-        "is_x",
-        F.row_number().over(Window.orderBy("value", "event_id")).alias("r"),
-        F.row_number()
-        .over(Window.partitionBy("is_x").orderBy("value", "event_id"))
-        .alias("i"),
+    NB = 4096
+    stats = s.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    pos = (F.col("value") - F.col("_mn")) * NB / (F.col("_mx") - F.col("_mn") + F.lit(1.0))
+    b = (
+        s.crossJoin(F.broadcast(stats))
+        .withColumn("_bkt", F.least(F.floor(pos).cast("long"), F.lit(NB - 1)))
+        .drop("_mn", "_mx")
+    )
+    tc = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    w_all = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    tc = tc.select("_bkt", F.coalesce(F.sum("_c").over(w_all), F.lit(0)).alias("_pfx"))
+    gc = b.groupBy("_bkt", "is_x").agg(F.count(F.lit(1)).alias("_cg"))
+    w_grp = (
+        Window.partitionBy("is_x").orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gc = gc.select(
+        "_bkt", "is_x", F.coalesce(F.sum("_cg").over(w_grp), F.lit(0)).alias("_gpfx")
+    )
+    w_cell = Window.partitionBy("_bkt").orderBy("value", "event_id")
+    w_cell_g = Window.partitionBy("_bkt", "is_x").orderBy("value", "event_id")
+    ranked = (
+        b.join(F.broadcast(tc), "_bkt")
+        .join(F.broadcast(gc), ["_bkt", "is_x"])
+        .select(
+            "is_x",
+            (F.col("_pfx") + F.row_number().over(w_cell)).alias("r"),
+            (F.col("_gpfx") + F.row_number().over(w_cell_g)).alias("i"),
+        )
     )
     nn = ranked.agg(
         F.sum("is_x").cast("long").alias("n"),

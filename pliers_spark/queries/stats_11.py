@@ -1301,13 +1301,17 @@ def q_bayes_ab_beta(spark, sf_dir):
     row = c.collect()[0]  # 4 scalars — driver-side by design (sizes the range frames)
     aa, ba, ab, bb = row.aa, row.ba, row.ab, row.bb
     n = aa + ba + ab + bb
-    lf = spark.range(0, n + 1).select(F.col("id").alias("i")).select(
-        "i",
-        F.sum(
-            F.when(F.col("i") >= 2, F.round(F.lit(1e6) * F.log(F.col("i")), 0).cast("long"))
-            .otherwise(F.lit(0))
-        ).over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)).alias("lfact"),
+    # CENSUS GRAIN (r4): the log-factorial prefix sum is data-sized
+    # (n ≈ user count), so build it with the range-bucketed running sum
+    # (operators/census.py) instead of one unpartitioned window.
+    from pliers_spark.operators.census import scalable_running_sum
+
+    lf_terms = spark.range(0, n + 1).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") >= 2, F.round(F.lit(1e6) * F.log(F.col("id")), 0).cast("long"))
+        .otherwise(F.lit(0)).alias("_term"),
     )
+    lf = scalable_running_sum(lf_terms, "_term", "i", out="lfact").select("i", "lfact")
     t = spark.range(0, ab).select(F.col("id").alias("i"))
     lf1 = lf.select(F.col("i").alias("k"), F.col("lfact").alias("v"))
 
@@ -2053,15 +2057,20 @@ def q_decile_lift(spark, sf_dir):
     at production scale the decile assignment switches to the
     `quantile_bins` bucketing (approx boundaries) while this exact
     form remains the audit."""
+    # CENSUS GRAIN (r4): global rank via range-bucketed row_number
+    # (operators/census.py); n/pos via a 1-row aggregate broadcast.
+    from pliers_spark.operators.census import scalable_row_number
+
     s = _docs(spark, sf_dir).select(
         "doc_id", F.col("n_chars").alias("score"), (F.col("lang") == "en").cast("int").alias("y")
     )
-    wall = Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = s.select(
-        "y",
-        F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("y").over(wall).alias("pos"),
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    r = (
+        scalable_row_number(s, "score", out="rk", desc=True, tiebreak=("doc_id",))
+        .crossJoin(F.broadcast(tot))
+        .select("y", "rk", "n", "pos")
     )
     d = r.select(
         F.least(F.lit(9), F.floor(10 * (F.col("rk") - 1) / F.col("n"))).cast("long").alias("decile"),

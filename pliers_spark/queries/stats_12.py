@@ -1147,14 +1147,16 @@ def q_watermark_audit(spark, sf_dir):
     The running max is arrival-sequential by definition — the audit
     form; in the streaming engine the same statistic accumulates
     per-partition (`streaming/` twins)."""
+    # CENSUS GRAIN (r4): the arrival-order running max is the
+    # range-bucketed two-pass prefix scan (operators/census.py) —
+    # bucket maxima + census prefix + partitioned within-bucket scan.
+    from pliers_spark.operators.census import scalable_running_max
+
     ev = _events(spark, sf_dir)
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    o = ev.select(
-        "event_id", us.alias("us"),
-        F.max(us).over(
-            Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("seen_max"),
-    )
+    o = scalable_running_max(
+        ev.select("event_id", us.alias("us")), "us", "event_id", out="seen_max"
+    ).select("event_id", "us", "seen_max")
     late = o.select((F.col("seen_max") - F.col("us")).cast("long").alias("l_us"))
     cen = late.groupBy("l_us").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wcum = Window.orderBy("l_us").rowsBetween(Window.unboundedPreceding, 0)

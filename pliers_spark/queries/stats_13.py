@@ -517,12 +517,19 @@ def q_spearman_footrule(spark, sf_dir):
         "doc_id", F.col("n_chars").cast("long").alias("a"),
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("b"),
     )
-    wall = Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = s.select(
-        F.row_number().over(Window.orderBy("a", "doc_id")).alias("ra"),
-        F.row_number().over(Window.orderBy("b", "doc_id")).alias("rb"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    # CENSUS GRAIN (r4): both global ranks via the range-bucketed
+    # row_number (operators/census.py), stitched on doc_id; n from a
+    # 1-row aggregate — no unpartitioned window over raw rows.
+    from pliers_spark.operators.census import scalable_row_number
+
+    ra = scalable_row_number(
+        s.select("doc_id", "a"), "a", out="ra", tiebreak=("doc_id",)
+    ).select("doc_id", "ra")
+    rb = scalable_row_number(
+        s.select("doc_id", "b"), "b", out="rb", tiebreak=("doc_id",)
+    ).select("doc_id", "rb")
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    r = ra.join(rb, "doc_id").crossJoin(F.broadcast(tot))
     f = r.agg(
         F.max("n").cast("long").alias("n"),
         F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias("footrule"),

@@ -2183,16 +2183,23 @@ def q_psi_drift(spark, sf_dir):
         .groupBy("user_id", (dd >= F.col("mid")).cast("int").alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
     ).stableCheckpoint(eager=True)
-    ref = ua.where(F.col("half") == 0).select(
-        "a",
-        F.row_number().over(Window.orderBy("a", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # CENSUS GRAIN (r4): each decile edge is the least census value
+    # whose cumulative count reaches its target rank
+    # (operators/census.py) — no global rank window over the
+    # (unbounded) user grain.
+    from pliers_spark.operators.census import with_census_ranks
+
+    refc = ua.where(F.col("half") == 0)
+    cells = with_census_ranks(
+        refc.groupBy("a").agg(F.count(F.lit(1)).alias("cnt")), "a", le="cum_le"
     )
+    nr = refc.agg(F.count(F.lit(1)).alias("n"))
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     edges = (
-        ref.crossJoin(F.broadcast(ks))
-        .where(F.col("rn") <= F.floor((F.col("k") * F.col("n") + 9) / 10))
-        .groupBy("k").agg(F.max("a").alias("edge"))
+        cells.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(ks))
+        .where(F.col("cum_le") >= F.floor((F.col("k") * F.col("n") + 9) / 10))
+        .groupBy("k").agg(F.min("a").alias("edge"))
     )
     binned = (
         ua.crossJoin(F.broadcast(edges))

@@ -726,17 +726,41 @@ def q_file_skipping_sim(spark, sf_dir):
     sort/cluster keys matching the filter column at 10^12 rows.
     ntile file assignment, min/max per file, broadcast probe join —
     all exact integers."""
+    # CENSUS GRAIN (r4): ntile recomputed from the range-bucketed
+    # global row_number (operators/census.py) via the exact ntile
+    # identity (first n%k tiles get ⌈n/k⌉ rows) — no unpartitioned
+    # window over raw rows.
+    from pliers_spark.operators.census import scalable_row_number
+
     ev = _events(spark, sf_dir)
     rows_t = ev.select(
-        "event_id", (F.col("user_id") % 256).cast("long").alias("x"), "ts", "user_id"
+        "event_id", (F.col("user_id") % 256).cast("long").alias("x"), "ts", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"),
     )
-    lay_ts = rows_t.select(
+    n_rows = rows_t.count()
+
+    def ntile_from_rn(rn, n, k):
+        big = n % k
+        size_big = n // k + 1
+        small = max(n // k, 1)
+        threshold = big * size_big
+        return (
+            F.when(rn <= threshold, F.floor((rn - 1) / size_big) + 1)
+            .otherwise(F.lit(big) + F.floor((rn - threshold - 1) / small) + 1)
+            .cast("int")
+        )
+
+    r_ts = scalable_row_number(rows_t, "t_us", out="rn", tiebreak=("event_id",))
+    lay_ts = r_ts.select(
         F.lit("ts_sorted").alias("layout"), "x",
-        F.ntile(_FS_FILES).over(Window.orderBy("ts", "event_id")).alias("f"),
+        ntile_from_rn(F.col("rn"), n_rows, _FS_FILES).alias("f"),
     )
-    lay_u = rows_t.select(
+    r_u = scalable_row_number(
+        rows_t, "user_id", out="rn", tiebreak=("ts", "event_id")
+    )
+    lay_u = r_u.select(
         F.lit("user_sorted").alias("layout"), "x",
-        F.ntile(_FS_FILES).over(Window.orderBy("user_id", "ts", "event_id")).alias("f"),
+        ntile_from_rn(F.col("rn"), n_rows, _FS_FILES).alias("f"),
     )
     files = lay_ts.unionAll(lay_u).groupBy("layout", "f").agg(
         F.min("x").cast("long").alias("lo"), F.max("x").cast("long").alias("hi")
@@ -2106,11 +2130,23 @@ def q_gini_decomposition(spark, sf_dir):
     their sums. One rank window global + one per source."""
     d = _docs(spark, sf_dir)
     v = d.select("source", F.col("n_chars").cast("long").alias("x"), "doc_id")
-    wg = Window.orderBy("x", "doc_id")
-    tot = v.select("x", F.row_number().over(wg).cast("long").alias("rn")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s"),
-        F.sum(F.col("rn") * F.col("x")).cast("long").alias("srx"),
+    # CENSUS GRAIN (r4): Σ rn·x collapses per distinct value — ranks in
+    # a tie cell are cum_lt+1..cum_lt+cnt and x is constant there, so
+    # the cell contributes x·(cnt·cum_lt + cnt(cnt+1)/2) exactly
+    # (operators/census.py); no unpartitioned window over raw rows.
+    from pliers_spark.operators.census import with_census_ranks
+
+    cells = with_census_ranks(
+        v.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")), "x", lt="cum_lt"
+    )
+    srx_cell = F.col("x") * (
+        F.col("cnt") * F.col("cum_lt")
+        + F.shiftright(F.col("cnt") * (F.col("cnt") + 1), 1)
+    )
+    tot = cells.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).cast("long").alias("s"),
+        F.sum(srx_cell).cast("long").alias("srx"),
     )
     ws = Window.partitionBy("source").orderBy("x", "doc_id")
     grp = v.select("source", "x", F.row_number().over(ws).cast("long").alias("rn")).groupBy("source").agg(
@@ -2199,13 +2235,21 @@ def q_blomqvist_beta(spark, sf_dir):
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
     ).stableCheckpoint(eager=True)
 
+    # CENSUS GRAIN (r4): the median order statistic is the least value
+    # whose cumulative count reaches ⌊(n+1)/2⌋ — computed on the value
+    # census (operators/census.py), never by ranking users globally.
+    from pliers_spark.operators.census import with_census_ranks
+
+    nrow = u.agg(F.count(F.lit(1)).alias("n"))
+
     def med(col):
-        w = Window.orderBy(col, "user_id")
+        cells = with_census_ranks(
+            u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")), col, le="cum_le"
+        )
         return (
-            u.select(col, F.row_number().over(w).alias("rn"),
-                     F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
-            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            .select(F.col(col).alias(f"m{col}"))
+            cells.crossJoin(F.broadcast(nrow))
+            .where(F.col("cum_le") >= F.floor((F.col("n") + 1) / 2))
+            .agg(F.min(col).alias(f"m{col}"))
         )
 
     q = (

@@ -385,13 +385,21 @@ def q_tail_dependence(spark, sf_dir):
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
     ).stableCheckpoint(eager=True)
 
+    # CENSUS GRAIN (r4): the p90 order statistic is the least census
+    # value whose cumulative count reaches ⌊(9n+9)/10⌋
+    # (operators/census.py) — no global rank window over users.
+    from pliers_spark.operators.census import with_census_ranks
+
+    un = u.agg(F.count(F.lit(1)).alias("n"))
+
     def q90(col):
-        w = Window.orderBy(col, "user_id")
+        cells = with_census_ranks(
+            u.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")), col, le="cum_le"
+        )
         return (
-            u.select(col, F.row_number().over(w).alias("rn"),
-                     F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
-            .where(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10))
-            .select(F.col(col).alias(f"q{col}"))
+            cells.crossJoin(F.broadcast(un))
+            .where(F.col("cum_le") >= F.floor((9 * F.col("n") + 9) / 10))
+            .agg(F.min(col).alias(f"q{col}"))
         )
 
     c = (
@@ -1334,12 +1342,19 @@ def q_rdd_sharp(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("x"),
         F.max((F.col("event_type") == "purchase").cast("int")).cast("long").alias("y"),
     ).stableCheckpoint(eager=True)
-    wr = Window.orderBy("x", "user_id")
+    # CENSUS GRAIN (r4): the median cutoff is the least census value
+    # whose cumulative count reaches ⌊(n+1)/2⌋ (operators/census.py) —
+    # no global rank window over the (unbounded) user grain.
+    from pliers_spark.operators.census import with_census_ranks
+
+    ucells = with_census_ranks(
+        u.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")), "x", le="cum_le"
+    )
+    un = u.agg(F.count(F.lit(1)).alias("n"))
     cut = (
-        u.select("x", F.row_number().over(wr).alias("rn"),
-                 F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
-        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select(F.col("x").alias("c"))
+        ucells.crossJoin(F.broadcast(un))
+        .where(F.col("cum_le") >= F.floor((F.col("n") + 1) / 2))
+        .agg(F.min("x").alias("c"))
     )
     loc = (
         u.crossJoin(F.broadcast(cut))
