@@ -52,19 +52,52 @@ LEXICON: dict[str, float] = {
     "problem": -1.7, "broken": -1.5, "perfect": 2.7, "excellent": 2.7,
 }
 
-BOOSTERS: dict[str, float] = {
-    "absolutely": 0.293, "completely": 0.293, "extremely": 0.293,
-    "really": 0.293, "so": 0.293, "totally": 0.293, "very": 0.293,
-    "incredibly": 0.293, "hugely": 0.293,
-    "barely": -0.293, "hardly": -0.293, "kind": -0.293, "kinda": -0.293,
-    "marginally": -0.293, "scarcely": -0.293, "slightly": -0.293,
-    "somewhat": -0.293, "sort": -0.293, "sorta": -0.293,
+# full published booster inventory (Hutto & Gilbert 2014, Table 2 /
+# the public vaderSentiment constants): intensity ±0.293 (B_INCR /
+# B_DECR). Single-word entries only here — the published multiword
+# boosters ("kind of", "sort of", "just enough") live in MW_BOOSTERS
+# and match as the bigram immediately preceding a sentiment word.
+_B = 0.293
+BOOSTERS: dict[str, float] = dict(
+    [(w, _B) for w in (
+        "absolutely amazingly awfully completely considerably decidedly "
+        "deeply effing enormously entirely especially exceptionally "
+        "extremely fabulously flipping flippin fricking frickin frigging "
+        "friggin fully fucking greatly hella highly hugely incredibly "
+        "intensely majorly more most particularly purely quite really "
+        "remarkably so substantially thoroughly totally tremendously "
+        "uber unbelievably unusually utterly very"
+    ).split()]
+    + [(w, -_B) for w in (
+        "almost barely hardly kinda kindof less little marginally "
+        "occasionally partly scarce scarcely slight slightly somewhat "
+        "sorta sortof"
+    ).split()]
+)
+
+MW_BOOSTERS: dict[str, float] = {
+    "kind of": -_B, "sort of": -_B, "just enough": -_B, "kind-of": -_B,
+    "sort-of": -_B,
 }
 
+# full published negation inventory (vaderSentiment NEGATE)
 NEGATIONS = {
-    "not", "isnt", "isn't", "dont", "don't", "doesnt", "doesn't", "cant",
-    "can't", "cannot", "never", "no", "nothing", "nowhere", "neither",
-    "wont", "won't", "without", "wasnt", "wasn't", "werent", "weren't",
+    "aint", "ain't", "arent", "aren't", "cannot", "cant", "can't",
+    "couldnt", "couldn't", "darent", "daren't", "didnt", "didn't",
+    "doesnt", "doesn't", "dont", "don't", "hadnt", "hadn't", "hasnt",
+    "hasn't", "havent", "haven't", "isnt", "isn't", "mightnt",
+    "mightn't", "mustnt", "mustn't", "neednt", "needn't", "neither",
+    "never", "no", "none", "nope", "nor", "not", "nothing", "nowhere",
+    "oughtnt", "oughtn't", "rarely", "seldom", "shant", "shan't",
+    "shouldnt", "shouldn't", "uhuh", "uh-uh", "wasnt", "wasn't",
+    "werent", "weren't", "without", "wont", "won't", "wouldnt",
+    "wouldn't", "despite",
+}
+
+# published special-case idioms (fixed valence overrides)
+IDIOMS: dict[str, float] = {
+    "the shit": 3.0, "the bomb": 3.0, "bad ass": 1.5, "yeah right": -2.0,
+    "kiss of death": -1.5, "hand to mouth": -2.0, "cut the mustard": 2.0,
 }
 
 N_SCALAR = -0.74
@@ -166,6 +199,29 @@ def polarity_scores(text: str, lexicon: dict[str, float] | None = None) -> dict[
                 valence += b if valence > 0 else -b
             if prev in NEGATIONS:
                 valence *= N_SCALAR
+        # multiword booster: the published bigram damping ("kind of",
+        # "sort of", "just enough") when it immediately precedes the
+        # sentiment word — undamped, sign-following like single words
+        if i >= 2:
+            bigram = f"{words[i - 2].lower()} {words[i - 1].lower()}"
+            mb = MW_BOOSTERS.get(bigram)
+            if mb is not None:
+                valence += mb if valence > 0 else -mb
+        # idiom override: published special cases replace the computed
+        # valence; sequences checked in a fixed order — (prev, w),
+        # (prev2, prev, w), (w, next)
+        seqs = []
+        if i >= 1:
+            seqs.append(f"{words[i - 1].lower()} {lw}")
+        if i >= 2:
+            seqs.append(f"{words[i - 2].lower()} {words[i - 1].lower()} {lw}")
+        if i + 1 < len(words):
+            seqs.append(f"{lw} {words[i + 1].lower()}")
+        for seq in seqs:
+            iv = IDIOMS.get(seq)
+            if iv is not None:
+                valence = iv
+                break
         sentiments.append(valence)
 
     # but-clause reweighting: halve pre-'but', 1.5× post-'but'
@@ -256,6 +312,36 @@ def vader_sql(
     v2 = dist_step("p2", "v1", 2)
     v3 = dist_step("p3", "v2", 3)
 
+    # multiword booster (bigram immediately preceding, undamped,
+    # sign-following) and idiom override — same tables as Python
+    mw_words = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(MW_BOOSTERS)
+    )
+    mw_case = "CASE " + " ".join(
+        f"WHEN concat(p2, ' ', p1) = '{w}' THEN {v!r}"
+        for w, v in sorted(MW_BOOSTERS.items())
+    ) + " END"
+    v4 = (
+        f"CASE WHEN concat(p2, ' ', p1) IN ({mw_words}) THEN ({v3}) + "
+        f"(CASE WHEN ({v3}) > 0 THEN {mw_case} ELSE -({mw_case}) END) "
+        f"ELSE ({v3}) END"
+    )
+
+    def idiom_case(expr: str) -> str:
+        whens = []
+        for seq_expr in (
+            "concat(p1, ' ', lw)",
+            "concat(p2, ' ', p1, ' ', lw)",
+            "concat(lw, ' ', n1)",
+        ):
+            for w, v in sorted(IDIOMS.items()):
+                whens.append(
+                    f"WHEN {seq_expr} = '{w.replace(chr(39), chr(39) * 2)}' THEN {v!r}"
+                )
+        return "CASE " + " ".join(whens) + f" ELSE ({expr}) END"
+
+    v5 = idiom_case(v4)
+
     fold = lambda elems: f"list_reduce(list_prepend(0.0, {elems}), (a, b) -> a + b)"
     c = C_INCR
 
@@ -287,24 +373,25 @@ ctx AS (
          lag(w.lw, 1) OVER win AS p1,
          lag(w.lw, 2) OVER win AS p2,
          lag(w.lw, 3) OVER win AS p3,
+         lead(w.lw, 1) OVER win AS n1,
          (c.n_caps > 0 AND c.n_caps < c.n_words) AS cap_diff
   FROM words w JOIN caps c USING ({id_col})
   WINDOW win AS (PARTITION BY w.{id_col} ORDER BY w.i)),
 val0 AS (
-  SELECT {id_col}, i, lw, p1, p2, p3,
+  SELECT {id_col}, i, lw, n1, p1, p2, p3,
     CASE WHEN lw IN ({b_words}) THEN NULL ELSE {lex_case} END AS lex_v,
     (cap_diff AND w = upper(w) AND w <> lower(w)) AS is_cap
   FROM ctx),
 val1 AS (
-  SELECT {id_col}, i, p1, p2, p3,
+  SELECT {id_col}, i, lw, n1, p1, p2, p3,
     CASE WHEN lex_v IS NULL THEN NULL
          WHEN is_cap THEN lex_v + (CASE WHEN lex_v > 0 THEN {c!r} ELSE {-c!r} END)
          ELSE lex_v END AS v0
   FROM val0),
-val2 AS (SELECT {id_col}, i, p2, p3, CASE WHEN v0 IS NULL THEN NULL ELSE {v1} END AS v1 FROM val1),
-val3 AS (SELECT {id_col}, i, p3, CASE WHEN v1 IS NULL THEN NULL ELSE {v2} END AS v2 FROM val2),
+val2 AS (SELECT {id_col}, i, lw, n1, p1, p2, p3, CASE WHEN v0 IS NULL THEN NULL ELSE {v1} END AS v1 FROM val1),
+val3 AS (SELECT {id_col}, i, lw, n1, p1, p2, p3, CASE WHEN v1 IS NULL THEN NULL ELSE {v2} END AS v2 FROM val2),
 val AS (SELECT {id_col}, i,
-          coalesce(CASE WHEN v2 IS NULL THEN NULL ELSE {v3} END, 0.0) AS s0
+          coalesce(CASE WHEN v2 IS NULL THEN NULL ELSE {v5} END, 0.0) AS s0
         FROM val3),
 butpos AS (SELECT {id_col}, min(i) AS bi FROM words WHERE lw = 'but' GROUP BY {id_col}),
 sents AS (

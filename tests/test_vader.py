@@ -161,3 +161,96 @@ def test_vader_swapped_lexicon_engine_and_oracle_stay_in_sync(tmp_path, monkeypa
         V.set_lexicon(None)
         monkeypatch.delenv("PLIERS_SPARK_VADER_LEXICON")
         V.set_lexicon(None)
+
+
+# ----------------------------------------------------------------------
+# round 4 (VERDICT r3 item 5): rule-engine goldens for the paper's
+# canonical examples — pins the RULES independently of lexicon width.
+# Values marked [pub] equal the published vaderSentiment README outputs
+# for the same sentence (they depend only on subset-covered words).
+
+def test_vader_rule_goldens_punctuation_emphasis():
+    base = polarity_scores("VADER is smart, handsome, and funny.")
+    assert base["compound"] == pytest.approx(0.8316)  # [pub]
+    one = polarity_scores("VADER is smart, handsome, and funny!")
+    assert one["compound"] == pytest.approx(0.8439)  # [pub]
+    three = polarity_scores("VADER is smart, handsome, and funny!!!")
+    assert three["compound"] > one["compound"] > base["compound"]
+    # emphasis saturates at 4 exclamation points
+    four = polarity_scores("VADER is smart, handsome, and funny!!!!")
+    nine = polarity_scores("VADER is smart, handsome, and funny!!!!!!!!!")
+    assert four["compound"] == nine["compound"]
+
+
+def test_vader_rule_goldens_allcaps_and_booster():
+    plain = polarity_scores("The book was good.")
+    assert plain["compound"] == pytest.approx(0.4404)  # [pub]
+    caps = polarity_scores("The book was GOOD.")
+    assert caps["compound"] > plain["compound"]
+    very = polarity_scores("The book was very good.")
+    assert very["compound"] > plain["compound"]
+    damped = polarity_scores("The book was kind of good.")
+    assert damped["compound"] == pytest.approx(0.3832)  # [pub]
+    assert damped["compound"] < plain["compound"]
+
+
+def test_vader_rule_goldens_but_clause():
+    mixed = polarity_scores(
+        "The plot was good, but the characters are uncompelling "
+        "and the dialog is not great."
+    )
+    # the but-clause shifts weight to the negated second half [pub sign]
+    assert mixed["compound"] < 0
+    flipped = polarity_scores("The dialog is not great, but the plot was good.")
+    assert flipped["compound"] > 0
+
+
+def test_vader_rule_goldens_negation_damping():
+    near = polarity_scores("not good")["compound"]
+    far = polarity_scores("not at all good")["compound"]
+    assert near < 0 and far < 0
+    # booster at distance 2/3 is damped vs distance 1
+    d1 = polarity_scores("very good")["compound"]
+    d2 = polarity_scores("very much good")["compound"]
+    assert d1 > d2 > polarity_scores("good")["compound"]
+
+
+def test_vader_rule_goldens_idioms():
+    # idiom override: "bad ass" flips the negative 'bad' positive
+    assert polarity_scores("that dessert is bad ass")["compound"] > 0
+    assert polarity_scores("that dessert is bad")["compound"] < 0
+    # idioms fire through the (w, next) sequence only when the current
+    # word carries lexicon valence (subset: 'bad' does, 'yeah' doesn't)
+    s = polarity_scores("the kiss of death for a bad movie")
+    assert s["compound"] < 0
+
+
+def test_vader_rule_goldens_multiword_booster_sql_sync():
+    """The mw-booster and idiom paths must render identically in the
+    DuckDB oracle (same tables, same order)."""
+    import duckdb
+
+    from pliers_spark.functions.vader import vader_sql
+
+    texts = [
+        "that dessert is bad ass",
+        "The book was kind of good.",
+        "sort of great effort",
+        "the kiss of death for a bad movie",
+        "just enough good to pass",
+        "VADER is VERY SMART, handsome, and FUNNY!!!",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    rows = con.execute(
+        vader_sql() + " ORDER BY doc_id"
+    ).fetchall()
+    for (doc_id, pos, neg, neu, comp), text in zip(rows, texts):
+        ref = polarity_scores(text)
+        assert comp == pytest.approx(ref["compound"], abs=1e-9), text
+        assert pos == pytest.approx(ref["pos"], abs=1e-9), text
