@@ -126,21 +126,31 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def encode_wav(samples: np.ndarray, sr: int, bits: int = 16, channels: int = 1) -> bytes:
-    """float samples in [-1, 1] → PCM WAV bytes. Multi-channel input is
-    (n, channels); mono is 1-D."""
+    """float samples in [-1, 1] → WAV bytes. Multi-channel input is
+    (n, channels); mono is 1-D. ``bits``: 8/16/24 = integer PCM
+    (format 1); 32 = IEEE float32 (format 3, the float WAV every DAW
+    exports)."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
     if x.shape[1] != channels:
         raise ValueError(f"expected {channels} channels, got {x.shape[1]}")
+    audio_format = 1
     if bits == 16:
         pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
     elif bits == 8:
         pcm = np.clip(np.round(x * 127.0 + 128.0), 0, 255).astype(np.uint8).tobytes()
+    elif bits == 24:
+        ints = np.clip(np.round(x * 8388607.0), -8388608, 8388607).astype("<i4")
+        # little-endian 3-byte packing: drop the high byte of each int32
+        pcm = ints.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    elif bits == 32:
+        audio_format = 3
+        pcm = x.astype("<f4").tobytes()
     else:
-        raise ValueError("bits must be 8 or 16")
+        raise ValueError("bits must be 8, 16, 24 or 32 (float)")
     block = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+    fmt = struct.pack("<HHIIHH", audio_format, channels, sr, sr * block, block, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
@@ -179,14 +189,28 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"only PCM supported (format={audio_format})")
-    if bits == 16:
-        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
-    elif bits == 8:
-        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if audio_format == 1:
+        if bits == 16:
+            x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 24:
+            b3 = np.frombuffer(pcm, dtype=np.uint8)
+            b3 = b3[: (len(b3) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            ints = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            x = ints.astype(np.float64) / 8388608.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(pcm, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(pcm, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
     else:
-        raise ValueError(f"unsupported bit depth {bits}")
+        raise ValueError(f"only PCM/IEEE-float supported (format={audio_format})")
     if channels > 1:
         n = len(x) // channels
         x = x[: n * channels].reshape(n, channels).mean(axis=1)

@@ -121,7 +121,7 @@ def audio_frames(
     """Framed audio features (STFT-style framing: frame/hop windows,
     onset = i*hop/sr, duration = frame/sr — the sliding-window shape of
     pliers/extractors/audio.py:64-113). RIFF/WAVE payloads decode for
-    REAL (PCM 8/16-bit, channel-averaged to mono like AudioStim,
+    REAL (PCM 8/16/24-bit and IEEE float 32/64, channel-averaged to mono like AudioStim,
     pliers/stimuli/audio.py:48-52) with the file's own sampling rate;
     other payloads fall back to a deterministic byte→sample stub."""
 
@@ -167,6 +167,7 @@ def wav_frame_stats(
     payload_col: str = "payload",
     frame: int = 1024,
     hop: int = 512,
+    scale: float = 32768.0,
 ) -> DataFrame:
     """Framed energy/zero-crossing features over REAL RIFF/WAVE decode,
     in exact integer arithmetic (the RMSExtractor/ZCR surface of
@@ -177,7 +178,10 @@ def wav_frame_stats(
     sums are order-independent, so a DuckDB oracle can recompute them
     bit-exactly; the float32 path for human-facing values is
     ``audio_frames``. decode_wav divides PCM16 by 32768 (a power of
-    two), so multiplying back recovers the exact integers."""
+    two), so multiplying back recovers the exact integers. ``scale``
+    adapts the integer recovery to the container: 32768 for PCM16,
+    65536 for float32 WAVs built from v/65536 dyadic samples (exact in
+    float32 since |v| < 2^16 ≤ mantissa), 8388608 for PCM24."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pliers_spark import codecs
@@ -186,7 +190,7 @@ def wav_frame_stats(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 samples64, sr = codecs.decode_wav(bytes(payload or b""))
-                s = np.rint(samples64 * 32768.0).astype(np.int64)
+                s = np.rint(samples64 * scale).astype(np.int64)
                 n_frames = max((len(s) - frame) // hop + 1, 0)
                 for k in range(n_frames):
                     seg = s[k * hop : k * hop + frame]

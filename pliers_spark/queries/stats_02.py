@@ -529,6 +529,47 @@ def q_wav_frame_stats(spark, sf_dir):
 
 
 
+@query(
+    "wav_float_stats",
+    f"""WITH s AS (
+         SELECT d.doc_id, k.k, t.t, {_WAV_S} AS v
+         FROM documents d, generate_series(0,2) k(k), generate_series(0,127) t(t)),
+       w AS (
+         SELECT doc_id, k, t, v,
+                lag(v) OVER (PARTITION BY doc_id, k ORDER BY t) AS pv
+         FROM s)
+       SELECT doc_id, k::INTEGER AS frame,
+              (k*64)/8000.0 AS onset, 128/8000.0 AS duration,
+              SUM(v*v)::BIGINT AS sum_sq,
+              SUM(abs(v))::BIGINT AS sum_abs,
+              SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                       THEN 1 ELSE 0 END)::BIGINT AS n_crossings
+       FROM w GROUP BY doc_id, k""",
+)
+def q_wav_float_stats(spark, sf_dir):
+    """Same framed stats over a REAL IEEE-float32 WAV round trip (r4:
+    the format-3 float container every DAW exports; codecs.decode_wav
+    now reads PCM 8/16/24 and float 32/64). The formula samples are the
+    dyadic rationals v/65536 with |v| < 2^16, exactly representable in
+    float32, so encode(bits=32) → decode → ×65536 recovers the exact
+    integers and the SAME oracle arithmetic as `wav_frame_stats`
+    certifies the float path bit-for-bit."""
+    import numpy as np
+
+    from pliers_spark import codecs, multimodal
+
+    def build(did: int) -> bytes:
+        i = np.arange(300, dtype=np.int64)
+        v = ((did * 7919 + i * 104729) % 65536) - 32768
+        return codecs.encode_wav(v.astype(np.float64) / 65536.0, sr=8000, bits=32)
+
+    payloads = _synth_payloads(spark, sf_dir, build)
+    return multimodal.wav_frame_stats(
+        payloads, frame=128, hop=64, scale=65536.0
+    ).withColumnRenamed("id", "doc_id")
+
+
+
 _VID_PX = "(doc_id*131 + k.k*101 + r.r*17 + c.c*5 + {ch})"
 
 

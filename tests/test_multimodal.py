@@ -126,6 +126,46 @@ class TestCodecs:
         y, sr = codecs.decode_wav(codecs.encode_wav(x, sr=1000, bits=8))
         assert np.abs(y - x).max() < 0.015  # 0.5 LSB + 127/128 scale
 
+    def test_wav_24bit_roundtrip(self):
+        from pliers_spark import codecs
+
+        # dyadic samples k/2^23 survive the 24-bit round trip exactly,
+        # including negative values (sign extension of the 3-byte ints)
+        k = np.array([0, 1, -1, 8388607, -8388608, 12345, -54321], dtype=np.int64)
+        x = k.astype(np.float64) / 8388608.0 * (8388607.0 / 8388608.0)
+        y, sr = codecs.decode_wav(codecs.encode_wav(x, sr=48000, bits=24))
+        assert sr == 48000
+        assert np.abs(y - x).max() < 2.0 / 8388608.0
+        # exact recovery for in-range dyadics
+        v = np.array([0, 5, -5, 4194303, -4194304], dtype=np.int64)
+        y2, _ = codecs.decode_wav(
+            codecs.encode_wav(v.astype(np.float64) / 8388607.0, sr=8000, bits=24)
+        )
+        assert np.array_equal(np.rint(y2 * 8388608.0).astype(np.int64), v)
+
+    def test_wav_float32_roundtrip_exact(self):
+        from pliers_spark import codecs
+
+        v = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int64)
+        x = v.astype(np.float64) / 65536.0  # exact in float32
+        y, sr = codecs.decode_wav(codecs.encode_wav(x, sr=16000, bits=32))
+        assert sr == 16000
+        assert np.array_equal(y, x)  # bit-exact through format 3
+
+    def test_wav_float64_decode(self):
+        import struct
+
+        from pliers_spark import codecs
+
+        x = np.array([0.5, -0.25, 0.125])
+        pcm = x.astype("<f8").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        y, sr = codecs.decode_wav(wav)
+        assert np.array_equal(y, x)
+
 
 class TestRealDecodeFeatures:
     def test_image_features_match_numpy_on_real_ppm(self, spark):
