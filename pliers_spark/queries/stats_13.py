@@ -1184,7 +1184,14 @@ def q_absorbing_chain_steps(spark, sf_dir):
     micro-round (bit-identical to the unrolled oracle); the chain is
     event-type-grain so every iteration is constant-size. States
     that cannot reach absorption diverge toward the iteration cap —
-    visible, not silent.""".format(t=_ABS_ITERS)
+    visible, not silent. r4 perf: the fitted chain is MODEL state
+    (|event types|² cells — dimension-sized, like the kmeans centroid
+    table), so after ONE corpus pass for the transition census the
+    {t} value-iteration rounds run on the driver in exact arithmetic
+    (identical HALF_UP micro-rounding; golden-hash pinned) instead of
+    {t} checkpointed join jobs.""".format(t=_ABS_ITERS)
+    import math
+
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
@@ -1192,31 +1199,27 @@ def q_absorbing_chain_steps(spark, sf_dir):
     ).where(F.col("a").isNotNull())
     cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
     rowt = cnt.groupBy("a").agg(F.sum("c").cast("long").alias("r"))
-    trans = rowt.where(F.col("a") != "purchase").select("a")
-    q = (
+    qrows = (
         cnt.join(rowt, "a")
         .where((F.col("a") != "purchase") & (F.col("b") != "purchase"))
-        .stableCheckpoint(eager=True)
+        .collect()
     )
-    e = trans.select(F.col("a").alias("s"), F.lit(0).cast("long").alias("ev"))
+    trans_states = sorted(r["a"] for r in rowt.where(F.col("a") != "purchase").collect())
+    out_edges: dict[str, list] = {s: [] for s in trans_states}
+    for r in qrows:
+        out_edges[r["a"]].append((r["b"], r["c"], r["r"]))
+    for s in out_edges:
+        out_edges[s].sort()  # deterministic summation order
+    evs = {s: 0 for s in trans_states}
     for _ in range(_ABS_ITERS):
-        e = (
-            trans.join(q, q.a == trans.a, "left")
-            .join(e.select(F.col("s").alias("es"), F.col("ev").alias("pev")), F.col("b") == F.col("es"), "left")
-            .groupBy(trans.a)
-            .agg(
-                (
-                    F.lit(1_000_000)
-                    + F.coalesce(
-                        F.round(F.sum(F.col("c").cast("double") * F.col("pev") / F.col("r")), 0).cast("long"),
-                        F.lit(0),
-                    )
-                ).alias("ev")
-            )
-            .select(F.col("a").alias("s"), "ev")
-            .stableCheckpoint(eager=True)
-        )
-    return e.select(F.col("s").alias("state"), F.round(F.col("ev") / F.lit(1e6), 6).alias("expected_steps"))
+        new = {}
+        for s in trans_states:
+            terms = [c * evs[b] / r for (b, c, r) in out_edges[s] if b in evs]
+            # F.round(x, 0) is HALF_UP; floor(x+0.5) matches for x >= 0
+            new[s] = 1_000_000 + (int(math.floor(sum(terms) + 0.5)) if terms else 0)
+        evs = new
+    rows = [(s, round(evs[s] / 1e6, 6)) for s in trans_states]
+    return spark.createDataFrame(rows, "state string, expected_steps double")
 
 
 

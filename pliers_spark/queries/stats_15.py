@@ -540,7 +540,11 @@ def q_dtw_weekday(spark, sf_dir):
     three positional left-joins — so the recurrence is pure integer
     arithmetic with a shared sentinel for out-of-grid neighbors,
     bit-identical in both engines (chained-CTE oracle). The grid is
-    constant-size: only the weekday census touches the input."""
+    constant-size: only the weekday census touches the input. r4 perf:
+    the 7×7 grid is MODEL state, so after the one-pass weekday census
+    the 13 wavefront rounds run on the driver in identical integer
+    arithmetic (same sentinel; golden-hash pinned) instead of 13
+    checkpointed triple-join jobs."""
     ev = _events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
@@ -548,37 +552,25 @@ def q_dtw_weekday(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("a"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("b"),
     )
-    x, y = daily.alias("x"), daily.alias("y")
-    cells = x.crossJoin(y).select(
-        F.col("x.wd").alias("i"), F.col("y.wd").alias("j"),
-        F.abs(F.col("x.a") - F.col("y.b")).cast("long").alias("cost"),
-    ).stableCheckpoint(eager=True)
-    done = cells.where((F.col("i") == 0) & (F.col("j") == 0)).select(
-        "i", "j", F.col("cost").alias("d")
-    )
+    drows = daily.collect()
+    a = {r["wd"]: r["a"] for r in drows}
+    b = {r["wd"]: r["b"] for r in drows}
+    wds = sorted(a)
+    cost = {(i, j): abs(a[i] - b[j]) for i in wds for j in wds}
+    d: dict[tuple, int] = {}
+    if (0, 0) in cost:
+        d[(0, 0)] = cost[(0, 0)]
     for k in range(1, 13):
-        up = done.select(F.col("i").alias("ui"), F.col("j").alias("uj"), F.col("d").alias("ud"))
-        lf = done.select(F.col("i").alias("li"), F.col("j").alias("lj"), F.col("d").alias("ld"))
-        dg = done.select(F.col("i").alias("di"), F.col("j").alias("dj"), F.col("d").alias("dd"))
-        wave = (
-            cells.where(F.col("i") + F.col("j") == k)
-            .join(up, (F.col("ui") == F.col("i") - 1) & (F.col("uj") == F.col("j")), "left")
-            .join(lf, (F.col("li") == F.col("i")) & (F.col("lj") == F.col("j") - 1), "left")
-            .join(dg, (F.col("di") == F.col("i") - 1) & (F.col("dj") == F.col("j") - 1), "left")
-            .select(
-                "i", "j",
-                (
-                    F.col("cost")
-                    + F.least(
-                        F.coalesce(F.col("ud"), F.lit(_DTW_INF)),
-                        F.coalesce(F.col("ld"), F.lit(_DTW_INF)),
-                        F.coalesce(F.col("dd"), F.lit(_DTW_INF)),
-                    )
-                ).cast("long").alias("d"),
+        for (i, j), c in cost.items():
+            if i + j != k:
+                continue
+            d[(i, j)] = c + min(
+                d.get((i - 1, j), _DTW_INF),
+                d.get((i, j - 1), _DTW_INF),
+                d.get((i - 1, j - 1), _DTW_INF),
             )
-        )
-        done = done.unionAll(wave).stableCheckpoint(eager=True)
-    return done.select("i", "j", F.col("d").alias("cum_cost")).orderBy("i", "j")
+    rows = sorted((i, j, int(v)) for (i, j), v in d.items())
+    return spark.createDataFrame(rows, "i long, j long, cum_cost long").orderBy("i", "j")
 
 
 
@@ -1869,7 +1861,15 @@ def q_absorption_probs(spark, sf_dir):
     engines walk one int64 trajectory; transition probabilities are
     exact count ratios from ONE user-ordered bigram census.
     p_purchase + p_error is reported as the convergence audit (→1 as
-    rounds → ∞). Everything after the census runs on a 3-state grain."""
+    rounds → ∞). Everything after the census runs on a 3-state grain.
+    r4 perf: as with `absorbing_chain_steps`, the fitted chain is
+    dimension-sized MODEL state, so after ONE corpus pass for the
+    bigram census the 2×{r} value-iteration rounds run on the driver
+    in the identical int64-ppb trajectory (HALF_UP at every round and
+    at the final 6dp; golden-hash pinned) instead of 24 checkpointed
+    join jobs.""".format(r=_ABS_ROUNDS)
+    import math
+
     ev = _events(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
@@ -1877,49 +1877,50 @@ def q_absorption_probs(spark, sf_dir):
     ).where(F.col("t").isNotNull())
     trans = pairs.where(F.col("s").isin(*_ABS_TRANSIENT)).groupBy("s", "t").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).stableCheckpoint(eager=True)
-    outd = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n")).stableCheckpoint(eager=True)
+    )
+    trows = trans.collect()
+    n_out: dict[str, int] = {}
+    edges: dict[str, list] = {}
+    for r in trows:
+        n_out[r["s"]] = n_out.get(r["s"], 0) + r["c"]
+        edges.setdefault(r["s"], []).append((r["t"], r["c"]))
+    for s in edges:
+        edges[s].sort()  # deterministic summation order
+    states = sorted(n_out)
     results = {}
     for tgt in _ABS_TARGETS:
-        b = outd.select("s", F.lit(0).cast("long").alias("b"))
-        r_direct = (
-            outd.join(
-                trans.where(F.col("t") == tgt).select("s", F.col("c").alias("rc")), "s", "left"
-            )
-            .select("s", "n", F.coalesce(F.col("rc"), F.lit(0)).alias("rc"))
-            .stableCheckpoint(eager=True)
-        )
+        rc = {s: 0 for s in states}
+        for s in states:
+            for t, c in edges[s]:
+                if t == tgt:
+                    rc[s] += c
+        b = {s: 0 for s in states}
         for _ in range(_ABS_ROUNDS):
-            qb = (
-                trans.join(b.withColumnRenamed("s", "t"), "t")
-                .groupBy("s")
-                .agg(F.sum(F.col("c").cast("double") * F.col("b") / F.lit(1e9)).alias("qb"))
-            )
-            b = (
-                r_direct.join(qb, "s", "left")
-                .select(
-                    "s",
-                    F.round(
-                        F.lit(1e9)
-                        * (
-                            F.col("rc").cast("double") / F.col("n")
-                            + F.coalesce(F.col("qb"), F.lit(0.0)) / F.col("n")
-                        ),
-                        0,
-                    ).cast("long").alias("b"),
-                )
-                .stableCheckpoint(eager=True)
-            )
+            qb = {
+                s: sum(c * b[t] / 1e9 for (t, c) in edges[s] if t in b)
+                for s in states
+            }
+            # F.round(x, 0) is HALF_UP; floor(x+0.5) matches for x >= 0
+            b = {
+                s: int(math.floor(1e9 * (rc[s] / n_out[s] + qb[s] / n_out[s]) + 0.5))
+                for s in states
+            }
         results[tgt] = b
-    out = (
-        results["purchase"].withColumnRenamed("b", "bp")
-        .join(results["error"].withColumnRenamed("b", "be"), "s")
-    )
-    return out.select(
-        F.col("s").alias("state"),
-        F.round(F.col("bp") / F.lit(1e9), 6).alias("p_purchase"),
-        F.round(F.col("be") / F.lit(1e9), 6).alias("p_error"),
-        F.round((F.col("bp") + F.col("be")) / F.lit(1e9), 6).alias("p_absorbed"),
+    def _r6(ppb: int) -> float:
+        # HALF_UP of ppb/1e9 at 6dp == floor(ppb/1000 + 0.5)/1e6 (ppb >= 0)
+        return math.floor(ppb / 1000 + 0.5) / 1e6
+
+    rows = [
+        (
+            s,
+            _r6(results["purchase"][s]),
+            _r6(results["error"][s]),
+            _r6(results["purchase"][s] + results["error"][s]),
+        )
+        for s in states
+    ]
+    return spark.createDataFrame(
+        rows, "state string, p_purchase double, p_error double, p_absorbed double"
     ).orderBy("state")
 
 

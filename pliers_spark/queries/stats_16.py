@@ -1088,63 +1088,58 @@ def q_ksegments_dp(spark, sf_dir):
     heuristic binary splitting only approximates): E_k(j) =
     min_i E_{k-1}(i) + SSE(i+1,j), all segment SSEs from two prefix
     sums in one closed form, re-quantized to 1e-6 so the DP's argmin
-    is an exact int64 comparison with deterministic ties. The k
-    rounds unroll as chained CTEs; backtracking re-reads the stored
-    argmin cuts. Day census → O(n²) segment table (n = days, constant
-    vs corpus) → 4 DP rounds; reports each segment's span and mean."""
+    is an exact int64 comparison with deterministic ties. Day census
+    → prefix sums (n = days, constant vs corpus) → the O(K·n²) DP.
+    r4 perf: the prefix table is dimension-sized MODEL state, so the
+    DP + backtracking run on the driver in the identical float
+    expression shapes and int64 comparisons (HALF_UP cfp, (e, i)
+    tie-break; golden-hash pinned) instead of K checkpointed
+    window-join jobs over the n² segment table."""
+    import math
+
     ev = _events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    wo = Window.orderBy("dd")
-    idx = daily.select(
-        F.row_number().over(wo).cast("long").alias("t"),
-        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
-        F.sum(F.col("x") * F.col("x")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-    ).stableCheckpoint(eager=True)
-    n = idx.agg(F.max("n")).collect()[0][0]
-    pref = idx.select("t", "p1", "p2").unionAll(
-        spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    seg = (
-        a.join(b, F.col("b.t") > F.col("a.t"))
-        .select(
-            (F.col("a.t") + 1).alias("i"), F.col("b.t").alias("j"),
-            F.round(
-                F.lit(1e6)
-                * (
-                    (F.col("b.p2") - F.col("a.p2"))
-                    - (F.col("b.p1") - F.col("a.p1")).cast("double") * (F.col("b.p1") - F.col("a.p1"))
-                    / (F.col("b.t") - F.col("a.t"))
-                ),
-                0,
-            ).cast("long").alias("cfp"),
-        )
-        .stableCheckpoint(eager=True)
-    )
-    e = seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut"))
-    tables = {1: e.stableCheckpoint(eager=True)}
+    xs = [r["x"] for r in daily.orderBy("dd").collect()]
+    n = len(xs)
+    p1 = [0] * (n + 1)
+    p2 = [0] * (n + 1)
+    for t, x in enumerate(xs, start=1):
+        p1[t] = p1[t - 1] + x
+        p2[t] = p2[t - 1] + x * x
+
+    def cfp(i: int, j: int) -> int:
+        d1 = p1[j] - p1[i - 1]
+        d2 = p2[j] - p2[i - 1]
+        v = 1e6 * (d2 - float(d1) * d1 / (j - i + 1))
+        # Spark F.round(x, 0) = HALF_UP (away from zero at exact .5)
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    # e[k][j] = (cost, cut); tie-break min (e, i) like the window form
+    e_prev = {j: (cfp(1, j), 0) for j in range(1, n + 1)}
+    tables = {1: e_prev}
     for k in range(2, _KSEG_K + 1):
-        p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
-        wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
-        tables[k] = (
-            seg.join(p, F.col("pj") == F.col("i") - 1)
-            .select("j", "i", (F.col("pe") + F.col("cfp")).cast("long").alias("e"))
-            .select("j", "e", (F.col("i") - 1).cast("long").alias("cut"),
-                    F.row_number().over(wmin).alias("rn"))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .stableCheckpoint(eager=True)
-        )
+        cur = {}
+        for j in range(1, n + 1):
+            best = None
+            for i in range(2, j + 1):
+                pe = tables[k - 1].get(i - 1)
+                if pe is None:
+                    continue
+                cand_e = pe[0] + cfp(i, j)
+                if best is None or (cand_e, i) < best[:2]:
+                    best = (cand_e, i, i - 1)
+            if best is not None:
+                cur[j] = (best[0], best[2])
+        tables[k] = cur
     cuts = []
     j = n
     for k in range(_KSEG_K, 1, -1):
-        j = tables[k].where(F.col("j") == j).collect()[0].cut
+        j = tables[k][j][1]
         cuts.append(j)
     bounds = sorted([0] + cuts + [n])
-    pref_rows = {r.t: r.p1 for r in pref.collect()}
+    pref_rows = {t: p1[t] for t in range(n + 1)}
     rows = []
     for k in range(len(bounds) - 1):
         lo, hi = bounds[k], bounds[k + 1]
@@ -1597,61 +1592,53 @@ def q_kmeans_1d_optimal(spark, sf_dir):
     certified-optimum contrast to Lloyd's `kmeans_fit`, whose local
     optima this query exposes. Prefix-sum SSE closed form, 1e-6
     integer argmin with deterministic ties, stored-cut backtracking.
-    One census + rank window; the DP grain is O(n²) in USERS but the
-    sorted-contiguity theorem means production use bins first — the
-    binned variant is this same query on the histogram."""
+    The DP grain is O(n²) in USERS but the sorted-contiguity theorem
+    means production use bins first — the binned variant is this same
+    query on the histogram. r4 perf: this audit form already collected
+    the user census for its output rows, so the whole sorted-prefix DP
+    now runs driver-side in vectorized numpy (identical double
+    expression shapes, HALF_UP cfp, first-minimum = smallest-i
+    tie-break; golden-hash pinned) instead of K checkpointed
+    window-join jobs over the n² segment table."""
+    import numpy as np
+
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
-    wo = Window.orderBy("a", "user_id")
-    srt = u.select(
-        F.row_number().over(wo).cast("long").alias("t"),
-        "a",
-        F.sum("a").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p1"),
-        F.sum(F.col("a") * F.col("a")).over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("p2"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
-    ).stableCheckpoint(eager=True)
-    n = srt.agg(F.max("n")).collect()[0][0]
-    pref = srt.select("t", "p1", "p2").unionAll(
-        spark.createDataFrame([(0, 0, 0)], "t long, p1 long, p2 long")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    seg = (
-        a.join(b, F.col("b.t") > F.col("a.t"))
-        .select(
-            (F.col("a.t") + 1).alias("i"), F.col("b.t").alias("j"),
-            F.round(
-                F.lit(1e6)
-                * (
-                    (F.col("b.p2") - F.col("a.p2"))
-                    - (F.col("b.p1") - F.col("a.p1")).cast("double") * (F.col("b.p1") - F.col("a.p1"))
-                    / (F.col("b.t") - F.col("a.t"))
-                ),
-                0,
-            ).cast("long").alias("cfp"),
-        )
-        .stableCheckpoint(eager=True)
-    )
-    tables = {1: seg.where(F.col("i") == 1).select("j", F.col("cfp").alias("e"), F.lit(0).cast("long").alias("cut")).stableCheckpoint(eager=True)}
+    urows = sorted((r["a"], r["user_id"]) for r in u.collect())
+    avals = np.array([a for a, _ in urows], dtype=np.int64)
+    n = len(avals)
+    p1 = np.concatenate([[0], np.cumsum(avals)]).astype(np.int64)
+    p2 = np.concatenate([[0], np.cumsum(avals * avals)]).astype(np.int64)
+
+    def cfp_vec(i_arr: np.ndarray, j: int) -> np.ndarray:
+        """HALF_UP(1e6·SSE(i..j)) for a vector of segment starts i."""
+        d1 = p1[j] - p1[i_arr - 1]
+        d2 = p2[j] - p2[i_arr - 1]
+        v = 1e6 * (d2 - d1.astype(np.float64) * d1 / (j - i_arr + 1))
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+    # e[k][j] = (cost, cut); ties resolve to the smallest i (np first-min)
+    e_cost = {1: np.array([cfp_vec(np.array([1]), j)[0] for j in range(1, n + 1)])}
+    e_cut = {1: np.zeros(n, dtype=np.int64)}
     for k in range(2, _K1D_K + 1):
-        p = tables[k - 1].select(F.col("j").alias("pj"), F.col("e").alias("pe"))
-        wmin = Window.partitionBy("j").orderBy(F.col("e"), "i")
-        tables[k] = (
-            seg.join(p, F.col("pj") == F.col("i") - 1)
-            .select("j", "i", (F.col("pe") + F.col("cfp")).cast("long").alias("e"))
-            .select("j", "e", (F.col("i") - 1).cast("long").alias("cut"),
-                    F.row_number().over(wmin).alias("rn"))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .stableCheckpoint(eager=True)
-        )
+        ck = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        cut = np.zeros(n, dtype=np.int64)
+        # predecessor e_{k-1}(i-1) exists only for i-1 >= k-1 (the
+        # relational join had no row below that), so i ranges k..j
+        for j in range(k, n + 1):
+            i_arr = np.arange(k, j + 1, dtype=np.int64)
+            cand = e_cost[k - 1][i_arr - 2] + cfp_vec(i_arr, j)
+            best = int(np.argmin(cand))  # first minimum = smallest i
+            ck[j - 1] = cand[best]
+            cut[j - 1] = i_arr[best] - 1
+        e_cost[k], e_cut[k] = ck, cut
     cuts = []
     j = n
     for k in range(_K1D_K, 1, -1):
-        j = tables[k].where(F.col("j") == j).collect()[0].cut
+        j = int(e_cut[k][j - 1])
         cuts.append(j)
     bounds = sorted([0] + cuts + [n])
-    pr = {r.t: (r.p1, r.a) for r in srt.select("t", "p1", "a").collect()}
-    pr[0] = (0, None)
+    pr = {t: (int(p1[t]), int(avals[t - 1]) if t >= 1 else None) for t in range(n + 1)}
     rows = []
     for k in range(len(bounds) - 1):
         lo, hi = bounds[k], bounds[k + 1]
