@@ -357,7 +357,9 @@ _PUNKT_ABBREVS = [
 
 
 def _punkt_rules() -> list[tuple[str, str]]:
-    rules: list[tuple[str, str]] = []
+    # scrub any pre-existing sentinel first: adversarial input carrying
+    # the private-use codepoint must not alias a protected period
+    rules: list[tuple[str, str]] = [(_PRD, "")]
     for ab in _PUNKT_MULTI:
         a, b = ab.split(".", 1)
         rules.append(

@@ -110,3 +110,15 @@ def test_punkt_differential_vs_real_nltk():
         if not text.strip():
             continue
         assert punkt_split_py(text) == nltk.sent_tokenize(text), repr(text)
+
+
+def test_punkt_sentinel_in_input_is_scrubbed():
+    """Adversarial text containing the private-use sentinel codepoint
+    must not alias a protected period (the cascade deletes it first)."""
+    from pliers_spark.functions.text import _PRD
+
+    assert punkt_split_py(f"Evil{_PRD} text. Next one.") == [
+        "Evil text.",
+        "Next one.",
+    ]
+    assert punkt_split_py(_PRD * 5) == []
