@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pliers_spark.operators.census import census_collect
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
@@ -152,12 +154,10 @@ def kmeans_assign(
     Returns ``(id, cluster_id, d_u)`` with ``d_u`` in squared
     micro-units.
     """
-    seeds = (
-        vectors.where(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )  # k rows — bounded dimension, mirrors the broadcast-query pattern
+    seeds = census_collect(
+        vectors.where(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col),
+        k, "k-means seed fetch (model-k grain)",
+    )
     seed_ids = np.array([r[0] for r in seeds], dtype=np.int64)
     cu = np.floor(np.asarray([r[1] for r in seeds], dtype=np.float64) * 1e6 + 0.5).astype(
         np.int64
@@ -246,8 +246,9 @@ def kmeans_fit(
     sum_d_u)`` from a final assignment pass under the trained
     centroids.
     """
-    seeds = (
-        vectors.where(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    seeds = census_collect(
+        vectors.where(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col),
+        k, "k-means seed fetch (model-k grain)",
     )
     seed_ids = np.array([r[0] for r in seeds], dtype=np.int64)
     cu = _scale_u([r[1] for r in seeds])
@@ -289,13 +290,13 @@ def kmeans_fit(
 
     dim = len(cu[0])
     for _ in range(n_iter):
-        agg = (
+        agg = census_collect(
             vectors.select(vec_col)
             .mapInPandas(partials(cu), "cluster_idx long, dim long, s long")
             .groupBy("cluster_idx", "dim")
-            .agg(F.sum("s").alias("s"))
-            .collect()
-        )  # k·(D+2) rows — bounded by the model size, never the corpus
+            .agg(F.sum("s").alias("s")),
+            k * (dim + 2), "k-means partial-sum census (model-size grain)",
+        )
         sums = np.zeros((k, dim), dtype=np.int64)
         cnt = np.zeros(k, dtype=np.int64)
         for r in agg:
@@ -586,11 +587,9 @@ def _pq_codebook(vectors, id_col: str, vec_col: str, m: int, ksub: int):
     codebook is a model parameter (production trains it with
     :func:`kmeans_fit` per subspace; the deterministic seed codebook
     keeps the oracle replayable)."""
-    seeds = (
-        vectors.where(F.col(id_col) < ksub)
-        .select(vec_col)
-        .orderBy(id_col)
-        .collect()
+    seeds = census_collect(
+        vectors.where(F.col(id_col) < ksub).select(vec_col).orderBy(id_col),
+        ksub, "PQ codebook fetch (model-ksub grain)",
     )
     cu = _scale_u(np.asarray([r[0] for r in seeds], dtype=np.float64))
     ksub_eff, dim = cu.shape
@@ -692,7 +691,10 @@ def _adc_scores(
     are carried through for downstream gating."""
     cb = _pq_codebook(vectors, id_col, vec_col, m, ksub)  # (m, ksub, sd)
     subdim = cb.shape[2]
-    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    qrows = census_collect(
+        queries.select(q_id_col, vec_col).orderBy(q_id_col),
+        1_000_000, "broadcast query-set fetch (bounded query batch, never the corpus)",
+    )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qu = _scale_u(np.asarray([r[1] for r in qrows], dtype=np.float64))
     nq = len(q_ids)
@@ -945,7 +947,10 @@ def exact_l2_topk(
     the ground truth the PQ/IVF approximations are audited against.
     Same Arrow-batched (B×D)·(D×nq) integer matmul as kmeans_assign;
     one corpus pass, rank window on q_id."""
-    qrows = queries.select(q_id_col, vec_col).orderBy(q_id_col).collect()
+    qrows = census_collect(
+        queries.select(q_id_col, vec_col).orderBy(q_id_col),
+        1_000_000, "broadcast query-set fetch (bounded query batch, never the corpus)",
+    )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qu = _scale_u(np.asarray([r[1] for r in qrows], dtype=np.float64))
     nq = len(q_ids)

@@ -42,6 +42,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pliers_spark.operators.census import census_collect
+
 MANIFEST_SCHEMA = (
     "stage_id string, partition_key int, input_snapshot_id string, "
     "partition_hash long, row_count long, wall_ms long, status string, run_id string"
@@ -62,11 +64,11 @@ class CheckpointedRun:
         if not os.path.exists(self.manifest_dir):
             return set()
         m = spark.read.parquet(self.manifest_dir)
-        rows = (
+        rows = census_collect(
             m.where((F.col("stage_id") == self.stage_id) & (F.col("status") == "done"))
             .select("partition_key")
-            .distinct()
-            .collect()
+            .distinct(),
+            self.num_buckets, "checkpoint manifest keys (bucket grain)",
         )
         return {r.partition_key for r in rows}
 

@@ -11,6 +11,7 @@ Queries: densest_subgraph, label_propagation, huber_location,
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query
+from pliers_spark.operators.census import census_collect
 from .dedup_sim import _DOT_SQL, _NORM_A, _NORM_Q, _SIMHASH_BITS
 from .features_a import _simhash_pairs_cte
 
@@ -1099,11 +1100,11 @@ def q_mmr_select(spark, sf_dir):
     )
     rows = [
         (int(r.vec_id), float(r.rel))
-        for r in cand.select("vec_id", "rel").collect()  # <=20 rows by construction
+        for r in census_collect(cand.select("vec_id", "rel"), 20, "MMR candidate census")
     ]
     sims = {
         (int(r.ca), int(r.cb)): float(r.s)
-        for r in sim.collect()  # <=20*19 rows
+        for r in census_collect(sim, 380, "MMR pairwise census (20\u00b719)")
     }
     selected = []
     remaining = dict(rows)

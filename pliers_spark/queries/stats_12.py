@@ -12,6 +12,7 @@ Queries: sinkhorn_ot, partial_correlation, granger_lag1, davies_bouldin,
 from __future__ import annotations
 
 from ._registry import D, F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query
+from pliers_spark.operators.census import census_collect
 from .features_a import _tag_case_sql
 from .stats_11 import _SINKHORN_ITERS, _SINKHORN_K, _lnfact_col, _lnfact_sql, _sinkhorn_sql
 
@@ -38,7 +39,10 @@ def q_sinkhorn_ot(spark, sf_dir):
         F.least(F.floor(F.col("n_chars") / 200), F.lit(_SINKHORN_K - 1)).cast("long").alias("bin"),
         "source",
     )
-    hist = b0.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    hist = census_collect(
+        b0.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c")),
+        10_000, "source\u00d7bin histogram census",
+    )
     tot = {"src0": 0, "src1": 0}
     cnt = {}
     for r in hist:
@@ -725,7 +729,8 @@ def q_pca_project(spark, sf_dir):
             (F.col("n").cast(dec) * F.col("q") - F.col("si").cast(dec) * F.col("sj").cast(dec)).cast("double")
             / (F.col("n").cast("double") * F.col("n")) / F.lit(1e12)
         ).alias("c"),
-    ).collect()
+    )
+    cov_rows = census_collect(cov_rows, 10_000, "D\u00b2 covariance census (model-size grain)")
     C = [[0.0] * _PCA_D for _ in range(_PCA_D)]
     for r in cov_rows:
         C[r.i][r.j] = r.c

@@ -14,6 +14,7 @@ Queries: body_extraction_span, warc_roundtrip, holt_linear,
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query
+from pliers_spark.operators.census import census_collect
 from .features_a import _tag_case_sql
 from .stats_10 import _QLD_TOKENS
 from .stats_12 import _body_span_sql
@@ -211,7 +212,7 @@ def q_holt_linear(spark, sf_dir):
             0,
         ).cast("long").alias("x")
     )
-    rows = sorted(d.collect(), key=lambda r: r.day)
+    rows = sorted(census_collect(d, 200_000, "daily value census"), key=lambda r: r.day)
 
     def rnd(v):
         return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
@@ -450,7 +451,7 @@ def q_kleinberg_bursts(spark, sf_dir):
     d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
-    rows = sorted(d.collect(), key=lambda r: r.day)
+    rows = sorted(census_collect(d, 200_000, "daily value census"), key=lambda r: r.day)
     T = len(rows)
     N = sum(r.x for r in rows)
     r0 = N / T
@@ -1199,12 +1200,12 @@ def q_absorbing_chain_steps(spark, sf_dir):
     ).where(F.col("a").isNotNull())
     cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
     rowt = cnt.groupBy("a").agg(F.sum("c").cast("long").alias("r"))
-    qrows = (
+    qrows = census_collect(
         cnt.join(rowt, "a")
-        .where((F.col("a") != "purchase") & (F.col("b") != "purchase"))
-        .collect()
+        .where((F.col("a") != "purchase") & (F.col("b") != "purchase")),
+        10_000, "event-type transition census",
     )
-    trans_states = sorted(r["a"] for r in rowt.where(F.col("a") != "purchase").collect())
+    trans_states = sorted(r["a"] for r in census_collect(rowt.where(F.col("a") != "purchase"), 1_000, "event-type census"))
     out_edges: dict[str, list] = {s: [] for s in trans_states}
     for r in qrows:
         out_edges[r["a"]].append((r["b"], r["c"], r["r"]))

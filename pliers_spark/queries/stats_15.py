@@ -13,6 +13,7 @@ Queries: knn_loo_accuracy, bartlett_test, dagostino_k2, cliffs_delta,
 from __future__ import annotations
 
 from ._registry import F, R, T, Window, _docs, _events, load_table, md5_int, md5_int_sql, query
+from pliers_spark.operators.census import census_collect
 from .stats_11 import _closure_sql
 from .stats_14 import _HEX_BITLEN, _KNNLOO_K, _KNNLOO_SAMPLE_MOD, _emb_micro_spark
 
@@ -552,7 +553,7 @@ def q_dtw_weekday(spark, sf_dir):
         F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("a"),
         F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("b"),
     )
-    drows = daily.collect()
+    drows = census_collect(daily, 1_000, "weekday census")
     a = {r["wd"]: r["a"] for r in drows}
     b = {r["wd"]: r["b"] for r in drows}
     wds = sorted(a)
@@ -1072,7 +1073,7 @@ def q_holt_winters(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     d = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    rows = sorted(d.collect(), key=lambda r: r.dd)
+    rows = sorted(census_collect(d, 200_000, "daily census"), key=lambda r: r.dd)
 
     def rnd(v):
         return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
@@ -1878,7 +1879,7 @@ def q_absorption_probs(spark, sf_dir):
     trans = pairs.where(F.col("s").isin(*_ABS_TRANSIENT)).groupBy("s", "t").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    trows = trans.collect()
+    trows = census_collect(trans, 10_000, "event-type transition census")
     n_out: dict[str, int] = {}
     edges: dict[str, list] = {}
     for r in trows:
@@ -2248,7 +2249,7 @@ def q_bocpd_runlength(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    rows = sorted(daily.collect(), key=lambda r: r.dd)
+    rows = sorted(census_collect(daily, 200_000, "daily census"), key=lambda r: r.dd)
     cs = sorted((r.c, r.dd) for r in rows)
     med = cs[(len(cs) + 1) // 2 - 1][0]
 

@@ -12,6 +12,7 @@ Queries: weibull_menon, rqa_measures, poincare_sd, bom_explosion,
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, query
+from pliers_spark.operators.census import census_collect
 from .stats_15 import _LL_GAP_S
 
 
@@ -897,7 +898,7 @@ def q_unigram_viterbi_segment(spark, sf_dir):
     # the Arrow workers and the 12-position DP runs per distinct word
     # in one vectorized pass; exact int64 costs, same packed tie-break
     # key cost·16+np as the relational oracle.
-    cost_dict = {r["piece"]: r["cf"] for r in cost.collect()}
+    cost_dict = {r["piece"]: r["cf"] for r in census_collect(cost, 1_000_000, "subword vocab cost census (Heaps-bounded)")}
     bc = spark.sparkContext.broadcast(cost_dict)
     maxp = _USEG_MAXPIECE
 
@@ -1101,7 +1102,7 @@ def q_ksegments_dp(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    xs = [r["x"] for r in daily.orderBy("dd").collect()]
+    xs = [r["x"] for r in census_collect(daily.orderBy("dd"), 200_000, "daily census")]
     n = len(xs)
     p1 = [0] * (n + 1)
     p2 = [0] * (n + 1)
@@ -1604,7 +1605,15 @@ def q_kmeans_1d_optimal(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
-    urows = sorted((r["a"], r["user_id"]) for r in u.collect())
+    urows = sorted(
+        (r["a"], r["user_id"])
+        for r in census_collect(
+            u, 2_000_000,
+            "user-grain census (EXACT O(n\u00b2) audit form; production uses "
+            "kmeans_1d_binned, whose model state is the bounded activity "
+            "histogram)",
+        )
+    )
     avals = np.array([a for a, _ in urows], dtype=np.int64)
     n = len(avals)
     p1 = np.concatenate([[0], np.cumsum(avals)]).astype(np.int64)
@@ -2364,7 +2373,11 @@ def q_fisher_exact(spark, sf_dir):
         ).alias("lnf"),
     )
     lnf = {0: 0.0}
-    for row in lnf_df.collect():
+    for row in census_collect(
+        lnf_df, 2_000_000,
+        "ln-factorial spine (user-count grain; exact Fisher test is an "
+        "audit form — the O(n) driver pmf loop bounds its own domain)",
+    ):
         lnf[row.x] = row.lnf
     import math as _m
 

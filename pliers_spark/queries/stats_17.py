@@ -10,6 +10,7 @@ Queries: sign_test, ancova_adjusted, readability_panel, pacf_levinson,
 from __future__ import annotations
 
 from ._registry import F, T, Window, _docs, _events, load_table, query
+from pliers_spark.operators.census import census_collect
 from .stats_09 import _dsg_graph_sql
 from .stats_15 import _LL_GAP_S
 from .stats_16 import _lnfact_spine_sql, _sign_sql
@@ -53,7 +54,7 @@ def q_sign_test(spark, sf_dir):
         ).alias("lnf"),
     )
     lnf = {0: 0.0}
-    for row in lnf_df.collect():
+    for row in census_collect(lnf_df, 200_000, "ln-factorial spine (sign-change day grain)"):
         lnf[row.x] = row.lnf
     pmf = {
         k: rnd(1e12 * _m.exp(lnf[n] - lnf[k] - lnf[n - k] - n * _m.log(2.0)))
@@ -547,7 +548,7 @@ def q_kalman_local_level(spark, sf_dir):
     day = F.date_trunc("day", F.col("ts")).cast("date")
     dd = F.datediff(day, F.lit("2024-01-01").cast("date")).cast("long")
     daily = ev.groupBy(dd.alias("dd")).agg(F.count(F.lit(1)).cast("long").alias("y"))
-    rows = sorted(daily.collect(), key=lambda r: r.dd)
+    rows = sorted(census_collect(daily, 200_000, "daily census"), key=lambda r: r.dd)
 
     def rnd(v):
         return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
@@ -953,7 +954,8 @@ def q_erlang_c(spark, sf_dir):
         F.sum(F.log(F.col("k").cast("double"))).over(
             Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("lnf"),
-    ).collect()
+    )
+    lnf_rows = census_collect(lnf_rows, 10_000, "ln-factorial spine (duty-cycle constant grain)")
     lnf = {0: 0.0}
     for row in lnf_rows:
         lnf[row.x] = row.lnf

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pliers_spark.operators.census import CensusBoundExceeded, census_collect
+
 SRT_SCHEMA = "file string, order long, text string, onset double, duration double"
 
 _SRT_TIME = re.compile(r"(\d+):(\d+):(\d+)[,.](\d+)")
@@ -108,9 +110,15 @@ def write_srt(df: DataFrame, path: str) -> int:
     tracks are inherently tiny (thousands of cues), so this is a
     driver-side render of a sorted collect — guarded so a mis-aimed
     10^12-row frame fails fast instead of OOM-ing the driver."""
-    rows = df.select("order", "text", "onset", "duration").orderBy("order").limit(100_001).collect()
-    if len(rows) > 100_000:
-        raise ValueError("write_srt is a subtitle sink (≤100k cues); use parquet for tables")
+    try:
+        rows = census_collect(
+            df.select("order", "text", "onset", "duration").orderBy("order"),
+            100_000, "write_srt subtitle sink",
+        )
+    except CensusBoundExceeded as e:
+        raise ValueError(
+            "write_srt is a subtitle sink (\u2264100k cues); use parquet for tables"
+        ) from e
     blocks = []
     for r in rows:
         start = seconds_to_srt_time(r.onset)
