@@ -1659,6 +1659,142 @@ def q_kmeans_1d_optimal(spark, sf_dir):
 
 
 
+def _k1d_binned_sql() -> str:
+    K = _K1D_K
+    parts = ["""u AS MATERIALIZED (
+         SELECT user_id, count(*)::BIGINT AS a FROM events GROUP BY user_id),
+       h AS MATERIALIZED (
+         SELECT a, count(*)::BIGINT AS w FROM u GROUP BY a),
+       srt AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY a)::BIGINT AS t, a, w,
+                sum(w) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)::BIGINT AS p0,
+                sum(w * a) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)::BIGINT AS p1,
+                sum(w * a * a) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)::BIGINT AS p2,
+                count(*) OVER ()::BIGINT AS n
+         FROM h),
+       pref AS MATERIALIZED (
+         SELECT t, p0, p1, p2 FROM srt UNION ALL SELECT 0, 0, 0, 0),
+       seg AS MATERIALIZED (
+         SELECT a.t + 1 AS i, b.t AS j,
+                round(1e6 * ((b.p2 - a.p2)
+                      - (b.p1 - a.p1)::DOUBLE * (b.p1 - a.p1) / (b.p0 - a.p0)), 0)::BIGINT AS cfp
+         FROM pref a JOIN pref b ON b.t > a.t),
+       e1 AS MATERIALIZED (
+         SELECT j, cfp AS e, 0::BIGINT AS cut FROM seg WHERE i = 1)"""]
+    prev = "e1"
+    for k in range(2, K + 1):
+        parts.append(f"""e{k} AS MATERIALIZED (
+         SELECT j, e, cut FROM (
+           SELECT s.j, p.e + s.cfp AS e, s.i - 1 AS cut,
+                  row_number() OVER (PARTITION BY s.j
+                                     ORDER BY p.e + s.cfp, s.i) AS rn
+           FROM seg s JOIN {prev} p ON p.j = s.i - 1)
+         WHERE rn = 1)""")
+        prev = f"e{k}"
+    bt = [f"""bt{K} AS MATERIALIZED (
+         SELECT e{K}.cut AS c{K} FROM e{K}, srt WHERE e{K}.j = srt.n LIMIT 1)"""]
+    for k in range(K - 1, 1, -1):
+        bt.append(f"""bt{k} AS MATERIALIZED (
+         SELECT e{k}.cut AS c{k} FROM e{k}, bt{k + 1} WHERE e{k}.j = bt{k + 1}.c{k + 1} LIMIT 1)""")
+    parts.extend(bt)
+    cuts = ", ".join(f"(SELECT c{k} FROM bt{k})" for k in range(2, K + 1))
+    return (
+        "WITH " + ",\n       ".join(parts)
+        + f""",
+       bounds AS (
+         SELECT unnest([0, {cuts}, (SELECT max(n) FROM srt)]) AS b),
+       segs AS (
+         SELECT row_number() OVER (ORDER BY b) AS k, b AS lo,
+                lead(b) OVER (ORDER BY b) AS hi
+         FROM bounds),
+       out AS (
+         SELECT s.k,
+                (SELECT p0 FROM pref WHERE t = s.hi)
+                  - (SELECT p0 FROM pref WHERE t = s.lo) AS sz,
+                (SELECT p1 FROM pref WHERE t = s.hi)
+                  - (SELECT p1 FROM pref WHERE t = s.lo) AS mass,
+                (SELECT a FROM srt WHERE t = s.lo + 1) AS lo_val,
+                (SELECT a FROM srt WHERE t = s.hi) AS hi_val
+         FROM segs s WHERE s.hi IS NOT NULL)
+       SELECT k::BIGINT AS cluster, sz AS n_users, lo_val, hi_val,
+              round(mass::DOUBLE / sz, 6) AS centroid
+       FROM out ORDER BY cluster"""
+    )
+
+
+@query("kmeans_1d_binned", _k1d_binned_sql())
+def q_kmeans_1d_binned(spark, sf_dir):
+    """The PRODUCTION form of exact 1-D 3-means (VERDICT r4 item 2):
+    the same Wang & Song / Fisher sorted-contiguity DP as
+    `kmeans_1d_optimal`, run on the per-user activity HISTOGRAM
+    (`value_counts` census on the count) with weighted SSE — so the
+    model state is bounded by the number of DISTINCT activity values
+    (Heaps-like: thousands at any corpus size), never by the user
+    count. Cluster boundaries are restricted to histogram-bin
+    boundaries, which is exactly the audit form's solution space
+    whenever no optimal segmentation splits a tie group of equal
+    values (users with the same count are interchangeable — the only
+    regime where the forms can differ is a forced tie-group split,
+    e.g. #distinct < k). Weighted prefix sums p0=Σw, p1=Σw·a,
+    p2=Σw·a²; segment cost HALF_UP(1e6·(Δp2 − Δp1²/Δp0)); identical
+    first-minimum tie-break and stored-cut backtracking as the audit
+    twin. Reference anchor: MetricExtractor-style aggregation,
+    pliers/extractors/misc.py:13-74."""
+    import numpy as np
+
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h = u.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    hrows = sorted(
+        (r["a"], r["w"])
+        for r in census_collect(
+            h, 200_000, "activity histogram census (distinct per-user counts)"
+        )
+    )
+    avals = np.array([a for a, _ in hrows], dtype=np.int64)
+    wvals = np.array([w for _, w in hrows], dtype=np.int64)
+    n = len(avals)
+    p0 = np.concatenate([[0], np.cumsum(wvals)]).astype(np.int64)
+    p1 = np.concatenate([[0], np.cumsum(wvals * avals)]).astype(np.int64)
+    p2 = np.concatenate([[0], np.cumsum(wvals * avals * avals)]).astype(np.int64)
+
+    def cfp_vec(i_arr: np.ndarray, j: int) -> np.ndarray:
+        """HALF_UP(1e6·weighted SSE(bins i..j)) for a vector of starts i."""
+        d0 = p0[j] - p0[i_arr - 1]
+        d1 = p1[j] - p1[i_arr - 1]
+        d2 = p2[j] - p2[i_arr - 1]
+        v = 1e6 * (d2 - d1.astype(np.float64) * d1 / d0)
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+    e_cost = {1: np.array([cfp_vec(np.array([1]), j)[0] for j in range(1, n + 1)])}
+    e_cut = {1: np.zeros(n, dtype=np.int64)}
+    for k in range(2, _K1D_K + 1):
+        ck = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        cut = np.zeros(n, dtype=np.int64)
+        for j in range(k, n + 1):
+            i_arr = np.arange(k, j + 1, dtype=np.int64)
+            cand = e_cost[k - 1][i_arr - 2] + cfp_vec(i_arr, j)
+            best = int(np.argmin(cand))  # first minimum = smallest i
+            ck[j - 1] = cand[best]
+            cut[j - 1] = i_arr[best] - 1
+        e_cost[k], e_cut[k] = ck, cut
+    cuts = []
+    j = n
+    for k in range(_K1D_K, 1, -1):
+        j = int(e_cut[k][j - 1])
+        cuts.append(j)
+    bounds = sorted([0] + cuts + [n])
+    rows = []
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        sz = int(p0[hi] - p0[lo])
+        mass = int(p1[hi] - p1[lo])
+        rows.append((k + 1, sz, int(avals[lo]), int(avals[hi - 1]), round(mass / sz, 6)))
+    return spark.createDataFrame(
+        rows, "cluster long, n_users long, lo_val long, hi_val long, centroid double"
+    ).orderBy("cluster")
+
+
 @query(
     "gpd_pot_fit",
     """WITH u AS (
