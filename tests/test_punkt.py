@@ -51,6 +51,82 @@ GOLDEN = {
 }
 
 
+# r5 (VERDICT r4 item 4): the abbreviation/initial/decimal HARD cases
+# added when sentence_split was promoted to the Punkt-lite default —
+# each probes one protection rule at a boundary-adjacent position where
+# the regex twin would split wrongly. All inside the deterministic
+# common ground of nltk's pre-trained English Punkt model, so the
+# differential test sweeps them too.
+HARD_CASES = {
+    # abbreviation followed by a lowercase continuation: protected
+    # period, no split in either engine
+    "Bring pens, paper, etc. and a ruler too.": [
+        "Bring pens, paper, etc. and a ruler too.",
+    ],
+    # initial chain at sentence START, then a real boundary
+    "J. K. Rowling wrote it. Everyone read it.": [
+        "J. K. Rowling wrote it.",
+        "Everyone read it.",
+    ],
+    # decimal at the very end of a sentence: the trailing period after
+    # the number IS a boundary even though the inner point is not
+    "The result was 3.5. We expected 3.4.": [
+        "The result was 3.5.",
+        "We expected 3.4.",
+    ],
+    # abbreviation + initial + decimal stacked in one sentence
+    "Dr. J. Smith measured 1.25 cm. The error was tiny.": [
+        "Dr. J. Smith measured 1.25 cm.",
+        "The error was tiny.",
+    ],
+    # time abbreviation mid-sentence does not split even before capital
+    "We met at 5 p.m. sharp yesterday. It rained.": [
+        "We met at 5 p.m. sharp yesterday.",
+        "It rained.",
+    ],
+    # question boundary immediately after an abbreviation's period
+    "Is he a Ph.D.? Yes, since Jan. 2020.": [
+        "Is he a Ph.D.?",
+        "Yes, since Jan. 2020.",
+    ],
+}
+
+
+def test_punkt_known_divergence_abbrev_before_capital():
+    """KNOWN DIVERGENCE from trained Punkt (the honest residual VERDICT
+    r4 "What's missing" #2): after a protected abbreviation period, the
+    pre-trained nltk model uses learned collocation/orthographic
+    heuristics to still break before a capitalized frequent
+    sentence-starter ("etc. Nothing..." -> two sentences). A static
+    rule list cannot express that without the trained tables, so the
+    cascade keeps the abbreviation period protected. Pinned here so the
+    divergence is visible and intentional, and excluded from the nltk
+    differential corpus."""
+    assert punkt_split_py("Bring pens, paper, etc. Nothing else is needed.") == [
+        "Bring pens, paper, etc. Nothing else is needed."
+    ]
+
+
+def test_punkt_hard_cases_python():
+    for text, sents in HARD_CASES.items():
+        assert punkt_split_py(text) == sents, repr(text)
+
+
+def test_punkt_hard_cases_spark(spark):
+    texts = list(HARD_CASES)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.sents
+        for r in df.select(
+            "id", punkt_split_sentences("text").alias("sents")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == HARD_CASES[t], repr(t)
+
+
 def test_punkt_goldens_python():
     for text, sents in GOLDEN.items():
         assert punkt_split_py(text) == sents, repr(text)
@@ -106,7 +182,7 @@ def test_punkt_differential_vs_real_nltk():
         nltk.sent_tokenize("ping. pong.")
     except LookupError:
         pytest.skip("nltk present but punkt data missing")
-    for text in GOLDEN:
+    for text in list(GOLDEN) + list(HARD_CASES):
         if not text.strip():
             continue
         assert punkt_split_py(text) == nltk.sent_tokenize(text), repr(text)
