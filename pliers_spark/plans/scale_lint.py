@@ -147,7 +147,11 @@ def audit_scale_hazards(df: DataFrame) -> list[Hazard]:
         for c in _children(p):
             walk(c)
 
-    walk(df._jdf.queryExecution().optimizedPlan())
+    qe = df._jdf.queryExecution()
+    # a streaming frame cannot be optimized before writeStream.start();
+    # audit the analyzed logical plan instead — same node vocabulary
+    # (Window / FlatMapGroupsInPandas / Aggregate), pre-optimization
+    walk(qe.analyzed() if df.isStreaming else qe.optimizedPlan())
     return hazards
 
 

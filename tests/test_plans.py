@@ -625,3 +625,26 @@ def test_round3_queries_plan_shapes(spark):
 
     plan = plan_of(QUERIES["spectral_contrast"](spark, sf))
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_flagship_paths_scale_lint_clean(spark, pages_path):
+    """VERDICT r4 item 8: the scale linter sweeps registered queries;
+    the north-rule path (pages flagship + the sf-dir flagship entry)
+    must carry the same structural guarantee — no single-task operator
+    over non-contracted input anywhere in either plan tree."""
+    from pliers_spark.flagship import flagship_features
+    from pliers_spark.plans.scale_lint import assert_scale_safe
+
+    assert_scale_safe(pages_flagship(spark, pages_path))
+    assert_scale_safe(flagship_features(spark, "/root/testdata/sf0.001"))
+
+
+def test_incremental_and_windowed_paths_scale_lint_clean(spark, pages):
+    """The checkpoint/resume page path and the skew-safe windowed stage
+    are flagship variants a cluster run composes — lint them too."""
+    from pliers_spark.pages_pipeline import extract_page_features, windowed_page_features
+    from pliers_spark.plans.scale_lint import assert_scale_safe
+
+    feats = extract_page_features(pages)
+    assert_scale_safe(windowed_page_features(feats))
+    assert_scale_safe(windowed_page_features(feats, skew_safe=True))

@@ -292,3 +292,28 @@ def test_streaming_hour_rollup_matches_batch_and_coarsens(spark, stream_dir):
         q.stop()
     assert got_hour == want_hour
     assert got_day == want_day
+
+
+def test_streaming_paths_scale_lint_clean(spark, stream_dir):
+    """VERDICT r4 item 8: the streaming twins carry the same structural
+    scale guarantee as the batch catalog — every plan is keyed
+    (watermark + per-key state), no global single-task operator over
+    raw rows. audit runs on the streaming logical plan pre-start."""
+    from pliers_spark.plans.scale_lint import audit_scale_hazards
+    from pliers_spark.streaming.sessions import (
+        streaming_dedup,
+        streaming_session_bounds,
+        streaming_windowed_counts,
+    )
+
+    stream = spark.readStream.schema(
+        "uid string, ts timestamp, value double"
+    ).parquet(stream_dir)
+    frames = [
+        streaming_session_bounds(stream, "uid", "ts", gap="6 hours", watermark="0 seconds"),
+        streaming_windowed_counts(stream, "uid", "ts", window="1 hour", watermark="0 seconds"),
+        streaming_dedup(stream, ["uid", "ts"], "ts", watermark="1 hour"),
+    ]
+    for f in frames:
+        hazards = audit_scale_hazards(f)
+        assert not hazards, [h.detail for h in hazards]

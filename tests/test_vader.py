@@ -2,6 +2,7 @@
 suite (pliers/tests/extractors/test_text_extractors.py:172-183)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from pliers_spark.functions.vader import polarity_scores, with_vader
 
@@ -254,3 +255,114 @@ def test_vader_rule_goldens_multiword_booster_sql_sync():
         ref = polarity_scores(text)
         assert comp == pytest.approx(ref["compound"], abs=1e-9), text
         assert pos == pytest.approx(ref["pos"], abs=1e-9), text
+
+
+# ----------------------------------------------------------------------
+# round 5 (VERDICT r4 item 7): deploy-path smoke at FULL lexicon size —
+# a synthetic 7,500-entry file through the PLIERS_SPARK_VADER_LEXICON
+# mechanism, engine/oracle/Spark agreement proven at that scale, so the
+# only untested thing about full-lexicon VADER is the real file's
+# literal contents, not the mechanism at size.
+
+
+def _synth_full_lexicon(path):
+    """Deterministic 7,500-entry lexicon in the published TSV format:
+    seeded by md5 of the token, valences on the real file's [-3.9, 3.9]
+    grid (one decimal), including multiword entries, apostrophes,
+    emoticon-style punctuation tokens, and a duplicate (later wins)."""
+    import hashlib
+
+    lines = []
+    for i in range(7_480):
+        tok = f"synthword{i}"
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        val = ((h % 79) - 39) / 10.0  # -3.9 .. 3.9
+        sd = ((h >> 8) % 20) / 10.0
+        lines.append(f"{tok}\t{val}\t{sd}\t[0]")
+    # realistic token shapes from the published file
+    lines += [
+        "can't stand\t-2.0\t0.5\t[-2]",
+        "kind of\t-0.3\t0.2\t[0]",
+        "o'clock\t0.4\t0.2\t[0]",
+        ":-)\t1.3\t0.6\t[1]",
+        ":(\t-1.9\t0.8\t[-2]",
+        "</3\t-3.0\t0.9\t[-3]",
+        "friendly\t2.2\t0.5\t[2]",
+        "hostile\t-2.5\t0.6\t[-3]",
+        "splendid\t2.8\t0.6\t[3]",
+        "splendid\t3.0\t0.6\t[3]",  # duplicate: later wins
+        "dreadful\t-2.9\t0.7\t[-3]",
+        "meh\t-0.9\t0.4\t[-1]",
+        "lol\t1.6\t0.7\t[2]",
+        "yay\t2.4\t0.6\t[2]",
+        "ugh\t-1.8\t0.5\t[-2]",
+        "meltdown\t-2.2\t0.6\t[-2]",
+        "sunshine\t1.9\t0.5\t[2]",
+        "grim\t-1.6\t0.5\t[-2]",
+        "stellar\t2.7\t0.6\t[3]",
+        "woeful\t-2.4\t0.6\t[-2]",
+    ]
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return 7_480 + 19  # unique tokens (duplicate collapses)
+
+
+def test_vader_full_size_lexicon_deploy_smoke(tmp_path, monkeypatch, spark):
+    import struct
+
+    import duckdb
+
+    import pliers_spark.functions.vader as V
+
+    p = tmp_path / "vader_lexicon_full.txt"
+    n_unique = _synth_full_lexicon(p)
+    V.set_lexicon(None)
+    monkeypatch.setenv("PLIERS_SPARK_VADER_LEXICON", str(p))
+    try:
+        lex = V.active_lexicon()
+        assert len(lex) == n_unique >= 7_499
+        assert lex["splendid"] == 3.0  # later duplicate won
+
+        texts = [
+            "splendid",                         # full-size lookup
+            "not splendid at all",              # negation against big lex
+            "VERY stellar day!!!",              # booster + caps + punct emphasis
+            "dreadful but splendid",            # 'but' damping
+            "synthword123 and synthword4567",   # deep-file entries score
+            "can't stand this meltdown :(",     # multiword + emoticon
+            "kind of grim, sort of woeful",     # multiword damper
+            "no sunshine today </3",            # negation word + emoticon
+            "yay lol ugh meh",                  # short-token pileup
+            "",                                 # empty
+        ]
+        # entries far apart in the file both resolve
+        assert V.polarity_scores("synthword123")["compound"] != 0.0 or lex["synthword123"] == 0.0
+        # 1) Python engine <-> DuckDB oracle, bit-for-bit at full width
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+        got = {r[0]: r[1:] for r in con.sql(V.vader_sql()).fetchall()}
+        bits = lambda x: struct.pack("<d", x).hex()
+        for i, t in enumerate(texts):
+            want = V.polarity_scores(t)
+            w = (want["pos"], want["neg"], want["neu"], want["compound"])
+            assert tuple(map(bits, w)) == tuple(map(bits, got[i])), (t, w, got[i])
+        # 2) Spark Arrow-batched path ships the full lexicon in the
+        # closure and agrees bit-for-bit with the Python engine
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", V.vader_scores(F.col("text")).alias("s")
+            ).select("doc_id", "s.*").collect()
+        }
+        for i, t in enumerate(texts):
+            want = V.polarity_scores(t)
+            got_r = (rows[i].pos, rows[i].neg, rows[i].neu, rows[i].compound)
+            w = (want["pos"], want["neg"], want["neu"], want["compound"])
+            assert tuple(map(bits, w)) == tuple(map(bits, got_r)), (t, w, got_r)
+    finally:
+        V.set_lexicon(None)
+        monkeypatch.delenv("PLIERS_SPARK_VADER_LEXICON")
+        V.set_lexicon(None)
