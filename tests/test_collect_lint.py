@@ -133,12 +133,13 @@ def test_whitelist_has_no_stale_entries():
     )
 
 
-def test_census_collect_enforces_bound():
+def test_census_collect_enforces_bound(spark):
+    # NB: takes the shared session fixture — a get_spark(...) here with
+    # its own shuffle_partitions would reconfigure the process-global
+    # session and poison later plan-shape tests (AQE skew thresholds).
     from pliers_spark.operators.census import CensusBoundExceeded, census_collect
-    from pliers_spark.session import get_spark
     import pytest
 
-    spark = get_spark("collect-lint", cpus=2, shuffle_partitions=2)
     df = spark.range(10)
     assert len(census_collect(df, 10, "exact bound")) == 10
     assert len(census_collect(df, 100, "loose bound")) == 10
