@@ -26,7 +26,12 @@ is lossless structure + raw PCM.  Layer III splits differently:
   file; see :func:`load_tables`), the same zero-code-change deployment
   mechanism as ``PLIERS_SPARK_VADER_LEXICON``; the mechanism itself is
   tested at full size with synthetic tables (tests/test_mp3.py), so
-  the only untested thing is the real tables' literal contents.
+  what remains untested is the real data files' literal contents
+  (Huffman rows, synthesis window, and the per-sample-rate
+  scalefactor-band tables ``sfband`` that set per-granule big-values
+  region boundaries), plus real-stream-only features the gated path
+  rejects explicitly rather than mis-decoding: bit-reservoir assembly
+  across frames, stereo modes, and switched/short blocks.
   Without tables, :func:`decode_mp3` raises
   :class:`Mp3TablesUnavailable` with the deployment instructions.
 
@@ -134,12 +139,14 @@ def parse_frame_header(data: bytes, off: int) -> FrameHeader:
     )
 
 
-def skip_id3v2(data: bytes) -> int:
-    """Offset of the first audio byte past an ID3v2 tag (syncsafe size)."""
-    if data[:3] != b"ID3" or len(data) < 10:
+def skip_id3v2(data: bytes, off: int = 0) -> int:
+    """Bytes occupied by an ID3v2 tag starting at ``off`` (syncsafe
+    size), 0 if there is none or the header is truncated.  Offset-based
+    so mid-stream tags cost no tail copy."""
+    if data[off : off + 3] != b"ID3" or len(data) - off < 10:
         return 0
     sz = 0
-    for b in data[6:10]:
+    for b in data[off + 6 : off + 10]:
         sz = (sz << 7) | (b & 0x7F)
     return 10 + sz
 
@@ -160,7 +167,10 @@ def index_frames(data: bytes, strict: bool = True) -> list[FrameHeader]:
         if data[off : off + 3] == b"TAG" and n - off == 128:
             break  # ID3v1 trailer
         if data[off : off + 3] == b"ID3":
-            off = off + skip_id3v2(data[off:])
+            adv = skip_id3v2(data, off)
+            if adv == 0:
+                break  # truncated tag header at EOF — trailing junk
+            off += adv
             continue
         try:
             fh = parse_frame_header(data, off)
@@ -348,37 +358,51 @@ def alias_reduce(xr: np.ndarray) -> np.ndarray:
     return out
 
 
+_IMDCT_M: dict[int, np.ndarray] = {}
+
+
 def _imdct(n: int, x: np.ndarray) -> np.ndarray:
     """Direct-form IMDCT of size n (12 or 36): the spec formula
-    ``s_i = sum_k x_k cos(pi/(2n) (2i + 1 + n/2)(2k + 1))``."""
-    i = np.arange(n)[:, None]
-    k = np.arange(n // 2)[None, :]
-    return (np.cos(np.pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1)) @ x)
+    ``s_i = sum_k x_k cos(pi/(2n) (2i + 1 + n/2)(2k + 1))``.  The
+    cosine matrix is a pure constant per size — cached (it sits inside
+    the 32-band × 2-granule × N-frame loop)."""
+    if n not in _IMDCT_M:
+        i = np.arange(n)[:, None]
+        k = np.arange(n // 2)[None, :]
+        _IMDCT_M[n] = np.cos(np.pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+    return _IMDCT_M[n] @ x
+
+
+_WINDOW_CACHE: dict[int, np.ndarray] = {}
 
 
 def imdct_window(block_type: int) -> np.ndarray:
     """The spec's ANALYTIC window formulas (block types 0-3); short
-    blocks return the 12-point window applied per sub-block."""
+    blocks return the 12-point window applied per sub-block. Cached —
+    constants on the per-band hot path."""
+    if block_type in _WINDOW_CACHE:
+        return _WINDOW_CACHE[block_type]
     i = np.arange(36)
     if block_type == 0:
-        return np.sin(np.pi / 36 * (i + 0.5))
-    if block_type == 1:  # start
+        w = np.sin(np.pi / 36 * (i + 0.5))
+    elif block_type == 1:  # start
         w = np.sin(np.pi / 36 * (i + 0.5))
         w[18:24] = 1.0
         w[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
         w[30:] = 0.0
-        return w
-    if block_type == 3:  # stop
+    elif block_type == 3:  # stop
         w = np.sin(np.pi / 36 * (i + 0.5))
         w[:6] = 0.0
         w[6:12] = np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5))
         w[12:18] = 1.0
         w[18:] = np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5))
-        return w
-    if block_type == 2:  # short (12-point, used 3× inside hybrid)
-        j = np.arange(12)
-        return np.sin(np.pi / 12 * (j + 0.5))
-    raise Mp3FormatError(f"bad block_type {block_type}")
+    elif block_type == 2:  # short (12-point, used 3× inside hybrid)
+        w = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    else:
+        raise Mp3FormatError(f"bad block_type {block_type}")
+    w.setflags(write=False)
+    _WINDOW_CACHE[block_type] = w
+    return w
 
 
 def hybrid_synthesis_long(xr_band: np.ndarray, block_type: int,
@@ -399,12 +423,17 @@ def frequency_inversion(sb_samples: np.ndarray) -> np.ndarray:
     return out
 
 
+_SYNTH_M: list = []
+
+
 def synthesis_matrix() -> np.ndarray:
     """The (64, 32) polyphase matrixing ``N_ik = cos((16+i)(2k+1)π/32)``
-    — analytic, no table needed."""
-    i = np.arange(64)[:, None]
-    k = np.arange(32)[None, :]
-    return np.cos((16 + i) * (2 * k + 1) * np.pi / 32)
+    — analytic, no table needed; computed once."""
+    if not _SYNTH_M:
+        i = np.arange(64)[:, None]
+        k = np.arange(32)[None, :]
+        _SYNTH_M.append(np.cos((16 + i) * (2 * k + 1) * np.pi / 32))
+    return _SYNTH_M[0]
 
 
 def polyphase_synthesis(sb: np.ndarray, d_window: np.ndarray,
@@ -440,6 +469,7 @@ _TABLES: dict | None = None
 def set_tables(tables: dict | None) -> None:
     global _TABLES
     _TABLES = tables
+    _DECODER_CACHE.clear()  # decoders are derived data — never stale
 
 
 def load_tables() -> dict:
@@ -461,6 +491,7 @@ def load_tables() -> dict:
                 "PLIERS_SPARK_MP3_TABLES must contain 'huffman' and 'synth_window'"
             )
         _TABLES = t
+        _DECODER_CACHE.clear()
         return t
     raise Mp3TablesUnavailable(
         "Layer III spectral decode needs the published Huffman code "
@@ -522,7 +553,17 @@ def decode_granule_spectrum(bits: _Bits, g: GranuleInfo,
             bits.read(s2)
     huff = tables["huffman"]
     linbits_map = {int(k): v for k, v in tables.get("linbits", {}).items()}
-    bounds = tables["region_bounds"]  # [b0, b1] spectral-line boundaries
+    # Big-values region boundaries are PER-GRANULE in the spec: indices
+    # into the sample-rate scalefactor-band table (ISO 11172-3 B.8,
+    # shipped as tables["sfband"] — data, like B.7/B.3).  The synthetic
+    # path may instead pin a static tables["region_bounds"] pair.
+    if "sfband" in tables:
+        sfb = tables["sfband"]  # long-block band start indices, ending 576
+        i0 = min(g.region0_count + 1, len(sfb) - 1)
+        i1 = min(g.region0_count + 1 + g.region1_count + 1, len(sfb) - 1)
+        bounds = [sfb[i0], sfb[i1]]
+    else:
+        bounds = tables["region_bounds"]  # [b0, b1] spectral-line boundaries
     xs = np.zeros(576, dtype=np.int64)
 
     def read_code(tbl_id: int) -> tuple[int, int]:
@@ -583,15 +624,16 @@ def decode_granule_spectrum(bits: _Bits, g: GranuleInfo,
     return xs
 
 
-_DECODER_CACHE: dict[int, dict] = {}
+_DECODER_CACHE: dict[tuple[int, int], dict] = {}
 
 
 def _decoder_cache(huff: dict, tbl_id: int) -> dict:
-    if tbl_id not in _DECODER_CACHE:
-        _DECODER_CACHE[tbl_id] = build_huffman_decoder(
+    key = (id(huff), tbl_id)
+    if key not in _DECODER_CACHE:
+        _DECODER_CACHE[key] = build_huffman_decoder(
             [list(r) for r in huff[str(tbl_id)]]
         )
-    return _DECODER_CACHE[tbl_id]
+    return _DECODER_CACHE[key]
 
 
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:

@@ -523,7 +523,7 @@ def q_mp3_frame_index(spark, sf_dir):
     row. The oracle replays the closed-form frame-length arithmetic
     (144·kbps·1000 // 44100 + pad) and the offset cumsum relationally —
     exact integers end to end."""
-    from pliers_spark import multimodal
+    from pliers_spark import codecs_mp3, multimodal
 
     def build(did: int) -> bytes:
         out = []
@@ -532,8 +532,7 @@ def q_mp3_frame_index(spark, sf_dir):
             pad = (did + k) % 2
             h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
             h |= (bi << 12) | (0 << 10) | (pad << 9) | (3 << 6)
-            kbps = [None, 32, 40, 48, 56, 64, 80, 96, 112,
-                    128, 160, 192, 224, 256, 320][bi]
+            kbps = codecs_mp3.BITRATES_KBPS["v1"][bi]
             flen = 144 * kbps * 1000 // 44100 + pad
             out.append(h.to_bytes(4, "big") + bytes(flen - 4))
         return b"".join(out)

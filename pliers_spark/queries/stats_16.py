@@ -1740,8 +1740,6 @@ def q_kmeans_1d_binned(spark, sf_dir):
     first-minimum tie-break and stored-cut backtracking as the audit
     twin. Reference anchor: MetricExtractor-style aggregation,
     pliers/extractors/misc.py:13-74."""
-    import numpy as np
-
     ev = _events(spark, sf_dir)
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("a"))
     h = u.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("w"))
@@ -1751,9 +1749,30 @@ def q_kmeans_1d_binned(spark, sf_dir):
             h, 200_000, "activity histogram census (distinct per-user counts)"
         )
     )
+    rows = _k1d_weighted_dp(hrows)
+    return spark.createDataFrame(
+        rows, "cluster long, n_users long, lo_val long, hi_val long, centroid double"
+    ).orderBy("cluster")
+
+
+def _k1d_weighted_dp(hrows: list) -> list:
+    """The weighted sorted-contiguity Bellman DP on a (value, weight)
+    histogram — the driver-side model fit of `kmeans_1d_binned`.
+    Requires at least K distinct values: below that, bin-boundary
+    clustering is ill-posed (a tie group would have to split) and the
+    exact user-grain audit form is the only meaningful answer — raise
+    rather than wrap around to a degenerate segmentation."""
+    import numpy as np
+
     avals = np.array([a for a, _ in hrows], dtype=np.int64)
     wvals = np.array([w for _, w in hrows], dtype=np.int64)
     n = len(avals)
+    if n < _K1D_K:
+        raise ValueError(
+            f"kmeans_1d_binned needs >= {_K1D_K} distinct values, got {n}: "
+            "a tie group would have to split across clusters — use the "
+            "exact audit form kmeans_1d_optimal for this regime"
+        )
     p0 = np.concatenate([[0], np.cumsum(wvals)]).astype(np.int64)
     p1 = np.concatenate([[0], np.cumsum(wvals * avals)]).astype(np.int64)
     p2 = np.concatenate([[0], np.cumsum(wvals * avals * avals)]).astype(np.int64)
@@ -1790,9 +1809,7 @@ def q_kmeans_1d_binned(spark, sf_dir):
         sz = int(p0[hi] - p0[lo])
         mass = int(p1[hi] - p1[lo])
         rows.append((k + 1, sz, int(avals[lo]), int(avals[hi - 1]), round(mass / sz, 6)))
-    return spark.createDataFrame(
-        rows, "cluster long, n_users long, lo_val long, hi_val long, centroid double"
-    ).orderBy("cluster")
+    return rows
 
 
 @query(

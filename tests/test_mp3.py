@@ -421,3 +421,68 @@ def test_huffman_prefix_violation_detected():
         M.build_huffman_decoder([[0, 0, 1, 0b1], [1, 0, 2, 0b11]])
     with pytest.raises(M.Mp3FormatError, match="duplicate"):
         M.build_huffman_decoder([[0, 0, 2, 0b01], [1, 0, 2, 0b01]])
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions
+
+
+def test_truncated_id3_marker_terminates():
+    """A truncated 'ID3' marker after the last frame used to loop
+    forever (skip_id3v2 returned 0 and the walk never advanced) — one
+    malformed payload would hang the whole mapInPandas task. Now it
+    terminates as trailing junk."""
+    frame = _header_bytes(5, 0, 0, 3) + bytes(204)
+    frames = M.index_frames(frame + b"ID3\x00")
+    assert len(frames) == 1
+    # mid-stream full tag still skipped via the offset-based walk
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 4]) + bytes(4)
+    frames = M.index_frames(frame + tag + frame)
+    assert len(frames) == 2
+
+
+def test_set_tables_invalidates_decoder_cache():
+    """Swapping table sets (synthetic -> deployed real file) must not
+    serve stale Huffman decoders from the cache."""
+    ta = _synthetic_tables()
+    M.set_tables(ta)
+    try:
+        assert M._decoder_cache(ta["huffman"], 1)[(0b1, 1)] == (0, 0)
+        tb = _synthetic_tables()
+        tb["huffman"]["1"] = [[1, 1, 1, 0b1], [0, 0, 2, 0b01],
+                              [1, 0, 3, 0b001], [0, 1, 3, 0b000]]
+        M.set_tables(tb)
+        assert M._decoder_cache(tb["huffman"], 1)[(0b1, 1)] == (1, 1)
+    finally:
+        M.set_tables(None)
+
+
+def test_sfband_sets_per_granule_region_bounds(monkeypatch):
+    """With a deployed scalefactor-band table, big-values region
+    boundaries follow the granule's region0/region1_count (the spec
+    rule) instead of a static pair — the piece the deploy story needs
+    for real streams."""
+    tabs = _synthetic_tables()
+    del tabs["region_bounds"]
+    # toy band table: 36-wide bands, so region0 (region0_count=0 ->
+    # boundary sfband[1]=36) covers the whole 6-line big-values block
+    tabs["sfband"] = list(range(0, 577, 36))
+    pairs = [(1, 0), (0, -1), (1, 1)]  # big_values=3 -> 6 lines
+    frame, expected = _craft_frame([(pairs, [], 1, 0, 214), ([], [], 1, 0, 210)])
+    M.set_tables(tabs)
+    try:
+        pcm, sr = M.decode_mp3(frame)
+        assert sr == 44100 and pcm.shape == (1152,)
+    finally:
+        M.set_tables(None)
+
+
+def test_kmeans_binned_dp_guard_under_k_distinct():
+    from pliers_spark.queries.stats_16 import _k1d_weighted_dp
+
+    with pytest.raises(ValueError, match="distinct values"):
+        _k1d_weighted_dp([(5, 100), (9, 50)])
+    rows = _k1d_weighted_dp([(1, 10), (5, 20), (9, 30)])
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert sum(r[1] for r in rows) == 60
+    assert rows[0][2:4] == (1, 1) and rows[2][2:4] == (9, 9)
