@@ -486,3 +486,61 @@ def test_kmeans_binned_dp_guard_under_k_distinct():
     assert [r[0] for r in rows] == [1, 2, 3]
     assert sum(r[1] for r in rows) == 60
     assert rows[0][2:4] == (1, 1) and rows[2][2:4] == (9, 9)
+
+
+# ---------------------------------------------------------------------------
+# fuzz: arbitrary bytes must terminate with a clean outcome (the hang
+# class the ID3 regression above belongs to)
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_index_frames_fuzz_terminates(data):
+    """Any byte string: index_frames either returns a frame list or
+    raises Mp3FormatError — never hangs, never raises anything else."""
+    try:
+        frames = M.index_frames(data)
+    except M.Mp3FormatError:
+        return
+    for fh in frames:
+        assert 0 <= fh.offset < len(data)
+        assert fh.offset + fh.frame_len <= len(data)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.binary(max_size=64), st.binary(max_size=64))
+def test_index_frames_fuzz_around_valid_frame(h32, prefix, suffix):
+    """A junk-wrapped header: parse_frame_header's accept/reject line is
+    total (no IndexError/KeyError on any 32-bit header), and when a
+    stream IS indexed its frames stay in bounds."""
+    hdr = h32.to_bytes(4, "big")
+    try:
+        fh = M.parse_frame_header(hdr + bytes(512), 0)
+        body = bytes(fh.frame_len - 4)
+    except M.Mp3FormatError:
+        body = b""
+    data = prefix + hdr + body + suffix
+    try:
+        frames = M.index_frames(data)
+    except M.Mp3FormatError:
+        return
+    for f in frames:
+        assert f.offset + f.frame_len <= len(data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=32, max_size=64))
+def test_side_info_parse_total_on_random_bytes(raw):
+    """parse_side_info on arbitrary side-info bytes is total: every
+    field is a fixed-width read, so any 32-byte buffer parses without
+    exception (values are range-bounded by their widths)."""
+    frame = _header_bytes(9, 0, 1, 1) + raw[:32] + bytes(418 - 4 - 32)
+    fh = M.parse_frame_header(frame, 0)
+    si = M.parse_side_info(frame, fh)
+    assert 0 <= si.main_data_begin <= 511
+    for gr in si.granules:
+        for g in gr:
+            assert 0 <= g.part2_3_length <= 4095
+            assert 0 <= g.block_type <= 3
