@@ -77,13 +77,29 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ROW-ATOMIC fill (r5 review fix): take the latest right ROW as one
+    # struct, then project its fields. Per-column last(ignorenulls) would
+    # resurrect each column's latest NON-NULL value when a right value
+    # column is null — mixing columns from different right rows and
+    # disagreeing with merge_asof / the cogroup twin. The struct is null
+    # exactly for spine rows (side 1), so ignorenulls skips only those;
+    # a right row whose value fields are null is still a non-null struct
+    # and correctly shadows older rows.
+    row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_rts").alias("_rts"),
+            *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    last_row = F.last(row, ignorenulls=True).over(w)
     filled = unioned.select(
         *entity_cols,
         F.col("_ts"),
         F.col("_side"),
         *spine_extra,
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+        *[last_row[c].alias(c) for c in value_cols],
+        last_row["_rts"].alias("_matched_ts"),
     )
     out = filled.where(F.col("_side") == 1).drop("_side")
     out = out.withColumnRenamed("_ts", spine_ts)
@@ -164,15 +180,28 @@ def asof_join_directional(
     w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    # row-atomic candidate rows on both frames (same rationale as
+    # asof_join): the struct is null for spine rows only, so each
+    # direction picks WHOLE right rows, never a per-column mix.
+    rrow = F.when(
+        F.col("_is_spine") == 0,
+        F.struct(
+            F.col("_rts").alias("_rts"),
+            epoch_micros(unioned, "_rts").alias("_rus"),
+            *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        ),
+    )
     cols = [*entity_cols, F.col("_ts"), F.col("_is_spine"), *spine_extra, us.alias("_us")]
     if direction in ("backward", "nearest"):
-        cols += [F.last(f"_v_{c}", ignorenulls=True).over(w_back).alias(f"_b_{c}") for c in value_cols]
-        cols.append(F.last("_rts", ignorenulls=True).over(w_back).alias("_b_rts"))
-        cols.append(F.last(epoch_micros(unioned, "_rts"), ignorenulls=True).over(w_back).alias("_b_us"))
+        b_row = F.last(rrow, ignorenulls=True).over(w_back)
+        cols += [b_row[c].alias(f"_b_{c}") for c in value_cols]
+        cols.append(b_row["_rts"].alias("_b_rts"))
+        cols.append(b_row["_rus"].alias("_b_us"))
     if direction in ("forward", "nearest"):
-        cols += [F.first(f"_v_{c}", ignorenulls=True).over(w_fwd).alias(f"_f_{c}") for c in value_cols]
-        cols.append(F.first("_rts", ignorenulls=True).over(w_fwd).alias("_f_rts"))
-        cols.append(F.first(epoch_micros(unioned, "_rts"), ignorenulls=True).over(w_fwd).alias("_f_us"))
+        f_row = F.first(rrow, ignorenulls=True).over(w_fwd)
+        cols += [f_row[c].alias(f"_f_{c}") for c in value_cols]
+        cols.append(f_row["_rts"].alias("_f_rts"))
+        cols.append(f_row["_rus"].alias("_f_us"))
     filled = unioned.select(*cols).where(F.col("_is_spine") == 1).drop("_is_spine")
 
     if direction == "backward":

@@ -55,17 +55,40 @@ def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
     profiles = [(lang, frozenset(ws)) for lang, ws in T.LANG_PROFILES.items()]
     lang_names = np.array([lang for lang, _ in profiles])
 
+    # JVM-parity constants (r5 review fixes): Java regex \s is the ASCII
+    # class [ \t\n\x0b\f\r] (NOT Unicode whitespace — pandas' bare
+    # .str.split()/.str.strip() would treat \xa0 etc. as separators and
+    # silently diverge from the codegen path on real crawl text), and
+    # F.round is HALF_UP while np.round is banker's (half-to-even) — a
+    # dyadic half-tie like 1/128 rounds differently. One rule: the JVM
+    # expression path defines the feature semantics; this stage
+    # reproduces it bit-for-bit (pinned by tests/test_pages_extract.py's
+    # adversarial equality sweep).
+    _WS = " \t\n\x0b\f\r"
+    _STRIP_RE = "^[" + _WS + "]+|[" + _WS + "]+$"
+    _SPLIT_RE = "[" + _WS + "]+"
+    _NONWS_RE = "[^" + _WS + "]"
+
+    def _round6_half_up(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6  # non-negative inputs only
+
     def batches(it):
         for pdf in it:
             s = pdf["text"]
             idx = np.arange(len(pdf))
             s.index = idx
-            tokens = s.str.lower().str.split()
+            null_mask = s.isna().values
+            stripped = s.str.replace(_STRIP_RE, "", regex=True)
+            tokens = stripped.str.split(_SPLIT_RE, regex=True)
             ex = tokens.explode().dropna()
+            ex = ex[ex != ""]  # split('') yields [''] — not a token
+            # n_unique is CASE-SENSITIVE (JVM array_distinct on raw
+            # tokens); stopword/lang membership is on lowered tokens
             edf = pd.DataFrame({"_i": ex.index.values, "_t": ex.values})
-            cols = {"sw": edf["_t"].isin(stop_set).values}
+            low = edf["_t"].str.lower()
+            cols = {"sw": low.isin(stop_set).values}
             for lang, ws in profiles:
-                cols[lang] = edf["_t"].isin(ws).values
+                cols[lang] = low.isin(ws).values
             hits = (
                 pd.DataFrame(cols, index=edf["_i"])
                 .groupby(level=0)
@@ -74,33 +97,41 @@ def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
             )
             n_unique = (
                 edf.drop_duplicates().groupby("_i").size().reindex(idx, fill_value=0)
-            )
+            ).values.astype("float64")
             n_tokens = tokens.str.len().fillna(0).astype("int64").values
+            n_tokens = np.where(stripped.fillna("").values == "", 0, n_tokens)
             denom = np.maximum(n_tokens, 1)
             sw_ratio = hits["sw"].values / denom
             alpha = (s.str.count(r"[A-Za-z]") / np.maximum(s.str.len(), 1)).values
-            mtl = s.str.count(r"\S").values / denom
-            quality = np.round(
+            mtl = s.str.count(_NONWS_RE).values / denom
+            quality = _round6_half_up(
                 0.25 * np.minimum(n_tokens / 50.0, 1.0)
                 + 0.25 * alpha
                 + 0.25 * np.minimum(sw_ratio * 5.0, 1.0)
-                + 0.25 * ((mtl >= 2.0) & (mtl <= 12.0)).astype(float),
-                6,
+                + 0.25 * ((mtl >= 2.0) & (mtl <= 12.0)).astype(float)
             )
             scores = np.stack(
                 [hits[lang].values / denom - j * 1e-9 for j, (lang, _) in enumerate(profiles)],
                 axis=1,
             )
+            # null text -> null features (JVM null propagation); argmax
+            # over all-NaN rows picks index 0 = the JVM when-chain's
+            # first-profile fallback, so lang_pred needs no masking
+            text_length = stripped.str.len().values.astype("float64")
+            out_int = lambda v: pd.array(
+                np.where(null_mask, np.nan, v), dtype="Int32"
+            )
+            out_dbl = lambda v: np.where(null_mask, np.nan, v)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,
                     "warc_ts": pdf["warc_ts"].values,
                     "lang": pdf["lang"].values,
-                    "text_length": s.str.strip().str.len().astype("int32").values,
-                    "n_tokens": n_tokens.astype("int32"),
-                    "n_unique": n_unique.astype("int32").values,
-                    "stopword_ratio": np.round(sw_ratio, 6),
-                    "quality": quality,
+                    "text_length": out_int(text_length),
+                    "n_tokens": out_int(n_tokens.astype("float64")),
+                    "n_unique": out_int(n_unique),
+                    "stopword_ratio": out_dbl(_round6_half_up(sw_ratio)),
+                    "quality": out_dbl(quality),
                     "lang_pred": lang_names[np.argmax(scores, axis=1)],
                 }
             )
@@ -251,6 +282,17 @@ def pages_flagship(
         pages.select("url", "warc_ts"), ["url"], "warc_ts", spine_step_hours * 3600
     ).withColumnRenamed("warc_ts", "t")
     value_cols = [c for c in feats.columns if c not in ("url", "warc_ts")]
+    if skew_safe:
+        # the heavy-hitter census engaged the timesplit WINDOW operators;
+        # the final as-of join must not reintroduce the hot url as one
+        # unsplit sort group — route it through the time-range-split twin
+        # (bit-equal; same boundary-carry contract the window ops use)
+        from .operators.asof import asof_join_split
+
+        return asof_join_split(
+            spine, feats, ["url"], "t", "warc_ts", value_cols,
+            split_seconds=90 * 86400.0,
+        )
     return asof_join(spine, feats, ["url"], "t", "warc_ts", value_cols)
 
 
@@ -301,8 +343,9 @@ def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extra
     byte-identity invariant guards ("byte-identical extracted text per
     url"). Deterministic, dependency-free extraction: utf-8 decode, tag
     strip, entity unescape, whitespace collapse — one Arrow-vectorized
-    stage (pandas str ops at C speed), never per-row Python in the hot
-    path. tests/test_pages_extract.py pins ``extracted_text == text``
+    stage (pandas str ops at C speed); the only residual Python-level
+    call is entity unescape, applied to just the rows containing '&'
+    (it is the identity elsewhere). tests/test_pages_extract.py pins ``extracted_text == text``
     byte-for-byte on the synthetic corpus, whose html wraps the text.
 
     Scale note: html is by far the widest column (10-100 KB/row at
@@ -319,18 +362,21 @@ def html_to_text(pages: DataFrame, html_col: str = "html", out_col: str = "extra
 
     @pandas_udf("string", PandasUDFType.SCALAR)
     def _extract(s):
-        txt = s.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+        txt = s.str.decode("utf-8", errors="replace")  # vectorized, null-safe
         txt = (
             # (?s): script/style bodies span newlines in real HTML — without
             # DOTALL a multi-line <script> survives tag-stripping and its JS
             # leaks into extracted_text (north-rule byte-identity violation)
             txt.str.replace(r"(?s)<(script|style)\b[^>]*>.*?</\1>", " ", regex=True)
             .str.replace(r"<[^>]+>", " ", regex=True)
-            .map(lambda t: _html.unescape(t) if t is not None else None)
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
         )
-        return txt
+        # entity unescape has no vectorized form; it is the identity on
+        # text without '&', so only those rows pay the Python call
+        amp = txt.str.contains("&", regex=False, na=False)
+        if amp.any():
+            txt = txt.copy()
+            txt.loc[amp] = txt.loc[amp].map(_html.unescape)
+        return txt.str.replace(r"\s+", " ", regex=True).str.strip()
 
     return pages.withColumn(out_col, _extract(F.col(html_col)))
 

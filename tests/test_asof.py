@@ -158,3 +158,59 @@ def test_directional_single_shuffle(spark, fixture):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan  # 1 data + (AQE may add a read)
     assert "PythonUDF" not in plan, plan
+
+
+def test_row_atomic_fill_with_null_value_columns(spark):
+    """r5 review fix: the as-of fill must attach the value columns of
+    the latest right ROW as a unit. Per-column last(ignorenulls) would
+    resurrect column values from OLDER rows when the latest row carries
+    a null — mixing columns across rows and disagreeing with pandas
+    merge_asof and the cogroup twin. All three strategies must agree,
+    and matched_ts must come from the same row as the values."""
+    import datetime as dt
+
+    from pliers_spark.operators.asof import asof_join, asof_join_cogroup, asof_join_split
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    right = spark.createDataFrame(
+        [("e", t(1), 7.0, 100.0), ("e", t(5), None, 200.0), ("f", t(2), 1.0, None)],
+        "ent string, rts timestamp, a double, b double",
+    )
+    spine = spark.createDataFrame(
+        [("e", t(10)), ("f", t(10)), ("g", t(10))], "ent string, ts timestamp"
+    )
+    key = lambda r: (r["ent"], r["a"], r["b"])
+    uw = {key(r): r for r in
+          asof_join(spine, right, ["ent"], "ts", "rts", ["a", "b"]).collect()}
+    # latest e-row is t(5): a must be NULL (not resurrected 7.0), b=200
+    assert ("e", None, 200.0) in uw and uw[("e", None, 200.0)]["matched_ts"] == t(5)
+    assert ("f", 1.0, None) in uw
+    assert ("g", None, None) in uw
+    cg = sorted(map(key,
+         asof_join_cogroup(spine, right, ["ent"], "ts", "rts", ["a", "b"]).collect()),
+         key=str)
+    sp = sorted(map(key,
+         asof_join_split(spine, right, ["ent"], "ts", "rts", ["a", "b"],
+                         split_seconds=86400.0).collect()), key=str)
+    want = sorted([("e", None, 200.0), ("f", 1.0, None), ("g", None, None)], key=str)
+    assert cg == want and sp == want
+
+
+def test_directional_row_atomic_with_null_values(spark):
+    import datetime as dt
+
+    from pliers_spark.operators.asof import asof_join_directional
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    right = spark.createDataFrame(
+        [("e", t(1), 7.0), ("e", t(5), None)], "ent string, rts timestamp, a double"
+    )
+    spine = spark.createDataFrame([("e", t(3)), ("e", t(10))],
+                                  "ent string, ts timestamp")
+    got = {r["ts"]: (r["a"], r["matched_ts"]) for r in asof_join_directional(
+        spine, right, ["ent"], "ts", "rts", ["a"], direction="backward").collect()}
+    assert got[t(3)] == (7.0, t(1))
+    assert got[t(10)] == (None, t(5))  # null NOT replaced by the t(1) value
+    fwd = {r["ts"]: (r["a"], r["matched_ts"]) for r in asof_join_directional(
+        spine, right, ["ent"], "ts", "rts", ["a"], direction="forward").collect()}
+    assert fwd[t(3)] == (None, t(5))

@@ -214,3 +214,66 @@ def test_canonical_url_malformed_passthrough(spark):
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     for i, raw in enumerate(raws):
         assert got[i] == raw, (raw, got[i])
+
+
+def test_arrow_extract_matches_jvm_on_adversarial_text(spark):
+    """r5 review fixes pinned: the Arrow stage must equal the JVM stage
+    on the inputs the synthetic corpus never exercises — null text
+    (null feature propagation, not a crash), mixed case (n_unique is
+    case-sensitive), Unicode whitespace like NBSP (Java \\s is ASCII —
+    \\xa0 is NOT a separator), exact half-tie ratios (HALF_UP, not
+    banker's rounding), and vertical-tab/edge whitespace."""
+    import datetime as dt
+
+    texts = [
+        None, "", "The the cat", "foo\xa0bar", " x ", "\t\n",
+        "word " * 127 + "the",          # stopword_ratio = 1/128 half-tie
+        "Dr. Smith AND dr. smith", "a\x0bb c", "  lead and trail  ",
+        "the and of in to",             # all stopwords
+    ]
+    rows = [(f"u{i:02d}", dt.datetime(2024, 1, 1), "en", t)
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, text string"
+    )
+    cols = ["text_length", "n_tokens", "n_unique",
+            "stopword_ratio", "quality", "lang_pred"]
+    jvm = {r["url"]: tuple(r[c] for c in cols)
+           for r in extract_page_features(df).collect()}
+    arr = {r["url"]: tuple(r[c] for c in cols)
+           for r in extract_page_features_arrow(df).collect()}
+    assert jvm == arr
+    # the half-tie row rounds HALF_UP on both sides
+    assert jvm["u06"][3] == 0.007813
+    # null text: null features, first-profile lang fallback — both paths
+    assert jvm["u00"][:5] == (None,) * 5
+
+
+def test_flagship_skew_path_routes_asof_join_through_split(spark, tmp_path):
+    """r5 review fix: when the heavy-hitter census engages the timesplit
+    window operators, the final as-of join must also run in its
+    time-range-split form — the hot url must not come back as one
+    unsplit sort group in the join. Pinned structurally: the skew-safe
+    plan partitions the fill window by (url, chunk), visible as a
+    '_chunk' window partition spec, and the two paths stay bit-equal."""
+    import datetime as dt
+
+    rows = []
+    for d in range(1, 25):
+        rows.append(("http://hot/a", dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                     "en", f"hot words {d}", b"<p>x</p>"))
+    rows.append(("http://cold/b", dt.datetime(2024, 1, 5), "en", "cold words", b"<p>y</p>"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, text string, html binary"
+    )
+    from pliers_spark.pages_pipeline import pages_flagship
+
+    p = str(tmp_path / "pages")
+    df.write.parquet(p)
+    plain = pages_flagship(spark, p, skew_safe=False)
+    safe = pages_flagship(spark, p, skew_safe=True)
+    assert "_chunk" in safe._jdf.queryExecution().optimizedPlan().toString()
+    k = lambda df_: sorted(
+        tuple(str(r[c]) for c in sorted(df_.columns)) for r in df_.collect()
+    )
+    assert k(plain) == k(safe)
