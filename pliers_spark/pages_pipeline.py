@@ -65,9 +65,17 @@ def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
     # reproduces it bit-for-bit (pinned by tests/test_pages_extract.py's
     # adversarial equality sweep).
     _WS = " \t\n\x0b\f\r"
-    _STRIP_RE = "^[" + _WS + "]+|[" + _WS + "]+$"
     _SPLIT_RE = "[" + _WS + "]+"
     _NONWS_RE = "[^" + _WS + "]"
+    # every char Python str.split() treats as whitespace but Java \s does
+    # not (NBSP, \x1c-\x1f, \x85, the U+2000 block, ...): rows free of
+    # these are split with the C fast path; only flagged rows pay the
+    # regex split that reproduces Java semantics exactly
+    _EXTRA_WS = "".join(
+        chr(c) for c in range(0x10000)
+        if chr(c).isspace() and chr(c) not in _WS
+    )
+    _EXTRA_WS_RE = "[" + _EXTRA_WS + "]"
 
     def _round6_half_up(x):
         return np.floor(x * 1e6 + 0.5) / 1e6  # non-negative inputs only
@@ -78,30 +86,46 @@ def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
             idx = np.arange(len(pdf))
             s.index = idx
             null_mask = s.isna().values
-            stripped = s.str.replace(_STRIP_RE, "", regex=True)
-            tokens = stripped.str.split(_SPLIT_RE, regex=True)
-            ex = tokens.explode().dropna()
-            ex = ex[ex != ""]  # split('') yields [''] — not a token
-            # n_unique is CASE-SENSITIVE (JVM array_distinct on raw
-            # tokens); stopword/lang membership is on lowered tokens
-            edf = pd.DataFrame({"_i": ex.index.values, "_t": ex.values})
-            low = edf["_t"].str.lower()
-            cols = {"sw": low.isin(stop_set).values}
-            for lang, ws in profiles:
-                cols[lang] = low.isin(ws).values
-            hits = (
-                pd.DataFrame(cols, index=edf["_i"])
-                .groupby(level=0)
-                .sum()
-                .reindex(idx, fill_value=0)
-            )
-            n_unique = (
-                edf.drop_duplicates().groupby("_i").size().reindex(idx, fill_value=0)
-            ).values.astype("float64")
+            # str.strip(chars) is the C fast path for the exact ASCII
+            # class — no regex pass needed for the strip
+            stripped = s.str.strip(_WS)
+            extra = stripped.str.contains(_EXTRA_WS_RE, regex=True, na=False)
+            tokens = stripped.str.split()  # C fast path (Unicode ws)
+            if extra.values.any():
+                # rows with non-ASCII whitespace re-split under the exact
+                # Java \s class (e.g. NBSP stays INSIDE its token there)
+                tokens = tokens.copy()
+                tokens[extra] = stripped[extra].str.split(_SPLIT_RE, regex=True)
+            ex = tokens.explode()
+            empty_any = (stripped.values == "").any()
+            if null_mask.any() or empty_any or extra.values.any():
+                ex = ex.dropna()
+                ex = ex[ex != ""]  # regex split of '' yields [''] — not a token
+            # factorize the token stream: lowering and set membership run
+            # once per VOCABULARY entry (Heaps-bounded), then fan back out
+            # by integer code — measured ~2x over per-token str ops; the
+            # per-row sums and the CASE-SENSITIVE distinct count (JVM
+            # array_distinct semantics) are C-level bincount/lexsort
+            codes, uniq = pd.factorize(ex.values)
+            uniq_low = pd.Index(uniq).str.lower()
+            ii = ex.index.values.astype("int64")
+            nrow = len(pdf)
+
+            def _row_hits(member_u):
+                sel = np.asarray(member_u)[codes]
+                return np.bincount(ii[sel], minlength=nrow)
+
+            sw_hits = _row_hits(uniq_low.isin(stop_set))
+            lang_hits = {lang: _row_hits(uniq_low.isin(ws)) for lang, ws in profiles}
+            o = np.lexsort((codes, ii))
+            i2, c2 = ii[o], codes[o]
+            first = np.ones(len(o), dtype=bool)
+            first[1:] = (i2[1:] != i2[:-1]) | (c2[1:] != c2[:-1])
+            n_unique = np.bincount(i2[first], minlength=nrow)
             n_tokens = tokens.str.len().fillna(0).astype("int64").values
             n_tokens = np.where(stripped.fillna("").values == "", 0, n_tokens)
             denom = np.maximum(n_tokens, 1)
-            sw_ratio = hits["sw"].values / denom
+            sw_ratio = sw_hits / denom
             alpha = (s.str.count(r"[A-Za-z]") / np.maximum(s.str.len(), 1)).values
             mtl = s.str.count(_NONWS_RE).values / denom
             quality = _round6_half_up(
@@ -111,24 +135,29 @@ def extract_page_features_arrow(pages: DataFrame) -> DataFrame:
                 + 0.25 * ((mtl >= 2.0) & (mtl <= 12.0)).astype(float)
             )
             scores = np.stack(
-                [hits[lang].values / denom - j * 1e-9 for j, (lang, _) in enumerate(profiles)],
+                [lang_hits[lang] / denom - j * 1e-9 for j, (lang, _) in enumerate(profiles)],
                 axis=1,
             )
             # null text -> null features (JVM null propagation); argmax
             # over all-NaN rows picks index 0 = the JVM when-chain's
             # first-profile fallback, so lang_pred needs no masking
-            text_length = stripped.str.len().values.astype("float64")
-            out_int = lambda v: pd.array(
-                np.where(null_mask, np.nan, v), dtype="Int32"
-            )
-            out_dbl = lambda v: np.where(null_mask, np.nan, v)
+            text_length = stripped.str.len().values
+            if null_mask.any():
+                out_int = lambda v: pd.array(
+                    np.where(null_mask, np.nan, np.asarray(v, dtype="float64")),
+                    dtype="Int32",
+                )
+                out_dbl = lambda v: np.where(null_mask, np.nan, v)
+            else:  # common case: no nulls — plain int32, no masking pass
+                out_int = lambda v: np.asarray(v).astype("int32")
+                out_dbl = lambda v: v
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,
                     "warc_ts": pdf["warc_ts"].values,
                     "lang": pdf["lang"].values,
                     "text_length": out_int(text_length),
-                    "n_tokens": out_int(n_tokens.astype("float64")),
+                    "n_tokens": out_int(n_tokens),
                     "n_unique": out_int(n_unique),
                     "stopword_ratio": out_dbl(_round6_half_up(sw_ratio)),
                     "quality": out_dbl(quality),
